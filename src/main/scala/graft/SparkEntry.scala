@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{QueryDef, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator registers a [[graft.core.QueryDef]] in one of
+  * the modules below; this object is just the aggregation point the driver
+  * harness (Verify/Bench) reads.
+  */
 object SparkEntry {
+
+  /** Registered operator modules, in build order. */
+  def modules: Seq[QueryModule] = Seq(
+    graft.operators.Relational,
+  )
+
+  def allDefs: ListMap[String, QueryDef] =
+    modules.foldLeft(ListMap.empty[String, QueryDef])(_ ++ _.defs)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.operators.Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (k, v) => k -> v.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
+
+  /** Headline benchmark subset (run at sf0.1 by Bench). */
+  def benchQueries: ListMap[String, (SparkSession, String) => DataFrame] =
+    allDefs.collect { case (k, qd) if qd.bench => k -> qd.fn }
 }

@@ -1,0 +1,20 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+/** One driver-checkable operator: a Spark query over the TESTDATA tables
+  * plus (where SQL-expressible) an ANSI-SQL oracle DuckDB runs on the same
+  * parquet. Column names must match between the two (the driver sorts
+  * columns by name before hashing). Queries tagged `bench` form the
+  * headline benchmark set run at sf0.1.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+trait QueryModule {
+  /** Insertion-ordered so Verify/Bench output is stable. */
+  def defs: ListMap[String, QueryDef]
+}

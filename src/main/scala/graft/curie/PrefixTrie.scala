@@ -1,0 +1,109 @@
+package graft.curie
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Longest-prefix, case-insensitive CURIE/IRI prefix rewriter.
+  *
+  * Behavioural spec from the reference byte-trie
+  * (`grebi_shared/src/prefix_map.rs:31-197`, used by
+  * `01_ingest/grebi_normalise_prefixes/src/main.rs:33-74`):
+  *   - match the LONGEST configured prefix of the input (18k-entry map in
+  *     production, `prefix_maps/prefix_map_normalise.json`);
+  *   - matching is case-insensitive, the replacement is emitted verbatim;
+  *   - no match → input unchanged.
+  *
+  * Built once on the driver, broadcast inside the
+  * [[graft.functions.NormalisePrefix]] codegen'd expression — a pure
+  * map-side rewrite, no shuffle, scales linearly with input bytes.
+  */
+final class PrefixTrie private (root: PrefixTrie.Node) extends Serializable {
+
+  /** Longest-prefix rewrite; returns the input instance unchanged on miss. */
+  def rewrite(s: String): String = {
+    var node = root
+    var i = 0
+    var lastEnd = -1
+    var lastRepl: String = null
+    val n = s.length
+    while (node != null && i < n) {
+      val c = s.charAt(i)
+      val lc = if (c < 128) PrefixTrie.lower(c) else -1
+      if (lc < 0) node = null
+      else {
+        node = node.children(lc)
+        i += 1
+        if (node != null && node.replacement != null) {
+          lastEnd = i; lastRepl = node.replacement
+        }
+      }
+    }
+    if (lastRepl == null) s else lastRepl + s.substring(lastEnd)
+  }
+
+  /** UTF8String view for the codegen path (Tungsten-native strings in,
+    * out; avoids a per-row String round-trip on the no-match fast path
+    * only when a copy is needed). */
+  def rewriteUtf8(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = rewrite(str)
+    if (out.eq(str)) s else UTF8String.fromString(out)
+  }
+}
+
+object PrefixTrie {
+  private[curie] final class Node extends Serializable {
+    val children = new Array[Node](128)
+    var replacement: String = null
+  }
+
+  private def lower(c: Char): Int =
+    if (c >= 'A' && c <= 'Z') c + 32 else c
+
+  def apply(map: Map[String, String]): PrefixTrie = {
+    val root = new Node
+    map.foreach { case (prefix, repl) =>
+      var node = root
+      var ok = true
+      prefix.foreach { c =>
+        if (ok) {
+          if (c >= 128) ok = false // non-ASCII prefixes unsupported, as in the reference byte-trie
+          else {
+            val lc = lower(c)
+            if (node.children(lc) == null) node.children(lc) = new Node
+            node = node.children(lc)
+          }
+        }
+      }
+      if (ok) node.replacement = repl
+    }
+    new PrefixTrie(root)
+  }
+}
+
+/** Identifier scoring + sanity rules shared across the identity stage. */
+object Ids {
+  /** Canonical-id preference (`02_assign_ids/grebi_identifiers2groups/src/main.rs:163-193`):
+    * grebi:* beats biolink:* beats CURIE-like beats anything else;
+    * ties broken by the lexicographically smallest id. Lower score wins. */
+  def idScore(id: String): Int =
+    if (id.startsWith("grebi:")) 0
+    else if (id.startsWith("biolink:")) 1
+    else if (isCurieLike(id)) 2
+    else 3
+
+  private def isCurieLike(id: String): Boolean = {
+    val colon = id.indexOf(':')
+    colon > 0 && colon < id.length - 1 &&
+      id.substring(0, colon).forall(c => c.isLetterOrDigit || c == '_' || c == '.') &&
+      !id.substring(0, colon).forall(_.isDigit)
+  }
+
+  /** Pick the canonical id of a clique: min by (score, id). */
+  def canonical(ids: Iterable[String]): String =
+    ids.minBy(id => (idScore(id), id))
+
+  /** Unprefixed all-numeric ids are ambiguous and dropped
+    * (`grebi_shared/src/lib.rs:10-23`). */
+  def isValidId(id: String): Boolean =
+    id.nonEmpty && !id.forall(_.isDigit)
+}

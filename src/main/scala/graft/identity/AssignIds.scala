@@ -1,0 +1,64 @@
+package graft.identity
+
+import graft.curie.Ids
+import graft.model.{IngestNode, RawValue}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A node after id assignment: keyed by its clique's canonical id, ready
+  * for the merge group-by (`02_assign_ids/grebi_assign_ids/src/main.rs:92-138`). */
+final case class AssignedNode(
+    nodeId: String,
+    datasource: String,
+    sourceIds: Seq[String],
+    subgraph: String,
+    props: Map[String, Seq[RawValue]])
+
+/** J1 — map-side hash join of every id, every string value, and every
+  * property KEY against the groups table; matches are rewritten to the
+  * clique's canonical id (SURVEY §2.3 J1; key rewrite: reference
+  * `grebi_assign_ids/src/main.rs:121-129`).
+  *
+  * The groups map is broadcast once per executor (the reference loads
+  * groups.txt into the RAM of every task — same plan, minus the per-task
+  * copy). For group tables beyond executor memory, assign the nodeId via
+  * the join-based path (explode ids ⨝ groups, shuffle on id) and restrict
+  * the value-rewrite to a bloom-filtered candidate set — tracked as the
+  * scale path; identifier cliques for ~40 datasources fit comfortably in a
+  * few GB broadcast.
+  */
+object AssignIds {
+
+  def apply(spark: SparkSession, nodes: Dataset[IngestNode],
+            groups: Map[String, String]): Dataset[AssignedNode] = {
+    val bc: Broadcast[Map[String, String]] = spark.sparkContext.broadcast(groups)
+    import spark.implicits._
+    nodes.mapPartitions { it =>
+      val g = bc.value
+      it.flatMap { n => assignOne(n, g) }
+    }
+  }
+
+  private[identity] def assignOne(n: IngestNode, g: Map[String, String]): Option[AssignedNode] = {
+    val validIds = n.ids.filter(Ids.isValidId)
+    if (validIds.isEmpty) None // no-identifier drop (`grebi_assign_ids/src/main.rs:87-90`)
+    else {
+      val nodeId = g.getOrElse(validIds.head, Ids.canonical(validIds))
+      val props = n.props.map { case (k, vs) =>
+        val key = g.getOrElse(k, k)
+        val vals = vs.map { v =>
+          g.get(v.value) match {
+            case Some(canon) => v.copy(value = canon)
+            case None => v
+          }
+        }
+        key -> vals
+      }
+      val withType =
+        if (n.types.isEmpty) props
+        else props.updated("grebi:type",
+          props.getOrElse("grebi:type", Nil) ++ n.types.map(RawValue.str))
+      Some(AssignedNode(nodeId, n.datasource, validIds.sorted, n.subgraph, withType))
+    }
+  }
+}

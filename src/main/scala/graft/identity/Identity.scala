@@ -1,0 +1,110 @@
+package graft.identity
+
+import graft.curie.Ids
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Identity stage: equivalence cliques over identifier co-occurrence.
+  *
+  * The reference builds cliques with an in-RAM union-find on one 64 GB node
+  * (`02_assign_ids/grebi_identifiers2groups/src/main.rs:54-115`,
+  * provisioned in `nextflow/01_create_subgraph.nf:120-121`) — a hard
+  * single-machine ceiling. Here it's distributed connected components over
+  * a `DataFrame[(src, dst)]` edge list, so the id graph can exceed any one
+  * node's RAM.
+  */
+object ConnectedComponents {
+
+  /** Min-label propagation with per-iteration lineage truncation.
+    *
+    * Input: edge list with columns (src, dst) — for identifier cliques,
+    * every id of a record is linked to the record's first id (star), so
+    * edge count ≈ id count, and component diameter stays small (2×
+    * transitive-merge depth), which is exactly the regime where min-label
+    * propagation converges in a handful of rounds. Each round is one
+    * shuffle on the vertex id; `localCheckpoint` breaks the growing
+    * lineage so plan size stays O(1) across iterations.
+    *
+    * Returns (member, component) with component = min member id.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val src = col("src"); val dst = col("dst")
+    val e = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
+      .where(src =!= dst)
+    val sym = e.union(e.select(dst.as("src"), src.as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = sym.select(src.as("member")).distinct()
+      .withColumn("label", col("member"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val msgs = sym
+        .join(labels.withColumnRenamed("member", "src"), "src")
+        .select(dst.as("member"), col("label"))
+      val next = msgs.union(labels)
+        .groupBy("member").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "member")
+        .where(col("label") =!= col("prev"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+}
+
+object Groups {
+
+  /** Score expression mirroring [[graft.curie.Ids.idScore]] in pure
+    * Catalyst (stays codegen'd — no UDF in the canonical-pick path). */
+  def idScoreCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id.startsWith("grebi:"), 0)
+      .when(id.startsWith("biolink:"), 1)
+      .when(id.rlike("^[A-Za-z_][A-Za-z0-9_.]*:.+"), 2)
+      .otherwise(3)
+
+  /** From identifier sets (one row per record: array of ids) to the groups
+    * table (memberId → canonicalId), the Spark restatement of groups.txt
+    * (`grebi_shared/src/load_groups_txt.rs:10-31`).
+    *
+    * Star edges: each id ↔ first id of its record; CC merges transitively
+    * (`grebi_identifiers2groups/src/main.rs:86-104`); canonical member
+    * picked per clique by (idScore, id) min — exactly the reference's
+    * preference order (`:163-193`).
+    */
+  def fromIdSets(idSets: DataFrame): DataFrame = {
+    // idSets: single column `ids: array<string>`
+    val valid = idSets.select(filter(col("ids"), id => Groups.isValidIdCol(id)).as("ids"))
+      .where(size(col("ids")) > 0)
+    val members = valid.select(explode(col("ids")).as("member")).distinct()
+    val edges = valid.select(explode(col("ids")).as("dst"), element_at(col("ids"), 1).as("src"))
+    val cc = ConnectedComponents.run(edges)
+    // Singleton cliques never make it into the (self-edge-free) edge list:
+    // default them to their own component.
+    val full = members.join(cc, Seq("member"), "left")
+      .select(col("member"), coalesce(col("component"), col("member")).as("component"))
+    val canon = full.groupBy("component")
+      .agg(min(struct(idScoreCol(col("member")).as("score"), col("member").as("id")))
+        .getField("id").as("canonical"))
+    full.join(canon, "component").select(col("member"), col("canonical"))
+  }
+
+  def isValidIdCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (id.isNotNull) && (id =!= "") && !id.rlike("^[0-9]+$")
+
+  /** Seeded equivalences (config `additional_equivalence_groups`, e.g.
+    * `[grebi:name, ols:label, rdfs:label]`) expressed as extra id-set rows. */
+  def seedRows(spark: SparkSession, seeds: Seq[Seq[String]]): DataFrame = {
+    import spark.implicits._
+    seeds.toDF("ids")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.identity
+
+import graft.SparkSpec
+
+class IdentitySpec extends SparkSpec {
+
+  test("connected components: transitive merge across rows") {
+    import spark.implicits._
+    // A↔B in one record, B↔C in another ⇒ one clique
+    // (`grebi_identifiers2groups/src/main.rs:86-104`)
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
+  test("connected components: long chain converges") {
+    import spark.implicits._
+    val edges = (1 until 12).map(i => (s"v${"%02d".format(i)}", s"v${"%02d".format(i + 1)}"))
+      .toDF("src", "dst")
+    val cc = ConnectedComponents.run(edges).collect()
+    assert(cc.length == 12)
+    assert(cc.forall(_.getString(1) == "v01"))
+  }
+
+  test("groups: canonical picked by id score, numeric ids dropped") {
+    import spark.implicits._
+    val idSets = Seq(
+      Seq("mondo:0005044", "EFO-0000537"),      // curie beats non-curie
+      Seq("rdfs:label", "grebi:name"),          // grebi:* beats curie
+      Seq("12345", "mgi:97490")                 // numeric dropped
+    ).toDF("ids")
+    val groups = Groups.fromIdSets(idSets)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(groups("mondo:0005044") == "mondo:0005044")
+    assert(groups("EFO-0000537") == "mondo:0005044")
+    assert(groups("rdfs:label") == "grebi:name")
+    assert(groups.get("12345").isEmpty)
+    assert(groups("mgi:97490") == "mgi:97490")
+  }
+}

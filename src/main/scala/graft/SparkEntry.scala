@@ -16,6 +16,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     graft.operators.Relational,
     graft.operators.GraphOps,
+    graft.operators.MaterialiseOps,
   )
 
   def allDefs: ListMap[String, QueryDef] =

@@ -1,0 +1,102 @@
+package graft.materialise
+
+import graft.core.Json
+import graft.model.{MaterialisedEdge, MergedNode}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 05_materialise parity (SURVEY §2.3 J3/J4, §2.4 A4/A6): turn property
+  * values that reference other nodes into first-class edges, compute the
+  * display type, embed referenced-node metadata, and build the edge
+  * summary cube.
+  *
+  * Reference: `05_materialise/grebi_materialise/src/main.rs` — there the
+  * node-id set is an in-RAM map probed per value (`:286,:312`); here edge
+  * detection is a JOIN against the metadata projection, so Catalyst
+  * broadcasts it while it fits and falls back to a shuffle join beyond
+  * that — the plan survives the 100× scale-up the in-RAM probe cannot.
+  */
+object Materialise {
+
+  /** Candidate (from, key, value, valueDatasources, qualifiers, subgraph,
+    * fromSourceIds) assertions — every prop value is a potential edge. */
+  private def assertions(nodes: Dataset[MergedNode]): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    nodes.flatMap { n =>
+      n.props.toSeq.flatMap { case (k, vs) =>
+        vs.map(v => (n.nodeId, n.subgraph, n.sourceIds, k, v.value,
+          v.datasources, Json.strMap(v.qualifiers)))
+      }
+    }.toDF("fromNodeId", "subgraph", "fromSourceIds", "edgeType", "toNodeId",
+      "datasources", "qualifiersJson")
+  }
+
+  /** J3 — emit an edge for every property value that equals another
+    * node's id (semi-join against the node-id dimension,
+    * `grebi_materialise/src/main.rs:265-331`). Self-referential edges are
+    * excluded as in the reference (`:90-111` `exclude_self_referential`).
+    * edgeId is a content hash (sha256 here vs the reference's sha1,
+    * `:424-432`) — deterministic across runs and shuffles. */
+  def edges(nodes: Dataset[MergedNode], metadata: DataFrame,
+            excludeProps: Set[String] = Set("grebi:type", "grebi:name"),
+            excludeSelfReferential: Boolean = true): DataFrame = {
+    val nodeIds = metadata.select(col("nodeId").as("toNodeId"))
+    var cand = assertions(nodes)
+      .where(!col("edgeType").isin(excludeProps.toSeq: _*))
+    if (excludeSelfReferential)
+      cand = cand.where(col("fromNodeId") =!= col("toNodeId"))
+    cand.join(nodeIds, "toNodeId")
+      .withColumn("edgeId",
+        sha2(concat_ws("\u001f", col("subgraph"), col("fromNodeId"),
+          col("edgeType"), col("toNodeId"), col("qualifiersJson")), 256))
+      .select(col("edgeId"), col("edgeType"), col("fromNodeId"), col("toNodeId"),
+        col("datasources"), col("subgraph"), col("fromSourceIds"), col("qualifiersJson"))
+  }
+
+  /** A6 — displayType = the globally rarest of a node's types
+    * (`grebi_materialise/src/main.rs:118-124,164-188,213-217`): broadcast
+    * the type-count table, argmin via min(struct(count, type)). */
+  def displayTypes(nodes: Dataset[MergedNode], typeCounts: DataFrame): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val nodeTypes = nodes.flatMap(n =>
+        n.props.getOrElse("grebi:type", Nil).map(_.value).distinct.map((n.nodeId, _)))
+      .toDF("nodeId", "type")
+    nodeTypes.join(broadcast(typeCounts), "type")
+      .groupBy("nodeId")
+      .agg(min(struct(col("count"), col("type"))).getField("type").as("displayType"))
+  }
+
+  /** J4 — `_refs`: for each node, a map from every referenced node id to
+    * its metadata (name + types), built by explode → join metadata →
+    * regroup (`grebi_materialise/src/main.rs:197-210`). Popular targets
+    * (species-like hub nodes) skew the join; AQE skew-join handles the
+    * regroup side since the group key is the *from* node. */
+  def refs(nodes: Dataset[MergedNode], metadata: DataFrame): DataFrame = {
+    val cand = assertions(nodes)
+      .select(col("fromNodeId"), col("toNodeId").as("ref"))
+      .distinct()
+    cand.join(metadata.withColumnRenamed("nodeId", "ref"), "ref")
+      .groupBy("fromNodeId")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("ref"), struct(col("name"), col("types")))))).as("refs"))
+  }
+
+  /** A4 — edge summary cube: count edges by (srcTypeSignature, edgeType,
+    * dstTypeSignature, datasourcesSignature); a type signature is the
+    * sorted comma-joined type list (`grebi_materialise/src/main.rs:70-82,
+    * 409-422,443-452`). */
+  def edgeSummary(edges: DataFrame, metadata: DataFrame): DataFrame = {
+    val sig = (c: String) => array_join(col(c), ",")
+    val meta = metadata.select(col("nodeId"), array_join(col("types"), ",").as("typeSig"))
+    edges
+      .join(meta.withColumnRenamed("nodeId", "fromNodeId")
+        .withColumnRenamed("typeSig", "srcTypeSig"), "fromNodeId")
+      .join(meta.withColumnRenamed("nodeId", "toNodeId")
+        .withColumnRenamed("typeSig", "dstTypeSig"), "toNodeId")
+      .groupBy(col("srcTypeSig"), col("edgeType"), col("dstTypeSig"),
+        array_join(col("datasources"), ",").as("datasourceSig"))
+      .count()
+  }
+}

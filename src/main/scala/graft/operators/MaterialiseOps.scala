@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.index.Index
+import graft.materialise.Materialise
+import graft.model.{MergedNode, PropValue}
+import graft.query.Query
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Gate coverage for the materialise + query-time operators (SURVEY §2.3
+  * J3/J4, §2.4 A4/A6, §2.11 Q1/Q3/Q7/Q8): a property graph is derived from
+  * the TPC-H-ish tables, the real engine code runs, and DuckDB recomputes
+  * the closed-form expectation.
+  */
+object MaterialiseOps extends QueryModule {
+
+  private def pad(c: Column): Column = lpad(c.cast("string"), 9, "0")
+  private def node(prefix: String, c: Column): Column = concat(lit(prefix), pad(c))
+  private val sqlPad = (col: String) => s"lpad(CAST($col AS VARCHAR), 9, '0')"
+
+  private def pv(v: String): PropValue = PropValue(v, "s", Seq("tpch"), Nil, Map.empty)
+
+  /** Orders + customers as merged nodes; the order's `ord:customer` prop
+    * holds the customer's node id. */
+  private def orderGraph(s: SparkSession, d: String): Dataset[MergedNode] = {
+    import s.implicits._
+    val custs = Tables.customer(s, d)
+      .select(node("c:", col("c_custkey")).as("id"), col("c_mktsegment").as("t"))
+      .as[(String, String)]
+      .map { case (id, seg) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
+        Map("grebi:type" -> Seq(pv(seg)))) }
+    val ords = Tables.orders(s, d)
+      .select(node("o:", col("o_orderkey")).as("id"),
+        node("c:", col("o_custkey")).as("cust"), col("o_orderpriority").as("t"))
+      .as[(String, String, String)]
+      .map { case (id, cust, pri) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
+        Map("grebi:type" -> Seq(pv(pri)), "ord:customer" -> Seq(pv(cust)))) }
+    custs.union(ords)
+  }
+
+  /** J3 — edge materialisation with content-hash edge ids. */
+  def edgeMaterialise(s: SparkSession, d: String): DataFrame = {
+    val nodes = orderGraph(s, d)
+    val meta = Index.metadata(nodes)
+    Materialise.edges(nodes, meta)
+      .select(col("edgeId"), col("edgeType"), col("fromNodeId"), col("toNodeId"))
+      .orderBy(col("fromNodeId"), col("toNodeId"))
+  }
+
+  val edgeMaterialiseSql: String =
+    s"""SELECT sha256('tpch' || chr(31) || 'o:' || ${sqlPad("o_orderkey")} || chr(31) || 'ord:customer'
+      |           || chr(31) || 'c:' || ${sqlPad("o_custkey")} || chr(31) || '{}') AS edgeId,
+      |  'ord:customer' AS edgeType,
+      |  'o:' || ${sqlPad("o_orderkey")} AS fromNodeId,
+      |  'c:' || ${sqlPad("o_custkey")} AS toNodeId
+      |FROM orders ORDER BY fromNodeId, toNodeId""".stripMargin
+
+  /** A6 — rarest-type displayType over parts carrying two types
+    * (brand + type family). */
+  def displayType(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.part(s, d)
+      .select(node("p:", col("p_partkey")).as("id"), col("p_brand"), col("p_type"))
+      .as[(String, String, String)]
+      .map { case (id, brand, ptype) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
+        Map("grebi:type" -> Seq(pv(brand), pv(ptype)))) }
+    Materialise.displayTypes(nodes, Index.typeCounts(nodes))
+      .orderBy(col("nodeId"))
+  }
+
+  val displayTypeSql: String =
+    s"""WITH nt AS (
+      |  SELECT p_partkey, p_brand AS t FROM part
+      |  UNION ALL SELECT p_partkey, p_type FROM part),
+      |tc AS (SELECT t, count(*) AS c FROM nt GROUP BY t),
+      |ranked AS (
+      |  SELECT p_partkey, t, row_number() OVER (PARTITION BY p_partkey ORDER BY c, t) AS rn
+      |  FROM nt JOIN tc USING (t))
+      |SELECT 'p:' || ${sqlPad("p_partkey")} AS nodeId, t AS displayType
+      |FROM ranked WHERE rn = 1 ORDER BY nodeId""".stripMargin
+
+  /** A4 — edge summary cube by (srcTypeSig, edgeType, dstTypeSig,
+    * datasourceSig). */
+  def edgeSummary(s: SparkSession, d: String): DataFrame = {
+    val nodes = orderGraph(s, d)
+    val meta = Index.metadata(nodes)
+    val edges = Materialise.edges(nodes, meta)
+    Materialise.edgeSummary(edges, meta)
+      .orderBy(col("srcTypeSig"), col("dstTypeSig"))
+  }
+
+  val edgeSummarySql: String =
+    """SELECT o_orderpriority AS srcTypeSig, 'ord:customer' AS edgeType,
+      |  c_mktsegment AS dstTypeSig, 'tpch' AS datasourceSig, count(*) AS count
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2, 3, 4 ORDER BY srcTypeSig, dstTypeSig""".stripMargin
+
+  /** Q1 — boosted multi-field search over documents. */
+  def searchDocs(s: SparkSession, d: String): DataFrame =
+    Query.search(Tables.documents(s, d),
+      Map("source" -> 10.0, "text" -> 2.0), "src3", "doc_id", size = 15)
+      .select(col("doc_id"), col("source"), col("score"))
+
+  val searchDocsSql: String =
+    """SELECT doc_id, source, score FROM (
+      |  SELECT doc_id, source,
+      |    (CASE WHEN source = 'src3' THEN 10.0
+      |          WHEN lower(source) LIKE '%src3%' THEN 5.0 ELSE 0 END)
+      |  + (CASE WHEN text = 'src3' THEN 2.0
+      |          WHEN lower(text) LIKE '%src3%' THEN 1.0 ELSE 0 END) AS score
+      |  FROM documents)
+      |WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 15""".stripMargin
+
+  /** Q3 — facet counts with facet-exclusion. */
+  def facetDocs(s: SparkSession, d: String): DataFrame =
+    Query.facets(Tables.documents(s, d), Map("lang" -> Seq("en")), Seq("lang", "source"))
+      .orderBy(col("facet_field"), col("facet_value"))
+
+  val facetDocsSql: String =
+    """SELECT 'lang' AS facet_field, lang AS facet_value, count(*) AS count
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT 'source', source, count(*) FROM documents WHERE lang = 'en' GROUP BY source
+      |ORDER BY facet_field, facet_value""".stripMargin
+
+  /** Q7 — bounded BFS: region 0 ← nations ← customers ← orders. */
+  def traversal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e1 = Tables.orders(s, d).select(node("o:", col("o_orderkey")).as("fromNodeId"),
+      node("c:", col("o_custkey")).as("toNodeId"), lit("ord:customer").as("edgeType"))
+    val e2 = Tables.customer(s, d).select(node("c:", col("c_custkey")).as("fromNodeId"),
+      node("n:", col("c_nationkey")).as("toNodeId"), lit("cust:nation").as("edgeType"))
+    val e3 = Tables.nation(s, d).select(node("n:", col("n_nationkey")).as("fromNodeId"),
+      node("r:", col("n_regionkey")).as("toNodeId"), lit("nat:region").as("edgeType"))
+    val seeds = Seq("r:000000000").toDF("nodeId")
+    Query.reachable(e1.union(e2).union(e3), seeds, Nil, maxDepth = 3, direction = "in")
+      .orderBy(col("nodeId"))
+  }
+
+  val traversalSql: String =
+    s"""SELECT 'r:' || ${sqlPad("0")} AS nodeId, 0 AS depth
+      |UNION ALL
+      |SELECT 'n:' || ${sqlPad("n_nationkey")}, 1 FROM nation WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 'c:' || ${sqlPad("c_custkey")}, 2 FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+      |UNION ALL
+      |SELECT 'o:' || ${sqlPad("o_orderkey")}, 3 FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
+      |ORDER BY nodeId""".stripMargin
+
+  /** Q8 — tiered autocomplete over distinct part names. */
+  def autocompleteNames(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+    Query.autocomplete(names, "r", size = 15)
+  }
+
+  val autocompleteNamesSql: String =
+    """SELECT name, score FROM (
+      |  SELECT name,
+      |    CASE WHEN lower(name) = 'r' THEN 10.0
+      |         WHEN lower(name) LIKE 'r%' THEN 2.0
+      |         WHEN (' ' || lower(name)) LIKE '% r%' THEN 1.0 ELSE 0 END AS score
+      |  FROM (SELECT DISTINCT p_name AS name FROM part))
+      |WHERE score > 0 ORDER BY score DESC, name ASC LIMIT 15""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true),
+    "g6_display_type"     -> QueryDef(displayType, Some(displayTypeSql)),
+    "g7_edge_summary"     -> QueryDef(edgeSummary, Some(edgeSummarySql)),
+    "g8_search_docs"      -> QueryDef(searchDocs, Some(searchDocsSql)),
+    "g9_facet_docs"       -> QueryDef(facetDocs, Some(facetDocsSql)),
+    "g10_traversal"       -> QueryDef(traversal, Some(traversalSql)),
+    "g11_autocomplete"    -> QueryDef(autocompleteNames, Some(autocompleteNamesSql)),
+  )
+}

@@ -1,0 +1,148 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Query-time operator surface (SURVEY §2.11 Q1–Q10) as a DataFrame
+  * library: the serving capabilities the reference delegates to Solr and
+  * Neo4j, re-expressed in-engine.
+  */
+object Query {
+
+  // -------------------------------------------------------------------
+  // Q1 — boosted multi-field search
+  // -------------------------------------------------------------------
+
+  /** edismax-style weighted scoring (`GrebiSolrQuery.java:59-108`:
+    * id^1000, name^900, synonym^800 … `_text_`^1). For each (column,
+    * weight): exact match scores the full weight, case-insensitive token
+    * containment scores half — the reference's WHOLE_FIELD vs
+    * CASE_INSENSITIVE_TOKENS split (`GrebiSolrQuery.java:195-215`).
+    * Pure codegen'd expressions; no UDF in the scan. */
+  def searchScore(fields: Map[String, Double], term: String): Column = {
+    val lowerTerm = term.toLowerCase
+    fields.map { case (f, w) =>
+      when(col(f) === term, lit(w))
+        .when(lower(col(f)).contains(lowerTerm), lit(w / 2))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+  }
+
+  /** Search a node table: filter score > 0, order by (score desc, id),
+    * paginate. `GrebiApi.java:185-227` flow, minus the HTTP. */
+  def search(nodes: DataFrame, fields: Map[String, Double], term: String,
+             idCol: String, page: Int = 0, size: Int = 10): DataFrame =
+    nodes.withColumn("score", searchScore(fields, term))
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .offset(page * size).limit(size)
+
+  // -------------------------------------------------------------------
+  // Q2/Q3 — filters + facet counts with facet-exclusion
+  // -------------------------------------------------------------------
+
+  /** Facet counts over a filtered set where each facet field's own filter
+    * is excluded from its counts — Solr's `{!ex=grebifacet}` semantics
+    * (`GrebiSolrQuery.java:114-116,140-145`). Returns
+    * (facetField, facetValue, count). */
+  def facets(df: DataFrame, filters: Map[String, Seq[String]],
+             facetFields: Seq[String]): DataFrame = {
+    def applyFilters(base: DataFrame, except: String): DataFrame =
+      filters.filter(_._1 != except).foldLeft(base) { case (d, (f, vs)) =>
+        d.where(col(f).isin(vs: _*))
+      }
+    facetFields.map { ff =>
+      applyFilters(df, ff)
+        .groupBy(col(ff).cast("string").as("facet_value"))
+        .count()
+        .select(lit(ff).as("facet_field"), col("facet_value"), col("count"))
+    }.reduce(_ unionByName _)
+  }
+
+  // -------------------------------------------------------------------
+  // Q6 — incoming / outgoing edge listing
+  // -------------------------------------------------------------------
+
+  /** Edges of one node, hydrated with the other endpoint's metadata
+    * (`GrebiApi.java:81-176`); paginated. */
+  def outgoingEdges(edges: DataFrame, metadata: DataFrame, nodeId: String,
+                    page: Int = 0, size: Int = 100): DataFrame =
+    edges.where(col("fromNodeId") === nodeId)
+      .join(metadata.withColumnRenamed("nodeId", "toNodeId"), "toNodeId")
+      .orderBy(col("edgeId"))
+      .offset(page * size).limit(size)
+
+  def incomingEdges(edges: DataFrame, metadata: DataFrame, nodeId: String,
+                    page: Int = 0, size: Int = 100): DataFrame =
+    edges.where(col("toNodeId") === nodeId)
+      .join(metadata.withColumnRenamed("nodeId", "fromNodeId"), "fromNodeId")
+      .orderBy(col("edgeId"))
+      .offset(page * size).limit(size)
+
+  // -------------------------------------------------------------------
+  // Q7 — typed traversal, 1-hop and bounded recursive
+  // -------------------------------------------------------------------
+
+  /** Bounded-depth BFS from a seed set along typed edges — the engine-side
+    * form of Cypher `-[:T*1..n]->` (`Neo4jClient.java:244-280`). Returns
+    * (nodeId, depth) of reachable nodes, depth = first reach. Each round
+    * is one join + anti-join against the visited set; lineage truncated
+    * per round so the plan stays flat at depth n.
+    */
+  def reachable(edges: DataFrame, seeds: DataFrame, edgeTypes: Seq[String],
+                maxDepth: Int, direction: String = "out"): DataFrame = {
+    val e0 = if (edgeTypes.isEmpty) edges else edges.where(col("edgeType").isin(edgeTypes: _*))
+    val (srcCol, dstCol) = direction match {
+      case "out" => ("fromNodeId", "toNodeId")
+      case _     => ("toNodeId", "fromNodeId")
+    }
+    val step = e0.select(col(srcCol).as("from"), col(dstCol).as("to"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col("nodeId"), lit(0).as("depth")).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(step, frontier("nodeId") === step("from"))
+        .select(col("to").as("nodeId")).distinct()
+        .join(visited.select("nodeId"), Seq("nodeId"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    step.unpersist()
+    visited
+  }
+
+  // -------------------------------------------------------------------
+  // Q8 — autocomplete
+  // -------------------------------------------------------------------
+
+  /** Three-tier autocomplete ranking over the distinct-names table:
+    * exact match^10, whole-string prefix^2, any-word prefix^1 — the
+    * reference's label / edge-ngram / whitespace-edge-ngram boosts
+    * (`GrebiSolrClient.java:147-179`, autocomplete schema
+    * `EdgeNGramFilterFactory` 1..35). */
+  def autocomplete(names: DataFrame, q: String, size: Int = 10): DataFrame = {
+    val lq = q.toLowerCase
+    val nameL = lower(col("name"))
+    val score = when(nameL === lq, 10.0)
+      .when(nameL.startsWith(lq), 2.0)
+      .when(exists(split(nameL, "\\s+"), w => w.startsWith(lq)), 1.0)
+      .otherwise(0.0)
+    names.withColumn("score", score)
+      .where(col("score") > 0)
+      .orderBy(col("score").desc, col("name").asc)
+      .limit(size)
+  }
+
+  // -------------------------------------------------------------------
+  // Q9 — stats
+  // -------------------------------------------------------------------
+
+  /** Graph-wide node/edge counts (`cypher/stats.cypher:1-4`). */
+  def stats(nodes: DataFrame, edges: DataFrame): (Long, Long) =
+    (nodes.count(), edges.count())
+}

@@ -1,0 +1,290 @@
+package graft.ingest
+
+import graft.model.{IngestNode, Kind, RawValue}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest connectors (SURVEY §2.1 S1–S13). Every adapter emits the common
+  * ingest-node shape (`Dataset[IngestNode]`) the identity/merge stages
+  * consume — the Spark restatement of "all sources emit the common
+  * Ingest-node JSONL on stdout" (the 01_ingest tool family).
+  *
+  * Design: each adapter is DataFrame-in → Dataset[IngestNode]-out, so the
+  * source read (json/csv/parquet/jdbc) stays a normal Spark scan with
+  * pushdown/pruning, and the only row-level code is the final shaping map.
+  */
+object Ingest {
+
+  /** Adapter configuration mirroring grebi_transform_jsonl's flags
+    * (`01_ingest/grebi_transform_jsonl/src/main.rs:36-183`). */
+  final case class TransformConfig(
+      idFields: Seq[String] = Seq("id"),
+      datasource: String = "ds",
+      subgraph: String = "sg",
+      injectTypes: Seq[String] = Nil,
+      renameFields: Map[String, String] = Map.empty,
+      injectKeyPrefix: String = "",
+      injectValuePrefix: Map[String, String] = Map.empty,
+      injectHashId: Boolean = false)
+
+  /** Convert one source Row (any schema) into the open props map.
+    * Scalars stringify with a kind tag; arrays fan out to one RawValue per
+    * element; nested structs/maps are carried as canonical JSON (the
+    * reference keeps unparsed JSON values the same way). */
+  def rowToProps(row: Row): Map[String, Seq[RawValue]] = {
+    val schema = row.schema
+    schema.fields.iterator.zipWithIndex.flatMap { case (f, i) =>
+      if (row.isNullAt(i)) None
+      else Some(f.name -> anyToValues(row.get(i), f.dataType))
+    }.toMap
+  }
+
+  private def anyToValues(v: Any, dt: DataType): Seq[RawValue] = dt match {
+    case ArrayType(et, _) =>
+      // Row arrays surface as mutable.ArraySeq in Scala 2.13 — use the
+      // collection root type, then rebuild immutable.
+      v.asInstanceOf[scala.collection.Seq[Any]].toSeq
+        .filter(_ != null).flatMap(e => anyToValues(e, et))
+    case _ => Seq(scalarToValue(v, dt))
+  }
+
+  private def scalarToValue(v: Any, dt: DataType): RawValue = dt match {
+    case StringType => RawValue(v.toString, Kind.Str, Map.empty)
+    case BooleanType => RawValue(v.toString, Kind.Bool, Map.empty)
+    case _: NumericType =>
+      val s = v match {
+        case d: Double if d == d.floor && !d.isInfinite && math.abs(d) < 1e15 =>
+          d.toLong.toString
+        case other => other.toString
+      }
+      RawValue(s, Kind.Num, Map.empty)
+    case st: StructType => RawValue(rowToJson(v.asInstanceOf[Row]), Kind.Json, Map.empty)
+    case _ => RawValue(String.valueOf(v), Kind.Str, Map.empty)
+  }
+
+  private def rowToJson(r: Row): String = {
+    val pairs = r.schema.fields.iterator.zipWithIndex.collect {
+      case (f, i) if !r.isNullAt(i) =>
+        graft.core.Json.str(f.name) + ":" +
+          (f.dataType match {
+            case StringType => graft.core.Json.str(r.get(i).toString)
+            case st: StructType => rowToJson(r.getStruct(i))
+            case _ => r.get(i).toString
+          })
+    }
+    pairs.mkString("{", ",", "}")
+  }
+
+  /** S7 — generic adapter from ANY DataFrame (a `spark.read.json/csv/
+    * parquet/jdbc` result) to ingest nodes, with the transform_jsonl
+    * operations: field renames, type injection, key/value prefixing,
+    * content-hash ids. */
+  def fromDataFrame(df: DataFrame, cfg: TransformConfig): Dataset[IngestNode] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.map { row =>
+      val raw = rowToProps(row)
+      val renamed = raw.map { case (k, vs) =>
+        val k1 = cfg.renameFields.getOrElse(k, k)
+        val k2 = if (cfg.injectKeyPrefix.nonEmpty && !k1.contains(":"))
+          cfg.injectKeyPrefix + k1 else k1
+        val vs1 = cfg.injectValuePrefix.get(k) match {
+          case Some(p) => vs.map(v => v.copy(value = p + v.value))
+          case None => vs
+        }
+        k2 -> vs1
+      }
+      val idKeys = cfg.idFields.map(f => cfg.renameFields.getOrElse(f, f))
+        .map(k => if (cfg.injectKeyPrefix.nonEmpty && !k.contains(":")) cfg.injectKeyPrefix + k else k)
+      var ids = idKeys.flatMap(k => renamed.getOrElse(k, Nil).map(_.value))
+      if (cfg.injectHashId || ids.isEmpty) {
+        val content = renamed.toSeq.sortBy(_._1)
+          .map { case (k, vs) => k + "=" + vs.map(_.value).sorted.mkString("|") }
+          .mkString("")
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hash = md.digest(content.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        ids = ids :+ s"hash:$hash"
+      }
+      IngestNode(ids.distinct, cfg.datasource, cfg.subgraph, cfg.injectTypes,
+        renamed -- idKeys)
+    }
+  }
+
+  /** S3 — TSV/CSV → ingest nodes (`grebi_tsv2jsonl/src/main.rs:23-126`):
+    * `#`-comment skip, optional multi-value split, empty-field drop. */
+  def fromTsv(spark: SparkSession, path: String, cfg: TransformConfig,
+              sep: String = "\t", multiValueSep: Option[String] = None): Dataset[IngestNode] = {
+    var df = spark.read
+      .option("sep", sep).option("header", "true").option("comment", "#")
+      .csv(path)
+    multiValueSep.foreach { mv =>
+      df = df.select(df.columns.map(c => split(col(c), java.util.regex.Pattern.quote(mv)).as(c)): _*)
+    }
+    // empty-field drop (`remove_empty_fields.rs`)
+    val cleaned = df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(_, _) =>
+          filter(col(f.name), v => v.isNotNull && v =!= "").as(f.name)
+        case _ => when(col(f.name) === "", lit(null)).otherwise(col(f.name)).as(f.name)
+      }
+    }: _*)
+    fromDataFrame(cleaned, cfg)
+  }
+
+  /** S6 — KGX edge records `{subject, predicate, object, <props>}` → a
+    * node keyed by subject whose predicate property carries the object as
+    * a reified value with the remaining columns as qualifiers
+    * (`grebi_ingest_kgx_edges/src/main.rs:21-106`). */
+  def fromKgxEdges(df: DataFrame, datasource: String, subgraph: String,
+                   subjectCol: String = "subject", predicateCol: String = "predicate",
+                   objectCol: String = "object"): Dataset[IngestNode] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.map { row =>
+      val props = rowToProps(row)
+      val subject = props(subjectCol).head.value
+      val predicate = props(predicateCol).head.value
+      val obj = props(objectCol).head.value
+      val quals = (props -- Seq(subjectCol, predicateCol, objectCol))
+        .map { case (k, vs) => k -> vs.map(_.value) }
+      IngestNode(Seq(subject), datasource, subgraph, Nil,
+        Map(predicate -> Seq(RawValue.reified(obj, quals))))
+    }
+  }
+
+  /** S12 — nodes2edges: re-key a node stream so that a chosen from-field
+    * becomes the id and a chosen to-field becomes a reified edge property
+    * (`grebi_nodes2edges/src/main.rs:25-75`). */
+  def nodesToEdges(nodes: Dataset[IngestNode], fromProp: String, toProp: String,
+                   edgeType: String): Dataset[IngestNode] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes.flatMap { n =>
+      for {
+        from <- n.props.getOrElse(fromProp, Nil).map(_.value)
+        to <- n.props.getOrElse(toProp, Nil).map(_.value)
+      } yield {
+        val rest = (n.props -- Seq(fromProp, toProp))
+          .map { case (k, vs) => k -> vs.map(_.value) }
+        IngestNode(Seq(from), n.datasource, n.subgraph, Nil,
+          Map(edgeType -> Seq(RawValue.reified(to, rest))))
+      }
+    }
+  }
+
+  /** S5 — SSSOM mappings TSV with a YAML `curie_map` in `#` comments
+    * (`grebi_ingest_sssom/src/main.rs:12-117`): each row becomes
+    * `{id: subject, <predicate>: reified(object, other columns)}` with
+    * IRIs contracted through the curie map. */
+  def fromSssom(spark: SparkSession, path: String, datasource: String,
+                subgraph: String): Dataset[IngestNode] = {
+    import spark.implicits._
+    // curie_map lives in the '#' header; small by construction — read the
+    // head on the driver, build the prefix expander once.
+    val head = spark.read.text(path).limit(200).as[String].collect()
+    val curieMap = head.takeWhile(_.startsWith("#"))
+      .map(_.drop(1).trim)
+      .filter(l => l.contains(":") && !l.startsWith("curie_map"))
+      .flatMap { l =>
+        val i = l.indexOf(':')
+        val (k, v) = (l.take(i).trim, l.drop(i + 1).trim.stripPrefix("\"").stripSuffix("\""))
+        if (k.nonEmpty && v.startsWith("http")) Some(v -> (k + ":")) else None
+      }.toMap
+    val trie = graft.curie.PrefixTrie(curieMap)
+    val rows = spark.read
+      .option("sep", "\t").option("header", "true").option("comment", "#")
+      .csv(path)
+    rows.map { row =>
+      val props = rowToProps(row).map { case (k, vs) =>
+        k -> vs.map(v => v.copy(value = trie.rewrite(v.value)))
+      }
+      val subject = props("subject_id").head.value
+      val predicate = props("predicate_id").head.value
+      val obj = props("object_id").head.value
+      val quals = (props -- Seq("subject_id", "predicate_id", "object_id"))
+        .map { case (k, vs) => k -> vs.map(_.value) }
+      IngestNode(Seq(subject), datasource, subgraph, Nil,
+        Map(predicate -> Seq(RawValue.reified(obj, quals))))
+    }
+  }
+
+  /** S2 — triples → subject-grouped nodes with OWL-Axiom reification
+    * collapse (`grebi_rdf2jsonl/src/main.rs:183-227,230-427`). Input is a
+    * (s, p, o) DataFrame (from any triple source — NTriples lines parse
+    * with [[parseNTriples]]). Reified axiom subjects (those with
+    * owl:annotatedSource/Property/Target) fold their remaining props into
+    * qualifiers on the base triple — a self-join, not an in-RAM index. */
+  def fromTriples(triples: DataFrame, datasource: String, subgraph: String,
+                  typePredicate: String = "rdf:type"): Dataset[IngestNode] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val t = triples.select(col("s"), col("p"), col("o"))
+    val axiomProps = Seq("owl:annotatedSource", "owl:annotatedProperty", "owl:annotatedTarget")
+    val axioms = t.groupBy("s").pivot("p", axiomProps).agg(first("o"))
+      .where(axiomProps.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(col("s").as("axiomId"), col("owl:annotatedSource").as("src"),
+        col("owl:annotatedProperty").as("prop"), col("owl:annotatedTarget").as("tgt"))
+    val axiomIds = axioms.select(col("axiomId")).distinct()
+    // annotation props carried on the axiom node
+    val annots = t.join(axioms, t("s") === axioms("axiomId"))
+      .where(!col("p").isin(axiomProps :+ typePredicate: _*))
+      .select(col("src"), col("prop"), col("tgt"), col("p").as("qk"), col("o").as("qv"))
+    val base = t.join(axiomIds, t("s") === axiomIds("axiomId"), "left_anti")
+    val baseWithQuals = base
+      .join(annots, base("s") === annots("src") && base("p") === annots("prop")
+        && base("o") === annots("tgt"), "left")
+      .groupBy(col("s"), col("p"), col("o"))
+      .agg(map_from_entries(array_distinct(filter(
+        collect_list(struct(col("qk"), array(col("qv")))), e => e.getField("qk").isNotNull)))
+        .as("quals"))
+    baseWithQuals.as[(String, String, String, Map[String, Seq[String]])]
+      .groupByKey(_._1)
+      .mapGroups { (subj, it) =>
+        val props = it.toSeq.groupBy(_._2).map { case (p, rows) =>
+          p -> rows.sortBy(_._3).map { case (_, _, o, q) =>
+            if (q == null || q.isEmpty) RawValue.str(o) else RawValue.reified(o, q)
+          }
+        }
+        val types = props.getOrElse(typePredicate, Nil).map(_.value)
+        IngestNode(Seq(subj), datasource, subgraph, types.toSeq,
+          props - typePredicate)
+      }
+  }
+
+  /** Minimal NTriples line parser → (s, p, o) DataFrame. */
+  def parseNTriples(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val Line = """^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$""".r
+    spark.read.textFile(path).flatMap {
+      case Line(s, p, o) =>
+        def term(t: String): String =
+          if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
+          else if (t.startsWith("\"")) t.drop(1).takeWhile(_ != '"')
+          else t
+        Some((term(s), term(p), term(o)))
+      case _ => None
+    }.toDF("s", "p", "o")
+  }
+
+  /** S8 — relational table → nodes: PK values become prefixed ids, FK
+    * columns rewrite to the referenced table's prefixed id so the
+    * materialise stage turns them into edges
+    * (`grebi_ingest_sqlite/src/main.rs:22-150`; jdbc-sourced DataFrames
+    * plug straight in). */
+  def fromTable(df: DataFrame, table: String, pkCol: String,
+                fkCols: Map[String, String], datasource: String,
+                subgraph: String): Dataset[IngestNode] = {
+    val typ = table.stripSuffix("s").capitalize
+    val prefixed = df.select(df.columns.map { c =>
+      if (c == pkCol) concat(lit(s"$table:"), col(c).cast("string")).as(c)
+      else fkCols.get(c) match {
+        case Some(refTable) => concat(lit(s"$refTable:"), col(c).cast("string")).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    fromDataFrame(prefixed, TransformConfig(
+      idFields = Seq(pkCol), datasource = datasource, subgraph = subgraph,
+      injectTypes = Seq(typ)))
+  }
+}

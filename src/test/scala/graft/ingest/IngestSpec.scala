@@ -1,0 +1,110 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.ingest.Ingest.TransformConfig
+
+class IngestSpec extends SparkSpec {
+
+  def fx(name: String): String =
+    getClass.getClassLoader.getResource(s"fixtures/$name").getPath
+
+  test("S7 generic jsonl: rename, inject type, key prefix, array fan-out") {
+    val df = spark.read.json(fx("kgx_nodes.jsonl"))
+    val nodes = Ingest.fromDataFrame(df, TransformConfig(
+      idFields = Seq("geneAccessionId"),
+      datasource = "impc", subgraph = "fx",
+      injectTypes = Seq("biolink:Gene"),
+      renameFields = Map("name" -> "grebi:name"),
+      injectKeyPrefix = "impc:")).collect()
+    assert(nodes.length == 2)
+    val pax = nodes.find(_.ids == Seq("MGI:97490")).get
+    assert(pax.types == Seq("biolink:Gene"))
+    assert(pax.props("grebi:name").map(_.value) == Seq("Pax6"))
+    assert(pax.props("impc:humanGeneOrthologues").map(_.value) == Seq("hgnc:8620", "hgnc:8621"))
+    assert(pax.props("impc:pmId").map(_.value) == Seq("12345678"))
+    assert(!pax.props.contains("impc:geneAccessionId")) // id key removed from props
+  }
+
+  test("S7 hash id injection is deterministic") {
+    val df = spark.read.json(fx("kgx_nodes.jsonl"))
+    val n1 = Ingest.fromDataFrame(df, TransformConfig(idFields = Nil,
+      datasource = "d", subgraph = "s", injectHashId = true)).collect()
+    val n2 = Ingest.fromDataFrame(df, TransformConfig(idFields = Nil,
+      datasource = "d", subgraph = "s", injectHashId = true)).collect()
+    assert(n1.map(_.ids).toSet == n2.map(_.ids).toSet)
+    assert(n1.forall(_.ids.head.startsWith("hash:")))
+  }
+
+  test("S6 kgx edges: subject-keyed reified predicate") {
+    val df = spark.read.json(fx("kgx_edges.jsonl"))
+    val nodes = Ingest.fromKgxEdges(df, "kgx", "fx").collect()
+    assert(nodes.length == 2)
+    val pax = nodes.find(_.ids == Seq("MGI:97490")).get
+    val v = pax.props("biolink:has_phenotype").head
+    assert(v.value == "MP:0001286")
+    assert(v.qualifiers("pvalue") == Seq("0.003"))
+    assert(v.qualifiers("knowledge_source") == Seq("fixture"))
+  }
+
+  test("S5 sssom: curie_map contraction + reified mapping metadata") {
+    val nodes = Ingest.fromSssom(spark, fx("mappings.sssom.tsv"), "sssom", "fx").collect()
+    assert(nodes.length == 2)
+    val mondo = nodes.find(_.ids == Seq("MONDO:0005044")).get // IRI contracted
+    val v = mondo.props("skos:exactMatch").head
+    assert(v.value == "EFO:0000537")
+    assert(v.qualifiers("confidence") == Seq("0.99"))
+    assert(nodes.exists(_.ids == Seq("MGI:97490"))) // identifiers.org IRI contracted
+  }
+
+  test("S3 tsv: multi-value split + empty drop (GWAS shape)") {
+    val nodes = Ingest.fromTsv(spark, fx("assoc.tsv"),
+      TransformConfig(idFields = Seq("SNPS"), datasource = "gwas", subgraph = "fx",
+        injectTypes = Seq("gwas:SNP")),
+      multiValueSep = Some(",")).collect()
+    assert(nodes.length == 2)
+    val rs = nodes.find(_.ids == Seq("rs1234")).get
+    assert(rs.props("MAPPED_TRAIT_URI").map(_.value) ==
+      Seq("http://www.ebi.ac.uk/efo/EFO_0000537", "http://www.ebi.ac.uk/efo/EFO_0001360"))
+  }
+
+  test("S12 nodes2edges: from/to props become a reified edge node") {
+    val df = spark.read.json(fx("kgx_nodes.jsonl"))
+    val base = Ingest.fromDataFrame(df, TransformConfig(
+      idFields = Seq("geneAccessionId"), datasource = "impc", subgraph = "fx"))
+    // re-key: orthologue edge gene→human gene
+    val withId = base.map(n => n.copy(props = n.props.updated("self",
+      Seq(graft.model.RawValue.str(n.ids.head)))))(base.encoder)
+    val edges = Ingest.nodesToEdges(withId, "self", "humanGeneOrthologues",
+      "biolink:orthologous_to").collect()
+    assert(edges.length == 3) // 2 + 1 orthologues
+    assert(edges.forall(_.props.contains("biolink:orthologous_to")))
+  }
+
+  test("S2 triples: subject grouping + OWL axiom reification collapse") {
+    val triples = Ingest.parseNTriples(spark, fx("triples.nt"))
+    assert(triples.count() == 10)
+    val nodes = Ingest.fromTriples(triples, "rdf", "fx").collect()
+    assert(nodes.length == 2) // axiom node folded away
+    val t2d = nodes.find(_.ids == Seq("http://purl.obolibrary.org/obo/MONDO_0005044")).get
+    assert(t2d.types == Seq("owl:Class"))
+    assert(t2d.props("rdfs:label").map(_.value) == Seq("type 2 diabetes mellitus"))
+    val sub = t2d.props("rdfs:subClassOf").head
+    assert(sub.value == "http://purl.obolibrary.org/obo/MONDO_0005015")
+    assert(sub.qualifiers == Map("oboInOwl:source" -> Seq("DOID:9352")))
+  }
+
+  test("S8 table: PK prefixing + FK rewrite to referenced ids") {
+    import spark.implicits._
+    val genes = Seq((1L, "Pax6"), (2L, "Shh")).toDF("gene_id", "symbol")
+    val phenos = Seq((10L, 1L, "small eyes"), (11L, 2L, "polydactyly"))
+      .toDF("phenotype_id", "gene_id", "label")
+    val gn = Ingest.fromTable(genes, "genes", "gene_id", Map.empty, "db", "fx").collect()
+    val pn = Ingest.fromTable(phenos, "phenotypes", "phenotype_id",
+      Map("gene_id" -> "genes"), "db", "fx").collect()
+    assert(gn.map(_.ids.head).toSet == Set("genes:1", "genes:2"))
+    assert(gn.head.types == Seq("Gene"))
+    val p10 = pn.find(_.ids == Seq("phenotypes:10")).get
+    assert(p10.props("gene_id").map(_.value) == Seq("genes:1")) // FK → graph edge target
+    assert(p10.types == Seq("Phenotype"))
+  }
+}

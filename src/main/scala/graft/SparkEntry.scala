@@ -17,6 +17,10 @@ object SparkEntry {
     graft.operators.Relational,
     graft.operators.GraphOps,
     graft.operators.MaterialiseOps,
+    graft.operators.TextAnalysis,
+    graft.operators.Dedup,
+    graft.operators.Similarity,
+    graft.operators.Multimodal,
   )
 
   def allDefs: ListMap[String, QueryDef] =

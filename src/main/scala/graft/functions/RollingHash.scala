@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling-hash document fingerprint:
+  * `h = Σ (h*31 + codepoint) mod (2^31-1)` over the string's characters.
+  *
+  * A native codegen'd Catalyst expression (not a UDF): fingerprinting runs
+  * over every document of a 100 TB corpus, so it must stay inside the
+  * WholeStageCodegen span — the generated code is a tight per-row loop on
+  * the UTF8String with no boxing and no closure dispatch.
+  *
+  * The mod-2^31-1 integer recurrence is chosen to be replayable in ANSI
+  * SQL (the DuckDB oracle recomputes it with a recursive CTE), so the
+  * fingerprints are engine-independent.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.hash($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  final val Mod = 2147483647L // 2^31 - 1
+
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      h = (h * 31 + s.charAt(i)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  import org.apache.spark.sql.graftglue.Glue
+  def apply(c: Column): Column = Glue.column(RollingHash(Glue.expression(c)))
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Deduplication operators for a training-data pipeline (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash).
+  *
+  * Scale design:
+  *   - exact dedup is one hash-groupBy — a single shuffle on the content
+  *     hash, map-side combined;
+  *   - the pairwise Jaccard verifier joins on the *shingle* (inverted
+  *     index), so cost is Σ per-shingle df² — word-level 3-gram shingles
+  *     keep document frequency low (char n-grams would saturate);
+  *   - MinHash+LSH is the 100 TB path: signatures are a map-side scan +
+  *     one groupBy, candidate generation joins on band keys only, and the
+  *     exact verifier runs on candidates instead of all pairs;
+  *   - all hashing is md5-based and thresholds are integer inequalities
+  *     (3·inter ≥ |A|+|B| ⟺ J ≥ 0.5), so results are engine-exact.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct word-level 3-gram shingles per document.
+    *
+    * Typed flatMap rather than a sequence/transform/explode HOF chain:
+    * Catalyst evaluates nested higher-order functions interpreted (outside
+    * WholeStageCodegen), which measured ~20× slower than this tight JVM
+    * loop at sf0.1. A generator-shaped op with per-row loops is the one
+    * place `mapPartitions`-style typed code beats built-ins. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.trim.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(w => (id, w.mkString(" "))).toSeq.distinct
+      }
+      .toDF("doc_id", "s")
+  }
+
+  private val shinglesSql: String =
+    """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
+      |       FROM w CROSS JOIN generate_series(1, 600) g(i)
+      |       WHERE g.i <= len(ws) - 2)""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** d1 — exact dedup: group by content hash, keep the smallest doc_id as
+    * canonical. */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** d2 — exact n-gram Jaccard near-dup pairs via inverted-index join:
+    * J(a,b) ≥ 0.5 expressed as 3·|A∩B| ≥ |A|+|B|. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+      .join(sz.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+      .where(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $shinglesSql,
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter, x.n AS na, y.n AS nb
+      |FROM inter JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+      |WHERE 3 * inter >= x.n + y.n
+      |ORDER BY da, db""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** d3 — MinHash + banded LSH, then exact verification of candidates.
+    * 16 hashes (min of md5("j|" + shingle)), 4 bands × 4 rows; a pair is
+    * a candidate iff it agrees on at least one band. This is the operator
+    * that survives 100 TB: no all-pairs stage anywhere — candidates come
+    * from equality joins on band keys. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sigExprs = (1 to 16).map(j =>
+      min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
+    val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    val bands = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => col(s"m${b * 4 + r}"))
+      sig.select(col("doc_id"),
+        md5(concat_ws("|", lit(b.toString) +: ms: _*)).as("band"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    // Exact verification on CANDIDATES ONLY: attach each side's shingle
+    // set and intersect per pair — cost is O(|candidates| · shingles/doc),
+    // never the corpus-wide inverted-index pair join (that would redo the
+    // O(Σ df²) work LSH exists to avoid).
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("set").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val minhashLshSql: String = {
+    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, md5('$b' || '|' || $ms) AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesSql,
+      |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT cand.da AS da, cand.db AS db, inter, x.n AS na, y.n AS nb
+      |FROM cand JOIN inter ON inter.da = cand.da AND inter.db = cand.db
+      |JOIN sz x ON x.doc_id = cand.da JOIN sz y ON y.doc_id = cand.db
+      |WHERE 3 * inter >= x.n + y.n
+      |ORDER BY da, db""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
+  /** d4 — 64-bit SimHash over distinct whitespace tokens, token bits from
+    * the first 16 hex digits of md5(token). Map-side except one groupBy
+    * per (doc, bit); emitted as a 16-hex-char signature. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val digits = toks.select(col("doc_id"),
+        explode(sequence(lit(1), lit(16))).as("p"),
+        col("h"))
+      .withColumn("v", conv(substring(col("h"), col("p"), lit(1)), 16, 10).cast("int"))
+    val bits = digits.select(col("doc_id"), col("p"),
+        explode(sequence(lit(0), lit(3))).as("b"), col("v"))
+      .withColumn("contrib", expr("2 * (shiftright(v, b) & 1) - 1"))
+    val bitVals = bits.groupBy(col("doc_id"), col("p"), col("b"))
+      .agg(sum(col("contrib")).as("sum"))
+      .withColumn("bit", (col("sum") > 0).cast("int"))
+    val nibbles = bitVals.groupBy(col("doc_id"), col("p"))
+      .agg(sum(expr("bit * shiftleft(1, b)")).as("nib"))
+      .withColumn("ch", substring(lit("0123456789abcdef"), col("nib").cast("int") + 1, lit(1)))
+    nibbles.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("p"), col("ch")))),
+        x => x.getField("ch")), "").as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val simhashSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |digits AS (
+      |  SELECT doc_id, g.p,
+      |    strpos('0123456789abcdef', substr(md5(tok), g.p, 1)) - 1 AS v
+      |  FROM toks CROSS JOIN generate_series(1, 16) g(p)),
+      |bits AS (
+      |  SELECT doc_id, p, gb.b,
+      |    2 * ((v >> gb.b) & 1) - 1 AS contrib
+      |  FROM digits CROSS JOIN generate_series(0, 3) gb(b)),
+      |bitvals AS (
+      |  SELECT doc_id, p, b, CAST(sum(contrib) > 0 AS INT) AS bit
+      |  FROM bits GROUP BY doc_id, p, b),
+      |nibbles AS (
+      |  SELECT doc_id, p, sum(bit * (1 << b)) AS nib
+      |  FROM bitvals GROUP BY doc_id, p)
+      |SELECT doc_id,
+      |  string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY p) AS simhash
+      |FROM nibbles GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
+    "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
+    "d3_minhash_lsh"   -> QueryDef(minhashLsh, Some(minhashLshSql), bench = true),
+    "d4_simhash"       -> QueryDef(simhash, Some(simhashSql)),
+  )
+}

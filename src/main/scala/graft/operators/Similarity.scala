@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-dim).
+  *
+  * Scores are integer dot products over 1e4-quantized vectors — the
+  * standard int8/int16 quantization trick, and the reason results are
+  * engine-exact: integer sums are order-independent, so Spark's parallel
+  * aggregation and DuckDB's sequential scan agree bit-for-bit (a float
+  * dot product would differ in the last ulp by summation order).
+  *
+  * s1 is the brute-force baseline: per-query scan of the full corpus —
+  * O(Q·N) but embarrassingly parallel (queries broadcast, corpus
+  * partitioned; no shuffle until the per-query top-k).
+  * s2 is the scale path: sign-bucket LSH (axis-aligned hyperplanes on the
+  * leading dimensions) — candidates come from an equality join on the
+  * bucket id, so the pair space shrinks by ~2^bits.
+  */
+object Similarity extends QueryModule {
+
+  /** 1e4-quantized integer vector. */
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"),
+      transform(col("embedding"), x =>
+        round(x.cast("double") * 10000).cast("long")).as("q"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** s1 — brute-force maximum-inner-product top-5 for the first 20
+    * vectors. */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d).select(col("vec_id"), col("q"))
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    broadcast(queries)
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val bruteForceTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM q a JOIN q b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 20)
+      |SELECT query_id, rank, neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** s2 — sign-bucket ANN: bucket = sign bits of the first 8 dims;
+    * candidates share the bucket; exact re-rank within. Recall trades off
+    * against 2^8 bucket fan-out — the LSH shape, with a deterministic,
+    * data-independent hash. */
+  def signBucketAnn(s: SparkSession, d: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val emb = quantized(s, d).withColumn("bucket", bucket)
+      .select(col("vec_id"), col("bucket"), col("q"))
+    val queries = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("q").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    queries
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val signBucketAnnSql: String = {
+    val bucket = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH q AS (
+      |  SELECT vec_id, $bucket AS bucket,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM q a JOIN q b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 50)
+      |SELECT query_id, rank, neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Library-level cosine similarity (double) for callers that want the
+    * float score rather than oracle-exact ranking. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double")); val bd = transform(b, _.cast("double"))
+    val dd = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    dd / (na * nb)
+  }
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
+    "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
+  )
+}

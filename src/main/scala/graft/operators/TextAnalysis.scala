@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All pure map-side scalar work — no shuffle, scales linearly with corpus
+  * bytes; every formula is integer- or fixed-order arithmetic so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis extends QueryModule {
+
+  // Stopword occurrence counts use the (len − len(replace))/len(pat)
+  // identity — the difference is an exact multiple of the pattern length,
+  // so the division is exact in both engines.
+
+  /** t1 — token counting: whitespace tokens + a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation). */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** t2 — quality scoring: length, punctuation count, stopword ratio,
+    * mean word length. Counts are exact integers; the two ratios are a
+    * single int/int IEEE division each (bit-identical across engines). */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nWs = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nStop = Seq("the", "a", "and", "of").map(w =>
+      ((length(padded) - length(regexp_replace(padded, s" $w ", ""))) / (w.length + 2)).cast("long"))
+      .reduce(_ + _)
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), nWs.as("n_words"),
+        nPunct.as("n_punct"), nStop.as("n_stopwords"),
+        (nStop.cast("double") / nWs).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / nWs).as("mean_word_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String = {
+    val stop = Seq("the", "a", "and", "of").map(w =>
+      s"(len(' '||text||' ') - len(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}")
+      .mkString(" + ")
+    s"""SELECT doc_id, n_chars,
+      |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+      |  $stop AS n_stopwords,
+      |  CAST($stop AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+      |  CAST(len(replace(text, ' ', '')) AS DOUBLE)
+      |    / len(string_split_regex(trim(text), '\\s+')) AS mean_word_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
+  /** t3 — language id by stopword-hit heuristic: count hits from a small
+    * per-language marker list; argmax with a fixed precedence chain for
+    * ties. (The `lang` column is the generator's label; `hit` reports
+    * agreement.) */
+  private val markers: ListMap[String, Seq[String]] = ListMap(
+    "de" -> Seq("der", "und", "das", "ein"),
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "zh" -> Seq("de", "le", "shi", "he"))
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def score(ws: Seq[String]): Column = ws.map(w =>
+      ((length(padded) - length(regexp_replace(padded, s" $w ", ""))) / (w.length + 2)).cast("long"))
+      .reduce(_ + _)
+    val scores = markers.map { case (l, ws) => l -> score(ws) }
+    val predicted = markers.keys.toSeq.foldRight(lit(null).cast("string")) {
+      case (l, acc) =>
+        val isMax = markers.keys.map(o => scores(l) >= scores(o)).reduce(_ && _)
+        when(isMax, lit(l)).otherwise(acc)
+    }
+    // foldRight + when-chain ⇒ FIRST lang in ListMap order wins ties
+    Tables.documents(s, d)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        scores.map { case (l, c) => c.as(s"s_$l") }.toSeq :+
+        predicted.as("predicted"): _*)
+      .withColumn("hit", (col("predicted") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    def score(ws: Seq[String]): String = ws.map(w =>
+      s"(len(' '||text||' ') - len(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}")
+      .mkString(" + ")
+    val sCols = markers.map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(",\n  ")
+    val langs = markers.keys.toSeq
+    val caseChain = langs.map { l =>
+      val cond = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh, predicted,
+      |  CAST(predicted = lang AS INT) AS hit
+      |FROM (
+      |  SELECT *, CASE $caseChain END AS predicted
+      |  FROM (SELECT doc_id, lang, $sCols FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
+  /** t4 — document fingerprint via the codegen'd [[RollingHash]]
+    * expression; grouped to show fingerprint-based clustering. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), RollingHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT doc_id, 1 AS pos, CAST(0 AS BIGINT) AS h FROM documents
+      |  UNION ALL
+      |  SELECT r.doc_id, r.pos + 1,
+      |    (r.h * 31 + ord(substr(d.text, r.pos, 1))) % 2147483647
+      |  FROM r JOIN documents d ON d.doc_id = r.doc_id
+      |  WHERE r.pos <= len(d.text))
+      |SELECT r.doc_id AS doc_id, r.h AS fingerprint
+      |FROM r JOIN documents d ON d.doc_id = r.doc_id
+      |WHERE r.pos = len(d.text) + 1
+      |ORDER BY r.doc_id""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
+    "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
+    "t3_lang_id"       -> QueryDef(langId, Some(langIdSql)),
+    "t4_fingerprint"   -> QueryDef(fingerprint, Some(fingerprintSql), bench = true),
+  )
+}

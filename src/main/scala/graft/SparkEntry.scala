@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.Multimodal,
+    graft.operators.StreamingOps,
   )
 
   def allDefs: ListMap[String, QueryDef] =

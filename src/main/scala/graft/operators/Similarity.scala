@@ -31,7 +31,7 @@ object Similarity extends QueryModule {
         round(x.cast("double") * 10000).cast("long")).as("q"))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotProductL(a, b)
 
   /** s1 — brute-force maximum-inner-product top-5 for the first 20
     * vectors. */

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule}
+import graft.streaming.Streaming
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+/** Gate queries for the streaming layer: each streaming operator must
+  * reproduce its batch twin's result on a bounded replay, so the DuckDB
+  * batch SQL doubles as the streaming oracle. */
+object StreamingOps extends QueryModule {
+
+  def windowed(s: SparkSession, d: String): DataFrame =
+    Streaming.eventsWindowed(s, d, s"hourly_${math.abs(d.hashCode)}")
+
+  val windowedSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  def sessions(s: SparkSession, d: String): DataFrame =
+    Streaming.sessionize(s, d, s"sessions_${math.abs(d.hashCode)}")
+
+  val sessionsSql: String =
+    """SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "st1_stream_hourly"   -> QueryDef(windowed, Some(windowedSql)),
+    "st2_stream_sessions" -> QueryDef(sessions, Some(sessionsSql)),
+  )
+}

@@ -15,6 +15,7 @@ object SparkEntry {
   /** Registered operator modules, in build order. */
   def modules: Seq[QueryModule] = Seq(
     graft.operators.Relational,
+    graft.operators.Relational2,
     graft.operators.GraphOps,
     graft.operators.MaterialiseOps,
     graft.operators.TextAnalysis,

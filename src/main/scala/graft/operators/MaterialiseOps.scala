@@ -27,10 +27,11 @@ object MaterialiseOps extends QueryModule {
   private def orderGraph(s: SparkSession, d: String): Dataset[MergedNode] = {
     import s.implicits._
     val custs = Tables.customer(s, d)
-      .select(node("c:", col("c_custkey")).as("id"), col("c_mktsegment").as("t"))
-      .as[(String, String)]
-      .map { case (id, seg) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
-        Map("grebi:type" -> Seq(pv(seg)))) }
+      .select(node("c:", col("c_custkey")).as("id"), col("c_mktsegment").as("t"),
+        col("c_name").as("nm"))
+      .as[(String, String, String)]
+      .map { case (id, seg, nm) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
+        Map("grebi:type" -> Seq(pv(seg)), "grebi:name" -> Seq(pv(nm)))) }
     val ords = Tables.orders(s, d)
       .select(node("o:", col("o_orderkey")).as("id"),
         node("c:", col("o_custkey")).as("cust"), col("o_orderpriority").as("t"))
@@ -152,6 +153,25 @@ object MaterialiseOps extends QueryModule {
       |  JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
       |ORDER BY nodeId""".stripMargin
 
+  /** J4 — `_refs` enrichment, exploded to rows: every prop value of an
+    * order node that resolves to a node id surfaces with the referenced
+    * node's metadata (name). */
+  def refsExploded(s: SparkSession, d: String): DataFrame = {
+    val nodes = orderGraph(s, d)
+    val meta = Index.metadata(nodes)
+    Materialise.refs(nodes, meta)
+      .select(col("fromNodeId"), explode(col("refs")).as(Seq("ref", "refMeta")))
+      .select(col("fromNodeId"), col("ref"), col("refMeta.name").as("refName"))
+      .where(col("fromNodeId").startsWith("o:"))
+      .orderBy(col("fromNodeId"), col("ref"))
+  }
+
+  val refsExplodedSql: String =
+    s"""SELECT 'o:' || ${sqlPad("o_orderkey")} AS fromNodeId,
+      |  'c:' || ${sqlPad("o_custkey")} AS ref, c_name AS refName
+      |FROM orders JOIN customer ON c_custkey = o_custkey
+      |ORDER BY fromNodeId, ref""".stripMargin
+
   /** Q8 — tiered autocomplete over distinct part names. */
   def autocompleteNames(s: SparkSession, d: String): DataFrame = {
     val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
@@ -175,5 +195,6 @@ object MaterialiseOps extends QueryModule {
     "g9_facet_docs"       -> QueryDef(facetDocs, Some(facetDocsSql)),
     "g10_traversal"       -> QueryDef(traversal, Some(traversalSql)),
     "g11_autocomplete"    -> QueryDef(autocompleteNames, Some(autocompleteNamesSql)),
+    "g12_refs"            -> QueryDef(refsExploded, Some(refsExplodedSql)),
   )
 }

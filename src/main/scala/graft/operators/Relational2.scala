@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.core.{Exact, QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Second relational batch: outer/cross joins, cube grouping sets,
+  * INTERSECT/EXCEPT, the scalar string/date function families (SURVEY
+  * §2.8), and exact percentiles. */
+object Relational2 extends QueryModule {
+  import Exact._
+
+  /** Full outer join with using-column coalescing. */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).where(col("c_nationkey") < 13)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1999-01-01") && col("o_orderdate") < lit("2000-01-01"))
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, Seq("c_custkey"), "full_outer")
+      .orderBy(col("c_custkey"))
+  }
+
+  val fullOuterSql: String =
+    """SELECT c_custkey, c_nationkey, n_orders
+      |FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 13) c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey AS c_custkey, count(*) AS n_orders FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+      |  GROUP BY o_custkey) o
+      |USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Cross join (cartesian of two small sets). */
+  def crossJoin(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.orders(s, d).select(col("o_orderstatus")).distinct())
+      .orderBy(col("r_name"), col("o_orderstatus"))
+
+  val crossJoinSql: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  /** CUBE grouping sets (extends the reference's fixed edge cube A4). */
+  def ordersCube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val ordersCubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** INTERSECT + EXCEPT in one result, tagged by operator. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    val lowCust = Tables.customer(s, d).where(col("c_acctbal") < 0)
+      .select(col("c_nationkey").as("nationkey"))
+    cn.intersect(sn).withColumn("op", lit("intersect"))
+      .union(cn.except(lowCust).withColumn("op", lit("except")))
+      .select(col("op"), col("nationkey"))
+      .orderBy(col("op"), col("nationkey"))
+  }
+
+  val setOpsSql: String =
+    """SELECT 'intersect' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'except', nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT c_nationkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY op, nationkey""".stripMargin
+
+  /** Scalar string-function family (§2.8: case folding, substrings,
+    * concat, translate, regexp replace, padding, reverse, hashing). */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      lower(col("p_type")).as("lo"),
+      upper(col("p_name")).as("up"),
+      substring(col("p_name"), 1, 5).as("sub"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+      lpad(col("p_brand"), 12, ".").as("pad"),
+      reverse(col("p_name")).as("rev"),
+      length(col("p_name")).as("len"),
+      md5(col("p_name")).as("h"))
+      .orderBy(col("p_partkey"))
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey,
+      |  lower(p_type) AS lo, upper(p_name) AS up,
+      |  substr(p_name, 1, 5) AS sub,
+      |  p_brand || '|' || p_type AS cat,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+      |  lpad(p_brand, 12, '.') AS pad,
+      |  reverse(p_name) AS rev,
+      |  len(p_name) AS len,
+      |  md5(p_name) AS h
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date/time scalar family over orders. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dd"),
+      dayofweek(col("o_orderdate")).as("dow1"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy(col("o_orderkey"))
+
+  val dateFuncsSql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+      |  day(o_orderdate) AS dd,
+      |  dayofweek(o_orderdate) + 1 AS dow1,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Exact percentiles (interpolated median / p90 per group — both
+    * engines implement the same (1−f)·a + f·b interpolation). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
+    "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
+    "q18_orders_cube" -> QueryDef(ordersCube, Some(ordersCubeSql)),
+    "q19_set_ops"     -> QueryDef(setOps, Some(setOpsSql)),
+    "q20_string_funcs" -> QueryDef(stringFuncs, Some(stringFuncsSql)),
+    "q21_date_funcs"  -> QueryDef(dateFuncs, Some(dateFuncsSql)),
+    "q22_percentiles" -> QueryDef(percentiles, Some(percentilesSql)),
+  )
+}

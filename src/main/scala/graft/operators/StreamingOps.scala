@@ -31,8 +31,18 @@ object StreamingOps extends QueryModule {
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  def enriched(s: SparkSession, d: String): DataFrame =
+    Streaming.enrichedBySegment(s, d, s"enriched_${math.abs(d.hashCode)}")
+
+  val enrichedSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "st1_stream_hourly"   -> QueryDef(windowed, Some(windowedSql)),
     "st2_stream_sessions" -> QueryDef(sessions, Some(sessionsSql)),
+    "st3_stream_enrich"   -> QueryDef(enriched, Some(enrichedSql)),
   )
 }

@@ -1,0 +1,189 @@
+package graft.pipeline
+
+import graft.core.Json
+import graft.curie.PrefixTrie
+import graft.identity.{AssignIds, AssignedNode, Groups}
+import graft.index.Index
+import graft.materialise.Materialise
+import graft.merge.Merge
+import graft.model.{IngestNode, MergedNode, RawValue}
+import graft.sinks.Sinks
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subgraph build configuration — the Spark restatement of the reference
+  * subgraph config JSONs (identifier_props via the adapters,
+  * `additional_equivalence_groups`, `exclude_props`, `type_superclasses`,
+  * prefix map). */
+final case class SubgraphConfig(
+    name: String,
+    prefixMap: Map[String, String] = Map.empty,
+    additionalEquivalenceGroups: Seq[Seq[String]] = Nil,
+    excludeProps: Set[String] = Set.empty,
+    typeSuperclasses: Set[String] = Set.empty,
+    ancestorProp: String = "ols:directAncestor")
+
+/** Everything the build produces, as live Datasets/DataFrames. */
+final case class SubgraphBuild(
+    merged: Dataset[MergedNode],
+    metadata: DataFrame,
+    edges: DataFrame,
+    displayTypes: DataFrame,
+    refs: DataFrame,
+    typeCounts: DataFrame,
+    entityPropCounts: DataFrame,
+    names: DataFrame,
+    groups: Map[String, String])
+
+/** The end-to-end subgraph build — the engine's restatement of the
+  * Nextflow DAG (`nextflow/01_create_subgraph.nf:14-70`): one Spark job
+  * DAG `union(ingests) → normalise → groups(CC) → assign → merge →
+  * [cache] → (index ∥ materialise) → sinks`, where the reference's
+  * process boundaries become shuffle stages and `tee` becomes DAG fan-out
+  * from the cached merged Dataset (SURVEY §3.1).
+  */
+object GraftPipeline {
+
+  /** Stage 2 analog — prefix-normalise every id, property key and string
+    * value through the trie (P1 applied to the whole record, reference
+    * `grebi_normalise_prefixes/src/main.rs:33-74`). */
+  def normalise(nodes: Dataset[IngestNode], trie: PrefixTrie): Dataset[IngestNode] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes.map { n =>
+      n.copy(
+        ids = n.ids.map(trie.rewrite),
+        types = n.types.map(trie.rewrite),
+        props = n.props.map { case (k, vs) =>
+          trie.rewrite(k) -> vs.map(v => v.copy(
+            value = trie.rewrite(v.value),
+            qualifiers = v.qualifiers.map { case (qk, qvs) =>
+              trie.rewrite(qk) -> qvs.map(trie.rewrite)
+            }))
+        })
+    }
+  }
+
+  /** superclasses2types (`02_assign_ids/grebi_superclasses2types/src/
+    * main.rs:60-150`): any ancestor value in the configured superclass
+    * set is promoted into `grebi:type`. Pure map-side. */
+  def superclassesToTypes(nodes: Dataset[AssignedNode], typeSuperclasses: Set[String],
+                          ancestorProp: String): Dataset[AssignedNode] = {
+    if (typeSuperclasses.isEmpty) nodes
+    else {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      nodes.map { n =>
+        val promoted = n.props.getOrElse(ancestorProp, Nil)
+          .map(_.value).filter(typeSuperclasses.contains)
+        if (promoted.isEmpty) n
+        else {
+          val existing = n.props.getOrElse("grebi:type", Nil)
+          val have = existing.map(_.value).toSet
+          val add = promoted.filterNot(have).distinct.map(RawValue.str)
+          n.copy(props = n.props.updated("grebi:type", existing ++ add))
+        }
+      }
+    }
+  }
+
+  /** Run the full build. `ingests` are the per-datasource adapter outputs
+    * (SURVEY §2.1); everything downstream is shared. */
+  def run(spark: SparkSession, config: SubgraphConfig,
+          ingests: Seq[Dataset[IngestNode]]): SubgraphBuild = {
+    import spark.implicits._
+    require(ingests.nonEmpty, "at least one ingest dataset required")
+
+    // U1 — union of all ingest outputs, then P1 normalisation
+    val all0 = ingests.reduce(_ union _)
+    val all = if (config.prefixMap.isEmpty) all0
+      else normalise(all0, PrefixTrie(config.prefixMap))
+
+    // J7 — equivalence groups from id co-occurrence + seeded cliques
+    val seedDf = if (config.additionalEquivalenceGroups.isEmpty) None
+      else Some(config.additionalEquivalenceGroups.toDF("ids"))
+    val idSets = seedDf.foldLeft(all.map(_.ids).toDF("ids"))(_ union _)
+    val groups = Groups.fromIdSets(idSets)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // J1 + superclass typing + A1 merge
+    val assigned = superclassesToTypes(
+      AssignIds(spark, all, groups), config.typeSuperclasses, config.ancestorProp)
+    val merged = Merge(spark, assigned, config.excludeProps)
+      .map(m => m.copy(subgraph = config.name))
+      .cache()
+
+    // 04_index ∥ 05_materialise off the cached merge
+    val metadata = Index.metadata(merged).cache()
+    val typeCounts = Index.typeCounts(merged)
+    val edges = Materialise.edges(merged, metadata)
+    val displayTypes = Materialise.displayTypes(merged, typeCounts)
+    val refs = Materialise.refs(merged, metadata)
+
+    SubgraphBuild(merged, metadata, edges, displayTypes, refs,
+      typeCounts, Index.entityPropCounts(merged), Index.names(merged), groups)
+  }
+
+  /** summary.json analog (A2/A4/A5, `04_index/grebi_index/src/main.rs:
+    * 214-232` + the materialise edge cube): one JSON document of
+    * entity-prop counts, type counts, and the edge summary cube. */
+  def summaryJson(build: SubgraphBuild, subgraph: String): String = {
+    def countsMap(df: DataFrame, key: String): String =
+      df.collect().sortBy(_.getString(0))
+        .map(r => Json.str(r.getString(0)) + ":" + r.getLong(1))
+        .mkString("{", ",", "}")
+    val cube = Materialise.edgeSummary(build.edges, build.metadata)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3, t._4))
+      .map { case (s, e, d, ds, n) =>
+        Json.str(s"$s|$e|$d|$ds") + ":" + n
+      }.mkString("{", ",", "}")
+    s"""{"subgraph":${Json.str(subgraph)},""" +
+      s""""entity_props":${countsMap(build.entityPropCounts, "prop")},""" +
+      s""""types":${countsMap(build.typeCounts, "type")},""" +
+      s""""edges":$cube}"""
+  }
+
+  /** Persist all artifacts — parquet for the graph tables, the three
+    * serving sinks (K1/K2, K5, K6), names.txt (K7) and summary.json. */
+  def write(build: SubgraphBuild, outDir: String): Unit = {
+    val spark = build.merged.sparkSession
+    build.merged.write.mode(SaveMode.Overwrite).parquet(s"$outDir/merged.parquet")
+    build.metadata.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metadata.parquet")
+    build.edges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges.parquet")
+    val propKeys = build.entityPropCounts.collect().map(_.getString(0)).toSeq
+    Sinks.writeCsv(Sinks.neoNodesCsvFrame(build.merged, propKeys, build.displayTypes),
+      s"$outDir/neo_nodes.csv")
+    Sinks.writeCsv(Sinks.neoEdgesCsvFrame(build.edges), s"$outDir/neo_edges.csv")
+    Sinks.writeSolr(build.merged, s"$outDir/solr")
+    Sinks.writeKvStore(build.merged, s"$outDir/kv.parquet")
+    build.names.write.mode(SaveMode.Overwrite).text(s"$outDir/names.txt")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/summary.json"),
+      summaryJson(build, "subgraph"))
+  }
+
+  /** K8 — materialised query results: each named query's result written
+    * as CSV next to a consolidated metadata table
+    * (`08_run_queries/run_queries.dockerpy:18-56`). */
+  def materialiseQueries(spark: SparkSession, outDir: String,
+                         queries: Map[String, DataFrame]): Unit = {
+    import spark.implicits._
+    queries.foreach { case (name, df) =>
+      // CSV has no array type — 0x1F-join them like the Neo4j sink
+      val flat = df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.ArrayType =>
+            array_join(col(f.name), Sinks.ArraySep).as(f.name)
+          case _ => col(f.name)
+        }
+      }: _*)
+      flat.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(s"$outDir/queries/$name")
+    }
+    queries.keys.toSeq.sorted.toDF("query")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(s"$outDir/queries/_metadata")
+  }
+}

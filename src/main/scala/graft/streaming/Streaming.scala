@@ -53,6 +53,27 @@ object Streaming {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Stream-static enrichment: the event stream joined against a static
+    * dimension (broadcast — no stream-side shuffle), then aggregated.
+    * The standard "enrich a firehose with a dim table" shape. */
+  def enrichedBySegment(s: SparkSession, d: String, name: String): DataFrame = {
+    val customers = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventsStream(s, d)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Exact.sumd(col("value")).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Per-user session state for streaming sessionization. */
   final case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

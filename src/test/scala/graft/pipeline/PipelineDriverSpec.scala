@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model.{IngestNode, RawValue}
+import org.apache.spark.sql.functions._
+
+/** Drives the whole config→artifacts build (the Nextflow-DAG
+  * replacement) on a small two-datasource graph with every config knob
+  * exercised: prefix normalisation, seeded equivalence groups, excluded
+  * props, superclass typing. */
+class PipelineDriverSpec extends SparkSpec {
+
+  def mk(ids: Seq[String], ds: String, types: Seq[String], props: (String, Seq[RawValue])*): IngestNode =
+    IngestNode(ids, ds, "raw", types, props.toMap)
+
+  lazy val config = SubgraphConfig(
+    name = "fixture_sg",
+    prefixMap = Map("http://purl.obolibrary.org/obo/MONDO_" -> "mondo:", "EFO:" -> "efo:"),
+    additionalEquivalenceGroups = Seq(Seq("grebi:name", "rdfs:label")),
+    excludeProps = Set("internal:junk"),
+    typeSuperclasses = Set("biolink:Disease"),
+    ancestorProp = "ols:directAncestor")
+
+  lazy val build: SubgraphBuild = {
+    import spark.implicits._
+    val dsA = Seq(
+      mk(Seq("http://purl.obolibrary.org/obo/MONDO_0005044"), "dsA", Seq("owl:Class"),
+        "rdfs:label" -> Seq(RawValue.str("type 2 diabetes mellitus")),
+        "ols:directAncestor" -> Seq(RawValue.str("biolink:Disease")),
+        "internal:junk" -> Seq(RawValue.str("drop"))),
+      mk(Seq("biolink:Disease"), "dsA", Seq("owl:Class"),
+        "rdfs:label" -> Seq(RawValue.str("disease")))).toDS()
+    val dsB = Seq(
+      mk(Seq("EFO:0000537", "http://purl.obolibrary.org/obo/MONDO_0005044"), "dsB", Nil,
+        "grebi:name" -> Seq(RawValue.str("T2DM"))),
+      mk(Seq("orphan:1"), "dsB", Nil,
+        "grebi:name" -> Seq(RawValue.str("no type, dropped")))).toDS()
+    GraftPipeline.run(spark, config, Seq(dsA, dsB))
+  }
+
+  test("full build: normalise + seeded groups + merge + superclass typing") {
+    val nodes = build.merged.collect()
+    // orphan dropped (no type), disease + t2dm survive
+    assert(nodes.map(_.nodeId).sorted.toSeq == Seq("biolink:Disease", "efo:0000537"))
+    val t2d = nodes.find(_.nodeId == "efo:0000537").get
+    // IRI normalised into the clique; both datasources merged
+    assert(t2d.datasources == Seq("dsA", "dsB"))
+    assert(t2d.sourceIds.contains("mondo:0005044"))
+    // property-key merging via seeded clique: rdfs:label → grebi:name
+    assert(t2d.props("grebi:name").map(_.value).sorted == Seq("T2DM", "type 2 diabetes mellitus"))
+    assert(!t2d.props.contains("rdfs:label"))
+    // superclass promoted to type
+    assert(t2d.props("grebi:type").map(_.value).contains("biolink:Disease"))
+    // excluded prop gone
+    assert(!t2d.props.contains("internal:junk"))
+    // subgraph stamped
+    assert(nodes.forall(_.subgraph == "fixture_sg"))
+  }
+
+  test("ancestor value becomes an edge to the type node") {
+    val e = build.edges.collect()
+    assert(e.exists(r => r.getAs[String]("edgeType") == "ols:directAncestor" &&
+      r.getAs[String]("fromNodeId") == "efo:0000537" &&
+      r.getAs[String]("toNodeId") == "biolink:Disease"))
+  }
+
+  test("summary json aggregates props, types and the edge cube") {
+    val json = GraftPipeline.summaryJson(build, "fixture_sg")
+    assert(json.contains("\"grebi:name\":3"))
+    assert(json.contains("\"types\""))
+    assert(json.contains("ols:directAncestor"))
+  }
+
+  test("write: all artifacts land, kv point lookup works") {
+    val out = java.nio.file.Files.createTempDirectory("graftout").toString
+    GraftPipeline.write(build, out)
+    val files = new java.io.File(out).list().toSet
+    assert(Set("merged.parquet", "metadata.parquet", "edges.parquet",
+      "neo_nodes.csv", "neo_edges.csv", "solr", "kv.parquet",
+      "names.txt", "summary.json").subsetOf(files))
+    val got = graft.sinks.Sinks.kvLookup(spark, s"$out/kv.parquet", "efo:0000537")
+    assert(got.exists(_.contains("\"grebi:nodeId\":\"efo:0000537\"")))
+  }
+
+  test("materialised query results sink (K8)") {
+    val out = java.nio.file.Files.createTempDirectory("graftq").toString
+    val q = Map("diseases" -> build.metadata.where(col("name").isNotNull))
+    GraftPipeline.materialiseQueries(spark, out, q)
+    assert(new java.io.File(s"$out/queries/diseases").exists())
+    assert(new java.io.File(s"$out/queries/_metadata").exists())
+  }
+}

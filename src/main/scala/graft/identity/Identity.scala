@@ -39,22 +39,28 @@ object ConnectedComponents {
     var labels = sym.select(src.as("member")).distinct()
       .withColumn("label", col("member"))
       .localCheckpoint()
+    // Semi-naive: only vertices whose label improved last round send
+    // messages; round 1 everyone is "changed".
+    var frontier = labels
 
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val msgs = sym
-        .join(labels.withColumnRenamed("member", "src"), "src")
-        .select(dst.as("member"), col("label"))
-      val next = msgs.union(labels)
-        .groupBy("member").agg(min("label").as("label"))
+        .join(frontier.withColumnRenamed("member", "src"), "src")
+        .select(dst.as("member"), col("label"),
+          lit(null).cast("string").as("old"))
+      // carry the previous label on the self row so convergence falls out
+      // of the same aggregation (no second join per round)
+      val self = labels.select(col("member"), col("label"), col("label").as("old"))
+      val next = msgs.union(self)
+        .groupBy("member")
+        .agg(min("label").as("label"), max("old").as("old"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "member")
-        .where(col("label") =!= col("prev"))
-        .limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val changedDf = next.where(col("label") < col("old"))
+      converged = changedDf.isEmpty
+      frontier = changedDf.select(col("member"), col("label"))
+      labels = next.select(col("member"), col("label"))
       iter += 1
     }
     sym.unpersist()

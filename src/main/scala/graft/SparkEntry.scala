@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.Multimodal,
+    graft.operators.Temporal,
     graft.operators.StreamingOps,
   )
 

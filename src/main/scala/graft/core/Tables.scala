@@ -31,8 +31,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    // integer DIV, not `/`: epoch-nanos exceed double's 2^53 exact range,
+    // so float division would be off by ±1 µs on some rows
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")).cast("timestamp_ntz"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Temporal join operators Spark lacks natively: as-of join and bounded
+  * range join. Both are built by composition (preference (a) of the
+  * custom-operator ladder): the as-of join is the union+last_value-window
+  * pattern — one shuffle on (key), no per-row probing — and the range
+  * join buckets time so candidates come from equi-joins on (key, bucket),
+  * never a theta join. Both shapes survive 100 TB: work is proportional
+  * to matching pairs, not |L|×|R|.
+  */
+object Temporal extends QueryModule {
+
+  /** Generic as-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` on the same key (left-outer semantics).
+    * right must be unique per (key, ts) for determinism — pre-aggregate
+    * if needed. `payload` columns are returned matched onto left rows. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+               rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*).as("__payload")
+    val r = right.select(col(key).as("__key"), col(rightTs).as("__ts"),
+      lit(0).as("__side"), payload)
+    val l = left.select(col(key).as("__key"), col(leftTs).as("__ts"),
+      lit(1).as("__side"), lit(null).cast(r.schema("__payload").dataType).as("__payload"))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = r.unionByName(l)
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__key").as(key), col("__ts").as(leftTs), col("__match"))
+    val lefted = left.join(matched,
+      left(key) === matched(key) && left(leftTs) === matched(leftTs))
+      .select(left.columns.map(left(_)) :+ col("__match"): _*)
+    payloadCols.foldLeft(lefted) { (df, c) =>
+      df.withColumn(c, col("__match").getField(c))
+    }.drop("__match")
+  }
+
+  /** a1 — events as-of joined to each user's latest order at-or-before
+    * the event time. */
+  def eventsAsofOrders(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // dedupe right per (key, ts) for a deterministic match
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    asofJoin(ev, ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAsofOrdersSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id AS event_id, e.user_id AS user_id,
+      |  r.o_orderkey AS o_orderkey, r.o_orderdate AS o_orderdate
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** a2 — bounded range self-join: per user, ordered event pairs at most
+    * 5 minutes apart. Candidates come from equi-joins on
+    * (user, time-bucket) and (user, bucket+1) — the banding trick that
+    * replaces the quadratic theta join. */
+  def eventPairsWithin(s: SparkSession, d: String): DataFrame = {
+    val windowUs = 5L * 60 * 1000000
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("bucket", floor(col("us") / windowUs))
+    val a = ev.select(col("user_id"), col("event_id").as("a_event"),
+      col("us").as("a_us"), col("bucket"))
+    val b0 = ev.select(col("user_id"), col("event_id").as("b_event"),
+      col("us").as("b_us"), col("bucket").as("b_bucket"))
+    val cand = a.join(b0, a("user_id") === b0("user_id") &&
+      (b0("b_bucket") === a("bucket") || b0("b_bucket") === a("bucket") + 1))
+    cand
+      .where(col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= windowUs &&
+        (col("a_us") < col("b_us") ||
+          (col("a_us") === col("b_us") && col("a_event") < col("b_event"))))
+      .select(a("user_id"), col("a_event"), col("b_event"),
+        (col("b_us") - col("a_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("a_event"), col("b_event"))
+  }
+
+  val eventPairsWithinSql: String =
+    """SELECT a.user_id AS user_id, a.event_id AS a_event, b.event_id AS b_event,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 5*60*1000000
+      | AND (epoch_us(a.ts) < epoch_us(b.ts)
+      |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
+      |ORDER BY user_id, a_event, b_event""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
+    "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
+  )
+}

@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.{QueryDef, QueryModule, Tables}
 import graft.functions.RollingHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -141,10 +142,93 @@ object TextAnalysis extends QueryModule {
       |WHERE r.pos = len(d.text) + 1
       |ORDER BY r.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t5 — deterministic hash-based train/validation split (the standard
+    * content-hash split: stable across runs, machines and partitioning —
+    * never `rand()`). */
+  def trainSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket",
+        (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int") % 100))
+      .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val trainSplitSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100 AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** t6 — vocabulary extraction: corpus-wide top-50 tokens by frequency
+    * (the vocab-building pass of a tokenizer pipeline). */
+  def vocab(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap(_.trim.split("\\s+"))
+      .toDF("word")
+    val w = Window.orderBy(col("n").desc, col("word").asc)
+    toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 50)
+      .select(col("rank"), col("word"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  val vocabSql: String =
+    """SELECT rank, word, n FROM (
+      |  SELECT word, count(*) AS n,
+      |    row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rank
+      |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+      |  GROUP BY word)
+      |WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  /** t7 — tf-idf-style top terms per document, ranked by
+    * (tf desc, df asc, word) — integer ranking, so no float-idf drift. */
+  def topTerms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => t.trim.split("\\s+").map((id, _)) }
+      .toDF("doc_id", "word")
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("word").asc)
+    tf.join(df_, "word")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val topTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY word)
+      |SELECT doc_id, rank, word, tf, df FROM (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.word ASC) AS rank
+      |  FROM tf JOIN df USING (word))
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
     "t3_lang_id"       -> QueryDef(langId, Some(langIdSql)),
     "t4_fingerprint"   -> QueryDef(fingerprint, Some(fingerprintSql), bench = true),
+    "t5_train_split"   -> QueryDef(trainSplit, Some(trainSplitSql)),
+    "t6_vocab"         -> QueryDef(vocab, Some(vocabSql)),
+    "t7_top_terms"     -> QueryDef(topTerms, Some(topTermsSql), bench = true),
   )
 }

@@ -28,7 +28,7 @@ object Streaming {
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Hourly tumbling-window aggregate with a 1-hour watermark, run to

@@ -39,6 +39,35 @@ object AssignIds {
     }
   }
 
+  /** Scale path — no broadcast: when the groups table exceeds executor
+    * memory, candidate strings (ids, prop keys, values) are exploded and
+    * shuffle-joined against the groups DataFrame, the per-record hit map
+    * is regrouped, and the same rewrite runs with that per-record map.
+    * Two shuffles (on the candidate string, then on the record uid);
+    * group-table size is unbounded. */
+  def joinBased(spark: SparkSession, nodes: Dataset[IngestNode],
+                groups: org.apache.spark.sql.DataFrame): Dataset[AssignedNode] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val withUid = nodes.rdd.zipWithUniqueId().map(_.swap).toDS()
+      .withColumnRenamed("_1", "uid").withColumnRenamed("_2", "node")
+      .as[(Long, IngestNode)]
+    val cands = withUid.flatMap { case (uid, n) =>
+      (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))
+        .distinct.map((uid, _))
+    }.toDF("uid", "member")
+    val hits = cands.join(groups, "member")
+      .groupBy("uid")
+      .agg(map_from_entries(collect_list(struct(col("member"), col("canonical")))).as("hits"))
+    withUid.toDF("uid", "node")
+      .join(hits, Seq("uid"), "left")
+      .select(col("node"), col("hits"))
+      .as[(IngestNode, Map[String, String])]
+      .flatMap { case (n, hits) =>
+        assignOne(n, if (hits == null) Map.empty else hits)
+      }
+  }
+
   private[identity] def assignOne(n: IngestNode, g: Map[String, String]): Option[AssignedNode] = {
     val validIds = n.ids.filter(Ids.isValidId)
     if (validIds.isEmpty) None // no-identifier drop (`grebi_assign_ids/src/main.rs:87-90`)

@@ -25,7 +25,7 @@ object Similarity extends QueryModule {
 
   /** 1e4-quantized integer vector. */
   private def quantized(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).select(col("vec_id"),
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding"),
       transform(col("embedding"), x =>
         round(x.cast("double") * 10000).cast("long")).as("q"))
@@ -110,6 +110,61 @@ object Similarity extends QueryModule {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s3 — IVF-style ANN: the `label` column acts as the coarse-quantizer
+    * cell assignment (in production: argmin over trained centroids);
+    * candidates come from the query's own cell (nprobe=1) via an equality
+    * join on the cell id, then exact re-rank. The inverted-file shape:
+    * probe cost is |cell|, not |corpus|. */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d)
+      .select(col("vec_id"), col("label"), col("q"))
+    val queries = emb.where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label"), col("q").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    queries
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfAnnSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM q a JOIN q b ON b.label = a.label AND b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 50)
+      |SELECT query_id, rank, neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** s4 — per-cell centroid statistics over the quantized vectors
+    * (the training half of IVF): exact integer sums per (cell, dim). */
+  def centroidStats(s: SparkSession, d: String): DataFrame =
+    quantized(s, d)
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n"))
+      .where(col("dim") < 8) // keep the gate output compact
+      .orderBy(col("label"), col("dim"))
+
+  val centroidStatsSql: String =
+    """SELECT label, g.i - 1 AS dim,
+      |  sum(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 10000) AS BIGINT)) AS sum_q,
+      |  count(*) AS n
+      |FROM embeddings CROSS JOIN generate_series(1, 8) g(i)
+      |GROUP BY label, g.i ORDER BY label, dim""".stripMargin
+
   /** Library-level cosine similarity (double) for callers that want the
     * float score rather than oracle-exact ranking. */
   def cosine(a: Column, b: Column): Column = {
@@ -123,5 +178,7 @@ object Similarity extends QueryModule {
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
+    "s3_ivf_ann"         -> QueryDef(ivfAnn, Some(ivfAnnSql)),
+    "s4_centroid_stats"  -> QueryDef(centroidStats, Some(centroidStatsSql)),
   )
 }

@@ -53,10 +53,23 @@ object ConnectedComponents {
       // carry the previous label on the self row so convergence falls out
       // of the same aggregation (no second join per round)
       val self = labels.select(col("member"), col("label"), col("label").as("old"))
-      val next = msgs.union(self)
+      val prop = msgs.union(self)
         .groupBy("member")
         .agg(min("label").as("label"), max("old").as("old"))
-        .localCheckpoint()
+      // pointer jumping: follow each label to ITS label (path halving).
+      // Neighbour propagation alone needs O(diameter) rounds — a deep
+      // identifier chain would exhaust maxIter; with compression the
+      // combined recurrence converges in O(log diameter) rounds. Shallow
+      // graphs (identifier cliques) converge in 2-3 rounds anyway, so the
+      // extra self-join only kicks in once depth is evident.
+      val next = (if (iter < 2) prop
+        else {
+          val parents = prop.select(col("member").as("label"), col("label").as("label2"))
+          prop.join(parents, Seq("label"), "left")
+            .select(col("member"),
+              least(coalesce(col("label2"), col("label")), col("label")).as("label"),
+              col("old"))
+        }).localCheckpoint()
       val changedDf = next.where(col("label") < col("old"))
       converged = changedDf.isEmpty
       frontier = changedDf.select(col("member"), col("label"))

@@ -60,6 +60,25 @@ object Query {
     }.reduce(_ unionByName _)
   }
 
+  /** The full REST-search flow composed (Q1+Q2+Q3+Q4 —
+    * `GrebiApi.java:185-227`): apply property filters, score the query
+    * term, page the hits, and compute facet counts (with facet-exclusion)
+    * over the same filtered+matched set. One definition, three outputs —
+    * Spark computes them as three actions off a shared cached plan. */
+  def searchPage(nodes: DataFrame, fields: Map[String, Double], term: String,
+                 filters: Map[String, Seq[String]], facetFields: Seq[String],
+                 idCol: String, page: Int = 0, size: Int = 10): (DataFrame, DataFrame, Long) = {
+    val filtered = filters.foldLeft(nodes) { case (d, (f, vs)) => d.where(col(f).isin(vs: _*)) }
+    val matched = nodes.withColumn("score", searchScore(fields, term))
+      .where(col("score") > 0)
+    val matchedFiltered = filters.foldLeft(matched) { case (d, (f, vs)) => d.where(col(f).isin(vs: _*)) }
+    val hits = matchedFiltered
+      .orderBy(col("score").desc, col(idCol).asc)
+      .offset(page * size).limit(size)
+    val facetCounts = facets(matched, filters, facetFields)
+    (hits, facetCounts, matchedFiltered.count())
+  }
+
   // -------------------------------------------------------------------
   // Q6 — incoming / outgoing edge listing
   // -------------------------------------------------------------------

@@ -23,6 +23,16 @@ class IdentitySpec extends SparkSpec {
     assert(cc.forall(_.getString(1) == "v01"))
   }
 
+  test("connected components: 200-deep chain converges within default maxIter") {
+    import spark.implicits._
+    // would need ~200 rounds with plain neighbour propagation; pointer
+    // jumping brings it to O(log n)
+    val edges = (1 until 200).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+    val cc = ConnectedComponents.run(edges).collect()
+    assert(cc.length == 200)
+    assert(cc.forall(_.getString(1) == "v001"))
+  }
+
   test("groups: canonical picked by id score, numeric ids dropped") {
     import spark.implicits._
     val idSets = Seq(

@@ -44,17 +44,21 @@ object Merge {
     override def zero: MergeBuf = new MergeBuf
 
     override def reduce(b: MergeBuf, n: AssignedNode): MergeBuf = {
-      b.datasources += n.datasource
+      // per-record datasource override via a `grebi:datasource` property
+      // (`03_merge/grebi_merge/src/parse_entity.rs:53-56`)
+      val dsName = n.props.get("grebi:datasource")
+        .flatMap(_.headOption).map(_.value).getOrElse(n.datasource)
+      b.datasources += dsName
       b.sourceIds ++= n.sourceIds
       if (b.subgraph.isEmpty) b.subgraph = n.subgraph
       n.props.foreach { case (k, vs) =>
-        if (!excludeProps.contains(k)) vs.foreach { v =>
+        if (!excludeProps.contains(k) && k != "grebi:datasource") vs.foreach { v =>
           val qj = if (v.qualifiers.isEmpty) "" else Json.strMap(v.qualifiers)
           if (qj.nonEmpty) b.quals.getOrElseUpdate(qj, v.qualifiers)
           val (ds, sids) = b.asserts.getOrElseUpdate(
             (k, v.value, v.kind, qj),
             (mutable.HashSet.empty[String], mutable.HashSet.empty[String]))
-          ds += n.datasource
+          ds += dsName
           sids ++= n.sourceIds
         }
       }

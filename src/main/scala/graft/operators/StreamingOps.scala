@@ -40,9 +40,16 @@ object StreamingOps extends QueryModule {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin
 
+  def deduped(s: SparkSession, d: String): DataFrame =
+    Streaming.dedupedCounts(s, d, s"dedup_${math.abs(d.hashCode)}")
+
+  val dedupedSql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "st1_stream_hourly"   -> QueryDef(windowed, Some(windowedSql)),
     "st2_stream_sessions" -> QueryDef(sessions, Some(sessionsSql)),
     "st3_stream_enrich"   -> QueryDef(enriched, Some(enrichedSql)),
+    "st4_stream_dedup"    -> QueryDef(deduped, Some(dedupedSql)),
   )
 }

@@ -164,6 +164,21 @@ object GraftPipeline {
       summaryJson(build, "subgraph"))
   }
 
+  /** The combined-subgraphs build (second reference workflow,
+    * `nextflow/02_create_dbs.nf:13-38`): each subgraph's ids are prefixed
+    * with its name so the combined store has one global id space, then
+    * everything unions — ready for a single bulk import. */
+  def combineSubgraphs(builds: Seq[(String, SubgraphBuild)]): Dataset[MergedNode] = {
+    require(builds.nonEmpty)
+    val spark = builds.head._2.merged.sparkSession
+    import spark.implicits._
+    builds.map { case (sg, b) =>
+      b.merged.map(m => m.copy(
+        nodeId = s"$sg:${m.nodeId}",
+        subgraph = sg))
+    }.reduce(_ union _)
+  }
+
   /** K8 — materialised query results: each named query's result written
     * as CSV next to a consolidated metadata table
     * (`08_run_queries/run_queries.dockerpy:18-56`). */

@@ -103,6 +103,29 @@ object Sinks {
     rows.headOption.map(_.getString(0))
   }
 
+  /** Render a value with its original JSON type (the reference carries
+    * JSON scalar polymorphism through the pipeline, SURVEY §1.2): numbers
+    * and booleans unquoted, nulls literal, nested JSON verbatim. */
+  private def renderValue(value: String, kind: String): String = kind match {
+    case graft.model.Kind.Num | graft.model.Kind.Bool | graft.model.Kind.Json => value
+    case graft.model.Kind.Null => "null"
+    case _ => Json.str(value)
+  }
+
+  /** K3 — sourceId edges (node → Id node) for the Neo4j id lookup core
+    * (`grebi_make_neo_csv/src/main.rs:390-413`,
+    * `grebi_make_neo_ids_csv/src/main.rs:5-31`). */
+  def neoIdEdgesCsvFrame(nodes: Dataset[MergedNode]): DataFrame =
+    nodes.toDF()
+      .select(col("nodeId").as(":START_ID"), lit("id").as(":TYPE"),
+        explode(col("sourceIds")).as(":END_ID"))
+
+  def neoIdNodesCsvFrame(nodes: Dataset[MergedNode]): DataFrame =
+    nodes.toDF()
+      .select(explode(col("sourceIds")).as("id:ID"))
+      .distinct()
+      .withColumn(":LABEL", lit("Id"))
+
   /** Deterministic JSON rendering of a merged node — fixed special-key
     * order then sorted props, as the slicing readers require
     * (`grebi_shared/src/slice_merged_entity.rs:45-75`). */
@@ -120,7 +143,7 @@ object Sinks {
         sb.append(",\"grebi:sourceIds\":").append(Json.strArray(v.sourceIds))
         if (v.qualifiers.nonEmpty)
           sb.append(",\"grebi:properties\":").append(Json.strMap(v.qualifiers))
-        sb.append(",\"grebi:value\":").append(Json.str(v.value)).append("}")
+        sb.append(",\"grebi:value\":").append(renderValue(v.value, v.kind)).append("}")
       }
       sb.append("]")
     }

@@ -74,6 +74,28 @@ object Streaming {
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
+  /** Streaming exactly-once dedup: the stream is unioned with itself
+    * (every event arrives twice) and `dropDuplicates` on the event id
+    * restores one-row-per-event — the idempotent-ingest shape of a
+    * training-data firehose. Bounded replay; production pairs this with
+    * `dropDuplicatesWithinWatermark` to bound state. */
+  def dedupedCounts(s: SparkSession, d: String, name: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val doubled = ev.unionByName(ev)
+    val q = doubled.dropDuplicates("event_id")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user session state for streaming sessionization. */
   final case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

@@ -171,6 +171,28 @@ class PipelineSpec extends SparkSpec {
     assert(g1.getAs[String]("grebi:name").split(Sinks.ArraySep).sorted.toSeq == Seq("PAX6", "Pax6"))
   }
 
+  test("id-edge CSVs: one sourceId edge per source id, distinct Id nodes") {
+    val idEdges = Sinks.neoIdEdgesCsvFrame(merged).collect()
+    assert(idEdges.length == merged.collect().map(_.sourceIds.size).sum)
+    assert(idEdges.exists(r => r.getString(0) == "hgnc:h1" && r.getString(2) == "mgi:g1"))
+    val idNodes = Sinks.neoIdNodesCsvFrame(merged).collect()
+    assert(idNodes.map(_.getString(0)).distinct.length == idNodes.length)
+  }
+
+  test("renderNode keeps JSON value types (numbers/bools unquoted)") {
+    import graft.model.{Kind, PropValue}
+    val n = graft.model.MergedNode("x:1", Seq("ds"), Seq("x:1"), "fx",
+      Map("num" -> Seq(PropValue("42", Kind.Num, Seq("ds"), Nil, Map.empty)),
+          "flag" -> Seq(PropValue("true", Kind.Bool, Seq("ds"), Nil, Map.empty)),
+          "txt" -> Seq(PropValue("hi", Kind.Str, Seq("ds"), Nil, Map.empty))))
+    val json = Sinks.renderNode(n)
+    assert(json.contains("\"grebi:value\":42"))
+    assert(json.contains("\"grebi:value\":true"))
+    assert(json.contains("\"grebi:value\":\"hi\""))
+    // still valid JSON
+    org.json4s.jackson.JsonMethods.parse(json)
+  }
+
   test("solr docs sink: __ keys, unwrapped values") {
     val docs = Sinks.solrDocs(merged).collect()
     val g1 = docs.find(_.contains("\"grebi__nodeId\":[\"hgnc:h1\"]")).get

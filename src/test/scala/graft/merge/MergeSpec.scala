@@ -61,6 +61,18 @@ class MergeSpec extends SparkSpec {
     assert(m.props("grebi:type").map(_.value) == Seq("biolink:Disease"))
   }
 
+  test("merge: per-record datasource override via grebi:datasource prop") {
+    import spark.implicits._
+    val nodes = Seq(
+      IngestNode(Seq("x:1"), "wrapper", "fx", Seq("t"),
+        Map("grebi:datasource" -> Seq(RawValue.str("realDS")),
+            "p" -> Seq(RawValue.str("v"))))).toDS()
+    val merged = Merge(spark, AssignIds(spark, nodes, Map("x:1" -> "x:1"))).collect().head
+    assert(merged.datasources == Seq("realDS"))
+    assert(merged.props("p").head.datasources == Seq("realDS"))
+    assert(!merged.props.contains("grebi:datasource"))
+  }
+
   test("merge: values deterministically sorted within a property") {
     import spark.implicits._
     val nodes = Seq(

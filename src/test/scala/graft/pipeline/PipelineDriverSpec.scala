@@ -82,6 +82,14 @@ class PipelineDriverSpec extends SparkSpec {
     assert(got.exists(_.contains("\"grebi:nodeId\":\"efo:0000537\"")))
   }
 
+  test("combined subgraphs: one global id space, per-subgraph prefix") {
+    val combined = GraftPipeline.combineSubgraphs(
+      Seq("sgA" -> build, "sgB" -> build)).collect()
+    assert(combined.length == 4)
+    assert(combined.map(_.nodeId).count(_.startsWith("sgA:")) == 2)
+    assert(combined.map(_.subgraph).toSet == Set("sgA", "sgB"))
+  }
+
   test("materialised query results sink (K8)") {
     val out = java.nio.file.Files.createTempDirectory("graftq").toString
     val q = Map("diseases" -> build.metadata.where(col("name").isNotNull))

@@ -174,10 +174,56 @@ object GraphOps extends QueryModule {
       |FROM asserts GROUP BY node_id, key, value
       |ORDER BY node_id, key, value""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // Full-DAG end-to-end: the entire subgraph build as one gate query
+  // ---------------------------------------------------------------------
+
+  /** The flagship workload: two datasources (customers under two
+    * equivalent id schemes; orders referencing the NON-canonical customer
+    * id) pushed through the complete pipeline — equivalence cliques via
+    * CC, id assignment rewriting the order→customer references to the
+    * canonical member, provenance merge, then edge materialisation. The
+    * output is the combined edge list, which is only correct if every
+    * stage (grouping, canonical pick, value rewrite, merge, edge join)
+    * is. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custs = Tables.customer(s, d)
+      .select(node("c:", col("c_custkey")).as("id"), node("alt:", col("c_custkey")).as("alt"),
+        col("c_name").as("nm"))
+      .as[(String, String, String)]
+      .map { case (id, alt, nm) =>
+        IngestNode(Seq(id, alt), "ds_cust", "tpch", Seq("Customer"),
+          Map("grebi:name" -> Seq(RawValue.str(nm))))
+      }
+    val ords = Tables.orders(s, d)
+      .select(node("o:", col("o_orderkey")).as("id"), node("c:", col("o_custkey")).as("cust"))
+      .as[(String, String)]
+      .map { case (id, cust) =>
+        IngestNode(Seq(id), "ds_ord", "tpch", Seq("Order"),
+          Map("ord:customer" -> Seq(RawValue.str(cust))))
+      }
+    val build = graft.pipeline.GraftPipeline.run(s,
+      graft.pipeline.SubgraphConfig(name = "tpch"), Seq(custs, ords))
+    build.edges
+      .select(col("fromNodeId"), col("edgeType"), col("toNodeId"))
+      .orderBy(col("fromNodeId"))
+  }
+
+  /** The expected edge list in closed form: 'alt:…' sorts before 'c:…'
+    * at equal id score, so it is every clique's canonical member and the
+    * rewritten edge target. */
+  val pipelineE2eSql: String =
+    s"""SELECT 'o:' || ${sqlPad("o_orderkey")} AS fromNodeId,
+      |  'ord:customer' AS edgeType,
+      |  'alt:' || ${sqlPad("o_custkey")} AS toNodeId
+      |FROM orders ORDER BY fromNodeId""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g1_normalise_prefixes"   -> QueryDef(normalisePrefixes, Some(normalisePrefixesSql)),
     "g2_connected_components" -> QueryDef(connectedComponents, Some(connectedComponentsSql), bench = true),
     "g3_groups_canonical"     -> QueryDef(groupsCanonical, Some(groupsCanonicalSql)),
     "g4_merge_provenance"     -> QueryDef(mergeProvenance, Some(mergeProvenanceSql), bench = true),
+    "g14_pipeline_e2e"        -> QueryDef(pipelineE2e, Some(pipelineE2eSql), bench = true),
   )
 }

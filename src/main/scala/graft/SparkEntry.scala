@@ -23,6 +23,7 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.operators.Multimodal,
     graft.operators.Temporal,
+    graft.operators.ProfilerOps,
     graft.operators.StreamingOps,
   )
 

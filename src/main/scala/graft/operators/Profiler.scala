@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Generic data-profiling operator — the data-quality pass a training
+  * pipeline runs before touching a new source: per-column row/null/
+  * distinct counts plus min/max, emitted in long format so the output
+  * schema is independent of the profiled table's schema (same open-schema
+  * principle as the props map). One aggregation per column over a shared
+  * cached scan; Spark runs them as parallel jobs.
+  */
+object Profiler {
+
+  /** Long-format profile: (column, n_rows, n_null, n_distinct, min, max)
+    * with min/max rendered as strings for schema stability. */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val perCol = columns.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col(c).isNull.cast("long")).as("n_null"),
+        count_distinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }
+    perCol.reduce(_ unionByName _)
+  }
+}
+
+object ProfilerOps extends QueryModule {
+
+  def profileCustomer(s: SparkSession, d: String): DataFrame =
+    Profiler.profile(Tables.customer(s, d),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+      .orderBy(col("column"))
+
+  val profileCustomerSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  sum(CAST($c IS NULL AS BIGINT)) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM customer""".stripMargin
+    Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      .map(one).mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+  }
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
+  )
+}

@@ -96,7 +96,19 @@ object Merge {
       Encoders.product[MergedNode]
   }
 
+  /** Default = the typed-Aggregator plan: measured FASTER than the
+    * columnar restatement at sf0.1 (2.6s vs 4.3s for the merge gate) —
+    * one shuffle with map-side combine beats three codegen'd shuffles
+    * whose per-key array_sort comparator runs interpreted. Both
+    * implementations are proven equivalent (MergeSpec). */
   def apply(spark: SparkSession, nodes: Dataset[AssignedNode],
+            excludeProps: Set[String] = Set.empty,
+            dropUntyped: Boolean = true): Dataset[MergedNode] =
+    typed(spark, nodes, excludeProps, dropUntyped)
+
+  /** Typed-Aggregator merge — single shuffle with map-side combine;
+    * partial buffers round-trip through Kryo on shuffle. */
+  def typed(spark: SparkSession, nodes: Dataset[AssignedNode],
             excludeProps: Set[String] = Set.empty,
             dropUntyped: Boolean = true): Dataset[MergedNode] = {
     import spark.implicits._
@@ -104,5 +116,76 @@ object Merge {
       .agg(new MergeAgg(excludeProps).toColumn.name("node"))
       .map { case (nodeId, node) => node.copy(nodeId = nodeId) }
     if (dropUntyped) merged.filter(_.props.contains("grebi:type")) else merged
+  }
+
+  /** Columnar merge — the same semantics as [[typed]] expressed in
+    * built-ins: explode assertions, aggregate provenance per
+    * (node, key, value), regroup to the props map. No Kryo, but three
+    * shuffles and an interpreted array_sort comparator (structs holding
+    * maps are not natively orderable) — measured slower than [[typed]] at
+    * sf0.1. Kept as the cross-check implementation and the starting point
+    * if Kryo shuffle volume ever dominates at larger scale. */
+  def columnar(spark: SparkSession, nodes: Dataset[AssignedNode],
+               excludeProps: Set[String] = Set.empty,
+               dropUntyped: Boolean = true): Dataset[MergedNode] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val asserts = nodes.flatMap { n =>
+      val dsName = n.props.get("grebi:datasource")
+        .flatMap(_.headOption).map(_.value).getOrElse(n.datasource)
+      n.props.iterator
+        .filter { case (k, _) => !excludeProps.contains(k) && k != "grebi:datasource" }
+        .flatMap { case (k, vs) =>
+          vs.map(v => (n.nodeId, dsName, n.sourceIds, n.subgraph,
+            k, v.value, v.kind, Json.strMap(v.qualifiers), v.qualifiers))
+        }.toSeq
+    }.toDF("nodeId", "ds", "sourceIds", "subgraph", "key", "value", "kind", "qualJson", "qualifiers")
+
+    // per-(node, key, value, kind, qualifiers): provenance union
+    val perValue = asserts
+      .groupBy(col("nodeId"), col("key"), col("value"), col("kind"), col("qualJson"))
+      .agg(
+        array_sort(collect_set(col("ds"))).as("datasources"),
+        array_sort(array_distinct(flatten(collect_list(col("sourceIds"))))).as("vSourceIds"),
+        first(col("qualifiers")).as("qualifiers"),
+        first(col("subgraph")).as("subgraph"))
+
+    // per-(node, key): deterministic value ordering (maps are unorderable,
+    // so sort on a scalar key then project the payload)
+    val perKey = perValue
+      .groupBy(col("nodeId"), col("key"))
+      .agg(
+        transform(
+          array_sort(
+            collect_list(struct(
+              concat_ws("", col("value"), col("kind"), col("qualJson")).as("sortKey"),
+              struct(col("value"), col("kind"), col("datasources"),
+                col("vSourceIds").as("sourceIds"), col("qualifiers")).as("pv"))),
+            (a, b) => when(a.getField("sortKey") < b.getField("sortKey"), -1)
+              .when(a.getField("sortKey") === b.getField("sortKey"), 0).otherwise(1)),
+          e => e.getField("pv")).as("values"),
+        first(col("subgraph")).as("subgraph"))
+
+    // record-level provenance: all datasources/sourceIds that asserted the node
+    val recordLevel = nodes
+      .map(n => (n.nodeId,
+        n.props.get("grebi:datasource").flatMap(_.headOption).map(_.value).getOrElse(n.datasource),
+        n.sourceIds, n.subgraph))
+      .toDF("nodeId", "ds", "sourceIds", "subgraph")
+      .groupBy(col("nodeId"))
+      .agg(
+        array_sort(collect_set(col("ds"))).as("datasources"),
+        array_sort(array_distinct(flatten(collect_list(col("sourceIds"))))).as("sourceIds"),
+        first(col("subgraph")).as("subgraph"))
+
+    val propsPerNode = perKey.groupBy(col("nodeId"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("values")))).as("props"))
+
+    val out = recordLevel.join(propsPerNode, Seq("nodeId"), "left")
+      .select(col("nodeId"), col("datasources"), col("sourceIds"), col("subgraph"),
+        coalesce(col("props"),
+          map_from_entries(array().cast("array<struct<key:string,values:array<struct<value:string,kind:string,datasources:array<string>,sourceIds:array<string>,qualifiers:map<string,array<string>>>>>>"))).as("props"))
+      .as[MergedNode]
+    if (dropUntyped) out.filter(_.props.contains("grebi:type")) else out
   }
 }

@@ -21,7 +21,11 @@ final case class SubgraphConfig(
     additionalEquivalenceGroups: Seq[Seq[String]] = Nil,
     excludeProps: Set[String] = Set.empty,
     typeSuperclasses: Set[String] = Set.empty,
-    ancestorProp: String = "ols:directAncestor")
+    ancestorProp: String = "ols:directAncestor",
+    /** false ⇒ the groups table never leaves the cluster: id assignment
+      * runs as distributed joins (AssignIds.joinBased) instead of a
+      * driver-collect + broadcast map. The 100 TB setting. */
+    broadcastGroups: Boolean = true)
 
 /** Everything the build produces, as live Datasets/DataFrames. */
 final case class SubgraphBuild(
@@ -103,12 +107,18 @@ object GraftPipeline {
     val seedDf = if (config.additionalEquivalenceGroups.isEmpty) None
       else Some(config.additionalEquivalenceGroups.toDF("ids"))
     val idSets = seedDf.foldLeft(all.map(_.ids).toDF("ids"))(_ union _)
-    val groups = Groups.fromIdSets(idSets)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val groupsDf = Groups.fromIdSets(idSets)
+    val (assignedRaw, groups) =
+      if (config.broadcastGroups) {
+        val g = groupsDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        (AssignIds(spark, all, g), g)
+      } else {
+        (AssignIds.joinBased(spark, all, groupsDf), Map.empty[String, String])
+      }
 
-    // J1 + superclass typing + A1 merge
+    // superclass typing + A1 merge
     val assigned = superclassesToTypes(
-      AssignIds(spark, all, groups), config.typeSuperclasses, config.ancestorProp)
+      assignedRaw, config.typeSuperclasses, config.ancestorProp)
     val merged = Merge(spark, assigned, config.excludeProps)
       .map(m => m.copy(subgraph = config.name))
       .cache()

@@ -73,6 +73,17 @@ class MergeSpec extends SparkSpec {
     assert(!merged.props.contains("grebi:datasource"))
   }
 
+  test("columnar merge ≡ typed-aggregator merge") {
+    import spark.implicits._
+    val assigned = AssignIds(spark, fixtureNodes.toDS(), groups)
+    def canon(ns: Array[graft.model.MergedNode]) =
+      ns.sortBy(_.nodeId).map(n => (n.nodeId, n.datasources, n.sourceIds, n.subgraph,
+        n.props.toSeq.sortBy(_._1))).toSeq
+    val a = canon(Merge.typed(spark, assigned, excludeProps = Set("junk:prop")).collect())
+    val b = canon(Merge.columnar(spark, assigned, excludeProps = Set("junk:prop")).collect())
+    assert(a == b)
+  }
+
   test("merge: values deterministically sorted within a property") {
     import spark.implicits._
     val nodes = Seq(

@@ -82,6 +82,24 @@ class PipelineDriverSpec extends SparkSpec {
     assert(got.exists(_.contains("\"grebi:nodeId\":\"efo:0000537\"")))
   }
 
+  test("join-based (no-broadcast) pipeline produces the identical build") {
+    import spark.implicits._
+    val dsA = Seq(
+      mk(Seq("http://purl.obolibrary.org/obo/MONDO_0005044"), "dsA", Seq("owl:Class"),
+        "rdfs:label" -> Seq(RawValue.str("type 2 diabetes mellitus")),
+        "ols:directAncestor" -> Seq(RawValue.str("biolink:Disease")),
+        "internal:junk" -> Seq(RawValue.str("drop"))),
+      mk(Seq("biolink:Disease"), "dsA", Seq("owl:Class"),
+        "rdfs:label" -> Seq(RawValue.str("disease")))).toDS()
+    val dsB = Seq(
+      mk(Seq("EFO:0000537", "http://purl.obolibrary.org/obo/MONDO_0005044"), "dsB", Nil,
+        "grebi:name" -> Seq(RawValue.str("T2DM")))).toDS()
+    val b2 = GraftPipeline.run(spark, config.copy(broadcastGroups = false), Seq(dsA, dsB))
+    def canon(b: SubgraphBuild) = b.merged.collect()
+      .map(graft.sinks.Sinks.renderNode).sorted.toSeq
+    assert(canon(b2) == canon(build))
+  }
+
   test("combined subgraphs: one global id space, per-subgraph prefix") {
     val combined = GraftPipeline.combineSubgraphs(
       Seq("sgA" -> build, "sgB" -> build)).collect()

@@ -30,9 +30,11 @@ object SparkEntry {
   def allDefs: ListMap[String, QueryDef] =
     modules.foldLeft(ListMap.empty[String, QueryDef])(_ ++ _.defs)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full subgraph-build DAG (cliques → assignment → merge →
+    * materialise) — if this returns rows, the whole engine is alive. */
   def entry(spark: SparkSession): DataFrame =
-    graft.operators.Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+    graft.operators.GraphOps.pipelineE2e(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -172,6 +172,36 @@ object MaterialiseOps extends QueryModule {
       |FROM orders JOIN customer ON c_custkey = o_custkey
       |ORDER BY fromNodeId, ref""".stripMargin
 
+  /** Q6 — paginated incoming-edge listing of one node
+    * (`GrebiApi.java:81-176`): two pages of customer 42's incoming order
+    * edges, ordered by edge id. */
+  def edgeListing(s: SparkSession, d: String): DataFrame = {
+    val nodes = orderGraph(s, d)
+    val meta = Index.metadata(nodes)
+    val edges = Materialise.edges(nodes, meta).cache()
+    val p0 = Query.incomingEdges(edges, meta, "c:000000042", page = 0, size = 3)
+      .withColumn("page", lit(0))
+    val p1 = Query.incomingEdges(edges, meta, "c:000000042", page = 1, size = 3)
+      .withColumn("page", lit(1))
+    p0.unionByName(p1)
+      .select(col("page"), col("edgeId"), col("fromNodeId"), col("toNodeId"))
+      .orderBy(col("page"), col("edgeId"))
+  }
+
+  val edgeListingSql: String =
+    s"""WITH e AS (
+      |  SELECT sha256('tpch' || chr(31) || 'o:' || ${sqlPad("o_orderkey")} || chr(31) || 'ord:customer'
+      |           || chr(31) || 'c:' || ${sqlPad("o_custkey")} || chr(31) || '{}') AS edgeId,
+      |    'o:' || ${sqlPad("o_orderkey")} AS fromNodeId,
+      |    'c:' || ${sqlPad("o_custkey")} AS toNodeId
+      |  FROM orders WHERE o_custkey = 42)
+      |SELECT 0 AS page, edgeId, fromNodeId, toNodeId FROM
+      |  (SELECT * FROM e ORDER BY edgeId LIMIT 3 OFFSET 0)
+      |UNION ALL
+      |SELECT 1, edgeId, fromNodeId, toNodeId FROM
+      |  (SELECT * FROM e ORDER BY edgeId LIMIT 3 OFFSET 3)
+      |ORDER BY page, edgeId""".stripMargin
+
   /** Q8 — tiered autocomplete over distinct part names. */
   def autocompleteNames(s: SparkSession, d: String): DataFrame = {
     val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
@@ -196,5 +226,6 @@ object MaterialiseOps extends QueryModule {
     "g10_traversal"       -> QueryDef(traversal, Some(traversalSql)),
     "g11_autocomplete"    -> QueryDef(autocompleteNames, Some(autocompleteNamesSql)),
     "g12_refs"            -> QueryDef(refsExploded, Some(refsExplodedSql)),
+    "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),
   )
 }

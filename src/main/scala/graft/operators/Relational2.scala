@@ -148,6 +148,47 @@ object Relational2 extends QueryModule {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Array/map scalar family over tokenized documents (SURVEY §2.8
+    * array/map row: arrayify, element access, dedup/sort, membership). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      element_at(words, 1).as("first_word"),
+      element_at(words, 2).as("second_word"),
+      array_contains(words, "spark").cast("int").as("has_spark"),
+      array_join(slice(array_sort(array_distinct(words)), 1, 3), ",").as("top3_sorted"),
+      size(array_distinct(words)).as("n_distinct_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+      |  string_split_regex(trim(text), '\s+')[1] AS first_word,
+      |  string_split_regex(trim(text), '\s+')[2] AS second_word,
+      |  CAST(list_contains(string_split_regex(trim(text), '\s+'), 'spark') AS INT) AS has_spark,
+      |  array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\s+')))[1:3], ',') AS top3_sorted,
+      |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_words
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Spark 4 VariantType path for polymorphic JSON (SURVEY §1.5 suggests
+    * Variant as the alternative to string+kind tagging): parse once,
+    * extract typed. */
+  def variantJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  val variantJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -156,5 +197,7 @@ object Relational2 extends QueryModule {
     "q20_string_funcs" -> QueryDef(stringFuncs, Some(stringFuncsSql)),
     "q21_date_funcs"  -> QueryDef(dateFuncs, Some(dateFuncsSql)),
     "q22_percentiles" -> QueryDef(percentiles, Some(percentilesSql)),
+    "q23_array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
+    "q24_variant_json" -> QueryDef(variantJson, Some(variantJsonSql)),
   )
 }

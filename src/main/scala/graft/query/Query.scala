@@ -84,18 +84,24 @@ object Query {
   // -------------------------------------------------------------------
 
   /** Edges of one node, hydrated with the other endpoint's metadata
-    * (`GrebiApi.java:81-176`); paginated. */
+    * (`GrebiApi.java:81-176`); paginated. The endpoint's metadata comes
+    * back as other_name/other_types to avoid colliding with the edge's
+    * own provenance columns. */
+  private def endpointMeta(metadata: DataFrame, as: String): DataFrame =
+    metadata.select(col("nodeId").as(as),
+      col("name").as("other_name"), col("types").as("other_types"))
+
   def outgoingEdges(edges: DataFrame, metadata: DataFrame, nodeId: String,
                     page: Int = 0, size: Int = 100): DataFrame =
     edges.where(col("fromNodeId") === nodeId)
-      .join(metadata.withColumnRenamed("nodeId", "toNodeId"), "toNodeId")
+      .join(endpointMeta(metadata, "toNodeId"), "toNodeId")
       .orderBy(col("edgeId"))
       .offset(page * size).limit(size)
 
   def incomingEdges(edges: DataFrame, metadata: DataFrame, nodeId: String,
                     page: Int = 0, size: Int = 100): DataFrame =
     edges.where(col("toNodeId") === nodeId)
-      .join(metadata.withColumnRenamed("nodeId", "fromNodeId"), "fromNodeId")
+      .join(endpointMeta(metadata, "fromNodeId"), "fromNodeId")
       .orderBy(col("edgeId"))
       .offset(page * size).limit(size)
 

@@ -151,6 +151,15 @@ class PipelineSpec extends SparkSpec {
     assert(reach == Map("hgnc:h1" -> 0, "mp:p1" -> 1, "mp:p2" -> 1, "uberon:s1" -> 2))
   }
 
+  test("traversal terminates on cyclic graphs (visited-set dedup)") {
+    import spark.implicits._
+    val cyc = Seq(("a", "b", "t"), ("b", "c", "t"), ("c", "a", "t"))
+      .toDF("fromNodeId", "toNodeId", "edgeType")
+    val reach = Query.reachable(cyc, Seq("a").toDF("nodeId"), Nil, maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(reach == Map("a" -> 0, "b" -> 1, "c" -> 2)) // cycle does not revisit a
+  }
+
   test("kv store sink: point lookup round-trips a deterministic record") {
     val path = java.nio.file.Files.createTempDirectory("kv").toString
     Sinks.writeKvStore(merged, path, buckets = 2)

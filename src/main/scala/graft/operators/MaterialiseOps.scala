@@ -217,6 +217,35 @@ object MaterialiseOps extends QueryModule {
       |  FROM (SELECT DISTINCT p_name AS name FROM part))
       |WHERE score > 0 ORDER BY score DESC, name ASC LIMIT 15""".stripMargin
 
+  /** Transitive closure + information-content scoring over the
+    * order→customer→nation→region hierarchy (the reference's notebook
+    * workload: recursive descendant counting then ic = 1 − n/max). */
+  def icScores(s: SparkSession, d: String): DataFrame = {
+    val e1 = Tables.orders(s, d).select(node("o:", col("o_orderkey")).as("fromNodeId"),
+      node("c:", col("o_custkey")).as("toNodeId"))
+    val e2 = Tables.customer(s, d).select(node("c:", col("c_custkey")).as("fromNodeId"),
+      node("n:", col("c_nationkey")).as("toNodeId"))
+    val e3 = Tables.nation(s, d).select(node("n:", col("n_nationkey")).as("fromNodeId"),
+      node("r:", col("n_regionkey")).as("toNodeId"))
+    Query.icScores(e1.union(e2).union(e3).withColumn("edgeType", lit("in")))
+      .orderBy(col("nodeId"))
+  }
+
+  val icScoresSql: String =
+    s"""WITH RECURSIVE edges(f, t) AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")}, 'c:' || ${sqlPad("o_custkey")} FROM orders
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")} FROM customer
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")} FROM nation),
+      |closure(des, anc) AS (
+      |  SELECT f, t FROM edges
+      |  UNION
+      |  SELECT c.des, e.t FROM closure c JOIN edges e ON c.anc = e.f),
+      |counts AS (SELECT anc AS nodeId, count(*) AS n_descendants FROM closure GROUP BY anc)
+      |SELECT nodeId, n_descendants,
+      |  1.0 - CAST(n_descendants AS DOUBLE)
+      |      / CAST((SELECT max(n_descendants) FROM counts) AS DOUBLE) AS ic
+      |FROM counts ORDER BY nodeId""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true),
     "g6_display_type"     -> QueryDef(displayType, Some(displayTypeSql)),
@@ -227,5 +256,6 @@ object MaterialiseOps extends QueryModule {
     "g11_autocomplete"    -> QueryDef(autocompleteNames, Some(autocompleteNamesSql)),
     "g12_refs"            -> QueryDef(refsExploded, Some(refsExplodedSql)),
     "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),
+    "g15_ic_scores"       -> QueryDef(icScores, Some(icScoresSql)),
   )
 }

@@ -141,6 +141,46 @@ object Query {
     visited
   }
 
+  /** Transitive closure of an edge set (bounded depth): all (ancestor,
+    * descendant) pairs, by iterative path extension with distinct-dedup —
+    * the engine-side form of Cypher `(a)<-[*1..]-(d)` used by the
+    * reference's information-content analysis (`notebooks/ic_scores.ipynb`,
+    * `MATCH (a)<-[:broad_match*1..]-(s) WITH a, count(DISTINCT s)`).
+    * Each round extends frontier paths by one hop and drops known pairs;
+    * lineage checkpointed per round. */
+  def transitiveClosure(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val step = edges.select(col("fromNodeId").as("desc"), col("toNodeId").as("anc"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var closure = step.localCheckpoint()
+    var frontier = closure
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val extended = frontier.join(step.withColumnRenamed("desc", "mid")
+            .withColumnRenamed("anc", "anc2"),
+          frontier("anc") === col("mid"))
+        .select(col("desc"), col("anc2").as("anc"))
+        .distinct()
+      val novel = extended.join(closure, Seq("desc", "anc"), "left_anti")
+        .localCheckpoint()
+      closure = closure.union(novel).localCheckpoint()
+      frontier = novel
+    }
+    step.unpersist()
+    closure
+  }
+
+  /** Descendant counts + information-content score per ancestor
+    * (ic = 1 − |desc| / max|desc|, the notebooks' scoring). */
+  def icScores(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    val counts = transitiveClosure(edges, maxDepth)
+      .groupBy(col("anc").as("nodeId"))
+      .agg(count(lit(1)).as("n_descendants"))
+    val mx = counts.agg(max(col("n_descendants"))).first().getLong(0)
+    counts.withColumn("ic",
+      lit(1.0) - col("n_descendants").cast("double") / lit(mx.toDouble))
+  }
+
   // -------------------------------------------------------------------
   // Q8 — autocomplete
   // -------------------------------------------------------------------

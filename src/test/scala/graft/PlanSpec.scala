@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (scan pushdown, column pruning, broadcast dims, top-k without a
+  * global sort) asserted against the formatted physical plan, so a later
+  * refactor cannot silently lose them. */
+class PlanSpec extends SparkSpec {
+
+  val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.allDefs(name).fn(spark, d)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan should not read unused columns")
+  }
+
+  test("q2: all five dimension joins broadcast") {
+    val p = plan("q2_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q3: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q9: semi join stays a semi join") {
+    assert(plan("q9_parts_with_shipments").contains("LeftSemi"))
+  }
+
+  test("whole-stage codegen hosts the custom expressions") {
+    val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
+    df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)
+    val executed = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark operators inside a WholeStageCodegen span
+    assert(executed.linesIterator.exists(l => l.contains("rolling_hash") && l.contains("*(")),
+      s"custom expression fell out of codegen:\n$executed")
+  }
+}

@@ -1,0 +1,12 @@
+#!/bin/bash
+# Full pre-commit gate: compile, unit+e2e tests, oracle compare at both
+# scale factors, benchmark line. Run from the repo root.
+set -e
+cd "$(dirname "$0")/.."
+echo "== compile + test"
+sbt -batch test 2>&1 | grep -E "Tests:|FAILED|\[error\]" | head -5
+echo "== verify @ sf0.01"
+sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/preflight_v' 2>&1 | grep -E '\[verify\].*failed' || true
+python3 tools/check.py /tmp/preflight_v /root/testdata/sf0.01 | tail -1
+echo "== bench @ sf0.1"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch 'runMain graft.Bench' 2>&1 | grep metric

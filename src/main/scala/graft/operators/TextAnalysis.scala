@@ -222,6 +222,26 @@ object TextAnalysis extends QueryModule {
       |  FROM tf JOIN df USING (word))
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** t8 — deterministic stratified sampling: N documents per language,
+    * ranked by content hash (not rand() — reproducible across runs,
+    * machines and partitionings; the per-class downsampling step of a
+    * dataset-balancing pipeline). */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")).asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("rank_in_lang", row_number().over(w))
+      .where(col("rank_in_lang") <= 20)
+      .select(col("lang"), col("rank_in_lang"), col("doc_id"))
+      .orderBy(col("lang"), col("rank_in_lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT lang, rank_in_lang, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(text) ASC, doc_id ASC) AS rank_in_lang
+      |  FROM documents)
+      |WHERE rank_in_lang <= 20 ORDER BY lang, rank_in_lang""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -230,5 +250,6 @@ object TextAnalysis extends QueryModule {
     "t5_train_split"   -> QueryDef(trainSplit, Some(trainSplitSql)),
     "t6_vocab"         -> QueryDef(vocab, Some(vocabSql)),
     "t7_top_terms"     -> QueryDef(topTerms, Some(topTermsSql), bench = true),
+    "t8_stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
   )
 }

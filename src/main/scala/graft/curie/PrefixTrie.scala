@@ -91,11 +91,15 @@ object Ids {
     else if (isCurieLike(id)) 2
     else 3
 
+  // ASCII-explicit so the pure-Catalyst mirror (Groups.idScoreCol regex)
+  // agrees character-for-character
   private def isCurieLike(id: String): Boolean = {
     val colon = id.indexOf(':')
     colon > 0 && colon < id.length - 1 &&
-      id.substring(0, colon).forall(c => c.isLetterOrDigit || c == '_' || c == '.') &&
-      !id.substring(0, colon).forall(_.isDigit)
+      id.substring(0, colon).forall(c =>
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '.') &&
+      !id.substring(0, colon).forall(c => c >= '0' && c <= '9')
   }
 
   /** Pick the canonical id of a clique: min by (score, id). */

@@ -39,13 +39,17 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   final val Mod = 2147483647L // 2^31 - 1
 
+  /** Iterates Unicode CODEPOINTS (not UTF-16 code units) so the recurrence
+    * matches the SQL oracle's per-character `ord()` on astral-plane text
+    * (emoji etc.), not just the BMP. */
   def hash(s: String): Long = {
     var h = 0L
     var i = 0
     val n = s.length
     while (i < n) {
-      h = (h * 31 + s.charAt(i)) % Mod
-      i += 1
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % Mod
+      i += Character.charCount(cp)
     }
     h
   }

@@ -73,15 +73,19 @@ object AssignIds {
     if (validIds.isEmpty) None // no-identifier drop (`grebi_assign_ids/src/main.rs:87-90`)
     else {
       val nodeId = g.getOrElse(validIds.head, Ids.canonical(validIds))
-      val props = n.props.map { case (k, vs) =>
-        val key = g.getOrElse(k, k)
-        val vals = vs.map { v =>
-          g.get(v.value) match {
-            case Some(canon) => v.copy(value = canon)
-            case None => v
+      // fold rather than map: two source keys rewriting to the same
+      // canonical key (e.g. ols:label and rdfs:label → grebi:name) must
+      // MERGE their value lists, not overwrite each other
+      val props = n.props.foldLeft(Map.empty[String, Seq[graft.model.RawValue]]) {
+        case (acc, (k, vs)) =>
+          val key = g.getOrElse(k, k)
+          val vals = vs.map { v =>
+            g.get(v.value) match {
+              case Some(canon) => v.copy(value = canon)
+              case None => v
+            }
           }
-        }
-        key -> vals
+          acc.updated(key, acc.getOrElse(key, Nil) ++ vals)
       }
       val withType =
         if (n.types.isEmpty) props

@@ -88,7 +88,7 @@ object Groups {
   def idScoreCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(id.startsWith("grebi:"), 0)
       .when(id.startsWith("biolink:"), 1)
-      .when(id.rlike("^[A-Za-z_][A-Za-z0-9_.]*:.+"), 2)
+      .when(id.rlike("^[A-Za-z0-9_.]+:.+") && !id.rlike("^[0-9]+:"), 2)
       .otherwise(3)
 
   /** From identifier sets (one row per record: array of ids) to the groups

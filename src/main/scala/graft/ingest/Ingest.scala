@@ -141,15 +141,20 @@ object Ingest {
                    objectCol: String = "object"): Dataset[IngestNode] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.map { row =>
+    df.flatMap { row =>
+      // skip malformed records (null/empty s-p-o) instead of failing the
+      // stage — the reference streams past bad lines
       val props = rowToProps(row)
-      val subject = props(subjectCol).head.value
-      val predicate = props(predicateCol).head.value
-      val obj = props(objectCol).head.value
-      val quals = (props -- Seq(subjectCol, predicateCol, objectCol))
-        .map { case (k, vs) => k -> vs.map(_.value) }
-      IngestNode(Seq(subject), datasource, subgraph, Nil,
-        Map(predicate -> Seq(RawValue.reified(obj, quals))))
+      for {
+        subject <- props.get(subjectCol).flatMap(_.headOption).map(_.value)
+        predicate <- props.get(predicateCol).flatMap(_.headOption).map(_.value)
+        obj <- props.get(objectCol).flatMap(_.headOption).map(_.value)
+      } yield {
+        val quals = (props -- Seq(subjectCol, predicateCol, objectCol))
+          .map { case (k, vs) => k -> vs.map(_.value) }
+        IngestNode(Seq(subject), datasource, subgraph, Nil,
+          Map(predicate -> Seq(RawValue.reified(obj, quals))))
+      }
     }
   }
 
@@ -195,17 +200,20 @@ object Ingest {
     val rows = spark.read
       .option("sep", "\t").option("header", "true").option("comment", "#")
       .csv(path)
-    rows.map { row =>
+    rows.flatMap { row =>
       val props = rowToProps(row).map { case (k, vs) =>
         k -> vs.map(v => v.copy(value = trie.rewrite(v.value)))
       }
-      val subject = props("subject_id").head.value
-      val predicate = props("predicate_id").head.value
-      val obj = props("object_id").head.value
-      val quals = (props -- Seq("subject_id", "predicate_id", "object_id"))
-        .map { case (k, vs) => k -> vs.map(_.value) }
-      IngestNode(Seq(subject), datasource, subgraph, Nil,
-        Map(predicate -> Seq(RawValue.reified(obj, quals))))
+      for {
+        subject <- props.get("subject_id").flatMap(_.headOption).map(_.value)
+        predicate <- props.get("predicate_id").flatMap(_.headOption).map(_.value)
+        obj <- props.get("object_id").flatMap(_.headOption).map(_.value)
+      } yield {
+        val quals = (props -- Seq("subject_id", "predicate_id", "object_id"))
+          .map { case (k, vs) => k -> vs.map(_.value) }
+        IngestNode(Seq(subject), datasource, subgraph, Nil,
+          Map(predicate -> Seq(RawValue.reified(obj, quals))))
+      }
     }
   }
 
@@ -231,13 +239,18 @@ object Ingest {
       .where(!col("p").isin(axiomProps :+ typePredicate: _*))
       .select(col("src"), col("prop"), col("tgt"), col("p").as("qk"), col("o").as("qv"))
     val base = t.join(axiomIds, t("s") === axiomIds("axiomId"), "left_anti")
-    val baseWithQuals = base
+    // qualifiers are multi-valued: aggregate values PER KEY first, or
+    // map_from_entries throws on duplicate keys (two axioms or one axiom
+    // with two values of the same annotation property)
+    val qualsPerKey = base
       .join(annots, base("s") === annots("src") && base("p") === annots("prop")
-        && base("o") === annots("tgt"), "left")
+        && base("o") === annots("tgt"), "inner")
+      .groupBy(col("s"), col("p"), col("o"), col("qk"))
+      .agg(sort_array(collect_list(col("qv"))).as("qvs"))
       .groupBy(col("s"), col("p"), col("o"))
-      .agg(map_from_entries(array_distinct(filter(
-        collect_list(struct(col("qk"), array(col("qv")))), e => e.getField("qk").isNotNull)))
-        .as("quals"))
+      .agg(map_from_entries(collect_list(struct(col("qk"), col("qvs")))).as("quals"))
+    val baseWithQuals = base
+      .join(qualsPerKey, Seq("s", "p", "o"), "left")
     baseWithQuals.as[(String, String, String, Map[String, Seq[String]])]
       .groupByKey(_._1)
       .mapGroups { (subj, it) =>

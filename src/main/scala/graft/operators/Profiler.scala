@@ -15,19 +15,22 @@ import scala.collection.immutable.ListMap
 object Profiler {
 
   /** Long-format profile: (column, n_rows, n_null, n_distinct, min, max)
-    * with min/max rendered as strings for schema stability. */
+    * with min/max rendered as strings for schema stability.
+    * ONE scan: all 5·N aggregates run in a single pass, then the
+    * one-row result unpivots with stack() — no per-column rescan. */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val perCol = columns.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(col(c).isNull.cast("long")).as("n_null"),
-        count_distinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_null"),
-          col("n_distinct"), col("min_value"), col("max_value"))
-    }
-    perCol.reduce(_ unionByName _)
+    val aggs = columns.flatMap(c => Seq(
+      count(lit(1)).as(s"${c}__n"),
+      sum(col(c).isNull.cast("long")).as(s"${c}__null"),
+      count_distinct(col(c)).as(s"${c}__dist"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${columns.length}, " + columns.map(c =>
+      s"'$c', `${c}__n`, `${c}__null`, `${c}__dist`, `${c}__min`, `${c}__max`")
+      .mkString(", ") +
+      ") AS (column, n_rows, n_null, n_distinct, min_value, max_value)"
+    row.selectExpr(stackExpr)
   }
 }
 

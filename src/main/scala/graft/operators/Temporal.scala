@@ -23,21 +23,28 @@ object Temporal extends QueryModule {
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
                rightTs: String, payloadCols: Seq[String]): DataFrame = {
     val payload = struct(payloadCols.map(col): _*).as("__payload")
-    val r = right.select(col(key).as("__key"), col(rightTs).as("__ts"),
-      lit(0).as("__side"), payload)
+    val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // null-key/ts right rows can never match under SQL equality semantics
+    val r = right
+      .where(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__key"), col(rightTs).as("__ts"),
+        lit(0).as("__side"), payload, lit(null).cast(lrowType).as("__lrow"))
+    // left rows travel whole through the union — no join-back, so
+    // duplicate (key, ts) left rows cannot fan out, and null-key left
+    // rows surface with a null payload (left-outer semantics)
     val l = left.select(col(key).as("__key"), col(leftTs).as("__ts"),
-      lit(1).as("__side"), lit(null).cast(r.schema("__payload").dataType).as("__payload"))
+      lit(1).as("__side"), lit(null).cast(r.schema("__payload").dataType).as("__payload"),
+      struct(left.columns.map(col): _*).as("__lrow"))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
-      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+      .withColumn("__match",
+        when(col("__key").isNotNull && col("__ts").isNotNull,
+          last(col("__payload"), ignoreNulls = true).over(w)))
       .where(col("__side") === 1)
-      .select(col("__key").as(key), col("__ts").as(leftTs), col("__match"))
-    val lefted = left.join(matched,
-      left(key) === matched(key) && left(leftTs) === matched(leftTs))
-      .select(left.columns.map(left(_)) :+ col("__match"): _*)
-    payloadCols.foldLeft(lefted) { (df, c) =>
+    val withLeft = matched.select(col("__lrow.*"), col("__match"))
+    payloadCols.foldLeft(withLeft) { (df, c) =>
       df.withColumn(c, col("__match").getField(c))
     }.drop("__match")
   }

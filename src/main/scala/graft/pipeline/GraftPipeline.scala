@@ -138,7 +138,7 @@ object GraftPipeline {
     * 214-232` + the materialise edge cube): one JSON document of
     * entity-prop counts, type counts, and the edge summary cube. */
   def summaryJson(build: SubgraphBuild, subgraph: String): String = {
-    def countsMap(df: DataFrame, key: String): String =
+    def countsMap(df: DataFrame): String =
       df.collect().sortBy(_.getString(0))
         .map(r => Json.str(r.getString(0)) + ":" + r.getLong(1))
         .mkString("{", ",", "}")
@@ -150,8 +150,8 @@ object GraftPipeline {
         Json.str(s"$s|$e|$d|$ds") + ":" + n
       }.mkString("{", ",", "}")
     s"""{"subgraph":${Json.str(subgraph)},""" +
-      s""""entity_props":${countsMap(build.entityPropCounts, "prop")},""" +
-      s""""types":${countsMap(build.typeCounts, "type")},""" +
+      s""""entity_props":${countsMap(build.entityPropCounts)},""" +
+      s""""types":${countsMap(build.typeCounts)},""" +
       s""""edges":$cube}"""
   }
 
@@ -159,6 +159,9 @@ object GraftPipeline {
     * serving sinks (K1/K2, K5, K6), names.txt (K7) and summary.json. */
   def write(build: SubgraphBuild, outDir: String): Unit = {
     val spark = build.merged.sparkSession
+    // the build's actual subgraph name (stamped by run() from the config)
+    val sgName = build.merged.limit(1).collect().headOption
+      .map(_.subgraph).getOrElse("subgraph")
     build.merged.write.mode(SaveMode.Overwrite).parquet(s"$outDir/merged.parquet")
     build.metadata.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metadata.parquet")
     build.edges.write.mode(SaveMode.Overwrite).parquet(s"$outDir/edges.parquet")
@@ -171,7 +174,7 @@ object GraftPipeline {
     build.names.write.mode(SaveMode.Overwrite).text(s"$outDir/names.txt")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/summary.json"),
-      summaryJson(build, "subgraph"))
+      summaryJson(build, sgName))
   }
 
   /** The combined-subgraphs build (second reference workflow,

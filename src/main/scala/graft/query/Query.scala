@@ -68,7 +68,6 @@ object Query {
   def searchPage(nodes: DataFrame, fields: Map[String, Double], term: String,
                  filters: Map[String, Seq[String]], facetFields: Seq[String],
                  idCol: String, page: Int = 0, size: Int = 10): (DataFrame, DataFrame, Long) = {
-    val filtered = filters.foldLeft(nodes) { case (d, (f, vs)) => d.where(col(f).isin(vs: _*)) }
     val matched = nodes.withColumn("score", searchScore(fields, term))
       .where(col("score") > 0)
     val matchedFiltered = filters.foldLeft(matched) { case (d, (f, vs)) => d.where(col(f).isin(vs: _*)) }

@@ -25,6 +25,10 @@ object Streaming {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file-stream source wants a directory: stream the sf dir with a
     // glob filter selecting just the events table
+    // NOTE: watermarks require TIMESTAMP (LTZ), so the stream keeps epoch
+    // time and the batch-twin parity (which uses TIMESTAMP_NTZ) holds
+    // under the engine's pinned UTC session zone — the harness sets
+    // spark.sql.session.timeZone=UTC everywhere.
     s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)

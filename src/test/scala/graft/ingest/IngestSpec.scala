@@ -82,7 +82,7 @@ class IngestSpec extends SparkSpec {
 
   test("S2 triples: subject grouping + OWL axiom reification collapse") {
     val triples = Ingest.parseNTriples(spark, fx("triples.nt"))
-    assert(triples.count() == 10)
+    assert(triples.count() == 11)
     val nodes = Ingest.fromTriples(triples, "rdf", "fx").collect()
     assert(nodes.length == 2) // axiom node folded away
     val t2d = nodes.find(_.ids == Seq("http://purl.obolibrary.org/obo/MONDO_0005044")).get
@@ -90,7 +90,9 @@ class IngestSpec extends SparkSpec {
     assert(t2d.props("rdfs:label").map(_.value) == Seq("type 2 diabetes mellitus"))
     val sub = t2d.props("rdfs:subClassOf").head
     assert(sub.value == "http://purl.obolibrary.org/obo/MONDO_0005015")
-    assert(sub.qualifiers == Map("oboInOwl:source" -> Seq("DOID:9352")))
+    // one axiom with TWO values of the same annotation property: the
+    // qualifier map must carry both (duplicate keys previously crashed)
+    assert(sub.qualifiers == Map("oboInOwl:source" -> Seq("DOID:9352", "NCIT:C26747")))
   }
 
   test("S8 table: PK prefixing + FK rewrite to referenced ids") {

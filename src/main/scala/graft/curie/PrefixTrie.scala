@@ -61,7 +61,10 @@ object PrefixTrie {
 
   def apply(map: Map[String, String]): PrefixTrie = {
     val root = new Node
-    map.foreach { case (prefix, repl) =>
+    // deterministic tie-break: if two configured prefixes are
+    // case-insensitively equal, the lexicographically largest key wins
+    // (sorted insert ⇒ last write)
+    map.toSeq.sortBy(_._1).foreach { case (prefix, repl) =>
       var node = root
       var ok = true
       prefix.foreach { c =>

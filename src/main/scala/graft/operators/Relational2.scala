@@ -189,6 +189,34 @@ object Relational2 extends QueryModule {
       |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+
+  /** Custom bounded top-k AGGREGATE (graft.functions.TopKAgg): per-group
+    * O(k) buffers with map-side combine instead of the window-function
+    * full partition sort — same result as q14, different (scalable)
+    * physical shape. */
+  def topkAggregate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAgg(3)
+    Tables.customer(s, d)
+      .select(col("c_nationkey").cast("int"), col("c_acctbal"), col("c_custkey"))
+      .as[(Int, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (nation, top) =>
+        top.zipWithIndex.map { case ((bal, ck), i) => (nation, i + 1, ck, bal) }
+      }
+      .toDF("c_nationkey", "rank_in_nation", "c_custkey", "c_acctbal")
+      .orderBy(col("c_nationkey"), col("rank_in_nation"))
+  }
+
+  val topkAggregateSql: String =
+    """SELECT c_nationkey, rank_in_nation, c_custkey, c_acctbal FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
+      |  FROM customer) WHERE rank_in_nation <= 3
+      |ORDER BY c_nationkey, rank_in_nation""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -199,5 +227,6 @@ object Relational2 extends QueryModule {
     "q22_percentiles" -> QueryDef(percentiles, Some(percentilesSql)),
     "q23_array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "q24_variant_json" -> QueryDef(variantJson, Some(variantJsonSql)),
+    "q25_topk_aggregate" -> QueryDef(topkAggregate, Some(topkAggregateSql)),
   )
 }

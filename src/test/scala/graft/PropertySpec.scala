@@ -23,13 +23,16 @@ class PropertySpec extends AnyFunSuite {
     val mapGen = Gen.mapOf(Gen.zip(prefixGen, Gen.alphaStr))
     checkProp(Prop.forAll(mapGen, asciiStr) { (m, input) =>
       val trie = PrefixTrie(m)
-      val expected = m.keys.toSeq
-        .filter(p => input.toLowerCase.startsWith(p.toLowerCase))
-        .sortBy(-_.length)
-        .headOption match {
-        case Some(p) => m(p) + input.substring(p.length)
-        case None => input
-      }
+      // longest match wins; among case-insensitively equal keys the
+      // lexicographically largest wins (the trie's documented tie-break)
+      val matches = m.keys.toSeq.filter(p => input.toLowerCase.startsWith(p.toLowerCase))
+      val expected =
+        if (matches.isEmpty) input
+        else {
+          val longest = matches.map(_.length).max
+          val winner = matches.filter(_.length == longest).max
+          m(winner) + input.substring(longest)
+        }
       trie.rewrite(input) == expected
     })
   }

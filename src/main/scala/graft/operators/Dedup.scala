@@ -43,7 +43,7 @@ object Dedup extends QueryModule {
   private val shinglesSql: String =
     """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
-      |       FROM w CROSS JOIN generate_series(1, 600) g(i)
+      |       FROM w CROSS JOIN generate_series(1, 2000) g(i)
       |       WHERE g.i <= len(ws) - 2)""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -100,7 +100,10 @@ object Dedup extends QueryModule {
     * that survives 100 TB: no all-pairs stage anywhere — candidates come
     * from equality joins on band keys. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    // no .cache(): a returned-but-cached DataFrame leaks executor storage
+    // for the rest of the session (Verify runs 60+ queries in one); the
+    // shingle derivation recomputes in well under a second
+    val sh = shingles(s, d)
     val sigExprs = (1 to 16).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
     val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)

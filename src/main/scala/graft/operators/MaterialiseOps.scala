@@ -178,7 +178,7 @@ object MaterialiseOps extends QueryModule {
   def edgeListing(s: SparkSession, d: String): DataFrame = {
     val nodes = orderGraph(s, d)
     val meta = Index.metadata(nodes)
-    val edges = Materialise.edges(nodes, meta).cache()
+    val edges = Materialise.edges(nodes, meta)
     val p0 = Query.incomingEdges(edges, meta, "c:000000042", page = 0, size = 3)
       .withColumn("page", lit(0))
     val p1 = Query.incomingEdges(edges, meta, "c:000000042", page = 1, size = 3)

@@ -33,11 +33,16 @@ object Multimodal extends QueryModule {
       * out, called once per batch iterator) is the real contract. */
     def decode(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
       batch.map { m =>
+        // checksum over Unicode CODEPOINTS of the decoded payload so the
+        // SQL oracle's per-character ord() replays it beyond ASCII
+        // (a UTF-8 byte sum would diverge on any multibyte character)
+        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
         var sum = 0L
         var i = 0
-        while (i < m.payload.length) {
-          sum += m.payload(i) & 0xff
-          i += 1
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          sum += cp
+          i += Character.charCount(cp)
         }
         MediaFeatures(m.doc_id, m.payload.length.toLong, sum % 997, m.media_type)
       }
@@ -60,16 +65,18 @@ object Multimodal extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  // 2000-char series bound = ~4× headroom over the longest generated doc
+  // (577 chars at sf0.1); LEFT JOIN + coalesce keeps empty-text docs.
   val mediaPipelineSql: String =
     """WITH sums AS (
-      |  SELECT doc_id, sum(ord(substr(text, g.i, 1))) AS bytesum
-      |  FROM documents CROSS JOIN generate_series(1, 600) g(i)
+      |  SELECT doc_id, sum(ord(substr(text, g.i, 1))) AS cpsum
+      |  FROM documents CROSS JOIN generate_series(1, 2000) g(i)
       |  WHERE g.i <= len(text)
       |  GROUP BY doc_id)
       |SELECT d.doc_id AS doc_id, octet_length(encode(d.text)) AS n_bytes,
-      |  s.bytesum % 997 AS checksum,
+      |  coalesce(s.cpsum, 0) % 997 AS checksum,
       |  'text/' || d.lang AS media_type
-      |FROM documents d JOIN sums s ON s.doc_id = d.doc_id
+      |FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
   override val defs: ListMap[String, QueryDef] = ListMap(

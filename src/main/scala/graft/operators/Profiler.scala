@@ -19,6 +19,9 @@ object Profiler {
     * ONE scan: all 5·N aggregates run in a single pass, then the
     * one-row result unpivots with stack() — no per-column rescan. */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    require(columns.forall(c => !c.contains("`") && !c.contains("'")),
+      "column names with quote characters are not supported by the stack unpivot")
     val aggs = columns.flatMap(c => Seq(
       count(lit(1)).as(s"${c}__n"),
       sum(col(c).isNull.cast("long")).as(s"${c}__null"),

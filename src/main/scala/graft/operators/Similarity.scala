@@ -152,10 +152,9 @@ object Similarity extends QueryModule {
     * (the training half of IVF): exact integer sums per (cell, dim). */
   def centroidStats(s: SparkSession, d: String): DataFrame =
     quantized(s, d)
-      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qv")))
+      .select(col("label"), posexplode(slice(col("q"), 1, 8)).as(Seq("dim", "qv")))
       .groupBy(col("label"), col("dim"))
       .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n"))
-      .where(col("dim") < 8) // keep the gate output compact
       .orderBy(col("label"), col("dim"))
 
   val centroidStatsSql: String =

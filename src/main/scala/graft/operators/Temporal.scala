@@ -91,7 +91,7 @@ object Temporal extends QueryModule {
     val cand = a.join(b0, a("user_id") === b0("user_id") &&
       (b0("b_bucket") === a("bucket") || b0("b_bucket") === a("bucket") + 1))
     cand
-      .where(col("b_us") >= col("a_us") && col("b_us") - col("a_us") <= windowUs &&
+      .where(col("b_us") - col("a_us") <= windowUs &&
         (col("a_us") < col("b_us") ||
           (col("a_us") === col("b_us") && col("a_event") < col("b_event"))))
       .select(a("user_id"), col("a_event"), col("b_event"),

@@ -15,9 +15,15 @@ import scala.collection.immutable.ListMap
   */
 object TextAnalysis extends QueryModule {
 
-  // Stopword occurrence counts use the (len − len(replace))/len(pat)
-  // identity — the difference is an exact multiple of the pattern length,
-  // so the division is exact in both engines.
+  // Stopword/marker occurrences count word-boundary regex matches
+  // (\bword\b — supported identically by Java regex and RE2): the padded
+  // replace identity undercounts ADJACENT occurrences ("the the the"
+  // counted 2, not 3) because each replacement consumes the shared space.
+  private def wordCount(text: org.apache.spark.sql.Column, w: String) =
+    size(regexp_extract_all(text, lit(s"\\b$w\\b"), lit(0))).cast("long")
+
+  private def wordCountSql(w: String): String =
+    s"len(regexp_extract_all(text, '\\b$w\\b'))"
 
   /** t1 — token counting: whitespace tokens + a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation). */
@@ -41,10 +47,8 @@ object TextAnalysis extends QueryModule {
     * mean word length. Counts are exact integers; the two ratios are a
     * single int/int IEEE division each (bit-identical across engines). */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), col("text"), lit(" "))
     val nWs = size(split(trim(col("text")), "\\s+")).cast("long")
-    val nStop = Seq("the", "a", "and", "of").map(w =>
-      ((length(padded) - length(regexp_replace(padded, s" $w ", ""))) / (w.length + 2)).cast("long"))
+    val nStop = Seq("the", "a", "and", "of").map(w => wordCount(col("text"), w))
       .reduce(_ + _)
     val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9 ]"), lit(0))).cast("long")
     Tables.documents(s, d)
@@ -56,9 +60,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val qualityScoreSql: String = {
-    val stop = Seq("the", "a", "and", "of").map(w =>
-      s"(len(' '||text||' ') - len(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}")
-      .mkString(" + ")
+    val stop = Seq("the", "a", "and", "of").map(wordCountSql).mkString(" + ")
     s"""SELECT doc_id, n_chars,
       |  len(string_split_regex(trim(text), '\\s+')) AS n_words,
       |  len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
@@ -83,10 +85,8 @@ object TextAnalysis extends QueryModule {
     "zh" -> Seq("de", "le", "shi", "he"))
 
   def langId(s: SparkSession, d: String): DataFrame = {
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    def score(ws: Seq[String]): Column = ws.map(w =>
-      ((length(padded) - length(regexp_replace(padded, s" $w ", ""))) / (w.length + 2)).cast("long"))
-      .reduce(_ + _)
+    def score(ws: Seq[String]): Column =
+      ws.map(w => wordCount(col("text"), w)).reduce(_ + _)
     val scores = markers.map { case (l, ws) => l -> score(ws) }
     val predicted = markers.keys.toSeq.foldRight(lit(null).cast("string")) {
       case (l, acc) =>
@@ -103,9 +103,7 @@ object TextAnalysis extends QueryModule {
   }
 
   val langIdSql: String = {
-    def score(ws: Seq[String]): String = ws.map(w =>
-      s"(len(' '||text||' ') - len(replace(' '||text||' ', ' $w ', ''))) // ${w.length + 2}")
-      .mkString(" + ")
+    def score(ws: Seq[String]): String = ws.map(wordCountSql).mkString(" + ")
     val sCols = markers.map { case (l, ws) => s"${score(ws)} AS s_$l" }.mkString(",\n  ")
     val langs = markers.keys.toSeq
     val caseChain = langs.map { l =>
@@ -173,10 +171,14 @@ object TextAnalysis extends QueryModule {
       .select(col("text")).as[String]
       .flatMap(_.trim.split("\\s+"))
       .toDF("word")
+    // top-50 via limit (TakeOrderedAndProject — distributed top-k), THEN
+    // rank the 50 survivors; a global no-partition window would funnel
+    // the whole vocabulary through one task
+    val top = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(50)
     val w = Window.orderBy(col("n").desc, col("word").asc)
-    toks.groupBy("word").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 50)
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("word"), col("n"))
       .orderBy(col("rank"))
   }

@@ -74,7 +74,7 @@ object Multimodal extends QueryModule {
       |  WHERE g.i <= len(text)
       |  GROUP BY doc_id)
       |SELECT d.doc_id AS doc_id, octet_length(encode(d.text)) AS n_bytes,
-      |  coalesce(s.cpsum, 0) % 997 AS checksum,
+      |  CAST(coalesce(s.cpsum, 0) % 997 AS BIGINT) AS checksum,
       |  'text/' || d.lang AS media_type
       |FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin

@@ -47,7 +47,7 @@ object ProfilerOps extends QueryModule {
   val profileCustomerSql: String = {
     def one(c: String) =
       s"""SELECT '$c' AS "column", count(*) AS n_rows,
-         |  sum(CAST($c IS NULL AS BIGINT)) AS n_null,
+         |  CAST(sum(CAST($c IS NULL AS BIGINT)) AS BIGINT) AS n_null,
          |  count(DISTINCT $c) AS n_distinct,
          |  CAST(min($c) AS VARCHAR) AS min_value,
          |  CAST(max($c) AS VARCHAR) AS max_value

@@ -241,7 +241,7 @@ object Relational extends QueryModule {
 
   val eventsJsonExtractSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -261,7 +261,7 @@ object Relational extends QueryModule {
   }
 
   val sessionizeSql: String =
-    """SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions FROM (
+    """SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
       |  SELECT user_id,
       |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000
@@ -282,7 +282,7 @@ object Relational extends QueryModule {
       .orderBy(col("source"))
 
   val docSourceStatsSql: String =
-    """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
       |  count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin

@@ -159,7 +159,7 @@ object Similarity extends QueryModule {
 
   val centroidStatsSql: String =
     """SELECT label, g.i - 1 AS dim,
-      |  sum(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 10000) AS BIGINT)) AS sum_q,
+      |  CAST(sum(CAST(round(CAST(embedding[g.i] AS DOUBLE) * 10000) AS BIGINT)) AS BIGINT) AS sum_q,
       |  count(*) AS n
       |FROM embeddings CROSS JOIN generate_series(1, 8) g(i)
       |GROUP BY label, g.i ORDER BY label, dim""".stripMargin

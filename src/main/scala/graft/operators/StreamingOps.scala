@@ -23,7 +23,7 @@ object StreamingOps extends QueryModule {
     Streaming.sessionize(s, d, s"sessions_${math.abs(d.hashCode)}")
 
   val sessionsSql: String =
-    """SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions FROM (
+    """SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
       |  SELECT user_id,
       |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000

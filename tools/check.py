@@ -23,6 +23,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
 
+# The driver hashes a canonical text rendering of each value, so an int64 5
+# and a float64 5.0 hash DIFFERENTLY even though == compares equal. DuckDB
+# returns integer sum() as HUGEINT -> pandas float64, which is exactly how
+# round 1 passed 64/64 locally while the driver failed 8 queries. Gate on
+# dtype *kind* (int vs float vs datetime vs other) to reproduce that
+# strictness; oracle SQL must CAST integer sums to BIGINT.
+def kind(dt) -> str:
+    k = dt.kind
+    if k in ("i", "u"):
+        return "int"
+    if k in ("S", "U"):
+        return "O"
+    return k
+
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -56,6 +70,12 @@ def main():
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        kinds = [(c, kind(g[c].dtype), kind(w[c].dtype)) for c in g.columns]
+        bad = [(c, a, b) for c, a, b in kinds if a != b]
+        if bad:
+            print(f"FAIL {name}: dtype kind mismatch (driver hashes these differently): {bad}")
             n_fail += 1
             continue
         try:

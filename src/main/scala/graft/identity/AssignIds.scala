@@ -19,13 +19,13 @@ final case class AssignedNode(
   * clique's canonical id (SURVEY §2.3 J1; key rewrite: reference
   * `grebi_assign_ids/src/main.rs:121-129`).
   *
-  * The groups map is broadcast once per executor (the reference loads
-  * groups.txt into the RAM of every task — same plan, minus the per-task
-  * copy). For group tables beyond executor memory, assign the nodeId via
-  * the join-based path (explode ids ⨝ groups, shuffle on id) and restrict
-  * the value-rewrite to a bloom-filtered candidate set — tracked as the
-  * scale path; identifier cliques for ~40 datasources fit comfortably in a
-  * few GB broadcast.
+  * Two physical paths, same result (cross-checked in PipelineDriverSpec):
+  * `joinBased` (the pipeline default) never moves the groups table off the
+  * cluster — candidate strings shuffle-join against it, so group-table
+  * size is unbounded. `apply` broadcasts a driver-collected map (the
+  * reference loads groups.txt into the RAM of every task — same plan,
+  * minus the per-task copy) and is the small-data opt-in: one less
+  * shuffle when the cliques for ~40 datasources fit in a few GB.
   */
 object AssignIds {
 
@@ -49,8 +49,12 @@ object AssignIds {
                 groups: org.apache.spark.sql.DataFrame): Dataset[AssignedNode] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val withUid = nodes.rdd.zipWithUniqueId().map(_.swap).toDS()
-      .withColumnRenamed("_1", "uid").withColumnRenamed("_2", "node")
+    // uid only needs uniqueness, not density — monotonically_increasing_id
+    // keeps the plan inside Catalyst (codegen + AQE stats) where the RDD
+    // zipWithUniqueId round-trip severed it. Stable across the two uses
+    // below because the upstream lineage is deterministic.
+    val withUid = nodes.toDF()
+      .select(monotonically_increasing_id().as("uid"), struct(col("*")).as("node"))
       .as[(Long, IngestNode)]
     val cands = withUid.flatMap { case (uid, n) =>
       (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))

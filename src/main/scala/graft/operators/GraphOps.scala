@@ -148,9 +148,11 @@ object GraphOps extends QueryModule {
         IngestNode(Seq(id), "ds2", "tpch", Nil,
           Map("segment" -> Seq(RawValue.str(seg)), "nat" -> Seq(RawValue.str(nat))))
       }
-    // Identity groups (each customer is its own clique) — broadcast map.
-    val groups = c.select(idc).as[String].collect().map(id => id -> id).toMap
-    val merged = Merge(s, AssignIds(s, ds1.union(ds2), groups))
+    // Identity groups (each customer is its own clique) — kept distributed:
+    // the groups table joins against the candidate strings instead of being
+    // collected to the driver, so this shape survives a 100× customer table.
+    val groupsDf = c.select(idc.as("member"), idc.as("canonical"))
+    val merged = Merge(s, AssignIds.joinBased(s, ds1.union(ds2), groupsDf))
     merged.flatMap { m =>
       m.props.toSeq.flatMap { case (k, vs) =>
         vs.map(v => (m.nodeId, k, v.value, v.datasources.mkString(",")))

@@ -22,10 +22,12 @@ final case class SubgraphConfig(
     excludeProps: Set[String] = Set.empty,
     typeSuperclasses: Set[String] = Set.empty,
     ancestorProp: String = "ols:directAncestor",
-    /** false ⇒ the groups table never leaves the cluster: id assignment
-      * runs as distributed joins (AssignIds.joinBased) instead of a
-      * driver-collect + broadcast map. The 100 TB setting. */
-    broadcastGroups: Boolean = true)
+    /** false (default) ⇒ the groups table never leaves the cluster: id
+      * assignment runs as distributed joins (AssignIds.joinBased) instead
+      * of a driver-collect + broadcast map — the 100 TB-safe plan. true is
+      * the small-data opt-in (one less shuffle when the group table is
+      * known to fit in driver + executor memory). */
+    broadcastGroups: Boolean = false)
 
 /** Everything the build produces, as live Datasets/DataFrames. */
 final case class SubgraphBuild(

@@ -82,7 +82,7 @@ class PipelineDriverSpec extends SparkSpec {
     assert(got.exists(_.contains("\"grebi:nodeId\":\"efo:0000537\"")))
   }
 
-  test("join-based (no-broadcast) pipeline produces the identical build") {
+  test("broadcast (small-data opt-in) pipeline produces the identical build") {
     import spark.implicits._
     val dsA = Seq(
       mk(Seq("http://purl.obolibrary.org/obo/MONDO_0005044"), "dsA", Seq("owl:Class"),
@@ -94,7 +94,7 @@ class PipelineDriverSpec extends SparkSpec {
     val dsB = Seq(
       mk(Seq("EFO:0000537", "http://purl.obolibrary.org/obo/MONDO_0005044"), "dsB", Nil,
         "grebi:name" -> Seq(RawValue.str("T2DM")))).toDS()
-    val b2 = GraftPipeline.run(spark, config.copy(broadcastGroups = false), Seq(dsA, dsB))
+    val b2 = GraftPipeline.run(spark, config.copy(broadcastGroups = true), Seq(dsA, dsB))
     def canon(b: SubgraphBuild) = b.merged.collect()
       .map(graft.sinks.Sinks.renderNode).sorted.toSeq
     assert(canon(b2) == canon(build))

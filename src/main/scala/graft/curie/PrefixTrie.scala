@@ -85,32 +85,34 @@ object PrefixTrie {
 
 /** Identifier scoring + sanity rules shared across the identity stage. */
 object Ids {
-  /** Canonical-id preference (`02_assign_ids/grebi_identifiers2groups/src/main.rs:163-193`):
-    * grebi:* beats biolink:* beats CURIE-like beats anything else;
-    * ties broken by the lexicographically smallest id. Lower score wins. */
+  /** Canonical-id preference, exactly the reference `id_score`
+    * (`02_assign_ids/grebi_identifiers2groups/src/main.rs:171-193`):
+    * grebi:* → MIN, biolink:* → MIN+1000; otherwise −1000 when the id
+    * contains ':' and is not http-prefixed (curie-like, IRIs excluded),
+    * minus 1 per ASCII-alphabetic character (readable ids beat numeric).
+    * Lower score wins; ties broken by the lexicographically smallest id
+    * (the reference leaves ties to iteration order — here deterministic). */
   def idScore(id: String): Int =
-    if (id.startsWith("grebi:")) 0
-    else if (id.startsWith("biolink:")) 1
-    else if (isCurieLike(id)) 2
-    else 3
-
-  // ASCII-explicit so the pure-Catalyst mirror (Groups.idScoreCol regex)
-  // agrees character-for-character
-  private def isCurieLike(id: String): Boolean = {
-    val colon = id.indexOf(':')
-    colon > 0 && colon < id.length - 1 &&
-      id.substring(0, colon).forall(c =>
-        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-        (c >= '0' && c <= '9') || c == '_' || c == '.') &&
-      !id.substring(0, colon).forall(c => c >= '0' && c <= '9')
-  }
+    if (id.startsWith("grebi:")) Int.MinValue
+    else if (id.startsWith("biolink:")) Int.MinValue + 1000
+    else {
+      var score = if (id.indexOf(':') >= 0 && !id.startsWith("http")) -1000 else 0
+      var i = 0
+      while (i < id.length) {
+        val c = id.charAt(i)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) score -= 1
+        i += 1
+      }
+      score
+    }
 
   /** Pick the canonical id of a clique: min by (score, id). */
   def canonical(ids: Iterable[String]): String =
     ids.minBy(id => (idScore(id), id))
 
-  /** Unprefixed all-numeric ids are ambiguous and dropped
-    * (`grebi_shared/src/lib.rs:10-23`). */
+  /** Unprefixed all-numeric ids are ambiguous and dropped — UNLESS they
+    * are 16+ chars, which the reference accepts as UUID-like
+    * (`grebi_shared/src/lib.rs:10-23`). ASCII digits only, as there. */
   def isValidId(id: String): Boolean =
-    id.nonEmpty && !id.forall(_.isDigit)
+    id.nonEmpty && (id.length >= 16 || !id.forall(c => c >= '0' && c <= '9'))
 }

@@ -84,12 +84,14 @@ object ConnectedComponents {
 object Groups {
 
   /** Score expression mirroring [[graft.curie.Ids.idScore]] in pure
-    * Catalyst (stays codegen'd — no UDF in the canonical-pick path). */
+    * Catalyst (stays codegen'd — no UDF in the canonical-pick path):
+    * alphabetic count = length minus length with [A-Za-z] stripped. */
   def idScoreCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(id.startsWith("grebi:"), 0)
-      .when(id.startsWith("biolink:"), 1)
-      .when(id.rlike("^[A-Za-z0-9_.]+:.+") && !id.rlike("^[0-9]+:"), 2)
-      .otherwise(3)
+    when(id.startsWith("grebi:"), lit(Int.MinValue))
+      .when(id.startsWith("biolink:"), lit(Int.MinValue + 1000))
+      .otherwise(
+        when(id.contains(":") && !id.startsWith("http"), lit(-1000)).otherwise(lit(0))
+          - (length(id) - length(regexp_replace(id, "[A-Za-z]", ""))))
 
   /** From identifier sets (one row per record: array of ids) to the groups
     * table (memberId → canonicalId), the Spark restatement of groups.txt
@@ -117,8 +119,11 @@ object Groups {
     full.join(canon, "component").select(col("member"), col("canonical"))
   }
 
+  /** Mirror of [[graft.curie.Ids.isValidId]]: all-numeric ids are dropped
+    * unless 16+ chars (UUID-like, accepted by the reference check_id). */
   def isValidIdCol(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (id.isNotNull) && (id =!= "") && !id.rlike("^[0-9]+$")
+    (id.isNotNull) && (id =!= "") &&
+      (length(id) >= 16 || !id.rlike("^[0-9]+$"))
 
   /** Seeded equivalences (config `additional_equivalence_groups`, e.g.
     * `[grebi:name, ols:label, rdfs:label]`) expressed as extra id-set rows. */

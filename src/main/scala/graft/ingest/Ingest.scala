@@ -85,18 +85,24 @@ object Ingest {
     import spark.implicits._
     df.map { row =>
       val raw = rowToProps(row)
+      // rename alias is taken VERBATIM — the key prefix only applies when no
+      // rename matched, and never to the `id` field
+      // (`grebi_transform_jsonl/src/main.rs:98-109`)
+      def effectiveKey(k: String): String = cfg.renameFields.get(k) match {
+        case Some(alias) => alias
+        case None =>
+          if (cfg.injectKeyPrefix.nonEmpty && k != "id" && !k.contains(":"))
+            cfg.injectKeyPrefix + k
+          else k
+      }
       val renamed = raw.map { case (k, vs) =>
-        val k1 = cfg.renameFields.getOrElse(k, k)
-        val k2 = if (cfg.injectKeyPrefix.nonEmpty && !k1.contains(":"))
-          cfg.injectKeyPrefix + k1 else k1
         val vs1 = cfg.injectValuePrefix.get(k) match {
           case Some(p) => vs.map(v => v.copy(value = p + v.value))
           case None => vs
         }
-        k2 -> vs1
+        effectiveKey(k) -> vs1
       }
-      val idKeys = cfg.idFields.map(f => cfg.renameFields.getOrElse(f, f))
-        .map(k => if (cfg.injectKeyPrefix.nonEmpty && !k.contains(":")) cfg.injectKeyPrefix + k else k)
+      val idKeys = cfg.idFields.map(effectiveKey)
       var ids = idKeys.flatMap(k => renamed.getOrElse(k, Nil).map(_.value))
       if (cfg.injectHashId || ids.isEmpty) {
         val content = renamed.toSeq.sortBy(_._1)
@@ -265,15 +271,39 @@ object Ingest {
       }
   }
 
-  /** Minimal NTriples line parser → (s, p, o) DataFrame. */
+  /** Minimal NTriples line parser → (s, p, o) DataFrame. Literals honour
+    * backslash escapes: the scan stops at the first UNESCAPED quote and
+    * \" \\ \n \t \r are unescaped (N-Triples string escape rules), so a
+    * value like "say \"hi\"" survives intact. Language tags / datatype
+    * suffixes after the closing quote are dropped, as before. */
   def parseNTriples(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val Line = """^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+(.*?)\s*\.\s*$""".r
     spark.read.textFile(path).flatMap {
       case Line(s, p, o) =>
+        def literal(t: String): String = {
+          val sb = new StringBuilder
+          var i = 1 // skip opening quote
+          var done = false
+          while (!done && i < t.length) {
+            t.charAt(i) match {
+              case '\\' if i + 1 < t.length =>
+                t.charAt(i + 1) match {
+                  case 'n' => sb.append('\n')
+                  case 't' => sb.append('\t')
+                  case 'r' => sb.append('\r')
+                  case c   => sb.append(c) // covers \" \\ and any other escaped char
+                }
+                i += 2
+              case '"' => done = true
+              case c   => sb.append(c); i += 1
+            }
+          }
+          sb.toString
+        }
         def term(t: String): String =
           if (t.startsWith("<")) t.stripPrefix("<").stripSuffix(">")
-          else if (t.startsWith("\"")) t.drop(1).takeWhile(_ != '"')
+          else if (t.startsWith("\"")) literal(t)
           else t
         Some((term(s), term(p), term(o)))
       case _ => None

@@ -48,17 +48,24 @@ class CurieSpec extends SparkSpec {
   }
 
   test("id score preference order and canonical pick") {
-    assert(Ids.idScore("grebi:name") == 0)
-    assert(Ids.idScore("biolink:Gene") == 1)
-    assert(Ids.idScore("mondo:0005044") == 2)
-    assert(Ids.idScore("some random string") == 3)
+    assert(Ids.idScore("grebi:name") == Int.MinValue)
+    assert(Ids.idScore("biolink:Gene") == Int.MinValue + 1000)
+    assert(Ids.idScore("mondo:0005044") == -1000 - 5)
+    assert(Ids.idScore("some random string") == -16)
     assert(Ids.canonical(Seq("rdfs:label", "grebi:name", "ols:label")) == "grebi:name")
     assert(Ids.canonical(Seq("zz:9", "aa:1")) == "aa:1")
+    // IRIs are excluded from the curie-like bonus (reference main.rs:182)
+    assert(Ids.canonical(Seq(
+      "http://purl.obolibrary.org/obo/MONDO_0005044", "mondo:0005044")) == "mondo:0005044")
+    // more alphabetic characters preferred (readable over numeric)
+    assert(Ids.canonical(Seq("c:000000001", "alt:000000001")) == "alt:000000001")
   }
 
-  test("all-numeric ids are invalid") {
+  test("all-numeric ids are invalid unless UUID-length") {
     assert(!Ids.isValidId("12345"))
     assert(Ids.isValidId("mgi:12345"))
     assert(!Ids.isValidId(""))
+    // >= 16 digits is accepted as UUID-like (grebi_shared/src/lib.rs:10-13)
+    assert(Ids.isValidId("1234567890123456"))
   }
 }

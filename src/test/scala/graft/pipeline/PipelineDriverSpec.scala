@@ -40,12 +40,14 @@ class PipelineDriverSpec extends SparkSpec {
 
   test("full build: normalise + seeded groups + merge + superclass typing") {
     val nodes = build.merged.collect()
-    // orphan dropped (no type), disease + t2dm survive
-    assert(nodes.map(_.nodeId).sorted.toSeq == Seq("biolink:Disease", "efo:0000537"))
-    val t2d = nodes.find(_.nodeId == "efo:0000537").get
+    // orphan dropped (no type), disease + t2dm survive; canonical id is
+    // mondo:0005044 (more alphabetic chars than efo:0000537, reference
+    // id_score preference)
+    assert(nodes.map(_.nodeId).sorted.toSeq == Seq("biolink:Disease", "mondo:0005044"))
+    val t2d = nodes.find(_.nodeId == "mondo:0005044").get
     // IRI normalised into the clique; both datasources merged
     assert(t2d.datasources == Seq("dsA", "dsB"))
-    assert(t2d.sourceIds.contains("mondo:0005044"))
+    assert(t2d.sourceIds.contains("efo:0000537"))
     // property-key merging via seeded clique: rdfs:label → grebi:name
     assert(t2d.props("grebi:name").map(_.value).sorted == Seq("T2DM", "type 2 diabetes mellitus"))
     assert(!t2d.props.contains("rdfs:label"))
@@ -60,7 +62,7 @@ class PipelineDriverSpec extends SparkSpec {
   test("ancestor value becomes an edge to the type node") {
     val e = build.edges.collect()
     assert(e.exists(r => r.getAs[String]("edgeType") == "ols:directAncestor" &&
-      r.getAs[String]("fromNodeId") == "efo:0000537" &&
+      r.getAs[String]("fromNodeId") == "mondo:0005044" &&
       r.getAs[String]("toNodeId") == "biolink:Disease"))
   }
 
@@ -78,8 +80,8 @@ class PipelineDriverSpec extends SparkSpec {
     assert(Set("merged.parquet", "metadata.parquet", "edges.parquet",
       "neo_nodes.csv", "neo_edges.csv", "solr", "kv.parquet",
       "names.txt", "summary.json").subsetOf(files))
-    val got = graft.sinks.Sinks.kvLookup(spark, s"$out/kv.parquet", "efo:0000537")
-    assert(got.exists(_.contains("\"grebi:nodeId\":\"efo:0000537\"")))
+    val got = graft.sinks.Sinks.kvLookup(spark, s"$out/kv.parquet", "mondo:0005044")
+    assert(got.exists(_.contains("\"grebi:nodeId\":\"mondo:0005044\"")))
   }
 
   test("broadcast (small-data opt-in) pipeline produces the identical build") {

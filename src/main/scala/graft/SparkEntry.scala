@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.Temporal,
     graft.operators.ProfilerOps,
     graft.operators.StreamingOps,
+    graft.operators.XmlOps,
   )
 
   def allDefs: ListMap[String, QueryDef] =

@@ -310,6 +310,96 @@ object Ingest {
     }.toDF("s", "p", "o")
   }
 
+  /** S10 — MetaboLights eb-eye XML → nodes
+    * (`01_ingest/grebi_ingest_metabolights/ingest.py:7-58`): each
+    * `<entry id=…>` yields one node with `grebi:name`/`grebi:description`
+    * from the child elements, `metabolights:ref` from every `<ref dbkey=…>`,
+    * `metabolights:<type>_date` from `<date type=… value=…/>`,
+    * `metabolights:<name>` from every `<field name=…>text</field>`, and
+    * MTBLS→Study / MTBLC→Chemical typing (Chemical additionally gets
+    * `metabolights:chemical` = refs ++ inchi ++ formula).
+    *
+    * Parse is a dependency-free StAX scan inside a distributed map — one
+    * task per XML file (`wholeTextFiles`), so a dump split across many
+    * files parallelises; a single giant file is bounded by one executor,
+    * same as the reference's single-process stdin parse. */
+  def fromMetabolightsXml(spark: SparkSession, path: String,
+                          datasource: String = "metabolights",
+                          subgraph: String = "metabolights"): Dataset[IngestNode] = {
+    import spark.implicits._
+    spark.sparkContext.wholeTextFiles(path).map(_._2).toDS()
+      .flatMap(xml => parseMetabolightsEntries(xml, datasource, subgraph))
+  }
+
+  private[ingest] def parseMetabolightsEntries(
+      xml: String, datasource: String, subgraph: String): Iterator[IngestNode] = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants => C}
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = f.createXMLStreamReader(new java.io.StringReader(xml))
+    val out = scala.collection.mutable.ArrayBuffer.empty[IngestNode]
+    var id: String = null
+    var name: Option[String] = None
+    var desc: Option[String] = None
+    val refs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dates = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // field values accumulate per name in document order
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    while (r.hasNext) {
+      r.next() match {
+        case C.START_ELEMENT => r.getLocalName match {
+          case "entry" =>
+            id = r.getAttributeValue(null, "id")
+            name = None; desc = None; refs.clear(); dates.clear(); fields.clear()
+          case "name" if id != null && name.isEmpty =>
+            name = Some(r.getElementText)
+          case "description" if id != null && desc.isEmpty =>
+            desc = Some(r.getElementText)
+          case "ref" if id != null =>
+            refs += r.getAttributeValue(null, "dbkey")
+          case "date" if id != null =>
+            dates += ((r.getAttributeValue(null, "type"), r.getAttributeValue(null, "value")))
+          case "field" if id != null =>
+            val fn = r.getAttributeValue(null, "name")
+            fields(fn) = fields.getOrElse(fn, Vector.empty) :+ r.getElementText
+          case _ =>
+        }
+        case C.END_ELEMENT if r.getLocalName == "entry" && id != null =>
+          out += metabolightsNode(id, name, desc, refs.toVector,
+            dates.toVector, fields.toMap, datasource, subgraph)
+          id = null
+        case _ =>
+      }
+    }
+    r.close()
+    out.iterator
+  }
+
+  private def metabolightsNode(
+      id: String, name: Option[String], desc: Option[String],
+      refs: Vector[String], dates: Vector[(String, String)],
+      fields: Map[String, Vector[String]],
+      datasource: String, subgraph: String): IngestNode = {
+    val base: Map[String, Seq[RawValue]] =
+      name.map(v => "grebi:name" -> Seq(RawValue.str(v))).toMap ++
+      desc.map(v => "grebi:description" -> Seq(RawValue.str(v))).toMap ++
+      Map("metabolights:ref" -> refs.map(RawValue.str)) ++
+      dates.map { case (t, v) => s"metabolights:${t}_date" -> Seq(RawValue.str(v)) }.toMap ++
+      fields.map { case (k, vs) => s"metabolights:$k" -> vs.map(RawValue.str) }
+    val (typ, props) =
+      if (id.startsWith("MTBLS")) ("metabolights:Study", base)
+      else if (id.startsWith("MTBLC")) {
+        val chem = refs ++
+          fields.getOrElse("inchi", Vector.empty) ++
+          fields.getOrElse("formula", Vector.empty)
+        ("metabolights:Chemical",
+          base.updated("metabolights:chemical", chem.map(RawValue.str)))
+      } else throw new IllegalArgumentException(
+        s"unexpected metabolights entry id (not MTBLS*/MTBLC*): $id")
+    IngestNode(Seq(id), datasource, subgraph, Seq(typ), props)
+  }
+
   /** S8 — relational table → nodes: PK values become prefixed ids, FK
     * columns rewrite to the referenced table's prefixed id so the
     * materialise stage turns them into edges

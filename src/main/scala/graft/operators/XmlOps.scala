@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.ingest.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** S10 gate — the MetaboLights XML adapter
+  * (`01_ingest/grebi_ingest_metabolights/ingest.py:7-58`) driven through a
+  * deterministic XML fixture derived from the `part` table, so the DuckDB
+  * oracle can reconstruct the expected node set in closed form.
+  *
+  * The fixture maps the first 200 parts to eb-eye entries: odd partkeys
+  * become MTBLS (Study) entries, even become MTBLC (Chemical) entries with
+  * an `inchi` field so the chemical-aggregation branch (refs ++ inchi ++
+  * formula) is exercised. The generation is bounded (200 driver-side rows
+  * building one small fixture file); the adapter itself parses
+  * distributed, one task per XML file.
+  */
+object XmlOps extends QueryModule {
+
+  private def pad(k: Long): String = f"$k%09d"
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Write the fixture XML derived from `part` into a temp dir, parse it
+    * with the real adapter, flatten to (node_id, key, value). */
+  def xmlIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey")).limit(200).collect()
+    val sb = new StringBuilder
+    sb.append("<database><entries>\n")
+    parts.foreach { r =>
+      val k = r.getLong(0)
+      val (nm, brand, typ, size) =
+        (r.getString(1), r.getString(2), r.getString(3), r.getInt(4))
+      val id = (if (k % 2 == 1) "MTBLS" else "MTBLC") + pad(k)
+      sb.append(s"""<entry id="$id">""")
+      sb.append(s"<name>${esc(nm)}</name>")
+      sb.append(s"<description>${esc(brand)}</description>")
+      sb.append("<cross_references>")
+      sb.append(s"""<ref dbkey="chebi:${pad(k)}" dbname="ChEBI"/>""")
+      sb.append(s"""<ref dbkey="pubchem:${pad(k)}" dbname="PubChem"/>""")
+      sb.append("</cross_references>")
+      sb.append(s"""<dates><date type="publication" value="$size"/></dates>""")
+      sb.append("<additional_fields>")
+      sb.append(s"""<field name="formula">${esc(typ)}</field>""")
+      if (k % 2 == 0)
+        sb.append(s"""<field name="inchi">InChI=${esc(brand)}</field>""")
+      sb.append("</additional_fields>")
+      sb.append("</entry>\n")
+    }
+    sb.append("</entries></database>\n")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mtbls")
+    java.nio.file.Files.writeString(dir.resolve("eb_eye.xml"), sb.toString)
+    Ingest.fromMetabolightsXml(s, dir.toString)
+      .flatMap { n =>
+        val nid = n.ids.head
+        n.types.map(t => (nid, "grebi:type", t)) ++
+          n.props.toSeq.flatMap { case (k, vs) => vs.map(v => (nid, k, v.value)) }
+      }
+      .toDF("node_id", "key", "value")
+      .orderBy(col("node_id"), col("key"), col("value"))
+  }
+
+  private val sqlPad = "lpad(CAST(p_partkey AS VARCHAR), 9, '0')"
+
+  val xmlIngestSql: String =
+    s"""WITH p AS (SELECT * FROM part ORDER BY p_partkey LIMIT 200),
+      |ids AS (
+      |  SELECT *,
+      |    (CASE WHEN p_partkey % 2 = 1 THEN 'MTBLS' ELSE 'MTBLC' END) || $sqlPad AS node_id
+      |  FROM p)
+      |SELECT node_id, key, value FROM (
+      |  SELECT node_id, 'grebi:type' AS key,
+      |    CASE WHEN p_partkey % 2 = 1 THEN 'metabolights:Study'
+      |         ELSE 'metabolights:Chemical' END AS value FROM ids
+      |  UNION ALL SELECT node_id, 'grebi:name', p_name FROM ids
+      |  UNION ALL SELECT node_id, 'grebi:description', p_brand FROM ids
+      |  UNION ALL SELECT node_id, 'metabolights:ref', 'chebi:' || $sqlPad FROM ids
+      |  UNION ALL SELECT node_id, 'metabolights:ref', 'pubchem:' || $sqlPad FROM ids
+      |  UNION ALL SELECT node_id, 'metabolights:publication_date', CAST(p_size AS VARCHAR) FROM ids
+      |  UNION ALL SELECT node_id, 'metabolights:formula', p_type FROM ids
+      |  UNION ALL SELECT node_id, 'metabolights:inchi', 'InChI=' || p_brand FROM ids WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT node_id, 'metabolights:chemical', 'chebi:' || $sqlPad FROM ids WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT node_id, 'metabolights:chemical', 'pubchem:' || $sqlPad FROM ids WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT node_id, 'metabolights:chemical', 'InChI=' || p_brand FROM ids WHERE p_partkey % 2 = 0
+      |  UNION ALL SELECT node_id, 'metabolights:chemical', p_type FROM ids WHERE p_partkey % 2 = 0
+      |) ORDER BY node_id, key, value""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
+  )
+}

@@ -95,6 +95,43 @@ class IngestSpec extends SparkSpec {
     assert(sub.qualifiers == Map("oboInOwl:source" -> Seq("DOID:9352", "NCIT:C26747")))
   }
 
+  test("S10 metabolights xml: entries, refs, dates, fields, typing, chemical agg") {
+    val xml =
+      """<database><entries>
+        |<entry id="MTBLS1"><name>Study &amp; one</name>
+        |  <description>desc1</description>
+        |  <cross_references><ref dbkey="chebi:1" dbname="ChEBI"/></cross_references>
+        |  <dates><date type="submission" value="2020-01-02"/><date type="publication" value="2021-03-04"/></dates>
+        |  <additional_fields><field name="organism">human</field><field name="organism">mouse</field></additional_fields>
+        |</entry>
+        |<entry id="MTBLC2"><name>caffeine</name>
+        |  <cross_references><ref dbkey="chebi:27732"/><ref dbkey="pubchem:2519"/></cross_references>
+        |  <additional_fields><field name="inchi">InChI=1S/C8H10N4O2</field><field name="formula">C8H10N4O2</field></additional_fields>
+        |</entry>
+        |</entries></database>""".stripMargin
+    val nodes = Ingest.parseMetabolightsEntries(xml, "mtbls", "sg").toSeq
+    assert(nodes.map(_.ids) == Seq(Seq("MTBLS1"), Seq("MTBLC2")))
+    val study = nodes.head
+    assert(study.types == Seq("metabolights:Study"))
+    assert(study.props("grebi:name").map(_.value) == Seq("Study & one"))
+    assert(study.props("grebi:description").map(_.value) == Seq("desc1"))
+    assert(study.props("metabolights:ref").map(_.value) == Seq("chebi:1"))
+    assert(study.props("metabolights:submission_date").map(_.value) == Seq("2020-01-02"))
+    assert(study.props("metabolights:publication_date").map(_.value) == Seq("2021-03-04"))
+    assert(study.props("metabolights:organism").map(_.value) == Seq("human", "mouse"))
+    val chem = nodes(1)
+    assert(chem.types == Seq("metabolights:Chemical"))
+    assert(!chem.props.contains("grebi:description"))
+    // chemical = refs ++ inchi ++ formula, in that order (ingest.py:40-45)
+    assert(chem.props("metabolights:chemical").map(_.value) ==
+      Seq("chebi:27732", "pubchem:2519", "InChI=1S/C8H10N4O2", "C8H10N4O2"))
+    // unknown prefix is rejected loudly, like the reference's assert
+    assertThrows[IllegalArgumentException] {
+      Ingest.parseMetabolightsEntries(
+        """<entries><entry id="XXX9"><name>n</name></entry></entries>""", "d", "s").toSeq
+    }
+  }
+
   test("S8 table: PK prefixing + FK rewrite to referenced ids") {
     import spark.implicits._
     val genes = Seq((1L, "Pax6"), (2L, "Shh")).toDF("gene_id", "symbol")

@@ -310,6 +310,140 @@ object Ingest {
     }.toDF("s", "p", "o")
   }
 
+  /** S4 — GWAS catalog TSV headers, asserted EXACTLY (order and count)
+    * before any row is parsed (`grebi_ingest_gwas/src/check_headers.rs`):
+    * the catalog occasionally reshapes its export, and silently parsing a
+    * shifted layout poisons every downstream column. */
+  val gwasAssociationHeaders: Seq[String] = Seq(
+    "DATE ADDED TO CATALOG", "PUBMEDID", "FIRST AUTHOR", "DATE", "JOURNAL",
+    "LINK", "STUDY", "DISEASE/TRAIT", "INITIAL SAMPLE SIZE",
+    "REPLICATION SAMPLE SIZE", "REGION", "CHR_ID", "CHR_POS",
+    "REPORTED GENE(S)", "MAPPED_GENE", "UPSTREAM_GENE_ID",
+    "DOWNSTREAM_GENE_ID", "SNP_GENE_IDS", "UPSTREAM_GENE_DISTANCE",
+    "DOWNSTREAM_GENE_DISTANCE", "STRONGEST SNP-RISK ALLELE", "SNPS",
+    "MERGED", "SNP_ID_CURRENT", "CONTEXT", "INTERGENIC",
+    "RISK ALLELE FREQUENCY", "P-VALUE", "PVALUE_MLOG", "P-VALUE (TEXT)",
+    "OR or BETA", "95% CI (TEXT)", "PLATFORM [SNPS PASSING QC]", "CNV",
+    "MAPPED_TRAIT", "MAPPED_TRAIT_URI", "STUDY ACCESSION",
+    "GENOTYPING TECHNOLOGY")
+
+  val gwasStudyHeaders: Seq[String] = Seq(
+    "DATE ADDED TO CATALOG", "PUBMEDID", "FIRST AUTHOR", "DATE", "JOURNAL",
+    "LINK", "STUDY", "DISEASE/TRAIT", "INITIAL SAMPLE SIZE",
+    "REPLICATION SAMPLE SIZE", "PLATFORM [SNPS PASSING QC]",
+    "ASSOCIATION COUNT", "MAPPED_TRAIT", "MAPPED_TRAIT_URI",
+    "STUDY ACCESSION", "GENOTYPING TECHNOLOGY", "COHORT",
+    "FULL SUMMARY STATISTICS", "SUMMARY STATS LOCATION")
+
+  private[ingest] def checkGwasHeaders(got: Seq[String], expected: Seq[String]): Unit = {
+    if (got.length != expected.length)
+      throw new IllegalArgumentException(
+        s"Expected ${expected.length} headers, but found ${got.length}")
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), n) =>
+      if (g != e) throw new IllegalArgumentException(
+        s"Expected header $n to be $e, but found $g")
+    }
+  }
+
+  /** S4 — dedicated GWAS catalog adapter
+    * (`grebi_ingest_gwas/src/main.rs:24-48`): the two export layouts are
+    * routed by FILENAME (associations vs studies), headers are asserted,
+    * anything else is rejected loudly. Associations become SNP nodes whose
+    * `gwas:associated_with` values are reified per mapped trait with the
+    * full association metadata as qualifiers
+    * (`write_associations.rs:103-151`); studies become Study nodes
+    * (`write_studies.rs:67-96`). Empty fields drop, arrays split on ", "
+    * (`remove_empty_fields.rs`). */
+  def fromGwas(spark: SparkSession, path: String, datasource: String,
+               subgraph: String = "gwas"): Dataset[IngestNode] = {
+    import spark.implicits._
+    val fname = new java.io.File(path).getName
+    val df = spark.read
+      .option("sep", "\t").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .csv(path)
+    def g(r: Row, c: String): String =
+      Option(r.getAs[String](c)).getOrElse("")
+    def list(s: String, sep: String = ", "): Seq[String] =
+      s.split(java.util.regex.Pattern.quote(sep)).map(_.trim).filter(_.nonEmpty).toSeq
+    def prop(k: String, vs: Seq[String]): Option[(String, Seq[RawValue])] = {
+      val clean = vs.filter(_.nonEmpty)
+      if (clean.isEmpty) None else Some(k -> clean.map(RawValue.str))
+    }
+    if (fname.contains("gwas-catalog-associations")) {
+      checkGwasHeaders(df.columns.toSeq, gwasAssociationHeaders)
+      df.map { r =>
+        val quals: Map[String, Seq[String]] = Seq(
+          "gwas:study" -> Seq(g(r, "STUDY ACCESSION")),
+          "gwas:disease_trait" -> Seq(g(r, "DISEASE/TRAIT")),
+          "gwas:initial_sample_size" -> Seq(g(r, "INITIAL SAMPLE SIZE")),
+          "gwas:replication_sample_size" -> Seq(g(r, "REPLICATION SAMPLE SIZE")),
+          "gwas:region" -> Seq(g(r, "REGION")),
+          "gwas:chr_id" -> Seq(g(r, "CHR_ID")),
+          "gwas:chr_pos" -> Seq(g(r, "CHR_POS")),
+          "gwas:reported_gene" -> list(g(r, "REPORTED GENE(S)"), ","),
+          "gwas:upstream_gene_distance" -> Seq(g(r, "UPSTREAM_GENE_DISTANCE")),
+          "gwas:downstream_gene_distance" -> Seq(g(r, "DOWNSTREAM_GENE_DISTANCE")),
+          "gwas:strongest_snp_risk_allele" -> Seq(g(r, "STRONGEST SNP-RISK ALLELE")),
+          "gwas:snps" -> Seq(g(r, "SNPS")),
+          "gwas:merged" -> Seq(g(r, "MERGED")),
+          "gwas:snp_id_current" -> Seq(g(r, "SNP_ID_CURRENT")),
+          "gwas:context" -> Seq(g(r, "CONTEXT")),
+          "gwas:intergenic" -> Seq(g(r, "INTERGENIC")),
+          "gwas:risk_allele_frequency" -> Seq(g(r, "RISK ALLELE FREQUENCY")),
+          "gwas:p_value" -> Seq(g(r, "P-VALUE")),
+          "gwas:pvalue_mlog" -> Seq(g(r, "PVALUE_MLOG")),
+          "gwas:p_value_text" -> Seq(g(r, "P-VALUE (TEXT)")),
+          "gwas:or_or_beta" -> Seq(g(r, "OR or BETA")),
+          "gwas:ci_text" -> Seq(g(r, "95% CI (TEXT)")),
+          "gwas:platform" -> Seq(g(r, "PLATFORM [SNPS PASSING QC]")),
+          "gwas:cnv" -> Seq(g(r, "CNV")),
+          "gwas:mapped_trait" -> Seq(g(r, "MAPPED_TRAIT_URI")),
+          "gwas:mapped_trait_label" -> Seq(g(r, "MAPPED_TRAIT")),
+          "gwas:genotyping_technology" -> Seq(g(r, "GENOTYPING TECHNOLOGY")))
+          .map { case (k, vs) => k -> vs.filter(_.nonEmpty) }
+          .filter(_._2.nonEmpty).toMap
+        val associated = list(g(r, "MAPPED_TRAIT_URI"))
+          .map(tr => RawValue.reified(tr, quals))
+        val props = Seq(
+          prop("rdf:type", Seq("so:0000694")),
+          prop("gwas:mapped_gene", list(g(r, "MAPPED_GENE"))),
+          prop("gwas:upstream_gene_id", Seq(g(r, "UPSTREAM_GENE_ID"))),
+          prop("gwas:downstream_gene_id", Seq(g(r, "DOWNSTREAM_GENE_ID"))),
+          prop("gwas:snp_gene_ids", list(g(r, "SNP_GENE_IDS")))).flatten.toMap ++
+          (if (associated.isEmpty) Map.empty
+           else Map("gwas:associated_with" -> associated))
+        IngestNode(Seq(g(r, "SNPS")), datasource, subgraph, Seq("gwas:SNP"), props)
+      }
+    } else if (fname.contains("gwas-catalog-studies")) {
+      checkGwasHeaders(df.columns.toSeq, gwasStudyHeaders)
+      df.map { r =>
+        val props = Seq(
+          prop("rdf:type", Seq("http://edamontology.org/topic_3517")),
+          prop("dcterms:created", Seq(g(r, "DATE ADDED TO CATALOG"))),
+          prop("dcterms:creator", Seq(g(r, "FIRST AUTHOR"))),
+          prop("dcterms:modified", Seq(g(r, "DATE"))),
+          prop("gwas:journal", Seq(g(r, "JOURNAL"))),
+          prop("gwas:pubmedid",
+            Seq(g(r, "PUBMEDID")).filter(_.nonEmpty).map("pmid:" + _)),
+          prop("dcterms:title", Seq(g(r, "STUDY"))),
+          prop("gwas:disease_trait", Seq(g(r, "DISEASE/TRAIT"))),
+          prop("gwas:initial_sample_size", Seq(g(r, "INITIAL SAMPLE SIZE"))),
+          prop("gwas:replication_sample_size", Seq(g(r, "REPLICATION SAMPLE SIZE"))),
+          prop("gwas:platform", Seq(g(r, "PLATFORM [SNPS PASSING QC]"))),
+          prop("gwas:mapped_trait", Seq(g(r, "MAPPED_TRAIT_URI"))),
+          prop("gwas:association_count", Seq(g(r, "ASSOCIATION COUNT"))),
+          prop("gwas:genotyping_technology", Seq(g(r, "GENOTYPING TECHNOLOGY"))),
+          prop("gwas:cohort", Seq(g(r, "COHORT"))),
+          prop("gwas:full_summary_statistics", Seq(g(r, "FULL SUMMARY STATISTICS"))),
+          prop("gwas:summary_stats_location", Seq(g(r, "SUMMARY STATS LOCATION")))).flatten.toMap
+        IngestNode(Seq(g(r, "STUDY ACCESSION")), datasource, subgraph,
+          Seq("gwas:Study"), props)
+      }
+    } else throw new IllegalArgumentException(s"GWAS ingest: Unknown filename: $fname")
+  }
+
   /** S10 — MetaboLights eb-eye XML → nodes
     * (`01_ingest/grebi_ingest_metabolights/ingest.py:7-58`): each
     * `<entry id=…>` yields one node with `grebi:name`/`grebi:description`

@@ -153,6 +153,43 @@ object MaterialiseOps extends QueryModule {
       |  JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 0
       |ORDER BY nodeId""".stripMargin
 
+  /** Q7 (filtered) — recursive traversal with edge-type alternation AND
+    * an edge-property membership filter (`Neo4jClient.java:194-204`
+    * `"v" IN edge.prop` + `makeEdgesList` alternation): nation 7's
+    * customers and their orders, but only along edges whose `flag`
+    * qualifier contains "even". */
+  def traversalFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def flagJson(k: Column): Column =
+      to_json(map(lit("flag"), array(when(k % 2 === 0, "even").otherwise("odd"))))
+    val e1 = Tables.orders(s, d).select(node("o:", col("o_orderkey")).as("fromNodeId"),
+      node("c:", col("o_custkey")).as("toNodeId"), lit("ord:customer").as("edgeType"),
+      flagJson(col("o_orderkey")).as("qualifiersJson"))
+    val e2 = Tables.customer(s, d).select(node("c:", col("c_custkey")).as("fromNodeId"),
+      node("n:", col("c_nationkey")).as("toNodeId"), lit("cust:nation").as("edgeType"),
+      flagJson(col("c_custkey")).as("qualifiersJson"))
+    // a decoy edge type proves the alternation list is honoured
+    val decoy = Tables.customer(s, d).select(node("x:", col("c_custkey")).as("fromNodeId"),
+      node("n:", col("c_nationkey")).as("toNodeId"), lit("other:type").as("edgeType"),
+      flagJson(col("c_custkey")).as("qualifiersJson"))
+    val seeds = Seq("n:000000007").toDF("nodeId")
+    Query.reachable(e1.union(e2).union(decoy), seeds,
+      edgeTypes = Seq("ord:customer", "cust:nation"), maxDepth = 2,
+      direction = "in", edgeProps = Map("flag" -> "even"))
+      .orderBy(col("nodeId"))
+  }
+
+  val traversalFilteredSql: String =
+    s"""SELECT 'n:' || ${sqlPad("7")} AS nodeId, 0 AS depth
+      |UNION ALL
+      |SELECT 'c:' || ${sqlPad("c_custkey")}, 1 FROM customer
+      |  WHERE c_nationkey = 7 AND c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT 'o:' || ${sqlPad("o_orderkey")}, 2 FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_nationkey = 7 AND c_custkey % 2 = 0 AND o_orderkey % 2 = 0
+      |ORDER BY nodeId""".stripMargin
+
   /** J4 — `_refs` enrichment, exploded to rows: every prop value of an
     * order node that resolves to a node id surfaces with the referenced
     * node's metadata (name). */
@@ -253,6 +290,7 @@ object MaterialiseOps extends QueryModule {
     "g8_search_docs"      -> QueryDef(searchDocs, Some(searchDocsSql)),
     "g9_facet_docs"       -> QueryDef(facetDocs, Some(facetDocsSql)),
     "g10_traversal"       -> QueryDef(traversal, Some(traversalSql)),
+    "g16_traversal_filtered" -> QueryDef(traversalFiltered, Some(traversalFilteredSql)),
     "g11_autocomplete"    -> QueryDef(autocompleteNames, Some(autocompleteNamesSql)),
     "g12_refs"            -> QueryDef(refsExploded, Some(refsExplodedSql)),
     "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),

@@ -7,7 +7,7 @@ import graft.index.Index
 import graft.materialise.Materialise
 import graft.merge.Merge
 import graft.model.{IngestNode, MergedNode, RawValue}
-import graft.sinks.Sinks
+import graft.sinks.{Sinks, SolrConfig}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -172,6 +172,11 @@ object GraftPipeline {
       s"$outDir/neo_nodes.csv")
     Sinks.writeCsv(Sinks.neoEdgesCsvFrame(build.edges), s"$outDir/neo_edges.csv")
     Sinks.writeSolr(build.merged, s"$outDir/solr")
+    // K5 config half: per-prop schema + autocomplete analyzers
+    val edgePropKeys = build.edges
+      .select(explode(json_object_keys(col("qualifiersJson"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    SolrConfig.write(s"$outDir/solr_config", sgName, propKeys, edgePropKeys)
     Sinks.writeKvStore(build.merged, s"$outDir/kv.parquet")
     build.names.write.mode(SaveMode.Overwrite).text(s"$outDir/names.txt")
     java.nio.file.Files.writeString(

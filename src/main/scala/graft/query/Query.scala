@@ -63,19 +63,29 @@ object Query {
   /** The full REST-search flow composed (Q1+Q2+Q3+Q4 —
     * `GrebiApi.java:185-227`): apply property filters, score the query
     * term, page the hits, and compute facet counts (with facet-exclusion)
-    * over the same filtered+matched set. One definition, three outputs —
-    * Spark computes them as three actions off a shared cached plan. */
+    * over the same filtered+matched set. The scored scan runs ONCE: the
+    * count action fills a persist, hits and every facet read the cache,
+    * and the small results are materialized (localCheckpoint) so the cache
+    * can be dropped before returning. */
   def searchPage(nodes: DataFrame, fields: Map[String, Double], term: String,
                  filters: Map[String, Seq[String]], facetFields: Seq[String],
                  idCol: String, page: Int = 0, size: Int = 10): (DataFrame, DataFrame, Long) = {
     val matched = nodes.withColumn("score", searchScore(fields, term))
       .where(col("score") > 0)
-    val matchedFiltered = filters.foldLeft(matched) { case (d, (f, vs)) => d.where(col(f).isin(vs: _*)) }
-    val hits = matchedFiltered
-      .orderBy(col("score").desc, col(idCol).asc)
-      .offset(page * size).limit(size)
-    val facetCounts = facets(matched, filters, facetFields)
-    (hits, facetCounts, matchedFiltered.count())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matchedFiltered = filters.foldLeft(matched) { case (d, (f, vs)) => d.where(col(f).isin(vs: _*)) }
+      val total = matchedFiltered.count()
+      val hits = matchedFiltered
+        .orderBy(col("score").desc, col(idCol).asc)
+        .offset(page * size).limit(size)
+        .localCheckpoint()
+      val facetCounts = facets(matched, filters, facetFields).localCheckpoint()
+      (hits, facetCounts, total)
+    } finally {
+      matched.unpersist(false)
+      ()
+    }
   }
 
   // -------------------------------------------------------------------
@@ -90,16 +100,33 @@ object Query {
     metadata.select(col("nodeId").as(as),
       col("name").as("other_name"), col("types").as("other_types"))
 
+  /** Edge-property membership filter — the reference's
+    * `"v" IN edge.prop` clause (`Neo4jClient.java:194-204`): every
+    * required (prop → value) must be a member of the edge's multi-valued
+    * qualifier; edges lacking the prop are dropped (Cypher IN on a missing
+    * property is null). Qualifiers live in the `qualifiersJson` column. */
+  private def edgePropsFilter(edges: DataFrame, edgeProps: Map[String, String]): DataFrame =
+    if (edgeProps.isEmpty) edges
+    else {
+      val quals = from_json(col("qualifiersJson"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,array<string>>"))
+      edgeProps.foldLeft(edges) { case (d, (k, v)) =>
+        d.where(array_contains(quals.getItem(k), v))
+      }
+    }
+
   def outgoingEdges(edges: DataFrame, metadata: DataFrame, nodeId: String,
-                    page: Int = 0, size: Int = 100): DataFrame =
-    edges.where(col("fromNodeId") === nodeId)
+                    page: Int = 0, size: Int = 100,
+                    edgeProps: Map[String, String] = Map.empty): DataFrame =
+    edgePropsFilter(edges.where(col("fromNodeId") === nodeId), edgeProps)
       .join(endpointMeta(metadata, "toNodeId"), "toNodeId")
       .orderBy(col("edgeId"))
       .offset(page * size).limit(size)
 
   def incomingEdges(edges: DataFrame, metadata: DataFrame, nodeId: String,
-                    page: Int = 0, size: Int = 100): DataFrame =
-    edges.where(col("toNodeId") === nodeId)
+                    page: Int = 0, size: Int = 100,
+                    edgeProps: Map[String, String] = Map.empty): DataFrame =
+    edgePropsFilter(edges.where(col("toNodeId") === nodeId), edgeProps)
       .join(endpointMeta(metadata, "fromNodeId"), "fromNodeId")
       .orderBy(col("edgeId"))
       .offset(page * size).limit(size)
@@ -109,14 +136,18 @@ object Query {
   // -------------------------------------------------------------------
 
   /** Bounded-depth BFS from a seed set along typed edges — the engine-side
-    * form of Cypher `-[:T*1..n]->` (`Neo4jClient.java:244-280`). Returns
-    * (nodeId, depth) of reachable nodes, depth = first reach. Each round
-    * is one join + anti-join against the visited set; lineage truncated
-    * per round so the plan stays flat at depth n.
+    * form of Cypher `-[:T1|T2*1..n]->` (`Neo4jClient.java:244-280`,
+    * type alternation via `makeEdgesList`). Returns (nodeId, depth) of
+    * reachable nodes, depth = first reach. Each round is one join +
+    * anti-join against the visited set; lineage truncated per round so the
+    * plan stays flat at depth n. `edgeProps` adds the reference's
+    * `"v" IN edge.prop` membership clause to every traversed edge.
     */
   def reachable(edges: DataFrame, seeds: DataFrame, edgeTypes: Seq[String],
-                maxDepth: Int, direction: String = "out"): DataFrame = {
-    val e0 = if (edgeTypes.isEmpty) edges else edges.where(col("edgeType").isin(edgeTypes: _*))
+                maxDepth: Int, direction: String = "out",
+                edgeProps: Map[String, String] = Map.empty): DataFrame = {
+    val byType = if (edgeTypes.isEmpty) edges else edges.where(col("edgeType").isin(edgeTypes: _*))
+    val e0 = edgePropsFilter(byType, edgeProps)
     val (srcCol, dstCol) = direction match {
       case "out" => ("fromNodeId", "toNodeId")
       case _     => ("toNodeId", "fromNodeId")

@@ -138,4 +138,28 @@ class CanonicalQueriesSpec extends SparkSpec {
     val f = facetCounts.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(f.contains(("type", "biolink:Gene", 1L))) // facet sees beyond its own filter
   }
+
+  test("Q-E: searchPage scans its input once (count fills the cache)") {
+    import spark.implicits._
+    val rowsRead = spark.sparkContext.longAccumulator("rowsRead")
+    val base = meta.select(col("nodeId"),
+        coalesce(col("name"), lit("")).as("name"),
+        element_at(col("types"), 1).as("type"),
+        element_at(col("datasources"), 1).as("ds"))
+      .as[(String, String, String, String)]
+      .map { r => rowsRead.add(1); r }
+      .toDF("nodeId", "name", "type", "ds")
+    val nInput = base.count()
+    rowsRead.reset()
+    val (hits, facetCounts, total) = Query.searchPage(
+      base, Map("nodeId" -> 1000.0, "name" -> 900.0), "hgnc:8620",
+      filters = Map("type" -> Seq("biolink:Gene")),
+      facetFields = Seq("type", "ds"), idCol = "nodeId", size = 5)
+    hits.collect(); facetCounts.collect()
+    assert(total == 1)
+    // one pass over the input: the persist fills on the count action, and
+    // hits + both facet scans read the cache — without it this is ~4 passes
+    assert(rowsRead.value == nInput,
+      s"expected one scan ($nInput rows) but read ${rowsRead.value}")
+  }
 }

@@ -95,6 +95,61 @@ class IngestSpec extends SparkSpec {
     assert(sub.qualifiers == Map("oboInOwl:source" -> Seq("DOID:9352", "NCIT:C26747")))
   }
 
+  test("S4 gwas: filename routing, header asserts, reified associations") {
+    val dir = java.nio.file.Files.createTempDirectory("gwas")
+    def tsv(name: String, header: Seq[String], rows: Seq[Seq[String]]): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p,
+        (header +: rows).map(_.mkString("\t")).mkString("\n") + "\n")
+      p.toString
+    }
+    // associations: row with two mapped traits and two reported genes
+    val assocRow = Ingest.gwasAssociationHeaders.map {
+      case "SNPS" => "rs123"
+      case "MAPPED_TRAIT_URI" => "efo:1, efo:2"
+      case "REPORTED GENE(S)" => "PAX6, SHH"
+      case "MAPPED_GENE" => "PAX6"
+      case "P-VALUE" => "0.00001"
+      case "STUDY ACCESSION" => "GCST001"
+      case "CNV" => "" // empty field drops
+      case h => h.toLowerCase.take(5)
+    }
+    val assoc = Ingest.fromGwas(spark,
+      tsv("gwas-catalog-associations.tsv", Ingest.gwasAssociationHeaders, Seq(assocRow)),
+      "gwas").collect()
+    assert(assoc.length == 1)
+    val snp = assoc.head
+    assert(snp.ids == Seq("rs123") && snp.types == Seq("gwas:SNP"))
+    val assoc2 = snp.props("gwas:associated_with")
+    assert(assoc2.map(_.value) == Seq("efo:1", "efo:2"))
+    assert(assoc2.head.qualifiers("gwas:p_value") == Seq("0.00001"))
+    assert(assoc2.head.qualifiers("gwas:reported_gene") == Seq("PAX6", "SHH"))
+    assert(!assoc2.head.qualifiers.contains("gwas:cnv")) // empty dropped
+    // studies layout routed by filename
+    val studyRow = Ingest.gwasStudyHeaders.map {
+      case "STUDY ACCESSION" => "GCST001"
+      case "PUBMEDID" => "123"
+      case h => h.toLowerCase.take(4)
+    }
+    val studies = Ingest.fromGwas(spark,
+      tsv("gwas-catalog-studies.tsv", Ingest.gwasStudyHeaders, Seq(studyRow)),
+      "gwas").collect()
+    assert(studies.head.ids == Seq("GCST001"))
+    assert(studies.head.types == Seq("gwas:Study"))
+    assert(studies.head.props("gwas:pubmedid").map(_.value) == Seq("pmid:123"))
+    // malformed header → loud rejection, like the reference's panic
+    val bad = Ingest.gwasAssociationHeaders.updated(2, "WRONG")
+    assertThrows[IllegalArgumentException] {
+      Ingest.fromGwas(spark,
+        tsv("gwas-catalog-associations-bad.tsv", bad, Seq(assocRow)), "gwas")
+    }
+    // unknown filename → rejection
+    assertThrows[IllegalArgumentException] {
+      Ingest.fromGwas(spark,
+        tsv("mystery.tsv", Ingest.gwasStudyHeaders, Nil), "gwas")
+    }
+  }
+
   test("S10 metabolights xml: entries, refs, dates, fields, typing, chemical agg") {
     val xml =
       """<database><entries>

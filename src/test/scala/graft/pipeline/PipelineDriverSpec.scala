@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.SparkSpec
 import graft.model.{IngestNode, RawValue}
+import graft.sinks.SolrConfig
 import org.apache.spark.sql.functions._
 
 /** Drives the whole config→artifacts build (the Nextflow-DAG
@@ -82,6 +83,32 @@ class PipelineDriverSpec extends SparkSpec {
       "names.txt", "summary.json").subsetOf(files))
     val got = graft.sinks.Sinks.kvLookup(spark, s"$out/kv.parquet", "mondo:0005044")
     assert(got.exists(_.contains("\"grebi:nodeId\":\"mondo:0005044\"")))
+  }
+
+  test("solr config generation: per-prop copyFields + autocomplete analyzers") {
+    val out = java.nio.file.Files.createTempDirectory("graftsolr").toString
+    GraftPipeline.write(build, out)
+    def read(p: String) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/solr_config/$p"))
+    val nodes = read("grebi_nodes_fixture_sg/conf/schema.xml")
+    // every observed prop gets field + str_/lowercase_ copyFields
+    // (make_solr_config.py:40-47), with : and & rewritten
+    assert(nodes.contains(
+      """<field name="grebi__name" type="string" indexed="true" stored="false" required="false" multiValued="true" />"""))
+    assert(nodes.contains("""<copyField source="grebi__name" dest="str_grebi__name"/>"""))
+    assert(nodes.contains("""<copyField source="grebi__name" dest="lowercase_grebi__name"/>"""))
+    assert(nodes.contains("""<copyField source="grebi__nodeId" dest="str_grebi__nodeId"/>"""))
+    assert(nodes.contains("""<dynamicField name="str_*""""))
+    assert(!nodes.contains("internal__junk")) // excluded props never indexed
+    assert(read("grebi_nodes_fixture_sg/core.properties") == "name=grebi_nodes_fixture_sg\n")
+    assert(read("grebi_edges_fixture_sg/core.properties") == "name=grebi_edges_fixture_sg\n")
+    val auto = read("grebi_autocomplete_fixture_sg/conf/schema.xml")
+    // the three autocomplete match tiers (grebi_autocomplete schema.xml:116-167)
+    assert(auto.contains("""<copyField source="label" dest="whitespace_label"/>"""))
+    assert(auto.contains("""<copyField source="label" dest="edge_label"/>"""))
+    assert(auto.contains("""<copyField source="label" dest="whitespace_edge_label"/>"""))
+    assert(auto.contains("EdgeNGramFilterFactory"))
+    assert(SolrConfig.fieldName("a:b&c") == "a__b_c")
   }
 
   test("broadcast (small-data opt-in) pipeline produces the identical build") {

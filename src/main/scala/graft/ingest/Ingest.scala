@@ -534,6 +534,79 @@ object Ingest {
     IngestNode(Seq(id), datasource, subgraph, Seq(typ), props)
   }
 
+  /** S9 — Reactome Neo4j-dump JSONL → nodes
+    * (`01_ingest/grebi_ingest_reactome/src/main.rs:13-136`): `node`
+    * records become reactome_<neoId> nodes with `reactome:`-prefixed
+    * properties, `reactome:`-prefixed labels as types, and
+    * `grebi:equivalentTo` derived by bioregistry-style prefix compaction
+    * of the `url` and `identifier` properties plus `ncbitaxon:` from
+    * `taxId`. `relationship` records become a node keyed by the START id
+    * whose `reactome:<label>` property carries the END id as a reified
+    * value. Anything else is rejected, as the reference panics.
+    *
+    * Faithful to the reference's LIVE semantics: the databaseName+identifier
+    * fallback (main.rs:82-90) sits in a branch where `identifier` is
+    * absent but then requires it present, so it never fires; and
+    * relationship properties land on the node (main.rs:117-119) while the
+    * reified value's qualifiers stay empty (the fresh `new_props` map).
+    *
+    * Jackson does the line parse — it ships with Spark, so no new
+    * dependency; the scan is a plain distributed text read. */
+  def fromReactome(spark: SparkSession, path: String, trie: graft.curie.PrefixTrie,
+                   datasource: String = "reactome",
+                   subgraph: String = "reactome"): Dataset[IngestNode] = {
+    import spark.implicits._
+    spark.read.textFile(path).mapPartitions { lines =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      lines.filter(_.trim.nonEmpty).map { l =>
+        reactomeRecord(om.readTree(l), trie, datasource, subgraph)
+      }
+    }
+  }
+
+  private def reactomeRecord(j: com.fasterxml.jackson.databind.JsonNode,
+                             trie: graft.curie.PrefixTrie,
+                             datasource: String, subgraph: String): IngestNode = {
+    import scala.jdk.CollectionConverters._
+    def jv(v: com.fasterxml.jackson.databind.JsonNode): Seq[RawValue] =
+      if (v.isArray) v.elements.asScala.flatMap(jv).toSeq
+      else if (v.isTextual) Seq(RawValue.str(v.asText))
+      else if (v.isNumber) Seq(RawValue(v.asText, Kind.Num, Map.empty))
+      else if (v.isBoolean) Seq(RawValue(v.asText, Kind.Bool, Map.empty))
+      else if (v.isNull) Nil
+      else Seq(RawValue(v.toString, Kind.Json, Map.empty))
+    def maybeReprefix(s: String): Option[String] = {
+      val out = trie.rewrite(s)
+      if (out == s) None else Some(out)
+    }
+    val neoId = j.get("id").asText
+    val typ = j.get("type").asText
+    val properties = j.get("properties")
+    val propPairs = properties.fieldNames.asScala
+      .map(k => s"reactome:$k" -> jv(properties.get(k))).toMap
+    typ match {
+      case "node" =>
+        val labels = j.get("labels").elements.asScala.map(l => s"reactome:${l.asText}").toSeq
+        def strProp(k: String): Option[String] =
+          Option(properties.get(k)).filter(_.isTextual).map(_.asText)
+        val equivalences =
+          strProp("url").flatMap(maybeReprefix).toSeq ++
+          strProp("identifier").flatMap(maybeReprefix).toSeq ++
+          strProp("taxId").map("ncbitaxon:" + _).toSeq
+        val props =
+          if (equivalences.isEmpty) propPairs
+          else propPairs.updated("grebi:equivalentTo", equivalences.map(RawValue.str))
+        IngestNode(Seq(s"reactome_$neoId"), datasource, subgraph, labels, props)
+      case "relationship" =>
+        val label = j.get("label").asText
+        val start = j.get("start").get("id").asText
+        val end = j.get("end").get("id").asText
+        IngestNode(Seq(s"reactome_$start"), datasource, subgraph, Nil,
+          propPairs.updated(s"reactome:$label", Seq(RawValue.str(s"reactome_$end"))))
+      case other => throw new IllegalArgumentException(s"Unknown type: $other")
+    }
+  }
+
   /** S8 — relational table → nodes: PK values become prefixed ids, FK
     * columns rewrite to the referenced table's prefixed id so the
     * materialise stage turns them into edges

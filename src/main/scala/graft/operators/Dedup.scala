@@ -104,6 +104,22 @@ object Dedup extends QueryModule {
     // for the rest of the session (Verify runs 60+ queries in one); the
     // shingle derivation recomputes in well under a second
     val sh = shingles(s, d)
+    minhashLshFrom(sh)
+  }
+
+  /** Scale variant of d3: shingles and signatures persist to parquet
+    * between stages, so the three consumers (signature agg, candidate
+    * join, exact verification) each read a columnar store instead of
+    * re-deriving shingles from raw text. At sf0.1 recompute is cheaper
+    * than the write; at 100 TB the derivation dominates and this is the
+    * shape you run — identical output (DedupSpec pins it). */
+  def minhashLshStaged(s: SparkSession, d: String, workDir: String): DataFrame = {
+    shingles(s, d).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$workDir/shingles.parquet")
+    minhashLshFrom(s.read.parquet(s"$workDir/shingles.parquet"))
+  }
+
+  private def minhashLshFrom(sh: DataFrame): DataFrame = {
     val sigExprs = (1 to 16).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
     val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)

@@ -187,6 +187,44 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("S9 reactome: node/relationship records, equivalence derivation") {
+    val trie = graft.curie.PrefixTrie(Map(
+      "http://purl.obolibrary.org/obo/CHEBI_" -> "chebi:",
+      "uniprot:" -> "up:"))
+    val lines = Seq(
+      // node whose url compacts to a curie and which carries a taxId
+      """{"id":"42","type":"node","labels":["EntityWithAccessionedSequence","PhysicalEntity"],
+        |"properties":{"displayName":"EGFR","url":"http://purl.obolibrary.org/obo/CHEBI_4534","taxId":"9606","stId":"R-HSA-179837"}}""".stripMargin.replace("\n", ""),
+      // node whose identifier compacts
+      """{"id":"43","type":"node","labels":["ReferenceEntity"],"properties":{"identifier":"uniprot:P00533"}}""",
+      // node with nothing compactable -> no grebi:equivalentTo
+      """{"id":"44","type":"node","labels":["Pathway"],"properties":{"displayName":"Signaling"}}""",
+      // relationship: start-keyed node with reified end value, props on the node
+      """{"id":"900","type":"relationship","label":"input","start":{"id":"42"},"end":{"id":"44"},"properties":{"order":1}}""")
+    val dir = java.nio.file.Files.createTempDirectory("reactome")
+    java.nio.file.Files.writeString(dir.resolve("dump.jsonl"), lines.mkString("\n"))
+    val nodes = Ingest.fromReactome(spark, dir.toString, trie)
+      .collect().sortBy(_.ids.head)
+    assert(nodes.map(_.ids.head).toSeq ==
+      Seq("reactome_42", "reactome_42", "reactome_43", "reactome_44"))
+    val n42 = nodes.find(n => n.ids.head == "reactome_42" && n.types.nonEmpty).get
+    assert(n42.types == Seq("reactome:EntityWithAccessionedSequence", "reactome:PhysicalEntity"))
+    assert(n42.props("reactome:displayName").map(_.value) == Seq("EGFR"))
+    assert(n42.props("grebi:equivalentTo").map(_.value) == Seq("chebi:4534", "ncbitaxon:9606"))
+    val n43 = nodes.find(_.ids.head == "reactome_43").get
+    assert(n43.props("grebi:equivalentTo").map(_.value) == Seq("up:P00533"))
+    val n44 = nodes.find(_.ids.head == "reactome_44").get
+    assert(!n44.props.contains("grebi:equivalentTo"))
+    val rel = nodes.find(n => n.ids.head == "reactome_42" && n.types.isEmpty).get
+    assert(rel.props("reactome:input").map(_.value) == Seq("reactome_44"))
+    assert(rel.props("reactome:order").map(_.value) == Seq("1"))
+    assertThrows[org.apache.spark.SparkException] { // wraps the IllegalArgumentException
+      java.nio.file.Files.writeString(dir.resolve("bad.jsonl"),
+        """{"id":"1","type":"mystery","properties":{}}""")
+      Ingest.fromReactome(spark, dir.resolve("bad.jsonl").toString, trie).collect()
+    }
+  }
+
   test("S8 table: PK prefixing + FK rewrite to referenced ids") {
     import spark.implicits._
     val genes = Seq((1L, "Pax6"), (2L, "Shh")).toDF("gene_id", "symbol")

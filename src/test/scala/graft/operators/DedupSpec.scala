@@ -1,0 +1,18 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The staged (parquet-persisted) MinHash+LSH variant must be
+  * output-identical to the direct path — same bands, same candidates,
+  * same verified pairs. */
+class DedupSpec extends SparkSpec {
+
+  test("d3 staged (persist-between-stages) equals the direct path") {
+    val d = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("lsh").toString
+    val direct = Dedup.minhashLsh(spark, d).collect().map(_.toString).sorted.toSeq
+    val staged = Dedup.minhashLshStaged(spark, d, work).collect().map(_.toString).sorted.toSeq
+    assert(staged == direct)
+    assert(new java.io.File(s"$work/shingles.parquet").exists())
+  }
+}

@@ -223,10 +223,67 @@ object Dedup extends QueryModule {
       |  string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1), '' ORDER BY p) AS simhash
       |FROM nibbles GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d5 — embedding-cosine near-duplicate pairs. Candidates come from
+    * banded sign-LSH (4 bands × 4 hyperplane sign bits over the leading
+    * dims — a pair is a candidate iff it agrees on at least one whole
+    * band), then exact verification on candidates only. The cosine
+    * threshold is the integer inequality 25·dot² ≥ 4·‖a‖²·‖b‖² with
+    * dot > 0 (⟺ cos ≥ 0.4) over 1e3-quantized vectors, so both engines
+    * agree bit-for-bit and nothing overflows int64 (|q| ≤ 580 ⇒
+    * 25·dot² ≤ ~1.2e16). Same no-all-pairs shape as d3: band equi-joins
+    * only, never the O(N²) pair space. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x =>
+        round(x.cast("double") * 1000).cast("long")).as("qv"))
+    val bands = (0 until 4).map { b =>
+      val bits = (1 to 4).map(i =>
+        (element_at(col("qv"), 4 * b + i) >= 0).cast("int").cast("string"))
+      q.select(col("vec_id"), md5(concat(lit(s"$b|") +: bits: _*)).as("band"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+      .distinct()
+    val withNorm = q.withColumn("nrm", DotProductL(col("qv"), col("qv")))
+    cand
+      .join(withNorm.select(col("vec_id").as("va"), col("qv").as("qa"), col("nrm").as("na")), "va")
+      .join(withNorm.select(col("vec_id").as("vb"), col("qv").as("qb"), col("nrm").as("nb")), "vb")
+      .withColumn("dot", DotProductL(col("qa"), col("qb")))
+      .where(col("dot") > 0 &&
+        lit(25) * col("dot") * col("dot") >= lit(4) * col("na") * col("nb"))
+      .select(col("va"), col("vb"), col("dot"), col("na"), col("nb"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |bands AS (
+      |  SELECT vec_id, md5(CAST(b AS VARCHAR) || '|' ||
+      |      CAST(qv[4*b+1] >= 0 AS INT) || CAST(qv[4*b+2] >= 0 AS INT) ||
+      |      CAST(qv[4*b+3] >= 0 AS INT) || CAST(qv[4*b+4] >= 0 AS INT)) AS band
+      |  FROM q CROSS JOIN generate_series(0, 3) g(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.vec_id < y.vec_id)
+      |SELECT va, vb, dot, na, nb FROM (
+      |  SELECT va, vb,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS na,
+      |    CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS nb
+      |  FROM cand JOIN q a ON a.vec_id = va JOIN q b ON b.vec_id = vb)
+      |WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+      |ORDER BY va, vb""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "d3_minhash_lsh"   -> QueryDef(minhashLsh, Some(minhashLshSql), bench = true),
     "d4_simhash"       -> QueryDef(simhash, Some(simhashSql)),
+    "d5_embedding_neardup" -> QueryDef(embeddingNearDup, Some(embeddingNearDupSql), bench = true),
   )
 }

@@ -48,4 +48,29 @@ class IdentitySpec extends SparkSpec {
     assert(groups.get("12345").isEmpty)
     assert(groups("mgi:97490") == "mgi:97490")
   }
+
+  test("Catalyst mirrors agree with the Scala id semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a diverse deterministic corpus hitting every scoring branch:
+    // grebi:/biolink: tiers, curie-like, IRIs, numerics, UUID-length,
+    // mixed alphabetics, empty-ish strings
+    val ids = Seq(
+      "grebi:name", "biolink:Gene", "mondo:0005044", "efo:0000537",
+      "http://purl.obolibrary.org/obo/MONDO_0005044", "https://x.org/a:b",
+      "httpx:99", "12345", "1234567890123456", "0:0", "abc", "ABC:def",
+      "a:", ":b", "c:000000001", "alt:000000001", "x" * 40, "9" * 40,
+      "some random string", "GRE-not-grebi:1", "grebi:", "biolink:")
+    val df = ids.toDF("id").select(
+      col("id"),
+      graft.identity.Groups.idScoreCol(col("id")).as("score"),
+      graft.identity.Groups.isValidIdCol(col("id")).as("valid"))
+    df.collect().foreach { r =>
+      val id = r.getString(0)
+      assert(r.getInt(1) == graft.curie.Ids.idScore(id),
+        s"idScore mirror diverges for '$id'")
+      assert(r.getBoolean(2) == graft.curie.Ids.isValidId(id),
+        s"isValidId mirror diverges for '$id'")
+    }
+  }
 }

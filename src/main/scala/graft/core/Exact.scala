@@ -32,4 +32,15 @@ object Exact {
   /** SQL fragments for the DuckDB side of the same computations. */
   def sqlDec(col: String): String = s"CAST($col AS DECIMAL(12,2))"
   def sqlSumd(col: String): String = s"CAST(sum(CAST($col AS DECIMAL(12,2))) AS DOUBLE)"
+
+  /** Integer quantization of a float-array column (the int8/int16 trick
+    * that makes vector arithmetic order-independent and thus engine-exact).
+    * ONE definition for every operator that scores embeddings — the Scala
+    * expression and the DuckDB fragment must stay in lockstep or
+    * hash-parity silently breaks. */
+  def quantize(c: Column, scale: Int): Column =
+    transform(c, x => round(x.cast("double") * scale).cast("long"))
+
+  def sqlQuantize(col: String, scale: Int): String =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
 }

@@ -235,13 +235,16 @@ object Dedup extends QueryModule {
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.DotProductL
     val q = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"), x =>
-        round(x.cast("double") * 1000).cast("long")).as("qv"))
-    val bands = (0 until 4).map { b =>
+      graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+    // all 4 band keys from ONE scan (array + explode), not 4 unioned
+    // projections each re-reading the table — at 100 TB the band stage is
+    // one pass over the embeddings, mirroring the oracle's single q CTE
+    val bandExprs = (0 until 4).map { b =>
       val bits = (1 to 4).map(i =>
         (element_at(col("qv"), 4 * b + i) >= 0).cast("int").cast("string"))
-      q.select(col("vec_id"), md5(concat(lit(s"$b|") +: bits: _*)).as("band"))
-    }.reduce(_ unionByName _)
+      md5(concat(lit(s"$b|") +: bits: _*))
+    }
+    val bands = q.select(col("vec_id"), explode(array(bandExprs: _*)).as("band"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
@@ -258,9 +261,9 @@ object Dedup extends QueryModule {
   }
 
   val embeddingNearDupSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |    ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
       |  FROM embeddings),
       |bands AS (
       |  SELECT vec_id, md5(CAST(b AS VARCHAR) || '|' ||

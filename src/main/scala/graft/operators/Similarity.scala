@@ -27,8 +27,7 @@ object Similarity extends QueryModule {
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       col("embedding"),
-      transform(col("embedding"), x =>
-        round(x.cast("double") * 10000).cast("long")).as("q"))
+      graft.core.Exact.quantize(col("embedding"), 10000).as("q"))
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.DotProductL(a, b)
@@ -52,9 +51,9 @@ object Similarity extends QueryModule {
   }
 
   val bruteForceTopKSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
       |  FROM embeddings),
       |pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -96,7 +95,7 @@ object Similarity extends QueryModule {
       s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
     s"""WITH q AS (
       |  SELECT vec_id, $bucket AS bucket,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
       |  FROM embeddings),
       |pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -133,9 +132,9 @@ object Similarity extends QueryModule {
   }
 
   val ivfAnnSql: String =
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
       |  FROM embeddings),
       |pairs AS (
       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

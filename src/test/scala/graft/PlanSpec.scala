@@ -36,6 +36,12 @@ class PlanSpec extends SparkSpec {
     assert(plan("q9_parts_with_shipments").contains("LeftSemi"))
   }
 
+  test("d5: near-dup candidates come from equi-joins only, never all-pairs") {
+    val p = plan("d5_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), "band join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NLJ")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

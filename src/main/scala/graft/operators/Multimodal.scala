@@ -79,7 +79,51 @@ object Multimodal extends QueryModule {
       |FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  final case class FrameSample(doc_id: Long, frame_idx: Long, offset: Long,
+                               n_chars: Long, checksum: Long)
+
+  /** m2 — frame sampling: the video/audio "decode every k-th frame"
+    * plumbing, over text payloads standing in for frame streams. The
+    * payload splits into fixed 64-unit frames, every 4th frame is
+    * sampled, and a per-frame feature (codepoint-sum checksum, the same
+    * stub recipe as m1) is emitted with its index/offset/length metadata.
+    * The shape is the real contract: batched partition-level iteration,
+    * one output row per sampled frame, metadata columns the planner can
+    * prune without touching payloads. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val t = if (text == null) "" else text
+        val nFrames = (t.length + 63) / 64
+        (0 until nFrames).iterator.filter(_ % 4 == 0).map { f =>
+          val start = f * 64
+          val end = math.min(start + 64, t.length)
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += t.charAt(i).toInt; i += 1 }
+          FrameSample(id, f.toLong, start.toLong, (end - start).toLong, sum % 997)
+        }
+      })
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  // 2000-unit bound as in m1; (i-1)//64 is DuckDB integer division
+  val frameSampleSql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, g.i, ord(substr(text, g.i, 1)) AS c,
+      |    CAST((g.i - 1) // 64 AS BIGINT) AS f
+      |  FROM documents CROSS JOIN generate_series(1, 2000) g(i)
+      |  WHERE g.i <= len(text))
+      |SELECT doc_id, f AS frame_idx, f * 64 AS offset,
+      |  count(*) AS n_chars, CAST(sum(c) % 997 AS BIGINT) AS checksum
+      |FROM chars WHERE f % 4 = 0
+      |GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
+    "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
   )
 }

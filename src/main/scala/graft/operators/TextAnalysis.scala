@@ -244,6 +244,47 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)
       |WHERE rank_in_lang <= 20 ORDER BY lang, rank_in_lang""".stripMargin
 
+  /** t9 — PII-style pattern redaction, the scrub pass a training-data
+    * pipeline runs before tokenization: emails collapse to <EMAIL>, then
+    * digit runs to <NUM>, with per-doc match counts and an md5 of the
+    * redacted text proving full-string equality. The corpus carries no
+    * such patterns (synthetic words only), so a deterministic
+    * contact-line suffix is derived from doc_id inside the query — both
+    * engines construct the identical input, then the redaction does real
+    * work. Patterns stay in the Java∩RE2 common subset so Spark and
+    * DuckDB agree. Pure map-side: scales with input bytes, no shuffle. */
+  def redact(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+    val numPat = "[0-9]+"
+    val synth = concat(col("text"), lit(" ref "),
+      (col("doc_id") * 7919).cast("string"),
+      lit(" mail u"), col("doc_id").cast("string"), lit("@ex.org"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), synth.as("synth"))
+      .withColumn("n_emails", size(regexp_extract_all(col("synth"), lit(emailPat), lit(0))).cast("long"))
+      .withColumn("deemailed", regexp_replace(col("synth"), emailPat, "<EMAIL>"))
+      .withColumn("n_nums", size(regexp_extract_all(col("deemailed"), lit(numPat), lit(0))).cast("long"))
+      .withColumn("redacted_md5", md5(regexp_replace(col("deemailed"), numPat, "<NUM>")))
+      .select(col("doc_id"), col("n_emails"), col("n_nums"), col("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val redactSql: String =
+    """WITH synth AS (
+      |  SELECT doc_id,
+      |    text || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) ||
+      |    ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org' AS s
+      |  FROM documents),
+      |de AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(s, '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+      |    regexp_replace(s, '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g') AS t
+      |  FROM synth)
+      |SELECT doc_id, n_emails,
+      |  CAST(len(regexp_extract_all(t, '[0-9]+')) AS BIGINT) AS n_nums,
+      |  md5(regexp_replace(t, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+      |FROM de ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -253,5 +294,6 @@ object TextAnalysis extends QueryModule {
     "t6_vocab"         -> QueryDef(vocab, Some(vocabSql)),
     "t7_top_terms"     -> QueryDef(topTerms, Some(topTermsSql), bench = true),
     "t8_stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
+    "t9_redact"        -> QueryDef(redact, Some(redactSql)),
   )
 }

@@ -51,11 +51,16 @@ object AssignIds {
     import org.apache.spark.sql.functions._
     // uid only needs uniqueness, not density — monotonically_increasing_id
     // keeps the plan inside Catalyst (codegen + AQE stats) where the RDD
-    // zipWithUniqueId round-trip severed it. Stable across the two uses
-    // below because the upstream lineage is deterministic.
+    // zipWithUniqueId round-trip severed it. The uid assignment is
+    // consumed by TWO plan subtrees (candidates and the final regroup
+    // join); a lazy localCheckpoint materialises it exactly once so both
+    // sides are guaranteed the SAME uid→record mapping even if upstream
+    // partitioning re-evaluates nondeterministically (AQE re-coalesce,
+    // stage retry over an unordered shuffle).
     val withUid = nodes.toDF()
       .select(monotonically_increasing_id().as("uid"), struct(col("*")).as("node"))
       .as[(Long, IngestNode)]
+      .localCheckpoint(false)
     val cands = withUid.flatMap { case (uid, n) =>
       (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))
         .distinct.map((uid, _))

@@ -66,14 +66,28 @@ object Ingest {
   private def rowToJson(r: Row): String = {
     val pairs = r.schema.fields.iterator.zipWithIndex.collect {
       case (f, i) if !r.isNullAt(i) =>
-        graft.core.Json.str(f.name) + ":" +
-          (f.dataType match {
-            case StringType => graft.core.Json.str(r.get(i).toString)
-            case st: StructType => rowToJson(r.getStruct(i))
-            case _ => r.get(i).toString
-          })
+        graft.core.Json.str(f.name) + ":" + jsonValue(r.get(i), f.dataType)
     }
     pairs.mkString("{", ",", "}")
+  }
+
+  /** Render ANY field as syntactically valid JSON — arrays become JSON
+    * arrays, dates/timestamps/etc. quote as strings, only finite numbers
+    * and booleans stay bare. (A raw toString here previously leaked
+    * `WrappedArray(a, b)` and bare dates into Kind.Json values, which the
+    * sinks then emitted verbatim as unparseable JSONL.) */
+  private def jsonValue(v: Any, dt: DataType): String = dt match {
+    case StringType => graft.core.Json.str(v.toString)
+    case st: StructType => rowToJson(v.asInstanceOf[Row])
+    case ArrayType(et, _) =>
+      v.asInstanceOf[scala.collection.Seq[Any]].toSeq
+        .filter(_ != null).map(e => jsonValue(e, et))
+        .mkString("[", ",", "]")
+    case BooleanType => v.toString
+    case _: NumericType =>
+      val s = v.toString
+      if (s == "NaN" || s.endsWith("Infinity")) graft.core.Json.str(s) else s
+    case _ => graft.core.Json.str(String.valueOf(v))
   }
 
   /** S7 — generic adapter from ANY DataFrame (a `spark.read.json/csv/
@@ -95,12 +109,18 @@ object Ingest {
             cfg.injectKeyPrefix + k
           else k
       }
-      val renamed = raw.map { case (k, vs) =>
-        val vs1 = cfg.injectValuePrefix.get(k) match {
-          case Some(p) => vs.map(v => v.copy(value = p + v.value))
-          case None => vs
-        }
-        effectiveKey(k) -> vs1
+      // fold, not map: two source keys can collide on the same effective
+      // key (a rename landing on an existing column, or prefix-injection
+      // producing a key the row already has) — their value lists must
+      // MERGE, not last-write-win (same rule as AssignIds.assignOne)
+      val renamed = raw.foldLeft(Map.empty[String, Seq[RawValue]]) {
+        case (acc, (k, vs)) =>
+          val vs1 = cfg.injectValuePrefix.get(k) match {
+            case Some(p) => vs.map(v => v.copy(value = p + v.value))
+            case None => vs
+          }
+          val key = effectiveKey(k)
+          acc.updated(key, acc.getOrElse(key, Nil) ++ vs1)
       }
       val idKeys = cfg.idFields.map(effectiveKey)
       var ids = idKeys.flatMap(k => renamed.getOrElse(k, Nil).map(_.value))
@@ -191,9 +211,14 @@ object Ingest {
   def fromSssom(spark: SparkSession, path: String, datasource: String,
                 subgraph: String): Dataset[IngestNode] = {
     import spark.implicits._
-    // curie_map lives in the '#' header; small by construction — read the
-    // head on the driver, build the prefix expander once.
-    val head = spark.read.text(path).limit(200).as[String].collect()
+    // curie_map lives in the '#' header; small by construction — collect
+    // ONLY the comment lines (a filter, not a head-N sample: a 200-line
+    // limit both truncated long headers and, for a multi-file path,
+    // sampled whichever file listed first). Like the reference CLI, one
+    // call ingests one SSSOM file — its curie map must not leak onto
+    // other files.
+    val head = spark.read.text(path).as[String]
+      .filter(_.startsWith("#")).collect()
     val curieMap = head.takeWhile(_.startsWith("#"))
       .map(_.drop(1).trim)
       .filter(l => l.contains(":") && !l.startsWith("curie_map"))

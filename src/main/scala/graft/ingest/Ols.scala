@@ -80,8 +80,13 @@ object Ols {
                 skipObsolete: Boolean = true): Dataset[IngestNode] = {
     import spark.implicits._
     spark.read.textFile(path).mapPartitions { lines =>
-      lines.flatMap { line =>
-        val obj = JsonMethods.parse(line).asInstanceOf[JObject].obj.toMap
+      // skip blank/non-object lines (a trailing newline in a JSONL dump
+      // would otherwise abort the whole stage with a ClassCastException)
+      lines.filter(_.trim.nonEmpty).flatMap { line =>
+        (JsonMethods.parse(line) match {
+          case o: JObject => Some(o.obj.toMap)
+          case _ => None // non-object line: skip, don't abort the stage
+        }).flatMap { obj =>
         def first(k: String): Option[String] = obj.get(k).flatMap(strings(_).headOption)
         val imported = first("ols:imported").contains("true")
         val obsolete = first("ols:isObsolete").contains("true")
@@ -117,6 +122,7 @@ object Ols {
             props.get("ols:curie").toSeq.flatten.map(_.value).filter(_.contains(":")) ++
             props.get("ols:iri").toSeq.flatten.map(_.value)).distinct
           Some(IngestNode(ids, datasource, subgraph, Seq(grebiType), props))
+        }
         }
       }
     }

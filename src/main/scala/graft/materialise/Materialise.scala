@@ -70,9 +70,12 @@ object Materialise {
 
   /** J4 — `_refs`: for each node, a map from every referenced node id to
     * its metadata (name + types), built by explode → join metadata →
-    * regroup (`grebi_materialise/src/main.rs:197-210`). Popular targets
-    * (species-like hub nodes) skew the join; AQE skew-join handles the
-    * regroup side since the group key is the *from* node. */
+    * regroup (`grebi_materialise/src/main.rs:197-210`). Deliberately NOT
+    * filtered by the edge exclude list: the reference scans every string
+    * in the record (`find_strings(&line)`), so type values that are real
+    * node ids DO ref-enrich even though they never become edges. Popular
+    * targets (species/type hub nodes) skew the join; AQE skew-join
+    * handles the regroup side since the group key is the *from* node. */
   def refs(nodes: Dataset[MergedNode], metadata: DataFrame): DataFrame = {
     val cand = assertions(nodes)
       .select(col("fromNodeId"), col("toNodeId").as("ref"))

@@ -151,14 +151,19 @@ object Merge {
         first(col("subgraph")).as("subgraph"))
 
     // per-(node, key): deterministic value ordering (maps are unorderable,
-    // so sort on a scalar key then project the payload)
+    // so sort on a scalar key then project the payload). The sort key is a
+    // (value, kind, qualJson) STRUCT compared field-wise — a concatenated
+    // string is NOT order-equivalent to the typed path's tuple sort
+    // ("a" vs "a!": the concat compares '!' against the next field's first
+    // char). qualJson normalises "{}" → "" to match typed's empty key.
     val perKey = perValue
       .groupBy(col("nodeId"), col("key"))
       .agg(
         transform(
           array_sort(
             collect_list(struct(
-              concat_ws("", col("value"), col("kind"), col("qualJson")).as("sortKey"),
+              struct(col("value"), col("kind"),
+                when(col("qualJson") === "{}", lit("")).otherwise(col("qualJson")).as("qj")).as("sortKey"),
               struct(col("value"), col("kind"), col("datasources"),
                 col("vSourceIds").as("sourceIds"), col("qualifiers")).as("pv"))),
             (a, b) => when(a.getField("sortKey") < b.getField("sortKey"), -1)

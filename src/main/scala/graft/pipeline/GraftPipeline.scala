@@ -185,18 +185,33 @@ object GraftPipeline {
   }
 
   /** The combined-subgraphs build (second reference workflow,
-    * `nextflow/02_create_dbs.nf:13-38`): each subgraph's ids are prefixed
-    * with its name so the combined store has one global id space, then
-    * everything unions — ready for a single bulk import. */
-  def combineSubgraphs(builds: Seq[(String, SubgraphBuild)]): Dataset[MergedNode] = {
+    * `nextflow/02_create_dbs.nf:13-38`): the per-subgraph outputs union
+    * AS-IS with only the subgraph tag stamped — the reference never
+    * rewrites ids when combining (it concatenates the per-subgraph CSVs
+    * and dedups the id core with `sort -u`), so prefixing nodeIds here
+    * would orphan every edge and prop reference, which still carry the
+    * raw ids. The id space is therefore REQUIRED to be globally unique
+    * across subgraphs (the reference's standing assumption); the check is
+    * one distributed groupBy, disable it only when the caller has already
+    * proven disjointness. */
+  def combineSubgraphs(builds: Seq[(String, SubgraphBuild)],
+                       requireUniqueIds: Boolean = true): Dataset[MergedNode] = {
     require(builds.nonEmpty)
     val spark = builds.head._2.merged.sparkSession
     import spark.implicits._
-    builds.map { case (sg, b) =>
-      b.merged.map(m => m.copy(
-        nodeId = s"$sg:${m.nodeId}",
-        subgraph = sg))
+    val combined = builds.map { case (sg, b) =>
+      b.merged.map(m => m.copy(subgraph = sg))
     }.reduce(_ union _)
+    if (requireUniqueIds) {
+      val clash = combined.groupByKey(_.nodeId)
+        .agg(count_distinct(col("subgraph")).as[Long])
+        .filter(_._2 > 1)
+        .take(5)
+      require(clash.isEmpty,
+        s"node ids collide across subgraphs (combined import would merge them): " +
+          clash.map(_._1).mkString(", "))
+    }
+    combined
   }
 
   /** K8 — materialised query results: each named query's result written

@@ -206,7 +206,10 @@ object Query {
     val counts = transitiveClosure(edges, maxDepth)
       .groupBy(col("anc").as("nodeId"))
       .agg(count(lit(1)).as("n_descendants"))
-    val mx = counts.agg(max(col("n_descendants"))).first().getLong(0)
+    // max() over zero rows is null — an edge-free input yields an empty
+    // result, not an unboxing NPE
+    val mx = Option(counts.agg(max(col("n_descendants"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(1L)
     counts.withColumn("ic",
       lit(1.0) - col("n_descendants").cast("double") / lit(mx.toDouble))
   }

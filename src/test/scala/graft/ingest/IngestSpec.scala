@@ -95,6 +95,27 @@ class IngestSpec extends SparkSpec {
     assert(sub.qualifiers == Map("oboInOwl:source" -> Seq("DOID:9352", "NCIT:C26747")))
   }
 
+  test("S7 nested structs render as valid JSON; colliding keys merge") {
+    import spark.implicits._
+    // array inside a nested struct: previously leaked `WrappedArray(..)`
+    val df = spark.read.json(Seq(
+      """{"id":"x:1","meta":{"tags":["a","b"],"score":1.5,"n":3}}""").toDS())
+    val n = Ingest.fromDataFrame(df, TransformConfig(
+      idFields = Seq("id"), datasource = "d", subgraph = "s")).collect().head
+    val json = n.props("meta").head.value
+    val parsed = org.json4s.jackson.JsonMethods.parse(json) // must be valid JSON
+    assert((parsed \ "tags") == org.json4s.JArray(List(
+      org.json4s.JString("a"), org.json4s.JString("b"))))
+    // two source keys renamed onto the same effective key MERGE lists
+    val df2 = spark.read.json(Seq(
+      """{"id":"x:2","label":"A","title":"B"}""").toDS())
+    val n2 = Ingest.fromDataFrame(df2, TransformConfig(
+      idFields = Seq("id"), datasource = "d", subgraph = "s",
+      renameFields = Map("label" -> "grebi:name", "title" -> "grebi:name")))
+      .collect().head
+    assert(n2.props("grebi:name").map(_.value).sorted == Seq("A", "B"))
+  }
+
   test("S4 gwas: filename routing, header asserts, reified associations") {
     val dir = java.nio.file.Files.createTempDirectory("gwas")
     def tsv(name: String, header: Seq[String], rows: Seq[Seq[String]]): String = {

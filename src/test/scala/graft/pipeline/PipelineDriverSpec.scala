@@ -129,11 +129,20 @@ class PipelineDriverSpec extends SparkSpec {
     assert(canon(b2) == canon(build))
   }
 
-  test("combined subgraphs: one global id space, per-subgraph prefix") {
+  test("combined subgraphs: ids NEVER rewritten; cross-subgraph clashes rejected") {
+    // same build under two names = every id collides → the uniqueness
+    // guard must reject (a combined bulk import would silently merge them)
+    val ex = intercept[IllegalArgumentException] {
+      GraftPipeline.combineSubgraphs(Seq("sgA" -> build, "sgB" -> build)).collect()
+    }
+    assert(ex.getMessage.contains("collide"))
+    // explicit opt-out unions as-is, subgraph stamped, ids untouched (the
+    // reference concatenates per-subgraph outputs without rewriting, so
+    // edges/props keep resolving against the raw ids)
     val combined = GraftPipeline.combineSubgraphs(
-      Seq("sgA" -> build, "sgB" -> build)).collect()
+      Seq("sgA" -> build, "sgB" -> build), requireUniqueIds = false).collect()
     assert(combined.length == 4)
-    assert(combined.map(_.nodeId).count(_.startsWith("sgA:")) == 2)
+    assert(combined.map(_.nodeId).toSet == build.merged.collect().map(_.nodeId).toSet)
     assert(combined.map(_.subgraph).toSet == Set("sgA", "sgB"))
   }
 

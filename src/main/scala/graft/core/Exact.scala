@@ -37,9 +37,11 @@ object Exact {
     * that makes vector arithmetic order-independent and thus engine-exact).
     * ONE definition for every operator that scores embeddings — the Scala
     * expression and the DuckDB fragment must stay in lockstep or
-    * hash-parity silently breaks. */
+    * hash-parity silently breaks. Codegen'd ([[graft.functions.QuantizeL]]),
+    * not a `transform` HOF: the HOF evaluates interpreted and would break
+    * the WholeStageCodegen span right before the dot product. */
   def quantize(c: Column, scale: Int): Column =
-    transform(c, x => round(x.cast("double") * scale).cast("long"))
+    graft.functions.QuantizeL(c, scale)
 
   def sqlQuantize(col: String, scale: Int): String =
     s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"

@@ -40,13 +40,39 @@ final class PrefixTrie private (root: PrefixTrie.Node) extends Serializable {
     if (lastRepl == null) s else lastRepl + s.substring(lastEnd)
   }
 
-  /** UTF8String view for the codegen path (Tungsten-native strings in,
-    * out; avoids a per-row String round-trip on the no-match fast path
-    * only when a copy is needed). */
+  /** UTF8String view for the codegen path: walks the Tungsten bytes
+    * directly — the trie is ASCII-only, so any byte ≥ 0x80 (negative)
+    * terminates matching exactly like the reference byte-trie, and the
+    * dominant no-match path allocates NOTHING (no UTF-8→UTF-16 decode
+    * per row). On a match, the consumed prefix is pure ASCII so its byte
+    * length equals its char length, and the remainder bytes splice after
+    * the replacement verbatim. */
   def rewriteUtf8(s: UTF8String): UTF8String = {
-    val str = s.toString
-    val out = rewrite(str)
-    if (out.eq(str)) s else UTF8String.fromString(out)
+    val n = s.numBytes
+    var node = root
+    var i = 0
+    var lastEnd = -1
+    var lastRepl: String = null
+    while (node != null && i < n) {
+      val b = s.getByte(i)
+      if (b < 0) node = null
+      else {
+        node = node.children(PrefixTrie.lower(b.toChar))
+        i += 1
+        if (node != null && node.replacement != null) {
+          lastEnd = i; lastRepl = node.replacement
+        }
+      }
+    }
+    if (lastRepl == null) s
+    else {
+      val repl = lastRepl.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val all = s.getBytes
+      val out = new Array[Byte](repl.length + (n - lastEnd))
+      System.arraycopy(repl, 0, out, 0, repl.length)
+      System.arraycopy(all, lastEnd, out, repl.length, n - lastEnd)
+      UTF8String.fromBytes(out)
+    }
   }
 }
 
@@ -106,9 +132,16 @@ object Ids {
       score
     }
 
-  /** Pick the canonical id of a clique: min by (score, id). */
+  /** Pick the canonical id of a clique: min by (score, id), with the id
+    * tie broken in UTF-8 BYTE order — the same comparison Catalyst's
+    * min(struct(score, member)) uses in Groups.fromIdSets, so the Scala
+    * and DataFrame paths pick identical canonicals even for ids with
+    * supplementary characters (Java String order would invert those). */
   def canonical(ids: Iterable[String]): String =
-    ids.minBy(id => (idScore(id), id))
+    ids.reduceLeft { (a, b) =>
+      val c = Integer.compare(idScore(a), idScore(b))
+      if (c < 0 || (c == 0 && graft.core.Json.utf8Compare(a, b) <= 0)) a else b
+    }
 
   /** Unprefixed all-numeric ids are ambiguous and dropped — UNLESS they
     * are 16+ chars, which the reference accepts as UUID-like

@@ -16,12 +16,19 @@ import scala.collection.mutable
   */
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), mutable.ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
 
   // buffer kept sorted descending by (sortKey, -id); length ≤ k
   override def zero: mutable.ArrayBuffer[(Double, Long)] = mutable.ArrayBuffer.empty
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // total order via Double.compare — primitive > / == are BOTH false
+  // against NaN, which would let one NaN key permanently block the buffer
+  // tail (every later candidate fails `better(v, buf.last)`). NaN sorts
+  // greater-than-everything, consistently on both sides of the compare.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: mutable.ArrayBuffer[(Double, Long)],
                      v: (Double, Long)): mutable.ArrayBuffer[(Double, Long)] = {

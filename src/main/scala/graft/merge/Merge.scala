@@ -80,6 +80,10 @@ object Merge {
     }
 
     override def finish(b: MergeBuf): MergedNode = {
+      // UTF-8 byte order so the typed and columnar paths sort identically
+      // (Catalyst's array_sort compares UTF8String bytes; Java String
+      // order would invert supplementary characters)
+      implicit val byteOrder: Ordering[String] = Json.utf8Ordering
       val props = b.asserts.toSeq
         .sortBy { case ((k, v, kind, qj), _) => (k, v, kind, qj) }
         .map { case ((k, v, kind, qj), (ds, sids)) =>

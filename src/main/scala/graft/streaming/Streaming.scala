@@ -35,6 +35,20 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Run a streaming DataFrame to completion (AvailableNow) into a named
+    * memory sink and return the sink table — the one place the
+    * start/processAllAvailable/stop lifecycle lives. */
+  private def runToTable(df: DataFrame, mode: OutputMode, name: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+
   /** Hourly tumbling-window aggregate with a 1-hour watermark, run to
     * completion with AvailableNow and surfaced as a DataFrame. Complete
     * output mode so the trailing (still-open) windows are emitted on the
@@ -44,14 +58,7 @@ object Streaming {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), Exact.sumd(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    runToTable(agg, OutputMode.Complete, name)
       .select(col("window.start").cast("timestamp_ntz").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -67,14 +74,7 @@ object Streaming {
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.sumd(col("value")).as("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    runToTable(agg, OutputMode.Complete, name)
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
@@ -84,31 +84,32 @@ object Streaming {
     * training-data firehose. Bounded replay; production pairs this with
     * `dropDuplicatesWithinWatermark` to bound state. */
   def dedupedCounts(s: SparkSession, d: String, name: String): DataFrame = {
-    val ev = eventsStream(s, d)
+    // project to the two needed columns BEFORE the memory sink — the sink
+    // collects on the driver, and only (event_id, event_type) is needed
+    // for the dedup key + post-hoc count (full-width rows would drag the
+    // whole events table into driver memory)
+    val ev = eventsStream(s, d).select(col("event_id"), col("event_type"))
     val doubled = ev.unionByName(ev)
-    val q = doubled.dropDuplicates("event_id")
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    s.table(name)
+    runToTable(doubled.dropDuplicates("event_id"), OutputMode.Append, name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
 
-  /** Per-user session state for streaming sessionization. */
-  final case class SessionState(lastUs: Long, nEvents: Long, nSessions: Long)
+  /** Per-user session state: ALL event times seen so far (sorted). */
+  final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)
 
   /** Stateful streaming sessionization (30-min gap), the
     * `flatMapGroupsWithState` path (SURVEY §2.10 → Spark
-    * `KeyValueGroupedDataset`). Events must be fed in event-time order
-    * per user within a batch — the replay sorts; a production deployment
-    * would pair this with a watermark + EventTimeTimeout. */
+    * `KeyValueGroupedDataset`). Event times accumulate in state and the
+    * session count is recomputed over the FULL sorted list each batch, so
+    * the result is independent of arrival order ACROSS micro-batches (a
+    * multi-file replay can deliver a user's later events in an earlier
+    * batch; an incremental lastUs-only state would miscount those).
+    * State is O(events/user) — right for a bounded replay; an unbounded
+    * production stream caps it with a watermark + EventTimeTimeout,
+    * trading exactness on very-late events for bounded state. */
   def sessionize(s: SparkSession, d: String, name: String = "stream_sessions"): DataFrame = {
     import s.implicits._
     val ev = eventsStream(s, d)
@@ -120,27 +121,25 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0))
-          sorted.foreach { case (_, _, us) =>
-            val newSession = st.lastUs == Long.MinValue || us - st.lastUs > gap
-            st = SessionState(us, st.nEvents + 1,
-              st.nSessions + (if (newSession) 1 else 0))
+          val all = (state.getOption.map(_.times).getOrElse(Seq.empty) ++
+            rows.map(_._3)).sorted
+          state.update(SessionState(all))
+          var last = Long.MinValue
+          var sessions = 0L
+          all.foreach { us =>
+            if (last == Long.MinValue || us - last > gap) sessions += 1
+            last = us
           }
-          state.update(st)
-          Iterator(SessionOut(user, st.nEvents, st.nSessions))
+          Iterator(SessionOut(user, all.length.toLong, sessions))
       }
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    // last emission per user = final state
-    s.table(name)
+    // final emission per user = the one with the highest n_events
+    // (monotone across batches; n_sessions alone is NOT monotone — a
+    // late event can merge two sessions — so pick the row, not max())
+    runToTable(out.toDF(), OutputMode.Append, name)
       .groupBy(col("user_id"))
-      .agg(max(col("n_events")).as("n_events"), max(col("n_sessions")).as("n_sessions"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.n_sessions").as("n_sessions"))
       .orderBy(col("user_id"))
   }
 }

@@ -46,10 +46,26 @@ object StreamingOps extends QueryModule {
   val dedupedSql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
 
+  def intervalJoined(s: SparkSession, d: String): DataFrame =
+    Streaming.streamIntervalJoin(s, d, s"sjoin_${math.abs(d.hashCode)}")
+
+  val intervalJoinedSql: String =
+    """SELECT a.user_id AS user_id,
+      |  CAST(a.event_id AS BIGINT) AS a_event,
+      |  CAST(b.event_id AS BIGINT) AS b_event,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= 5*60*1000000
+      |ORDER BY user_id, a_event, b_event""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "st1_stream_hourly"   -> QueryDef(windowed, Some(windowedSql)),
     "st2_stream_sessions" -> QueryDef(sessions, Some(sessionsSql)),
     "st3_stream_enrich"   -> QueryDef(enriched, Some(enrichedSql)),
     "st4_stream_dedup"    -> QueryDef(deduped, Some(dedupedSql)),
+    "st5_stream_join"     -> QueryDef(intervalJoined, Some(intervalJoinedSql)),
   )
 }

@@ -96,6 +96,33 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** Stream-stream interval join with watermarks on BOTH sides — the
+    * canonical "impressions ⋈ clicks within N minutes" shape. Spark keeps
+    * each side's rows in join state only until the other side's watermark
+    * passes the interval bound, so state is bounded by watermark × rate,
+    * not the stream length. Here the two sides split one replayed stream
+    * by event-id parity (even = left, odd = right), joined per user with
+    * the right event at most 5 minutes after the left. */
+  def streamIntervalJoin(s: SparkSession, d: String, name: String): DataFrame = {
+    val ev = eventsStream(s, d)
+    val a = ev.where(col("event_id") % 2 === 0)
+      .select(col("user_id").as("a_user"), col("event_id").as("a_event"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val b = ev.where(col("event_id") % 2 === 1)
+      .select(col("user_id").as("b_user"), col("event_id").as("b_event"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    val joined = a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+    runToTable(joined, OutputMode.Append, name)
+      .select(col("a_user").as("user_id"),
+        col("a_event").cast("long").as("a_event"),
+        col("b_event").cast("long").as("b_event"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy(col("user_id"), col("a_event"), col("b_event"))
+  }
+
   /** Per-user session state: ALL event times seen so far (sorted). */
   final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

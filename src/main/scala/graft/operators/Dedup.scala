@@ -107,27 +107,36 @@ object Dedup extends QueryModule {
     minhashLshFrom(sh)
   }
 
-  /** Scale variant of d3: shingles and signatures persist to parquet
-    * between stages, so the three consumers (signature agg, candidate
+  /** Scale variant of d3: shingles AND signatures persist to parquet
+    * between stages, so downstream consumers (band generation, candidate
     * join, exact verification) each read a columnar store instead of
-    * re-deriving shingles from raw text. At sf0.1 recompute is cheaper
-    * than the write; at 100 TB the derivation dominates and this is the
-    * shape you run — identical output (DedupSpec pins it). */
+    * re-deriving from raw text. At sf0.1 recompute is cheaper than the
+    * write; at 100 TB the derivation dominates and this is the shape you
+    * run — identical output (DedupSpec pins it). */
   def minhashLshStaged(s: SparkSession, d: String, workDir: String): DataFrame = {
     shingles(s, d).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$workDir/shingles.parquet")
-    minhashLshFrom(s.read.parquet(s"$workDir/shingles.parquet"))
+    minhashLshFrom(s.read.parquet(s"$workDir/shingles.parquet"),
+      sigStore = Some((s, s"$workDir/signatures.parquet")))
   }
 
-  private def minhashLshFrom(sh: DataFrame): DataFrame = {
+  private def minhashLshFrom(sh: DataFrame,
+      sigStore: Option[(SparkSession, String)] = None): DataFrame = {
     val sigExprs = (1 to 16).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
-    val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
-    val bands = (0 until 4).map { b =>
+    var sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    sigStore.foreach { case (s, dir) =>
+      sig.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      sig = s.read.parquet(dir)
+    }
+    // all 4 band keys from ONE pass over the signatures (array + explode)
+    // — 4 unioned projections would recompute the 16-min aggregation per
+    // band on the unstaged path
+    val bandExprs = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => col(s"m${b * 4 + r}"))
-      sig.select(col("doc_id"),
-        md5(concat_ws("|", lit(b.toString) +: ms: _*)).as("band"))
-    }.reduce(_ unionByName _)
+      md5(concat_ws("|", lit(b.toString) +: ms: _*))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))

@@ -19,9 +19,9 @@ import scala.collection.immutable.ListMap
   */
 object GraphOps extends QueryModule {
 
-  private def pad(c: Column): Column = lpad(c.cast("string"), 9, "0")
-  private def node(prefix: String, c: Column): Column = concat(lit(prefix), pad(c))
-  private val sqlPad = (col: String) => s"lpad(CAST($col AS VARCHAR), 9, '0')"
+  private def pad(c: Column): Column = graft.core.Pad.col9(c)
+  private def node(prefix: String, c: Column): Column = graft.core.Pad.node(prefix, c)
+  private val sqlPad = (col: String) => graft.core.Pad.sql(col)
 
   // ---------------------------------------------------------------------
   // P1 — prefix-trie normalisation (reference `grebi_shared/src/prefix_map.rs`)

@@ -16,9 +16,8 @@ import scala.collection.immutable.ListMap
   */
 object MaterialiseOps extends QueryModule {
 
-  private def pad(c: Column): Column = lpad(c.cast("string"), 9, "0")
-  private def node(prefix: String, c: Column): Column = concat(lit(prefix), pad(c))
-  private val sqlPad = (col: String) => s"lpad(CAST($col AS VARCHAR), 9, '0')"
+  private def node(prefix: String, c: Column): Column = graft.core.Pad.node(prefix, c)
+  private val sqlPad = (col: String) => graft.core.Pad.sql(col)
 
   private def pv(v: String): PropValue = PropValue(v, "s", Seq("tpch"), Nil, Map.empty)
 

@@ -96,13 +96,17 @@ object Multimodal extends QueryModule {
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         val t = if (text == null) "" else text
-        val nFrames = (t.length + 63) / 64
+        // frame boundaries in Unicode CODEPOINTS, like m1 and the oracle's
+        // substr/len — UTF-16 units would shift every boundary and
+        // checksum on the first astral character
+        val cps = t.codePoints().toArray
+        val nFrames = (cps.length + 63) / 64
         (0 until nFrames).iterator.filter(_ % 4 == 0).map { f =>
           val start = f * 64
-          val end = math.min(start + 64, t.length)
+          val end = math.min(start + 64, cps.length)
           var sum = 0L
           var i = start
-          while (i < end) { sum += t.charAt(i).toInt; i += 1 }
+          while (i < end) { sum += cps(i); i += 1 }
           FrameSample(id, f.toLong, start.toLong, (end - start).toLong, sum % 997)
         }
       })

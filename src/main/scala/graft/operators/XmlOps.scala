@@ -20,7 +20,7 @@ import scala.collection.immutable.ListMap
   */
 object XmlOps extends QueryModule {
 
-  private def pad(k: Long): String = f"$k%09d"
+  private def pad(k: Long): String = f"$k%09d" // driver-side fixture writer; Column path = core.Pad
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -55,8 +55,15 @@ object XmlOps extends QueryModule {
       sb.append("</entry>\n")
     }
     sb.append("</entries></database>\n")
+    // driver-LOCAL temp fixture: fine for the gate (the harness runs
+    // local-mode, where executors share the driver's filesystem); a real
+    // deployment points fromMetabolightsXml at a shared-filesystem path.
+    // deleteOnExit keeps repeated Verify/Bench/test runs from
+    // accumulating fixture dirs in the system temp.
     val dir = java.nio.file.Files.createTempDirectory("graft_mtbls")
-    java.nio.file.Files.writeString(dir.resolve("eb_eye.xml"), sb.toString)
+    val file = dir.resolve("eb_eye.xml")
+    java.nio.file.Files.writeString(file, sb.toString)
+    dir.toFile.deleteOnExit(); file.toFile.deleteOnExit()
     Ingest.fromMetabolightsXml(s, dir.toString)
       .flatMap { n =>
         val nid = n.ids.head
@@ -67,7 +74,7 @@ object XmlOps extends QueryModule {
       .orderBy(col("node_id"), col("key"), col("value"))
   }
 
-  private val sqlPad = "lpad(CAST(p_partkey AS VARCHAR), 9, '0')"
+  private val sqlPad = graft.core.Pad.sql("p_partkey")
 
   val xmlIngestSql: String =
     s"""WITH p AS (SELECT * FROM part ORDER BY p_partkey LIMIT 200),

@@ -44,9 +44,17 @@ object AssignIds {
     * shuffle-joined against the groups DataFrame, the per-record hit map
     * is regrouped, and the same rewrite runs with that per-record map.
     * Two shuffles (on the candidate string, then on the record uid);
-    * group-table size is unbounded. */
+    * group-table size is unbounded.
+    *
+    * `bloomFpp`: optionally pre-filter candidates through a Bloom filter
+    * built over the group members. At 100 TB the exploded value column
+    * dwarfs the group table and almost none of it matches — the filter
+    * drops non-members BEFORE the candidate shuffle, shrinking it by
+    * roughly the non-member fraction. False positives only cost join
+    * work (they find no match), never correctness. */
   def joinBased(spark: SparkSession, nodes: Dataset[IngestNode],
-                groups: org.apache.spark.sql.DataFrame): Dataset[AssignedNode] = {
+                groups: org.apache.spark.sql.DataFrame,
+                bloomFpp: Option[Double] = None): Dataset[AssignedNode] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // uid only needs uniqueness, not density — monotonically_increasing_id
@@ -61,10 +69,20 @@ object AssignIds {
       .select(monotonically_increasing_id().as("uid"), struct(col("*")).as("node"))
       .as[(Long, IngestNode)]
       .localCheckpoint(false)
-    val cands = withUid.flatMap { case (uid, n) =>
+    val candsAll = withUid.flatMap { case (uid, n) =>
       (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))
         .distinct.map((uid, _))
     }.toDF("uid", "member")
+    val cands = bloomFpp match {
+      case Some(fpp) =>
+        val expected = math.max(groups.count(), 1L)
+        val bf = spark.sparkContext.broadcast(
+          groups.stat.bloomFilter("member", expected, fpp))
+        candsAll.as[(Long, String)]
+          .filter(t => bf.value.mightContain(t._2))
+          .toDF("uid", "member")
+      case None => candsAll
+    }
     val hits = cands.join(groups, "member")
       .groupBy("uid")
       .agg(map_from_entries(collect_list(struct(col("member"), col("canonical")))).as("hits"))

@@ -32,5 +32,9 @@ class AssignIdsJoinSpec extends SparkSpec {
     assert(broadcasted.toSeq == joined.toSeq)
     // prop KEY rewritten through the clique in both
     assert(joined.head.props.contains("new:key") || joined(1).props.contains("new:key"))
+    // bloom-filtered candidate pruning changes nothing but the shuffle size
+    val bloomed = AssignIds.joinBased(spark, ds, groupsDf, bloomFpp = Some(0.01))
+      .collect().sortBy(n => (n.nodeId, n.datasource))
+    assert(bloomed.toSeq == joined.toSeq)
   }
 }

@@ -46,6 +46,20 @@ object StreamingOps extends QueryModule {
   val dedupedSql: String =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
 
+  def sessionsNative(s: SparkSession, d: String): DataFrame =
+    Streaming.sessionizeNative(s, d, s"sessnat_${math.abs(d.hashCode)}")
+
+  // n_events must be a BIGINT on both sides: Spark sum(count) is long,
+  // and the DuckDB sum casts (HUGEINT trap)
+  val sessionsNativeSql: String =
+    """SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 30*60*1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def intervalJoined(s: SparkSession, d: String): DataFrame =
     Streaming.streamIntervalJoin(s, d, s"sjoin_${math.abs(d.hashCode)}")
 
@@ -67,5 +81,6 @@ object StreamingOps extends QueryModule {
     "st3_stream_enrich"   -> QueryDef(enriched, Some(enrichedSql)),
     "st4_stream_dedup"    -> QueryDef(deduped, Some(dedupedSql)),
     "st5_stream_join"     -> QueryDef(intervalJoined, Some(intervalJoinedSql)),
+    "st6_session_window"  -> QueryDef(sessionsNative, Some(sessionsNativeSql)),
   )
 }

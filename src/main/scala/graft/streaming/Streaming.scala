@@ -123,6 +123,26 @@ object Streaming {
       .orderBy(col("user_id"), col("a_event"), col("b_event"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` (merging windows,
+    * 30-min gap) — the built-in mechanism, vs the hand-rolled
+    * `flatMapGroupsWithState` state machine in [[sessionize]]; both must
+    * match the same batch oracle. Complete mode so trailing (still-open)
+    * sessions emit on the final batch. Boundary semantics agree with the
+    * batch lag-based twin for all non-exact-gap data: session_window's
+    * half-open [t, t+gap) treats an EXACTLY-30-minute gap as a new
+    * session where the batch `> gap` check merges it — microsecond
+    * timestamps make exact boundaries measure-zero. */
+  def sessionizeNative(s: SparkSession, d: String, name: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(agg, OutputMode.Complete, name)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user session state: ALL event times seen so far (sorted). */
   final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

@@ -26,6 +26,7 @@ object SparkEntry {
     graft.operators.ProfilerOps,
     graft.operators.StreamingOps,
     graft.operators.XmlOps,
+    graft.operators.RdfOps,
   )
 
   def allDefs: ListMap[String, QueryDef] =

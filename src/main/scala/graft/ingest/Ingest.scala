@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.model.{IngestNode, Kind, RawValue}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -248,26 +248,91 @@ object Ingest {
     }
   }
 
-  /** S2 — triples → subject-grouped nodes with OWL-Axiom reification
-    * collapse (`grebi_rdf2jsonl/src/main.rs:183-227,230-427`). Input is a
-    * (s, p, o) DataFrame (from any triple source — NTriples lines parse
-    * with [[parseNTriples]]). Reified axiom subjects (those with
-    * owl:annotatedSource/Property/Target) fold their remaining props into
-    * qualifiers on the base triple — a self-join, not an in-RAM index. */
+  /** Accepted spellings of the six reification markers — the reference
+    * compares full IRIs (`grebi_rdf2jsonl/src/main.rs:25-45`) and handles
+    * BOTH owl:Axiom (annotatedSource/Property/Target) and rdf:Statement
+    * (subject/predicate/object) reification via the same fold
+    * (`main.rs:170-172`); pre-contracted fixtures use the prefixed
+    * forms. Each alias maps to a canonical bucket name for the pivot. */
+  private val reifMarkerAliases: Map[String, String] = {
+    val owl = "http://www.w3.org/2002/07/owl#"
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    Map(
+      "owl:annotatedSource" -> "src", (owl + "annotatedSource") -> "src",
+      "rdf:subject" -> "src", (rdf + "subject") -> "src",
+      "owl:annotatedProperty" -> "prop", (owl + "annotatedProperty") -> "prop",
+      "rdf:predicate" -> "prop", (rdf + "predicate") -> "prop",
+      "owl:annotatedTarget" -> "tgt", (rdf + "object") -> "tgt",
+      "rdf:object" -> "tgt", (owl + "annotatedTarget") -> "tgt")
+  }
+
+  /** Canonical (utf8-key-sorted, sorted value arrays) JSON for a nested
+    * subtree: `{"pred":["v1","v2"],…}` — the shape `term_to_json`
+    * (`main.rs:280-427`) emits for blank-node and nested objects, minus
+    * the `id` key (the reference strips it on nested objects). A value
+    * that is itself a serialized subtree embeds as a raw JSON object
+    * (heuristic: starts with `{"` and ends with `}`), matching the
+    * reference's recursive object nesting. */
+  private def subtreeJson(rows: Seq[(String, String)]): String = {
+    def renderValue(v: String): String =
+      if (v.startsWith("{\"") && v.endsWith("}")) v else graft.core.Json.str(v)
+    rows.groupBy(_._1).toSeq
+      .sortWith((a, b) => graft.core.Json.utf8Compare(a._1, b._1) < 0)
+      .map { case (p, vs) =>
+        graft.core.Json.str(p) + ":" +
+          vs.map(_._2).sortWith(graft.core.Json.utf8Compare(_, _) < 0)
+            .map(renderValue).mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+  }
+
+  /** S2 — triples → subject-grouped nodes with reification collapse and
+    * the rdf2jsonl nesting/exclusion options
+    * (`grebi_rdf2jsonl/src/main.rs:130-181,230-427`). Input is a
+    * (s, p, o) DataFrame from any triple source ([[parseNTriples]],
+    * [[Rdf.parseTurtle]], [[Rdf.parseRdfXml]], [[Rdf.parseNQuads]]).
+    *
+    * Reference semantics reproduced:
+    *   - owl:Axiom / rdf:Statement subjects fold their remaining props
+    *     into qualifiers on the base triple — a self-join, not an in-RAM
+    *     index (`populate_reifs`, main.rs:186-227).
+    *   - `excludePreds` (= `--exclude-objects-of-predicate`): any object
+    *     of such a predicate loses its own record; the referring triple
+    *     keeps the plain value (main.rs:162-166,250-252).
+    *   - `nestPreds` (= `--nest-objects-of-predicate`): objects of such
+    *     predicates serialize their whole subtree as a JSON value on the
+    *     referring property and are excluded at top level
+    *     (main.rs:158-160,253-255,378-390).
+    *   - blank-node objects ALWAYS nest as JSON subtrees, and non-IRI
+    *     subjects never emit a top-level record (main.rs:246-248,394).
+    *
+    * Subtree serialization runs bottom-up as an iterative join: each
+    * round serializes the blank subjects whose children are all resolved
+    * and substitutes them into referring triples — O(subtree depth)
+    * rounds (ontology blank structures are shallow: lists, restrictions);
+    * rounds cap at `maxNestDepth`. Unlike the reference's whole-graph RAM
+    * index, every step is a distributed join. */
   def fromTriples(triples: DataFrame, datasource: String, subgraph: String,
-                  typePredicate: String = "rdf:type"): Dataset[IngestNode] = {
+                  typePredicate: String = "rdf:type",
+                  nestPreds: Set[String] = Set.empty,
+                  excludePreds: Set[String] = Set.empty,
+                  maxNestDepth: Int = 8): Dataset[IngestNode] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val t = triples.select(col("s"), col("p"), col("o"))
-    val axiomProps = Seq("owl:annotatedSource", "owl:annotatedProperty", "owl:annotatedTarget")
-    val axioms = t.groupBy("s").pivot("p", axiomProps).agg(first("o"))
-      .where(axiomProps.map(c => col(c).isNotNull).reduce(_ && _))
-      .select(col("s").as("axiomId"), col("owl:annotatedSource").as("src"),
-        col("owl:annotatedProperty").as("prop"), col("owl:annotatedTarget").as("tgt"))
+    val markers = reifMarkerAliases
+    val canonicalP = markers.foldLeft(lit(null).cast("string")) {
+      case (acc, (alias, bucket)) => when(col("p") === alias, bucket).otherwise(acc)
+    }
+    val tc = t.withColumn("pc", canonicalP)
+    val buckets = Seq("src", "prop", "tgt")
+    val axioms = tc.where(col("pc").isNotNull)
+      .groupBy("s").pivot("pc", buckets).agg(first("o"))
+      .where(buckets.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(col("s").as("axiomId"), col("src"), col("prop"), col("tgt"))
     val axiomIds = axioms.select(col("axiomId")).distinct()
     // annotation props carried on the axiom node
-    val annots = t.join(axioms, t("s") === axioms("axiomId"))
-      .where(!col("p").isin(axiomProps :+ typePredicate: _*))
+    val annots = tc.join(axioms, tc("s") === axioms("axiomId"))
+      .where(col("pc").isNull && col("p") =!= typePredicate)
       .select(col("src"), col("prop"), col("tgt"), col("p").as("qk"), col("o").as("qv"))
     val base = t.join(axiomIds, t("s") === axiomIds("axiomId"), "left_anti")
     // qualifiers are multi-valued: aggregate values PER KEY first, or
@@ -280,9 +345,61 @@ object Ingest {
       .agg(sort_array(collect_list(col("qv"))).as("qvs"))
       .groupBy(col("s"), col("p"), col("o"))
       .agg(map_from_entries(collect_list(struct(col("qk"), col("qvs")))).as("quals"))
-    val baseWithQuals = base
-      .join(qualsPerKey, Seq("s", "p", "o"), "left")
-    baseWithQuals.as[(String, String, String, Map[String, Seq[String]])]
+    var cur = base.join(qualsPerKey, Seq("s", "p", "o"), "left")
+
+    // --- exclude-objects-of-predicate: drop the object's own record
+    if (excludePreds.nonEmpty) {
+      val excluded = cur.where(col("p").isin(excludePreds.toSeq: _*))
+        .select(col("o").as("xs")).distinct()
+      cur = cur.join(excluded, cur("s") === excluded("xs"), "left_anti")
+    }
+
+    val isBlank = (c: Column) => c.startsWith("_:")
+
+    /** Serialize the given subjects' subtrees and return (subjId, json). */
+    def serialize(subjects: DataFrame): DataFrame =
+      cur.join(subjects, cur("s") === subjects("sid"), "left_semi")
+        .select(col("s"), col("p"), col("o"))
+        .as[(String, String, String)]
+        .groupByKey(_._1)
+        .mapGroups { (sid, it) => (sid, subtreeJson(it.map(r => (r._2, r._3)).toSeq)) }
+        .toDF("sid", "json")
+
+    // --- blank-node subtrees nest bottom-up
+    var depth = 0
+    var done = false
+    while (!done && depth < maxNestDepth) {
+      val blankSubj = cur.where(isBlank(col("s"))).select(col("s").as("sid")).distinct()
+      val unresolved = cur.where(isBlank(col("s")) && isBlank(col("o")))
+        .select(col("s").as("sid")).distinct()
+      val ready = blankSubj.except(unresolved)
+      if (ready.isEmpty) done = true
+      else {
+        val ser = serialize(ready)
+        cur = cur.join(ser.withColumnRenamed("sid", "rs"), cur("s") === col("rs"), "left_anti")
+        cur = cur.join(ser, cur("o") === ser("sid"), "left")
+          .select(col("s"), col("p"), coalesce(col("json"), col("o")).as("o"), col("quals"))
+        depth += 1
+      }
+    }
+
+    // --- nest-objects-of-predicate: IRI targets serialize one level deep
+    // and vanish from the top level (deeper nest-of-nest chains keep the
+    // inner reference as a plain IRI — ontology configs nest depth-1
+    // evidence/metadata objects)
+    if (nestPreds.nonEmpty) {
+      val targets = cur.where(col("p").isin(nestPreds.toSeq: _*))
+        .select(col("o").as("sid")).distinct()
+      val ser = serialize(targets)
+      cur = cur.join(ser, cur("o") === ser("sid") &&
+          col("p").isin(nestPreds.toSeq: _*), "left")
+        .select(col("s"), col("p"), coalesce(col("json"), col("o")).as("o"), col("quals"))
+      val tgt2 = targets.withColumnRenamed("sid", "ts")
+      cur = cur.join(tgt2, cur("s") === tgt2("ts"), "left_anti")
+    }
+
+    cur.where(!isBlank(col("s")))
+      .as[(String, String, String, Map[String, Seq[String]])]
       .groupByKey(_._1)
       .mapGroups { (subj, it) =>
         val props = it.toSeq.groupBy(_._2).map { case (p, rows) =>

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.core.{QueryDef, QueryModule, Tables}
+import graft.ingest.Rdf
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** S2 parser gate — the three concrete RDF syntaxes the reference loads
+  * (`grebi_rdf2jsonl/src/main.rs:105-139`) driven through deterministic
+  * fixtures derived from the `part` table so the DuckDB oracle can
+  * reconstruct the expected triples in closed form.
+  *
+  * The first 180 parts split by `p_partkey % 3`: remainder 1 becomes a
+  * Turtle fixture (prefixed names, `a`, predicate-object lists, escaped
+  * quotes in literals, numeric abbreviation, language tag, datatype);
+  * remainder 2 becomes an RDF/XML fixture (typed node element, property
+  * attribute, literal property, `rdf:datatype`, `rdf:resource`);
+  * remainder 0 becomes an NQuads fixture across two named graphs with the
+  * filter keeping only graphA (`main.rs:117-135`). Fixture generation is
+  * bounded driver-side (180 rows, one small file each); the parsers
+  * themselves run distributed, one task per file.
+  */
+object RdfOps extends QueryModule {
+
+  private val Ex = "http://example.org/"
+  private val pad = (k: Long) => f"$k%09d"
+
+  private def escTtl(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def escXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** x2 — write the three fixtures, parse each with the real parser,
+    * union and flatten to sorted (s, p, o). */
+  def rdfIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy(col("p_partkey")).limit(180).collect()
+
+    val ttl = new StringBuilder
+    ttl.append("@prefix ex: <http://example.org/> .\n")
+    ttl.append("@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n\n")
+    val xml = new StringBuilder
+    xml.append("""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#" xmlns:ex="http://example.org/">""").append('\n')
+    val nq = new StringBuilder
+
+    parts.foreach { r =>
+      val k = r.getLong(0)
+      val (nm, brand, typ, size) = (r.getString(1), r.getString(2), r.getString(3), r.getInt(4))
+      val cents = math.round(r.getDouble(5) * 100)
+      val id = pad(k)
+      (k % 3) match {
+        case 1 => // Turtle
+          ttl.append(s"ex:part$id a ex:Part ;\n")
+          ttl.append(s"""  ex:name "say \\"${escTtl(nm)}\\"" ;""").append('\n')
+          ttl.append(s"  ex:size $size ;\n")
+          ttl.append(s"""  ex:brand "${escTtl(brand)}"@en ;""").append('\n')
+          ttl.append(s"""  ex:ptype "${escTtl(typ)}"^^xsd:string .""").append('\n')
+        case 2 => // RDF/XML
+          xml.append(s"""  <ex:Part rdf:about="${Ex}part$id" ex:brand="${escXml(brand)}">""").append('\n')
+          xml.append(s"    <ex:name>${escXml(nm)}</ex:name>\n")
+          xml.append(s"""    <ex:size rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">$size</ex:size>""").append('\n')
+          xml.append(s"""    <ex:supplier rdf:resource="${Ex}supplier$id"/>""").append('\n')
+          xml.append("  </ex:Part>\n")
+        case _ => // NQuads, two graphs; only graphA survives the filter
+          nq.append(s"""<${Ex}part$id> <${Ex}retailCents> "$cents" <${Ex}graphA> .""").append('\n')
+          nq.append(s"""<${Ex}part$id> <${Ex}ptype> "${escTtl(typ)}" <${Ex}graphB> .""").append('\n')
+      }
+    }
+    xml.append("</rdf:RDF>\n")
+
+    // driver-LOCAL temp fixtures (same rationale as XmlOps.xmlIngest: the
+    // harness runs local-mode; a deployment points the parsers at shared
+    // storage)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdf")
+    val fTtl = dir.resolve("fixture.ttl")
+    val fXml = dir.resolve("fixture.rdf")
+    val fNq = dir.resolve("fixture.nq")
+    java.nio.file.Files.writeString(fTtl, ttl.toString)
+    java.nio.file.Files.writeString(fXml, xml.toString)
+    java.nio.file.Files.writeString(fNq, nq.toString)
+    dir.toFile.deleteOnExit()
+    Seq(fTtl, fXml, fNq).foreach(_.toFile.deleteOnExit())
+
+    Rdf.parseTurtle(s, fTtl.toString)
+      .union(Rdf.parseRdfXml(s, fXml.toString))
+      .union(Rdf.parseNQuads(s, fNq.toString, graphs = Seq(s"${Ex}graphA")))
+      .orderBy(col("s"), col("p"), col("o"))
+  }
+
+  private val sqlPad = graft.core.Pad.sql("p_partkey")
+  private val RdfTypeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  val rdfIngestSql: String =
+    s"""WITH t AS (
+      |  SELECT *, 'http://example.org/part' || $sqlPad AS subj, $sqlPad AS id
+      |  FROM part ORDER BY p_partkey LIMIT 180)
+      |SELECT s, p, o FROM (
+      |  -- Turtle (p_partkey % 3 = 1)
+      |  SELECT subj AS s, '$RdfTypeIri' AS p, 'http://example.org/Part' AS o
+      |    FROM t WHERE p_partkey % 3 = 1
+      |  UNION ALL SELECT subj, 'http://example.org/name', 'say "' || p_name || '"'
+      |    FROM t WHERE p_partkey % 3 = 1
+      |  UNION ALL SELECT subj, 'http://example.org/size', CAST(p_size AS VARCHAR)
+      |    FROM t WHERE p_partkey % 3 = 1
+      |  UNION ALL SELECT subj, 'http://example.org/brand', p_brand
+      |    FROM t WHERE p_partkey % 3 = 1
+      |  UNION ALL SELECT subj, 'http://example.org/ptype', p_type
+      |    FROM t WHERE p_partkey % 3 = 1
+      |  -- RDF/XML (p_partkey % 3 = 2)
+      |  UNION ALL SELECT subj, '$RdfTypeIri', 'http://example.org/Part'
+      |    FROM t WHERE p_partkey % 3 = 2
+      |  UNION ALL SELECT subj, 'http://example.org/brand', p_brand
+      |    FROM t WHERE p_partkey % 3 = 2
+      |  UNION ALL SELECT subj, 'http://example.org/name', p_name
+      |    FROM t WHERE p_partkey % 3 = 2
+      |  UNION ALL SELECT subj, 'http://example.org/size', CAST(p_size AS VARCHAR)
+      |    FROM t WHERE p_partkey % 3 = 2
+      |  UNION ALL SELECT subj, 'http://example.org/supplier', 'http://example.org/supplier' || id
+      |    FROM t WHERE p_partkey % 3 = 2
+      |  -- NQuads, graphA only (p_partkey % 3 = 0)
+      |  UNION ALL SELECT subj, 'http://example.org/retailCents',
+      |      CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS VARCHAR)
+      |    FROM t WHERE p_partkey % 3 = 0
+      |) ORDER BY s, p, o""".stripMargin
+
+  override val defs: ListMap[String, QueryDef] = ListMap(
+    "x2_rdf_ingest" -> QueryDef(rdfIngest, Some(rdfIngestSql)),
+  )
+}

@@ -7,17 +7,15 @@ import scala.collection.immutable.ListMap
 
 /** Multimodal column plumbing: image/audio/video payloads ride through the
   * pipeline as opaque `binary` columns with a typed metadata struct, and
-  * decode/feature-extract runs as a batched partition-level operator —
-  * exactly the shape a real decoder (codec library over `mapPartitions`,
-  * or Arrow-batched UDFs) plugs into.
+  * decode/feature-extract runs as a batched partition-level operator.
   *
-  * The decode step itself is STUBBED with a deterministic fake (this
-  * container carries no codec libraries): [[MediaStub.decode]] stands in
-  * for the codec call; everything around it — the binary payload schema,
-  * per-partition batching, metadata struct, and the downstream aggregation
-  * — is real and oracle-checked. At scale the payload column dominates
-  * bytes: the media table stays in its own parquet files so scans that
-  * only need metadata never touch payload pages (columnar pruning).
+  * The decoders are REAL format parsers from [[graft.media.Codecs]] —
+  * 24-bit BMP (header fields, row padding, BGR order, both row
+  * orientations) and 16-bit PCM WAV (RIFF chunk walk, little-endian
+  * signed samples) — plus UTF-8 for text payloads. At scale the payload
+  * column dominates bytes: the media table stays in its own parquet
+  * files so scans that only need metadata never touch payload pages
+  * (columnar pruning).
   */
 object Multimodal extends QueryModule {
 
@@ -26,30 +24,25 @@ object Multimodal extends QueryModule {
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
                                  media_type: String)
 
-  object MediaStub {
-    /** STUB decoder — a real implementation would hand `payload` to a
-      * codec (JPEG decode, PCM resample, frame sample). Deterministic
-      * fake: byte-sum checksum mod 997. The signature (bytes in, features
-      * out, called once per batch iterator) is the real contract. */
-    def decode(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
-      batch.map { m =>
-        // checksum over Unicode CODEPOINTS of the decoded payload so the
-        // SQL oracle's per-character ord() replays it beyond ASCII
-        // (a UTF-8 byte sum would diverge on any multibyte character)
-        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-        var sum = 0L
-        var i = 0
-        while (i < text.length) {
-          val cp = text.codePointAt(i)
-          sum += cp
-          i += Character.charCount(cp)
-        }
-        MediaFeatures(m.doc_id, m.payload.length.toLong, sum % 997, m.media_type)
+  /** Text-payload decode: UTF-8 bytes → codepoint-sum feature. The
+    * checksum runs over Unicode CODEPOINTS of the decoded payload so the
+    * SQL oracle's per-character ord() replays it beyond ASCII (a UTF-8
+    * byte sum would diverge on any multibyte character). */
+  private def decodeTextBatch(batch: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+    batch.map { m =>
+      val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+      var sum = 0L
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        sum += cp
+        i += Character.charCount(cp)
       }
-  }
+      MediaFeatures(m.doc_id, m.payload.length.toLong, sum % 997, m.media_type)
+    }
 
-  /** m1 — binary ingestion + batched stub-decode + metadata aggregation.
-    * Documents stand in for media payloads (text bytes as the opaque
+  /** m1 — binary ingestion + batched text decode + metadata aggregation.
+    * Documents stand in for media payloads (UTF-8 bytes as the opaque
     * payload). */
   def mediaPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -58,8 +51,8 @@ object Multimodal extends QueryModule {
         col("text").cast("binary").as("payload"),
         concat(lit("text/"), col("lang")).as("media_type"))
       .as[MediaRecord]
-    // partition-level batch decode — one stub call per partition iterator
-    val features = media.mapPartitions(MediaStub.decode)
+    // partition-level batch decode — one call per partition iterator
+    val features = media.mapPartitions(decodeTextBatch)
     features.toDF()
       .select(col("doc_id"), col("n_bytes"), col("checksum"), col("media_type"))
       .orderBy(col("doc_id"))
@@ -126,8 +119,85 @@ object Multimodal extends QueryModule {
       |FROM chars WHERE f % 4 = 0
       |GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
 
+  final case class MediaFeat(doc_id: Long, media_type: String, meta: Long,
+                             n_units: Long, checksum: Long)
+
+  /** m3 — REAL binary decode: each doc synthesizes a genuine media file
+    * distributed-side (even doc_id → 8×8 24-bit BMP, odd → mono 16-bit
+    * PCM WAV whose length and sample rate vary per doc), and the decode
+    * pass parses the actual bytes back through [[graft.media.Codecs]].
+    * Features are ORDER-SENSITIVE (position-weighted checksums over the
+    * decoded pixels / samples), so a row-orientation flip, padding slip,
+    * BGR/RGB swap or endianness bug in either codec breaks the hash —
+    * the oracle replays the closed-form pixel/sample values the encoder
+    * was given, so only a faithful encode→decode round-trip matches. */
+  def realDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        if (id % 2 == 0) {
+          val bytes = graft.media.Codecs.encodeBmp(8, 8, (x, y) => {
+            val idx = y * 8 + x
+            (((id + 3 * idx) % 256).toInt, ((id + 5 * idx) % 251).toInt,
+              ((id + 7 * idx) % 247).toInt)
+          })
+          MediaRecord(id, bytes, "image/bmp")
+        } else {
+          val n = (64 + id % 32).toInt
+          val rate = (8000 + (id % 5) * 1000).toInt
+          val samples = Array.tabulate(n)(i => (((id * 7 + i * 13) % 2003) - 1001).toShort)
+          MediaRecord(id, graft.media.Codecs.encodeWavPcm16(rate, samples), "audio/wav")
+        }
+      }
+    val features = media.mapPartitions(_.map { m =>
+      m.media_type match {
+        case "image/bmp" =>
+          val img = graft.media.Codecs.decodeBmp(m.payload)
+          var sum = 0L
+          var idx = 0
+          while (idx < img.pixels.length) {
+            val p = img.pixels(idx)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong * (idx + 1)
+            idx += 1
+          }
+          MediaFeat(m.doc_id, m.media_type, img.width.toLong,
+            img.pixels.length.toLong, sum % 1000003)
+        case _ =>
+          val wav = graft.media.Codecs.decodeWavPcm16(m.payload)
+          var sum = 0L
+          var i = 0
+          while (i < wav.samples.length) { sum += wav.samples(i).toLong * (i + 1); i += 1 }
+          MediaFeat(m.doc_id, m.media_type, wav.sampleRate.toLong,
+            wav.samples.length.toLong, ((sum % 1000003) + 1000003) % 1000003)
+      }
+    })
+    features.toDF().orderBy(col("doc_id"))
+  }
+
+  val realDecodeSql: String =
+    """WITH bmp AS (
+      |  SELECT doc_id, CAST(sum(
+      |      ((doc_id + 3*idx) % 256 + (doc_id + 5*idx) % 251 + (doc_id + 7*idx) % 247)
+      |      * (idx + 1)) % 1000003 AS BIGINT) AS checksum
+      |  FROM documents CROSS JOIN generate_series(0, 63) g(idx)
+      |  WHERE doc_id % 2 = 0 GROUP BY doc_id),
+      |wav AS (
+      |  SELECT doc_id,
+      |    CAST(((sum((((doc_id*7 + i*13) % 2003) - 1001) * (i + 1)) % 1000003)
+      |      + 1000003) % 1000003 AS BIGINT) AS checksum,
+      |    CAST(64 + doc_id % 32 AS BIGINT) AS n
+      |  FROM documents CROSS JOIN generate_series(0, 95) g(i)
+      |  WHERE doc_id % 2 = 1 AND i < 64 + doc_id % 32
+      |  GROUP BY doc_id)
+      |SELECT doc_id, 'image/bmp' AS media_type, CAST(8 AS BIGINT) AS meta,
+      |  CAST(64 AS BIGINT) AS n_units, checksum FROM bmp
+      |UNION ALL
+      |SELECT doc_id, 'audio/wav', CAST(8000 + (doc_id % 5) * 1000 AS BIGINT), n, checksum FROM wav
+      |ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
+    "m3_real_decode"    -> QueryDef(realDecode, Some(realDecodeSql)),
   )
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.media.Codecs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level contracts of the dependency-free BMP/WAV codecs. */
+class CodecsSpec extends AnyFunSuite {
+
+  test("bmp: header bytes, bottom-up storage, BGR order, row padding") {
+    // 2×2 with distinct per-pixel channels
+    val enc = Codecs.encodeBmp(2, 2, (x, y) => (10 * (y * 2 + x) + 1, 10 * (y * 2 + x) + 2, 10 * (y * 2 + x) + 3))
+    assert(enc(0) == 'B' && enc(1) == 'M')
+    // data offset 54; row size 2*3=6 padded to 8; file = 54 + 16
+    assert(enc.length == 70)
+    // bottom-up: first stored row is y=1 (pixels 2,3); BGR order
+    assert((enc(54) & 0xff) == 23 && (enc(55) & 0xff) == 22 && (enc(56) & 0xff) == 21)
+    // second stored row at offset 54+8 is y=0 (pixel 0)
+    assert((enc(62) & 0xff) == 3 && (enc(63) & 0xff) == 2 && (enc(64) & 0xff) == 1)
+    val dec = Codecs.decodeBmp(enc)
+    assert(dec.width == 2 && dec.height == 2)
+    // decoded pixels are top-down row-major 0xRRGGBB
+    assert(dec.pixels.toSeq == (0 until 4).map(i =>
+      ((10 * i + 1) << 16) | ((10 * i + 2) << 8) | (10 * i + 3)))
+  }
+
+  test("bmp: negative height (top-down) decodes with rows unflipped") {
+    val enc = Codecs.encodeBmp(2, 2, (x, y) => (y * 2 + x, 0, 0))
+    val topDown = enc.clone()
+    // height := -2, little-endian at offset 22
+    topDown(22) = 0xfe.toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    val up = Codecs.decodeBmp(enc).pixels.toSeq
+    val down = Codecs.decodeBmp(topDown).pixels.toSeq
+    // same bytes interpreted top-down = vertical flip of the bottom-up read
+    assert(down == up.grouped(2).toSeq.reverse.flatten)
+  }
+
+  test("bmp: rejects wrong magic and unsupported bpp") {
+    val enc = Codecs.encodeBmp(1, 1, (_, _) => (1, 2, 3))
+    val bad = enc.clone(); bad(0) = 'X'
+    assertThrows[IllegalArgumentException](Codecs.decodeBmp(bad))
+    val bad2 = enc.clone(); bad2(28) = 8 // 8bpp
+    assertThrows[IllegalArgumentException](Codecs.decodeBmp(bad2))
+  }
+
+  test("wav: round-trip with negative samples; unknown chunks skipped") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val enc = Codecs.encodeWavPcm16(22050, samples)
+    val dec = Codecs.decodeWavPcm16(enc)
+    assert(dec.sampleRate == 22050 && dec.channels == 1)
+    assert(dec.samples.toSeq == samples.toSeq)
+
+    // splice an odd-sized JUNK chunk between WAVE and fmt — the walker
+    // must skip it with even-byte padding
+    val junkPayload = Array[Byte](9, 9, 9) // size 3, padded to 4
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, 12)
+    out.write("JUNK".getBytes("US-ASCII"))
+    out.write(Array[Byte](3, 0, 0, 0)) // size 3 LE
+    out.write(junkPayload)
+    out.write(0) // pad byte
+    out.write(enc, 12, enc.length - 12)
+    val dec2 = Codecs.decodeWavPcm16(out.toByteArray)
+    assert(dec2.sampleRate == 22050 && dec2.samples.toSeq == samples.toSeq)
+  }
+
+  test("wav: rejects non-PCM format codes and missing chunks") {
+    val enc = Codecs.encodeWavPcm16(8000, Array[Short](1, 2))
+    val bad = enc.clone(); bad(20) = 3 // IEEE float format code
+    assertThrows[IllegalArgumentException](Codecs.decodeWavPcm16(bad))
+    assertThrows[IllegalArgumentException](
+      Codecs.decodeWavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII") ++ new Array[Byte](40)))
+  }
+}

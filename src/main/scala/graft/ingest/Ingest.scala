@@ -26,7 +26,11 @@ object Ingest {
       renameFields: Map[String, String] = Map.empty,
       injectKeyPrefix: String = "",
       injectValuePrefix: Map[String, String] = Map.empty,
-      injectHashId: Boolean = false)
+      injectHashId: Boolean = false,
+      /** `--json-de-nest-field a.b`: replace the object value of field
+        * `a` with its `b` subfield (arrays element-wise), per
+        * `grebi_transform_jsonl/src/main.rs:67-72,135-150`. */
+      deNestFields: Map[String, String] = Map.empty)
 
   /** Convert one source Row (any schema) into the open props map.
     * Scalars stringify with a kind tag; arrays fan out to one RawValue per
@@ -94,9 +98,19 @@ object Ingest {
     * parquet/jdbc` result) to ingest nodes, with the transform_jsonl
     * operations: field renames, type injection, key/value prefixing,
     * content-hash ids. */
-  def fromDataFrame(df: DataFrame, cfg: TransformConfig): Dataset[IngestNode] = {
-    val spark = df.sparkSession
+  def fromDataFrame(df0: DataFrame, cfg: TransformConfig): Dataset[IngestNode] = {
+    val spark = df0.sparkSession
     import spark.implicits._
+    // de-nest happens at the Column level BEFORE row shaping, so the
+    // planner prunes the unused subfields out of the scan
+    val df = cfg.deNestFields.foldLeft(df0) { case (d, (field, sub)) =>
+      d.schema.fields.find(_.name == field).map(_.dataType) match {
+        case Some(_: StructType) => d.withColumn(field, col(field).getField(sub))
+        case Some(ArrayType(_: StructType, _)) =>
+          d.withColumn(field, transform(col(field), _.getField(sub)))
+        case _ => d // scalar or absent: reference leaves the value as-is
+      }
+    }
     df.map { row =>
       val raw = rowToProps(row)
       // rename alias is taken VERBATIM — the key prefix only applies when no
@@ -140,10 +154,18 @@ object Ingest {
   /** S3 — TSV/CSV → ingest nodes (`grebi_tsv2jsonl/src/main.rs:23-126`):
     * `#`-comment skip, optional multi-value split, empty-field drop. */
   def fromTsv(spark: SparkSession, path: String, cfg: TransformConfig,
-              sep: String = "\t", multiValueSep: Option[String] = None): Dataset[IngestNode] = {
-    var df = spark.read
-      .option("sep", sep).option("header", "true").option("comment", "#")
-      .csv(path)
+              sep: String = "\t", multiValueSep: Option[String] = None,
+              columns: Option[Seq[String]] = None): Dataset[IngestNode] = {
+    // `columns` = the reference's `--tsv-columns` (headerless files get
+    // their column names from the command line)
+    var df = columns match {
+      case Some(cols) =>
+        spark.read.option("sep", sep).option("header", "false").option("comment", "#")
+          .csv(path).toDF(cols: _*)
+      case None =>
+        spark.read.option("sep", sep).option("header", "true").option("comment", "#")
+          .csv(path)
+    }
     multiValueSep.foreach { mv =>
       df = df.select(df.columns.map(c => split(col(c), java.util.regex.Pattern.quote(mv)).as(c)): _*)
     }

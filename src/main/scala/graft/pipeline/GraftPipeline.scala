@@ -22,6 +22,24 @@ final case class SubgraphConfig(
     excludeProps: Set[String] = Set.empty,
     typeSuperclasses: Set[String] = Set.empty,
     ancestorProp: String = "ols:directAncestor",
+    /** `identifier_props`: property keys whose values join the node's
+      * identifier set for equivalence grouping (the reference's
+      * extract_identifiers step reads the same list from the config). An
+      * empty list keeps adapter-provided ids only. */
+    identifierProps: Seq[String] = Nil,
+    /** `exclude_edges`: edge property names never materialised. */
+    excludeEdges: Set[String] = Set.empty,
+    /** `exclude_self_referential_edges` (carried through to
+      * [[graft.materialise.Materialise.edges]] callers; the engine's
+      * default blanket self-edge drop is a superset of the reference's
+      * per-prop list). */
+    excludeSelfReferentialEdges: Set[String] = Set.empty,
+    /** `bytes_per_merged_file`: target output chunk size (K9 size-split
+      * sizing hint for the sinks). */
+    bytesPerMergedFile: Option[Long] = None,
+    /** `datasource_configs`: YAML paths expanded by
+      * [[ConfigLoader.runFromConfigFile]]. */
+    datasourceConfigs: Seq[String] = Nil,
     /** false (default) ⇒ the groups table never leaves the cluster: id
       * assignment runs as distributed joins (AssignIds.joinBased) instead
       * of a driver-collect + broadcast map — the 100 TB-safe plan. true is
@@ -105,10 +123,16 @@ object GraftPipeline {
     val all = if (config.prefixMap.isEmpty) all0
       else normalise(all0, PrefixTrie(config.prefixMap))
 
-    // J7 — equivalence groups from id co-occurrence + seeded cliques
+    // J7 — equivalence groups from id co-occurrence + seeded cliques;
+    // identifier_props values join each record's id set exactly like the
+    // reference's extract_identifiers config step
+    val idProps = config.identifierProps.filter(_ != "id")
+    val recordIdSets =
+      if (idProps.isEmpty) all.map(_.ids)
+      else all.map(n => n.ids ++ idProps.flatMap(p => n.props.getOrElse(p, Nil).map(_.value)))
     val seedDf = if (config.additionalEquivalenceGroups.isEmpty) None
       else Some(config.additionalEquivalenceGroups.toDF("ids"))
-    val idSets = seedDf.foldLeft(all.map(_.ids).toDF("ids"))(_ union _)
+    val idSets = seedDf.foldLeft(recordIdSets.toDF("ids"))(_ union _)
     val groupsDf = Groups.fromIdSets(idSets)
     val (assignedRaw, groups) =
       if (config.broadcastGroups) {
@@ -128,7 +152,8 @@ object GraftPipeline {
     // 04_index ∥ 05_materialise off the cached merge
     val metadata = Index.metadata(merged).cache()
     val typeCounts = Index.typeCounts(merged)
-    val edges = Materialise.edges(merged, metadata)
+    val edges = Materialise.edges(merged, metadata,
+      excludeProps = Set("grebi:type", "grebi:name") ++ config.excludeEdges)
     val displayTypes = Materialise.displayTypes(merged, typeCounts)
     val refs = Materialise.refs(merged, metadata)
 

@@ -26,7 +26,12 @@ object Bench {
     // engine, not first-call JIT + classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
-    val results = SparkEntry.benchQueries.map { case (name, fn) =>
+    // optional trailing query names restrict a dev run (same contract as
+    // Verify); the driver always runs the full headline set
+    val wanted = args.toSet
+    val selected = if (wanted.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter { case (k, _) => wanted.contains(k) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -51,10 +51,16 @@ object AssignIds {
     * dwarfs the group table and almost none of it matches — the filter
     * drops non-members BEFORE the candidate shuffle, shrinking it by
     * roughly the non-member fraction. False positives only cost join
-    * work (they find no match), never correctness. */
+    * work (they find no match), never correctness.
+    *
+    * `expectedGroupCount` sizes that filter without a counting job: pass
+    * a caller estimate, or leave None to use Catalyst's plan statistics
+    * (row-count estimate when available, else size-based). An over- or
+    * under-estimate only moves the effective false-positive rate. */
   def joinBased(spark: SparkSession, nodes: Dataset[IngestNode],
                 groups: org.apache.spark.sql.DataFrame,
-                bloomFpp: Option[Double] = None): Dataset[AssignedNode] = {
+                bloomFpp: Option[Double] = None,
+                expectedGroupCount: Option[Long] = None): Dataset[AssignedNode] = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // uid only needs uniqueness, not density — monotonically_increasing_id
@@ -75,7 +81,14 @@ object AssignIds {
     }.toDF("uid", "member")
     val cands = bloomFpp match {
       case Some(fpp) =>
-        val expected = math.max(groups.count(), 1L)
+        // no counting job just to size the filter: caller estimate, else
+        // the optimizer's row-count stats, else sizeInBytes / ~64 B per
+        // (member, canonical) row — all only affect the effective fpp
+        val expected = math.max(expectedGroupCount.getOrElse {
+          val stats = groups.queryExecution.optimizedPlan.stats
+          stats.rowCount.map(_.toLong)
+            .getOrElse(stats.sizeInBytes.toLong / 64)
+        }, 1L)
         val bf = spark.sparkContext.broadcast(
           groups.stat.bloomFilter("member", expected, fpp))
         candsAll.as[(Long, String)]

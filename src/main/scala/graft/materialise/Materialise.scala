@@ -40,13 +40,24 @@ object Materialise {
     * `:424-432`) — deterministic across runs and shuffles. */
   def edges(nodes: Dataset[MergedNode], metadata: DataFrame,
             excludeProps: Set[String] = Set("grebi:type", "grebi:name"),
-            excludeSelfReferential: Boolean = true): DataFrame = {
+            excludeSelfReferential: Boolean = true,
+            saltBuckets: Int = 0): DataFrame = {
     val nodeIds = metadata.select(col("nodeId").as("toNodeId"))
     var cand = assertions(nodes)
       .where(!col("edgeType").isin(excludeProps.toSeq: _*))
     if (excludeSelfReferential)
       cand = cand.where(col("fromNodeId") =!= col("toNodeId"))
-    cand.join(nodeIds, "toNodeId")
+    // saltBuckets > 0: deterministic replicated join (core.Skew) so a hub
+    // target id (a species/type node referenced from a large share of all
+    // rows) spreads over `saltBuckets` tasks instead of one straggler —
+    // the plan-level guarantee for when AQE's runtime skew split can't
+    // kick in (SURVEY §7.4.4)
+    val joined =
+      if (saltBuckets > 0)
+        graft.core.Skew.saltedJoin(cand, nodeIds, "toNodeId",
+          col("fromNodeId"), saltBuckets)
+      else cand.join(nodeIds, "toNodeId")
+    joined
       .withColumn("edgeId",
         sha2(concat_ws("\u001f", col("subgraph"), col("fromNodeId"),
           col("edgeType"), col("toNodeId"), col("qualifiersJson")), 256))
@@ -75,12 +86,21 @@ object Materialise {
     * in the record (`find_strings(&line)`), so type values that are real
     * node ids DO ref-enrich even though they never become edges. Popular
     * targets (species/type hub nodes) skew the join; AQE skew-join
-    * handles the regroup side since the group key is the *from* node. */
-  def refs(nodes: Dataset[MergedNode], metadata: DataFrame): DataFrame = {
+    * handles the regroup side since the group key is the *from* node.
+    * `saltBuckets > 0` adds the deterministic plan-level mitigation for
+    * the metadata probe itself (replicated join via core.Skew), spreading
+    * each hub id over that many tasks. */
+  def refs(nodes: Dataset[MergedNode], metadata: DataFrame,
+           saltBuckets: Int = 0): DataFrame = {
     val cand = assertions(nodes)
       .select(col("fromNodeId"), col("toNodeId").as("ref"))
       .distinct()
-    cand.join(metadata.withColumnRenamed("nodeId", "ref"), "ref")
+    val dim = metadata.withColumnRenamed("nodeId", "ref")
+    val joined =
+      if (saltBuckets > 0)
+        graft.core.Skew.saltedJoin(cand, dim, "ref", col("fromNodeId"), saltBuckets)
+      else cand.join(dim, "ref")
+    joined
       .groupBy("fromNodeId")
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("ref"), struct(col("name"), col("types")))))).as("refs"))

@@ -40,6 +40,12 @@ final case class SubgraphConfig(
     /** `datasource_configs`: YAML paths expanded by
       * [[ConfigLoader.runFromConfigFile]]. */
     datasourceConfigs: Seq[String] = Nil,
+    /** >0 = salt the edge/refs metadata joins with this many buckets
+      * (deterministic replicated join, `core.Skew`) — the plan-level hub
+      * -node skew mitigation for datasets where one target id receives a
+      * large share of all references. 0 (default) keeps the plain join
+      * (AQE's runtime skew split covers the sort-merge case). */
+    hotKeySaltBuckets: Int = 0,
     /** false (default) ⇒ the groups table never leaves the cluster: id
       * assignment runs as distributed joins (AssignIds.joinBased) instead
       * of a driver-collect + broadcast map — the 100 TB-safe plan. true is
@@ -153,9 +159,10 @@ object GraftPipeline {
     val metadata = Index.metadata(merged).cache()
     val typeCounts = Index.typeCounts(merged)
     val edges = Materialise.edges(merged, metadata,
-      excludeProps = Set("grebi:type", "grebi:name") ++ config.excludeEdges)
+      excludeProps = Set("grebi:type", "grebi:name") ++ config.excludeEdges,
+      saltBuckets = config.hotKeySaltBuckets)
     val displayTypes = Materialise.displayTypes(merged, typeCounts)
-    val refs = Materialise.refs(merged, metadata)
+    val refs = Materialise.refs(merged, metadata, saltBuckets = config.hotKeySaltBuckets)
 
     SubgraphBuild(merged, metadata, edges, displayTypes, refs,
       typeCounts, Index.entityPropCounts(merged), Index.names(merged), groups)

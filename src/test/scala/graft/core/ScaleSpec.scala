@@ -34,6 +34,39 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("salted edge/refs materialise: hub-node fixture matches plain plan") {
+    import spark.implicits._
+    import graft.model.{MergedNode, PropValue}
+    // 500 nodes all referencing ONE hub node (+ a self-looping tail)
+    def pv(v: String): PropValue = PropValue(v, "str", Seq("ds"), Seq.empty, Map.empty)
+    def node(id: String, refs: Seq[String]): MergedNode =
+      MergedNode(id, Seq("ds"), Seq(id), "fx",
+        Map("grebi:type" -> Seq(pv("T")), "links" -> refs.map(pv)))
+    val hub = node("hub:1", Nil)
+    val tail = (1 to 500).map(i => node(s"n:$i", Seq("hub:1", s"n:${i % 7 + 1}")))
+    val nodes = (hub +: tail).toDS()
+    val metadata = (Seq("hub:1") ++ (1 to 500).map(i => s"n:$i"))
+      .map(id => (id, s"name-$id", Seq("T")))
+      .toDF("nodeId", "name", "types")
+
+    val plainE = graft.materialise.Materialise.edges(nodes, metadata)
+    val saltedE = graft.materialise.Materialise.edges(nodes, metadata, saltBuckets = 8)
+    // the salted physical plan replicates the dimension (explode over a
+    // sequence) — assert the mitigation is actually in the plan
+    assert(saltedE.queryExecution.optimizedPlan.toString.contains("__salt"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("edgeId").collect().map(_.getString(0)).sorted.toSeq
+    assert(key(saltedE) == key(plainE) && key(plainE).nonEmpty)
+
+    val plainR = graft.materialise.Materialise.refs(nodes, metadata)
+    val saltedR = graft.materialise.Materialise.refs(nodes, metadata, saltBuckets = 8)
+    assert(saltedR.queryExecution.optimizedPlan.toString.contains("__salt"))
+    def refKey(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("fromNodeId"), map_keys(col("refs")))
+        .collect().map(r => (r.getString(0), r.getSeq[String](1).sorted.mkString(","))).sorted.toSeq
+    assert(refKey(saltedR) == refKey(plainR) && refKey(plainR).nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
     val s = spark

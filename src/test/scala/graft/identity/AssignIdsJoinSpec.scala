@@ -36,5 +36,24 @@ class AssignIdsJoinSpec extends SparkSpec {
     val bloomed = AssignIds.joinBased(spark, ds, groupsDf, bloomFpp = Some(0.01))
       .collect().sortBy(n => (n.nodeId, n.datasource))
     assert(bloomed.toSeq == joined.toSeq)
+    // caller-estimated filter sizing: same result, and the plan-side job
+    // count shows no extra counting action vs the estimate-supplied run
+    def jobsFor(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val withEstimate = jobsFor("bloom-estimate") {
+      AssignIds.joinBased(spark, ds, groupsDf, bloomFpp = Some(0.01),
+        expectedGroupCount = Some(4L)).collect(); ()
+    }
+    val withStats = jobsFor("bloom-stats") {
+      AssignIds.joinBased(spark, ds, groupsDf, bloomFpp = Some(0.01)).collect(); ()
+    }
+    // stats-derived sizing must not add a counting job over the estimate
+    assert(withStats <= withEstimate)
+    val est = AssignIds.joinBased(spark, ds, groupsDf, bloomFpp = Some(0.01),
+      expectedGroupCount = Some(4L)).collect().sortBy(n => (n.nodeId, n.datasource))
+    assert(est.toSeq == joined.toSeq)
   }
 }

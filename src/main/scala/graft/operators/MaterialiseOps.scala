@@ -282,8 +282,43 @@ object MaterialiseOps extends QueryModule {
       |      / CAST((SELECT max(n_descendants) FROM counts) AS DOUBLE) AS ic
       |FROM counts ORDER BY nodeId""".stripMargin
 
+  /** k3 — the id-nodes + id-edges CSV frames (K3 sink,
+    * `grebi_make_neo_ids_csv/src/main.rs:5-31` +
+    * `grebi_make_neo_csv/src/main.rs:390-412`) over a two-id-per-clique
+    * merged fixture: every customer under canonical `alt:` with `c:` as
+    * the second source id. One frame per row kind, aligned on (kind, a,
+    * b, c) so one oracle covers both CSVs byte-for-byte. */
+  def idCsvs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nodes = Tables.customer(s, d)
+      .select(node("alt:", col("c_custkey")).as("alt"), node("c:", col("c_custkey")).as("c"))
+      .as[(String, String)]
+      .map { case (alt, c) =>
+        MergedNode(alt, Seq("tpch"), Seq(alt, c), "tpch", Map.empty)
+      }
+    val idNodes = graft.sinks.Sinks.neoIdNodesCsvFrame(nodes)
+      .select(lit("idnode").as("kind"), col("id:ID").as("a"),
+        col(":LABEL").as("b"), lit("").as("c"))
+    val idEdges = graft.sinks.Sinks.neoIdEdgesCsvFrame(nodes)
+      .select(lit("idedge").as("kind"), col(":START_ID").as("a"),
+        col(":TYPE").as("b"), col(":END_ID").as("c"))
+    idNodes.union(idEdges).orderBy(col("kind"), col("a"), col("b"), col("c"))
+  }
+
+  val idCsvsSql: String =
+    s"""WITH ids AS (
+      |  SELECT 'alt:' || ${sqlPad("c_custkey")} AS alt, 'c:' || ${sqlPad("c_custkey")} AS c
+      |  FROM customer)
+      |SELECT kind, a, b, c FROM (
+      |  SELECT 'idnode' AS kind, alt AS a, 'Id' AS b, '' AS c FROM ids
+      |  UNION ALL SELECT 'idnode', c, 'Id', '' FROM ids
+      |  UNION ALL SELECT 'idedge', alt, 'sourceId', alt FROM ids
+      |  UNION ALL SELECT 'idedge', alt, 'sourceId', c FROM ids
+      |) ORDER BY kind, a, b, c""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true),
+    "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
     "g6_display_type"     -> QueryDef(displayType, Some(displayTypeSql)),
     "g7_edge_summary"     -> QueryDef(edgeSummary, Some(edgeSummarySql)),
     "g8_search_docs"      -> QueryDef(searchDocs, Some(searchDocsSql)),

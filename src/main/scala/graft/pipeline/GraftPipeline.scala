@@ -203,6 +203,8 @@ object GraftPipeline {
     Sinks.writeCsv(Sinks.neoNodesCsvFrame(build.merged, propKeys, build.displayTypes),
       s"$outDir/neo_nodes.csv")
     Sinks.writeCsv(Sinks.neoEdgesCsvFrame(build.edges), s"$outDir/neo_edges.csv")
+    Sinks.writeCsv(Sinks.neoIdNodesCsvFrame(build.merged), s"$outDir/neo_nodes_ids.csv")
+    Sinks.writeCsv(Sinks.neoIdEdgesCsvFrame(build.merged), s"$outDir/neo_edges_ids.csv")
     Sinks.writeSolr(build.merged, s"$outDir/solr")
     // K5 config half: per-prop schema + autocomplete analyzers
     val edgePropKeys = build.edges

@@ -27,6 +27,7 @@ object SparkEntry {
     graft.operators.StreamingOps,
     graft.operators.XmlOps,
     graft.operators.RdfOps,
+    graft.operators.IncrementalOps,
   )
 
   def allDefs: ListMap[String, QueryDef] =

@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import graft.curie.PrefixTrie
+import graft.identity.{AssignIds, Groups}
+import graft.merge.Merge
+import graft.model.{IngestNode, MergedNode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental subgraph builds — new datasource files arrive and the
+  * merged graph updates WITHOUT recomputing the untouched cliques. The
+  * reference has no incremental path (every Nextflow run rebuilds from
+  * scratch); this is the lakehouse-style extension of the same DAG:
+  *
+  *   - an append-only **ledger** of normalised ingest records (the
+  *     replayable source of truth),
+  *   - a persisted **groups** table (member → canonical, one row per id
+  *     ever seen — the identity state),
+  *   - a **generational merged store** (`merged/gen=N` + per-gen
+  *     tombstones): each update writes only the recomputed cliques'
+  *     rows; readers resolve by latest generation (merge-on-read).
+  *
+  * Per update, the work is delta-proportional in shuffle terms:
+  *   1. delta id-sets mark the touched cliques; only their members plus
+  *      the delta run through connected components again (an old clique
+  *      enters the CC as its star edges, so merging two existing cliques
+  *      through a new record reproduces the batch component exactly);
+  *   2. dirty records = records of any clique whose membership OR whose
+  *      referenced strings intersect the recomputed members — detected
+  *      with two map-side passes over the ledger against the
+  *      (delta-sized, broadcastable) affected-member set; clean records
+  *      never shuffle;
+  *   3. only dirty records re-run assign → merge; results land in the
+  *      new generation, and every recomputed clique's previous canonical
+  *      is tombstoned at that generation.
+  *
+  * The batch-equivalence invariant (update(A); update(B) ≡ run(A ∪ B))
+  * is pinned by IncrementalBuildSpec and the inc1 oracle gate. The one
+  * full pass per update is the map-side ledger scan in step 2 — at scale
+  * the ledger would be hash-partitioned by candidate range so that scan
+  * prunes too (noted in SURVEY §7.4.4 terms); no step shuffles clean
+  * data.
+  */
+object Incremental {
+
+  private def ledgerPath(dir: String) = s"$dir/ledger.parquet"
+  private def groupsPath(dir: String) = s"$dir/groups.parquet"
+  private def mergedRoot(dir: String) = s"$dir/merged"
+  private def tombPath(dir: String) = s"$dir/tombstones.parquet"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  private def nextGen(spark: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(mergedRoot(dir))
+    val f = fs(spark, mergedRoot(dir))
+    if (!f.exists(root)) 1
+    else f.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.drop(4).toInt }
+      .foldLeft(0)(math.max) + 1
+  }
+
+  /** Apply one batch of ingest records to the state under `dir`. */
+  def update(spark: SparkSession, config: SubgraphConfig, dir: String,
+             newNodes: Dataset[IngestNode]): Unit = {
+    import spark.implicits._
+    val gen = nextGen(spark, dir)
+
+    val normalised =
+      if (config.prefixMap.isEmpty) newNodes
+      else GraftPipeline.normalise(newNodes, PrefixTrie(config.prefixMap))
+    normalised.write.mode(SaveMode.Append).parquet(ledgerPath(dir))
+
+    val idProps = config.identifierProps.filter(_ != "id")
+    def idSetOf(n: IngestNode): Seq[String] =
+      n.ids ++ idProps.flatMap(p => n.props.getOrElse(p, Nil).map(_.value))
+
+    // the full ledger (dirty detection scans it map-side; only dirty
+    // records ever shuffle)
+    val ledgerAll = spark.read.parquet(ledgerPath(dir)).as[IngestNode]
+    val deltaSets = normalised.map(idSetOf).toDF("ids")
+      .union(config.additionalEquivalenceGroups.toDF("ids"))
+    val deltaIds = deltaSets.select(explode(col("ids")).as("member")).distinct()
+
+    val oldGroups: DataFrame =
+      if (exists(spark, groupsPath(dir))) spark.read.parquet(groupsPath(dir))
+      else Seq.empty[(String, String)].toDF("member", "canonical")
+
+    // cliques touched by delta ids → their full old membership joins the
+    // re-run; everything else keeps its component untouched
+    val touchedCanon = oldGroups.join(deltaIds, "member")
+      .select(col("canonical")).distinct().cache()
+    val affectedOld = oldGroups.join(touchedCanon, "canonical")
+    val oldPairs = affectedOld.select(array(col("member"), col("canonical")).as("ids"))
+    val newGroups = Groups.fromIdSets(oldPairs.union(deltaSets))
+      .cache()
+    newGroups.count() // materialise BEFORE overwriting the groups input
+
+    val untouched = oldGroups.join(touchedCanon, Seq("canonical"), "left_anti")
+      .select(col("member"), col("canonical"))
+    val groupsNext = untouched.union(newGroups.select(col("member"), col("canonical")))
+    // self-overwrite-safe swap: write aside, then move into place
+    val tmp = groupsPath(dir) + ".tmp"
+    groupsNext.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val f = fs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(groupsPath(dir)), true)
+    f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(groupsPath(dir)))
+    val groupsFinal = spark.read.parquet(groupsPath(dir))
+
+    // --- dirty detection over the ledger, map-side against the
+    // delta-proportional member set
+    val affectedMembers = newGroups.select(col("member")).distinct()
+    val withUid = ledgerAll.toDF()
+      .select(monotonically_increasing_id().as("uid"), struct(col("*")).as("node"))
+      .as[(Long, IngestNode)]
+      .localCheckpoint(false)
+    val cands = withUid.flatMap { case (uid, n) =>
+      (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))
+        .distinct.map((uid, _))
+    }.toDF("uid", "member")
+    val candDirtyUids = cands.join(broadcast(affectedMembers), "member")
+      .select(col("uid")).distinct()
+    // canonical of each candidate-dirty record → the full dirty-clique set
+    val firstIds = withUid.flatMap { case (uid, n) =>
+      val valid = n.ids.filter(graft.curie.Ids.isValidId)
+      valid.headOption.map(h => (uid, h))
+    }.toDF("uid", "member")
+    val dirtyCanon = firstIds.join(broadcast(candDirtyUids), "uid")
+      .join(groupsFinal, Seq("member"), "left")
+      .select(coalesce(col("canonical"), col("member")).as("canonical")).distinct()
+    val dirtyMembers = groupsFinal.join(broadcast(dirtyCanon), "canonical")
+      .select(col("member"))
+      .union(dirtyCanon.select(col("canonical").as("member")))
+      .distinct()
+    val dirtyUids = firstIds.join(broadcast(dirtyMembers), "member")
+      .select(col("uid")).distinct()
+    val dirtyRecords = withUid.toDF("uid", "node")
+      .join(dirtyUids, "uid")
+      .select(col("node.*")).as[IngestNode]
+
+    // --- assign + merge ONLY the dirty cliques
+    val assigned = GraftPipeline.superclassesToTypes(
+      AssignIds.joinBased(spark, dirtyRecords, groupsFinal),
+      config.typeSuperclasses, config.ancestorProp)
+    val merged = Merge(spark, assigned, config.excludeProps)
+      .map(_.copy(subgraph = config.name))
+    merged.write.mode(SaveMode.Overwrite).parquet(s"${mergedRoot(dir)}/gen=$gen")
+
+    // every recomputed clique's previous row dies at this generation
+    // (rows written this gen survive the >= rule); canonicals that ceased
+    // to exist never return because component minima are monotone
+    val tombs = touchedCanon.select(col("canonical").as("nodeId"))
+      .union(dirtyCanon.select(col("canonical").as("nodeId")))
+      .distinct()
+      .withColumn("gen", lit(gen))
+    tombs.write.mode(SaveMode.Append).parquet(tombPath(dir))
+    touchedCanon.unpersist()
+    newGroups.unpersist()
+  }
+
+  /** Merge-on-read view of the current graph: latest generation per
+    * nodeId, minus rows superseded by a later tombstone. */
+  def currentMerged(spark: SparkSession, dir: String): Dataset[MergedNode] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(mergedRoot(dir)) // gen partition column
+    val latest = rows
+      .groupBy(col("nodeId"))
+      .agg(max_by(struct(rows.columns.map(col): _*), col("gen")).as("r"))
+      .select(col("r.*"))
+    val current =
+      if (exists(spark, tombPath(dir))) {
+        val tomb = spark.read.parquet(tombPath(dir))
+          .groupBy(col("nodeId")).agg(max(col("gen")).as("tgen"))
+        latest.join(tomb, Seq("nodeId"), "left")
+          .where(col("tgen").isNull || col("gen") >= col("tgen"))
+          .drop("tgen")
+      } else latest
+    current.drop("gen").as[MergedNode]
+  }
+
+  /** Compact the generational store into gen=1 (optional maintenance —
+    * readers pay one dedup shuffle until compaction). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val current = currentMerged(spark, dir).cache()
+    current.count()
+    val f = fs(spark, dir)
+    f.delete(new org.apache.hadoop.fs.Path(mergedRoot(dir)), true)
+    f.delete(new org.apache.hadoop.fs.Path(tombPath(dir)), true)
+    current.write.mode(SaveMode.Overwrite).parquet(s"${mergedRoot(dir)}/gen=1")
+    current.unpersist()
+  }
+}

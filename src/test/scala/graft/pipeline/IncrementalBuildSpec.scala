@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model.{IngestNode, RawValue}
+
+/** The incremental-build invariant: update(A); update(B) ≡ run(A ∪ B),
+  * including clique merges ACROSS updates, and clean cliques are not
+  * rewritten. */
+class IncrementalBuildSpec extends SparkSpec {
+
+  private def mk(ids: Seq[String], ds: String, types: Seq[String],
+                 props: (String, String)*): IngestNode =
+    IngestNode(ids, ds, "raw", types,
+      props.groupBy(_._1).map { case (k, vs) => k -> vs.map(v => RawValue.str(v._2)) })
+
+  private def flat(nodes: Seq[graft.model.MergedNode]) =
+    nodes.flatMap(m => m.props.toSeq.flatMap { case (k, vs) =>
+      vs.map(v => (m.nodeId, k, v.value, v.datasources.sorted, m.datasources.sorted))
+    }).sortBy(t => (t._1, t._2, t._3))
+
+  test("two updates equal one batch build; cross-update clique merge + tombstone") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_spec").toString
+    val config = SubgraphConfig(name = "fx")
+
+    // update 1: two separate cliques {a:1,b:1} and {c:2}
+    val upd1 = Seq(
+      mk(Seq("b:1", "a:1"), "ds1", Seq("T"), "grebi:name" -> "one"),
+      mk(Seq("c:2"), "ds1", Seq("T"), "grebi:name" -> "two"),
+      mk(Seq("z:9"), "ds1", Seq("T"), "grebi:name" -> "calm")) // never touched again
+    // update 2: a record LINKING the two cliques (their canonicals must
+    // merge and the losing canonical must tombstone), plus a reference
+    // value that must rewrite through the merged clique
+    val upd2 = Seq(
+      mk(Seq("a:1", "c:2"), "ds2", Nil, "extra" -> "link"),
+      mk(Seq("e:5"), "ds2", Seq("T"), "ref" -> "c:2"))
+
+    Incremental.update(spark, config, dir, upd1.toDS())
+    Incremental.update(spark, config, dir, upd2.toDS())
+    val inc = flat(Incremental.currentMerged(spark, dir).collect().toSeq)
+
+    val batch = GraftPipeline.run(spark, config, Seq((upd1 ++ upd2).toDS()))
+    val bat = flat(batch.merged.collect().toSeq)
+    assert(inc == bat)
+
+    // the merged clique canonical: a:1 (most letters → lowest idScore
+    // among a:1, b:1, c:2); e:5's ref value rewritten to it
+    val byId = Incremental.currentMerged(spark, dir).collect().map(n => n.nodeId -> n).toMap
+    assert(byId.contains("a:1") && !byId.contains("c:2") && !byId.contains("b:1"))
+    assert(byId("a:1").datasources.sorted == Seq("ds1", "ds2"))
+    assert(byId("e:5").props("ref").head.value == "a:1")
+
+    // the untouched clique z:9 must NOT have been rewritten in gen 2
+    val gen2 = spark.read.parquet(s"$dir/merged/gen=2")
+    assert(!gen2.select("nodeId").collect().map(_.getString(0)).contains("z:9"))
+    assert(byId.contains("z:9"))
+
+    // compaction preserves the view
+    Incremental.compact(spark, dir)
+    val compacted = flat(Incremental.currentMerged(spark, dir).collect().toSeq)
+    assert(compacted == inc)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("identifier_props values join cliques incrementally too") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_spec2").toString
+    val config = SubgraphConfig(name = "fx",
+      identifierProps = Seq("id", "grebi:equivalentTo"))
+    val upd1 = Seq(mk(Seq("x:1"), "ds1", Seq("T"), "grebi:name" -> "ex"))
+    val upd2 = Seq(mk(Seq("y:1"), "ds2", Seq("T"), "grebi:equivalentTo" -> "x:1"))
+    Incremental.update(spark, config, dir, upd1.toDS())
+    Incremental.update(spark, config, dir, upd2.toDS())
+    val inc = flat(Incremental.currentMerged(spark, dir).collect().toSeq)
+    val bat = flat(GraftPipeline.run(spark, config, Seq((upd1 ++ upd2).toDS()))
+      .merged.collect().toSeq)
+    assert(inc == bat)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}

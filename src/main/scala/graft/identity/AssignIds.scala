@@ -83,12 +83,19 @@ object AssignIds {
       case Some(fpp) =>
         // no counting job just to size the filter: caller estimate, else
         // the optimizer's row-count stats, else sizeInBytes / ~64 B per
-        // (member, canonical) row — all only affect the effective fpp
-        val expected = math.max(expectedGroupCount.getOrElse {
+        // (member, canonical) row. Stats are BigInt and default to
+        // Long.MaxValue-ish on stat-less leaves (e.g. a localCheckpoint'd
+        // LogicalRDD), so clamp in BigInt space BEFORE narrowing — an
+        // unclamped .toLong wrap would crash BloomFilter.create or
+        // saturate the filter. The 1e9 cap bounds filter memory (~1.2 GB
+        // of bits at fpp=0.01); beyond that a caller estimate is required
+        // anyway.
+        val MaxExpected = BigInt(1000000000L)
+        val expected = expectedGroupCount.getOrElse {
           val stats = groups.queryExecution.optimizedPlan.stats
-          stats.rowCount.map(_.toLong)
-            .getOrElse(stats.sizeInBytes.toLong / 64)
-        }, 1L)
+          val est = stats.rowCount.getOrElse(stats.sizeInBytes / 64)
+          est.min(MaxExpected).max(BigInt(1)).toLong
+        }.max(1L)
         val bf = spark.sparkContext.broadcast(
           groups.stat.bloomFilter("member", expected, fpp))
         candsAll.as[(Long, String)]

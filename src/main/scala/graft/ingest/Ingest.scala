@@ -387,7 +387,13 @@ object Ingest {
         .mapGroups { (sid, it) => (sid, subtreeJson(it.map(r => (r._2, r._3)).toSeq)) }
         .toDF("sid", "json")
 
-    // --- blank-node subtrees nest bottom-up
+    // --- blank-node subtrees nest bottom-up. Each round's convergence
+    // check is an action, so cur is checkpointed per round (and once up
+    // front) — otherwise round k recomputes every prior round's joins
+    // plus the whole axiom pipeline, O(depth²) work and unbounded plan
+    // growth (same rule as ConnectedComponents.run's per-round
+    // truncation).
+    cur = cur.localCheckpoint()
     var depth = 0
     var done = false
     while (!done && depth < maxNestDepth) {
@@ -401,6 +407,7 @@ object Ingest {
         cur = cur.join(ser.withColumnRenamed("sid", "rs"), cur("s") === col("rs"), "left_anti")
         cur = cur.join(ser, cur("o") === ser("sid"), "left")
           .select(col("s"), col("p"), coalesce(col("json"), col("o")).as("o"), col("quals"))
+          .localCheckpoint()
         depth += 1
       }
     }

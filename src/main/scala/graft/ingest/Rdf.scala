@@ -39,10 +39,12 @@ object Rdf {
     * (`main.rs:107,112`); ours is a parameter with a neutral default. */
   val DefaultBase = "http://example.org/base/"
 
-  /** Distinct 8-hex scope per source file for blank-node labels. */
+  /** Distinct 16-hex (64-bit) scope per source file for blank-node
+    * labels — wide enough that birthday collisions stay negligible even
+    * across millions of input files. */
   private def scopeFor(path: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(path.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    md.digest(path.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
   }
 
   // ---------------------------------------------------------------- Turtle
@@ -362,9 +364,12 @@ object Rdf {
 
     private def verb(): String = {
       skipWs()
+      // 'a' is the rdf:type keyword iff the next char cannot continue a
+      // prefixed name ('a:x' and 'abc:x' are names; 'a "lit"', 'a _:b',
+      // 'a <iri>' are keyword uses)
       if (peek == 'a' && i + 1 < s.length && {
         val c = s.charAt(i + 1)
-        Character.isWhitespace(c) || c == '<' || c == '[' || c == '('
+        !isLocalChar(c) && c != ':'
       }) { i += 1; RdfType }
       else iri()
     }
@@ -381,9 +386,8 @@ object Rdf {
         }
         skipWs()
         if (!eof && peek == ';') {
-          i += 1
-          skipWs()
-          // trailing ';' before the closing '.' or ']' is legal
+          // consecutive ';' separators are legal (empty items)
+          while (!eof && peek == ';') { i += 1; skipWs() }
           if (eof || peek == '.' || peek == ']') go = false
         } else go = false
       }
@@ -417,6 +421,12 @@ object Rdf {
     * into an rdf:first/rest chain at END. */
   private final class CollF(val subj: String, val pred: String) extends Frame {
     val items = ArrayBuffer.empty[String]
+  }
+  /** rdf:parseType="Literal": the XML island is absorbed — nested markup
+    * tracked by depth, only its text content kept as the literal value. */
+  private final class LitF(val subj: String, val pred: String) extends Frame {
+    val text = new StringBuilder
+    var depth = 0
   }
   private case object RootF extends Frame
 
@@ -489,6 +499,8 @@ object Rdf {
           stack.push(new NodeF(b))
         case Some("Collection") =>
           stack.push(new CollF(n.subj, pred))
+        case Some("Literal") =>
+          stack.push(new LitF(n.subj, pred))
         case _ =>
           attrs.get((RdfNs, "resource")) match {
             case Some(res) =>
@@ -512,6 +524,7 @@ object Rdf {
           if (stack.isEmpty) {
             if (isRdfRoot) stack.push(RootF) else nodeElement(None)
           } else stack.top match {
+            case l: LitF => l.depth += 1 // markup inside the XML island
             case RootF => nodeElement(None)
             case p: PropF =>
               p.objectEmitted = true
@@ -528,24 +541,30 @@ object Rdf {
         case C.CHARACTERS | C.CDATA =>
           if (stack.nonEmpty) stack.top match {
             case p: PropF if !p.objectEmitted => p.text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
+            case l: LitF => l.text.appendAll(r.getTextCharacters, r.getTextStart, r.getTextLength)
             case _ =>
           }
         case C.END_ELEMENT =>
-          if (stack.nonEmpty) stack.pop() match {
-            case p: PropF =>
-              if (!p.objectEmitted) out += ((p.subj, p.pred, p.text.toString))
-            case c: CollF =>
-              if (c.items.isEmpty) out += ((c.subj, c.pred, RdfNil))
-              else {
-                val cells = c.items.map(_ => freshBlank())
-                out += ((c.subj, c.pred, cells.head))
-                cells.indices.foreach { k =>
-                  out += ((cells(k), RdfFirst, c.items(k)))
-                  out += ((cells(k), RdfRest,
-                    if (k + 1 < cells.length) cells(k + 1) else RdfNil))
+          if (stack.nonEmpty) stack.top match {
+            case l: LitF if l.depth > 0 =>
+              l.depth -= 1 // closing a nested island element, frame stays
+            case _ => stack.pop() match {
+              case l: LitF => out += ((l.subj, l.pred, l.text.toString))
+              case p: PropF =>
+                if (!p.objectEmitted) out += ((p.subj, p.pred, p.text.toString))
+              case c: CollF =>
+                if (c.items.isEmpty) out += ((c.subj, c.pred, RdfNil))
+                else {
+                  val cells = c.items.map(_ => freshBlank())
+                  out += ((c.subj, c.pred, cells.head))
+                  cells.indices.foreach { k =>
+                    out += ((cells(k), RdfFirst, c.items(k)))
+                    out += ((cells(k), RdfRest,
+                      if (k + 1 < cells.length) cells(k + 1) else RdfNil))
+                  }
                 }
-              }
-            case _ => // NodeF / RootF carry no pending state
+              case _ => // NodeF / RootF carry no pending state
+            }
           }
         case _ =>
       }
@@ -564,12 +583,28 @@ object Rdf {
   def parseNQuads(spark: SparkSession, path: String,
                   graphs: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val keep = graphs.toSet
-    spark.read.textFile(path).flatMap { line =>
-      parseQuadLine(line).collect {
-        case (s, p, o, g) if keep.isEmpty || g.exists(keep.contains) => (s, p, o)
-      }
-    }.toDF("s", "p", "o")
+    // blank-node labels scope per source file (same invariant as the
+    // Turtle/RDF-XML paths) — the line scan stays distributed, the scope
+    // hash is memoised per file within each partition
+    spark.read.textFile(path)
+      .select(col("value"), input_file_name().as("src"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        var lastFile: String = null
+        var lastScope: String = ""
+        it.flatMap { case (line, src) =>
+          if (src != lastFile) { lastFile = src; lastScope = scopeFor(src) }
+          val scope = lastScope
+          def scoped(t: String): String =
+            if (t.startsWith("_:")) "_:" + scope + t.drop(2) else t
+          parseQuadLine(line).collect {
+            case (s, p, o, g) if keep.isEmpty || g.exists(keep.contains) =>
+              (scoped(s), p, scoped(o))
+          }
+        }
+      }.toDF("s", "p", "o")
   }
 
   /** Escape-aware scanner for one NTriples/NQuads line →

@@ -41,12 +41,23 @@ object Materialise {
   def edges(nodes: Dataset[MergedNode], metadata: DataFrame,
             excludeProps: Set[String] = Set("grebi:type", "grebi:name"),
             excludeSelfReferential: Boolean = true,
-            saltBuckets: Int = 0): DataFrame = {
+            saltBuckets: Int = 0,
+            /** Some(props) = the reference's per-property list
+              * (`exclude_self_referential_edges` config key,
+              * `main.rs:104-111`): self-edges drop only for these edge
+              * types. None = the blanket boolean behaviour. */
+            selfReferentialProps: Option[Set[String]] = None): DataFrame = {
     val nodeIds = metadata.select(col("nodeId").as("toNodeId"))
     var cand = assertions(nodes)
       .where(!col("edgeType").isin(excludeProps.toSeq: _*))
-    if (excludeSelfReferential)
-      cand = cand.where(col("fromNodeId") =!= col("toNodeId"))
+    selfReferentialProps match {
+      case Some(props) =>
+        cand = cand.where(!(col("fromNodeId") === col("toNodeId") &&
+          col("edgeType").isin(props.toSeq: _*)))
+      case None if excludeSelfReferential =>
+        cand = cand.where(col("fromNodeId") =!= col("toNodeId"))
+      case None =>
+    }
     // saltBuckets > 0: deterministic replicated join (core.Skew) so a hub
     // target id (a species/type node referenced from a large share of all
     // rows) spreads over `saltBuckets` tasks instead of one straggler —

@@ -152,6 +152,8 @@ object Codecs {
     while (off + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = i32(bytes, off + 4)
+      // a corrupt negative size would stall or reverse the walk
+      require(size >= 0, s"corrupt WAV chunk '$id' size $size")
       id match {
         case "fmt " =>
           val fmt = u16(bytes, off + 8)

@@ -74,12 +74,21 @@ object ConfigLoader {
       else t
     }
 
-    val InlineGlobs = """^\s*-\s+globs:\s*\[(.*)\]\s*$""".r
-    val BlockGlobs = """^\s*-\s+globs:\s*$""".r
+    // YAML maps are unordered: an entry may lead with `- command:` just
+    // as legally as `- globs:`, and the sibling key then appears without
+    // the dash — both orders are handled
+    val InlineGlobs = """^\s*(-\s+)?globs:\s*\[(.*)\]\s*$""".r
+    val BlockGlobs = """^\s*(-\s+)?globs:\s*$""".r
     val GlobItem = """^\s*-\s+(.+)$""".r
-    val Command = """^\s*command:\s*(.*)$""".r
+    val Command = """^\s*(-\s+)?command:\s*(.*)$""".r
     // `"?` tolerates the reference's own otar.yaml typo (`name": …`)
     val TopKey = """^(\w+)"?:\s*(.*)$""".r
+
+    def entryFor(newItem: Boolean): (ArrayBuffer[String], StringBuilder) = {
+      if (newItem || ingests.isEmpty)
+        ingests += ((ArrayBuffer.empty[String], new StringBuilder))
+      ingests.last
+    }
 
     text.linesIterator.foreach { line =>
       if (inCommand) {
@@ -88,17 +97,17 @@ object ConfigLoader {
         if (t.endsWith("'")) { cmd.append(' ').append(t.dropRight(1)); inCommand = false }
         else cmd.append(' ').append(t)
       } else line match {
-        case InlineGlobs(items) =>
+        case InlineGlobs(dash, items) =>
           globBlock = false
-          ingests += ((ArrayBuffer(items.split(",").map(stripQuotes).filter(_.nonEmpty).toSeq: _*),
-            new StringBuilder))
-        case BlockGlobs() =>
-          ingests += ((ArrayBuffer.empty[String], new StringBuilder))
+          entryFor(dash != null)._1 ++=
+            items.split(",").map(stripQuotes).filter(_.nonEmpty)
+        case BlockGlobs(dash) =>
+          entryFor(dash != null)
           globBlock = true
-        case Command(v0) =>
+        case Command(dash, v0) =>
           globBlock = false
           val v = v0.trim
-          val cmd = ingests.last._2
+          val cmd = entryFor(dash != null)._2
           if (v.startsWith("'") && !(v.length > 1 && v.endsWith("'"))) {
             cmd.append(v.drop(1)); inCommand = true
           } else cmd.append(stripQuotes(v))

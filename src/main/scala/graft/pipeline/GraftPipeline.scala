@@ -160,7 +160,13 @@ object GraftPipeline {
     val typeCounts = Index.typeCounts(merged)
     val edges = Materialise.edges(merged, metadata,
       excludeProps = Set("grebi:type", "grebi:name") ++ config.excludeEdges,
-      saltBuckets = config.hotKeySaltBuckets)
+      saltBuckets = config.hotKeySaltBuckets,
+      // a config-supplied list switches to the reference's per-prop
+      // self-edge rule; otherwise the blanket drop stands
+      selfReferentialProps =
+        if (config.excludeSelfReferentialEdges.nonEmpty)
+          Some(config.excludeSelfReferentialEdges)
+        else None)
     val displayTypes = Materialise.displayTypes(merged, typeCounts)
     val refs = Materialise.refs(merged, metadata, saltBuckets = config.hotKeySaltBuckets)
 

@@ -184,14 +184,18 @@ object Incremental {
   }
 
   /** Compact the generational store into gen=1 (optional maintenance —
-    * readers pay one dedup shuffle until compaction). */
+    * readers pay one dedup shuffle until compaction). Write-aside then
+    * swap, like the groups update: the source generations are only
+    * deleted AFTER the compacted copy is durably on disk, so a failure
+    * mid-compaction never loses state (a cache-then-delete would
+    * recompute lineage against deleted files on any eviction). */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val current = currentMerged(spark, dir).cache()
-    current.count()
+    val tmp = s"${mergedRoot(dir)}.tmp"
+    currentMerged(spark, dir).write.mode(SaveMode.Overwrite).parquet(s"$tmp/gen=1")
     val f = fs(spark, dir)
     f.delete(new org.apache.hadoop.fs.Path(mergedRoot(dir)), true)
     f.delete(new org.apache.hadoop.fs.Path(tombPath(dir)), true)
-    current.write.mode(SaveMode.Overwrite).parquet(s"${mergedRoot(dir)}/gen=1")
-    current.unpersist()
+    f.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(mergedRoot(dir)))
   }
 }

@@ -180,6 +180,30 @@ class PipelineSpec extends SparkSpec {
     assert(g1.getAs[String]("grebi:name").split(Sinks.ArraySep).sorted.toSeq == Seq("PAX6", "Pax6"))
   }
 
+  test("per-prop self-referential exclusion matches the reference rule") {
+    import spark.implicits._
+    import graft.model.PropValue
+    def pv(v: String) = PropValue(v, "s", Seq("ds"), Nil, Map.empty)
+    val nodes = Seq(
+      MergedNode("a:1", Seq("ds"), Seq("a:1"), "fx",
+        Map("grebi:type" -> Seq(pv("T")),
+          "self:loop" -> Seq(pv("a:1")),   // self-edge, excluded prop
+          "keep:loop" -> Seq(pv("a:1")),   // self-edge, kept prop
+          "link" -> Seq(pv("b:2")))),
+      MergedNode("b:2", Seq("ds"), Seq("b:2"), "fx",
+        Map("grebi:type" -> Seq(pv("T"))))).toDS()
+    val metadata = Seq(("a:1", "A", Seq("T")), ("b:2", "B", Seq("T")))
+      .toDF("nodeId", "name", "types")
+    val perProp = Materialise.edges(nodes, metadata,
+      selfReferentialProps = Some(Set("self:loop")))
+      .select("edgeType").collect().map(_.getString(0)).sorted.toSeq
+    // only the listed prop's self-edge drops; the other self-edge stays
+    assert(perProp == Seq("keep:loop", "link"))
+    val blanket = Materialise.edges(nodes, metadata)
+      .select("edgeType").collect().map(_.getString(0)).toSeq
+    assert(blanket == Seq("link"))
+  }
+
   test("id-edge CSVs: one sourceId edge per source id, distinct Id nodes") {
     val idEdges = Sinks.neoIdEdgesCsvFrame(merged).collect()
     assert(idEdges.length == merged.collect().map(_.sourceIds.size).sum)

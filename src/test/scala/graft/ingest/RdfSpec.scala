@@ -68,6 +68,55 @@ class RdfSpec extends SparkSpec {
     assert(got.size == 12 + 1 + 2 + 7 + 1)
   }
 
+  test("turtle: 'a' before blank/literal objects and empty ';;' items") {
+    val ttl =
+      """PREFIX ex: <http://example.org/>
+        |ex:s a _:b1 ;; ex:p "v" .
+        |ex:abc a ex:T .
+        |ex:amb ex:q ex:a .
+        |""".stripMargin
+    val got = Rdf.parseTurtleString(ttl, scope = "t").toSet
+    assert(got.contains((Ex + "s", RT, "_:tb1")))
+    assert(got.contains((Ex + "s", Ex + "p", "v")))
+    assert(got.contains((Ex + "abc", RT, Ex + "T")))
+    // 'a' as a prefixed-name LOCAL part is not the keyword
+    assert(got.contains((Ex + "amb", Ex + "q", Ex + "a")))
+  }
+
+  test("rdf/xml: parseType=Literal keeps island text, emits no markup triples") {
+    val xml =
+      s"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         |         xmlns:ex="$Ex">
+         |  <rdf:Description rdf:about="${Ex}n">
+         |    <ex:note rdf:parseType="Literal">see <ex:b>this</ex:b> now</ex:note>
+         |    <ex:name>plain</ex:name>
+         |  </rdf:Description>
+         |</rdf:RDF>""".stripMargin
+    val got = Rdf.parseRdfXmlString(xml, scope = "x").toSet
+    assert(got == Set(
+      (Ex + "n", Ex + "note", "see this now"),
+      (Ex + "n", Ex + "name", "plain")))
+  }
+
+  test("nquads: blank labels scope per source file") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("nqscope")
+    java.nio.file.Files.writeString(dir.resolve("f1.nq"),
+      s"""_:b1 <${Ex}p> "one" .\n""")
+    java.nio.file.Files.writeString(dir.resolve("f2.nq"),
+      s"""_:b1 <${Ex}p> "two" .\n""")
+    try {
+      val rows = Rdf.parseNQuads(spark, dir.toString).collect()
+      val subjects = rows.map(_.getString(0)).distinct
+      assert(rows.length == 2 && subjects.length == 2,
+        s"blank _:b1 from two files must not collide: ${subjects.toSeq}")
+      assert(subjects.forall(_.startsWith("_:")))
+    } finally {
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("turtle: trailing-dot local names and sparql BASE") {
     val ttl =
       """PREFIX ex: <http://example.org/>

@@ -64,6 +64,16 @@ class CodecsSpec extends AnyFunSuite {
     assert(dec2.sampleRate == 22050 && dec2.samples.toSeq == samples.toSeq)
   }
 
+  test("wav: corrupt negative chunk size fails fast instead of looping") {
+    val enc = Codecs.encodeWavPcm16(8000, Array[Short](1, 2))
+    val bad = enc.clone()
+    // fmt chunk size := -8 (0xFFFFFFF8 LE) — an unguarded walk would
+    // advance by 8 + (-8) = 0 forever
+    bad(16) = 0xf8.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0xff.toByte
+    assertThrows[IllegalArgumentException](Codecs.decodeWavPcm16(bad))
+  }
+
   test("wav: rejects non-PCM format codes and missing chunks") {
     val enc = Codecs.encodeWavPcm16(8000, Array[Short](1, 2))
     val bad = enc.clone(); bad(20) = 3 // IEEE float format code

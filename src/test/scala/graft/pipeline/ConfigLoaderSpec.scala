@@ -32,6 +32,23 @@ class ConfigLoaderSpec extends SparkSpec {
     assert(ds.ingests(1).command == "grebi_ingest_sssom")
   }
 
+  test("datasource yaml: command-before-globs key order (maps are unordered)") {
+    val ds = ConfigLoader.parseDatasourceYaml(
+      """name: SWAPPED
+        |enabled: true
+        |ingests:
+        |  - command: grebi_ingest_sssom
+        |    globs: ["./a.tsv"]
+        |  - globs: ["./b.tsv"]
+        |    command: grebi_ingest_gwas
+        |""".stripMargin)
+    assert(ds.ingests.length == 2)
+    assert(ds.ingests.head.command == "grebi_ingest_sssom")
+    assert(ds.ingests.head.globs == Seq("./a.tsv"))
+    assert(ds.ingests(1).command == "grebi_ingest_gwas")
+    assert(ds.ingests(1).globs == Seq("./b.tsv"))
+  }
+
   test("command parsing: pipes, quoted args, env substitution, py tools") {
     val stages = ConfigLoader.parseCommand(
       """grebi_tsv2jsonl --tsv-array-delimiter "|" --tsv-columns a,b

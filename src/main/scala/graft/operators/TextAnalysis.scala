@@ -285,6 +285,61 @@ object TextAnalysis extends QueryModule {
       |  md5(regexp_replace(t, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
       |FROM de ORDER BY doc_id""".stripMargin
 
+  /** t10 — Gopher-style repetition signals (the "repetitious content"
+    * quality rules of large-scale corpus filtering): per-document word
+    * count, distinct-word count, total word characters, bigram count and
+    * the frequency of the most repeated bigram. All counts are integers,
+    * so the oracle comparison is exact by construction; downstream
+    * filters derive the ratios (dup-word fraction, top-bigram fraction,
+    * mean word length) from these. One typed map pass per document —
+    * no shuffle. */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val words = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
+        val distinct = new scala.collection.mutable.HashSet[String]
+        var chars = 0L
+        words.foreach { w => distinct += w; chars += w.length }
+        val bigramCounts = new scala.collection.mutable.HashMap[String, Long]
+        var k = 0
+        while (k + 1 < words.length) {
+          val bg = words(k) + " " + words(k + 1)
+          bigramCounts.update(bg, bigramCounts.getOrElse(bg, 0L) + 1L)
+          k += 1
+        }
+        val topBigram = if (bigramCounts.isEmpty) 0L else bigramCounts.valuesIterator.max
+        (id, words.length.toLong, distinct.size.toLong, chars,
+          math.max(words.length - 1, 0).toLong, topBigram)
+      }
+      .toDF("doc_id", "n_words", "n_distinct", "word_chars", "n_bigrams", "top_bigram")
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |    CAST(coalesce(list_sum(list_transform(ws, x -> len(x))), 0) AS BIGINT) AS word_chars,
+      |    CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n_bigrams,
+      |    list_transform(list_zip(ws[1:-2], ws[2:]), z -> z[1] || ' ' || z[2]) AS bgs
+      |  FROM w),
+      |tops AS (
+      |  SELECT doc_id, CAST(max(cnt) AS BIGINT) AS top_bigram FROM (
+      |    SELECT doc_id, bg, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(bgs) AS bg FROM base)
+      |    GROUP BY doc_id, bg)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, n_words, n_distinct, word_chars, n_bigrams,
+      |  coalesce(t.top_bigram, 0) AS top_bigram
+      |FROM base b LEFT JOIN tops t ON b.doc_id = t.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -295,5 +350,6 @@ object TextAnalysis extends QueryModule {
     "t7_top_terms"     -> QueryDef(topTerms, Some(topTermsSql), bench = true),
     "t8_stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
     "t9_redact"        -> QueryDef(redact, Some(redactSql)),
+    "t10_repetition"   -> QueryDef(repetition, Some(repetitionSql)),
   )
 }

@@ -337,7 +337,23 @@ object Ingest {
                   typePredicate: String = "rdf:type",
                   nestPreds: Set[String] = Set.empty,
                   excludePreds: Set[String] = Set.empty,
-                  maxNestDepth: Int = 8): Dataset[IngestNode] = {
+                  maxNestDepth: Int = 8,
+                  /** `--reif-pointer-predicate` / `--reif-value-predicate`
+                    * (main.rs:77-85,315-345): a pointer triple's object is
+                    * a reification-metadata record whose TYPE is the
+                    * actual predicate, whose value-predicate object is the
+                    * actual value, and whose remaining props become
+                    * qualifiers. (The reference's
+                    * `--reif-predicate-predicate` flag is parsed but
+                    * unused there — the rdf:type is what's read; same
+                    * here via `typePredicate`.) */
+                  reifPointerPreds: Set[String] = Set.empty,
+                  reifValuePreds: Set[String] = Set.empty,
+                  /** `--rdf-types-are-grebi-types` (main.rs:84,419-427):
+                    * only when set do typePredicate values become grebi
+                    * types; otherwise they stay ordinary property
+                    * values. */
+                  typesAreGrebiTypes: Boolean = true): Dataset[IngestNode] = {
     val spark = triples.sparkSession
     import spark.implicits._
     val t = triples.select(col("s"), col("p"), col("o"))
@@ -374,6 +390,38 @@ object Ingest {
       val excluded = cur.where(col("p").isin(excludePreds.toSeq: _*))
         .select(col("o").as("xs")).distinct()
       cur = cur.join(excluded, cur("s") === excluded("xs"), "left_anti")
+    }
+
+    // --- pointer-predicate reification (before blank nesting, so the
+    // metadata records are still addressable as subjects)
+    if (reifPointerPreds.nonEmpty) {
+      val rp = cur.where(col("p").isin(reifPointerPreds.toSeq: _*))
+        .select(col("s"), col("o").as("mid"))
+      val metaIds = rp.select(col("mid")).distinct()
+      val meta = cur.join(metaIds, cur("s") === metaIds("mid"), "left_semi")
+        .select(col("s").as("ms"), col("p").as("mp"), col("o").as("mo"))
+      // actual predicate = the metadata record's (first) type; actual
+      // value = its (first) value-predicate object
+      val actual = meta.where(col("mp") === typePredicate)
+        .groupBy(col("ms")).agg(min(col("mo")).as("actualPred"))
+      val value = meta.where(col("mp").isin(reifValuePreds.toSeq: _*))
+        .groupBy(col("ms")).agg(min(col("mo")).as("actualValue"))
+      val rquals = meta
+        .where(col("mp") =!= typePredicate && !col("mp").isin(reifValuePreds.toSeq: _*))
+        .groupBy(col("ms"), col("mp"))
+        .agg(sort_array(collect_list(col("mo"))).as("qvs"))
+        .groupBy(col("ms"))
+        .agg(map_from_entries(collect_list(struct(col("mp"), col("qvs")))).as("rquals"))
+      val reified = rp
+        .join(actual, rp("mid") === actual("ms"), "inner").drop("ms")
+        .join(value, rp("mid") === value("ms"), "inner").drop("ms")
+        .join(rquals, rp("mid") === rquals("ms"), "left").drop("ms")
+        .select(col("s"), col("actualPred").as("p"), col("actualValue").as("o"),
+          col("rquals").as("quals"))
+      cur = cur.where(!col("p").isin(reifPointerPreds.toSeq: _*))
+        .join(metaIds.withColumnRenamed("mid", "ms2"), cur("s") === col("ms2"), "left_anti")
+        .union(reified)
+        .localCheckpoint()
     }
 
     val isBlank = (c: Column) => c.startsWith("_:")
@@ -436,9 +484,11 @@ object Ingest {
             if (q == null || q.isEmpty) RawValue.str(o) else RawValue.reified(o, q)
           }
         }
-        val types = props.getOrElse(typePredicate, Nil).map(_.value)
-        IngestNode(Seq(subj), datasource, subgraph, types.toSeq,
-          props - typePredicate)
+        if (typesAreGrebiTypes) {
+          val types = props.getOrElse(typePredicate, Nil).map(_.value)
+          IngestNode(Seq(subj), datasource, subgraph, types.toSeq,
+            props - typePredicate)
+        } else IngestNode(Seq(subj), datasource, subgraph, Nil, props)
       }
   }
 

@@ -77,7 +77,11 @@ object Ols {
   def fromJsonl(spark: SparkSession, path: String, datasource: String,
                 subgraph: String, grebiType: String = "ols:Class",
                 definingOnly: Boolean = true,
-                skipObsolete: Boolean = true): Dataset[IngestNode] = {
+                skipObsolete: Boolean = true,
+                /** `--ontologies` whitelist: keep only classes whose
+                  * `ols:ontologyId` is listed (`grebi_ingest_ols/src/
+                  * main.rs:45-47,84-86`); None = everything. */
+                ontologies: Option[Set[String]] = None): Dataset[IngestNode] = {
     import spark.implicits._
     spark.read.textFile(path).mapPartitions { lines =>
       // skip blank/non-object lines (a trailing newline in a JSONL dump
@@ -90,7 +94,9 @@ object Ols {
         def first(k: String): Option[String] = obj.get(k).flatMap(strings(_).headOption)
         val imported = first("ols:imported").contains("true")
         val obsolete = first("ols:isObsolete").contains("true")
-        if ((definingOnly && imported) || (skipObsolete && obsolete)) None
+        val offList = ontologies.exists(allow =>
+          !first("ols:ontologyId").exists(allow.contains))
+        if ((definingOnly && imported) || (skipObsolete && obsolete) || offList) None
         else {
           val id = qualifiedSafeLabel(first("ols:curie"), first("ols:definedBy"),
             first("ols:label"), first("ols:iri"))

@@ -299,10 +299,14 @@ object ConfigLoader {
         Ingest.fromTriples(triples, df.datasource, subgraph,
           typePredicate = FullRdfType,
           nestPreds = source.flagAll("nest-objects-of-predicate").toSet,
-          excludePreds = source.flagAll("exclude-objects-of-predicate").toSet)
+          excludePreds = source.flagAll("exclude-objects-of-predicate").toSet,
+          reifPointerPreds = source.flagAll("reif-pointer-predicate").toSet,
+          reifValuePreds = source.flagAll("reif-value-predicate").toSet,
+          typesAreGrebiTypes = source.has("rdf-types-are-grebi-types"))
       case "grebi_ingest_ols" =>
         Ols.fromJsonl(spark, df.file, df.datasource, subgraph,
-          skipObsolete = source.has("skip-obsolete"))
+          skipObsolete = source.has("skip-obsolete"),
+          ontologies = source.flag("ontologies").map(_.split(",").toSet))
       case "grebi_ingest_metabolights" =>
         Ingest.fromMetabolightsXml(spark, df.file, df.datasource, subgraph)
       case "grebi_ingest_mondo_efo_mappings" =>

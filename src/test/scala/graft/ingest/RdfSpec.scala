@@ -307,6 +307,49 @@ class RdfSpec extends SparkSpec {
     assert(byId(Ex + "B").props(Ex + "plain").head.value == Ex + "ev1")
   }
 
+  test("fromTriples: pointer-predicate reification (chembl shape)") {
+    import spark.implicits._
+    val sio8 = "http://semanticscience.org/resource/SIO_000008"
+    val sio300 = "http://semanticscience.org/resource/SIO_000300"
+    val triples = Seq(
+      (Ex + "act1", RT, Ex + "Activity"),
+      (Ex + "act1", sio8, "_:m1"),
+      ("_:m1", RT, Ex + "standardValue"),
+      ("_:m1", sio300, "55.0"),
+      ("_:m1", Ex + "units", "nM"),
+      (Ex + "act1", Ex + "doc", Ex + "doc1"),
+      (Ex + "doc1", Ex + "label", "drop me")).toDF("s", "p", "o")
+    val nodes = Ingest.fromTriples(triples, "rdf", "fx", typePredicate = RT,
+      reifPointerPreds = Set(sio8), reifValuePreds = Set(sio300),
+      excludePreds = Set(Ex + "doc")).collect()
+    val byId = nodes.map(n => n.ids.head -> n).toMap
+    // the metadata record folded into act1: its TYPE became the
+    // predicate, its value-predicate object the value, the rest
+    // qualifiers; the metadata node itself emits nothing
+    val act = byId(Ex + "act1")
+    val sv = act.props(Ex + "standardValue").head
+    assert(sv.value == "55.0")
+    assert(sv.qualifiers == Map((Ex + "units") -> Seq("nM")))
+    assert(!act.props.contains(sio8))
+    assert(!byId.contains("_:m1"))
+    // exclude-objects-of-predicate still drops doc1's own record
+    assert(!byId.contains(Ex + "doc1"))
+    assert(act.props(Ex + "doc").head.value == Ex + "doc1")
+    assert(act.types == Seq(Ex + "Activity"))
+  }
+
+  test("fromTriples: typesAreGrebiTypes=false keeps rdf:type as a plain prop") {
+    import spark.implicits._
+    val triples = Seq(
+      (Ex + "n1", RT, Ex + "T"),
+      (Ex + "n1", Ex + "p", "v")).toDF("s", "p", "o")
+    val nodes = Ingest.fromTriples(triples, "rdf", "fx", typePredicate = RT,
+      typesAreGrebiTypes = false).collect()
+    assert(nodes.length == 1)
+    assert(nodes.head.types.isEmpty)
+    assert(nodes.head.props(RT).map(_.value) == Seq(Ex + "T"))
+  }
+
   test("turtle → fromTriples round-trip with axiom written in turtle") {
     val ttl =
       """@prefix owl: <http://www.w3.org/2002/07/owl#> .

@@ -129,7 +129,63 @@ object RdfOps extends QueryModule {
       |    FROM t WHERE p_partkey % 3 = 0
       |) ORDER BY s, p, o""".stripMargin
 
+  /** x3 — Turtle → [[Rdf.parseTurtle]] → [[graft.ingest.Ingest.fromTriples]]
+    * end-to-end: each part node carries a typed `a` triple, a literal,
+    * and a reified `partOf` whose OWL axiom (an anonymous blank node in
+    * real Turtle syntax) contributes an evidence qualifier. The gate is
+    * green only if parsing, anonymous-blank handling, axiom folding and
+    * subject grouping all agree with the closed form. */
+  def rdfNodes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey")).limit(100).collect()
+    val ttl = new StringBuilder
+    ttl.append("@prefix ex: <http://example.org/> .\n")
+    ttl.append("@prefix owl: <http://www.w3.org/2002/07/owl#> .\n\n")
+    parts.foreach { r =>
+      val (k, nm, brand, size) = (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3))
+      val id = pad(k)
+      ttl.append(s"ex:part$id a ex:Part ;\n")
+      ttl.append(s"""  ex:name "${escTtl(nm)}" ;""").append('\n')
+      ttl.append(s"  ex:partOf ex:group$size .\n")
+      ttl.append("[] a owl:Axiom ;\n")
+      ttl.append(s"  owl:annotatedSource ex:part$id ;\n")
+      ttl.append("  owl:annotatedProperty ex:partOf ;\n")
+      ttl.append(s"  owl:annotatedTarget ex:group$size ;\n")
+      ttl.append(s"""  ex:evidence "brand:${escTtl(brand)}" .""").append('\n')
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdf_nodes")
+    val f = dir.resolve("nodes.ttl")
+    java.nio.file.Files.writeString(f, ttl.toString)
+    dir.toFile.deleteOnExit(); f.toFile.deleteOnExit()
+    val nodes = graft.ingest.Ingest.fromTriples(
+      Rdf.parseTurtle(s, f.toString), "rdf", "fx",
+      typePredicate = Rdf.RdfType)
+    nodes.flatMap { n =>
+      val nid = n.ids.head
+      n.types.map(t => (nid, "grebi:type", t, "")) ++
+        n.props.toSeq.flatMap { case (k, vs) =>
+          vs.map(v => (nid, k, v.value,
+            v.qualifiers.getOrElse(Ex + "evidence", Nil).mkString(",")))
+        }
+    }.toDF("node_id", "key", "value", "qual")
+      .orderBy(col("node_id"), col("key"), col("value"))
+  }
+
+  val rdfNodesSql: String =
+    s"""WITH t AS (
+      |  SELECT 'http://example.org/part' || $sqlPad AS subj, p_name, p_brand, p_size
+      |  FROM part ORDER BY p_partkey LIMIT 100)
+      |SELECT node_id, key, value, qual FROM (
+      |  SELECT subj AS node_id, 'grebi:type' AS key, 'http://example.org/Part' AS value, '' AS qual FROM t
+      |  UNION ALL SELECT subj, 'http://example.org/name', p_name, '' FROM t
+      |  UNION ALL SELECT subj, 'http://example.org/partOf',
+      |    'http://example.org/group' || CAST(p_size AS VARCHAR), 'brand:' || p_brand FROM t
+      |) ORDER BY node_id, key, value""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x2_rdf_ingest" -> QueryDef(rdfIngest, Some(rdfIngestSql)),
+    "x3_rdf_nodes"  -> QueryDef(rdfNodes, Some(rdfNodesSql)),
   )
 }

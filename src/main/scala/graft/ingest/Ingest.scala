@@ -396,32 +396,39 @@ object Ingest {
     // metadata records are still addressable as subjects)
     if (reifPointerPreds.nonEmpty) {
       val rp = cur.where(col("p").isin(reifPointerPreds.toSeq: _*))
-        .select(col("s"), col("o").as("mid"))
+        .select(col("s"), col("p").as("origP"), col("o").as("mid"))
       val metaIds = rp.select(col("mid")).distinct()
       val meta = cur.join(metaIds, cur("s") === metaIds("mid"), "left_semi")
         .select(col("s").as("ms"), col("p").as("mp"), col("o").as("mo"))
-      // actual predicate = the metadata record's (first) type; actual
-      // value = its (first) value-predicate object
+      // actual predicate = the metadata record's (first) type; every
+      // value-predicate object becomes one value row (the reference
+      // carries the whole value array, main.rs:333-340)
       val actual = meta.where(col("mp") === typePredicate)
         .groupBy(col("ms")).agg(min(col("mo")).as("actualPred"))
-      val value = meta.where(col("mp").isin(reifValuePreds.toSeq: _*))
-        .groupBy(col("ms")).agg(min(col("mo")).as("actualValue"))
+      val values = meta.where(col("mp").isin(reifValuePreds.toSeq: _*))
+        .select(col("ms"), col("mo").as("actualValue"))
       val rquals = meta
         .where(col("mp") =!= typePredicate && !col("mp").isin(reifValuePreds.toSeq: _*))
         .groupBy(col("ms"), col("mp"))
         .agg(sort_array(collect_list(col("mo"))).as("qvs"))
         .groupBy(col("ms"))
         .agg(map_from_entries(collect_list(struct(col("mp"), col("qvs")))).as("rquals"))
+      // left joins: a pointer whose metadata record is missing its type
+      // or value triple falls back to the plain (s, pointerPred, o)
+      // triple instead of silently vanishing (the reference panics there,
+      // main.rs:333 — we degrade gracefully but lose nothing)
       val reified = rp
-        .join(actual, rp("mid") === actual("ms"), "inner").drop("ms")
-        .join(value, rp("mid") === value("ms"), "inner").drop("ms")
+        .join(actual, rp("mid") === actual("ms"), "left").drop("ms")
+        .join(values, rp("mid") === values("ms"), "left").drop("ms")
         .join(rquals, rp("mid") === rquals("ms"), "left").drop("ms")
-        .select(col("s"), col("actualPred").as("p"), col("actualValue").as("o"),
-          col("rquals").as("quals"))
+        .select(col("s"),
+          coalesce(col("actualPred"), col("origP")).as("p"),
+          coalesce(col("actualValue"), col("mid")).as("o"),
+          when(col("actualPred").isNotNull && col("actualValue").isNotNull,
+            col("rquals")).as("quals"))
       cur = cur.where(!col("p").isin(reifPointerPreds.toSeq: _*))
         .join(metaIds.withColumnRenamed("mid", "ms2"), cur("s") === col("ms2"), "left_anti")
         .union(reified)
-        .localCheckpoint()
     }
 
     val isBlank = (c: Column) => c.startsWith("_:")
@@ -484,11 +491,13 @@ object Ingest {
             if (q == null || q.isEmpty) RawValue.str(o) else RawValue.reified(o, q)
           }
         }
-        if (typesAreGrebiTypes) {
-          val types = props.getOrElse(typePredicate, Nil).map(_.value)
-          IngestNode(Seq(subj), datasource, subgraph, types.toSeq,
-            props - typePredicate)
-        } else IngestNode(Seq(subj), datasource, subgraph, Nil, props)
+        // the reference keeps the rdf:type property in the record either
+        // way; the flag only controls whether grebi types (the separate
+        // `types` field here) are ALSO derived from it (main.rs:419-427)
+        val types =
+          if (typesAreGrebiTypes) props.getOrElse(typePredicate, Nil).map(_.value)
+          else Nil
+        IngestNode(Seq(subj), datasource, subgraph, types.toSeq, props)
       }
   }
 

@@ -179,6 +179,10 @@ object RdfOps extends QueryModule {
       |  FROM part ORDER BY p_partkey LIMIT 100)
       |SELECT node_id, key, value, qual FROM (
       |  SELECT subj AS node_id, 'grebi:type' AS key, 'http://example.org/Part' AS value, '' AS qual FROM t
+      |  -- the rdf:type property stays on the record alongside the grebi
+      |  -- types, as in the reference
+      |  UNION ALL SELECT subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+      |    'http://example.org/Part', '' FROM t
       |  UNION ALL SELECT subj, 'http://example.org/name', p_name, '' FROM t
       |  UNION ALL SELECT subj, 'http://example.org/partOf',
       |    'http://example.org/group' || CAST(p_size AS VARCHAR), 'brand:' || p_brand FROM t

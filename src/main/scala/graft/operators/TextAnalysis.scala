@@ -301,7 +301,8 @@ object TextAnalysis extends QueryModule {
         val words = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
         val distinct = new scala.collection.mutable.HashSet[String]
         var chars = 0L
-        words.foreach { w => distinct += w; chars += w.length }
+        // codepoint count, matching DuckDB len() beyond the BMP
+        words.foreach { w => distinct += w; chars += w.codePointCount(0, w.length) }
         val bigramCounts = new scala.collection.mutable.HashMap[String, Long]
         var k = 0
         while (k + 1 < words.length) {
@@ -319,7 +320,8 @@ object TextAnalysis extends QueryModule {
 
   val repetitionSql: String =
     """WITH w AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
       |  FROM documents),
       |base AS (
       |  SELECT doc_id,

@@ -304,7 +304,10 @@ object ConfigLoader {
           reifValuePreds = source.flagAll("reif-value-predicate").toSet,
           typesAreGrebiTypes = source.has("rdf-types-are-grebi-types"))
       case "grebi_ingest_ols" =>
+        // both boolean flags default FALSE in the reference CLI
+        // (grebi_ingest_ols/src/main.rs:22-28)
         Ols.fromJsonl(spark, df.file, df.datasource, subgraph,
+          definingOnly = source.has("defining-only"),
           skipObsolete = source.has("skip-obsolete"),
           ontologies = source.flag("ontologies").map(_.split(",").toSet))
       case "grebi_ingest_metabolights" =>

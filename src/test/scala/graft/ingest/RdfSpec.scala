@@ -338,6 +338,26 @@ class RdfSpec extends SparkSpec {
     assert(act.types == Seq(Ex + "Activity"))
   }
 
+  test("fromTriples: pointer reification keeps ALL values; dangling pointers degrade to plain triples") {
+    import spark.implicits._
+    val sio8 = "http://semanticscience.org/resource/SIO_000008"
+    val sio300 = "http://semanticscience.org/resource/SIO_000300"
+    val triples = Seq(
+      (Ex + "act1", sio8, "_:m1"),
+      ("_:m1", RT, Ex + "standardValue"),
+      ("_:m1", sio300, "55.0"),
+      ("_:m1", sio300, "7.2"), // TWO values — both must survive
+      (Ex + "act1", sio8, Ex + "nowhere"), // metadata record missing entirely
+      (Ex + "act1", Ex + "label", "a1")).toDF("s", "p", "o")
+    val nodes = Ingest.fromTriples(triples, "rdf", "fx", typePredicate = RT,
+      reifPointerPreds = Set(sio8), reifValuePreds = Set(sio300)).collect()
+    val act = nodes.find(_.ids.head == Ex + "act1").get
+    assert(act.props(Ex + "standardValue").map(_.value).sorted == Seq("55.0", "7.2"))
+    // the unresolvable pointer keeps its original triple instead of
+    // silently vanishing
+    assert(act.props(sio8).map(_.value) == Seq(Ex + "nowhere"))
+  }
+
   test("fromTriples: typesAreGrebiTypes=false keeps rdf:type as a plain prop") {
     import spark.implicits._
     val triples = Seq(

@@ -370,12 +370,42 @@ object ConfigLoader {
   def runFromConfigFile(spark: SparkSession, configPath: String,
                         home: String): SubgraphBuild = {
     val config = loadSubgraphConfig(configPath)
-    val files = config.datasourceConfigs.flatMap { rel =>
-      val p = if (rel.startsWith("/")) rel else s"$home/${rel.stripPrefix("./")}"
-      discoverFiles(home, loadDatasource(p))
-    }
+    val files = discoverAll(config, home)
     require(files.nonEmpty, s"no datasource files discovered under $home")
     val ingests = files.map(f => ingestFile(spark, home, config.name, f))
     GraftPipeline.run(spark, config, ingests)
+  }
+
+  private def discoverAll(config: SubgraphConfig, home: String): Seq[DatasourceFile] =
+    config.datasourceConfigs.flatMap { rel =>
+      val p = if (rel.startsWith("/")) rel else s"$home/${rel.stripPrefix("./")}"
+      discoverFiles(home, loadDatasource(p))
+    }
+
+  /** Incremental composition: re-expand the config's globs and apply
+    * only the files not yet ingested as one [[Incremental.update]]
+    * batch. Returns the newly applied file paths (empty = store already
+    * current). Ingested-file bookkeeping lives next to the state
+    * (`applied_files.txt`), so dropping new dumps into a watched
+    * directory and re-invoking is the whole operational loop — the
+    * incremental analog of the reference's full Nextflow re-run. */
+  def updateFromConfigFile(spark: SparkSession, configPath: String,
+                           home: String, stateDir: String): Seq[String] = {
+    val config = loadSubgraphConfig(configPath)
+    val ledger = java.nio.file.Paths.get(s"$stateDir/applied_files.txt")
+    val applied: Set[String] =
+      if (java.nio.file.Files.exists(ledger))
+        java.nio.file.Files.readAllLines(ledger).toArray(Array.empty[String]).toSet
+      else Set.empty
+    val fresh = discoverAll(config, home).filterNot(f => applied.contains(f.file))
+    if (fresh.nonEmpty) {
+      val batch = fresh.map(f => ingestFile(spark, home, config.name, f))
+        .reduce(_ union _)
+      Incremental.update(spark, config, stateDir, batch)
+      java.nio.file.Files.createDirectories(ledger.getParent)
+      java.nio.file.Files.writeString(ledger,
+        (applied ++ fresh.map(_.file)).toSeq.sorted.mkString("", "\n", "\n"))
+    }
+    fresh.map(_.file)
   }
 }

@@ -62,6 +62,52 @@ class IncrementalBuildSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("config-driven incremental: new files apply as deltas, equal full rebuild") {
+    import scala.jdk.CollectionConverters._
+    val home = java.nio.file.Files.createTempDirectory("inc_home")
+    val state = java.nio.file.Files.createTempDirectory("inc_state").toString
+    def write(rel: String, content: String): Unit = {
+      val p = home.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    write("configs/ds.yaml",
+      """name: GENES
+        |enabled: true
+        |ingests:
+        |  - globs: ["./data/*.jsonl"]
+        |    command: '
+        |      grebi_transform_jsonl
+        |          --json-rename-field geneId:id
+        |          --json-inject-type fx:Gene'
+        |""".stripMargin)
+    write("configs/fx.json",
+      """{"id": "FX", "name": "fixture",
+        |  "datasource_configs": ["./configs/ds.yaml"]}""".stripMargin)
+    write("data/batch1.jsonl", """{"geneId":"g:1","name":"one"}""" + "\n")
+    try {
+      val cfgPath = home.resolve("configs/fx.json").toString
+      val first = ConfigLoader.updateFromConfigFile(spark, cfgPath, home.toString, state)
+      assert(first.size == 1 && first.head.endsWith("batch1.jsonl"))
+      // nothing new → no-op
+      assert(ConfigLoader.updateFromConfigFile(spark, cfgPath, home.toString, state).isEmpty)
+      // a new dump arrives
+      write("data/batch2.jsonl", """{"geneId":"g:2","name":"two"}""" + "\n")
+      val second = ConfigLoader.updateFromConfigFile(spark, cfgPath, home.toString, state)
+      assert(second.size == 1 && second.head.endsWith("batch2.jsonl"))
+      val inc = flat(Incremental.currentMerged(spark, state).collect().toSeq)
+      val bat = flat(ConfigLoader.runFromConfigFile(spark, cfgPath, home.toString)
+        .merged.collect().toSeq)
+      assert(inc == bat)
+      assert(inc.exists(_._1 == "g:2"))
+    } finally {
+      Seq(home, java.nio.file.Paths.get(state)).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("identifier_props values join cliques incrementally too") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc_spec2").toString

@@ -86,9 +86,16 @@ object Incremental {
       .union(config.additionalEquivalenceGroups.toDF("ids"))
     val deltaIds = deltaSets.select(explode(col("ids")).as("member")).distinct()
 
+    val firstRun = !exists(spark, groupsPath(dir))
     val oldGroups: DataFrame =
-      if (exists(spark, groupsPath(dir))) spark.read.parquet(groupsPath(dir))
+      if (!firstRun) spark.read.parquet(groupsPath(dir))
       else Seq.empty[(String, String)].toDF("member", "canonical")
+    // dirty-detection joins broadcast their delta-proportional side —
+    // EXCEPT on the bootstrap run, where the "delta" is the whole corpus
+    // and a forced broadcast would blow the driver; there the planner
+    // picks the join strategy
+    val deltaHint: DataFrame => DataFrame =
+      if (firstRun) identity else broadcast
 
     // cliques touched by delta ids → their full old membership joins the
     // re-run; everything else keeps its component untouched
@@ -123,21 +130,21 @@ object Incremental {
       (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))
         .distinct.map((uid, _))
     }.toDF("uid", "member")
-    val candDirtyUids = cands.join(broadcast(affectedMembers), "member")
+    val candDirtyUids = cands.join(deltaHint(affectedMembers), "member")
       .select(col("uid")).distinct()
     // canonical of each candidate-dirty record → the full dirty-clique set
     val firstIds = withUid.flatMap { case (uid, n) =>
       val valid = n.ids.filter(graft.curie.Ids.isValidId)
       valid.headOption.map(h => (uid, h))
     }.toDF("uid", "member")
-    val dirtyCanon = firstIds.join(broadcast(candDirtyUids), "uid")
+    val dirtyCanon = firstIds.join(deltaHint(candDirtyUids), "uid")
       .join(groupsFinal, Seq("member"), "left")
       .select(coalesce(col("canonical"), col("member")).as("canonical")).distinct()
-    val dirtyMembers = groupsFinal.join(broadcast(dirtyCanon), "canonical")
+    val dirtyMembers = groupsFinal.join(deltaHint(dirtyCanon), "canonical")
       .select(col("member"))
       .union(dirtyCanon.select(col("canonical").as("member")))
       .distinct()
-    val dirtyUids = firstIds.join(broadcast(dirtyMembers), "member")
+    val dirtyUids = firstIds.join(deltaHint(dirtyMembers), "member")
       .select(col("uid")).distinct()
     val dirtyRecords = withUid.toDF("uid", "node")
       .join(dirtyUids, "uid")

@@ -837,6 +837,104 @@ object Ingest {
     }
   }
 
+  /** hett pesticide registries — the reference's three pandas-over-xlsx
+    * scripts (`01_ingest/hett_pesticides_{appril,eu,gb}.py`) reproduced
+    * over [[Xlsx.readRows]]: per-variant header offset, column renames,
+    * id derivation, comma-splits, CAS-number extraction emitting
+    * side-nodes typed grebi:Chemical, and the GB IUPAC equivalence
+    * split. Key cleanup matches the scripts' `re.sub(r'[^\w\s:]','',k)`. */
+  def fromHettPesticides(spark: SparkSession, path: String, variant: String,
+                         datasource: String,
+                         subgraph: String = "hett"): Dataset[IngestNode] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (_, pds) =>
+        hettRecords(Xlsx.readRows(pds.toArray()), variant, datasource, subgraph)
+      }.toDS()
+  }
+
+  private val CasRe = """\d{1,7}-\d{2}-\d""".r
+
+  private[ingest] def hettRecords(rows: Seq[Seq[String]], variant: String,
+                                  datasource: String,
+                                  subgraph: String): Seq[IngestNode] = {
+    val skip = variant match {
+      case "appril" => 0
+      case "eu" => 2 // skiprows=2 (hett_pesticides_eu.py:15)
+      case "gb" => 3 // skiprows=3 (hett_pesticides_gb.py:15)
+      case other => throw new IllegalArgumentException(s"unknown hett variant $other")
+    }
+    if (rows.length <= skip) return Nil
+    def cleanKey(k: String): String = k.replaceAll("[^\\w\\s:]", "")
+    var header = rows(skip).map(_.trim)
+    if (variant == "gb")
+      header = header.map(h => if (h.startsWith("Category")) "Category" else h)
+    val (nameCol, typ) = variant match {
+      case "appril" => ("PRODUCT_NAME", "hett:PesticideProduct")
+      case _ => (if (variant == "eu") "Substance" else "Substance Name", "hett:AgroSubstance")
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[IngestNode]
+    def chemicals(raw: String): Seq[String] = {
+      val cas = CasRe.findAllIn(raw).map("cas:" + _).toSeq
+      cas.foreach(c => out += IngestNode(Seq(c), datasource, subgraph,
+        Seq("grebi:Chemical"), Map.empty))
+      cas
+    }
+    rows.drop(skip + 1).foreach { cells =>
+      // duplicate header names keep the LAST cell, like pandas to_dict
+      val obj0 = header.zipAll(cells.take(header.length), "", "")
+        .map { case (k, v) => k -> v.trim }
+        .filter { case (k, v) => k.nonEmpty && v.nonEmpty }
+        .toMap
+      val id = variant match {
+        case "appril" => obj0.get("REG_NUM").map("appril:" + _)
+        case "eu" => obj0.get("Substance")
+        case _ => obj0.get("Substance Name").filter(_.nonEmpty) // gb drops empty ids
+      }
+      id.foreach { recordId =>
+        var props = obj0.map { case (k, vv) =>
+          (if (k == nameCol) "grebi:name" else cleanKey(k)) -> Seq(vv)
+        }
+        def split(k: String, sep: String = ","): Unit =
+          props.get(k).foreach { vs =>
+            props = props.updated(k,
+              vs.head.split(java.util.regex.Pattern.quote(sep)).map(_.trim)
+                .filter(_.nonEmpty).toSeq)
+          }
+        variant match {
+          case "appril" =>
+            split("PESTS"); split("SITES")
+            props.get("AIS").foreach { vs =>
+              props = props.updated("hett:hasActiveIngredient", chemicals(vs.head))
+            }
+            props.get("INERTS").foreach { vs =>
+              props = props.updated("hett:hasInertIngredient", chemicals(vs.head))
+            }
+          case "eu" =>
+            split("Authorised")
+            props.get("CAS Number").foreach { vs =>
+              props = props.updated("CAS Number", chemicals(vs.head))
+            }
+          case _ => // gb
+            split("Category")
+            props.get("CAS Number").foreach { vs =>
+              props = props.updated("CAS Number", chemicals(vs.head))
+            }
+            props.get("IUPAC Name").foreach { vs =>
+              val iupac = vs.head.split(", | or |;").map(_.trim)
+                .filter(i => i.nonEmpty && !i.toLowerCase.startsWith("not "))
+              if (iupac.nonEmpty)
+                props = props.updated("grebi:equivalentTo", iupac.toSeq)
+            }
+        }
+        out += IngestNode(Seq(recordId), datasource, subgraph, Seq(typ),
+          props.filter(_._2.nonEmpty)
+            .map { case (k, vs) => k -> vs.map(RawValue.str) })
+      }
+    }
+    out.toSeq
+  }
+
   /** S8 — relational table → nodes: PK values become prefixed ids, FK
     * columns rewrite to the referenced table's prefixed id so the
     * materialise stage turns them into edges

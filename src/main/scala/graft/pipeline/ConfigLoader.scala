@@ -322,6 +322,12 @@ object ConfigLoader {
       case "grebi_ingest_reactome" =>
         Ingest.fromReactome(spark, df.file, graft.curie.PrefixTrie(Map.empty),
           df.datasource, subgraph)
+      case "hett_pesticides_appril" =>
+        Ingest.fromHettPesticides(spark, df.file, "appril", df.datasource, subgraph)
+      case "hett_pesticides_eu" =>
+        Ingest.fromHettPesticides(spark, df.file, "eu", df.datasource, subgraph)
+      case "hett_pesticides_gb" =>
+        Ingest.fromHettPesticides(spark, df.file, "gb", df.datasource, subgraph)
       case other => throw new IllegalArgumentException(
         s"no adapter for ingest tool '$other' (${df.file})")
     }

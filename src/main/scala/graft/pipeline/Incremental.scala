@@ -170,6 +170,30 @@ object Incremental {
     newGroups.unpersist()
   }
 
+  /** Continuous ingestion: watch a staging directory of IngestNode
+    * parquet batches (what any adapter writes) and apply each micro-batch
+    * through [[update]]. `Trigger.AvailableNow` + the checkpoint give
+    * exactly-once application across restarts — the streaming twin of
+    * the file-ledger loop in `ConfigLoader.updateFromConfigFile`. Returns
+    * after draining everything currently staged. */
+  def applyStream(spark: SparkSession, config: SubgraphConfig, dir: String,
+                  stagingDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = org.apache.spark.sql.Encoders.product[IngestNode].schema
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(stagingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import spark.implicits._
+        update(spark, config, dir, batch.as[IngestNode])
+      }
+      .option("checkpointLocation", s"$dir/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Merge-on-read view of the current graph: latest generation per
     * nodeId, minus rows superseded by a later tombstone. */
   def currentMerged(spark: SparkSession, dir: String): Dataset[MergedNode] = {

@@ -108,6 +108,36 @@ class IncrementalBuildSpec extends SparkSpec {
     }
   }
 
+  test("streamed staging dir applies exactly-once and equals batch") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val staging = java.nio.file.Files.createTempDirectory("inc_staging").toString
+    val state = java.nio.file.Files.createTempDirectory("inc_stream").toString
+    val config = SubgraphConfig(name = "fx")
+    val b1 = Seq(mk(Seq("s:1"), "ds1", Seq("T"), "grebi:name" -> "one"))
+    val b2 = Seq(mk(Seq("s:2"), "ds1", Seq("T"), "grebi:name" -> "two",
+      "ref" -> "s:1"))
+    try {
+      b1.toDS().write.parquet(s"$staging/b1")
+      Incremental.applyStream(spark, config, state, s"$staging/*/")
+      // re-running with nothing new must be a no-op (exactly-once)
+      val genBefore = spark.read.parquet(s"$state/merged").count()
+      Incremental.applyStream(spark, config, state, s"$staging/*/")
+      assert(spark.read.parquet(s"$state/merged").count() == genBefore)
+      b2.toDS().write.parquet(s"$staging/b2")
+      Incremental.applyStream(spark, config, state, s"$staging/*/")
+      val inc = flat(Incremental.currentMerged(spark, state).collect().toSeq)
+      val bat = flat(GraftPipeline.run(spark, config, Seq((b1 ++ b2).toDS()))
+        .merged.collect().toSeq)
+      assert(inc == bat)
+    } finally {
+      Seq(staging, state).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("identifier_props values join cliques incrementally too") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc_spec2").toString

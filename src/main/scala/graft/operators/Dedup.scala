@@ -291,11 +291,61 @@ object Dedup extends QueryModule {
       |WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
       |ORDER BY va, vb""".stripMargin
 
+  /** d6 — exact-substring (window) dedup signals: every word 8-gram of
+    * every document, deduplicated per doc, grouped across the corpus;
+    * windows appearing in more than one document mark repeated training
+    * text (the exact-substring dedup signal of Lee et al.-style corpus
+    * cleaning, at window granularity). Output per doc: distinct windows
+    * and how many of them are shared with ANY other document. Plan: one
+    * typed flatMap (windows), one distinct, one groupBy on the window
+    * hash, one semi-join back — no pairwise stage anywhere, so the shape
+    * survives the corpus-scale blow-up (the all-pairs alternative is
+    * quadratic in documents-per-window). */
+  def windowDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val windows = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
+        (0 to ws.length - 8).iterator.map(i => (id, ws.slice(i, i + 8).mkString(" ")))
+      }
+      .toDF("doc_id", "w")
+      .distinct()
+    val shared = windows.groupBy("w").agg(count(lit(1)).as("docs"))
+      .where(col("docs") > 1)
+      .select(col("w"))
+    val sharedPerDoc = windows.join(shared, "w")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    windows.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(sharedPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  // 2000-position bound = same headroom rationale as the m1/m2 oracles
+  val windowDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+      |  FROM w CROSS JOIN generate_series(1, 2000) t(i)
+      |  WHERE i + 7 <= len(ws)),
+      |shared AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(coalesce(sum(CASE WHEN s.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_shared
+      |FROM grams LEFT JOIN shared s USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
     "d3_minhash_lsh"   -> QueryDef(minhashLsh, Some(minhashLshSql), bench = true),
     "d4_simhash"       -> QueryDef(simhash, Some(simhashSql)),
     "d5_embedding_neardup" -> QueryDef(embeddingNearDup, Some(embeddingNearDupSql), bench = true),
+    "d6_window_dedup"  -> QueryDef(windowDedup, Some(windowDedupSql)),
   )
 }

@@ -282,6 +282,52 @@ object MaterialiseOps extends QueryModule {
       |      / CAST((SELECT max(n_descendants) FROM counts) AS DOUBLE) AS ic
       |FROM counts ORDER BY nodeId""".stripMargin
 
+  /** g17 — multi-source weighted shortest paths over the order →
+    * customer → nation → region hierarchy PLUS a direct order→nation
+    * shortcut edge, so the minimum genuinely competes between two routes
+    * (shortcut weight 5 vs the 3–7 two-hop sum). Integer weights derived
+    * from the keys keep the oracle exact. */
+  def weightedPaths(s: SparkSession, d: String): DataFrame = {
+    val w = (c: Column, m: Int, base: Int) => (c % m + base).cast("long")
+    val e1 = Tables.orders(s, d).select(
+      node("o:", col("o_orderkey")).as("fromNodeId"),
+      node("c:", col("o_custkey")).as("toNodeId"),
+      w(col("o_orderkey"), 3, 2).as("weight"))
+    val e2 = Tables.customer(s, d).select(
+      node("c:", col("c_custkey")).as("fromNodeId"),
+      node("n:", col("c_nationkey")).as("toNodeId"),
+      w(col("c_custkey"), 3, 1).as("weight"))
+    val e3 = Tables.nation(s, d).select(
+      node("n:", col("n_nationkey")).as("fromNodeId"),
+      node("r:", col("n_regionkey")).as("toNodeId"),
+      lit(1L).as("weight"))
+    val e4 = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(node("o:", col("o_orderkey")).as("fromNodeId"),
+        node("n:", col("c_nationkey")).as("toNodeId"),
+        lit(5L).as("weight"))
+    val seeds = Tables.orders(s, d).select(node("o:", col("o_orderkey")).as("nodeId"))
+    Query.weightedShortestPaths(e1.union(e2).union(e3).union(e4), seeds)
+      .orderBy(col("nodeId"))
+  }
+
+  val weightedPathsSql: String =
+    s"""WITH RECURSIVE e(f, t, w) AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")}, 'c:' || ${sqlPad("o_custkey")},
+      |         CAST(o_orderkey % 3 + 2 AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(c_custkey % 3 + 1 AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")},
+      |         CAST(1 AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'o:' || ${sqlPad("o_orderkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(5 AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey),
+      |paths(node, d) AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")}, CAST(0 AS BIGINT) FROM orders
+      |  UNION
+      |  SELECT e.t, p.d + e.w FROM paths p JOIN e ON p.node = e.f)
+      |SELECT node AS nodeId, CAST(min(d) AS BIGINT) AS dist
+      |FROM paths GROUP BY node ORDER BY nodeId""".stripMargin
+
   /** k3 — the id-nodes + id-edges CSV frames (K3 sink,
     * `grebi_make_neo_ids_csv/src/main.rs:5-31` +
     * `grebi_make_neo_csv/src/main.rs:390-412`) over a two-id-per-clique
@@ -329,5 +375,6 @@ object MaterialiseOps extends QueryModule {
     "g12_refs"            -> QueryDef(refsExploded, Some(refsExplodedSql)),
     "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),
     "g15_ic_scores"       -> QueryDef(icScores, Some(icScoresSql)),
+    "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
   )
 }

@@ -171,6 +171,40 @@ object Query {
     visited
   }
 
+  /** Multi-source weighted shortest paths (non-negative integer weights)
+    * — distributed Bellman-Ford with a frontier: each round relaxes only
+    * edges leaving nodes whose distance improved, so settled regions of
+    * the graph stop shuffling (the same semi-naive discipline as
+    * ConnectedComponents). Input `edges` needs (fromNodeId, toNodeId,
+    * weight); `seeds` one nodeId column, all at distance 0. Converges in
+    * O(longest shortest-path hop count) rounds, capped at `maxIter`;
+    * per-round lineage truncation keeps the plan O(1). */
+  def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
+                            maxIter: Int = 30): DataFrame = {
+    val step = edges.select(col("fromNodeId").as("from"), col("toNodeId").as("to"),
+        col("weight").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("nodeId"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      iter += 1
+      val cand = frontier.join(step, frontier("nodeId") === step("from"))
+        .select(col("to").as("nodeId"), (col("dist") + col("w")).as("d2"))
+        .groupBy("nodeId").agg(min(col("d2")).as("d2"))
+      val improved = cand.join(dist, Seq("nodeId"), "left")
+        .where(col("dist").isNull || col("d2") < col("dist"))
+        .select(col("nodeId"), col("d2").as("dist"))
+        .localCheckpoint()
+      dist = dist.join(improved, Seq("nodeId"), "left_anti")
+        .union(improved)
+        .localCheckpoint()
+      frontier = improved
+    }
+    step.unpersist()
+    dist
+  }
+
   /** Transitive closure of an edge set (bounded depth): all (ancestor,
     * descendant) pairs, by iterative path extension with distinct-dedup —
     * the engine-side form of Cypher `(a)<-[*1..]-(d)` used by the

@@ -42,6 +42,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NLJ")
   }
 
+  test("d6: window dedup joins on the window key only, never all-pairs") {
+    val p = plan("d6_window_dedup")
+    assert(!p.contains("CartesianProduct"), "window grouping degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "window grouping degenerated to NLJ")
+  }
+
+  test("t10: repetition signals are one map pass — no join, no explode-shuffle") {
+    val p = plan("t10_repetition")
+    assert(!p.contains("Join"), "per-doc counters must not join")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -895,15 +895,18 @@ object Ingest {
         var props = obj0.map { case (k, vv) =>
           (if (k == nameCol) "grebi:name" else cleanKey(k)) -> Seq(vv)
         }
-        def split(k: String, sep: String = ","): Unit =
+        // per-script split parity: Python str.split keeps empty items
+        // (incl. trailing — hence limit -1); gb's Category is a RAW
+        // split (hett_pesticides_gb.py:36 — no per-item strip), while
+        // eu/appril map strip over the items but keep empties
+        def split(k: String, strip: Boolean): Unit =
           props.get(k).foreach { vs =>
-            props = props.updated(k,
-              vs.head.split(java.util.regex.Pattern.quote(sep)).map(_.trim)
-                .filter(_.nonEmpty).toSeq)
+            val parts = vs.head.split(",", -1).toSeq
+            props = props.updated(k, if (strip) parts.map(_.trim) else parts)
           }
         variant match {
           case "appril" =>
-            split("PESTS"); split("SITES")
+            split("PESTS", strip = true); split("SITES", strip = true)
             props.get("AIS").foreach { vs =>
               props = props.updated("hett:hasActiveIngredient", chemicals(vs.head))
             }
@@ -911,20 +914,21 @@ object Ingest {
               props = props.updated("hett:hasInertIngredient", chemicals(vs.head))
             }
           case "eu" =>
-            split("Authorised")
+            split("Authorised", strip = true)
             props.get("CAS Number").foreach { vs =>
               props = props.updated("CAS Number", chemicals(vs.head))
             }
           case _ => // gb
-            split("Category")
+            split("Category", strip = false)
             props.get("CAS Number").foreach { vs =>
               props = props.updated("CAS Number", chemicals(vs.head))
             }
             props.get("IUPAC Name").foreach { vs =>
-              val iupac = vs.head.split(", | or |;").map(_.trim)
-                .filter(i => i.nonEmpty && !i.toLowerCase.startsWith("not "))
-              if (iupac.nonEmpty)
-                props = props.updated("grebi:equivalentTo", iupac.toSeq)
+              // hett_pesticides_gb.py:46-49 — strip items, drop only the
+              // 'not …' placeholders; empty items survive
+              val iupac = vs.head.split(", | or |;", -1).map(_.trim)
+                .filter(i => !i.toLowerCase.startsWith("not "))
+              props = props.updated("grebi:equivalentTo", iupac.toSeq)
             }
         }
         out += IngestNode(Seq(recordId), datasource, subgraph, Seq(typ),

@@ -12,24 +12,78 @@ import scala.collection.mutable.ArrayBuffer
 object Xlsx {
 
   /** Parse the first worksheet into rows of cell strings (sparse cells
-    * padded with ""). */
+    * padded with ""). "First" is workbook order: `xl/workbook.xml`'s
+    * leading `<sheet>`'s r:id resolved through
+    * `xl/_rels/workbook.xml.rels` — after sheet deletion/reordering the
+    * first sheet often is NOT the part named sheet1.xml (pandas, which
+    * the hett adapters mirror, resolves the same way). Falls back to
+    * `xl/worksheets/sheet1.xml` for minimal workbook-less fixtures. */
   def readRows(bytes: Array[Byte]): Seq[Seq[String]] = {
-    var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheet: Option[Array[Byte]] = None
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        val name = e.getName
-        if (name == "xl/sharedStrings.xml") shared = parseSharedStrings(zin.readAllBytes())
-        else if (name == "xl/worksheets/sheet1.xml") sheet = Some(zin.readAllBytes())
+        if (!e.isDirectory) parts(e.getName) = zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()
-    sheet match {
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
+    val sheetName = firstSheetPart(parts).getOrElse("xl/worksheets/sheet1.xml")
+    parts.get(sheetName) match {
       case Some(b) => parseSheet(b, shared)
-      case None => throw new IllegalArgumentException("not an xlsx: no xl/worksheets/sheet1.xml")
+      case None => throw new IllegalArgumentException(s"not an xlsx: no $sheetName")
     }
+  }
+
+  /** Resolve the workbook-order first sheet's zip entry name, if the
+    * workbook + rels parts are present and consistent. */
+  private def firstSheetPart(parts: collection.Map[String, Array[Byte]]): Option[String] =
+    for {
+      wb <- parts.get("xl/workbook.xml")
+      rels <- parts.get("xl/_rels/workbook.xml.rels")
+      rid <- firstSheetRelId(wb)
+      target <- relTarget(rels, rid)
+    } yield {
+      val t = target.stripPrefix("/")
+      if (t.startsWith("xl/")) t else s"xl/$t"
+    }
+
+  /** The r:id of the first `<sheet>` in `xl/workbook.xml`. */
+  private def firstSheetRelId(bytes: Array[Byte]): Option[String] = {
+    import javax.xml.stream.{XMLStreamConstants => C}
+    val r = xmlReader(bytes)
+    try {
+      while (r.hasNext) {
+        if (r.next() == C.START_ELEMENT && r.getLocalName == "sheet") {
+          // r:id lives in the relationships namespace; match the local
+          // name so unprefixed fixtures resolve too
+          val n = r.getAttributeCount
+          var i = 0
+          while (i < n) {
+            if (r.getAttributeLocalName(i) == "id")
+              return Some(r.getAttributeValue(i))
+            i += 1
+          }
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** `Relationship Id="…" Target="…"` lookup in workbook.xml.rels. */
+  private def relTarget(bytes: Array[Byte], rid: String): Option[String] = {
+    import javax.xml.stream.{XMLStreamConstants => C}
+    val r = xmlReader(bytes)
+    try {
+      while (r.hasNext) {
+        if (r.next() == C.START_ELEMENT && r.getLocalName == "Relationship" &&
+            r.getAttributeValue(null, "Id") == rid)
+          return Some(r.getAttributeValue(null, "Target"))
+      }
+      None
+    } finally r.close()
   }
 
   private def xmlReader(bytes: Array[Byte]) = {

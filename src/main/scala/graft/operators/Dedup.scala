@@ -323,7 +323,9 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  // 2000-position bound = same headroom rationale as the m1/m2 oracles
+  // per-doc start-position bound (scalar generate_series returns a list,
+  // so it CAN be correlated, unlike the table function) — no fixture-size
+  // cap to silently outgrow
   val windowDedupSql: String =
     """WITH w AS (
       |  SELECT doc_id,
@@ -331,8 +333,7 @@ object Dedup extends QueryModule {
       |  FROM documents),
       |grams AS (
       |  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
-      |  FROM w CROSS JOIN generate_series(1, 2000) t(i)
-      |  WHERE i + 7 <= len(ws)),
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
       |shared AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1)
       |SELECT doc_id,
       |  CAST(count(*) AS BIGINT) AS n_windows,

@@ -407,10 +407,21 @@ object ConfigLoader {
     if (fresh.nonEmpty) {
       val batch = fresh.map(f => ingestFile(spark, home, config.name, f))
         .reduce(_ union _)
-      Incremental.update(spark, config, stateDir, batch)
+      // key the update by the file list: a crash between the state
+      // mutation and the ledger write below re-discovers the same fresh
+      // files → same key → Incremental.update is an idempotent no-op,
+      // and only the bookkeeping line is (re)written
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(fresh.map(_.file).sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      Incremental.update(spark, config, stateDir, batch, Some(s"files-$digest"))
       java.nio.file.Files.createDirectories(ledger.getParent)
-      java.nio.file.Files.writeString(ledger,
+      val tmp = ledger.resolveSibling(ledger.getFileName.toString + ".tmp")
+      java.nio.file.Files.writeString(tmp,
         (applied ++ fresh.map(_.file)).toSeq.sorted.mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, ledger,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     fresh.map(_.file)
   }

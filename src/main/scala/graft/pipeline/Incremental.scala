@@ -64,24 +64,61 @@ object Incremental {
       .foldLeft(0)(math.max) + 1
   }
 
-  /** Apply one batch of ingest records to the state under `dir`. */
+  private def sanitizeKey(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def markerFile(dir: String, key: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/applied_batches/${sanitizeKey(key)}")
+
+  /** Has a keyed batch already been fully applied? (Exposed for the
+    * callers that keep their own file-level bookkeeping.) */
+  def batchApplied(spark: SparkSession, dir: String, batchKey: String): Boolean =
+    fs(spark, dir).exists(markerFile(dir, batchKey))
+
+  /** Apply one batch of ingest records to the state under `dir`.
+    *
+    * `batchKey`, when supplied, makes the application **idempotent**: the
+    * ledger append lands in a deterministic `batch=<key>` partition
+    * written with Overwrite (a crashed-and-retried batch replaces its own
+    * partial rows instead of duplicating them), and a marker under
+    * `applied_batches/` — written atomically, strictly last — makes a
+    * completed batch a no-op on redelivery. Replays of a batch that
+    * crashed mid-update are safe without the marker: the ledger rewrite
+    * is a same-data overwrite, the partial `gen=N` output is superseded
+    * by the retry's `gen=N+1` rows (merge-on-read takes max gen per
+    * nodeId, and the retry recomputes a superset of the partial gen's
+    * cliques from the identical ledger), and tombstone appends are
+    * max-gen idempotent. Keyless calls append under a unique batch id
+    * (plain at-least-once, as before). */
   def update(spark: SparkSession, config: SubgraphConfig, dir: String,
-             newNodes: Dataset[IngestNode]): Unit = {
+             newNodes: Dataset[IngestNode], batchKey: Option[String] = None): Unit = {
     import spark.implicits._
+    val fsys = fs(spark, dir)
+    if (batchKey.exists(key => fsys.exists(markerFile(dir, key)))) return
+    // crash recovery: a previous run may have died between deleting the
+    // old groups table and renaming the fresh copy into place
+    val gPath = new org.apache.hadoop.fs.Path(groupsPath(dir))
+    val gTmp = new org.apache.hadoop.fs.Path(groupsPath(dir) + ".tmp")
+    if (!fsys.exists(gPath) && fsys.exists(gTmp)) fsys.rename(gTmp, gPath)
+
     val gen = nextGen(spark, dir)
 
     val normalised =
       if (config.prefixMap.isEmpty) newNodes
       else GraftPipeline.normalise(newNodes, PrefixTrie(config.prefixMap))
-    normalised.write.mode(SaveMode.Append).parquet(ledgerPath(dir))
+    val batchDir = sanitizeKey(batchKey.getOrElse(
+      s"adhoc-gen$gen-${java.util.UUID.randomUUID().toString.take(8)}"))
+    normalised.write.mode(SaveMode.Overwrite)
+      .parquet(s"${ledgerPath(dir)}/batch=$batchDir")
 
     val idProps = config.identifierProps.filter(_ != "id")
     def idSetOf(n: IngestNode): Seq[String] =
       n.ids ++ idProps.flatMap(p => n.props.getOrElse(p, Nil).map(_.value))
 
     // the full ledger (dirty detection scans it map-side; only dirty
-    // records ever shuffle)
-    val ledgerAll = spark.read.parquet(ledgerPath(dir)).as[IngestNode]
+    // records ever shuffle) — `batch` is the bookkeeping partition
+    // column, not part of the record
+    val ledgerAll = spark.read.parquet(ledgerPath(dir)).drop("batch").as[IngestNode]
     val deltaSets = normalised.map(idSetOf).toDF("ids")
       .union(config.additionalEquivalenceGroups.toDF("ids"))
     val deltaIds = deltaSets.select(explode(col("ids")).as("member")).distinct()
@@ -98,14 +135,17 @@ object Incremental {
       if (firstRun) identity else broadcast
 
     // cliques touched by delta ids → their full old membership joins the
-    // re-run; everything else keeps its component untouched
+    // re-run; everything else keeps its component untouched.
+    // localCheckpoint (not cache): both frames' lineage reads
+    // groups.parquet, which is deleted and replaced below — a cache
+    // eviction after the swap would recompute against deleted files,
+    // whereas a checkpoint severs the lineage up front.
     val touchedCanon = oldGroups.join(deltaIds, "member")
-      .select(col("canonical")).distinct().cache()
+      .select(col("canonical")).distinct().localCheckpoint()
     val affectedOld = oldGroups.join(touchedCanon, "canonical")
     val oldPairs = affectedOld.select(array(col("member"), col("canonical")).as("ids"))
-    val newGroups = Groups.fromIdSets(oldPairs.union(deltaSets))
-      .cache()
-    newGroups.count() // materialise BEFORE overwriting the groups input
+    // eager: materialised BEFORE overwriting the groups input
+    val newGroups = Groups.fromIdSets(oldPairs.union(deltaSets)).localCheckpoint()
 
     val untouched = oldGroups.join(touchedCanon, Seq("canonical"), "left_anti")
       .select(col("member"), col("canonical"))
@@ -166,16 +206,30 @@ object Incremental {
       .distinct()
       .withColumn("gen", lit(gen))
     tombs.write.mode(SaveMode.Append).parquet(tombPath(dir))
-    touchedCanon.unpersist()
-    newGroups.unpersist()
+
+    // the marker is written last and atomically (create-then-rename), so
+    // its existence proves the whole update landed
+    batchKey.foreach { key =>
+      val marker = markerFile(dir, key)
+      val tmpM = new org.apache.hadoop.fs.Path(marker.toString + ".tmp")
+      fsys.mkdirs(marker.getParent)
+      val out = fsys.create(tmpM, true)
+      out.write(s"gen=$gen\n".getBytes("UTF-8"))
+      out.close()
+      fsys.rename(tmpM, marker)
+    }
   }
 
   /** Continuous ingestion: watch a staging directory of IngestNode
     * parquet batches (what any adapter writes) and apply each micro-batch
     * through [[update]]. `Trigger.AvailableNow` + the checkpoint give
     * exactly-once application across restarts — the streaming twin of
-    * the file-ledger loop in `ConfigLoader.updateFromConfigFile`. Returns
-    * after draining everything currently staged. */
+    * the file-ledger loop in `ConfigLoader.updateFromConfigFile`. The
+    * checkpoint alone only gives at-least-once foreachBatch delivery;
+    * true exactly-once comes from keying [[update]] by the Spark batchId,
+    * which makes any redelivery (crash between the state mutation and the
+    * checkpoint commit) an idempotent replay. Returns after draining
+    * everything currently staged. */
   def applyStream(spark: SparkSession, config: SubgraphConfig, dir: String,
                   stagingDir: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
@@ -184,9 +238,9 @@ object Incremental {
       .schema(schema)
       .parquet(stagingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import spark.implicits._
-        update(spark, config, dir, batch.as[IngestNode])
+        update(spark, config, dir, batch.as[IngestNode], Some(s"stream-$batchId"))
       }
       .option("checkpointLocation", s"$dir/checkpoint")
       .trigger(Trigger.AvailableNow())

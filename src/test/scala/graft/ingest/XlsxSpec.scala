@@ -46,6 +46,47 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows(1) == Seq("a", "", "c"))
   }
 
+  test("first sheet resolves via workbook.xml + rels, not the part name") {
+    // workbook order says the first sheet is the part named sheet3.xml
+    // (as after deleting/reordering sheets); sheet1.xml is a decoy
+    val mkSheet: String => String = v =>
+      s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="str"><v>$v</v></c></row></sheetData></worksheet>"""
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Data" sheetId="7" r:id="rId2"/><sheet name="Old" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/></Relationships>""")
+    entry("xl/worksheets/sheet1.xml", mkSheet("decoy"))
+    entry("xl/worksheets/sheet3.xml", mkSheet("real"))
+    z.close()
+    assert(Xlsx.readRows(bos.toByteArray) == Seq(Seq("real")))
+  }
+
+  test("split parity: gb Category raw split, eu/appril strip but keep empties") {
+    val gbRows = Seq(
+      Seq("j"), Seq(""), Seq("j"),
+      Seq("Substance Name", "Category (2021)"),
+      Seq("glyphosate", "a, b,,c"))
+    val g = Ingest.hettRecords(Xlsx.readRows(xlsx(gbRows)), "gb", "GB", "hett")
+      .find(_.ids == Seq("glyphosate")).get
+    // raw str.split(','): leading spaces and empty items survive
+    assert(g.props("Category").map(_.value) == Seq("a", " b", "", "c"))
+
+    val euRows = Seq(
+      Seq("t"), Seq(""),
+      Seq("Substance", "Authorised"),
+      Seq("copper", "FR, ,DE,"))
+    val c = Ingest.hettRecords(Xlsx.readRows(xlsx(euRows)), "eu", "EU", "hett")
+      .find(_.ids == Seq("copper")).get
+    // map(strip): items stripped, empties (incl. trailing) kept
+    assert(c.props("Authorised").map(_.value) == Seq("FR", "", "DE", ""))
+  }
+
   test("appril: renames, CAS extraction, chemical side-nodes, splits") {
     val rows = Seq(
       Seq("REG_NUM", "PRODUCT_NAME", "PESTS", "AIS"),

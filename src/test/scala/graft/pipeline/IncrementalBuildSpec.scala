@@ -138,6 +138,33 @@ class IncrementalBuildSpec extends SparkSpec {
     }
   }
 
+  test("keyed batch redelivery is idempotent — completed and crashed-mid-update") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_idem").toString
+    val config = SubgraphConfig(name = "fx")
+    val b1 = Seq(mk(Seq("a:1"), "ds1", Seq("T"), "grebi:name" -> "one"))
+
+    Incremental.update(spark, config, dir, b1.toDS(), Some("b1"))
+    assert(Incremental.batchApplied(spark, dir, "b1"))
+    def gens = new java.io.File(s"$dir/merged").list().count(_.startsWith("gen="))
+    def ledgerRows = spark.read.parquet(s"$dir/ledger.parquet").count()
+    assert(gens == 1 && ledgerRows == 1)
+
+    // completed batch redelivered (marker present) → total no-op
+    Incremental.update(spark, config, dir, b1.toDS(), Some("b1"))
+    assert(gens == 1 && ledgerRows == 1)
+
+    // crash window: batch applied but marker never written → redelivery
+    // must REPLACE its own ledger partition, not append a duplicate
+    new java.io.File(s"$dir/applied_batches/b1").delete()
+    Incremental.update(spark, config, dir, b1.toDS(), Some("b1"))
+    assert(ledgerRows == 1 && gens == 2) // retry gen supersedes, no dup rows
+    val view = Incremental.currentMerged(spark, dir).collect()
+    assert(view.length == 1 && view.head.nodeId == "a:1")
+    assert(view.head.props("grebi:name").map(_.value) == Seq("one"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("identifier_props values join cliques incrementally too") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc_spec2").toString

@@ -40,11 +40,12 @@ object Dedup extends QueryModule {
       .toDF("doc_id", "s")
   }
 
+  // per-doc position bound via the scalar (correlated) generate_series —
+  // no fixture-size cap to silently outgrow
   private val shinglesSql: String =
     """w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[g.i] || ' ' || ws[g.i+1] || ' ' || ws[g.i+2] AS s
-      |       FROM w CROSS JOIN generate_series(1, 2000) g(i)
-      |       WHERE g.i <= len(ws) - 2)""".stripMargin
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w))""".stripMargin
 
   // ---------------------------------------------------------------------
 
@@ -341,6 +342,51 @@ object Dedup extends QueryModule {
       |FROM grams LEFT JOIN shared s USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** d7 — near-dup CLUSTERS with canonical selection: the actual "dedup"
+    * action that d3's pair list feeds. Verified LSH pairs become edges,
+    * [[graft.identity.ConnectedComponents]] (semi-naive min-label + path
+    * halving — the same operator that merges identifier cliques) folds
+    * them into clusters, and the min doc_id per cluster is kept as the
+    * canonical copy. Every document appears: singletons keep themselves.
+    * Scale shape: pairs are LSH-band-joined (never all-pairs), CC is
+    * O(log diameter) rounds over the pair set only, and the final
+    * labeling is one left join — near-dup clusters are tiny, so the CC
+    * input is a vanishing fraction of the corpus. doc_ids are zero-padded
+    * for the string min-label CC so lexicographic min = numeric min. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLshFrom(shingles(s, d)).select(col("da"), col("db"))
+    def pad(c: Column) = format_string("%020d", c)
+    val edges = pairs.select(pad(col("da")).as("src"), pad(col("db")).as("dst"))
+    val cc = graft.identity.ConnectedComponents.run(edges)
+    val labeled = Tables.documents(s, d).select(col("doc_id"))
+      .join(cc.withColumnRenamed("member", "m"), pad(col("doc_id")) === col("m"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component").cast("long"), col("doc_id")).as("rep_id"))
+    val sizes = labeled.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"),
+        (col("doc_id") === col("rep_id")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+      |pairs AS (SELECT da, db FROM ($minhashLshSql)),
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION SELECT db, da FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r),
+      |rep AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id),
+      |sz AS (SELECT rep_id, count(*) AS cluster_size FROM rep GROUP BY rep_id)
+      |SELECT r.doc_id, r.rep_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+      |  CAST(CASE WHEN r.doc_id = r.rep_id THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM rep r JOIN sz USING (rep_id)
+      |ORDER BY r.doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -348,5 +394,6 @@ object Dedup extends QueryModule {
     "d4_simhash"       -> QueryDef(simhash, Some(simhashSql)),
     "d5_embedding_neardup" -> QueryDef(embeddingNearDup, Some(embeddingNearDupSql), bench = true),
     "d6_window_dedup"  -> QueryDef(windowDedup, Some(windowDedupSql)),
+    "d7_dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
   )
 }

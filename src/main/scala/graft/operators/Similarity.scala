@@ -173,10 +173,43 @@ object Similarity extends QueryModule {
     dd / (na * nb)
   }
 
+  /** s5 — ANN recall evaluation: per query, how many of the exact top-3
+    * (s1's brute force, restricted to rank ≤ 3) the sign-bucket index
+    * (s2) returns. The eval harness every approximate index needs before
+    * it replaces the exact scan — computed as a join of the two result
+    * sets, so it reuses both operators verbatim and costs one extra
+    * equi-join + groupBy over Q·k rows. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = bruteForceTopK(s, d).where(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = signBucketAnn(s, d).where(col("query_id") < 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(3).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("query_id"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH exact AS (
+      |  SELECT query_id, neighbor_id FROM ($bruteForceTopKSql) WHERE rank <= 3),
+      |approx AS (
+      |  SELECT query_id, neighbor_id FROM ($signBucketAnnSql) WHERE query_id < 20),
+      |hits AS (
+      |  SELECT query_id, count(*) AS n_hits
+      |  FROM exact JOIN approx USING (query_id, neighbor_id) GROUP BY query_id)
+      |SELECT q.query_id, 3 AS k, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+      |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
     "s3_ivf_ann"         -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "s4_centroid_stats"  -> QueryDef(centroidStats, Some(centroidStatsSql)),
+    "s5_ann_recall"      -> QueryDef(annRecall, Some(annRecallSql)),
   )
 }

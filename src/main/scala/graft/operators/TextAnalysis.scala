@@ -342,6 +342,114 @@ object TextAnalysis extends QueryModule {
       |FROM base b LEFT JOIN tops t ON b.doc_id = t.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t11 — train/eval decontamination check: for every document in the
+    * t5 content-hash val split, how many of its distinct word 8-grams
+    * also occur anywhere in the train split (the n-gram-overlap
+    * contamination audit run before an eval set is trusted). Shape:
+    * gram extraction is one typed flatMap, the train-gram set is a
+    * distinct projection, containment is a semi-join on the gram — an
+    * inverted-index probe, never val×train pairs, so it scales with
+    * corpus size not corpus². */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val split = Tables.documents(s, d)
+      .withColumn("bucket",
+        (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int") % 100))
+      .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+    val grams = split.select(col("doc_id"), col("split"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, sp, text) =>
+        val ws = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
+        (0 to ws.length - 8).iterator.map(i => (id, sp, ws.slice(i, i + 8).mkString(" ")))
+      }
+      .toDF("doc_id", "split", "g")
+      .distinct()
+    val trainGrams = grams.where(col("split") === "train").select(col("g")).distinct()
+    val valGrams = grams.where(col("split") === "val").select(col("doc_id"), col("g"))
+    val counts = valGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val contaminated = valGrams.join(trainGrams, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    split.where(col("split") === "val").select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminationSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |         + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100 < 90
+      |         THEN 'train' ELSE 'val' END AS split,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, split, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+      |  FROM (SELECT doc_id, split, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
+      |tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+      |vg AS (SELECT doc_id, g FROM grams WHERE split = 'val'),
+      |cnt AS (SELECT doc_id, count(*) AS n_grams FROM vg GROUP BY doc_id),
+      |cont AS (SELECT doc_id, count(*) AS n_contaminated FROM vg
+      |         WHERE g IN (SELECT g FROM tg) GROUP BY doc_id)
+      |SELECT w.doc_id,
+      |  CAST(coalesce(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(cont.n_contaminated, 0) AS BIGINT) AS n_contaminated
+      |FROM w LEFT JOIN cnt USING (doc_id) LEFT JOIN cont USING (doc_id)
+      |WHERE w.split = 'val'
+      |ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** t12 — char-trigram familiarity score, the integer-exact core of a
+    * CCNet-style LM quality filter: documents whose trigrams are globally
+    * rare (gibberish, mojibake, boilerplate markup) score low. Two
+    * passes: corpus-wide trigram counts (bounded by alphabet³, so the
+    * count table is a broadcastable dimension no matter the corpus
+    * size), then one map-side join + per-doc sum. Integer counts rather
+    * than log-probabilities keep the result order-independent and
+    * engine-exact; a consumer derives avg familiarity = sum/n. */
+  def trigramFamiliarity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tris = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val txt = if (t == null) "" else t
+        (0 to txt.length - 3).iterator.map(i => (id, txt.substring(i, i + 3)))
+      }
+      .toDF("doc_id", "tri")
+    val global = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
+    val perDoc = tris.join(broadcast(global), "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("cnt")).as("familiarity"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("familiarity"), lit(0L)).as("familiarity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trigramFamiliaritySql: String =
+    """WITH tri AS (
+      |  SELECT doc_id, substr(text, i, 3) AS tri
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          unnest(generate_series(1, len(coalesce(text, '')) - 2)) AS i
+      |        FROM documents)),
+      |g AS (SELECT tri, count(*) AS cnt FROM tri GROUP BY tri),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_trigrams, sum(cnt) AS familiarity
+      |  FROM tri JOIN g USING (tri) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      |  CAST(coalesce(familiarity, 0) AS BIGINT) AS familiarity
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -353,5 +461,7 @@ object TextAnalysis extends QueryModule {
     "t8_stratified_sample" -> QueryDef(stratifiedSample, Some(stratifiedSampleSql)),
     "t9_redact"        -> QueryDef(redact, Some(redactSql)),
     "t10_repetition"   -> QueryDef(repetition, Some(repetitionSql)),
+    "t11_decontamination" -> QueryDef(decontamination, Some(decontaminationSql)),
+    "t12_trigram_familiarity" -> QueryDef(trigramFamiliarity, Some(trigramFamiliaritySql)),
   )
 }

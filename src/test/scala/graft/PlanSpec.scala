@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "per-doc counters must not join")
   }
 
+  test("t11: contamination check is a semi-join on the gram — no all-pairs") {
+    val p = plan("t11_decontamination")
+    assert(p.contains("LeftSemi"), "train-gram containment must stay a semi join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t12: the bounded trigram-count dimension broadcasts") {
+    val p = plan("t12_trigram_familiarity")
+    assert(p.contains("BroadcastHashJoin"), "alphabet-bounded dim should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

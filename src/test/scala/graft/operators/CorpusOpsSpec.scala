@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the corpus-pipeline operators added on top of
+  * the pair-level dedup suite: cluster canonicalization (d7),
+  * decontamination (t11), trigram familiarity (t12), ANN recall (s5). */
+class CorpusOpsSpec extends SparkSpec {
+
+  val d = "/root/testdata/sf0.001"
+
+  test("d7: clusters partition the corpus and agree with the d3 pairs") {
+    val rows = Dedup.dedupClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val nDocs = graft.core.Tables.documents(spark, d).count()
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == nDocs)
+    // rep is the cluster MIN, so rep_id <= doc_id everywhere and
+    // keep marks exactly the rep row
+    rows.foreach { case (doc, rep, _, keep) =>
+      assert(rep <= doc)
+      assert((keep == 1) == (doc == rep))
+    }
+    // cluster sizes partition the corpus
+    assert(rows.filter(_._4 == 1).map(_._3).sum == nDocs)
+    // every verified near-dup pair landed in the same cluster
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    val pairs = Dedup.minhashLsh(spark, d).select("da", "db").collect()
+    pairs.foreach(p => assert(rep(p.getLong(0)) == rep(p.getLong(1))))
+  }
+
+  test("t11: only val-split docs, contamination bounded by gram count") {
+    val rows = TextAnalysis.decontamination(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val valDocs = TextAnalysis.trainSplit(spark, d)
+      .where(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == valDocs)
+    rows.foreach { case (_, n, c) => assert(c >= 0 && c <= n) }
+  }
+
+  test("t12: trigram count is len-2 and familiarity dominates it") {
+    val fam = TextAnalysis.trigramFamiliarity(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lens = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), length(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fam.foreach { case (doc, n, f) =>
+      assert(n == math.max(lens(doc) - 2, 0).toLong)
+      // every trigram occurs globally at least once (itself)
+      assert(f >= n)
+    }
+  }
+
+  test("s5: one row per s1 query, hits within [0, k]") {
+    val rows = Similarity.annRecall(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 20 && rows.map(_._1).toSet == (0L until 20L).toSet)
+    rows.foreach { case (_, k, h) => assert(k == 3 && h >= 0 && h <= 3) }
+  }
+}

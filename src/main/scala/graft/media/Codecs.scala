@@ -106,9 +106,40 @@ object Codecs {
     Bmp(width, height, px)
   }
 
+  /** Nearest-neighbour resize (the floor mapping
+    * `src = dst * srcDim / dstDim`, the standard NN convention). Pure
+    * pixel-domain transform — encode the result with [[encodeBmp]] to
+    * get a file back. */
+  def resizeNearestBmp(img: Bmp, w: Int, h: Int): Bmp = {
+    require(w > 0 && h > 0, "target dims must be positive")
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.height / h
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = img.pixels(sy * img.width + (x * img.width / w))
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(w, h, px)
+  }
+
   // ---------------------------------------------------------------- WAV
 
   final case class Wav(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Decimate by an integer factor (every k-th sample, rate divided) —
+    * the audio analog of a nearest-neighbour resize. */
+  def decimateWav(wav: Wav, factor: Int): Wav = {
+    require(factor > 0, "factor must be positive")
+    val n = (wav.samples.length + factor - 1) / factor
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = wav.samples(i * factor); i += 1 }
+    Wav(wav.sampleRate / factor, wav.channels, out)
+  }
 
   /** Encode mono 16-bit PCM as a canonical RIFF/WAVE file:
     * `RIFF <size> WAVE` + `fmt ` (PCM, 16-bit) + `data`. */

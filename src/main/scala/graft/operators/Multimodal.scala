@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -131,9 +131,12 @@ object Multimodal extends QueryModule {
     * BGR/RGB swap or endianness bug in either codec breaks the hash —
     * the oracle replays the closed-form pixel/sample values the encoder
     * was given, so only a faithful encode→decode round-trip matches. */
-  def realDecode(s: SparkSession, d: String): DataFrame = {
+  /** Deterministic per-doc media synthesis shared by m3/m4: even doc_id →
+    * 8×8 24-bit BMP, odd → mono 16-bit PCM WAV with per-doc length and
+    * rate (the closed forms the oracles replay). */
+  private def synthMedia(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    Tables.documents(s, d).select(col("doc_id")).as[Long]
       .map { id =>
         if (id % 2 == 0) {
           val bytes = graft.media.Codecs.encodeBmp(8, 8, (x, y) => {
@@ -149,6 +152,11 @@ object Multimodal extends QueryModule {
           MediaRecord(id, graft.media.Codecs.encodeWavPcm16(rate, samples), "audio/wav")
         }
       }
+  }
+
+  def realDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = synthMedia(s, d)
     val features = media.mapPartitions(_.map { m =>
       m.media_type match {
         case "image/bmp" =>
@@ -195,9 +203,77 @@ object Multimodal extends QueryModule {
       |SELECT doc_id, 'audio/wav', CAST(8000 + (doc_id % 5) * 1000 AS BIGINT), n, checksum FROM wav
       |ORDER BY doc_id""".stripMargin
 
+  /** m4 — resize/resample through a DOUBLE codec round-trip: decode the
+    * synthesized file, nearest-neighbour-resize the image to 4×4 (or
+    * decimate the audio by 2), re-ENCODE the result, decode it again,
+    * and checksum those pixels/samples. The oracle replays the closed
+    * form of the resized signal, so a bug in the resize mapping OR in
+    * either encode→decode direction (padding, BGR, endianness, rate
+    * header) breaks the hash. This is the "resize / frame-rate" stage of
+    * a multimodal training pipeline, batched per partition like every
+    * media op. */
+  def resizeDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val features = synthMedia(s, d).mapPartitions(_.map { m =>
+      m.media_type match {
+        case "image/bmp" =>
+          val img = graft.media.Codecs.decodeBmp(m.payload)
+          val small = graft.media.Codecs.resizeNearestBmp(img, 4, 4)
+          val rt = graft.media.Codecs.decodeBmp(
+            graft.media.Codecs.encodeBmp(small.width, small.height,
+              (x, y) => { val p = small.pixels(y * small.width + x)
+                ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) }))
+          var sum = 0L
+          var idx = 0
+          while (idx < rt.pixels.length) {
+            val p = rt.pixels(idx)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong * (idx + 1)
+            idx += 1
+          }
+          MediaFeat(m.doc_id, m.media_type, rt.width.toLong,
+            rt.pixels.length.toLong, sum % 1000003)
+        case _ =>
+          val wav = graft.media.Codecs.decodeWavPcm16(m.payload)
+          val half = graft.media.Codecs.decimateWav(wav, 2)
+          val rt = graft.media.Codecs.decodeWavPcm16(
+            graft.media.Codecs.encodeWavPcm16(half.sampleRate, half.samples))
+          var sum = 0L
+          var i = 0
+          while (i < rt.samples.length) { sum += rt.samples(i).toLong * (i + 1); i += 1 }
+          MediaFeat(m.doc_id, m.media_type, rt.sampleRate.toLong,
+            rt.samples.length.toLong, ((sum % 1000003) + 1000003) % 1000003)
+      }
+    })
+    features.toDF().orderBy(col("doc_id"))
+  }
+
+  val resizeDecodeSql: String =
+    """WITH bmp AS (
+      |  SELECT doc_id, CAST(sum(
+      |      ((doc_id + 3*s) % 256 + (doc_id + 5*s) % 251 + (doc_id + 7*s) % 247)
+      |      * (idx + 1)) % 1000003 AS BIGINT) AS checksum
+      |  FROM (SELECT doc_id, idx, 16*(idx // 4) + 2*(idx % 4) AS s
+      |        FROM documents CROSS JOIN generate_series(0, 15) g(idx)
+      |        WHERE doc_id % 2 = 0)
+      |  GROUP BY doc_id),
+      |wav AS (
+      |  SELECT doc_id,
+      |    CAST(((sum((((doc_id*7 + 2*i*13) % 2003) - 1001) * (i + 1)) % 1000003)
+      |      + 1000003) % 1000003 AS BIGINT) AS checksum,
+      |    CAST((64 + doc_id % 32 + 1) // 2 AS BIGINT) AS n
+      |  FROM documents CROSS JOIN generate_series(0, 47) g(i)
+      |  WHERE doc_id % 2 = 1 AND i < (64 + doc_id % 32 + 1) // 2
+      |  GROUP BY doc_id)
+      |SELECT doc_id, 'image/bmp' AS media_type, CAST(4 AS BIGINT) AS meta,
+      |  CAST(16 AS BIGINT) AS n_units, checksum FROM bmp
+      |UNION ALL
+      |SELECT doc_id, 'audio/wav', CAST(4000 + (doc_id % 5) * 500 AS BIGINT), n, checksum FROM wav
+      |ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
     "m3_real_decode"    -> QueryDef(realDecode, Some(realDecodeSql)),
+    "m4_resize_decode"  -> QueryDef(resizeDecode, Some(resizeDecodeSql)),
   )
 }

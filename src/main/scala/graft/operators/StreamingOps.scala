@@ -75,6 +75,9 @@ object StreamingOps extends QueryModule {
       | AND epoch_us(b.ts) - epoch_us(a.ts) <= 5*60*1000000
       |ORDER BY user_id, a_event, b_event""".stripMargin
 
+  def streamDedupDocs(s: SparkSession, d: String): DataFrame =
+    Streaming.streamExactDedup(s, d, s"sdedup_${math.abs(d.hashCode)}")
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "st1_stream_hourly"   -> QueryDef(windowed, Some(windowedSql)),
     "st2_stream_sessions" -> QueryDef(sessions, Some(sessionsSql)),
@@ -82,5 +85,6 @@ object StreamingOps extends QueryModule {
     "st4_stream_dedup"    -> QueryDef(deduped, Some(dedupedSql)),
     "st5_stream_join"     -> QueryDef(intervalJoined, Some(intervalJoinedSql)),
     "st6_session_window"  -> QueryDef(sessionsNative, Some(sessionsNativeSql)),
+    "st7_stream_exact_dedup" -> QueryDef(streamDedupDocs, Some(Dedup.exactDedupSql)),
   )
 }

@@ -143,6 +143,32 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** The documents table as a bounded file stream (same glob trick as
+    * [[eventsStream]]; no timestamp normalisation needed). */
+  def documentsStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+  }
+
+  /** Streaming exact corpus dedup: content-hash aggregation over the
+    * document stream — min doc_id as canonical plus copy count, i.e. the
+    * batch d1 operator ([[graft.operators.Dedup.exactDedup]]) expressed
+    * as an incremental aggregation. Hash + doc_id are projected BEFORE
+    * the aggregation so only two narrow columns stream; state is one row
+    * per distinct content hash (the dedup table a continuously-ingesting
+    * corpus keeps anyway). Complete mode emits the final table on the
+    * bounded replay; both twins share one oracle. */
+  def streamExactDedup(s: SparkSession, d: String, name: String): DataFrame = {
+    val agg = documentsStream(s, d)
+      .select(md5(col("text")).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    runToTable(agg, OutputMode.Complete, name)
+      .orderBy(col("content_hash"))
+  }
+
   /** Per-user session state: ALL event times seen so far (sorted). */
   final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

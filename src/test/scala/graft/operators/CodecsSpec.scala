@@ -74,6 +74,22 @@ class CodecsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Codecs.decodeWavPcm16(bad))
   }
 
+  test("bmp: nearest-neighbour resize uses the floor mapping") {
+    // 4×2 source with distinct pixels; downsize to 2×1 → picks (0,0),(2,0)
+    val src = Codecs.Bmp(4, 2, Array(1, 2, 3, 4, 5, 6, 7, 8))
+    val small = Codecs.resizeNearestBmp(src, 2, 1)
+    assert(small.width == 2 && small.height == 1 && small.pixels.toSeq == Seq(1, 3))
+    // upsize replicates: 1×1 → 2×2
+    val up = Codecs.resizeNearestBmp(Codecs.Bmp(1, 1, Array(9)), 2, 2)
+    assert(up.pixels.toSeq == Seq(9, 9, 9, 9))
+  }
+
+  test("wav: decimation keeps every k-th sample and divides the rate") {
+    val w = Codecs.Wav(8000, 1, Array[Short](10, 20, 30, 40, 50))
+    val h = Codecs.decimateWav(w, 2)
+    assert(h.sampleRate == 4000 && h.samples.toSeq == Seq[Short](10, 30, 50))
+  }
+
   test("wav: rejects non-PCM format codes and missing chunks") {
     val enc = Codecs.encodeWavPcm16(8000, Array[Short](1, 2))
     val bad = enc.clone(); bad(20) = 3 // IEEE float format code

@@ -450,6 +450,44 @@ object TextAnalysis extends QueryModule {
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t13 — the corpus-cleaning DECISION: the end-to-end keep/drop verdict
+    * a training-data pipeline materialises per document, composed from
+    * three independent signals — exact-dup canonical (d1's rule), near-dup
+    * cluster canonical (d7), and language-label agreement (t3). `kept` is
+    * the conjunction; the per-signal flags stay visible so a curator can
+    * audit WHY a document dropped. Each signal is its own scalable
+    * operator; the composition is two equi-joins on doc_id — this gate
+    * certifies the stages compose, the flagship query of the corpus side
+    * the way g14 is for the graph side. */
+  def corpusFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val exact = docs.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("canon"))
+    val exactKeep = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(exact, "h")
+      .select(col("doc_id"), (col("doc_id") === col("canon")).cast("int").as("exact_keep"))
+    val nd = Dedup.dedupClusters(s, d).select(col("doc_id"), col("keep").as("neardup_keep"))
+    val lang = langId(s, d).select(col("doc_id"), col("hit").as("lang_ok"))
+    exactKeep.join(nd, "doc_id").join(lang, "doc_id")
+      .select(col("doc_id"), col("exact_keep"), col("neardup_keep"), col("lang_ok"),
+        (col("exact_keep") * col("neardup_keep") * col("lang_ok")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusFilterSql: String =
+    s"""WITH ex AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+      |         THEN 1 ELSE 0 END AS INT) AS exact_keep
+      |  FROM documents),
+      |nd AS (SELECT doc_id, keep AS neardup_keep FROM (${Dedup.dedupClustersSql})),
+      |lg AS (SELECT doc_id, hit AS lang_ok FROM ($langIdSql))
+      |SELECT ex.doc_id, exact_keep, neardup_keep, lang_ok,
+      |  CAST(exact_keep * neardup_keep * lang_ok AS INT) AS kept
+      |FROM ex JOIN nd USING (doc_id) JOIN lg USING (doc_id)
+      |ORDER BY ex.doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -463,5 +501,6 @@ object TextAnalysis extends QueryModule {
     "t10_repetition"   -> QueryDef(repetition, Some(repetitionSql)),
     "t11_decontamination" -> QueryDef(decontamination, Some(decontaminationSql)),
     "t12_trigram_familiarity" -> QueryDef(trigramFamiliarity, Some(trigramFamiliaritySql)),
+    "t13_corpus_filter" -> QueryDef(corpusFilter, Some(corpusFilterSql)),
   )
 }

@@ -20,11 +20,17 @@ object Xlsx {
     * `xl/worksheets/sheet1.xml` for minimal workbook-less fixtures. */
   def readRows(bytes: Array[Byte]): Seq[Seq[String]] = {
     val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    // buffer only the parts sheet resolution can need — a real workbook
+    // also carries styles/themes/media that would otherwise be
+    // materialised for nothing
+    def needed(n: String): Boolean =
+      n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+        n == "xl/sharedStrings.xml" || n.startsWith("xl/worksheets/")
     val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        if (!e.isDirectory) parts(e.getName) = zin.readAllBytes()
+        if (!e.isDirectory && needed(e.getName)) parts(e.getName) = zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()

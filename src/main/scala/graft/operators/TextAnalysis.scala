@@ -142,24 +142,32 @@ object TextAnalysis extends QueryModule {
 
   // ---------------------------------------------------------------------
 
+  /** THE content-hash split rule (single definition — t5 publishes it,
+    * t11 audits against it; a drift between the two would silently
+    * decontaminate against the wrong split). */
+  private def splitBucket: Column =
+    conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int") % 100
+  private def splitCol: Column =
+    when(splitBucket < 90, "train").otherwise("val")
+  private val splitBucketSql: String =
+    """((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      | + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100""".stripMargin
+
   /** t5 — deterministic hash-based train/validation split (the standard
     * content-hash split: stable across runs, machines and partitioning —
     * never `rand()`). */
   def trainSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("bucket",
-        (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int") % 100))
+      .withColumn("bucket", splitBucket)
       .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
 
   val trainSplitSql: String =
-    """SELECT doc_id, bucket,
+    s"""SELECT doc_id, bucket,
       |  CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
       |FROM (
-      |  SELECT doc_id,
-      |    ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-      |     + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100 AS bucket
+      |  SELECT doc_id, $splitBucketSql AS bucket
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
@@ -354,10 +362,7 @@ object TextAnalysis extends QueryModule {
     * corpus size not corpus². */
   def decontamination(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val split = Tables.documents(s, d)
-      .withColumn("bucket",
-        (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int") % 100))
-      .withColumn("split", when(col("bucket") < 90, "train").otherwise("val"))
+    val split = Tables.documents(s, d).withColumn("split", splitCol)
     val grams = split.select(col("doc_id"), col("split"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, sp, text) =>
@@ -381,10 +386,9 @@ object TextAnalysis extends QueryModule {
   }
 
   val decontaminationSql: String =
-    """WITH w AS (
+    s"""WITH w AS (
       |  SELECT doc_id,
-      |    CASE WHEN ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
-      |         + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 100 < 90
+      |    CASE WHEN ($splitBucketSql) < 90
       |         THEN 'train' ELSE 'val' END AS split,
       |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
       |  FROM documents),
@@ -418,8 +422,11 @@ object TextAnalysis extends QueryModule {
     val tris = Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) =>
-        val txt = if (t == null) "" else t
-        (0 to txt.length - 3).iterator.map(i => (id, txt.substring(i, i + 3)))
+        // codepoint windows, not UTF-16 substrings: DuckDB's substr/len
+        // count codepoints, so an astral char would break hash parity on
+        // a char-indexed slice (same guard as the m2 frame sampler)
+        val cps = (if (t == null) "" else t).codePoints().toArray
+        (0 to cps.length - 3).iterator.map(i => (id, new String(cps, i, 3)))
       }
       .toDF("doc_id", "tri")
     val global = tris.groupBy("tri").agg(count(lit(1)).as("cnt"))
@@ -463,8 +470,11 @@ object TextAnalysis extends QueryModule {
     * the way g14 is for the graph side. */
   def corpusFilter(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val exact = docs.groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("canon"))
-    val exactKeep = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    // coalesce BEFORE hashing: a NULL text must not fall out of the inner
+    // join (null join keys never match), it groups with the empty string
+    val h = md5(coalesce(col("text"), lit("")))
+    val exact = docs.groupBy(h.as("h")).agg(min(col("doc_id")).as("canon"))
+    val exactKeep = docs.select(col("doc_id"), h.as("h"))
       .join(exact, "h")
       .select(col("doc_id"), (col("doc_id") === col("canon")).cast("int").as("exact_keep"))
     val nd = Dedup.dedupClusters(s, d).select(col("doc_id"), col("keep").as("neardup_keep"))
@@ -478,7 +488,7 @@ object TextAnalysis extends QueryModule {
   val corpusFilterSql: String =
     s"""WITH ex AS (
       |  SELECT doc_id,
-      |    CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+      |    CAST(CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
       |         THEN 1 ELSE 0 END AS INT) AS exact_keep
       |  FROM documents),
       |nd AS (SELECT doc_id, keep AS neardup_keep FROM (${Dedup.dedupClustersSql})),

@@ -399,30 +399,59 @@ object ConfigLoader {
                            home: String, stateDir: String): Seq[String] = {
     val config = loadSubgraphConfig(configPath)
     val ledger = java.nio.file.Paths.get(s"$stateDir/applied_files.txt")
-    val applied: Set[String] =
+    def readApplied(): Set[String] =
       if (java.nio.file.Files.exists(ledger))
         java.nio.file.Files.readAllLines(ledger).toArray(Array.empty[String]).toSet
       else Set.empty
-    val fresh = discoverAll(config, home).filterNot(f => applied.contains(f.file))
-    if (fresh.nonEmpty) {
-      val batch = fresh.map(f => ingestFile(spark, home, config.name, f))
+    // a pending-batch file pins the (key, file list) of an in-flight
+    // update BEFORE it starts: if a crash lands between the update and
+    // the applied-files write, the retry replays THAT exact batch under
+    // THAT exact key — without it, a new dump arriving before the retry
+    // would change the fresh-file digest and re-apply the already-applied
+    // files under a different key
+    val pendingPath = java.nio.file.Paths.get(s"$stateDir/pending_batch.txt")
+    def applyBatch(files: Seq[DatasourceFile], key: String): Unit = {
+      val batch = files.map(f => ingestFile(spark, home, config.name, f))
         .reduce(_ union _)
-      // key the update by the file list: a crash between the state
-      // mutation and the ledger write below re-discovers the same fresh
-      // files → same key → Incremental.update is an idempotent no-op,
-      // and only the bookkeeping line is (re)written
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(fresh.map(_.file).sorted.mkString("\n").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      Incremental.update(spark, config, stateDir, batch, Some(s"files-$digest"))
-      java.nio.file.Files.createDirectories(ledger.getParent)
+      Incremental.update(spark, config, stateDir, batch, Some(key))
+      val done = (readApplied() ++ files.map(_.file)).toSeq.sorted
       val tmp = ledger.resolveSibling(ledger.getFileName.toString + ".tmp")
-      java.nio.file.Files.writeString(tmp,
-        (applied ++ fresh.map(_.file)).toSeq.sorted.mkString("", "\n", "\n"))
+      java.nio.file.Files.createDirectories(ledger.getParent)
+      java.nio.file.Files.writeString(tmp, done.mkString("", "\n", "\n"))
       java.nio.file.Files.move(tmp, ledger,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.Files.deleteIfExists(pendingPath)
     }
-    fresh.map(_.file)
+
+    val replayed: Seq[String] =
+      if (java.nio.file.Files.exists(pendingPath)) {
+        val lines = java.nio.file.Files.readAllLines(pendingPath)
+          .toArray(Array.empty[String]).toSeq
+        val (key, files) = (lines.head, lines.tail.toSet)
+        val todo = discoverAll(config, home)
+          .filter(f => files.contains(f.file))
+          .filterNot(f => readApplied().contains(f.file))
+        if (todo.nonEmpty) { applyBatch(todo, key); todo.map(_.file) }
+        else { java.nio.file.Files.deleteIfExists(pendingPath); Nil }
+      } else Nil
+
+    val fresh = discoverAll(config, home)
+      .filterNot(f => readApplied().contains(f.file))
+    if (fresh.nonEmpty) {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(fresh.map(_.file).sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val key = s"files-$digest"
+      val tmp = pendingPath.resolveSibling("pending_batch.txt.tmp")
+      java.nio.file.Files.createDirectories(pendingPath.getParent)
+      java.nio.file.Files.writeString(tmp,
+        (key +: fresh.map(_.file)).mkString("", "\n", "\n"))
+      java.nio.file.Files.move(tmp, pendingPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      applyBatch(fresh, key)
+    }
+    replayed ++ fresh.map(_.file)
   }
 }

@@ -88,8 +88,13 @@ object Incremental {
     * by the retry's `gen=N+1` rows (merge-on-read takes max gen per
     * nodeId, and the retry recomputes a superset of the partial gen's
     * cliques from the identical ledger), and tombstone appends are
-    * max-gen idempotent. Keyless calls append under a unique batch id
-    * (plain at-least-once, as before). */
+    * max-gen idempotent. The groups swap is ordered LAST (after the
+    * tombstone write): a retry that crashed pre-swap re-derives the full
+    * touched-canonical set from the intact old groups, and one that
+    * crashed post-swap — where absorbed canonicals are no longer
+    * reachable — is covered by the tombstones that are already durable.
+    * Keyless calls append under a unique batch id (plain at-least-once,
+    * as before). */
   def update(spark: SparkSession, config: SubgraphConfig, dir: String,
              newNodes: Dataset[IngestNode], batchKey: Option[String] = None): Unit = {
     import spark.implicits._
@@ -98,14 +103,30 @@ object Incremental {
     // crash recovery: a previous run may have died between deleting the
     // old groups table and renaming the fresh copy into place
     val gPath = new org.apache.hadoop.fs.Path(groupsPath(dir))
-    val gTmp = new org.apache.hadoop.fs.Path(groupsPath(dir) + ".tmp")
-    if (!fsys.exists(gPath) && fsys.exists(gTmp)) fsys.rename(gTmp, gPath)
+    val gNext = new org.apache.hadoop.fs.Path(groupsPath(dir) + ".next")
+    if (!fsys.exists(gPath) && fsys.exists(gNext)) fsys.rename(gNext, gPath)
 
     val gen = nextGen(spark, dir)
 
     val normalised =
       if (config.prefixMap.isEmpty) newNodes
       else GraftPipeline.normalise(newNodes, PrefixTrie(config.prefixMap))
+    // a state dir written before batch-keyed ledgers has parquet files at
+    // the ledger root; partition discovery rejects mixed depths, so fold
+    // them into a legacy batch partition first
+    val ledgerRoot = new org.apache.hadoop.fs.Path(ledgerPath(dir))
+    if (fsys.exists(ledgerRoot)) {
+      val rootFiles = fsys.listStatus(ledgerRoot).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (rootFiles.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(ledgerRoot, "batch=legacy-0")
+        fsys.mkdirs(legacy)
+        rootFiles.foreach(st => fsys.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)))
+      }
+    }
     val batchDir = sanitizeKey(batchKey.getOrElse(
       s"adhoc-gen$gen-${java.util.UUID.randomUUID().toString.take(8)}"))
     normalised.write.mode(SaveMode.Overwrite)
@@ -150,14 +171,15 @@ object Incremental {
     val untouched = oldGroups.join(touchedCanon, Seq("canonical"), "left_anti")
       .select(col("member"), col("canonical"))
     val groupsNext = untouched.union(newGroups.select(col("member"), col("canonical")))
-    // self-overwrite-safe swap: write aside, then move into place
-    val tmp = groupsPath(dir) + ".tmp"
-    groupsNext.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val f = fs(spark, dir)
-    f.delete(new org.apache.hadoop.fs.Path(groupsPath(dir)), true)
-    f.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(groupsPath(dir)))
-    val groupsFinal = spark.read.parquet(groupsPath(dir))
+    // the fresh groups table is written ASIDE and only swapped into place
+    // at the very end, AFTER the tombstones are durable: a retry of a
+    // batch that crashed anywhere before the swap still sees the OLD
+    // groups, so it re-derives the full touched-canonical set (including
+    // canonicals the merge absorbs — once the swap happens those are no
+    // longer reachable from the groups table, and only the already-
+    // written tombstones cover them)
+    groupsNext.write.mode(SaveMode.Overwrite).parquet(gNext.toString)
+    val groupsFinal = spark.read.parquet(gNext.toString)
 
     // --- dirty detection over the ledger, map-side against the
     // delta-proportional member set
@@ -206,6 +228,11 @@ object Incremental {
       .distinct()
       .withColumn("gen", lit(gen))
     tombs.write.mode(SaveMode.Append).parquet(tombPath(dir))
+
+    // swap the groups table into place (delete + rename; the recovery
+    // check at the top heals a crash between the two steps)
+    fsys.delete(gPath, true)
+    fsys.rename(gNext, gPath)
 
     // the marker is written last and atomically (create-then-rename), so
     // its existence proves the whole update landed

@@ -165,6 +165,107 @@ class IncrementalBuildSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("clique-merging batch redelivered post-swap keeps absorbed canonicals dead") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_merge_redeliver").toString
+    val config = SubgraphConfig(name = "fx")
+    val upd1 = Seq(
+      mk(Seq("a:1"), "ds1", Seq("T"), "grebi:name" -> "one"),
+      mk(Seq("c:2"), "ds1", Seq("T"), "grebi:name" -> "two"))
+    val upd2 = Seq(mk(Seq("a:1", "c:2"), "ds2", Nil, "extra" -> "link"))
+    Incremental.update(spark, config, dir, upd1.toDS(), Some("b1"))
+    Incremental.update(spark, config, dir, upd2.toDS(), Some("b2"))
+    // crash-before-marker on the merging batch: groups already swapped
+    // (c:2 now maps to a:1), marker lost → the redelivery can no longer
+    // see c:2 as a canonical; the pre-swap tombstones must cover it
+    new java.io.File(s"$dir/applied_batches/b2").delete()
+    Incremental.update(spark, config, dir, upd2.toDS(), Some("b2"))
+    val inc = flat(Incremental.currentMerged(spark, dir).collect().toSeq)
+    val bat = flat(GraftPipeline.run(spark, config, Seq((upd1 ++ upd2).toDS()))
+      .merged.collect().toSeq)
+    assert(inc == bat)
+    val ids = Incremental.currentMerged(spark, dir).collect().map(_.nodeId).toSet
+    assert(ids == Set("a:1")) // c:2 absorbed, never resurrected
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("legacy flat-root ledger migrates into a batch partition") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_legacy").toString
+    val config = SubgraphConfig(name = "fx")
+    val upd1 = Seq(mk(Seq("a:1"), "ds1", Seq("T"), "grebi:name" -> "one"))
+    Incremental.update(spark, config, dir, upd1.toDS(), Some("b1"))
+    // fabricate the pre-batch-partition layout: move the batch's parquet
+    // files to the ledger root
+    val root = new java.io.File(s"$dir/ledger.parquet")
+    val batchDir = root.listFiles().find(_.getName.startsWith("batch=")).get
+    batchDir.listFiles().filterNot(_.getName.startsWith("."))
+      .foreach(f => f.renameTo(new java.io.File(root, f.getName)))
+    org.apache.commons.io.FileUtils.deleteQuietly(batchDir)
+    // next update must migrate the flat files instead of failing partition
+    // discovery, and the merged view must still contain both batches
+    val upd2 = Seq(mk(Seq("b:2"), "ds2", Seq("T"), "grebi:name" -> "two"))
+    Incremental.update(spark, config, dir, upd2.toDS(), Some("b2"))
+    val ids = Incremental.currentMerged(spark, dir).collect().map(_.nodeId).toSet
+    assert(ids == Set("a:1", "b:2"))
+    assert(new java.io.File(root, "batch=legacy-0").isDirectory)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("config-driven: crashed pending batch replays under its pinned key") {
+    import scala.jdk.CollectionConverters._
+    val home = java.nio.file.Files.createTempDirectory("inc_pend_home")
+    val state = java.nio.file.Files.createTempDirectory("inc_pend_state").toString
+    def write(rel: String, content: String): Unit = {
+      val p = home.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, content)
+    }
+    write("configs/ds.yaml",
+      """name: GENES
+        |enabled: true
+        |ingests:
+        |  - globs: ["./data/*.jsonl"]
+        |    command: 'grebi_transform_jsonl --json-rename-field geneId:id'
+        |""".stripMargin)
+    write("configs/fx.json",
+      """{"id": "FX", "name": "fixture",
+        |  "datasource_configs": ["./configs/ds.yaml"]}""".stripMargin)
+    write("data/batch1.jsonl", """{"geneId":"g:1","name":"one"}""" + "\n")
+    try {
+      val cfgPath = home.resolve("configs/fx.json").toString
+      val first = ConfigLoader.updateFromConfigFile(spark, cfgPath, home.toString, state)
+      assert(first.size == 1)
+      // simulate a crash AFTER Incremental.update (marker durable) but
+      // BEFORE the applied-files write: restore the pending file, drop
+      // the applied ledger, and let a NEW dump arrive before the retry
+      val applied = java.nio.file.Paths.get(s"$state/applied_files.txt")
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(first.sorted.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      java.nio.file.Files.delete(applied)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$state/pending_batch.txt"),
+        (s"files-$digest" +: first).mkString("", "\n", "\n"))
+      write("data/batch2.jsonl", """{"geneId":"g:2","name":"two"}""" + "\n")
+      val retry = ConfigLoader.updateFromConfigFile(spark, cfgPath, home.toString, state)
+      // pending batch replayed (as a no-op via its marker) + new file applied
+      assert(retry.size == 2)
+      // batch1's records must NOT be duplicated in the ledger
+      val ledgerRows = spark.read.parquet(s"$state/ledger.parquet").count()
+      assert(ledgerRows == 2)
+      val inc = flat(Incremental.currentMerged(spark, state).collect().toSeq)
+      val bat = flat(ConfigLoader.runFromConfigFile(spark, cfgPath, home.toString)
+        .merged.collect().toSeq)
+      assert(inc == bat)
+    } finally {
+      Seq(home, java.nio.file.Paths.get(state)).foreach { d =>
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("identifier_props values join cliques incrementally too") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("inc_spec2").toString

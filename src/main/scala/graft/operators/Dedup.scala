@@ -33,12 +33,32 @@ object Dedup extends QueryModule {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        t.trim.split("\\s+").sliding(3).filter(_.length == 3)
-          .map(w => (id, w.mkString(" "))).toSeq.distinct
-      }
+      .flatMap { case (id, t) => shinglesOf(t).map((id, _)) }
       .toDF("doc_id", "s")
   }
+
+  /** The shingle set of one document (row-local twin of [[shingles]]). */
+  private[graft] def shinglesOf(text: String): Seq[String] =
+    (if (text == null) "" else text).trim.split("\\s+").toSeq
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The 4 LSH band keys of one document, computed ROW-LOCALLY (all of a
+    * doc's shingles are in hand, so the 16 minhash mins fold in a loop —
+    * no shuffle). Byte-identical to the DataFrame path in
+    * [[minhashLshFrom]] (same `md5("j|shingle")` signature mins, same
+    * `md5("b|m..|m..")` band keys; DedupSpec pins the equivalence), which
+    * is what lets a STREAM of new documents probe a static band index. */
+  private[graft] def bandKeysOf(shingles: Seq[String]): Seq[String] =
+    if (shingles.isEmpty) Nil
+    else {
+      val mins = (1 to 16).map(j => shingles.iterator.map(x => md5Hex(s"$j|$x")).min)
+      (0 until 4).map(b =>
+        md5Hex((b.toString +: (1 to 4).map(r => mins(b * 4 + r - 1))).mkString("|")))
+    }
 
   // per-doc position bound via the scalar (correlated) generate_series —
   // no fixture-size cap to silently outgrow

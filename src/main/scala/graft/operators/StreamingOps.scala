@@ -86,5 +86,8 @@ object StreamingOps extends QueryModule {
     "st5_stream_join"     -> QueryDef(intervalJoined, Some(intervalJoinedSql)),
     "st6_session_window"  -> QueryDef(sessionsNative, Some(sessionsNativeSql)),
     "st7_stream_exact_dedup" -> QueryDef(streamDedupDocs, Some(Dedup.exactDedupSql)),
+    "st8_stream_neardup" -> QueryDef(
+      (s, d) => Streaming.streamNearDup(s, d, s"sneardup_${math.abs(d.hashCode)}"),
+      Some(Dedup.minhashLshSql)),
   )
 }

@@ -498,6 +498,51 @@ object TextAnalysis extends QueryModule {
       |FROM ex JOIN nd USING (doc_id) JOIN lg USING (doc_id)
       |ORDER BY ex.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t14 — per-source reputation table (the CCNet-style per-domain
+    * aggregate a corpus pipeline keeps to up/down-weight whole sources):
+    * document count, exact-duplicate count (rows whose content hash is
+    * not the group canonical), distinct languages, total characters, and
+    * language-label agreement hits. One groupBy on the source key after
+    * map-side signal derivation — the dup flag joins the content-hash
+    * canonical exactly like t13's exact_keep. All-integer, so per-source
+    * means derive downstream without float drift. */
+  def sourceStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val h = md5(coalesce(col("text"), lit("")))
+    val exact = docs.groupBy(h.as("h")).agg(min(col("doc_id")).as("canon"))
+    val flagged = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"), h.as("h"))
+      .join(exact, "h")
+      .withColumn("is_dup", (col("doc_id") =!= col("canon")).cast("long"))
+    val lang = langId(s, d).select(col("doc_id"), col("hit"))
+    flagged.join(lang, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dups"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("hit").cast("long")).as("lang_hits"))
+      .orderBy(col("source"))
+  }
+
+  val sourceStatsSql: String =
+    s"""WITH ex AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(coalesce(text, '')))
+      |         THEN 0 ELSE 1 END AS is_dup
+      |  FROM documents),
+      |lg AS (SELECT doc_id, hit FROM ($langIdSql))
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(hit) AS BIGINT) AS lang_hits
+      |FROM ex JOIN lg USING (doc_id)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -512,5 +557,6 @@ object TextAnalysis extends QueryModule {
     "t11_decontamination" -> QueryDef(decontamination, Some(decontaminationSql)),
     "t12_trigram_familiarity" -> QueryDef(trigramFamiliarity, Some(trigramFamiliaritySql)),
     "t13_corpus_filter" -> QueryDef(corpusFilter, Some(corpusFilterSql)),
+    "t14_source_stats" -> QueryDef(sourceStats, Some(sourceStatsSql)),
   )
 }

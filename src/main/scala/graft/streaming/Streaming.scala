@@ -169,6 +169,46 @@ object Streaming {
       .orderBy(col("content_hash"))
   }
 
+  /** Streaming near-dup detection — the production shape of incremental
+    * MinHash dedup: incoming documents compute their signature band keys
+    * ROW-LOCALLY (no stream-side shuffle; [[graft.operators.Dedup.bandKeysOf]]
+    * is pinned byte-identical to the batch path), probe a STATIC band
+    * index of the existing corpus via a stream-static equi-join, and
+    * candidates verify exactly against the indexed shingle sets. With the
+    * replayed corpus as both sides (old_id < new_id keeps each unordered
+    * pair once), the result is exactly the batch d3 pair list — one
+    * oracle for both. At scale the static side is the persisted signature
+    * store (`minhashLshStaged`'s parquet), refreshed as batches land. */
+  def streamNearDup(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val corpus = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val staticBands = corpus
+      .flatMap { case (id, t) => Dedup.bandKeysOf(Dedup.shinglesOf(t)).map((id, _)) }
+      .toDF("old_id", "band")
+    val staticSets = corpus
+      .map { case (id, t) => val sh = Dedup.shinglesOf(t); (id, sh, sh.length.toLong) }
+      .toDF("old_id", "s_old", "na")
+    val stream = documentsStream(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val sh = Dedup.shinglesOf(t)
+        Dedup.bandKeysOf(sh).map(b => (id, b, sh, sh.length.toLong))
+      }
+      .toDF("new_id", "band", "s_new", "nb")
+    val cand = stream.join(staticBands, "band")
+      .where(col("old_id") < col("new_id"))
+      .dropDuplicates("new_id", "old_id")
+    val verified = cand.join(staticSets, "old_id")
+      .withColumn("inter", size(array_intersect(col("s_new"), col("s_old"))).cast("long"))
+      .where(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("old_id").as("da"), col("new_id").as("db"),
+        col("inter"), col("na"), col("nb"))
+    runToTable(verified, OutputMode.Append, name)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Per-user session state: ALL event times seen so far (sorted). */
   final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

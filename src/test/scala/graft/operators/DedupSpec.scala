@@ -15,4 +15,13 @@ class DedupSpec extends SparkSpec {
     assert(staged == direct)
     assert(new java.io.File(s"$work/shingles.parquet").exists())
   }
+
+  test("row-local band keys reproduce the DataFrame path: st8 stream ≡ d3 batch") {
+    val d = "/root/testdata/sf0.001"
+    val batch = Dedup.minhashLsh(spark, d).collect().map(_.toString).sorted.toSeq
+    val streamed = graft.streaming.Streaming.streamNearDup(spark, d, "t_sneardup")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty) // the fixture must actually exercise the path
+  }
 }

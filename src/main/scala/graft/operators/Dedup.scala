@@ -407,6 +407,58 @@ object Dedup extends QueryModule {
       |FROM rep r JOIN sz USING (rep_id)
       |ORDER BY r.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** d8 — SimHash near-dup PAIRS, the Manku-style web-dedup algorithm on
+    * top of d4's signatures: split the 64-bit simhash into 4×16-bit
+    * chunks; by pigeonhole, any pair within Hamming distance 3 shares at
+    * least one identical chunk, so candidates come from equi-joins on the
+    * (chunk index, chunk value) band key — complete AND never all-pairs —
+    * and verification is an exact popcount over the XOR of the chunks.
+    * Everything is integer, and the band-join shape is the same one that
+    * lets d3/d5 survive corpus scale. */
+  def simhashNearDup(s: SparkSession, d: String): DataFrame = {
+    val chunkCols = (0 until 4).map(c =>
+      substring(col("simhash"), c * 4 + 1, 4).as(s"c$c"))
+    val t = simhash(s, d).select(col("doc_id") +: chunkCols: _*)
+    val bandKeys = (0 until 4).map(c => concat_ws("|", lit(c.toString), col(s"c$c")))
+    val bands = t.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    def chunksOf(alias: String, idCol: String) = t.select(
+      col("doc_id").as(idCol) +: (0 until 4).map(c => col(s"c$c").as(s"$alias$c")): _*)
+    val hamming = (0 until 4).map(c =>
+        bit_count(conv(col(s"a$c"), 16, 10).cast("int")
+          .bitwiseXOR(conv(col(s"b$c"), 16, 10).cast("int"))))
+      .reduce(_ + _).cast("int")
+    cand.join(chunksOf("a", "da"), "da").join(chunksOf("b", "db"), "db")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val simhashNearDupSql: String = {
+    val bandSelects = (0 until 4).map(c =>
+      s"SELECT doc_id, '$c|' || c$c AS band FROM t").mkString("\n  UNION ALL\n  ")
+    val hamming = (0 until 4).map(c =>
+      s"bit_count(xor(('0x' || a.c$c)::INT, ('0x' || b.c$c)::INT))").mkString(" + ")
+    s"""WITH sig AS (SELECT doc_id, simhash FROM ($simhashSql)),
+      |t AS (SELECT doc_id, substr(simhash, 1, 4) AS c0, substr(simhash, 5, 4) AS c1,
+      |        substr(simhash, 9, 4) AS c2, substr(simhash, 13, 4) AS c3 FROM sig),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+      |SELECT da, db, hamming FROM (
+      |  SELECT da, db, CAST($hamming AS INT) AS hamming
+      |  FROM cand JOIN t a ON a.doc_id = da JOIN t b ON b.doc_id = db)
+      |WHERE hamming <= 3 ORDER BY da, db""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -415,5 +467,6 @@ object Dedup extends QueryModule {
     "d5_embedding_neardup" -> QueryDef(embeddingNearDup, Some(embeddingNearDupSql), bench = true),
     "d6_window_dedup"  -> QueryDef(windowDedup, Some(windowDedupSql)),
     "d7_dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
+    "d8_simhash_neardup" -> QueryDef(simhashNearDup, Some(simhashNearDupSql)),
   )
 }

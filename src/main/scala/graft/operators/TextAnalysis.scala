@@ -543,6 +543,36 @@ object TextAnalysis extends QueryModule {
       |FROM ex JOIN lg USING (doc_id)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t15 — HyperLogLog-style register sketch of distinct documents per
+    * source: bucket = first md5 nibble (16 registers), rank = leading
+    * zero-nibble run of the remainder + 1, register = MAX rank. The
+    * output is the REGISTER TABLE, not the float estimate — registers
+    * are integers, merge by max (associative + commutative ⇒ map-side
+    * combine, and shards/days union by re-maxing), and any consumer can
+    * apply the harmonic-mean estimator downstream. This is the sketch
+    * infrastructure piece: cardinality state that composes across a
+    * partitioned corpus in O(sources × 16) space. */
+  def hllRegisters(s: SparkSession, d: String): DataFrame = {
+    val h = md5(coalesce(col("text"), lit("")))
+    Tables.documents(s, d)
+      .select(col("source"),
+        conv(substring(h, 1, 1), 16, 10).cast("int").as("bucket"),
+        (length(regexp_extract(substring(h, 2, 15), "^0*", 0)) + 1).as("rank"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(max(col("rank")).as("max_rank"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val hllRegistersSql: String =
+    """SELECT source, bucket, CAST(max(rank) AS INT) AS max_rank FROM (
+      |  SELECT source,
+      |    CAST(strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1 AS INT) AS bucket,
+      |    length(regexp_extract(substr(md5(coalesce(text, '')), 2, 15), '^0*')) + 1 AS rank
+      |  FROM documents)
+      |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -558,5 +588,6 @@ object TextAnalysis extends QueryModule {
     "t12_trigram_familiarity" -> QueryDef(trigramFamiliarity, Some(trigramFamiliaritySql)),
     "t13_corpus_filter" -> QueryDef(corpusFilter, Some(corpusFilterSql)),
     "t14_source_stats" -> QueryDef(sourceStats, Some(sourceStatsSql)),
+    "t15_hll_registers" -> QueryDef(hllRegisters, Some(hllRegistersSql)),
   )
 }

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "per-doc counters must not join")
   }
 
+  test("d8: simhash candidates come from chunk-band equi-joins, never all-pairs") {
+    val p = plan("d8_simhash_neardup")
+    assert(!p.contains("CartesianProduct"), "band join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NLJ")
+  }
+
   test("t11: contamination check is a semi-join on the gram — no all-pairs") {
     val p = plan("t11_decontamination")
     assert(p.contains("LeftSemi"), "train-gram containment must stay a semi join")

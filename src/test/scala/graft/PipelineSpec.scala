@@ -180,6 +180,28 @@ class PipelineSpec extends SparkSpec {
     assert(g1.getAs[String]("grebi:name").split(Sinks.ArraySep).sorted.toSeq == Seq("PAX6", "Pax6"))
   }
 
+  test("neo4j csv bytes: reference escaping for quotes, newlines, tabs, backslashes") {
+    import spark.implicits._
+    import graft.model.{MergedNode, PropValue}
+    def pv(v: String) = PropValue(v, "s", Seq("ds"), Nil, Map.empty)
+    val nodes = Seq(MergedNode("x:1", Seq("ds"), Seq("x:1"), "fx",
+      Map("grebi:type" -> Seq(pv("T")),
+        "torture" -> Seq(pv("he\"llo, wor\nld"), pv("tab\there\\done"))))).toDS()
+    val dt = Seq(("x:1", "T")).toDF("nodeId", "displayType")
+    val dir = java.nio.file.Files.createTempDirectory("neo_csv").toString + "/out"
+    Sinks.writeCsv(Sinks.neoNodesCsvFrame(nodes, Seq("torture"), dt).coalesce(1), dir)
+    val part = new java.io.File(dir).listFiles().find(_.getName.startsWith("part-")).get
+    val lines = java.nio.file.Files.readAllLines(part.toPath)
+    // the embedded newline is \n-ESCAPED (grebi_make_neo_csv/src/main.rs:
+    // 347-359), so the record stays on ONE line; quotes double; every
+    // field is quoted
+    assert(lines.size == 2)
+    val sep = Sinks.ArraySep
+    assert(lines.get(1) ==
+      s""""x:1","GraphNode${sep}T","ds","fx","T","he""llo, wor\\nld${sep}tab\\there\\\\done"""")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+  }
+
   test("per-prop self-referential exclusion matches the reference rule") {
     import spark.implicits._
     import graft.model.PropValue

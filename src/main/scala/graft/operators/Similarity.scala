@@ -205,11 +205,87 @@ object Similarity extends QueryModule {
       |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits USING (query_id)
       |ORDER BY q.query_id""".stripMargin
 
+  /** s6 — IVF MULTI-PROBE (nprobe=2): rank cells by an integer-exact
+    * distance between the query and each cell's centroid, probe the two
+    * nearest cells, exact re-rank their members. The centroid is the
+    * truncated integer mean per dimension — `sign(s)·(|s| floordiv n)`,
+    * which both engines compute identically (floor-div of the absolute
+    * value = truncation toward zero), so cell RANKING is deterministic
+    * and engine-exact with no float distance anywhere. The cell-stats
+    * table is the broadcastable s4 dimension; probe cost is 2·|cell|,
+    * recall strictly dominates s3's nprobe=1 at twice the candidate
+    * cost — the standard IVF recall/cost dial. */
+  def ivfMultiProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = quantized(s, d).select(col("vec_id"), col("label"), col("q"))
+    val cent = emb
+      .select(col("label"), posexplode(slice(col("q"), 1, 8)).as(Seq("dim", "qv")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("r", signum(col("sq")).cast("long") * expr("abs(sq) div n"))
+      .select(col("dim"), col("label"), col("r"))
+    val qdims = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        posexplode(slice(col("q"), 1, 8)).as(Seq("dim", "qd")))
+    val dist = qdims.join(broadcast(cent), "dim")
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum((col("qd") - col("r")) * (col("qd") - col("r"))).as("dist"))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("label").asc)
+    val probes = dist.withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= 2)
+      .select(col("query_id"), col("label"))
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    probes.join(broadcast(queries), "query_id")
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), Seq("label"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfMultiProbeSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id, label,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT label, i AS dim,
+      |    CAST(sign(sum(qv[i])) AS BIGINT) * (abs(CAST(sum(qv[i]) AS BIGINT)) // count(*)) AS r
+      |  FROM q CROSS JOIN generate_series(1, 8) g(i)
+      |  GROUP BY label, i),
+      |qd AS (
+      |  SELECT vec_id AS query_id, i AS dim, qv[i] AS qd
+      |  FROM q CROSS JOIN generate_series(1, 8) g(i) WHERE vec_id < 20),
+      |dist AS (
+      |  SELECT query_id, label, sum((qd - r) * (qd - r)) AS dist
+      |  FROM qd JOIN cent USING (dim) GROUP BY query_id, label),
+      |probes AS (
+      |  SELECT query_id, label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dist ASC, label ASC) AS crank FROM dist)
+      |  WHERE crank <= 2),
+      |pairs AS (
+      |  SELECT p.query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM probes p JOIN q a ON a.vec_id = p.query_id
+      |  JOIN q b ON b.label = p.label AND b.vec_id != p.query_id)
+      |SELECT query_id, rank, neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
     "s3_ivf_ann"         -> QueryDef(ivfAnn, Some(ivfAnnSql)),
     "s4_centroid_stats"  -> QueryDef(centroidStats, Some(centroidStatsSql)),
     "s5_ann_recall"      -> QueryDef(annRecall, Some(annRecallSql)),
+    "s6_ivf_multiprobe"  -> QueryDef(ivfMultiProbe, Some(ivfMultiProbeSql)),
   )
 }

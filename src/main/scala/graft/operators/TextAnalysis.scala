@@ -573,6 +573,115 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)
       |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t16 — TF-IDF term ranking: top-3 terms per document by an
+    * INTEGER-scaled idf weight, `score = tf · ((N · 10⁶) intdiv df)` — the
+    * classic relevance weighting with the logarithm's job (rare terms
+    * outrank common ones, monotone in 1/df) done by exact integer
+    * division, so both engines rank identically with no float anywhere.
+    * Scale shape: tf is one shuffle on (doc, term); df is a map-side-
+    * combined groupBy over the tf table (distinct doc-term pairs, NOT raw
+    * tokens); N is a 1-row broadcast; the per-doc top-3 is a bounded
+    * window. The df dimension joins back on the term key — at corpus
+    * scale the high-df head fits any broadcast threshold and the tail is
+    * an equi-join, exactly how a relevance index is built. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * ((n * 1000000) div df)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ((SELECT n FROM n) * 1000000 // df.df) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((SELECT n FROM n) * 1000000 // df.df) DESC, tf.term ASC) AS rank
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, rank, term, tf, CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS score
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** t17 — SEQUENCE PACKING: greedily pack documents (in doc_id order,
+    * within their source) into training sequences of ≤512 whitespace
+    * tokens — the context-window bin-packing every LLM pretraining
+    * pipeline runs between "clean corpus" and "tokenised batches". A new
+    * chunk starts whenever adding the next document would overflow the
+    * budget (an oversize document gets a chunk of its own).
+    *
+    * Packing is inherently a sequential fold over an ordered stream, so
+    * the scale unit is the SOURCE (shard/day/crawl segment in
+    * production): `repartition(source) → sortWithinPartitions(source,
+    * doc_id) → mapPartitions` is Spark's secondary-sort pattern — one
+    * shuffle, then each partition streams its sources in order through a
+    * constant-space fold, never holding a group in memory. Parallelism =
+    * number of sources; a pathologically large single source is split
+    * upstream (salt by day/shard), not here. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 512L
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long)]
+    docs.mapPartitions { it =>
+      var curSrc: String = null
+      var chunk = 0L
+      var acc = 0L
+      it.map { case (src, id, tok) =>
+        if (src != curSrc) { curSrc = src; chunk = 0L; acc = tok }
+        else if (acc + tok > budget) { chunk += 1; acc = tok }
+        else acc += tok
+        (src, chunk, id, tok)
+      }
+    }.toDF("source", "chunk", "doc_id", "tokens")
+      .groupBy(col("source"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("chunk"))
+  }
+
+  val sequencePackingSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, doc_id, rn, tokens, CAST(0 AS BIGINT) AS chunk, tokens AS acc
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.rn, d.tokens,
+      |    CASE WHEN p.acc + d.tokens > 512 THEN p.chunk + 1 ELSE p.chunk END,
+      |    CASE WHEN p.acc + d.tokens > 512 THEN d.tokens ELSE p.acc + d.tokens END
+      |  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT source, chunk, count(*) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM packed GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -589,5 +698,7 @@ object TextAnalysis extends QueryModule {
     "t13_corpus_filter" -> QueryDef(corpusFilter, Some(corpusFilterSql)),
     "t14_source_stats" -> QueryDef(sourceStats, Some(sourceStatsSql)),
     "t15_hll_registers" -> QueryDef(hllRegisters, Some(hllRegistersSql)),
+    "t16_tfidf"        -> QueryDef(tfidf, Some(tfidfSql)),
+    "t17_sequence_packing" -> QueryDef(sequencePacking, Some(sequencePackingSql), bench = true),
   )
 }

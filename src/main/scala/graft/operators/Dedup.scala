@@ -459,6 +459,114 @@ object Dedup extends QueryModule {
       |WHERE hamming <= 3 ORDER BY da, db""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+
+  /** d9 — SEMANTIC dedup, the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space, then search for
+    * near-duplicate pairs ONLY within a cluster — the cluster id plays
+    * the candidate-bucket role that band keys play in d3/d5, bounding the
+    * pair space to Σ|cluster|² instead of N².
+    *
+    * The k-means here is a real Lloyd iteration, not a fixed hash:
+    * centroids seed from the k lowest vec_ids, one assignment pass, one
+    * element-wise integer-mean update, one reassignment. Everything is
+    * integer arithmetic over 1e3-quantized vectors (sums of longs are
+    * order-independent; `div` truncates toward zero in both engines), so
+    * the cluster assignment — and therefore the output — is engine-exact.
+    *
+    * Scale shape: the centroid frame is k rows however big the corpus is,
+    * so every assignment pass is a broadcast crossJoin (k candidates per
+    * vector, argmin via one row_number window on vec_id) and the update
+    * is one groupBy(cell, dim) — no driver-side model state at all. A
+    * production run adds iterations by looping the same two stages with a
+    * localCheckpoint per round (the CC pattern, Identity.scala); two
+    * passes are enough to pin the semantics under the oracle gate.
+    * Near-dup verify: cos ≥ 0.4 as the integer inequality
+    * 25·dot² ≥ 4·|a|²·|b|² with dot > 0 (same form as d5 — quantized at
+    * 1e3, the largest term is 25·(64·10⁶)² ≈ 10¹⁷, inside int64). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+      .withColumn("qq", DotProductL(col("qv"), col("qv")))
+
+    // argmin over the k-row centroid frame: broadcast fan-out ×k, then
+    // one window on vec_id (ties → lower cell id, so deterministic)
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(
+        col("qq") + col("cc") - lit(2L) * DotProductL(col("qv"), col("cv")),
+        col("cell"))
+      q.crossJoin(broadcast(centroids))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("qq"), col("cell"))
+    }
+
+    val c0 = q.where(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("qv").as("cv"), col("qq").as("cc"))
+    val a1 = assign(c0)
+    // Lloyd update: per-(cell, dim) integer mean, reassembled into the
+    // centroid vector (k rows — the interpreted transform HOF is fine)
+    val c1 = a1.select(col("cell"), posexplode(col("qv")))
+      .groupBy("cell", "pos")
+      .agg(expr("sum(col) div count(*)").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .withColumn("cc", DotProductL(col("cv"), col("cv")))
+    val a2 = assign(c1)
+
+    // candidates = same final cluster only (never all-pairs)
+    val a = a2.select(col("cell"), col("vec_id").as("va"), col("qv").as("qa"), col("qq").as("na"))
+    val b = a2.select(col("cell"), col("vec_id").as("vb"), col("qv").as("qb"), col("qq").as("nb"))
+    a.join(b, "cell").where(col("va") < col("vb"))
+      .withColumn("dot", DotProductL(col("qa"), col("qb")))
+      .where(col("dot") > 0 &&
+        lit(25) * col("dot") * col("dot") >= lit(4) * col("na") * col("nb"))
+      .select(col("cell"), col("va"), col("vb"), col("dot"))
+      .orderBy(col("cell"), col("va"), col("vb"))
+  }
+
+  val semanticDedupSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    val assign = (from: String) =>
+      s"""SELECT vec_id, qv, qq, cell FROM (
+         |    SELECT e.vec_id, e.qv, e.qq, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.cell) AS rn
+         |    FROM qn e CROSS JOIN $from c)
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |c0 AS (
+      |  SELECT vec_id AS cell, qv AS cv, ${dot("qv", "qv")} AS cc
+      |  FROM q WHERE vec_id < 8),
+      |a1 AS (
+      |  ${assign("c0")}),
+      |c1d AS (
+      |  SELECT cell, i, CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM (SELECT cell, unnest(qv) AS v,
+      |          unnest(generate_series(1, len(qv))) AS i FROM a1)
+      |  GROUP BY cell, i),
+      |c1 AS (
+      |  SELECT cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT cell, list(m ORDER BY i) AS cv FROM c1d GROUP BY cell)),
+      |a2 AS (
+      |  ${assign("c1")})
+      |SELECT cell, va, vb, dot FROM (
+      |  SELECT a.cell AS cell, a.vec_id AS va, b.vec_id AS vb,
+      |    ${dot("a.qv", "b.qv")} AS dot, a.qq AS na, b.qq AS nb
+      |  FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+      |ORDER BY cell, va, vb""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -468,5 +576,6 @@ object Dedup extends QueryModule {
     "d6_window_dedup"  -> QueryDef(windowDedup, Some(windowDedupSql)),
     "d7_dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "d8_simhash_neardup" -> QueryDef(simhashNearDup, Some(simhashNearDupSql)),
+    "d9_semantic_dedup" -> QueryDef(semanticDedup, Some(semanticDedupSql)),
   )
 }

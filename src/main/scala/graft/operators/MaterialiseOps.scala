@@ -362,6 +362,78 @@ object MaterialiseOps extends QueryModule {
       |  UNION ALL SELECT 'idedge', alt, 'sourceId', c FROM ids
       |) ORDER BY kind, a, b, c""".stripMargin
 
+  /** g18 — PageRank ([[Query.pageRank]]) over the customer → nation →
+    * region + supplier → nation membership graph: nations concentrate
+    * rank from their customers/suppliers, regions from their nations.
+    * Three integer-exact iterations; the oracle unrolls the same three
+    * rounds as chained CTEs. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.customer(s, d).select(
+        node("c:", col("c_custkey")).as("fromNodeId"),
+        node("n:", col("c_nationkey")).as("toNodeId"))
+      .union(Tables.supplier(s, d).select(
+        node("s:", col("s_suppkey")).as("fromNodeId"),
+        node("n:", col("s_nationkey")).as("toNodeId")))
+      .union(Tables.nation(s, d).select(
+        node("n:", col("n_nationkey")).as("fromNodeId"),
+        node("r:", col("n_regionkey")).as("toNodeId")))
+    Query.pageRank(e, iterations = 3).orderBy(col("id"))
+  }
+
+  val pageRankSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.id, 150000 + (85 * coalesce(m.i, 0)) // 100 AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // d.deg) AS i
+         |    FROM e JOIN $prev p ON p.id = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT 'c:' || ${sqlPad("c_custkey")} AS src, 'n:' || ${sqlPad("c_nationkey")} AS dst
+      |  FROM customer
+      |  UNION ALL SELECT 's:' || ${sqlPad("s_suppkey")}, 'n:' || ${sqlPad("s_nationkey")}
+      |  FROM supplier
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")}
+      |  FROM nation),
+      |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+      |${round("p0", "p1")},
+      |${round("p1", "p2")},
+      |${round("p2", "p3")}
+      |SELECT id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY id""".stripMargin
+  }
+
+  /** g19 — triangle count ([[Query.triangleCount]]) over the parts-
+    * co-ordered graph (two parts are adjacent when some order contains
+    * both). The engine side runs the degree-ordered orientation — the
+    * plan that survives power-law hubs at web scale. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    Query.triangleCount(pairs)
+  }
+
+  val trianglesSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
+      |         CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
+      |  FROM pairs p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v),
+      |w AS (SELECT x.t AS a, y.t AS b FROM o x JOIN o y ON x.s = y.s AND x.t != y.t)
+      |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+      |  (SELECT count(*) FROM w JOIN o ON o.s = w.a AND o.t = w.b) AS n_triangles""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -376,5 +448,7 @@ object MaterialiseOps extends QueryModule {
     "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),
     "g15_ic_scores"       -> QueryDef(icScores, Some(icScoresSql)),
     "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
+    "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql)),
+    "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
   )
 }

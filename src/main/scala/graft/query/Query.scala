@@ -248,6 +248,74 @@ object Query {
       lit(1.0) - col("n_descendants").cast("double") / lit(mx.toDouble))
   }
 
+  /** PageRank over a directed edge list — fixed iteration count, integer
+    * fixed-point arithmetic (damping 0.85 as `(85·Σ) div 100`, scores
+    * scaled by `scale`), so parallel summation order can't move the
+    * result: sums of longs are exact and `div` truncates identically on
+    * every engine. Dangling nodes keep the teleport term only (their
+    * mass is dropped, the common web-graph simplification).
+    *
+    * Scale shape: per iteration one shuffle join of the static
+    * (edge ⋈ outdegree) frame against the current rank vector and one
+    * groupBy on the target — the textbook distributed PageRank. The rank
+    * vector is localCheckpoint'd per round so plan size stays O(1) in
+    * `iterations`; the edge frame is computed once and persisted. */
+  def pageRank(edges: DataFrame, iterations: Int = 3,
+               scale: Long = 1000000L): DataFrame = {
+    val e = edges.select(col("fromNodeId").as("src"), col("toNodeId").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val step = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.select(col("id"), lit(scale).as("pr"))
+    var i = 0
+    while (i < iterations) {
+      val in = step.join(pr.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("insum"))
+      pr = nodes.join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(scale * 15L / 100L) +
+            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    step.unpersist()
+    nodes.unpersist()
+    pr
+  }
+
+  /** Triangle count over an undirected edge set (`(u, v)` pairs, u < v,
+    * self-loop-free) via DEGREE-ORDERED orientation — each edge points
+    * from its lower-(degree, id) endpoint to the higher, so every
+    * vertex's out-degree is O(√m) even under power-law skew (the
+    * hub-node explosion that kills the naive wedge join at web scale:
+    * wedge count is Σ outdeg², and orientation moves hubs to the
+    * receiving side). One wedge self-join on the spoke vertex + one
+    * membership join closes each triangle exactly once. */
+  def triangleCount(undirected: DataFrame): DataFrame = {
+    val pairs = undirected.select(col("u"), col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val o = pairs
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
+      .select(col("x.t").as("a"), col("y.t").as("b"))
+    val tri = wedges.join(o, wedges("a") === o("s") && wedges("b") === o("t"))
+    val res = pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    res
+  }
+
   // -------------------------------------------------------------------
   // Q8 — autocomplete
   // -------------------------------------------------------------------

@@ -682,6 +682,99 @@ object TextAnalysis extends QueryModule {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM packed GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t18 — BM25 ranking (Robertson/Spärck Jones, k1=1.2 b=0.75): the
+    * retrieval scorer behind corpus-level quality search — t16's tf·idf
+    * plus the document-LENGTH normalisation that stops long documents
+    * dominating every term. Query terms are the corpus's 3 highest-df
+    * terms (deterministic, data-derived). All arithmetic is fixed-point
+    * integer (scales 1e6/1e3), so the ranking is engine-exact:
+    *   idf   = (N·10⁶) div df                       (t16's monotone proxy)
+    *   tfn   = (tf·2.2e9) div (tf·10⁶ + (1200·(250000 + (750000·dl) div avgdl)) div 1000)
+    *   score = idf · tfn
+    * Shape: the corpus-wide stats (N, avgdl) are a one-row broadcast, df
+    * of the 3 query terms a 3-row broadcast; scoring is a map-side join
+    * over the tf table + one top-k window per term. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      .select(col("n"), expr("tot div n").as("avgdl"))
+    val qterms = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(3)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("score", expr(
+        """((n * 1000000) div df) *
+          |((tf * 2200000000) div
+          | (tf * 1000000 + (1200 * (250000 + (750000 * dl) div avgdl)) div 1000))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"), col("score"))
+      .orderBy(col("term"), col("rank"))
+  }
+
+  val bm25Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n,
+      |         CAST(sum(dl) AS BIGINT) // count(*) AS avgdl FROM dl),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+      |        ORDER BY df DESC, term ASC LIMIT 3),
+      |scored AS (
+      |  SELECT q.term, tf.doc_id, tf.tf, dl.dl,
+      |    ((st.n * 1000000) // q.df) *
+      |    ((tf.tf * 2200000000) //
+      |     (tf.tf * 1000000 + (1200 * (250000 + (750000 * dl.dl) // st.avgdl)) // 1000)) AS score
+      |  FROM tf JOIN dfq q USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+      |SELECT term, rank, doc_id, tf, dl, CAST(score AS BIGINT) AS score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY term
+      |    ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY term, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** t19 — temperature-weighted source MIXTURE: the "how much of each
+    * domain goes into the training mix" allocator (the α=0.5 sampling
+    * temperature of multilingual/multi-domain pretraining — upweights
+    * small sources relative to proportional sampling). Weight per source
+    * is ⌊√n⌋ — IEEE sqrt is correctly rounded and floor'd identically on
+    * both engines, so integer-exact — and a 100k-document budget is
+    * split by largest-remainder-free integer quota (budget·w) div Σw.
+    * One groupBy + a one-row broadcast: trivially 100 TB-safe. */
+  def mixtureWeights(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Tables.documents(s, d)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = bySrc.agg(sum(col("weight")).as("wsum"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("quota", expr("(100000 * weight) div wsum"))
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM s)
+      |SELECT source, n_docs, weight,
+      |  CAST((100000 * weight) // t.wsum AS BIGINT) AS quota
+      |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -700,5 +793,7 @@ object TextAnalysis extends QueryModule {
     "t15_hll_registers" -> QueryDef(hllRegisters, Some(hllRegistersSql)),
     "t16_tfidf"        -> QueryDef(tfidf, Some(tfidfSql)),
     "t17_sequence_packing" -> QueryDef(sequencePacking, Some(sequencePackingSql), bench = true),
+    "t18_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
+    "t19_mixture_weights" -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
   )
 }

@@ -59,6 +59,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NLJ")
   }
 
+  test("d9: semantic near-dup pairs come from the cluster equi-join, never unbucketed all-pairs") {
+    val p = plan("d9_semantic_dedup")
+    // the ONLY nested-loop joins allowed are the k-row broadcast centroid
+    // fan-outs of the assignment passes; the corpus-vs-corpus pair stage
+    // must be an equi-join on the cluster id
+    assert(!p.contains("CartesianProduct"), "pair stage degenerated to all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "cluster-id equi-join missing")
+  }
+
+  test("t18: bm25 corpus stats and query terms broadcast; no all-pairs") {
+    val p = plan("t18_bm25")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "query-term/stat dimensions should broadcast")
+  }
+
   test("t11: contamination check is a semi-join on the gram — no all-pairs") {
     val p = plan("t11_decontamination")
     assert(p.contains("LeftSemi"), "train-gram containment must stay a semi join")

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.query.Query
+import org.apache.spark.sql.functions._
+
+/** Hand-checkable fixtures for the iterative graph analytics (g18/g19):
+  * the oracle gate pins engine-vs-DuckDB parity at sf0.01, these pin the
+  * SEMANTICS against worked-by-hand expectations. */
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("g18: pageRank on a 3-chain matches the hand-computed fixed rounds") {
+    // a → b → c, integer fixed-point, 3 rounds:
+    //   r1: a=150000            b=150000+850000      c=150000+850000
+    //   r2: a=150000            b=150000+85·150000/100 = 277500
+    //       c=150000+85·1000000/100 = 1000000
+    //   r3: b=277500            c=150000+85·277500/100 = 385875
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("fromNodeId", "toNodeId")
+    val pr = Query.pageRank(edges, iterations = 3)
+      .orderBy("id").as[(String, Long)].collect().toSeq
+    assert(pr === Seq(("a", 150000L), ("b", 277500L), ("c", 385875L)))
+  }
+
+  test("g18: dangling nodes keep the teleport term only") {
+    val edges = Seq(("x", "y")).toDF("fromNodeId", "toNodeId")
+    val pr = Query.pageRank(edges, iterations = 1)
+      .orderBy("id").as[(String, Long)].collect().toMap
+    assert(pr("x") === 150000L) // no in-edges
+    assert(pr("y") === 1000000L) // 150000 + 85% of x's initial 1e6
+  }
+
+  test("g19: triangleCount on K4 minus one edge finds exactly 2 triangles") {
+    // vertices 1..4, all edges except (3,4): triangles {1,2,3} and {1,2,4}
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("u", "v")
+    val r = Query.triangleCount(und).as[(Long, Long)].collect().head
+    assert(r === ((5L, 2L)))
+  }
+
+  test("g19: duplicate input pairs do not double-count") {
+    val und = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val r = Query.triangleCount(und).as[(Long, Long)].collect().head
+    assert(r === ((3L, 1L)))
+  }
+
+  test("d9: integer mean division truncates toward zero on negatives (the div/// parity contract)") {
+    // Spark's `div` must truncate toward zero like DuckDB's `//`
+    // (-7 // 2 = -3, not floor's -4) — the Lloyd update relies on it.
+    val r = spark.sql("SELECT -7 div 2 AS a, 7 div 2 AS b").first()
+    assert(r.getLong(0) === -3L && r.getLong(1) === 3L)
+  }
+}

@@ -280,6 +280,122 @@ object Similarity extends QueryModule {
       |  FROM pairs)
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** s7 — PRODUCT QUANTIZATION (PQ) ANN, the FAISS-IVFPQ memory-scale
+    * path: each 64-dim vector compresses to M=4 sub-codes (one per 16-dim
+    * subspace, codebook k=4 per subspace trained by the same integer-exact
+    * Lloyd pass as d9), and query distance is ADC — a lookup-table sum of
+    * per-subspace distances to the CENTROID of each stored code, never to
+    * the raw vector. At 100 TB this is why PQ wins: the corpus shrinks to
+    * M small ints per vector, the query-side LUT is |queries|·M·k rows
+    * (here 10·4·4 = 160 — a broadcast however big the corpus), and the
+    * scan is one broadcast-hash join + groupBy(query, vector) sum.
+    * Top-3 per query by (adc asc, neighbor asc), self excluded.
+    *
+    * Everything is integer arithmetic over 1e3-quantized subvectors, so
+    * codebooks, codes and ADC scores are engine-exact (see d9's scaladoc
+    * for the div/`//` parity contract). */
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+      graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+    // subspace decomposition: (vec_id, m, sv) with sv = 16-dim slice
+    val sub = q.select(col("vec_id"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        expr("slice(qv, m*16+1, 16)").as("sv"))
+      .withColumn("ss", DotProductL(col("sv"), col("sv")))
+
+    // per-(vec,m) argmin over that subspace's k centroids (broadcast)
+    def assign(centroids: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("m")).orderBy(
+        col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
+        col("cell"))
+      sub.join(broadcast(centroids), "m")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("sv"), col("ss"), col("cell"))
+    }
+
+    val c0 = sub.where(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"),
+        col("ss").as("cc"))
+    val a1 = assign(c0)
+    // one Lloyd update per subspace (16 centroids total — tiny frame)
+    val c1 = a1.select(col("m"), col("cell"), posexplode(col("sv")))
+      .groupBy("m", "cell", "pos")
+      .agg(expr("sum(col) div count(*)").as("v"))
+      .groupBy("m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cv"))
+      .withColumn("cc", DotProductL(col("cv"), col("cv")))
+    // PQ encode: final code per (vector, subspace)
+    val codes = assign(c1).select(col("vec_id"), col("m"), col("cell").as("code"))
+
+    // ADC lookup table: query subvector → distance² to every centroid
+    val lut = sub.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"), col("ss"))
+      .join(c1, "m")
+      .select(col("query_id"), col("m"), col("cell").as("code"),
+        (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val pqAnnSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    val assign = (from: String) =>
+      s"""SELECT vec_id, m, sv, ss, cell FROM (
+         |    SELECT e.vec_id, e.m, e.sv, e.ss, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+         |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+         |    FROM sub e JOIN $from c ON c.m = e.m)
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, g.m, qv[g.m*16+1 : g.m*16+16] AS sv,
+      |    ${dot("qv[g.m*16+1 : g.m*16+16]", "qv[g.m*16+1 : g.m*16+16]")} AS ss
+      |  FROM q CROSS JOIN generate_series(0, 3) g(m)),
+      |c0 AS (
+      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
+      |a1 AS (
+      |  ${assign("c0")}),
+      |c1d AS (
+      |  SELECT m, cell, i, CAST(sum(v) AS BIGINT) // count(*) AS v
+      |  FROM (SELECT m, cell, unnest(sv) AS v,
+      |          unnest(generate_series(1, len(sv))) AS i FROM a1)
+      |  GROUP BY m, cell, i),
+      |c1 AS (
+      |  SELECT m, cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT m, cell, list(v ORDER BY i) AS cv FROM c1d GROUP BY m, cell)),
+      |codes AS (
+      |  SELECT vec_id, m, cell AS code FROM (${assign("c1")})),
+      |lut AS (
+      |  SELECT s.vec_id AS query_id, c.m, c.cell AS code,
+      |    s.ss + c.cc - 2 * ${dot("s.sv", "c.cv")} AS d2
+      |  FROM sub s JOIN c1 c ON c.m = s.m WHERE s.vec_id < 10),
+      |adc AS (
+      |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc
+      |  FROM codes d JOIN lut l ON l.m = d.m AND l.code = d.code
+      |  WHERE d.vec_id != l.query_id
+      |  GROUP BY l.query_id, d.vec_id)
+      |SELECT query_id, rank, neighbor_id, adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc ASC, neighbor_id ASC) AS rank
+      |  FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -287,5 +403,6 @@ object Similarity extends QueryModule {
     "s4_centroid_stats"  -> QueryDef(centroidStats, Some(centroidStatsSql)),
     "s5_ann_recall"      -> QueryDef(annRecall, Some(annRecallSql)),
     "s6_ivf_multiprobe"  -> QueryDef(ivfMultiProbe, Some(ivfMultiProbeSql)),
+    "s7_pq_ann"          -> QueryDef(pqAnn, Some(pqAnnSql)),
   )
 }

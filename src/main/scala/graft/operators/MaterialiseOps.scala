@@ -434,6 +434,45 @@ object MaterialiseOps extends QueryModule {
       |SELECT (SELECT count(*) FROM pairs) AS n_edges,
       |  (SELECT count(*) FROM w JOIN o ON o.s = w.a AND o.t = w.b) AS n_triangles""".stripMargin
 
+  /** g20 — neighbor-set similarity (link prediction's common-neighbors /
+    * Jaccard primitive) over the customer–part bipartite graph: customers
+    * are "similar" when they order many of the same parts. Candidates
+    * come ONLY from the inverted neighbor index (equi-join on the shared
+    * part) — the same no-all-pairs shape as d2's shingle join, so cost is
+    * Σ per-part degree², bounded by hub parts, not |customers|². Pairs
+    * with ≥ 8 common parts, with the Jaccard pieces (inter, na, nb)
+    * exposed for a downstream threshold. */
+  def nodeSimilarity(s: SparkSession, d: String): DataFrame = {
+    val cp = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val sz = cp.groupBy("c").agg(count(lit(1)).as("n"))
+    cp.as("a").join(cp.as("b"),
+        col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("ca"), col("b.c").as("cb"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= 8)
+      .join(sz.select(col("c").as("ca"), col("n").as("na")), "ca")
+      .join(sz.select(col("c").as("cb"), col("n").as("nb")), "cb")
+      .select(col("ca"), col("cb"), col("inter"), col("na"), col("nb"))
+      .orderBy(col("ca"), col("cb"))
+  }
+
+  val nodeSimilaritySql: String =
+    """WITH cp AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |sz AS (SELECT c, count(*) AS n FROM cp GROUP BY c),
+      |inter AS (
+      |  SELECT a.c AS ca, b.c AS cb, count(*) AS inter
+      |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      |  GROUP BY a.c, b.c)
+      |SELECT ca, cb, inter, x.n AS na, y.n AS nb
+      |FROM inter JOIN sz x ON x.c = ca JOIN sz y ON y.c = cb
+      |WHERE inter >= 8 ORDER BY ca, cb""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -450,5 +489,6 @@ object MaterialiseOps extends QueryModule {
     "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
     "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql)),
     "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
+    "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),
   )
 }

@@ -270,10 +270,93 @@ object Multimodal extends QueryModule {
       |SELECT doc_id, 'audio/wav', CAST(4000 + (doc_id % 5) * 500 AS BIGINT), n, checksum FROM wav
       |ORDER BY doc_id""".stripMargin
 
+  /** m5 — MEDIA DEDUP: the decode → content-fingerprint → exact-dedup
+    * composition a multimodal training pipeline runs before captioning
+    * (byte-identical files are the easy case; re-encoded copies share
+    * pixels, not bytes, so the fingerprint must run over DECODED
+    * content). Payload content here derives from `doc_id % 50`, so every
+    * class has ~N/50 re-encodes; each is synthesized, decoded back
+    * through the real BMP/WAV parsers, fingerprinted position-sensitively
+    * (m3's checksum), and deduped d1-style: canonical = min doc_id per
+    * (media_type, checksum). The oracle replays the closed-form content.
+    * 50 is even, so a class is all-BMP or all-WAV (parity is stable). */
+  def mediaDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val k = id % 50
+        if (k % 2 == 0) {
+          val bytes = graft.media.Codecs.encodeBmp(8, 8, (x, y) => {
+            val idx = y * 8 + x
+            (((k + 3 * idx) % 256).toInt, ((k + 5 * idx) % 251).toInt,
+              ((k + 7 * idx) % 247).toInt)
+          })
+          MediaRecord(id, bytes, "image/bmp")
+        } else {
+          val n = (64 + k % 32).toInt
+          val samples = Array.tabulate(n)(i => (((k * 7 + i * 13) % 2003) - 1001).toShort)
+          MediaRecord(id, graft.media.Codecs.encodeWavPcm16(
+            (8000 + (k % 5) * 1000).toInt, samples), "audio/wav")
+        }
+      }
+    val prints = media.mapPartitions(_.map { m =>
+      val checksum = m.media_type match {
+        case "image/bmp" =>
+          val img = graft.media.Codecs.decodeBmp(m.payload)
+          var sum = 0L
+          var idx = 0
+          while (idx < img.pixels.length) {
+            val p = img.pixels(idx)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong * (idx + 1)
+            idx += 1
+          }
+          sum % 1000003
+        case _ =>
+          val wav = graft.media.Codecs.decodeWavPcm16(m.payload)
+          var sum = 0L
+          var i = 0
+          while (i < wav.samples.length) { sum += wav.samples(i).toLong * (i + 1); i += 1 }
+          ((sum % 1000003) + 1000003) % 1000003
+      }
+      (m.doc_id, m.media_type, checksum)
+    }).toDF("doc_id", "media_type", "checksum")
+    prints.groupBy("media_type", "checksum")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("media_type"), col("checksum"))
+  }
+
+  val mediaDedupSql: String =
+    """WITH kk AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+      |bmp AS (
+      |  SELECT k, CAST(sum(
+      |      ((k + 3*idx) % 256 + (k + 5*idx) % 251 + (k + 7*idx) % 247)
+      |      * (idx + 1)) % 1000003 AS BIGINT) AS checksum
+      |  FROM (SELECT DISTINCT k FROM kk WHERE k % 2 = 0)
+      |    CROSS JOIN generate_series(0, 63) g(idx)
+      |  GROUP BY k),
+      |wav AS (
+      |  SELECT k, CAST(((sum((((k*7 + i*13) % 2003) - 1001) * (i + 1)) % 1000003)
+      |      + 1000003) % 1000003 AS BIGINT) AS checksum
+      |  FROM (SELECT DISTINCT k FROM kk WHERE k % 2 = 1)
+      |    CROSS JOIN generate_series(0, 95) g(i)
+      |  WHERE i < 64 + k % 32
+      |  GROUP BY k),
+      |cs AS (
+      |  SELECT doc_id, 'image/bmp' AS media_type, b.checksum
+      |  FROM kk JOIN bmp b USING (k)
+      |  UNION ALL
+      |  SELECT doc_id, 'audio/wav', w.checksum
+      |  FROM kk JOIN wav w USING (k))
+      |SELECT media_type, checksum, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM cs GROUP BY media_type, checksum
+      |ORDER BY media_type, checksum""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
     "m3_real_decode"    -> QueryDef(realDecode, Some(realDecodeSql)),
     "m4_resize_decode"  -> QueryDef(resizeDecode, Some(resizeDecodeSql)),
+    "m5_media_dedup"    -> QueryDef(mediaDedup, Some(mediaDedupSql)),
   )
 }

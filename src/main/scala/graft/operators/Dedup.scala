@@ -461,6 +461,73 @@ object Dedup extends QueryModule {
 
   // ---------------------------------------------------------------------
 
+  /** d10 — MinHash ESTIMATOR EVALUATION: for every d3 band candidate
+    * pair, the sketch-side Jaccard estimate (matching slots out of 16,
+    * E[est16/16] = J) next to the exact intersection — the
+    * measure-the-sketch gate that tells a pipeline operator whether 16
+    * permutations are enough before trusting d3's candidates at corpus
+    * scale (s5 plays the same role for ANN recall). Candidates and
+    * signatures reuse d3's exact md5 constructions, so this also pins
+    * sketch/verifier agreement across implementations. */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sigExprs = (1 to 16).map(j =>
+      min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
+    val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    val bandExprs = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => col(s"m${b * 4 + r}"))
+      md5(concat_ws("|", lit(b.toString) +: ms: _*))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val est = (1 to 16).map(j =>
+      (col(s"a.m$j") === col(s"b.m$j")).cast("long")).reduce(_ + _)
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sig.as("a"), col("a.doc_id") === col("da"))
+      .join(sig.as("b"), col("b.doc_id") === col("db"))
+      .withColumn("est16", est)
+      .join(sets.select(col("doc_id").as("da"), col("set").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .select(col("da"), col("db"), col("est16"), col("inter"), col("na"), col("nb"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val minhashEstimateSql: String = {
+    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, md5('$b' || '|' || $ms) AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val est = (1 to 16).map(j => s"CAST(a.m$j = b.m$j AS BIGINT)").mkString(" + ")
+    s"""WITH $shinglesSql,
+      |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT c.da, c.db, $est AS est16,
+      |  coalesce(i.inter, 0) AS inter, x.n AS na, y.n AS nb
+      |FROM cand c
+      |JOIN sig a ON a.doc_id = c.da JOIN sig b ON b.doc_id = c.db
+      |LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+      |JOIN sz x ON x.doc_id = c.da JOIN sz y ON y.doc_id = c.db
+      |ORDER BY c.da, c.db""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+
   /** d9 — SEMANTIC dedup, the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540): k-means the embedding space, then search for
     * near-duplicate pairs ONLY within a cluster — the cluster id plays
@@ -577,5 +644,6 @@ object Dedup extends QueryModule {
     "d7_dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "d8_simhash_neardup" -> QueryDef(simhashNearDup, Some(simhashNearDupSql)),
     "d9_semantic_dedup" -> QueryDef(semanticDedup, Some(semanticDedupSql)),
+    "d10_minhash_estimate" -> QueryDef(minhashEstimate, Some(minhashEstimateSql)),
   )
 }

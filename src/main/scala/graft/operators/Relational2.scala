@@ -217,6 +217,39 @@ object Relational2 extends QueryModule {
       |  FROM customer) WHERE rank_in_nation <= 3
       |ORDER BY c_nationkey, rank_in_nation""".stripMargin
 
+  /** q26 — RANGE-frame moving window: per user, the count and exact
+    * decimal sum of event values over the trailing hour (RANGE, not ROWS:
+    * the frame is time-bounded, so simultaneous events are peers and a
+    * burst widens the frame — the semantics ROWS frames get wrong).
+    * Both engines order by integer epoch-MICROseconds with an integer
+    * frame bound: Spark's `rangeBetween` takes numeric offsets, and a
+    * seconds-granularity cast would disagree with DuckDB's full-precision
+    * interval arithmetic on sub-second gaps.
+    * Scale: one shuffle on user_id, per-partition sort — the sliding
+    * aggregation itself is streaming within the frame. */
+  def movingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      // ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the LTZ hop is
+      // the identity and unix_micros matches DuckDB's epoch_us(naive ts)
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp_ltz")))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_win"), col("sum_win"))
+      .orderBy(col("event_id"))
+  }
+
+  val movingWindowSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_win,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_win
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -228,5 +261,6 @@ object Relational2 extends QueryModule {
     "q23_array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "q24_variant_json" -> QueryDef(variantJson, Some(variantJsonSql)),
     "q25_topk_aggregate" -> QueryDef(topkAggregate, Some(topkAggregateSql)),
+    "q26_moving_window" -> QueryDef(movingWindow, Some(movingWindowSql)),
   )
 }

@@ -39,6 +39,33 @@ object Profiler {
 
 object ProfilerOps extends QueryModule {
 
+  /** p2 — EMBEDDING-column profile: per-DIMENSION stats over the vector
+    * column (n, min, max, integer-exact sum and sum-of-squares over the
+    * 1e3-quantized values) — the drift/health check a feature store runs
+    * on every embedding refresh: a dimension whose range collapses or
+    * whose second moment jumps flags a broken encoder upstream. One
+    * posexplode + one groupBy(dim); integer sums keep it engine-exact
+    * (mean/variance derive downstream as sum/n). */
+  def profileEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(posexplode(graft.core.Exact.quantize(col("embedding"), 1000)))
+      .groupBy(col("pos").as("dim"))
+      .agg(count(lit(1)).as("n"), min(col("col")).as("min_q"),
+        max(col("col")).as("max_q"), sum(col("col")).as("sum_q"),
+        sum(col("col") * col("col")).as("sumsq_q"))
+      .orderBy(col("dim"))
+
+  val profileEmbeddingsSql: String =
+    s"""SELECT i - 1 AS dim, count(*) AS n,
+      |  min(v) AS min_q, max(v) AS max_q,
+      |  CAST(sum(v) AS BIGINT) AS sum_q,
+      |  CAST(sum(v * v) AS BIGINT) AS sumsq_q
+      |FROM (
+      |  SELECT unnest(${graft.core.Exact.sqlQuantize("embedding", 1000)}) AS v,
+      |    unnest(generate_series(1, len(embedding))) AS i
+      |  FROM embeddings)
+      |GROUP BY i - 1 ORDER BY dim""".stripMargin
+
   def profileCustomer(s: SparkSession, d: String): DataFrame =
     Profiler.profile(Tables.customer(s, d),
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
@@ -58,5 +85,6 @@ object ProfilerOps extends QueryModule {
 
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
+    "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
   )
 }

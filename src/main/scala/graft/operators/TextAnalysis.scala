@@ -775,6 +775,40 @@ object TextAnalysis extends QueryModule {
       |  CAST((100000 * weight) // t.wsum AS BIGINT) AS quota
       |FROM s CROSS JOIN t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t20 — CCNet-style QUALITY BUCKETS: within each language, rank
+    * documents by LM-familiarity (t12's integer trigram score, scaled per
+    * trigram so length cancels) and split head / middle / tail with
+    * ntile(3) — the bucketing CCNet applies on wikipedia-LM perplexity to
+    * decide what enters the training mix (head) and what needs review
+    * (tail). Both engines implement SQL-standard ntile (first n mod k
+    * tiles get the extra row) over the same total order (score desc,
+    * doc_id asc), so the assignment is engine-exact. One window per
+    * language partition — scales by lang shard. */
+  def qualityBuckets(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    trigramFamiliarity(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("score",
+        expr("(familiarity * 1000000) div greatest(n_trigrams, 1)"))
+      .withColumn("bucket", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH fam AS ($trigramFamiliaritySql),
+      |scored AS (
+      |  SELECT f.doc_id, d.lang,
+      |    (f.familiarity * 1000000) // greatest(f.n_trigrams, 1) AS score
+      |  FROM fam f JOIN documents d ON d.doc_id = f.doc_id)
+      |SELECT doc_id, lang, CAST(score AS BIGINT) AS score,
+      |  CAST(ntile(3) OVER (PARTITION BY lang
+      |    ORDER BY score DESC, doc_id ASC) AS INT) AS bucket
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -795,5 +829,6 @@ object TextAnalysis extends QueryModule {
     "t17_sequence_packing" -> QueryDef(sequencePacking, Some(sequencePackingSql), bench = true),
     "t18_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "t19_mixture_weights" -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
+    "t20_quality_buckets" -> QueryDef(qualityBuckets, Some(qualityBucketsSql)),
   )
 }

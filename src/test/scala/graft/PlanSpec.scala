@@ -69,6 +69,12 @@ class PlanSpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), "cluster-id equi-join missing")
   }
 
+  test("s7: PQ ADC scan joins the corpus codes against a BROADCAST lookup table") {
+    val p = plan("s7_pq_ann")
+    assert(!p.contains("CartesianProduct"), "ADC scan degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "the (query, subspace, code) LUT must broadcast")
+  }
+
   test("t18: bm25 corpus stats and query terms broadcast; no all-pairs") {
     val p = plan("t18_bm25")
     assert(!p.contains("CartesianProduct"))

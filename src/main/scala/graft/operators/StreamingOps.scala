@@ -89,5 +89,8 @@ object StreamingOps extends QueryModule {
     "st8_stream_neardup" -> QueryDef(
       (s, d) => Streaming.streamNearDup(s, d, s"sneardup_${math.abs(d.hashCode)}"),
       Some(Dedup.minhashLshSql)),
+    "st9_stream_quota" -> QueryDef(
+      (s, d) => Streaming.streamQuotaAdmit(s, d, s"squota_${math.abs(d.hashCode)}"),
+      Some(Streaming.streamQuotaAdmitSql)),
   )
 }

@@ -209,6 +209,41 @@ object Streaming {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Streaming QUOTA ADMISSION: keep the first `quota` documents (by
+    * doc_id) per source from a continuously-arriving corpus — the
+    * admission-control half of a mixture policy (t19 sets the quota; this
+    * enforces it online). The bounded [[graft.functions.TopKAgg]] carries
+    * an O(quota) buffer as incremental streaming state, so per-source
+    * state never grows with the stream — the property that makes the
+    * operator runnable forever — and because "first N by doc_id" is a
+    * RANK, not an arrival order, the admitted set is independent of
+    * micro-batch boundaries (batch-replay deterministic, one oracle with
+    * the batch twin). Sort key −doc_id turns largest-k into smallest-k;
+    * doubles are exact integers up to 2⁵³. */
+  def streamQuotaAdmit(s: SparkSession, d: String, name: String,
+                       quota: Int = 10): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKAgg(quota)
+    val admitted = documentsStream(s, d)
+      .select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id) => (-id.toDouble, id) }
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case ((_, id), i) => (src, i + 1, id) }
+      }
+      .toDF("source", "rank", "doc_id")
+    runToTable(admitted, OutputMode.Complete, name)
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val streamQuotaAdmitSql: String =
+    """SELECT source, rank, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rank
+      |  FROM documents)
+      |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
+
   /** Per-user session state: ALL event times seen so far (sorted). */
   final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

@@ -250,6 +250,32 @@ object Relational2 extends QueryModule {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** q27 — PIVOT: long→wide reshape (per-nation counts fanned across the
+    * five market segments), the `relationalise`-style wide projection as
+    * a first-class operator rather than a sink detail (K1's Neo4j frame
+    * pivots the same way). The value list is EXPLICIT — `pivot(col)`
+    * without one runs a distinct-scan job just to discover columns,
+    * which at 100 TB is a full extra pass; a declared vocabulary keeps
+    * the plan one aggregate. Absent combinations fill 0 (count
+    * semantics), matching the oracle's FILTER form. */
+  def pivotSegments(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .pivot("c_mktsegment",
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("c_nationkey"))
+
+  val pivotSegmentsSql: String = {
+    val cols = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      .map(v => s"""CAST(count(*) FILTER (c_mktsegment = '$v') AS BIGINT) AS "$v"""")
+      .mkString(",\n  ")
+    s"""SELECT c_nationkey,
+      |  $cols
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -262,5 +288,6 @@ object Relational2 extends QueryModule {
     "q24_variant_json" -> QueryDef(variantJson, Some(variantJsonSql)),
     "q25_topk_aggregate" -> QueryDef(topkAggregate, Some(topkAggregateSql)),
     "q26_moving_window" -> QueryDef(movingWindow, Some(movingWindowSql)),
+    "q27_pivot"       -> QueryDef(pivotSegments, Some(pivotSegmentsSql)),
   )
 }

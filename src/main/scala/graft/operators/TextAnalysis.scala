@@ -809,6 +809,30 @@ object TextAnalysis extends QueryModule {
       |    ORDER BY score DESC, doc_id ASC) AS INT) AS bucket
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t21 — the composed CORPUS PIPELINE decision table
+    * ([[graft.pipeline.CorpusPipeline]]): t13's dedup/lang conjunction
+    * extended with the config-driven Gopher rules (token-count bounds,
+    * top-bigram permille). This is the corpus side's g14 — the gate that
+    * certifies the STAGES COMPOSE, not just that each passes alone. */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.CorpusPipeline
+      .run(s, d, graft.pipeline.CorpusConfig())
+      .decisions.orderBy(col("doc_id"))
+
+  val corpusPipelineSql: String =
+    s"""WITH f AS ($corpusFilterSql),
+      |r AS ($repetitionSql)
+      |SELECT f.doc_id, exact_keep, neardup_keep, lang_ok,
+      |  CAST(n_words >= 5 AND n_words <= 100000 AS INT) AS len_ok,
+      |  CAST(n_bigrams = 0 OR top_bigram * 1000 <= n_bigrams * 333 AS INT) AS rep_ok,
+      |  CAST(kept
+      |    * CAST(n_words >= 5 AND n_words <= 100000 AS INT)
+      |    * CAST(n_bigrams = 0 OR top_bigram * 1000 <= n_bigrams * 333 AS INT)
+      |    AS INT) AS kept
+      |FROM f JOIN r USING (doc_id) ORDER BY f.doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -830,5 +854,6 @@ object TextAnalysis extends QueryModule {
     "t18_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
     "t19_mixture_weights" -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
     "t20_quality_buckets" -> QueryDef(qualityBuckets, Some(qualityBucketsSql)),
+    "t21_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql)),
   )
 }

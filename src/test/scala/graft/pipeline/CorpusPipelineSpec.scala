@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus build at sf0.001: the composed artifacts must be
+  * mutually consistent (the t21 gate pins decisions against DuckDB; this
+  * pins the cross-artifact invariants). */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private lazy val build =
+    CorpusPipeline.run(spark, "/root/testdata/sf0.001", CorpusConfig())
+
+  test("every input document gets exactly one decision row") {
+    val n = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(build.decisions.count() === n)
+    assert(build.decisions.select("doc_id").distinct().count() === n)
+  }
+
+  test("cleaned = kept decisions; split covers exactly the cleaned docs") {
+    val kept = build.decisions.where(col("kept") === 1).count()
+    assert(build.cleaned.count() === kept)
+    assert(build.split.count() === kept)
+    assert(build.split.join(build.cleaned, "doc_id").count() === kept)
+  }
+
+  test("kept is the conjunction of its flags") {
+    val bad = build.decisions.where(
+      col("kept") =!= col("exact_keep") * col("neardup_keep") * col("lang_ok")
+        * col("len_ok") * col("rep_ok")).count()
+    assert(bad === 0)
+  }
+
+  test("packed chunks respect the budget unless a single doc overflows it") {
+    val over = build.packed
+      .where(col("sum_tokens") > 512 && col("n_docs") > 1).count()
+    assert(over === 0)
+    // chunk doc ranges do not interleave within a source: first_doc of
+    // chunk k+1 is greater than last_doc of chunk k
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("chunk"))
+    val interleaved = build.packed
+      .withColumn("prev_last", lag(col("last_doc"), 1).over(w))
+      .where(col("prev_last").isNotNull && col("first_doc") <= col("prev_last"))
+      .count()
+    assert(interleaved === 0)
+  }
+
+  test("write() persists the four artifacts plus a stats summary") {
+    val out = java.nio.file.Files.createTempDirectory("corpus_build").toString
+    CorpusPipeline.write(build, out)
+    for (f <- Seq("decisions.parquet", "cleaned.parquet", "split.parquet", "packed.parquet"))
+      assert(new java.io.File(s"$out/$f").exists(), f)
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/corpus_summary.json"))
+    assert(stats.contains("\"n_docs\":") && stats.contains("\"n_kept\":"))
+  }
+}

@@ -643,7 +643,7 @@ object Dedup extends QueryModule {
     "d6_window_dedup"  -> QueryDef(windowDedup, Some(windowDedupSql)),
     "d7_dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "d8_simhash_neardup" -> QueryDef(simhashNearDup, Some(simhashNearDupSql)),
-    "d9_semantic_dedup" -> QueryDef(semanticDedup, Some(semanticDedupSql)),
+    "d9_semantic_dedup" -> QueryDef(semanticDedup, Some(semanticDedupSql), bench = true),
     "d10_minhash_estimate" -> QueryDef(minhashEstimate, Some(minhashEstimateSql)),
   )
 }

@@ -487,7 +487,7 @@ object MaterialiseOps extends QueryModule {
     "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),
     "g15_ic_scores"       -> QueryDef(icScores, Some(icScoresSql)),
     "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
-    "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql)),
+    "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), bench = true),
     "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),
   )

@@ -287,7 +287,7 @@ object Relational2 extends QueryModule {
     "q23_array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "q24_variant_json" -> QueryDef(variantJson, Some(variantJsonSql)),
     "q25_topk_aggregate" -> QueryDef(topkAggregate, Some(topkAggregateSql)),
-    "q26_moving_window" -> QueryDef(movingWindow, Some(movingWindowSql)),
+    "q26_moving_window" -> QueryDef(movingWindow, Some(movingWindowSql), bench = true),
     "q27_pivot"       -> QueryDef(pivotSegments, Some(pivotSegmentsSql)),
   )
 }

@@ -403,6 +403,6 @@ object Similarity extends QueryModule {
     "s4_centroid_stats"  -> QueryDef(centroidStats, Some(centroidStatsSql)),
     "s5_ann_recall"      -> QueryDef(annRecall, Some(annRecallSql)),
     "s6_ivf_multiprobe"  -> QueryDef(ivfMultiProbe, Some(ivfMultiProbeSql)),
-    "s7_pq_ann"          -> QueryDef(pqAnn, Some(pqAnnSql)),
+    "s7_pq_ann"          -> QueryDef(pqAnn, Some(pqAnnSql), bench = true),
   )
 }

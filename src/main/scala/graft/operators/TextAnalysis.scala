@@ -851,7 +851,7 @@ object TextAnalysis extends QueryModule {
     "t15_hll_registers" -> QueryDef(hllRegisters, Some(hllRegistersSql)),
     "t16_tfidf"        -> QueryDef(tfidf, Some(tfidfSql)),
     "t17_sequence_packing" -> QueryDef(sequencePacking, Some(sequencePackingSql), bench = true),
-    "t18_bm25"          -> QueryDef(bm25, Some(bm25Sql)),
+    "t18_bm25"          -> QueryDef(bm25, Some(bm25Sql), bench = true),
     "t19_mixture_weights" -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
     "t20_quality_buckets" -> QueryDef(qualityBuckets, Some(qualityBucketsSql)),
     "t21_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql)),

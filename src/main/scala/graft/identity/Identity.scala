@@ -36,12 +36,19 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(src.as("member")).distinct()
-      .withColumn("label", col("member"))
+    // Fused first round: the vertex universe needs one pass over `sym`
+    // anyway, and the same groupBy can fold in every neighbor's initial
+    // id — label₀(v) = min(v, min neighbor). That is exactly what a
+    // "round 0 where everyone sends" would compute, for one aggregation
+    // instead of a join + aggregation + checkpoint + convergence probe.
+    var labels = sym.groupBy(dst.as("member"))
+      .agg(min(src).as("nbr"))
+      .select(col("member"), least(col("member"), col("nbr")).as("label"))
       .localCheckpoint()
     // Semi-naive: only vertices whose label improved last round send
-    // messages; round 1 everyone is "changed".
-    var frontier = labels
+    // messages; after the fused round that is everyone whose label is a
+    // neighbor's id, not its own.
+    var frontier = labels.where(col("label") =!= col("member"))
 
     var iter = 0
     var converged = false
@@ -62,7 +69,8 @@ object ConnectedComponents {
       // combined recurrence converges in O(log diameter) rounds. Shallow
       // graphs (identifier cliques) converge in 2-3 rounds anyway, so the
       // extra self-join only kicks in once depth is evident.
-      val next = (if (iter < 2) prop
+      // (the fused init already counts as one completed round)
+      val next = (if (iter < 1) prop
         else {
           val parents = prop.select(col("member").as("label"), col("label").as("label2"))
           prop.join(parents, Seq("label"), "left")

@@ -833,6 +833,53 @@ object TextAnalysis extends QueryModule {
       |    AS INT) AS kept
       |FROM f JOIN r USING (doc_id) ORDER BY f.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** t22 — word-bigram LM CONTINUATION TABLE: for the corpus's 5 most
+    * frequent head words, the top-3 continuations by bigram count — the
+    * count-based n-gram LM artifact (the model behind autocomplete-style
+    * suggestion and the word-level cousin of t12's char-trigram scores).
+    * Adjacent-pair extraction is one map pass; the head-word dimension is
+    * a 5-row broadcast; ranking is one top-k window per head word.
+    * Everything is counts, so engine-exact. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigrams = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap { t =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 until math.max(ws.length - 1, 0)).iterator.map(i => (ws(i), ws(i + 1)))
+      }
+      .toDF("w1", "w2")
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val heads = counts.groupBy("w1").agg(sum(col("n12")).as("n1"))
+      .orderBy(col("n1").desc, col("w1").asc).limit(5)
+    val w = Window.partitionBy(col("w1"))
+      .orderBy(col("n12").desc, col("w2").asc)
+    counts.join(broadcast(heads), "w1")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("w1"), col("rank"), col("w2"), col("n12"), col("n1"))
+      .orderBy(col("w1"), col("rank"))
+  }
+
+  val bigramLmSql: String =
+    """WITH ws AS (
+      |  SELECT list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM ws)),
+      |counts AS (SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2),
+      |heads AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM counts GROUP BY w1
+      |          ORDER BY n1 DESC, w1 ASC LIMIT 5)
+      |SELECT w1, rank, w2, n12, n1 FROM (
+      |  SELECT c.w1, c.w2, c.n12, h.n1,
+      |    row_number() OVER (PARTITION BY c.w1
+      |      ORDER BY c.n12 DESC, c.w2 ASC) AS rank
+      |  FROM counts c JOIN heads h USING (w1))
+      |WHERE rank <= 3 ORDER BY w1, rank""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -855,5 +902,6 @@ object TextAnalysis extends QueryModule {
     "t19_mixture_weights" -> QueryDef(mixtureWeights, Some(mixtureWeightsSql)),
     "t20_quality_buckets" -> QueryDef(qualityBuckets, Some(qualityBucketsSql)),
     "t21_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql)),
+    "t22_bigram_lm"     -> QueryDef(bigramLm, Some(bigramLmSql)),
   )
 }

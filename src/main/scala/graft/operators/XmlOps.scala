@@ -99,7 +99,32 @@ object XmlOps extends QueryModule {
       |  UNION ALL SELECT node_id, 'metabolights:chemical', p_type FROM ids WHERE p_partkey % 2 = 0
       |) ORDER BY node_id, key, value""".stripMargin
 
+  /** x4 — ORC ROUND-TRIP: the documents table re-materialised through
+    * Spark's columnar ORC source/sink and aggregated from the ORC copy —
+    * pins that the engine's format surface isn't parquet-only (a
+    * warehouse migration writes ORC today, and the Hive-era lakes this
+    * engine would ingest from are ORC). The oracle aggregates the
+    * original parquet: identical rows ⟺ the round-trip is lossless.
+    * Deterministic temp dir per sf dir so reruns overwrite in place. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
+    graft.core.Tables.documents(s, d)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(dir)
+    s.read.orc(dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val orcRoundtripSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
+    "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
   )
 }

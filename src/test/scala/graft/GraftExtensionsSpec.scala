@@ -8,6 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   private lazy val ext: SparkSession = {
+    // getOrCreate() returns any ACTIVE session and silently ignores
+    // withExtensions — when the shared SparkSpec session exists this spec
+    // would test nothing. Clear the session slots (the JVM-singleton
+    // SparkContext is still reused), build the extension-bearing session,
+    // then restore the world exactly as found.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -16,6 +25,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    prevDefault match {
+      case Some(p) => SparkSession.setDefaultSession(p)
+      case None    => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None    => SparkSession.clearActiveSession()
+    }
     s
   }
 

@@ -110,8 +110,57 @@ object Temporal extends QueryModule {
       |      OR (epoch_us(a.ts) = epoch_us(b.ts) AND a.event_id < b.event_id))
       |ORDER BY user_id, a_event, b_event""".stripMargin
 
+  /** a3 — FUNNEL analysis: per user, the earliest strictly-ordered
+    * view → click → purchase chain (t₂ = first click AFTER the first
+    * view, t₃ = first purchase AFTER that click) and the furthest stage
+    * reached — the product-analytics sequence operator (the ordered-
+    * chain semantics a naive per-type min gets wrong: a click BEFORE the
+    * first view must not count). Each stage is one filtered groupBy +
+    * one equi-join on user_id — no window over the full event stream, no
+    * per-user sort, so the plan is three narrow shuffles at any scale.
+    * Timestamps compare as integer epoch-micros (the q26 parity rule). */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      col("event_type").as("et"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val s1 = ev.where(col("et") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = ev.where(col("et") === "click")
+      .join(s1, "user_id").where(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val s3 = ev.where(col("et") === "purchase")
+      .join(s2, "user_id").where(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    ev.select(col("user_id")).distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .withColumn("stage",
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0))
+      .select(col("user_id"), col("stage"), col("t1"), col("t2"), col("t3"))
+      .orderBy(col("user_id"))
+  }
+
+  val funnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type AS et, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM ev WHERE et = 'view' GROUP BY user_id),
+      |s2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN s1 USING (user_id)
+      |       WHERE et = 'click' AND us > t1 GROUP BY ev.user_id),
+      |s3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN s2 USING (user_id)
+      |       WHERE et = 'purchase' AND us > t2 GROUP BY ev.user_id)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |       WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+      |  t1, t2, t3
+      |FROM (SELECT DISTINCT user_id FROM ev) u
+      |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
+    "a3_funnel"     -> QueryDef(funnel, Some(funnelSql)),
   )
 }

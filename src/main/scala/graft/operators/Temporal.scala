@@ -158,9 +158,46 @@ object Temporal extends QueryModule {
       |LEFT JOIN s3 USING (user_id)
       |ORDER BY u.user_id""".stripMargin
 
+  /** a4 — COHORT RETENTION: users cohorted by first-activity day, then
+    * the classic retention matrix — how many of each cohort were active
+    * again `offset` days later (offsets 0..7). Two groupBys and one
+    * equi-join on user_id; the distinct-day projection collapses the
+    * event stream before anything wide happens, so the joined frame is
+    * |users|·|active days|, not |events|. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      // cohort stays a TIMESTAMP (midnight): Spark DATE surfaces as a
+      // python date object while DuckDB DATE arrives datetime64 — the
+      // driver hashes those differently (q21's month_start precedent)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    act.join(first, "user_id")
+      .withColumn("offset",
+        datediff(col("day").cast("date"), col("cohort").cast("date")))
+      .where(col("offset") <= 7)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  val retentionSql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY user_id)
+      |SELECT cohort,
+      |  CAST(CAST(day AS DATE) - CAST(cohort AS DATE) AS INT) AS "offset",
+      |  count(DISTINCT act.user_id) AS n_users
+      |FROM act JOIN f USING (user_id)
+      |WHERE CAST(day AS DATE) - CAST(cohort AS DATE) <= 7
+      |GROUP BY cohort, CAST(day AS DATE) - CAST(cohort AS DATE)
+      |ORDER BY cohort, "offset"""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
     "a3_funnel"     -> QueryDef(funnel, Some(funnelSql)),
+    "a4_retention"  -> QueryDef(retention, Some(retentionSql)),
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.query.Query
+
+/** Randomized cross-checks of the distributed graph analytics against
+  * driver-side brute-force models — generative coverage beyond the fixed
+  * oracle fixtures (the PropertySpec principle applied to operators that
+  * need a SparkSession). Seeded RNG, so failures replay. */
+class GraphPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260813L)
+
+  private def randomUndirected(n: Int, p: Double): Seq[(Long, Long)] =
+    (for {
+      u <- 0 until n
+      v <- (u + 1) until n
+      if rng.nextDouble() < p
+    } yield (u.toLong, v.toLong)).toSeq
+
+  test("triangleCount matches brute force on random graphs") {
+    for (trial <- 1 to 5) {
+      val edges = randomUndirected(12 + trial, 0.4)
+      if (edges.nonEmpty) {
+        val adj = edges.toSet
+        def has(a: Long, b: Long) = adj.contains((a min b, a max b))
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val expected = (for {
+          i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+          if has(i, j) && has(j, k) && has(i, k)
+        } yield 1).size.toLong
+        val got = Query.triangleCount(edges.toDF("u", "v"))
+          .as[(Long, Long)].collect().head
+        assert(got === ((edges.size.toLong, expected)), s"trial $trial: $edges")
+      }
+    }
+  }
+
+  test("pageRank matches the driver-side fixed-point model") {
+    for (trial <- 1 to 3) {
+      val n = 8 + trial
+      val edges = (for {
+        u <- 0 until n
+        v <- 0 until n
+        if u != v && rng.nextDouble() < 0.3
+      } yield (s"v$u", s"v$v")).toSeq
+      if (edges.nonEmpty) {
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        var pr = nodes.map(_ -> 1000000L).toMap
+        for (_ <- 1 to 3) {
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map { case (u, _) => pr(u) / outdeg(u) }.sum).toMap
+          pr = nodes.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+        }
+        val got = Query.pageRank(edges.toDF("fromNodeId", "toNodeId"), iterations = 3)
+          .as[(String, Long)].collect().toMap
+        assert(got === pr, s"trial $trial")
+      }
+    }
+  }
+}

@@ -92,5 +92,8 @@ object StreamingOps extends QueryModule {
     "st9_stream_quota" -> QueryDef(
       (s, d) => Streaming.streamQuotaAdmit(s, d, s"squota_${math.abs(d.hashCode)}"),
       Some(Streaming.streamQuotaAdmitSql)),
+    "st10_stream_funnel" -> QueryDef(
+      (s, d) => Streaming.streamFunnel(s, d, s"sfunnel_${math.abs(d.hashCode)}"),
+      Some(Temporal.funnelSql)),
   )
 }

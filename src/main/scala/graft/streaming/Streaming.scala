@@ -244,6 +244,64 @@ object Streaming {
       |  FROM documents)
       |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  /** Per-user funnel state: the event times seen so far for each funnel
+    * stage type, plus a monotone total-rows counter. */
+  final case class FunnelState(view: Seq[Long], click: Seq[Long],
+                               purchase: Seq[Long], seen: Long)
+  final case class FunnelOut(user_id: Long, stage: Int, t1: Option[Long],
+                             t2: Option[Long], t3: Option[Long], seen: Long)
+
+  /** Streaming FUNNEL (st10): the batch a3 operator as incremental state —
+    * per user the strictly-ordered view → click → purchase chain,
+    * recomputed each batch from the FULL per-type time lists (the st2
+    * recompute-from-state principle: a late-arriving view can move t₁
+    * earlier and thereby change which click counts as t₂, so an
+    * incremental "keep the current mins" state would go stale; chain
+    * recomputation from sorted lists is arrival-order independent).
+    * Emissions carry a monotone seen-counter; the final per-user row is
+    * the one with the highest counter, making Append-mode replay agree
+    * with the batch twin — one oracle for both ([[graft.operators
+    * .Temporal.funnelSql]]). */
+  def streamFunnel(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, d)
+      .select(col("user_id").cast("long"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, Nil, Nil, 0L))
+          var v = prev.view; var c = prev.click; var p = prev.purchase
+          var seen = prev.seen
+          rows.foreach { case (_, et, us) =>
+            seen += 1
+            et match {
+              case "view"     => v = v :+ us
+              case "click"    => c = c :+ us
+              case "purchase" => p = p :+ us
+              case _          => ()
+            }
+          }
+          state.update(FunnelState(v, c, p, seen))
+          val t1 = v.sorted.headOption
+          val t2 = t1.flatMap(t => c.filter(_ > t).sorted.headOption)
+          val t3 = t2.flatMap(t => p.filter(_ > t).sorted.headOption)
+          val stage = if (t3.isDefined) 3 else if (t2.isDefined) 2
+            else if (t1.isDefined) 1 else 0
+          Iterator(FunnelOut(user, stage, t1, t2, t3, seen))
+      }
+    val table = runToTable(out.toDF(), OutputMode.Append, name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("seen").desc)
+    table.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("stage"), col("t1"), col("t2"), col("t3"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user session state: ALL event times seen so far (sorted). */
   final case class SessionState(times: Seq[Long])
   final case class SessionOut(user_id: Long, n_events: Long, n_sessions: Long)

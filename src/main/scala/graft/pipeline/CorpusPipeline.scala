@@ -32,6 +32,27 @@ final case class CorpusBuild(
     /** kept TRAIN docs greedily packed into ≤ seqBudget-token chunks */
     packed: DataFrame)
 
+/** File-driven [[CorpusConfig]] — the corpus-side mirror of
+  * [[ConfigLoader.loadSubgraphConfig]]: a JSON document of integer
+  * thresholds (`name`, `min_tokens`, `max_tokens`,
+  * `max_top_bigram_permille`, `seq_budget`), absent keys defaulting, so a
+  * cleaning policy ships as reviewable config rather than code. */
+object CorpusConfigLoader {
+  def load(path: String): CorpusConfig = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val d = CorpusConfig()
+    def long(k: String, default: Long): Long =
+      Option(j.get(k)).map(_.asLong).getOrElse(default)
+    CorpusConfig(
+      name = Option(j.get("name")).map(_.asText).getOrElse(d.name),
+      minTokens = long("min_tokens", d.minTokens),
+      maxTokens = long("max_tokens", d.maxTokens),
+      maxTopBigramPermille = long("max_top_bigram_permille", d.maxTopBigramPermille),
+      seqBudget = long("seq_budget", d.seqBudget))
+  }
+}
+
 /** The end-to-end corpus build — [[GraftPipeline]]'s analog for the
   * LLM-training-data layer: one Spark DAG
   * `documents → (dedup ∥ lang-id ∥ repetition signals) → decision →

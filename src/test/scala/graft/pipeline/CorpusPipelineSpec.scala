@@ -46,6 +46,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(interleaved === 0)
   }
 
+  test("config file round-trips thresholds and defaults absent keys") {
+    val f = java.nio.file.Files.createTempFile("corpus_cfg", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"name": "web_crawl", "min_tokens": 20, "max_top_bigram_permille": 100}""")
+    val cfg = CorpusConfigLoader.load(f.toString)
+    assert(cfg === CorpusConfig(name = "web_crawl", minTokens = 20,
+      maxTopBigramPermille = 100))
+  }
+
+  test("a config-driven build applies the thresholds (impossible min drops everything)") {
+    val strict = CorpusPipeline.run(spark, "/root/testdata/sf0.001",
+      CorpusConfig(minTokens = 1000000))
+    assert(strict.decisions.where(col("kept") === 1).count() === 0)
+    assert(strict.decisions.where(col("len_ok") === 1).count() === 0)
+    assert(strict.packed.count() === 0)
+  }
+
   test("write() persists the four artifacts plus a stats summary") {
     val out = java.nio.file.Files.createTempDirectory("corpus_build").toString
     CorpusPipeline.write(build, out)

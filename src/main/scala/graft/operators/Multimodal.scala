@@ -352,11 +352,62 @@ object Multimodal extends QueryModule {
       |FROM cs GROUP BY media_type, checksum
       |ORDER BY media_type, checksum""".stripMargin
 
+  /** m6 — SCENE DETECTION over a frame container: each doc synthesizes a
+    * "video" (a length-prefixed container of real BMP frames — the
+    * layout a custom binary column carries when frames ride through the
+    * pipeline together), the decode pass walks the container parsing
+    * every frame through the real BMP codec, and scene cuts are frames
+    * whose summed pixel intensity jumps versus the previous frame — the
+    * shot-boundary pass a video training pipeline runs before frame
+    * sampling. Synthesis plants exactly one cut per doc at frame
+    * `doc_id % 5 + 2` (intensity +120 mod 200, so the jump survives the
+    * wrap in both directions); the oracle replays the closed form, so
+    * only a faithful container walk + frame decode matches. */
+  def sceneDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = 8
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val cut = (id % 5).toInt + 2
+        val fs = (0 until frames).map { f =>
+          val v = ((id + (if (f >= cut) 120 else 0)) % 200).toInt
+          graft.media.Codecs.encodeBmp(4, 4, (_, _) => (v, v, v))
+        }
+        val buf = java.nio.ByteBuffer.allocate(4 + fs.map(_.length + 4).sum)
+        buf.putInt(fs.length)
+        fs.foreach { b => buf.putInt(b.length); buf.put(b) }
+        MediaRecord(id, buf.array(), "video/x-graft-frames")
+      }
+    media.mapPartitions(_.flatMap { m =>
+      val buf = java.nio.ByteBuffer.wrap(m.payload)
+      val n = buf.getInt()
+      val sv = (0 until n).map { _ =>
+        val len = buf.getInt()
+        val fb = new Array[Byte](len)
+        buf.get(fb)
+        val img = graft.media.Codecs.decodeBmp(fb)
+        img.pixels.foldLeft(0L)((acc, p) =>
+          acc + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+      }
+      (1 until n).iterator
+        .filter(f => math.abs(sv(f) - sv(f - 1)) > 1000L)
+        .map(f => (m.doc_id, f, sv(f - 1), sv(f)))
+    }).toDF("doc_id", "frame", "sv_prev", "sv")
+      .orderBy(col("doc_id"), col("frame"))
+  }
+
+  val sceneDetectSql: String =
+    """SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS frame,
+      |  CAST(48 * (doc_id % 200) AS BIGINT) AS sv_prev,
+      |  CAST(48 * ((doc_id + 120) % 200) AS BIGINT) AS sv
+      |FROM documents ORDER BY doc_id, frame""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
     "m3_real_decode"    -> QueryDef(realDecode, Some(realDecodeSql)),
     "m4_resize_decode"  -> QueryDef(resizeDecode, Some(resizeDecodeSql)),
     "m5_media_dedup"    -> QueryDef(mediaDedup, Some(mediaDedupSql)),
+    "m6_scene_detect"   -> QueryDef(sceneDetect, Some(sceneDetectSql)),
   )
 }

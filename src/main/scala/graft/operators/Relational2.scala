@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{Exact, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -276,6 +277,43 @@ object Relational2 extends QueryModule {
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   }
 
+  /** q28 — RUNNING DISTINCT COUNT window: per user ordered by time, how
+    * many distinct event types have been seen so far. Neither engine
+    * runs `count(DISTINCT)` over a running frame efficiently (Spark
+    * doesn't support it at all), so this pins the standard REWRITE:
+    * flag each row that is the first occurrence of its (user, type) —
+    * one row_number over the small (user, type) partition — then a
+    * running sum of flags over the time order. Two narrow window passes,
+    * no per-row set state, same total order on both engines. */
+  def runningDistinct(s: SparkSession, d: String): DataFrame = {
+    val first = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("tus", unix_micros(col("ts").cast("timestamp_ltz")))
+      .withColumn("is_first",
+        (row_number().over(first) === 1).cast("long"))
+      .withColumn("n_types_seen", sum(col("is_first")).over(running))
+      .select(col("event_id"), col("user_id"), col("n_types_seen"))
+      .orderBy(col("event_id"))
+  }
+
+  val runningDistinctSql: String =
+    """SELECT event_id, user_id, CAST(n_types_seen AS BIGINT) AS n_types_seen FROM (
+      |  SELECT event_id, user_id,
+      |    sum(is_first) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+      |  FROM (
+      |    SELECT event_id, user_id, us,
+      |      CAST(row_number() OVER (PARTITION BY user_id, event_type
+      |        ORDER BY us, event_id) = 1 AS BIGINT) AS is_first
+      |    FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |          FROM events)))
+      |ORDER BY event_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -289,5 +327,6 @@ object Relational2 extends QueryModule {
     "q25_topk_aggregate" -> QueryDef(topkAggregate, Some(topkAggregateSql)),
     "q26_moving_window" -> QueryDef(movingWindow, Some(movingWindowSql), bench = true),
     "q27_pivot"       -> QueryDef(pivotSegments, Some(pivotSegmentsSql)),
+    "q28_running_distinct" -> QueryDef(runningDistinct, Some(runningDistinctSql)),
   )
 }

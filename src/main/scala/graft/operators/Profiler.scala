@@ -66,6 +66,42 @@ object ProfilerOps extends QueryModule {
       |  FROM embeddings)
       |GROUP BY i - 1 ORDER BY dim""".stripMargin
 
+  /** p3 — CORRELATION SUFFICIENT STATISTICS: the five exact sums Pearson
+    * r needs (n, Σx, Σy, Σxy, Σx², Σy²) per group, computed in decimal
+    * fixed-point so they are engine-exact; the float division happens
+    * downstream in whatever precision the consumer wants (r itself is a
+    * ratio of these and would differ in the last ulp between engines).
+    * The drift-vs-price-correlation health check a feature pipeline runs
+    * per shard — one map-side-combined groupBy. Money values carry 2
+    * decimals, so products stay inside DECIMAL(38, 6) with no rounding. */
+  def correlationStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val x = col("l_quantity").cast(DecimalType(12, 2))
+    val y = col("l_extendedprice").cast(DecimalType(12, 2))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sum_x"),
+        sum(y).cast(DoubleType).as("sum_y"),
+        sum(x * y).cast(DoubleType).as("sum_xy"),
+        sum(x * x).cast(DoubleType).as("sum_x2"),
+        sum(y * y).cast(DoubleType).as("sum_y2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val correlationStatsSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sum_x,
+      |  CAST(sum(y) AS DOUBLE) AS sum_y,
+      |  CAST(sum(x * y) AS DOUBLE) AS sum_xy,
+      |  CAST(sum(x * x) AS DOUBLE) AS sum_x2,
+      |  CAST(sum(y * y) AS DOUBLE) AS sum_y2
+      |FROM (SELECT l_returnflag,
+      |        CAST(l_quantity AS DECIMAL(12,2)) AS x,
+      |        CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+      |      FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def profileCustomer(s: SparkSession, d: String): DataFrame =
     Profiler.profile(Tables.customer(s, d),
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
@@ -86,5 +122,6 @@ object ProfilerOps extends QueryModule {
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
+    "p3_correlation_stats" -> QueryDef(correlationStats, Some(correlationStatsSql)),
   )
 }

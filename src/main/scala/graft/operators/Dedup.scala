@@ -634,6 +634,83 @@ object Dedup extends QueryModule {
       |ORDER BY cell, va, vb""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+
+  /** d11 — CONTENT-DEFINED CHUNKING dedup signals (the rsync/LBFS
+    * boundary trick): a chunk boundary falls AFTER codepoint i whenever
+    * the hash of the 8-codepoint window ending at i starts with hex '0'
+    * (p = 1/16 → ~16-codepoint expected chunks). Because boundaries
+    * depend only on LOCAL content, inserting a prefix shifts every
+    * fixed-window key (d6's weakness) but leaves CDC chunks after the
+    * edit point identical — which is why chunk-store dedup uses it.
+    * Per doc: distinct chunk hashes and how many are shared with any
+    * other document. Chunking is one codepoint-exact map pass; sharing
+    * is one groupBy on the chunk hash + a map-side join back — no
+    * pairwise stage (d6's scale shape). */
+  /** Row-local CDC chunker (the flatMap body of [[cdcChunks]], exposed so
+    * the shift-robustness property is spec-testable): distinct md5 hashes
+    * of the content-defined chunks of one document. */
+  private[graft] def cdcHashesOf(text: String, w: Int = 8): Set[String] = {
+    val cps = (if (text == null) "" else text).codePoints().toArray
+    val n = cps.length
+    val bounds = scala.collection.mutable.SortedSet.empty[Int]
+    var i = w
+    while (i <= n) {
+      if (md5Hex(new String(cps, i - w, w)).charAt(0) == '0') bounds += i
+      i += 1
+    }
+    if (n > 0) bounds += n
+    var prev = 0
+    val hs = scala.collection.mutable.HashSet.empty[String]
+    bounds.foreach { b => hs += md5Hex(new String(cps, prev, b - prev)); prev = b }
+    hs.toSet
+  }
+
+  def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 8
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => cdcHashesOf(t, w).iterator.map((id, _)) }
+      .toDF("doc_id", "h")
+    val g = ch.groupBy("h").agg(count(lit(1)).as("docs"))
+    val per = ch.join(g, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("docs") > 1).cast("long")).as("n_shared"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcChunksSql: String =
+    """WITH dt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |b AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, text, unnest(generate_series(8, len(text))) AS i FROM dt)
+      |  WHERE substr(md5(substr(text, i - 7, 8)), 1, 1) = '0'
+      |  UNION SELECT doc_id, len(text) FROM dt WHERE len(text) > 0),
+      |chunks AS (
+      |  SELECT doc_id, substr(text, prev + 1, i - prev) AS chunk
+      |  FROM (
+      |    SELECT b.doc_id, dt.text, b.i,
+      |      coalesce(lag(b.i) OVER (PARTITION BY b.doc_id ORDER BY b.i), 0) AS prev
+      |    FROM b JOIN dt USING (doc_id))),
+      |ch AS (SELECT DISTINCT doc_id, md5(chunk) AS h FROM chunks),
+      |g AS (SELECT h, count(*) AS docs FROM ch GROUP BY h),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_chunks,
+      |    CAST(sum(CAST(docs > 1 AS BIGINT)) AS BIGINT) AS n_shared
+      |  FROM ch JOIN g USING (h) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -645,5 +722,6 @@ object Dedup extends QueryModule {
     "d8_simhash_neardup" -> QueryDef(simhashNearDup, Some(simhashNearDupSql)),
     "d9_semantic_dedup" -> QueryDef(semanticDedup, Some(semanticDedupSql), bench = true),
     "d10_minhash_estimate" -> QueryDef(minhashEstimate, Some(minhashEstimateSql)),
+    "d11_cdc_chunks"   -> QueryDef(cdcChunks, Some(cdcChunksSql)),
   )
 }

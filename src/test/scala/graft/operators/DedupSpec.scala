@@ -24,4 +24,16 @@ class DedupSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty) // the fixture must actually exercise the path
   }
+
+  test("d11: content-defined chunks survive a prefix insertion (the CDC property)") {
+    val rng = new scala.util.Random(7)
+    val doc = Seq.fill(400)(('a' + rng.nextInt(26)).toChar).mkString
+    val base = Dedup.cdcHashesOf(doc)
+    val shifted = Dedup.cdcHashesOf("INSERTED-PREFIX " + doc)
+    // every boundary after the edit point is content-local, so most
+    // chunks re-align; a fixed-offset windowing would share ~none
+    val shared = base.intersect(shifted).size
+    assert(base.nonEmpty && shared * 10 >= base.size * 6,
+      s"only $shared of ${base.size} chunks survived the shift")
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+
+/** Library-grade degradation: every operator must survive an EMPTY corpus
+  * (first run of a new pipeline, a filter that drops everything) without
+  * throwing — returning zero rows (or the operator's documented scalar
+  * zero) instead. The oracle gates never exercise this; real deployments
+  * hit it on day one. */
+class EmptyInputSpec extends SparkSpec {
+
+  /** Empty twin of the testdata layout: same schemas, zero rows. */
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    // events carries TIMESTAMP(NANOS): read nanos-as-long (what
+    // Tables.events expects of the raw file) so the empty twin keeps the
+    // same physical schema contract
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("documents", "embeddings", "events", "customer", "orders",
+        "lineitem", "supplier", "nation", "region", "part")) {
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(0).write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private val zeroRowOps = Seq(
+    "d9_semantic_dedup", "d10_minhash_estimate", "d11_cdc_chunks",
+    "s7_pq_ann", "g18_pagerank", "g20_node_similarity",
+    "t18_bm25", "t19_mixture_weights", "t20_quality_buckets",
+    "t22_bigram_lm", "a3_funnel", "a4_retention",
+    "q26_moving_window", "q28_running_distinct", "m5_media_dedup",
+    "m6_scene_detect", "p2_profile_embeddings", "p3_correlation_stats")
+
+  test("round-5 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- zeroRowOps) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
+  test("g19 triangles reports explicit zeros on an empty graph") {
+    val r = graft.SparkEntry.allDefs("g19_triangles").fn(spark, emptyDir).collect()
+    assert(r.length === 1 && r.head.getLong(0) === 0L && r.head.getLong(1) === 0L)
+  }
+
+  test("the corpus pipeline builds empty artifacts from an empty corpus") {
+    val b = graft.pipeline.CorpusPipeline.run(spark, emptyDir)
+    assert(b.decisions.count() === 0L)
+    assert(b.cleaned.count() === 0L)
+    assert(b.packed.count() === 0L)
+  }
+}

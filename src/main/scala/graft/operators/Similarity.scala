@@ -396,6 +396,125 @@ object Similarity extends QueryModule {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s8 — IVF-PQ, the full production FAISS shape composed from the two
+    * pieces already proven alone: s6's cell shortlist (nprobe=2 by an
+    * integer-exact truncated-mean centroid distance on the leading 8
+    * dims) bounds WHICH vectors are scored, and s7's PQ/ADC bounds WHAT
+    * is read per vector (4 sub-codes against a broadcast lookup table —
+    * seed codebooks here; s7 carries the Lloyd update). At 100 TB this
+    * pairing is the standard answer: probe cost is nprobe·|cell| code
+    * rows, and neither raw vectors nor non-probed cells are touched in
+    * the scan. Top-3 per query (vec_id < 10) by (adc asc, neighbor). */
+  def ivfPq(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+    // PQ side: 4 × 16-dim subvectors, codes = argmin over the 4 seed
+    // centroids per subspace (vec_id < 4)
+    val sub = emb.select(col("vec_id"), col("label"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("qv"))
+      .select(col("vec_id"), col("label"), col("m"),
+        expr("slice(qv, m*16+1, 16)").as("sv"))
+      .withColumn("ss", DotProductL(col("sv"), col("sv")))
+    val c0 = sub.where(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"), col("ss").as("cc"))
+    val wAssign = Window.partitionBy(col("vec_id"), col("m")).orderBy(
+      col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
+      col("cell"))
+    val codes = sub.join(broadcast(c0), "m")
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("m"), col("cell").as("code"))
+    // IVF side: cell shortlist by truncated-mean centroid on dims 1..8
+    val cent = emb
+      .select(col("label"), posexplode(slice(col("qv"), 1, 8)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).as("sq"), count(lit(1)).as("n"))
+      .withColumn("r", signum(col("sq")).cast("long") * expr("abs(sq) div n"))
+      .select(col("dim"), col("label"), col("r"))
+    val qdims = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        posexplode(slice(col("qv"), 1, 8)).as(Seq("dim", "qd")))
+    val wCell = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("label").asc)
+    val probes = qdims.join(broadcast(cent), "dim")
+      .groupBy(col("query_id"), col("label"))
+      .agg(sum((col("qd") - col("r")) * (col("qd") - col("r"))).as("dist"))
+      .withColumn("crank", row_number().over(wCell))
+      .where(col("crank") <= 2)
+      .select(col("query_id"), col("label"))
+    // ADC lookup table for the queries
+    val lut = sub.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("m"), col("sv"), col("ss"))
+      .join(broadcast(c0), "m")
+      .select(col("query_id"), col("m"), col("cell").as("code"),
+        (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(broadcast(probes), "label")
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfPqSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    s"""WITH q AS (
+      |  SELECT vec_id, label, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, label, g.m, qv[g.m*16+1 : g.m*16+16] AS sv,
+      |    ${dot("qv[g.m*16+1 : g.m*16+16]", "qv[g.m*16+1 : g.m*16+16]")} AS ss
+      |  FROM q CROSS JOIN generate_series(0, 3) g(m)),
+      |c0 AS (
+      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
+      |codes AS (
+      |  SELECT vec_id, label, m, cell AS code FROM (
+      |    SELECT e.vec_id, e.label, e.m, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |    FROM sub e JOIN c0 c ON c.m = e.m)
+      |  WHERE rn = 1),
+      |cent AS (
+      |  SELECT label, i AS dim,
+      |    CAST(sign(sum(qv[i])) AS BIGINT) * (abs(CAST(sum(qv[i]) AS BIGINT)) // count(*)) AS r
+      |  FROM q CROSS JOIN generate_series(1, 8) g(i)
+      |  GROUP BY label, i),
+      |qd AS (
+      |  SELECT vec_id AS query_id, i AS dim, qv[i] AS qd
+      |  FROM q CROSS JOIN generate_series(1, 8) g(i) WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT query_id, label FROM (
+      |    SELECT query_id, label,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY
+      |        sum((qd - r) * (qd - r)) ASC, label ASC) AS crank
+      |    FROM qd JOIN cent USING (dim)
+      |    GROUP BY query_id, label)
+      |  WHERE crank <= 2),
+      |lut AS (
+      |  SELECT s2.vec_id AS query_id, c.m, c.cell AS code,
+      |    s2.ss + c.cc - 2 * ${dot("s2.sv", "c.cv")} AS d2
+      |  FROM sub s2 JOIN c0 c ON c.m = s2.m WHERE s2.vec_id < 10),
+      |adc AS (
+      |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc
+      |  FROM codes d
+      |  JOIN probes p ON p.label = d.label
+      |  JOIN lut l ON l.query_id = p.query_id AND l.m = d.m AND l.code = d.code
+      |  WHERE d.vec_id != p.query_id
+      |  GROUP BY l.query_id, d.vec_id)
+      |SELECT query_id, rank, neighbor_id, adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc ASC, neighbor_id ASC) AS rank
+      |  FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -404,5 +523,6 @@ object Similarity extends QueryModule {
     "s5_ann_recall"      -> QueryDef(annRecall, Some(annRecallSql)),
     "s6_ivf_multiprobe"  -> QueryDef(ivfMultiProbe, Some(ivfMultiProbeSql)),
     "s7_pq_ann"          -> QueryDef(pqAnn, Some(pqAnnSql), bench = true),
+    "s8_ivf_pq"          -> QueryDef(ivfPq, Some(ivfPqSql)),
   )
 }

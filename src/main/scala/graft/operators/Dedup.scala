@@ -711,6 +711,72 @@ object Dedup extends QueryModule {
       |FROM documents d LEFT JOIN per USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** d12 — AFFINE-MIX MinHash: the classical universal-hash family
+    * `hⱼ(x) = (a·x + bⱼ·j) mod p` over ONE md5 per shingle (60 bits → mod
+    * p = 2³¹−1), instead of d3's 16 independent md5 evaluations. At
+    * corpus scale the signature stage is 16× cheaper in hash work for the
+    * same LSH structure (4 bands × 4 rows, candidate equi-join, exact
+    * candidate-only verify). A different hash family means a different
+    * (valid) candidate set, so this is its own gate; d3's md5 family
+    * stays pinned — st8's row-local twin and d10's estimator build on it. */
+  def minhashAffine(s: SparkSession, d: String): DataFrame = {
+    val P = 2147483647L
+    val sh = shingles(s, d)
+    val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+    val sigExprs = (1 to 16).map(j =>
+      min((h * lit((40503L * j) % P) + lit(j.toLong)) % P).as(s"m$j"))
+    val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    val bandExprs = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => col(s"m${b * 4 + r}").cast("string"))
+      concat_ws("|", lit(b.toString) +: ms: _*)
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("set").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .where(lit(3) * col("inter") >= col("na") + col("nb"))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val minhashAffineSql: String = {
+    val P = 2147483647L
+    val sigCols = (1 to 16).map { j =>
+      val a = (40503L * j) % P
+      s"min(((('0x' || substr(md5(s), 1, 15))::BIGINT % $P) * $a + $j) % $P) AS m$j"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT doc_id, '$b' || '|' || $ms AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesSql,
+      |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT cand.da AS da, cand.db AS db, inter, x.n AS na, y.n AS nb
+      |FROM cand JOIN inter ON inter.da = cand.da AND inter.db = cand.db
+      |JOIN sz x ON x.doc_id = cand.da JOIN sz y ON y.doc_id = cand.db
+      |WHERE 3 * inter >= x.n + y.n
+      |ORDER BY da, db""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -723,5 +789,6 @@ object Dedup extends QueryModule {
     "d9_semantic_dedup" -> QueryDef(semanticDedup, Some(semanticDedupSql), bench = true),
     "d10_minhash_estimate" -> QueryDef(minhashEstimate, Some(minhashEstimateSql)),
     "d11_cdc_chunks"   -> QueryDef(cdcChunks, Some(cdcChunksSql)),
+    "d12_minhash_affine" -> QueryDef(minhashAffine, Some(minhashAffineSql)),
   )
 }

@@ -33,6 +33,22 @@ class IdentitySpec extends SparkSpec {
     assert(cc.forall(_.getString(1) == "v001"))
   }
 
+  test("connected components: reliable checkpointing yields identical labels") {
+    import spark.implicits._
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("cc_ckpt").toString)
+    try {
+      val edges = (1 until 60).map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+      val reliable = ConnectedComponents.run(edges, reliableEvery = 2)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      val local = ConnectedComponents.run(edges)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      assert(reliable === local)
+      assert(reliable.forall(_._2 == "v001"))
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("groups: canonical picked by id score, numeric ids dropped") {
     import spark.implicits._
     val idSets = Seq(

@@ -777,6 +777,57 @@ object Dedup extends QueryModule {
       |ORDER BY da, db""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+
+  /** Generalized set-similarity join with PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate bound): for J(A,B) ≥ num/den, A and B must
+    * share an element among each set's first `n − ⌈n·num/den⌉ + 1`
+    * elements under a GLOBAL total order — rarest-first (global
+    * frequency, then value), so the prefixes that generate candidates
+    * are exactly the elements with the smallest inverted lists. Versus
+    * d2's full inverted-index join the candidate space shrinks from
+    * Σ df² over ALL elements to Σ df² over prefix elements only — the
+    * difference between "hot shingle joins everything" and bounded work
+    * at corpus scale. Exact verification on candidates gives output
+    * IDENTICAL to the unfiltered join (d13 shares d2's oracle verbatim —
+    * the filter is lossless by construction).
+    *
+    * `elements`: (id, e) rows, distinct per set. Output: (da, db, inter,
+    * na, nb) for J ≥ num/den pairs. */
+  def prefixJaccardPairs(elements: DataFrame, num: Int = 1, den: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val el = elements.select(col("id"), col("e"))
+    val freq = el.groupBy("e").agg(count(lit(1)).as("f"))
+    val sz = el.groupBy("id").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("id")).orderBy(col("f").asc, col("e").asc)
+    val prefix = el.join(freq, "e").join(sz, "id")
+      .withColumn("idx", row_number().over(w))
+      .where(col("idx") <= col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
+      .select(col("id"), col("e"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    val sets = el.groupBy("id")
+      .agg(collect_set(col("e")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("id").as("da"), col("set").as("sa"), col("n").as("na")), "da")
+      .join(sets.select(col("id").as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      // J = inter/(na+nb−inter) ≥ num/den ⟺ (den+num)·inter ≥ num·(na+nb)
+      .where(lit(den + num) * col("inter") >= lit(num) * (col("na") + col("nb")))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** d13 — the prefix-filtered join over d2's shingle sets. Same output
+    * contract as d2 by construction, so it REUSES d2's oracle — the gate
+    * certifies the candidate bound is lossless, not just plausible. */
+  def prefixJaccard(s: SparkSession, d: String): DataFrame =
+    prefixJaccardPairs(
+      shingles(s, d).select(col("doc_id").as("id"), col("s").as("e")))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+      .orderBy(col("da"), col("db"))
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -790,5 +841,8 @@ object Dedup extends QueryModule {
     "d10_minhash_estimate" -> QueryDef(minhashEstimate, Some(minhashEstimateSql)),
     "d11_cdc_chunks"   -> QueryDef(cdcChunks, Some(cdcChunksSql)),
     "d12_minhash_affine" -> QueryDef(minhashAffine, Some(minhashAffineSql)),
+    // same semantics as d2 with a provably-lossless candidate bound —
+    // shares d2's oracle on purpose
+    "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
   )
 }

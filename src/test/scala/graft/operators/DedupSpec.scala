@@ -36,4 +36,33 @@ class DedupSpec extends SparkSpec {
     assert(base.nonEmpty && shared * 10 >= base.size * 6,
       s"only $shared of ${base.size} chunks survived the shift")
   }
+
+  test("d13: the prefix filter shrinks the candidate space versus the full inverted index") {
+    import graft.core.Tables
+    import org.apache.spark.sql.functions._
+    val s0 = spark
+    val d = "/root/testdata/sf0.001"
+    val el = Tables.documents(s0, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)](
+        org.apache.spark.sql.Encoders.product[(Long, String)])
+      .flatMap(t => Dedup.shinglesOf(t._2).map((t._1, _)))(
+        org.apache.spark.sql.Encoders.product[(Long, String)])
+      .toDF("id", "e")
+    val full = el.as("a").join(el.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    val freq = el.groupBy("e").agg(count(lit(1)).as("f"))
+    val sz = el.groupBy("id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f").asc, col("e").asc)
+    val prefix = el.join(freq, "e").join(sz, "id")
+      .withColumn("idx", row_number().over(w))
+      .where(col("idx") <= col("n") - expr("(n * 1 + 1) div 2") + 1)
+      .select(col("id"), col("e"))
+    val pruned = prefix.as("a").join(prefix.as("b"),
+        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    assert(pruned < full, s"prefix candidates $pruned !< full $full")
+    assert(pruned > 0)
+  }
 }

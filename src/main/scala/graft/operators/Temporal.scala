@@ -194,10 +194,54 @@ object Temporal extends QueryModule {
       |GROUP BY cohort, CAST(day AS DATE) - CAST(cohort AS DATE)
       |ORDER BY cohort, "offset"""".stripMargin
 
+  /** a5 — SCD2 POINT-IN-TIME join: each customer's orders form a
+    * slowly-changing dimension (version = orderkey, valid from its order
+    * date until the next version's date, last version open-ended;
+    * same-day re-versions collapse to the day's highest orderkey — the
+    * empty-interval rule), and every lineitem joins the version valid at
+    * its SHIP date. The oracle states the textbook interval-containment
+    * join; the engine runs the equivalent as-of plan ([[asofJoin]]'s
+    * union + last-window — one shuffle on the customer key, no theta
+    * join), because interval containment over a versioned dimension IS
+    * "latest version at or before ts" once empty intervals are dropped. */
+  def scd2PointInTime(s: SparkSession, d: String): DataFrame = {
+    // the day's last version wins (empty intervals never match)
+    val dim = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("c"), col("o_orderdate").as("vfrom"))
+      .agg(max(col("o_orderkey")).as("version"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("o_custkey").as("c"))
+    asofJoin(fact, dim, "c", "l_shipdate", "vfrom", Seq("version"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("version"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val scd2PointInTimeSql: String =
+    """WITH v AS (
+      |  SELECT o_custkey AS c, o_orderdate AS vfrom, max(o_orderkey) AS version
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |dim AS (
+      |  SELECT c, vfrom, version,
+      |    lead(vfrom) OVER (PARTITION BY c ORDER BY vfrom) AS vto
+      |  FROM v),
+      |fact AS (
+      |  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey AS c
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+      |SELECT f.l_orderkey, f.l_linenumber, d.version
+      |FROM fact f LEFT JOIN dim d
+      |  ON d.c = f.c AND f.l_shipdate >= d.vfrom
+      | AND (d.vto IS NULL OR f.l_shipdate < d.vto)
+      |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
     "a3_funnel"     -> QueryDef(funnel, Some(funnelSql)),
     "a4_retention"  -> QueryDef(retention, Some(retentionSql)),
+    "a5_scd2_join"  -> QueryDef(scd2PointInTime, Some(scd2PointInTimeSql)),
   )
 }

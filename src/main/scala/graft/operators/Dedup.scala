@@ -828,6 +828,62 @@ object Dedup extends QueryModule {
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
       .orderBy(col("da"), col("db"))
 
+  // ---------------------------------------------------------------------
+
+  /** d14 — EXACT-SUBSTRING SPANS on near-dup candidates (the Lee et al.
+    * exact-substring dedup refined from d6's window granularity to true
+    * maximal matches): for every d3 candidate pair, the length of the
+    * longest CONTIGUOUS common word run, computed relationally — word
+    * positions equi-join on the word, common positions fall on diagonals
+    * (i − j), and a maximal run is a gaps-and-islands group within its
+    * diagonal (island key = i − row_number). No per-pair DP, no
+    * quadratic position scan: cost is Σ matching-position pairs, which
+    * LSH already bounded by candidate selection. A production cleaner
+    * drops or splits documents whose longest shared run exceeds the
+    * ~50-token policy threshold; the gate emits the measured spans. */
+  def substringSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshFrom(shingles(s, d)).select(col("da"), col("db"))
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(filter(split(coalesce(col("text"), lit("")), " "),
+          w => w =!= "")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+    val m = pairs
+      .join(words.select(col("doc_id").as("da"), col("p").as("i"), col("w")), "da")
+      .join(words.select(col("doc_id").as("db"), col("p").as("j"), col("w")), Seq("db", "w"))
+    val wIsl = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("i"))
+    m.withColumn("diag", col("i") - col("j"))
+      .withColumn("grp", col("i") - row_number().over(wIsl))
+      .groupBy(col("da"), col("db"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("da"), col("db"))
+      .agg(max(col("run")).as("longest_run"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val substringSpansSql: String =
+    s"""WITH pairs AS (SELECT da, db FROM ($minhashLshSql)),
+      |words AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS p,
+      |    unnest(ws) AS w
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |        FROM documents)),
+      |m AS (
+      |  SELECT pr.da, pr.db, a.p AS i, b.p AS j
+      |  FROM pairs pr
+      |  JOIN words a ON a.doc_id = pr.da
+      |  JOIN words b ON b.doc_id = pr.db AND b.w = a.w),
+      |runs AS (
+      |  SELECT da, db, count(*) AS run
+      |  FROM (SELECT da, db, i - j AS diag,
+      |          i - row_number() OVER (PARTITION BY da, db, i - j ORDER BY i) AS grp
+      |        FROM m)
+      |  GROUP BY da, db, diag, grp)
+      |SELECT da, db, CAST(max(run) AS BIGINT) AS longest_run
+      |FROM runs GROUP BY da, db ORDER BY da, db""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -844,5 +900,6 @@ object Dedup extends QueryModule {
     // same semantics as d2 with a provably-lossless candidate bound —
     // shares d2's oracle on purpose
     "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
+    "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
   )
 }

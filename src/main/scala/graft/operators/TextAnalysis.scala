@@ -84,20 +84,32 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "et", "les"),
     "zh" -> Seq("de", "le", "shi", "he"))
 
-  def langId(s: SparkSession, d: String): DataFrame = {
+  /** The predicted-language column over any frame with `text` (foldRight
+    * + when-chain ⇒ FIRST lang in ListMap order wins ties). */
+  private[operators] def langPredictedCol: Column = {
     def score(ws: Seq[String]): Column =
       ws.map(w => wordCount(col("text"), w)).reduce(_ + _)
     val scores = markers.map { case (l, ws) => l -> score(ws) }
-    val predicted = markers.keys.toSeq.foldRight(lit(null).cast("string")) {
+    markers.keys.toSeq.foldRight(lit(null).cast("string")) {
       case (l, acc) =>
         val isMax = markers.keys.map(o => scores(l) >= scores(o)).reduce(_ && _)
         when(isMax, lit(l)).otherwise(acc)
     }
-    // foldRight + when-chain ⇒ FIRST lang in ListMap order wins ties
+  }
+
+  /** Label-agreement flag over any frame with `text` + `lang` — the
+    * reusable core of t3/t13, also consumed by the incremental corpus
+    * updater (which scores arriving batches, not a table on disk). */
+  def langHitCol: Column = (langPredictedCol === col("lang")).cast("int")
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def score(ws: Seq[String]): Column =
+      ws.map(w => wordCount(col("text"), w)).reduce(_ + _)
+    val scores = markers.map { case (l, ws) => l -> score(ws) }
     Tables.documents(s, d)
       .select(Seq(col("doc_id"), col("lang")) ++
         scores.map { case (l, c) => c.as(s"s_$l") }.toSeq :+
-        predicted.as("predicted"): _*)
+        langPredictedCol.as("predicted"): _*)
       .withColumn("hit", (col("predicted") === col("lang")).cast("int"))
       .orderBy(col("doc_id"))
   }

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL corpus decisions: documents arrive in batches (a
+  * continuous crawl) and each batch's t13-shaped decision rows
+  * (exact_keep, neardup_keep, lang_ok, kept) are computed against a
+  * persistent state — WITHOUT recomputing the corpus. Because doc_ids are
+  * monotone across batches (the streaming reality), decisions already
+  * made never change: an exact/near-dup canonical is the minimum id of
+  * its group, and later arrivals only ever have larger ids. That is the
+  * property that makes per-batch decisions ≡ a batch rebuild on the
+  * union (IncrementalCorpusSpec pins the equivalence).
+  *
+  * State (all parquet, appended per batch):
+  *   - `hashes`: (h, canonical)      — exact-dup content-hash table
+  *   - `bands`:  (doc_id, band)      — LSH band index (st8's probe side)
+  *   - `sets`:   (doc_id, set, n)    — shingle sets for exact verify
+  *
+  * Per batch: one broadcastable-or-shuffled join per state table, band
+  * keys computed ROW-LOCALLY (Dedup.bandKeysOf), and a batch-local CC
+  * over the new verified pairs where any old-connected doc is collapsed
+  * into a sentinel node — reachability to ANY smaller id is all the keep
+  * bit needs, so old-old topology never has to be consulted. */
+object IncrementalCorpus {
+
+  private val Sentinel = "!old!" // '!' < '0': below every padded doc_id
+
+  private def tbl(spark: SparkSession, dir: String, name: String,
+                  schema: String): DataFrame = {
+    val p = java.nio.file.Paths.get(s"$dir/$name.parquet")
+    if (java.nio.file.Files.exists(p)) spark.read.parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+  }
+
+  /** Apply one arriving batch; returns its decision rows (also appended
+    * to `$stateDir/decisions.parquet`). `newDocs` needs (doc_id, text,
+    * lang). */
+  def update(spark: SparkSession, stateDir: String, newDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    new java.io.File(stateDir).mkdirs()
+    val docs = newDocs.select(col("doc_id"), col("text"), col("lang"))
+      .localCheckpoint() // pin the batch: state tables are rewritten below
+
+    // ---- exact dedup against the hash table
+    val stateH = tbl(spark, stateDir, "hashes", "h STRING, canonical BIGINT")
+    val withH = docs.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+    val batchMin = withH.groupBy("h").agg(min(col("doc_id")).as("bmin"))
+    val exact = withH
+      .join(stateH.select(col("h"), lit(1).as("seen")), Seq("h"), "left")
+      .join(batchMin, "h")
+      .select(col("doc_id"), col("h"),
+        when(col("seen").isNotNull, 0)
+          .otherwise((col("doc_id") === col("bmin")).cast("int")).as("exact_keep"))
+
+    // ---- near-dup: row-local signatures probe the band index
+    val parts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val sh = Dedup.shinglesOf(t)
+        (id, sh, sh.length.toLong, Dedup.bandKeysOf(sh))
+      }
+      .toDF("doc_id", "set", "n", "bands")
+      .localCheckpoint()
+    val newBands = parts.select(col("doc_id"), explode(col("bands")).as("band"))
+    val newSets = parts.select(col("doc_id"), col("set"), col("n"))
+    val stateB = tbl(spark, stateDir, "bands", "doc_id BIGINT, band STRING")
+    val stateS = tbl(spark, stateDir, "sets",
+      "doc_id BIGINT, set ARRAY<STRING>, n BIGINT")
+
+    // exact candidate verification: a-side sets from `aSets` (state or
+    // batch), b-side always the batch
+    def verified(cand: DataFrame, aSets: DataFrame): DataFrame = cand
+      .join(aSets.select(col("doc_id").as("a_id"), col("set").as("sa"), col("n").as("na")), "a_id")
+      .join(newSets.select(col("doc_id").as("b_id"), col("set").as("sb"), col("n").as("nb")), "b_id")
+      .where(lit(3) * size(array_intersect(col("sa"), col("sb"))).cast("long")
+        >= col("na") + col("nb"))
+      .select(col("a_id"), col("b_id"))
+
+    val candOld = newBands.join(stateB.withColumnRenamed("doc_id", "a_id"), "band")
+      .select(col("a_id"), col("doc_id").as("b_id")).distinct()
+    val oldConnected = verified(candOld, stateS)
+      .select(col("b_id").as("doc_id")).distinct()
+    val candNew = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    val pairsNew = verified(candNew, newSets)
+
+    // keep bit: CC over batch pairs, old-connected collapsed to a node
+    // below every real id — keep ⟺ the doc is its component's minimum
+    def pad(c: org.apache.spark.sql.Column) = format_string("%020d", c)
+    val edges = pairsNew.select(pad(col("a_id")).as("src"), pad(col("b_id")).as("dst"))
+      .union(oldConnected.select(pad(col("doc_id")).as("src"), lit(Sentinel).as("dst")))
+    val cc = graft.identity.ConnectedComponents.run(edges)
+    val nd = docs.select(col("doc_id"))
+      .join(cc.withColumnRenamed("member", "m"), pad(col("doc_id")) === col("m"), "left")
+      .select(col("doc_id"),
+        when(col("component").isNull || col("component") === pad(col("doc_id")), 1)
+          .otherwise(0).as("neardup_keep"))
+
+    // ---- language agreement (stateless)
+    val lang = docs.select(col("doc_id"), TextAnalysis.langHitCol.as("lang_ok"))
+
+    val decisions = exact.select(col("doc_id"), col("exact_keep"))
+      .join(nd, "doc_id").join(lang, "doc_id")
+      .select(col("doc_id"), col("exact_keep"), col("neardup_keep"), col("lang_ok"),
+        (col("exact_keep") * col("neardup_keep") * col("lang_ok")).as("kept"))
+      .localCheckpoint()
+
+    // ---- advance state (append; hashes only for first-seen content)
+    val freshHashes = batchMin
+      .join(stateH.select(col("h")), Seq("h"), "left_anti")
+      .select(col("h"), col("bmin").as("canonical"))
+    freshHashes.write.mode(SaveMode.Append).parquet(s"$stateDir/hashes.parquet")
+    newBands.write.mode(SaveMode.Append).parquet(s"$stateDir/bands.parquet")
+    newSets.write.mode(SaveMode.Append).parquet(s"$stateDir/sets.parquet")
+    decisions.write.mode(SaveMode.Append).parquet(s"$stateDir/decisions.parquet")
+    decisions
+  }
+}

@@ -31,15 +31,23 @@ object Bench {
     val wanted = args.toSet
     val selected = if (wanted.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (k, _) => wanted.contains(k) }
+    // SPARK_GRAFT_BENCH_REPS=N → per-query median of N runs: shared-host
+    // variance is ±50% on single shots, so medians are what make
+    // round-over-round comparisons meaningful (default 1 keeps the
+    // driver's wall-time budget unchanged)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val t = (System.nanoTime() - t0) / 1e9
-      // queries that cache intermediates must not distort later timings
-      spark.catalog.clearCache()
-      name -> t
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // queries that cache intermediates must not distort later timings
+        spark.catalog.clearCache()
+        t
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -50,5 +50,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_rolling_hash takes (text)")
         RollingHash(args.head)
       }))
+    // table function: the dedup layer's shingle generator as a SQL TVF —
+    // literal argument, rows materialise as a LocalRelation at plan time
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles",
+        "graft_shingles('text') — the distinct word-3-gram shingles d2/d3 hash"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+        import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        import org.apache.spark.sql.types.StringType
+        import org.apache.spark.unsafe.types.UTF8String
+        val text = args match {
+          case Seq(Literal(s: UTF8String, StringType)) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_shingles takes one string literal, got $other")
+        }
+        LocalRelation(
+          Seq(AttributeReference("s", StringType, nullable = false)()),
+          graft.operators.Dedup.shinglesOf(text)
+            .map(x => InternalRow(UTF8String.fromString(x))))
+      }))
   }
 }

@@ -64,4 +64,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.RollingHash(col("t")).as("h")).first().getLong(0)
     assert(viaSql === viaDf)
   }
+
+  test("graft_shingles TVF yields the dedup layer's shingle set") {
+    val rows = ext.sql("SELECT s FROM graft_shingles('a b c d e') ORDER BY s")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows === Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("graft_shingles rejects a non-literal argument") {
+    val e = intercept[Exception] {
+      ext.sql("SELECT * FROM graft_shingles(upper('x y z w'))").collect()
+    }
+    assert(e.getMessage.contains("string literal"))
+  }
 }

@@ -405,7 +405,10 @@ object Similarity extends QueryModule {
     * pairing is the standard answer: probe cost is nprobe·|cell| code
     * rows, and neither raw vectors nor non-probed cells are touched in
     * the scan. Top-3 per query (vec_id < 10) by (adc asc, neighbor). */
-  def ivfPq(s: SparkSession, d: String): DataFrame = {
+  def ivfPq(s: SparkSession, d: String): DataFrame = ivfPqTopK(s, d, nprobe = 2)
+
+  /** s8's body with the probe width exposed — s9 sweeps it. */
+  private def ivfPqTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.functions.DotProductL
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
@@ -441,7 +444,7 @@ object Similarity extends QueryModule {
       .groupBy(col("query_id"), col("label"))
       .agg(sum((col("qd") - col("r")) * (col("qd") - col("r"))).as("dist"))
       .withColumn("crank", row_number().over(wCell))
-      .where(col("crank") <= 2)
+      .where(col("crank") <= nprobe)
       .select(col("query_id"), col("label"))
     // ADC lookup table for the queries
     val lut = sub.where(col("vec_id") < 10)
@@ -462,7 +465,9 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val ivfPqSql: String = {
+  val ivfPqSql: String = ivfPqSqlFor(2)
+
+  private def ivfPqSqlFor(nprobe: Int): String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
     s"""WITH q AS (
@@ -496,7 +501,7 @@ object Similarity extends QueryModule {
       |        sum((qd - r) * (qd - r)) ASC, label ASC) AS crank
       |    FROM qd JOIN cent USING (dim)
       |    GROUP BY query_id, label)
-      |  WHERE crank <= 2),
+      |  WHERE crank <= $nprobe),
       |lut AS (
       |  SELECT s2.vec_id AS query_id, c.m, c.cell AS code,
       |    s2.ss + c.cc - 2 * ${dot("s2.sv", "c.cv")} AS d2
@@ -515,6 +520,76 @@ object Similarity extends QueryModule {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s9 — PQ RECALL SWEEP: recall@3 of s8's IVF-PQ against the EXACT
+    * L2 top-3 (same 1e3 quantization) for nprobe ∈ {1, 2, 4} — the
+    * measurement that turns the nprobe dial from folklore into data
+    * (recall must be non-decreasing in nprobe; at nprobe = #cells the
+    * only remaining error is PQ quantization itself). One exact baseline
+    * pass + three shortlist-scored passes, all integer-exact. */
+  def pqRecallSweep(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val qn = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+      .withColumn("qq", DotProductL(col("qv"), col("qv")))
+    val queries = qn.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qq").as("na"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("neighbor_id").asc)
+    val exact = broadcast(queries)
+      .join(qn.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2",
+        col("na") + col("qq") - lit(2L) * DotProductL(col("qa"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val sweeps = Seq(1, 2, 4).map { np =>
+      ivfPqTopK(s, d, np)
+        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ union _)
+    val hits = exact.join(sweeps, Seq("query_id", "neighbor_id"))
+      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+    import s.implicits._
+    exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(Seq(1, 2, 4).toDF("nprobe")))
+      .join(hits, Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"), lit(3).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("nprobe"), col("query_id"))
+  }
+
+  val pqRecallSweepSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    val sweeps = Seq(1, 2, 4).map(np =>
+      s"SELECT $np AS nprobe, query_id, neighbor_id FROM (${ivfPqSqlFor(np)})")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qn AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn2 AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM qn),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        a.qq + b.qq - 2 * ${dot("a.qv", "b.qv")} ASC, b.vec_id ASC) AS r
+      |    FROM qn2 a JOIN qn2 b ON b.vec_id != a.vec_id
+      |    WHERE a.vec_id < 10)
+      |  WHERE r <= 3),
+      |sw AS (
+      |  $sweeps),
+      |hits AS (
+      |  SELECT nprobe, query_id, count(*) AS n_hits
+      |  FROM exact JOIN sw USING (query_id, neighbor_id)
+      |  GROUP BY nprobe, query_id)
+      |SELECT np.nprobe, q.query_id, 3 AS k,
+      |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+      |FROM (SELECT DISTINCT query_id FROM exact) q
+      |CROSS JOIN (VALUES (1), (2), (4)) np(nprobe)
+      |LEFT JOIN hits ON hits.nprobe = np.nprobe AND hits.query_id = q.query_id
+      |ORDER BY np.nprobe, q.query_id""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -524,5 +599,6 @@ object Similarity extends QueryModule {
     "s6_ivf_multiprobe"  -> QueryDef(ivfMultiProbe, Some(ivfMultiProbeSql)),
     "s7_pq_ann"          -> QueryDef(pqAnn, Some(pqAnnSql), bench = true),
     "s8_ivf_pq"          -> QueryDef(ivfPq, Some(ivfPqSql)),
+    "s9_pq_recall_sweep" -> QueryDef(pqRecallSweep, Some(pqRecallSweepSql)),
   )
 }

@@ -410,14 +410,37 @@ object Similarity extends QueryModule {
   /** s8's body with the probe width exposed — s9 sweeps it. */
   private def ivfPqTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
     import graft.functions.DotProductL
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+      .withColumn("qq", DotProductL(col("qv"), col("qv")))
+    // IVF side: GEOMETRIC cells — argmin over 8 full-dim seed centroids
+    // (d9's recipe; an arbitrary class column is NOT a spatial partition
+    // and would send queries to cells their neighbors aren't in)
+    val cfull = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("vcell"), col("qv").as("cv"), col("qq").as("cc"))
+    val wCellAssign = Window.partitionBy(col("vec_id")).orderBy(
+      col("qq") + col("cc") - lit(2L) * DotProductL(col("qv"), col("cv")),
+      col("vcell"))
+    val cells = emb.crossJoin(broadcast(cfull))
+      .withColumn("rn", row_number().over(wCellAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("vcell"))
+    // probe shortlist: same distance, nearest `nprobe` centroids
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vcell").asc)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qq").as("na"))
+      .crossJoin(broadcast(cfull))
+      .withColumn("dist",
+        col("na") + col("cc") - lit(2L) * DotProductL(col("qa"), col("cv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("vcell"))
     // PQ side: 4 × 16-dim subvectors, codes = argmin over the 4 seed
     // centroids per subspace (vec_id < 4)
-    val sub = emb.select(col("vec_id"), col("label"),
+    val sub = emb.select(col("vec_id"),
         explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("qv"))
-      .select(col("vec_id"), col("label"), col("m"),
-        expr("slice(qv, m*16+1, 16)").as("sv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m*16+1, 16)").as("sv"))
       .withColumn("ss", DotProductL(col("sv"), col("sv")))
     val c0 = sub.where(col("vec_id") < 4)
       .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"), col("ss").as("cc"))
@@ -427,25 +450,8 @@ object Similarity extends QueryModule {
     val codes = sub.join(broadcast(c0), "m")
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("m"), col("cell").as("code"))
-    // IVF side: cell shortlist by truncated-mean centroid on dims 1..8
-    val cent = emb
-      .select(col("label"), posexplode(slice(col("qv"), 1, 8)).as(Seq("dim", "v")))
-      .groupBy(col("label"), col("dim"))
-      .agg(sum(col("v")).as("sq"), count(lit(1)).as("n"))
-      .withColumn("r", signum(col("sq")).cast("long") * expr("abs(sq) div n"))
-      .select(col("dim"), col("label"), col("r"))
-    val qdims = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"),
-        posexplode(slice(col("qv"), 1, 8)).as(Seq("dim", "qd")))
-    val wCell = Window.partitionBy(col("query_id"))
-      .orderBy(col("dist").asc, col("label").asc)
-    val probes = qdims.join(broadcast(cent), "dim")
-      .groupBy(col("query_id"), col("label"))
-      .agg(sum((col("qd") - col("r")) * (col("qd") - col("r"))).as("dist"))
-      .withColumn("crank", row_number().over(wCell))
-      .where(col("crank") <= nprobe)
-      .select(col("query_id"), col("label"))
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(cells, "vec_id")
     // ADC lookup table for the queries
     val lut = sub.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("sv"), col("ss"))
@@ -454,7 +460,7 @@ object Similarity extends QueryModule {
         (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
-    codes.join(broadcast(probes), "label")
+    codes.join(broadcast(probes), "vcell")
       .where(col("vec_id") =!= col("query_id"))
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
@@ -471,37 +477,39 @@ object Similarity extends QueryModule {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
     s"""WITH q AS (
-      |  SELECT vec_id, label, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
       |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |cfull AS (
+      |  SELECT vec_id AS vcell, qv AS cv, qq AS cc FROM qn WHERE vec_id < 8),
+      |cells AS (
+      |  SELECT vec_id, vcell FROM (
+      |    SELECT e.vec_id, c.vcell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.vcell) AS rn
+      |    FROM qn e CROSS JOIN cfull c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, vcell FROM (
+      |    SELECT e.vec_id AS query_id, c.vcell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.vcell) AS crank
+      |    FROM qn e CROSS JOIN cfull c WHERE e.vec_id < 10)
+      |  WHERE crank <= $nprobe),
       |sub AS (
-      |  SELECT vec_id, label, g.m, qv[g.m*16+1 : g.m*16+16] AS sv,
+      |  SELECT vec_id, g.m, qv[g.m*16+1 : g.m*16+16] AS sv,
       |    ${dot("qv[g.m*16+1 : g.m*16+16]", "qv[g.m*16+1 : g.m*16+16]")} AS ss
       |  FROM q CROSS JOIN generate_series(0, 3) g(m)),
       |c0 AS (
       |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
       |codes AS (
-      |  SELECT vec_id, label, m, cell AS code FROM (
-      |    SELECT e.vec_id, e.label, e.m, c.cell,
-      |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
-      |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
-      |    FROM sub e JOIN c0 c ON c.m = e.m)
-      |  WHERE rn = 1),
-      |cent AS (
-      |  SELECT label, i AS dim,
-      |    CAST(sign(sum(qv[i])) AS BIGINT) * (abs(CAST(sum(qv[i]) AS BIGINT)) // count(*)) AS r
-      |  FROM q CROSS JOIN generate_series(1, 8) g(i)
-      |  GROUP BY label, i),
-      |qd AS (
-      |  SELECT vec_id AS query_id, i AS dim, qv[i] AS qd
-      |  FROM q CROSS JOIN generate_series(1, 8) g(i) WHERE vec_id < 10),
-      |probes AS (
-      |  SELECT query_id, label FROM (
-      |    SELECT query_id, label,
-      |      row_number() OVER (PARTITION BY query_id ORDER BY
-      |        sum((qd - r) * (qd - r)) ASC, label ASC) AS crank
-      |    FROM qd JOIN cent USING (dim)
-      |    GROUP BY query_id, label)
-      |  WHERE crank <= $nprobe),
+      |  SELECT k.vec_id, k.m, k.code, cells.vcell FROM (
+      |    SELECT vec_id, m, cell AS code FROM (
+      |      SELECT e.vec_id, e.m, c.cell,
+      |        row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |          e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |      FROM sub e JOIN c0 c ON c.m = e.m)
+      |    WHERE rn = 1) k JOIN cells ON cells.vec_id = k.vec_id),
       |lut AS (
       |  SELECT s2.vec_id AS query_id, c.m, c.cell AS code,
       |    s2.ss + c.cc - 2 * ${dot("s2.sv", "c.cv")} AS d2
@@ -509,7 +517,7 @@ object Similarity extends QueryModule {
       |adc AS (
       |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc
       |  FROM codes d
-      |  JOIN probes p ON p.label = d.label
+      |  JOIN probes p ON p.vcell = d.vcell
       |  JOIN lut l ON l.query_id = p.query_id AND l.m = d.m AND l.code = d.code
       |  WHERE d.vec_id != p.query_id
       |  GROUP BY l.query_id, d.vec_id)
@@ -522,10 +530,14 @@ object Similarity extends QueryModule {
 
   /** s9 — PQ RECALL SWEEP: recall@3 of s8's IVF-PQ against the EXACT
     * L2 top-3 (same 1e3 quantization) for nprobe ∈ {1, 2, 4} — the
-    * measurement that turns the nprobe dial from folklore into data
-    * (recall must be non-decreasing in nprobe; at nprobe = #cells the
-    * only remaining error is PQ quantization itself). One exact baseline
-    * pass + three shortlist-scored passes, all integer-exact. */
+    * measurement that turns the nprobe dial from folklore into data.
+    * Note what it shows at this codebook size (4 codes/subspace): CELL
+    * recall grows with nprobe, but post-ADC top-3 need not — wider
+    * probing admits more candidates whose coarsely-quantized distances
+    * beat true neighbors, so the curve exposes when the codebook (not
+    * the probe width) is the binding constraint. That diagnosis is
+    * exactly what the sweep is for. One exact baseline pass + three
+    * shortlist-scored passes, all integer-exact. */
   def pqRecallSweep(s: SparkSession, d: String): DataFrame = {
     import graft.functions.DotProductL
     val qn = Tables.embeddings(s, d).select(col("vec_id"),

@@ -179,8 +179,16 @@ object Query {
     * weight); `seeds` one nodeId column, all at distance 0. Converges in
     * O(longest shortest-path hop count) rounds, capped at `maxIter`;
     * per-round lineage truncation keeps the plan O(1). */
+  /** Shared iterative-checkpoint policy (see ConnectedComponents.run):
+    * `reliableEvery > 0` → every k-th round checkpoints reliably
+    * (requires a checkpoint dir) instead of to executor-local blocks. */
+  private def saveRound(df: DataFrame, round: Int, reliableEvery: Int): DataFrame =
+    if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint()
+    else df.localCheckpoint()
+
   def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
-                            maxIter: Int = 30): DataFrame = {
+                            maxIter: Int = 30,
+                            reliableEvery: Int = 0): DataFrame = {
     val step = edges.select(col("fromNodeId").as("from"), col("toNodeId").as("to"),
         col("weight").cast("long").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -195,10 +203,9 @@ object Query {
       val improved = cand.join(dist, Seq("nodeId"), "left")
         .where(col("dist").isNull || col("d2") < col("dist"))
         .select(col("nodeId"), col("d2").as("dist"))
-        .localCheckpoint()
-      dist = dist.join(improved, Seq("nodeId"), "left_anti")
-        .union(improved)
-        .localCheckpoint()
+        .localCheckpoint() // frontier: small, recomputable
+      dist = saveRound(dist.join(improved, Seq("nodeId"), "left_anti")
+        .union(improved), iter, reliableEvery)
       frontier = improved
     }
     step.unpersist()
@@ -212,7 +219,8 @@ object Query {
     * `MATCH (a)<-[:broad_match*1..]-(s) WITH a, count(DISTINCT s)`).
     * Each round extends frontier paths by one hop and drops known pairs;
     * lineage checkpointed per round. */
-  def transitiveClosure(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxDepth: Int = 20,
+                        reliableEvery: Int = 0): DataFrame = {
     val step = edges.select(col("fromNodeId").as("desc"), col("toNodeId").as("anc"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var closure = step.localCheckpoint()
@@ -227,7 +235,7 @@ object Query {
         .distinct()
       val novel = extended.join(closure, Seq("desc", "anc"), "left_anti")
         .localCheckpoint()
-      closure = closure.union(novel).localCheckpoint()
+      closure = saveRound(closure.union(novel), depth, reliableEvery)
       frontier = novel
     }
     step.unpersist()
@@ -261,7 +269,8 @@ object Query {
     * vector is localCheckpoint'd per round so plan size stays O(1) in
     * `iterations`; the edge frame is computed once and persisted. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L,
+               reliableEvery: Int = 0): DataFrame = {
     val e = edges.select(col("fromNodeId").as("src"), col("toNodeId").as("dst"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val step = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -273,11 +282,11 @@ object Query {
       val in = step.join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("insum"))
-      pr = nodes.join(in, Seq("id"), "left")
+      pr = saveRound(nodes.join(in, Seq("id"), "left")
         .select(col("id"),
           (lit(scale * 15L / 100L) +
-            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint()
+            expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("pr")),
+        i + 1, reliableEvery)
       i += 1
     }
     step.unpersist()

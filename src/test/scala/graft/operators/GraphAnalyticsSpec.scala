@@ -50,4 +50,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     val r = spark.sql("SELECT -7 div 2 AS a, 7 div 2 AS b").first()
     assert(r.getLong(0) === -3L && r.getLong(1) === 3L)
   }
+
+  test("reliableEvery parity: pageRank / paths / closure labels are unchanged") {
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("q_ckpt").toString)
+    try {
+      val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"))
+        .toDF("fromNodeId", "toNodeId")
+      val seeds = Seq("a").toDF("nodeId")
+      assert(Query.pageRank(edges, 3, reliableEvery = 1).collect().toSet ===
+        Query.pageRank(edges, 3).collect().toSet)
+      assert(Query.weightedShortestPaths(edges.withColumn("weight",
+          org.apache.spark.sql.functions.lit(1L)), seeds, reliableEvery = 1)
+          .collect().toSet ===
+        Query.weightedShortestPaths(edges.withColumn("weight",
+          org.apache.spark.sql.functions.lit(1L)), seeds).collect().toSet)
+      assert(Query.transitiveClosure(edges, reliableEvery = 1).collect().toSet ===
+        Query.transitiveClosure(edges).collect().toSet)
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
 }

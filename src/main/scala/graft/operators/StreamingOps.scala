@@ -95,5 +95,9 @@ object StreamingOps extends QueryModule {
     "st10_stream_funnel" -> QueryDef(
       (s, d) => Streaming.streamFunnel(s, d, s"sfunnel_${math.abs(d.hashCode)}"),
       Some(Temporal.funnelSql)),
+    "st11_stream_corpus" -> QueryDef(
+      (s, d) => Streaming.streamCorpus(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_scorpus_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(TextAnalysis.corpusFilterSql)),
   )
 }

@@ -37,12 +37,30 @@ object IncrementalCorpus {
       org.apache.spark.sql.types.StructType.fromDDL(schema))
   }
 
-  /** Apply one arriving batch; returns its decision rows (also appended
-    * to `$stateDir/decisions.parquet`). `newDocs` needs (doc_id, text,
-    * lang). */
-  def update(spark: SparkSession, stateDir: String, newDocs: DataFrame): DataFrame = {
+  private def sanitize(key: String): String =
+    key.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Apply one arriving batch; returns its decision rows (also persisted
+    * under `$stateDir/decisions.parquet`). `newDocs` needs (doc_id, text,
+    * lang). A stable `batchKey` makes the application EXACTLY-ONCE under
+    * redelivery (the foreachBatch reality): every state table's batch
+    * lands in a deterministic `batch=<key>` partition written with
+    * Overwrite — a crashed-and-retried batch replaces its own partial
+    * rows — and a marker file, written strictly last, makes a completed
+    * batch a no-op (the Incremental.scala ledger pattern). */
+  def update(spark: SparkSession, stateDir: String, newDocs: DataFrame,
+             batchKey: Option[String] = None): DataFrame = {
     import spark.implicits._
     new java.io.File(stateDir).mkdirs()
+    val marker = java.nio.file.Paths.get(
+      s"$stateDir/applied_batches/${sanitize(batchKey.getOrElse(""))}")
+    if (batchKey.isDefined && java.nio.file.Files.exists(marker)) {
+      return spark.read.parquet(s"$stateDir/decisions.parquet")
+        .where(col("batch") === sanitize(batchKey.get))
+        .select(col("doc_id"), col("exact_keep"), col("neardup_keep"),
+          col("lang_ok"), col("kept"))
+    }
+    val key = sanitize(batchKey.getOrElse(java.util.UUID.randomUUID.toString))
     val docs = newDocs.select(col("doc_id"), col("text"), col("lang"))
       .localCheckpoint() // pin the batch: state tables are rewritten below
 
@@ -110,14 +128,22 @@ object IncrementalCorpus {
         (col("exact_keep") * col("neardup_keep") * col("lang_ok")).as("kept"))
       .localCheckpoint()
 
-    // ---- advance state (append; hashes only for first-seen content)
+    // ---- advance state: each table's batch goes to its own batch=<key>
+    // partition with Overwrite (idempotent under retry); hashes only for
+    // first-seen content; decisions last, then the marker
     val freshHashes = batchMin
       .join(stateH.select(col("h")), Seq("h"), "left_anti")
       .select(col("h"), col("bmin").as("canonical"))
-    freshHashes.write.mode(SaveMode.Append).parquet(s"$stateDir/hashes.parquet")
-    newBands.write.mode(SaveMode.Append).parquet(s"$stateDir/bands.parquet")
-    newSets.write.mode(SaveMode.Append).parquet(s"$stateDir/sets.parquet")
-    decisions.write.mode(SaveMode.Append).parquet(s"$stateDir/decisions.parquet")
+    def put(df: DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$t.parquet/batch=$key")
+    put(freshHashes, "hashes")
+    put(newBands, "bands")
+    put(newSets, "sets")
+    put(decisions, "decisions")
+    if (batchKey.isDefined) {
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.createFile(marker)
+    }
     decisions
   }
 }

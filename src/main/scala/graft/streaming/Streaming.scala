@@ -244,6 +244,35 @@ object Streaming {
       |  FROM documents)
       |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  /** Streaming CORPUS PIPELINE (st11): the document stream drives
+    * [[graft.pipeline.IncrementalCorpus.update]] through `foreachBatch` —
+    * each micro-batch's decisions land exactly-once (keyed by the Spark
+    * batchId against the applied-batches marker, so a redelivered batch
+    * is a no-op replay) and the state tables advance under the stream.
+    * With monotone doc_ids the accumulated decisions equal the one-shot
+    * t13 table, so the gate shares t13's oracle — the streaming twin of
+    * the corpus side the way st7 is for d1. */
+  def streamCorpus(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val q = documentsStream(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalCorpus.update(s, stateDir, batch,
+          Some(s"stream-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$stateDir/decisions.parquet")
+      .select(col("doc_id"), col("exact_keep"), col("neardup_keep"),
+        col("lang_ok"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-user funnel state: the event times seen so far for each funnel
     * stage type, plus a monotone total-rows counter. */
   final case class FunnelState(view: Seq[Long], click: Seq[Long],

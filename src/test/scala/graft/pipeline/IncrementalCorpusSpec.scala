@@ -16,8 +16,10 @@ class IncrementalCorpusSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$d/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
     val cut = 250L
-    val d1 = IncrementalCorpus.update(spark, stateDir, docs.where(col("doc_id") < cut))
-    val d2 = IncrementalCorpus.update(spark, stateDir, docs.where(col("doc_id") >= cut))
+    val d1 = IncrementalCorpus.update(spark, stateDir,
+      docs.where(col("doc_id") < cut), Some("b1"))
+    val d2 = IncrementalCorpus.update(spark, stateDir,
+      docs.where(col("doc_id") >= cut), Some("b2"))
     val incremental = d1.union(d2)
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
 
@@ -35,5 +37,22 @@ class IncrementalCorpusSpec extends SparkSpec {
     val persisted = spark.read.parquet(s"$stateDir/decisions.parquet")
     assert(persisted.count() === 100)
     assert(persisted.where(col("kept").isNull).count() === 0)
+  }
+
+  test("a redelivered batch is exactly-once: state and decisions unchanged") {
+    val stateDir = java.nio.file.Files.createTempDirectory("inc_corpus3").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val first = IncrementalCorpus.update(spark, stateDir,
+      docs.where(col("doc_id") < 50), Some("stream-0"))
+      .collect().map(_.toSeq).toSet
+    // crash-and-retry: same key, same data — must be a no-op replay
+    val replay = IncrementalCorpus.update(spark, stateDir,
+      docs.where(col("doc_id") < 50), Some("stream-0"))
+      .collect().map(_.toSeq).toSet
+    assert(replay === first)
+    assert(spark.read.parquet(s"$stateDir/decisions.parquet").count() === 50)
+    assert(spark.read.parquet(s"$stateDir/bands.parquet")
+      .select("doc_id").distinct().count() <= 50)
   }
 }

@@ -555,35 +555,14 @@ object Dedup extends QueryModule {
     import graft.functions.DotProductL
     import org.apache.spark.sql.expressions.Window
     val k = 8
-    val q = Tables.embeddings(s, d).select(col("vec_id"),
-        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
-      .withColumn("qq", DotProductL(col("qv"), col("qv")))
-
-    // argmin over the k-row centroid frame: broadcast fan-out ×k, then
-    // one window on vec_id (ties → lower cell id, so deterministic)
-    def assign(centroids: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(
-        col("qq") + col("cc") - lit(2L) * DotProductL(col("qv"), col("cv")),
-        col("cell"))
-      q.crossJoin(broadcast(centroids))
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("qv"), col("qq"), col("cell"))
-    }
-
-    val c0 = q.where(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("qv").as("cv"), col("qq").as("cc"))
-    val a1 = assign(c0)
-    // Lloyd update: per-(cell, dim) integer mean, reassembled into the
-    // centroid vector (k rows — the interpreted transform HOF is fine)
-    val c1 = a1.select(col("cell"), posexplode(col("qv")))
-      .groupBy("cell", "pos")
-      .agg(expr("sum(col) div count(*)").as("m"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("cv"))
-      .withColumn("cc", DotProductL(col("cv"), col("cv")))
-    val a2 = assign(c1)
+    // one Lloyd round through the factored library op (graft.ml.KMeans —
+    // byte-identical to the inlined original; the oracle unrolls the same
+    // CTE chain)
+    val (a2raw, _) = graft.ml.KMeans.fit(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv")),
+      k, rounds = 1)
+    val a2 = a2raw.withColumnRenamed("id", "vec_id")
 
     // candidates = same final cluster only (never all-pairs)
     val a = a2.select(col("cell"), col("vec_id").as("va"), col("qv").as("qa"), col("qq").as("na"))

@@ -102,6 +102,66 @@ object ProfilerOps extends QueryModule {
       |      FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** p4 — K-MEANS FIT CURVE: corpus inertia (Σ min dist², exact bigint)
+    * of the embedding space against the [[graft.ml.KMeans]] centroids
+    * after 0, 1 and 2 Lloyd rounds — the convergence telemetry a model-
+    * fitting pipeline logs per round (round 0 = the raw seeds; with
+    * integer-truncated means the curve is *observed* non-increasing here,
+    * though truncation voids Lloyd's guarantee in general — which is why
+    * it must be measured, not assumed). Engine-exact, so the oracle
+    * replays all three rounds as chained CTEs. */
+  def kmeansInertia(s: SparkSession, d: String): DataFrame = {
+    import graft.ml.KMeans
+    val data = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+    val rows = (0 to 2).map { r =>
+      val (_, centroids) = KMeans.fit(data, k = 8, rounds = r)
+      KMeans.inertia(
+        data.withColumn("qq", graft.functions.DotProductL(col("qv"), col("qv"))),
+        centroids)
+        .select(lit(r).as("round"), col("inertia"))
+    }
+    rows.reduce(_ union _).orderBy(col("round"))
+  }
+
+  val kmeansInertiaSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    // argmin assignment against centroid frame `c`, keeping the distance
+    def assign(c: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, qv, qq, cell, dd FROM (
+         |    SELECT e.id, e.qv, e.qq, c.cell,
+         |      e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")} AS dd,
+         |      row_number() OVER (PARTITION BY e.id ORDER BY
+         |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.cell) AS rn
+         |    FROM qn e CROSS JOIN $c c)
+         |  WHERE rn = 1)""".stripMargin
+    def update(a: String, out: String) =
+      s"""${out}d AS (
+         |  SELECT cell, i, CAST(sum(v) AS BIGINT) // count(*) AS m
+         |  FROM (SELECT cell, unnest(qv) AS v,
+         |          unnest(generate_series(1, len(qv))) AS i FROM $a)
+         |  GROUP BY cell, i),
+         |$out AS (
+         |  SELECT cell, cv, ${dot("cv", "cv")} AS cc
+         |  FROM (SELECT cell, list(m ORDER BY i) AS cv FROM ${out}d GROUP BY cell))""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id AS id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |c0 AS (SELECT id AS cell, qv AS cv, ${dot("qv", "qv")} AS cc FROM q WHERE id < 8),
+      |${assign("c0", "a0")},
+      |${update("a0", "c1")},
+      |${assign("c1", "a1")},
+      |${update("a1", "c2")},
+      |${assign("c2", "a2")}
+      |SELECT 0 AS round, CAST(sum(dd) AS BIGINT) AS inertia FROM a0
+      |UNION ALL SELECT 1, CAST(sum(dd) AS BIGINT) FROM a1
+      |UNION ALL SELECT 2, CAST(sum(dd) AS BIGINT) FROM a2
+      |ORDER BY round""".stripMargin
+  }
+
   def profileCustomer(s: SparkSession, d: String): DataFrame =
     Profiler.profile(Tables.customer(s, d),
       Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
@@ -123,5 +183,6 @@ object ProfilerOps extends QueryModule {
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
     "p3_correlation_stats" -> QueryDef(correlationStats, Some(correlationStatsSql)),
+    "p4_kmeans_inertia" -> QueryDef(kmeansInertia, Some(kmeansInertiaSql)),
   )
 }

@@ -33,6 +33,10 @@ object Rdf {
   val RdfFirst: String = RdfNs + "first"
   val RdfRest: String = RdfNs + "rest"
   val RdfNil: String = RdfNs + "nil"
+  val RdfStatement: String = RdfNs + "Statement"
+  val RdfSubject: String = RdfNs + "subject"
+  val RdfPredicate: String = RdfNs + "predicate"
+  val RdfObject: String = RdfNs + "object"
   private val XmlNs = "http://www.w3.org/XML/1998/namespace"
 
   /** The reference parses with base `http://www.ebi.ac.uk/kg/`
@@ -72,8 +76,8 @@ object Rdf {
     * escape set, language tags and datatypes (consumed, value kept
     * lexical), numeric and boolean abbreviations, labelled and anonymous
     * blank nodes, blank-node property lists `[ … ]`, and collections
-    * `( … )` as rdf:first/rest/nil chains. Not supported: RDF-star quoted
-    * triples. */
+    * `( … )` as rdf:first/rest/nil chains, and RDF-star quoted triples
+    * (`<< s p o >>`, reified on parse to the W3C rdf:Statement mapping). */
   private final class TurtleParser(s: String, baseIri: String, scope: String) {
     private val out = ArrayBuffer.empty[(String, String, String)]
     private val prefixes = mutable.Map.empty[String, String]
@@ -309,12 +313,37 @@ object Rdf {
     private def subject(): String = {
       skipWs()
       peek match {
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => quotedTriple()
         case '<' => iriRef()
         case '_' => blankNodeLabel()
         case '[' => anonOrPropertyList()
         case '(' => collection()
         case _ => prefixedName()
       }
+    }
+
+    /** RDF-star quoted triple `<< s p o >>`, REIFIED ON PARSE into the
+      * W3C mapping — a fresh statement node with rdf:type rdf:Statement
+      * and rdf:subject/predicate/object arcs — so downstream consumers
+      * (including fromTriples' reification handling) see plain triples;
+      * the asserted/quoted distinction is intentionally collapsed the
+      * way the reference's reification model does. The quoted triple
+      * itself is NOT asserted (RDF-star semantics). */
+    private def quotedTriple(): String = {
+      i += 2 // '<<'
+      val qs = subject()
+      val qp = verb()
+      val qo = obj()
+      skipWs()
+      if (i + 1 >= s.length || peek != '>' || s.charAt(i + 1) != '>') err("expected '>>'")
+      i += 2
+      anonN += 1
+      val node = "_:" + scope + "qt" + anonN
+      out += ((node, RdfType, RdfStatement))
+      out += ((node, RdfSubject, qs))
+      out += ((node, RdfPredicate, qp))
+      out += ((node, RdfObject, qo))
+      node
     }
 
     private def anonOrPropertyList(): String = {
@@ -349,6 +378,7 @@ object Rdf {
     private def obj(): String = {
       skipWs()
       peek match {
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' => quotedTriple()
         case '<' => iriRef()
         case '_' => blankNodeLabel()
         case '[' => anonOrPropertyList()

@@ -394,4 +394,32 @@ class RdfSpec extends SparkSpec {
     assert(sub.qualifiers ==
       Map("http://www.geneontology.org/formats/oboInOwl#source" -> Seq("DOID:1")))
   }
+
+  test("turtle: RDF-star quoted triples reify to the rdf:Statement mapping") {
+    val ttl =
+      s"""@prefix ex: <$Ex> .
+         |ex:s ex:p ex:o .
+         |<< ex:s ex:p ex:o >> ex:certainty "0.9" .
+         |ex:w ex:saw << ex:s a ex:T >> .
+         |""".stripMargin
+    val got = Rdf.parseTurtleString(ttl, scope = "t")
+    val triples = got.toSet
+    // the base triple is asserted normally
+    assert(triples.contains((Ex + "s", Ex + "p", Ex + "o")))
+    // annotation lands on a statement node carrying the W3C reification
+    val stmt = got.collect {
+      case (n, p, v) if p == Ex + "certainty" && v == "0.9" => n
+    }.head
+    assert(triples.contains((stmt, Rdf.RdfType, Rdf.RdfStatement)))
+    assert(triples.contains((stmt, Rdf.RdfSubject, Ex + "s")))
+    assert(triples.contains((stmt, Rdf.RdfPredicate, Ex + "p")))
+    assert(triples.contains((stmt, Rdf.RdfObject, Ex + "o")))
+    // a quoted triple in OBJECT position: the object is the statement
+    // node, whose rdf:predicate is rdf:type (the `a` keyword inside <<>>)
+    val seen = got.collect { case (w, p, n) if w == Ex + "w" && p == Ex + "saw" => n }.head
+    assert(triples.contains((seen, Rdf.RdfPredicate, Rdf.RdfType)))
+    assert(triples.contains((seen, Rdf.RdfObject, Ex + "T")))
+    // the quoted rdf:type triple itself is NOT asserted
+    assert(!triples.contains((Ex + "s", Rdf.RdfType, Ex + "T")))
+  }
 }

@@ -863,6 +863,102 @@ object Dedup extends QueryModule {
       |SELECT da, db, CAST(max(run) AS BIGINT) AS longest_run
       |FROM runs GROUP BY da, db ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** Longest common substring (codepoints) of two strings via a SUFFIX
+    * AUTOMATON over `a` streamed with `b` — O(|a|+|b|) time and O(|a|)
+    * states, versus the O(|a|·|b|) DP. Row-local: at corpus scale this
+    * runs once per LSH candidate pair, so the linear algorithm is what
+    * keeps byte-granular dedup affordable on long documents. */
+  private[graft] def lcsLen(a: String, b: String): Int = {
+    val as = (if (a == null) "" else a).codePoints().toArray
+    val bs = (if (b == null) "" else b).codePoints().toArray
+    if (as.isEmpty || bs.isEmpty) return 0
+    // suffix automaton of `as`
+    val maxStates = 2 * as.length + 4
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val trans = Array.fill(maxStates)(scala.collection.mutable.Map.empty[Int, Int])
+    var last = 0
+    var size = 1
+    link(0) = -1
+    as.foreach { c =>
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      var p = last
+      while (p != -1 && !trans(p).contains(c)) { trans(p)(c) = cur; p = link(p) }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = trans(p)(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          trans(clone) ++= trans(q)
+          while (p != -1 && trans(p).get(c).contains(q)) { trans(p)(c) = clone; p = link(p) }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+    }
+    // stream b through the automaton
+    var v = 0; var l = 0; var best = 0
+    bs.foreach { c =>
+      while (v != 0 && !trans(v).contains(c)) { v = link(v); l = len(v) }
+      if (trans(v).contains(c)) { v = trans(v)(c); l += 1 }
+      if (l > best) best = l
+    }
+    best
+  }
+
+  /** d15 — BYTE-GRANULAR exact-substring spans: the longest common
+    * CODEPOINT run per d3 candidate pair, computed with the linear
+    * suffix-automaton LCS on the engine side while the oracle recomputes
+    * it RELATIONALLY (character positions equi-join → diagonal
+    * gaps-and-islands, d14's plan at character granularity) — two
+    * independent algorithms agreeing per pair is the strongest
+    * cross-check in the suite. Completes d14: word runs catch template
+    * reuse, codepoint runs catch sub-word edits (the Lee et al. span
+    * unit). */
+  def charSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLshFrom(shingles(s, d)).select(col("da"), col("db"))
+    val texts = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+      .join(texts.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+      .select(col("da"), col("db"), col("ta"), col("tb"))
+      .as[(Long, Long, String, String)]
+      .map { case (da, db, ta, tb) => (da, db, lcsLen(ta, tb).toLong) }
+      .toDF("da", "db", "longest_char_run")
+      .orderBy(col("da"), col("db"))
+  }
+
+  val charSpansSql: String =
+    s"""WITH pairs AS (SELECT da, db FROM ($minhashLshSql)),
+      |chars AS (
+      |  SELECT doc_id, i, substr(text, i, 1) AS ch
+      |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+      |          unnest(generate_series(1, len(coalesce(text, '')))) AS i
+      |        FROM documents)),
+      |m AS (
+      |  SELECT pr.da, pr.db, a.i AS i, b.i AS j
+      |  FROM pairs pr
+      |  JOIN chars a ON a.doc_id = pr.da
+      |  JOIN chars b ON b.doc_id = pr.db AND b.ch = a.ch),
+      |runs AS (
+      |  SELECT da, db, count(*) AS run
+      |  FROM (SELECT da, db, i - j AS diag,
+      |          i - row_number() OVER (PARTITION BY da, db, i - j ORDER BY i) AS grp
+      |        FROM m)
+      |  GROUP BY da, db, diag, grp)
+      |SELECT p.da, p.db,
+      |  CAST(coalesce(max(run), 0) AS BIGINT) AS longest_char_run
+      |FROM pairs p LEFT JOIN runs USING (da, db)
+      |GROUP BY p.da, p.db ORDER BY p.da, p.db""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -880,5 +976,6 @@ object Dedup extends QueryModule {
     // shares d2's oracle on purpose
     "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
+    "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
   )
 }

@@ -67,35 +67,38 @@ object ProfilerOps extends QueryModule {
       |GROUP BY i - 1 ORDER BY dim""".stripMargin
 
   /** p3 — CORRELATION SUFFICIENT STATISTICS: the five exact sums Pearson
-    * r needs (n, Σx, Σy, Σxy, Σx², Σy²) per group, computed in decimal
-    * fixed-point so they are engine-exact; the float division happens
-    * downstream in whatever precision the consumer wants (r itself is a
-    * ratio of these and would differ in the last ulp between engines).
-    * The drift-vs-price-correlation health check a feature pipeline runs
-    * per shard — one map-side-combined groupBy. Money values carry 2
-    * decimals, so products stay inside DECIMAL(38, 6) with no rounding. */
+    * r needs (n, Σx, Σy, Σxy, Σx², Σy²) per group, emitted as the EXACT
+    * decimals' canonical scale-4 strings (DuckDB's client layer floats
+    * raw DECIMAL columns, so strings are the type-stable exact carrier); the float arithmetic happens downstream
+    * in whatever precision the consumer wants. Emitting doubles here was
+    * last-ulp fragile: Spark converts an exact decimal with one correct
+    * rounding (BigDecimal.doubleValue) while DuckDB divides the scaled
+    * integer as a double — two roundings — and Σy² at sf0.001 landed on
+    * a value where they disagree. The drift-vs-price health check a
+    * feature pipeline runs per shard — one map-side-combined groupBy. */
   def correlationStats(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import org.apache.spark.sql.types.DecimalType
+    val out = DecimalType(38, 4)
     val x = col("l_quantity").cast(DecimalType(12, 2))
     val y = col("l_extendedprice").cast(DecimalType(12, 2))
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(x).cast(DoubleType).as("sum_x"),
-        sum(y).cast(DoubleType).as("sum_y"),
-        sum(x * y).cast(DoubleType).as("sum_xy"),
-        sum(x * x).cast(DoubleType).as("sum_x2"),
-        sum(y * y).cast(DoubleType).as("sum_y2"))
+        sum(x).cast(out).cast("string").as("sum_x"),
+        sum(y).cast(out).cast("string").as("sum_y"),
+        sum(x * y).cast(out).cast("string").as("sum_xy"),
+        sum(x * x).cast(out).cast("string").as("sum_x2"),
+        sum(y * y).cast(out).cast("string").as("sum_y2"))
       .orderBy(col("l_returnflag"))
   }
 
   val correlationStatsSql: String =
     """SELECT l_returnflag, count(*) AS n,
-      |  CAST(sum(x) AS DOUBLE) AS sum_x,
-      |  CAST(sum(y) AS DOUBLE) AS sum_y,
-      |  CAST(sum(x * y) AS DOUBLE) AS sum_xy,
-      |  CAST(sum(x * x) AS DOUBLE) AS sum_x2,
-      |  CAST(sum(y * y) AS DOUBLE) AS sum_y2
+      |  CAST(CAST(sum(x) AS DECIMAL(38,4)) AS VARCHAR) AS sum_x,
+      |  CAST(CAST(sum(y) AS DECIMAL(38,4)) AS VARCHAR) AS sum_y,
+      |  CAST(CAST(sum(x * y) AS DECIMAL(38,4)) AS VARCHAR) AS sum_xy,
+      |  CAST(CAST(sum(x * x) AS DECIMAL(38,4)) AS VARCHAR) AS sum_x2,
+      |  CAST(CAST(sum(y * y) AS DECIMAL(38,4)) AS VARCHAR) AS sum_y2
       |FROM (SELECT l_returnflag,
       |        CAST(l_quantity AS DECIMAL(12,2)) AS x,
       |        CAST(l_extendedprice AS DECIMAL(12,2)) AS y

@@ -65,4 +65,28 @@ class DedupSpec extends SparkSpec {
     assert(pruned < full, s"prefix candidates $pruned !< full $full")
     assert(pruned > 0)
   }
+
+  test("d15: suffix-automaton LCS matches the quadratic model on random strings") {
+    val rng = new scala.util.Random(99)
+    def brute(a: String, b: String): Int = {
+      val as = a.codePoints.toArray; val bs = b.codePoints.toArray
+      var best = 0
+      for (i <- as.indices; j <- bs.indices) {
+        var k = 0
+        while (i + k < as.length && j + k < bs.length && as(i + k) == bs(j + k)) k += 1
+        if (k > best) best = k
+      }
+      best
+    }
+    for (_ <- 1 to 60) {
+      val alpha = "abc" // small alphabet → long accidental matches
+      def rand(n: Int) = Seq.fill(n)(alpha(rng.nextInt(alpha.length))).mkString
+      val a = rand(2 + rng.nextInt(40))
+      val b = rand(2 + rng.nextInt(40))
+      assert(Dedup.lcsLen(a, b) === brute(a, b), s"[$a] vs [$b]")
+    }
+    assert(Dedup.lcsLen("", "abc") === 0)
+    assert(Dedup.lcsLen("xyz", "") === 0)
+    assert(Dedup.lcsLen(null, "abc") === 0)
+  }
 }

@@ -447,15 +447,27 @@ object Similarity extends QueryModule {
     val wAssign = Window.partitionBy(col("vec_id"), col("m")).orderBy(
       col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
       col("cell"))
-    val codes = sub.join(broadcast(c0), "m")
+    def assignSub(cb: DataFrame): DataFrame = sub.join(broadcast(cb), "m")
       .withColumn("rn", row_number().over(wAssign))
       .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"))
+    // one Lloyd round per subspace: TRAINED codebooks (the s9 sweep
+    // showed seed codebooks, not probe width, bound recall)
+    val c1 = assignSub(c0)
+      .select(col("m"), col("cell"), posexplode(col("sv")))
+      .groupBy("m", "cell", "pos")
+      .agg(expr("sum(col) div count(*)").as("v"))
+      .groupBy("m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cv"))
+      .withColumn("cc", DotProductL(col("cv"), col("cv")))
+    val codes = assignSub(c1)
       .select(col("vec_id"), col("m"), col("cell").as("code"))
       .join(cells, "vec_id")
     // ADC lookup table for the queries
     val lut = sub.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("m"), col("sv"), col("ss"))
-      .join(broadcast(c0), "m")
+      .join(broadcast(c1), "m")
       .select(col("query_id"), col("m"), col("cell").as("code"),
         (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
     val w = Window.partitionBy(col("query_id"))
@@ -502,18 +514,33 @@ object Similarity extends QueryModule {
       |  FROM q CROSS JOIN generate_series(0, 3) g(m)),
       |c0 AS (
       |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, m, sv, cell FROM (
+      |    SELECT e.vec_id, e.m, e.sv, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |    FROM sub e JOIN c0 c ON c.m = e.m)
+      |  WHERE rn = 1),
+      |c1d AS (
+      |  SELECT m, cell, i, CAST(sum(v) AS BIGINT) // count(*) AS v
+      |  FROM (SELECT m, cell, unnest(sv) AS v,
+      |          unnest(generate_series(1, len(sv))) AS i FROM a1)
+      |  GROUP BY m, cell, i),
+      |c1 AS (
+      |  SELECT m, cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT m, cell, list(v ORDER BY i) AS cv FROM c1d GROUP BY m, cell)),
       |codes AS (
       |  SELECT k.vec_id, k.m, k.code, cells.vcell FROM (
       |    SELECT vec_id, m, cell AS code FROM (
       |      SELECT e.vec_id, e.m, c.cell,
       |        row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
       |          e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
-      |      FROM sub e JOIN c0 c ON c.m = e.m)
+      |      FROM sub e JOIN c1 c ON c.m = e.m)
       |    WHERE rn = 1) k JOIN cells ON cells.vec_id = k.vec_id),
       |lut AS (
       |  SELECT s2.vec_id AS query_id, c.m, c.cell AS code,
       |    s2.ss + c.cc - 2 * ${dot("s2.sv", "c.cv")} AS d2
-      |  FROM sub s2 JOIN c0 c ON c.m = s2.m WHERE s2.vec_id < 10),
+      |  FROM sub s2 JOIN c1 c ON c.m = s2.m WHERE s2.vec_id < 10),
       |adc AS (
       |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc
       |  FROM codes d

@@ -47,9 +47,12 @@ object KMeans {
           x => x.getField("m")).as("cv")),
       "cv", "cc")
 
-  /** Seed centroids: the k lowest ids, cell = id. */
+  /** Seed centroids: the k lowest ids, cell = id. A TakeOrdered on the id
+    * (not a `id < k` filter) so non-contiguous or offset id spaces still
+    * yield exactly min(k, |data|) centroids; for 0-based contiguous ids
+    * the two are identical, which keeps the d9/p4 oracles byte-stable. */
   def seed(data: DataFrame, k: Int): DataFrame =
-    data.where(col("id") < k)
+    data.orderBy(col("id")).limit(k)
       .select(col("id").as("cell"), col("qv").as("cv"), col("qq").as("cc"))
 
   /** `rounds` Lloyd updates from the seed, then a final assignment.

@@ -29,10 +29,15 @@ object Dedup extends QueryModule {
     * WholeStageCodegen), which measured ~20× slower than this tight JVM
     * loop at sf0.1. A generator-shaped op with per-row loops is the one
     * place `mapPartitions`-style typed code beats built-ins. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesFrom(s, Tables.documents(s, d))
+
+  /** Same derivation over an arbitrary (doc_id, text) frame — so callers
+    * that pre-filter documents (d7's exact-dup pre-route) shingle only
+    * what survives, instead of shingling the corpus and filtering after. */
+  private def shinglesFrom(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, t) => shinglesOf(t).map((id, _)) }
       .toDF("doc_id", "s")
   }
@@ -59,6 +64,47 @@ object Dedup extends QueryModule {
       (0 until 4).map(b =>
         md5Hex((b.toString +: (1 to 4).map(r => mins(b * 4 + r - 1))).mkString("|")))
     }
+
+  /** Hot-bucket cap for banded-LSH candidate generation. A band bucket of
+    * k members yields k²/2 candidate pairs from the naive self-join; real
+    * pre-training corpora carry million-copy boilerplate cliques whose
+    * members share EVERY band, so one bucket alone would emit ~10¹² pairs
+    * — a task that never finishes at 100 TB even though the plan is an
+    * equi-join. Buckets at or under the cap keep the exact pair join
+    * (fixture-scale results are byte-identical to the uncapped oracle);
+    * buckets above it are, by construction, near-identical cliques, so
+    * they star-connect to the bucket minimum instead — O(k) candidates,
+    * same connected components, and [[hotBandBuckets]] is the explicit
+    * overflow ledger a production run logs. */
+  private[graft] val HotBucketCap = 1000
+
+  /** Candidate pairs `(da < db)` from a banded index `(idCol, band)` with
+    * the hot-bucket guard: per-band size/min via one window (a single
+    * shuffle on the band key), exact pair join for cold buckets,
+    * star-to-minimum for hot ones. */
+  private[graft] def bandCandidates(bands: DataFrame, idCol: String,
+      cap: Int = HotBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"))
+    val sized = bands.select(col("band"), col(idCol).as("_bid"))
+      .withColumn("_bn", count(lit(1)).over(w))
+      .withColumn("_bmin", min(col("_bid")).over(w))
+    val cold = sized.where(col("_bn") <= cap).select(col("band"), col("_bid"))
+    val coldPairs = cold.as("x").join(cold.as("y"),
+        col("x.band") === col("y.band") && col("x._bid") < col("y._bid"))
+      .select(col("x._bid").as("da"), col("y._bid").as("db"))
+    val hotPairs = sized.where(col("_bn") > cap && col("_bid") =!= col("_bmin"))
+      .select(col("_bmin").as("da"), col("_bid").as("db"))
+    coldPairs.union(hotPairs).distinct()
+  }
+
+  /** Overflow ledger for [[bandCandidates]]: the band buckets whose pair
+    * space was capped, with their sizes — what a 100 TB run persists next
+    * to the candidate set so truncation is never silent. */
+  private[graft] def hotBandBuckets(bands: DataFrame, idCol: String,
+      cap: Int = HotBucketCap): DataFrame =
+    bands.groupBy("band").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > cap)
 
   // per-doc position bound via the scalar (correlated) generate_series —
   // no fixture-size cap to silently outgrow
@@ -138,11 +184,13 @@ object Dedup extends QueryModule {
     shingles(s, d).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$workDir/shingles.parquet")
     minhashLshFrom(s.read.parquet(s"$workDir/shingles.parquet"),
-      sigStore = Some((s, s"$workDir/signatures.parquet")))
+      sigStore = Some((s, s"$workDir/signatures.parquet")),
+      ledger = Some(s"$workDir/hot_buckets.parquet"))
   }
 
   private def minhashLshFrom(sh: DataFrame,
-      sigStore: Option[(SparkSession, String)] = None): DataFrame = {
+      sigStore: Option[(SparkSession, String)] = None,
+      ledger: Option[String] = None): DataFrame = {
     val sigExprs = (1 to 16).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
     var sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
@@ -158,10 +206,9 @@ object Dedup extends QueryModule {
       md5(concat_ws("|", lit(b.toString) +: ms: _*))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
+    ledger.foreach(p => hotBandBuckets(bands, "doc_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
+    val cand = bandCandidates(bands, "doc_id")
     // Exact verification on CANDIDATES ONLY: attach each side's shingle
     // set and intersect per pair — cost is O(|candidates| · shingles/doc),
     // never the corpus-wide inverted-index pair join (that would redo the
@@ -275,10 +322,8 @@ object Dedup extends QueryModule {
       md5(concat(lit(s"$b|") +: bits: _*))
     }
     val bands = q.select(col("vec_id"), explode(array(bandExprs: _*)).as("band"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
-      .distinct()
+    val cand = bandCandidates(bands, "vec_id")
+      .select(col("da").as("va"), col("db").as("vb"))
     val withNorm = q.withColumn("nrm", DotProductL(col("qv"), col("qv")))
     cand
       .join(withNorm.select(col("vec_id").as("va"), col("qv").as("qa"), col("nrm").as("na")), "va")
@@ -374,16 +419,34 @@ object Dedup extends QueryModule {
     * O(log diameter) rounds over the pair set only, and the final
     * labeling is one left join — near-dup clusters are tiny, so the CC
     * input is a vanishing fraction of the corpus. doc_ids are zero-padded
-    * for the string min-label CC so lexicographic min = numeric min. */
+    * for the string min-label CC so lexicographic min = numeric min.
+    *
+    * EXACT-DUP PRE-ROUTE: documents are first collapsed by content hash
+    * (d1's one groupBy) and only each exact group's minimum-id
+    * representative enters shingling/LSH — a million-copy boilerplate
+    * clique contributes ONE doc to the band index instead of a bucket
+    * that [[bandCandidates]] would have to cap. Members inherit their
+    * representative's component; since exact copies share every shingle
+    * (hence every band and a J=1 verify), the result is provably
+    * identical to running LSH over the full corpus. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLshFrom(shingles(s, d)).select(col("da"), col("db"))
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+    val exactRep = hashed.groupBy("h").agg(min(col("doc_id")).as("xrep"))
+    val docRep = hashed.select(col("doc_id"), col("h")).join(exactRep, "h")
+      .select(col("doc_id"), col("xrep"))
+    val repDocs = hashed
+      .join(exactRep.withColumnRenamed("xrep", "doc_id"), Seq("h", "doc_id"))
+      .select(col("doc_id"), col("text"))
+    val pairs = minhashLshFrom(shinglesFrom(s, repDocs)).select(col("da"), col("db"))
     def pad(c: Column) = format_string("%020d", c)
     val edges = pairs.select(pad(col("da")).as("src"), pad(col("db")).as("dst"))
     val cc = graft.identity.ConnectedComponents.run(edges)
-    val labeled = Tables.documents(s, d).select(col("doc_id"))
-      .join(cc.withColumnRenamed("member", "m"), pad(col("doc_id")) === col("m"), "left")
+    val labeled = docRep
+      .join(cc.withColumnRenamed("member", "m"), pad(col("xrep")) === col("m"), "left")
       .select(col("doc_id"),
-        coalesce(col("component").cast("long"), col("doc_id")).as("rep_id"))
+        coalesce(col("component").cast("long"), col("xrep")).as("rep_id"))
     val sizes = labeled.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
     labeled.join(sizes, "rep_id")
       .select(col("doc_id"), col("rep_id"), col("cluster_size"),
@@ -423,10 +486,7 @@ object Dedup extends QueryModule {
     val t = simhash(s, d).select(col("doc_id") +: chunkCols: _*)
     val bandKeys = (0 until 4).map(c => concat_ws("|", lit(c.toString), col(s"c$c")))
     val bands = t.select(col("doc_id"), explode(array(bandKeys: _*)).as("band"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
+    val cand = bandCandidates(bands, "doc_id")
     def chunksOf(alias: String, idCol: String) = t.select(
       col("doc_id").as(idCol) +: (0 until 4).map(c => col(s"c$c").as(s"$alias$c")): _*)
     val hamming = (0 until 4).map(c =>
@@ -479,10 +539,7 @@ object Dedup extends QueryModule {
       md5(concat_ws("|", lit(b.toString) +: ms: _*))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
+    val cand = bandCandidates(bands, "doc_id")
     val est = (1 to 16).map(j =>
       (col(s"a.m$j") === col(s"b.m$j")).cast("long")).reduce(_ + _)
     val sets = sh.groupBy("doc_id")
@@ -712,10 +769,7 @@ object Dedup extends QueryModule {
       concat_ws("|", lit(b.toString) +: ms: _*)
     }
     val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
+    val cand = bandCandidates(bands, "doc_id")
     val sets = sh.groupBy("doc_id")
       .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
     cand
@@ -769,7 +823,9 @@ object Dedup extends QueryModule {
     * difference between "hot shingle joins everything" and bounded work
     * at corpus scale. Exact verification on candidates gives output
     * IDENTICAL to the unfiltered join (d13 shares d2's oracle verbatim —
-    * the filter is lossless by construction).
+    * the filter is lossless by construction) for every prefix-element
+    * bucket within [[HotBucketCap]]; identical-set cliques above the cap
+    * defeat prefix filtering too, so they take the star-to-minimum path.
     *
     * `elements`: (id, e) rows, distinct per set. Output: (da, db, inter,
     * na, nb) for J ≥ num/den pairs. */
@@ -783,10 +839,11 @@ object Dedup extends QueryModule {
       .withColumn("idx", row_number().over(w))
       .where(col("idx") <= col("n") - expr(s"(n * $num + ${den - 1}) div $den") + 1)
       .select(col("id"), col("e"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.e") === col("b.e") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"))
-      .distinct()
+    // the prefix filter bounds candidates for DIVERSE corpora, but a
+    // million-copy clique has identical prefixes — the same hot-bucket
+    // hazard as the band joins, so the same guard applies (element = band)
+    val cand = bandCandidates(
+      prefix.select(col("id"), col("e").as("band")), "id")
     val sets = el.groupBy("id")
       .agg(collect_set(col("e")).as("set"), count(lit(1)).as("n"))
     cand

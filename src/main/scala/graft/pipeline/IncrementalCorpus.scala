@@ -98,13 +98,21 @@ object IncrementalCorpus {
         >= col("na") + col("nb"))
       .select(col("a_id"), col("b_id"))
 
-    val candOld = newBands.join(stateB.withColumnRenamed("doc_id", "a_id"), "band")
+    // hot-bucket guard on BOTH candidate joins (Dedup.bandCandidates'
+    // rationale): a boilerplate clique in state makes a band bucket with
+    // millions of members — probe with its lowest-id members only (they
+    // are near-identical, so any one is as good a verify partner), and
+    // cap the new-new self-join the same way the batch path does
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("doc_id"))
+    val stateBCapped = stateB.withColumn("_rn", row_number().over(wB))
+      .where(col("_rn") <= Dedup.HotBucketCap).drop("_rn")
+    val candOld = newBands.join(stateBCapped.withColumnRenamed("doc_id", "a_id"), "band")
       .select(col("a_id"), col("doc_id").as("b_id")).distinct()
     val oldConnected = verified(candOld, stateS)
       .select(col("b_id").as("doc_id")).distinct()
-    val candNew = newBands.as("x").join(newBands.as("y"),
-        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    val candNew = Dedup.bandCandidates(newBands, "doc_id")
+      .select(col("da").as("a_id"), col("db").as("b_id"))
     val pairsNew = verified(candNew, newSets)
 
     // keep bit: CC over batch pairs, old-connected collapsed to a node

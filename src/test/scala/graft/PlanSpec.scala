@@ -42,6 +42,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NLJ")
   }
 
+  test("d3: band candidates carry the hot-bucket guard and stay equi-joined") {
+    val p = plan("d3_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "band join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NLJ")
+    // the per-band size/min window IS the guard — losing it reopens the
+    // k²/2 blow-up on boilerplate cliques
+    assert(p.contains("Window"), "hot-bucket guard window missing from the candidate stage")
+  }
+
   test("d6: window dedup joins on the window key only, never all-pairs") {
     val p = plan("d6_window_dedup")
     assert(!p.contains("CartesianProduct"), "window grouping degenerated to all-pairs")

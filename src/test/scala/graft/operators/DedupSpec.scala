@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** The staged (parquet-persisted) MinHash+LSH variant must be
   * output-identical to the direct path — same bands, same candidates,
@@ -64,6 +65,47 @@ class DedupSpec extends SparkSpec {
       .select(col("a.id"), col("b.id")).distinct().count()
     assert(pruned < full, s"prefix candidates $pruned !< full $full")
     assert(pruned > 0)
+  }
+
+  test("hot-bucket guard: a 1000-copy clique yields O(clique) candidates, not O(clique²)") {
+    import spark.implicits._
+    // every member shares all 4 band keys — the million-copy boilerplate
+    // shape: uncapped, 4 buckets × k²/2 ≈ 2M pairs; capped, a star
+    val k = 1000
+    val bands = (0L until k).flatMap(id => (0 until 4).map(b => (id, s"band$b")))
+      .toDF("doc_id", "band")
+    val cand = Dedup.bandCandidates(bands, "doc_id", cap = 100)
+    assert(cand.count() === (k - 1).toLong, "star-to-minimum must emit k-1 pairs")
+    // connectivity is preserved: every member reaches the bucket minimum
+    assert(cand.where(col("da") === 0L).count() === (k - 1).toLong)
+    // and the overflow ledger reports exactly the capped buckets
+    val ledger = Dedup.hotBandBuckets(bands, "doc_id", cap = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ledger === (0 until 4).map(b => (s"band$b", k.toLong)))
+  }
+
+  test("hot-bucket guard: buckets at or under the cap keep the exact pair join") {
+    import spark.implicits._
+    val bands = (0L until 5L).map((_, "shared")).toDF("doc_id", "band")
+    val cand = Dedup.bandCandidates(bands, "doc_id", cap = 5)
+    assert(cand.count() === 10L) // 5 choose 2 — byte-identical to uncapped
+    assert(Dedup.hotBandBuckets(bands, "doc_id", cap = 5).count() === 0L)
+  }
+
+  test("d7 exact-dup pre-route: a 1000-copy clique clusters without entering LSH") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("clique").toString
+    val docs = ((0L until 1000L).map(i => (i, "all copies share this exact boilerplate text body", "en"))
+        :+ (1000L, "a genuinely different document that stands alone entirely", "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupClusters(spark, dir)
+    val byRep = out.groupBy("rep_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byRep === Map(0L -> 1000L, 1000L -> 1L))
+    assert(out.where(col("keep") === 1).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(0L, 1000L))
+    assert(out.count() === 1001L)
   }
 
   test("d15: suffix-automaton LCS matches the quadratic model on random strings") {

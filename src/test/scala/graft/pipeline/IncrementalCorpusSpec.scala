@@ -39,6 +39,64 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(persisted.where(col("kept").isNull).count() === 0)
   }
 
+  test("a bridge doc merges two old components and demotes the younger canonical") {
+    import spark.implicits._
+    // A and B share a word block but are NOT near-dups of each other
+    // (no shared band, J < 1/2); C is a verified band-candidate of BOTH —
+    // so batch 3 retroactively merges batch 1's and batch 2's components.
+    // Texts chosen so the md5 band keys provably fire (deterministic).
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val b = "alpha beta gamma delta epsilon zeta kappa muu pii"
+    val c = "alpha beta gamma delta epsilon zeta"
+    val all = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"))
+    val union = java.nio.file.Files.createTempDirectory("bridge_docs").toString
+    all.toDF("doc_id", "text", "lang").write.parquet(s"$union/documents.parquet")
+    val stateDir = java.nio.file.Files.createTempDirectory("bridge_state").toString
+    val docs = spark.read.parquet(s"$union/documents.parquet")
+    val d1 = IncrementalCorpus.update(spark, stateDir,
+      docs.where(col("doc_id") === 1), Some("b1"))
+    assert(d1.select("neardup_keep").as[Int].collect().toSeq === Seq(1))
+    val d2 = IncrementalCorpus.update(spark, stateDir,
+      docs.where(col("doc_id") === 2), Some("b2"))
+    assert(d2.select("neardup_keep").as[Int].collect().toSeq === Seq(1),
+      "A and B must start as separate components for the bridge to mean anything")
+    IncrementalCorpus.update(spark, stateDir, docs.where(col("doc_id") === 3), Some("b3"))
+
+    val resolved = IncrementalCorpus.currentDecisions(spark, stateDir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val batch = graft.operators.TextAnalysis.corpusFilter(spark, union)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(resolved === batch)
+    // and the demotion really happened through a CORRECTION row: doc 2
+    // kept its original keep=1 row plus an appended neardup_keep=0 row
+    val log = spark.read.parquet(s"$stateDir/decisions.parquet")
+    assert(log.where(col("doc_id") === 2).count() === 2)
+    assert(IncrementalCorpus.currentDecisions(spark, stateDir)
+      .where(col("doc_id") === 2).select("neardup_keep").as[Int].head() === 0)
+  }
+
+  test("crash-retry after a partial state write recomputes, not self-poisons") {
+    val stateDir = java.nio.file.Files.createTempDirectory("inc_crash").toString
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val b1 = docs.where(col("doc_id") < 100)
+    val b2 = docs.where(col("doc_id") >= 100 && col("doc_id") < 200)
+    IncrementalCorpus.update(spark, stateDir, b1, Some("b1"))
+    val first = IncrementalCorpus.update(spark, stateDir, b2, Some("b2"))
+      .collect().map(_.toSeq).toSet
+    // simulate the crash: every batch=b2 partition landed, but the marker
+    // did not — the retry must ignore its own partial rows (else every
+    // b2 doc looks already-seen and exact_keep collapses to 0)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$stateDir/applied_batches/b2"))
+    val retry = IncrementalCorpus.update(spark, stateDir, b2, Some("b2"))
+      .collect().map(_.toSeq).toSet
+    assert(retry === first)
+    assert(retry.count(_(1) == 1) > 0, "first-seen docs must keep exact_keep=1 on retry")
+    // state is not duplicated either: one hashes row per content hash
+    val h = spark.read.parquet(s"$stateDir/hashes.parquet")
+    assert(h.groupBy("h").count().where(col("count") > 1).count() === 0)
+  }
+
   test("a redelivered batch is exactly-once: state and decisions unchanged") {
     val stateDir = java.nio.file.Files.createTempDirectory("inc_corpus3").toString
     val docs = spark.read.parquet(s"$d/documents.parquet")

@@ -1016,6 +1016,76 @@ object Dedup extends QueryModule {
       |FROM pairs p LEFT JOIN runs USING (da, db)
       |GROUP BY p.da, p.db ORDER BY p.da, p.db""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** d16 — CORPUS-WIDE maximal-repeat mining (the true Lee et al.
+    * exact-substring pass): maximal spans in which EVERY 40-codepoint
+    * window occurs in at least two distinct documents — computed over the
+    * WHOLE corpus with no LSH anywhere, so it finds the boilerplate that
+    * candidate-pair passes (d14/d15) structurally miss: repeated
+    * licence headers, navigation chrome and template fragments between
+    * documents whose overall Jaccard is far below any LSH threshold.
+    *
+    * Relational plan, linear end-to-end: one window row per codepoint
+    * position (the suffix-array cost model without the suffix array),
+    * one groupBy on the window to find shared ones, one per-doc
+    * gaps-and-islands merge (consecutive shared starts ⟺ every
+    * 40-window inside the merged span is shared — exactly the "every
+    * k-gram duplicated" span definition), then one groupBy on the span
+    * text for doc/occurrence counts. No pairwise stage at any point. At
+    * 100 TB the only change worth making is shuffling a 16-byte rolling
+    * hash of each window (graft_rolling_hash) instead of its 40 raw
+    * codepoints, verifying span text only at emission. */
+  def maximalRepeats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 40
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val wins = docs.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val cps = t.codePoints().toArray
+        (0 to cps.length - L).iterator.map(i => (id, (i + 1).toLong, new String(cps, i, L)))
+      }
+      .toDF("doc_id", "i", "w")
+    val shared = wins.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("wdocs"))
+      .where(col("wdocs") >= 2)
+      .select(col("w"))
+    val occ = wins.join(shared, "w").select(col("doc_id"), col("i"))
+    val wI = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val spans = occ
+      .withColumn("g", col("i") - row_number().over(wI))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(L - 1)).as("e"))
+    spans.join(docs, "doc_id")
+      .select(col("doc_id"),
+        expr("substring(text, cast(s as int), cast(e - s + 1 as int))").as("repeat_text"),
+        (col("e") - col("s") + 1).as("repeat_len"))
+      .groupBy(col("repeat_text"), col("repeat_len"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_spans"))
+      .orderBy(col("repeat_text"))
+  }
+
+  val maximalRepeatsSql: String =
+    """WITH dt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |w AS (
+      |  SELECT doc_id, i, substr(text, i, 40) AS w
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 39)) AS i FROM dt)),
+      |shared AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+      |occ AS (SELECT doc_id, i FROM w JOIN shared USING (w)),
+      |grp AS (
+      |  SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |  FROM occ),
+      |spans AS (
+      |  SELECT doc_id, min(i) AS s, max(i) + 39 AS e FROM grp GROUP BY doc_id, g)
+      |SELECT substr(dt.text, CAST(s AS INT), CAST(e - s + 1 AS INT)) AS repeat_text,
+      |  CAST(e - s + 1 AS BIGINT) AS repeat_len,
+      |  CAST(count(DISTINCT spans.doc_id) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_spans
+      |FROM spans JOIN dt USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY repeat_text""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -1034,5 +1104,6 @@ object Dedup extends QueryModule {
     "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
+    "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql)),
   )
 }

@@ -555,6 +555,192 @@ object Similarity extends QueryModule {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** s10 — IVF-ADC with RESIDUAL encoding, the FAISS default refinement
+    * over s8: PQ-encode each vector MINUS its cell centroid instead of
+    * the raw vector. Residuals concentrate near the origin, so a fixed
+    * code budget spends its resolution on the locally-informative part
+    * of the vector — at production scale (k=256 codes, codebooks trained
+    * on real samples) this is where most of FAISS's recall at fixed
+    * bytes comes from. Measured honestly at fixture scale the s9 sweep
+    * shows the OPPOSITE (recall 0.03 vs raw-PQ's 0.10): a single 4-code
+    * residual codebook seeded from 4 residuals underfits the per-cell
+    * residual distributions. That inversion is exactly what the sweep
+    * exists to surface — the codebook budget, not the encoding scheme,
+    * binds here. The query side mirrors it: the query's residual is
+    * computed PER PROBED CELL (q − centroid(cell)), so the ADC lookup
+    * table is keyed (query, cell, subspace, code) — nprobe·M·k rows per
+    * query, still a broadcast however big the corpus. Residual vectors
+    * are integer differences of 1e3-quantized vectors, so everything
+    * stays engine-exact end-to-end. Scan cost is identical to s8:
+    * nprobe·|cell| code rows, raw vectors never touched. */
+  def ivfPqResidual(s: SparkSession, d: String): DataFrame =
+    ivfPqResidualTopK(s, d, nprobe = 2)
+
+  /** s10's body with the probe width exposed — s9 sweeps it. */
+  private def ivfPqResidualTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    import graft.functions.DotProductL
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+      .withColumn("qq", DotProductL(col("qv"), col("qv")))
+    val cfull = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("vcell"), col("qv").as("cv"), col("qq").as("cc"))
+    val wCellAssign = Window.partitionBy(col("vec_id")).orderBy(
+      col("qq") + col("cc") - lit(2L) * DotProductL(col("qv"), col("cv")),
+      col("vcell"))
+    val cells = emb.crossJoin(broadcast(cfull))
+      .withColumn("rn", row_number().over(wCellAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("vcell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vcell").asc)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qq").as("na"))
+      .crossJoin(broadcast(cfull))
+      .withColumn("dist",
+        col("na") + col("cc") - lit(2L) * DotProductL(col("qa"), col("cv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("vcell"))
+    // residual per vector vs ITS cell centroid — exact integer differences
+    val centDim = broadcast(cfull.select(col("vcell"), col("cv").as("ccv")))
+    val resid = emb.join(cells, "vec_id").join(centDim, "vcell")
+      .select(col("vec_id"), col("vcell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
+    val sub = resid.select(col("vec_id"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("rv"))
+      .select(col("vec_id"), col("m"), expr("slice(rv, m*16+1, 16)").as("sv"))
+      .withColumn("ss", DotProductL(col("sv"), col("sv")))
+    val c0 = sub.where(col("vec_id") < 4)
+      .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"), col("ss").as("cc"))
+    val wAssign = Window.partitionBy(col("vec_id"), col("m")).orderBy(
+      col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
+      col("cell"))
+    def assignSub(cb: DataFrame): DataFrame = sub.join(broadcast(cb), "m")
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("sv"), col("cell"))
+    val c1 = assignSub(c0)
+      .select(col("m"), col("cell"), posexplode(col("sv")))
+      .groupBy("m", "cell", "pos")
+      .agg(expr("sum(col) div count(*)").as("v"))
+      .groupBy("m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cv"))
+      .withColumn("cc", DotProductL(col("cv"), col("cv")))
+    val codes = assignSub(c1)
+      .select(col("vec_id"), col("m"), col("cell").as("code"))
+      .join(cells, "vec_id")
+    // query residual PER PROBED CELL → ADC LUT keyed (query, cell, m, code)
+    val qres = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .join(probes, "query_id").join(centDim, "vcell")
+      .select(col("query_id"), col("vcell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
+      .select(col("query_id"), col("vcell"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("rv"))
+      .select(col("query_id"), col("vcell"), col("m"),
+        expr("slice(rv, m*16+1, 16)").as("sv"))
+      .withColumn("ss", DotProductL(col("sv"), col("sv")))
+    val lut = qres.join(broadcast(c1), "m")
+      .select(col("query_id"), col("vcell"), col("m"), col("cell").as("code"),
+        (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("vcell", "m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfPqResidualSql: String = ivfPqResidualSqlFor(2)
+
+  private def ivfPqResidualSqlFor(nprobe: Int): String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    s"""WITH q AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |cfull AS (
+      |  SELECT vec_id AS vcell, qv AS cv, qq AS cc FROM qn WHERE vec_id < 8),
+      |cells AS (
+      |  SELECT vec_id, vcell FROM (
+      |    SELECT e.vec_id, c.vcell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.vcell) AS rn
+      |    FROM qn e CROSS JOIN cfull c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, vcell FROM (
+      |    SELECT e.vec_id AS query_id, c.vcell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.vcell) AS crank
+      |    FROM qn e CROSS JOIN cfull c WHERE e.vec_id < 10)
+      |  WHERE crank <= $nprobe),
+      |resid AS (
+      |  SELECT e.vec_id, cells.vcell,
+      |    list_transform(list_zip(e.qv, c.cv), z -> z[1] - z[2]) AS rv
+      |  FROM qn e JOIN cells ON cells.vec_id = e.vec_id
+      |  JOIN cfull c ON c.vcell = cells.vcell),
+      |sub AS (
+      |  SELECT vec_id, g.m, rv[g.m*16+1 : g.m*16+16] AS sv,
+      |    ${dot("rv[g.m*16+1 : g.m*16+16]", "rv[g.m*16+1 : g.m*16+16]")} AS ss
+      |  FROM resid CROSS JOIN generate_series(0, 3) g(m)),
+      |c0 AS (
+      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, m, sv, cell FROM (
+      |    SELECT e.vec_id, e.m, e.sv, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |    FROM sub e JOIN c0 c ON c.m = e.m)
+      |  WHERE rn = 1),
+      |c1d AS (
+      |  SELECT m, cell, i, CAST(sum(v) AS BIGINT) // count(*) AS v
+      |  FROM (SELECT m, cell, unnest(sv) AS v,
+      |          unnest(generate_series(1, len(sv))) AS i FROM a1)
+      |  GROUP BY m, cell, i),
+      |c1 AS (
+      |  SELECT m, cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT m, cell, list(v ORDER BY i) AS cv FROM c1d GROUP BY m, cell)),
+      |codes AS (
+      |  SELECT k.vec_id, k.m, k.code, cells.vcell FROM (
+      |    SELECT vec_id, m, cell AS code FROM (
+      |      SELECT e.vec_id, e.m, c.cell,
+      |        row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |          e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |      FROM sub e JOIN c1 c ON c.m = e.m)
+      |    WHERE rn = 1) k JOIN cells ON cells.vec_id = k.vec_id),
+      |qres0 AS (
+      |  SELECT p.query_id, p.vcell,
+      |    list_transform(list_zip(e.qv, c.cv), z -> z[1] - z[2]) AS rv
+      |  FROM probes p JOIN qn e ON e.vec_id = p.query_id
+      |  JOIN cfull c ON c.vcell = p.vcell),
+      |qres AS (
+      |  SELECT query_id, vcell, g.m, rv[g.m*16+1 : g.m*16+16] AS sv,
+      |    ${dot("rv[g.m*16+1 : g.m*16+16]", "rv[g.m*16+1 : g.m*16+16]")} AS ss
+      |  FROM qres0 CROSS JOIN generate_series(0, 3) g(m)),
+      |lut AS (
+      |  SELECT s2.query_id, s2.vcell, c.m, c.cell AS code,
+      |    s2.ss + c.cc - 2 * ${dot("s2.sv", "c.cv")} AS d2
+      |  FROM qres s2 JOIN c1 c ON c.m = s2.m),
+      |adc AS (
+      |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc
+      |  FROM codes d
+      |  JOIN lut l ON l.vcell = d.vcell AND l.m = d.m AND l.code = d.code
+      |  WHERE d.vec_id != l.query_id
+      |  GROUP BY l.query_id, d.vec_id)
+      |SELECT query_id, rank, neighbor_id, adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc ASC, neighbor_id ASC) AS rank
+      |  FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** s9 — PQ RECALL SWEEP: recall@3 of s8's IVF-PQ against the EXACT
     * L2 top-3 (same 1e3 quantization) for nprobe ∈ {1, 2, 4} — the
     * measurement that turns the nprobe dial from folklore into data.
@@ -563,8 +749,11 @@ object Similarity extends QueryModule {
     * probing admits more candidates whose coarsely-quantized distances
     * beat true neighbors, so the curve exposes when the codebook (not
     * the probe width) is the binding constraint. That diagnosis is
-    * exactly what the sweep is for. One exact baseline pass + three
-    * shortlist-scored passes, all integer-exact. */
+    * exactly what the sweep is for. Extended round 6: every probe width
+    * runs BOTH encodings — s8's raw-vector PQ and s10's residual PQ —
+    * so the residual-encoding recall claim is measured, not assumed.
+    * One exact baseline pass + six shortlist-scored passes, all
+    * integer-exact. */
   def pqRecallSweep(s: SparkSession, d: String): DataFrame = {
     import graft.functions.DotProductL
     val qn = Tables.embeddings(s, d).select(col("vec_id"),
@@ -582,26 +771,32 @@ object Similarity extends QueryModule {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val sweeps = Seq(1, 2, 4).map { np =>
-      ivfPqTopK(s, d, np)
-        .select(lit(np).as("nprobe"), col("query_id"), col("neighbor_id"))
+    val sweeps = Seq(1, 2, 4).flatMap { np => Seq(
+      ivfPqTopK(s, d, np).select(lit("pq").as("variant"),
+        lit(np).as("nprobe"), col("query_id"), col("neighbor_id")),
+      ivfPqResidualTopK(s, d, np).select(lit("residual").as("variant"),
+        lit(np).as("nprobe"), col("query_id"), col("neighbor_id")))
     }.reduce(_ union _)
     val hits = exact.join(sweeps, Seq("query_id", "neighbor_id"))
-      .groupBy(col("nprobe"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+      .groupBy(col("variant"), col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
     import s.implicits._
+    val grid = Seq("pq", "residual").flatMap(v => Seq(1, 2, 4).map((v, _)))
+      .toDF("variant", "nprobe")
     exact.select(col("query_id")).distinct()
-      .crossJoin(broadcast(Seq(1, 2, 4).toDF("nprobe")))
-      .join(hits, Seq("nprobe", "query_id"), "left")
-      .select(col("nprobe"), col("query_id"), lit(3).as("k"),
+      .crossJoin(broadcast(grid))
+      .join(hits, Seq("variant", "nprobe", "query_id"), "left")
+      .select(col("variant"), col("nprobe"), col("query_id"), lit(3).as("k"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .orderBy(col("nprobe"), col("query_id"))
+      .orderBy(col("variant"), col("nprobe"), col("query_id"))
   }
 
   val pqRecallSweepSql: String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
-    val sweeps = Seq(1, 2, 4).map(np =>
-      s"SELECT $np AS nprobe, query_id, neighbor_id FROM (${ivfPqSqlFor(np)})")
+    val sweeps = Seq(1, 2, 4).flatMap(np => Seq(
+      s"SELECT 'pq' AS variant, $np AS nprobe, query_id, neighbor_id FROM (${ivfPqSqlFor(np)})",
+      s"SELECT 'residual' AS variant, $np AS nprobe, query_id, neighbor_id FROM (${ivfPqResidualSqlFor(np)})"))
       .mkString("\n  UNION ALL ")
     s"""WITH qn AS (
       |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
@@ -618,15 +813,17 @@ object Similarity extends QueryModule {
       |sw AS (
       |  $sweeps),
       |hits AS (
-      |  SELECT nprobe, query_id, count(*) AS n_hits
+      |  SELECT variant, nprobe, query_id, count(*) AS n_hits
       |  FROM exact JOIN sw USING (query_id, neighbor_id)
-      |  GROUP BY nprobe, query_id)
-      |SELECT np.nprobe, q.query_id, 3 AS k,
+      |  GROUP BY variant, nprobe, query_id)
+      |SELECT np.variant, np.nprobe, q.query_id, 3 AS k,
       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
       |FROM (SELECT DISTINCT query_id FROM exact) q
-      |CROSS JOIN (VALUES (1), (2), (4)) np(nprobe)
-      |LEFT JOIN hits ON hits.nprobe = np.nprobe AND hits.query_id = q.query_id
-      |ORDER BY np.nprobe, q.query_id""".stripMargin
+      |CROSS JOIN (VALUES ('pq', 1), ('pq', 2), ('pq', 4),
+      |  ('residual', 1), ('residual', 2), ('residual', 4)) np(variant, nprobe)
+      |LEFT JOIN hits ON hits.variant = np.variant
+      |  AND hits.nprobe = np.nprobe AND hits.query_id = q.query_id
+      |ORDER BY np.variant, np.nprobe, q.query_id""".stripMargin
   }
 
   override val defs: ListMap[String, QueryDef] = ListMap(
@@ -639,5 +836,6 @@ object Similarity extends QueryModule {
     "s7_pq_ann"          -> QueryDef(pqAnn, Some(pqAnnSql), bench = true),
     "s8_ivf_pq"          -> QueryDef(ivfPq, Some(ivfPqSql)),
     "s9_pq_recall_sweep" -> QueryDef(pqRecallSweep, Some(pqRecallSweepSql)),
+    "s10_ivf_pq_residual" -> QueryDef(ivfPqResidual, Some(ivfPqResidualSql)),
   )
 }

@@ -31,11 +31,12 @@ object Bench {
     val wanted = args.toSet
     val selected = if (wanted.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (k, _) => wanted.contains(k) }
-    // SPARK_GRAFT_BENCH_REPS=N → per-query median of N runs: shared-host
-    // variance is ±50% on single shots, so medians are what make
-    // round-over-round comparisons meaningful (default 1 keeps the
-    // driver's wall-time budget unchanged)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // SPARK_GRAFT_BENCH_REPS=N → per-query median of N runs. Shared-host
+    // variance is ±50% on single shots (round 5 recorded two 2-5×
+    // phantom regressions that a median-of-3 re-run disproved), so the
+    // DEFAULT is now 3: every recorded BENCH line is a median. Set 1 for
+    // quick dev loops.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -8,5 +8,6 @@ sbt -batch test 2>&1 | grep -E "Tests:|FAILED|\[error\]" | head -5
 echo "== verify @ sf0.01"
 sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/preflight_v' 2>&1 | grep -E '\[verify\].*failed' || true
 python3 tools/check.py /tmp/preflight_v /root/testdata/sf0.01 | tail -1
-echo "== bench @ sf0.1"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch 'runMain graft.Bench' 2>&1 | grep metric
+echo "== bench @ sf0.1 (median of 3 — single shots swing ±50% on a shared host)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
+  sbt -batch 'runMain graft.Bench' 2>&1 | grep metric

@@ -847,6 +847,50 @@ object TextAnalysis extends QueryModule {
 
   // ---------------------------------------------------------------------
 
+  /** t23 — the composed MIXTURE PIPELINE
+    * ([[graft.pipeline.MixturePipeline]]): t19's temperature-weighted
+    * quotas allocate a 300-document budget across sources, st9's
+    * admission rule (lowest `quota` doc_ids per source) picks the mix,
+    * and t17's per-source fold packs it into ≤512-token sequences. The
+    * budget is chosen so quotas BIND at fixture scale (≈15 of ~25 docs
+    * per source) — the gate certifies the three stages compose under an
+    * actually-enforcing policy, not a vacuous one. */
+  def mixturePipeline(s: SparkSession, d: String): DataFrame =
+    graft.pipeline.MixturePipeline
+      .run(s, d, graft.pipeline.MixtureConfig(budget = 300))
+      .packed
+
+  val mixturePipelineSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM s),
+      |q AS (SELECT source, CAST((300 * weight) // t.wsum AS BIGINT) AS quota
+      |      FROM s CROSS JOIN t),
+      |d AS (
+      |  SELECT source, doc_id, tokens, rn FROM (
+      |    SELECT d0.source, d0.doc_id,
+      |      CAST(len(string_split_regex(trim(d0.text), '\s+')) AS BIGINT) AS tokens,
+      |      row_number() OVER (PARTITION BY d0.source ORDER BY d0.doc_id) AS rn,
+      |      q.quota
+      |    FROM documents d0 JOIN q USING (source))
+      |  WHERE rn <= quota),
+      |packed AS (
+      |  SELECT source, doc_id, rn, tokens, CAST(0 AS BIGINT) AS chunk, tokens AS acc
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.rn, d.tokens,
+      |    CASE WHEN p.acc + d.tokens > 512 THEN p.chunk + 1 ELSE p.chunk END,
+      |    CASE WHEN p.acc + d.tokens > 512 THEN d.tokens ELSE p.acc + d.tokens END
+      |  FROM packed p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT source, chunk, count(*) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM packed GROUP BY source, chunk ORDER BY source, chunk""".stripMargin
+
+  // ---------------------------------------------------------------------
+
   /** t22 — word-bigram LM CONTINUATION TABLE: for the corpus's 5 most
     * frequent head words, the top-3 continuations by bigram count — the
     * count-based n-gram LM artifact (the model behind autocomplete-style
@@ -915,5 +959,6 @@ object TextAnalysis extends QueryModule {
     "t20_quality_buckets" -> QueryDef(qualityBuckets, Some(qualityBucketsSql)),
     "t21_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql)),
     "t22_bigram_lm"     -> QueryDef(bigramLm, Some(bigramLmSql)),
+    "t23_mixture_pipeline" -> QueryDef(mixturePipeline, Some(mixturePipelineSql)),
   )
 }

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mixture policy: how a multi-source training mix is allocated and cut
+  * into sequences. All integers (the CorpusConfig contract) so the same
+  * policy file replays to the same mix anywhere. */
+final case class MixtureConfig(
+    name: String = "mixture",
+    /** total document budget across sources, split by t19's
+      * temperature-weighted allocator (weight = ⌊√n⌋, α = 0.5) */
+    budget: Long = 100000,
+    /** training-sequence token budget for the packing stage (t17) */
+    seqBudget: Long = 512)
+
+/** File-driven [[MixtureConfig]] — same JSON-of-integer-thresholds shape
+  * as [[CorpusConfigLoader]]: keys `name`, `budget`, `seq_budget`, absent
+  * keys defaulting, so a sampling policy ships as reviewable config. */
+object MixtureConfigLoader {
+  def load(path: String): MixtureConfig = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = om.readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    val d = MixtureConfig()
+    def long(k: String, default: Long): Long =
+      Option(j.get(k)).map(_.asLong).getOrElse(default)
+    MixtureConfig(
+      name = Option(j.get("name")).map(_.asText).getOrElse(d.name),
+      budget = long("budget", d.budget),
+      seqBudget = long("seq_budget", d.seqBudget))
+  }
+}
+
+/** Everything the mixture build produces, as live DataFrames. */
+final case class MixtureBuild(
+    /** per source: n_docs, weight, quota (t19's allocator at `budget`) */
+    quotas: DataFrame,
+    /** the admitted documents: lowest `quota` doc_ids per source with
+      * their token counts (st9's admission rule in batch form) */
+    admitted: DataFrame,
+    /** admitted docs greedily packed into ≤ seqBudget-token chunks
+      * (t17's per-source fold) */
+    packed: DataFrame)
+
+/** The config-driven MIXTURE pipeline: t19's temperature-weighted source
+  * quotas + st9's per-source admission + t17's sequence packing composed
+  * into one Spark DAG `documents → quotas → admit → pack`. This is the
+  * sampling side of corpus curation the way [[CorpusPipeline]] is the
+  * cleaning side: CorpusPipeline decides WHICH documents are usable,
+  * MixturePipeline decides HOW MANY of each source enter the mix and how
+  * they cut into training sequences.
+  *
+  * Scale shape: quotas are one groupBy + a one-row broadcast; admission
+  * is one row_number window per source partition (identical decisions to
+  * the streaming st9 admission — MixturePipelineSpec pins batch ≡
+  * stream); packing is the secondary-sort fold, parallel by source. No
+  * stage is all-pairs; nothing driver-side. */
+object MixturePipeline {
+
+  /** t19's allocator against an explicit budget: weight = ⌊√n_docs⌋,
+    * quota = (budget·weight) div Σweight. */
+  def quotas(docs: DataFrame, budget: Long): DataFrame = {
+    val bySrc = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = bySrc.agg(sum(col("weight")).as("wsum"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("quota", expr(s"($budget * weight) div wsum"))
+      .select(col("source"), col("n_docs"), col("weight"), col("quota"))
+  }
+
+  /** Admit the lowest-id `quota` documents of each source — st9's
+    * streaming admission rule in batch form (the spec pins the
+    * equivalence). `docs` needs (source, doc_id); extra columns ride
+    * along. `quotasDf` needs (source, quota). */
+  def admit(docs: DataFrame, quotasDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.join(quotasDf.select(col("source"), col("quota")), "source")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= col("quota"))
+      .drop("quota")
+  }
+
+  def run(s: SparkSession, dir: String,
+          config: MixtureConfig = MixtureConfig()): MixtureBuild = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+    val q = quotas(docs, config.budget)
+    val admitted = admit(docs, q)
+    val packed = CorpusPipeline.packSequences(
+      admitted.select(col("source"), col("doc_id"), col("tokens")),
+      config.seqBudget)
+    MixtureBuild(q, admitted, packed)
+  }
+
+  /** Persist the mixture artifacts + a bounded one-document stats JSON. */
+  def write(build: MixtureBuild, outDir: String): Unit = {
+    build.quotas.write.mode(SaveMode.Overwrite).parquet(s"$outDir/quotas.parquet")
+    build.admitted.write.mode(SaveMode.Overwrite).parquet(s"$outDir/admitted.parquet")
+    build.packed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed.parquet")
+    val sources = build.quotas.count()
+    val admitted = build.admitted.count()
+    val chunks = build.packed.count()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/mixture_summary.json"),
+      s"""{"n_sources":$sources,"n_admitted":$admitted,"n_chunks":$chunks}""")
+  }
+}

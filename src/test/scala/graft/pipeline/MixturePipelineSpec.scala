@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The mixture pipeline's contracts: its allocator IS t19, its admission
+  * IS st9's streaming rule (batch ≡ stream on the same quota), and the
+  * policy file round-trips. */
+class MixturePipelineSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("batch admission reproduces the streaming st9 quota admission") {
+    val docs = graft.core.Tables.documents(spark, d)
+      .select(col("source"), col("doc_id"))
+    import spark.implicits._
+    val fixed = docs.select(col("source")).distinct()
+      .withColumn("quota", lit(10L))
+    val batch = MixturePipeline.admit(docs, fixed)
+      .select(col("source"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.Streaming
+      .streamQuotaAdmit(spark, d, "t_mixture_admit", quota = 10)
+      .select(col("source"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(batch === streamed)
+    assert(batch.nonEmpty)
+  }
+
+  test("quotas at the default budget equal the t19 gate") {
+    val q = MixturePipeline.quotas(
+      graft.core.Tables.documents(spark, d), budget = 100000L)
+      .orderBy(col("source")).collect().map(_.toSeq).toSeq
+    val t19 = graft.operators.TextAnalysis.mixtureWeights(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(q === t19)
+  }
+
+  test("policy file round-trips; absent keys default; quotas bind end-to-end") {
+    val f = java.nio.file.Files.createTempFile("mixture", ".json")
+    java.nio.file.Files.writeString(f, """{"name":"tiny","budget":300}""")
+    val cfg = MixtureConfigLoader.load(f.toString)
+    assert(cfg === MixtureConfig(name = "tiny", budget = 300, seqBudget = 512))
+    val build = MixturePipeline.run(spark, d, cfg)
+    val admitted = build.admitted.count()
+    val total = graft.core.Tables.documents(spark, d).count()
+    assert(admitted < total, "a 300-doc budget must actually reject documents")
+    assert(admitted > 0)
+    // every source respects its quota
+    val over = build.admitted.groupBy("source").count()
+      .join(build.quotas, "source")
+      .where(col("count") > col("quota")).count()
+    assert(over === 0L)
+  }
+}

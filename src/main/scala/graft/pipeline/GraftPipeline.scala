@@ -174,25 +174,64 @@ object GraftPipeline {
       typeCounts, Index.entityPropCounts(merged), Index.names(merged), groups)
   }
 
-  /** summary.json analog (A2/A4/A5, `04_index/grebi_index/src/main.rs:
-    * 214-232` + the materialise edge cube): one JSON document of
-    * entity-prop counts, type counts, and the edge summary cube. */
+  /** summary.json analog: entity-prop counts and type counts
+    * (`04_index/grebi_index/src/main.rs:214-232`), plus the materialise
+    * extensions (`05_materialise/grebi_materialise/src/main.rs:227-258`)
+    * — prop/type DEFINITION blocks (the graph describes its own schema:
+    * a prop key or type that is itself a node contributes its metadata
+    * row as its definition) and the edge summary cube NESTED
+    * src-type-sig → edge type → dst-type-sig → datasource-sig → count,
+    * exactly the reference's EdgeSummaryTable shape. Everything
+    * collected here is a bounded summary (distinct props/types/type
+    * signatures), never corpus-sized. */
   def summaryJson(build: SubgraphBuild, subgraph: String): String = {
     def countsMap(df: DataFrame): String =
       df.collect().sortBy(_.getString(0))
         .map(r => Json.str(r.getString(0)) + ":" + r.getLong(1))
         .mkString("{", ",", "}")
+
+    val propKeys = build.entityPropCounts.collect().map(_.getString(0)).toSeq
+    val typeNames = build.typeCounts.collect().map(_.getString(0)).toSeq
+    val edgePropKeys = build.edges
+      .select(explode(json_object_keys(col("qualifiersJson"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val wanted = (propKeys ++ typeNames ++ edgePropKeys).distinct
+    val defByNode: Map[String, String] =
+      (if (wanted.isEmpty) Array.empty[org.apache.spark.sql.Row]
+       else build.metadata.where(col("nodeId").isin(wanted: _*)).collect())
+        .map { r =>
+          val name = Option(r.getAs[String]("name"))
+            .map(v => "," + Json.str("grebi:name") + ":" + Json.str(v)).getOrElse("")
+          r.getString(0) -> (s"""{"grebi:nodeId":${Json.str(r.getString(0))},""" +
+            s""""grebi:datasources":${r.getSeq[String](1).map(Json.str).mkString("[", ",", "]")},""" +
+            s""""grebi:type":${r.getSeq[String](2).map(Json.str).mkString("[", ",", "]")}""" +
+            name + "}")
+        }.toMap
+    def defsMap(keys: Seq[String]): String =
+      keys.distinct.sorted
+        .flatMap(k => defByNode.get(k).map(Json.str(k) + ":" + _))
+        .mkString("{", ",", "}")
+
     val cube = Materialise.edgeSummary(build.edges, build.metadata)
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-      .sortBy(t => (t._1, t._2, t._3, t._4))
-      .map { case (s, e, d, ds, n) =>
-        Json.str(s"$s|$e|$d|$ds") + ":" + n
-      }.mkString("{", ",", "}")
+    def nest[A](rows: Seq[A])(key: A => String)(body: Seq[A] => String): String =
+      rows.groupBy(key).toSeq.sortBy(_._1)
+        .map { case (k, rs) => Json.str(k) + ":" + body(rs) }
+        .mkString("{", ",", "}")
+    val edgesNested = nest(cube.toSeq)(_._1)(s1 =>
+      nest(s1)(_._2)(s2 =>
+        nest(s2)(_._3)(s3 =>
+          s3.sortBy(_._4).map { case (_, _, _, ds, n) => Json.str(ds) + ":" + n }
+            .mkString("{", ",", "}"))))
+
     s"""{"subgraph":${Json.str(subgraph)},""" +
       s""""entity_props":${countsMap(build.entityPropCounts)},""" +
       s""""types":${countsMap(build.typeCounts)},""" +
-      s""""edges":$cube}"""
+      s""""entity_prop_defs":${defsMap(propKeys)},""" +
+      s""""edge_prop_defs":${defsMap(edgePropKeys)},""" +
+      s""""type_defs":${defsMap(typeNames)},""" +
+      s""""edges":$edgesNested}"""
   }
 
   /** Persist all artifacts — parquet for the graph tables, the three

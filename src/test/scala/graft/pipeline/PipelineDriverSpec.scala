@@ -74,6 +74,20 @@ class PipelineDriverSpec extends SparkSpec {
     assert(json.contains("ols:directAncestor"))
   }
 
+  test("summary json carries defs and the nested per-datasource edge cube") {
+    val json = GraftPipeline.summaryJson(build, "fixture_sg")
+    // biolink:Disease is a TYPE that is itself a node → its metadata row
+    // becomes its definition (the reference's type_defs)
+    assert(json.contains(
+      "\"type_defs\":{\"biolink:Disease\":{\"grebi:nodeId\":\"biolink:Disease\""))
+    assert(json.contains("\"grebi:name\":\"disease\""))
+    // plain props are not nodes in this fixture → empty defs, present key
+    assert(json.contains("\"entity_prop_defs\":{}"))
+    // edges nest src sig → edge type → dst sig → datasource sig → count
+    assert(json.contains(
+      "\"ols:directAncestor\":{\"owl:Class\":{\"dsA\":1}}"))
+  }
+
   test("write: all artifacts land, kv point lookup works") {
     val out = java.nio.file.Files.createTempDirectory("graftout").toString
     GraftPipeline.write(build, out)

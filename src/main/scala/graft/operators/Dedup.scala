@@ -1086,6 +1086,116 @@ object Dedup extends QueryModule {
       |FROM spans JOIN dt USING (doc_id)
       |GROUP BY 1, 2 ORDER BY repeat_text""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** d17 — HIERARCHICAL CLUSTERING over d9's trained centroids: the
+    * single-linkage agglomerative dendrogram that closes the clustering
+    * family (flat k-means cells from d9, merge ORDER between them from
+    * here — the structure SemDeDup-style pipelines use to pick a
+    * granularity after the fact instead of re-running k-means per k).
+    * Each of the k−1 merge steps joins the surviving clusters through
+    * the ORIGINAL pairwise centroid distances (single linkage = min
+    * cross-cluster distance), picks the argmin pair under a total order
+    * (linkage, then smaller pair), and relabels the loser onto the
+    * winner. All distances are exact int64 (same quantization contract
+    * as d9), so the merge order is engine-exact; the oracle unrolls the
+    * identical seven rounds as chained CTEs, the d9/s7 Lloyd pattern.
+    *
+    * Scale shape: the model is k rows however big the corpus is — every
+    * per-round frame is O(k²) on k=8 — so this is driver-free model
+    * post-processing, not a data-scale operator. */
+  def centroidDendrogram(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val k = 8
+    val (_, centroids) = graft.ml.KMeans.fit(
+      Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv")),
+      k, rounds = 1)
+    val c = centroids.localCheckpoint()
+    val dist = c.as("a").join(c.as("b"), col("a.cell") < col("b.cell"))
+      .select(col("a.cell").as("i"), col("b.cell").as("j"),
+        (col("a.cc") + col("b.cc")
+          - lit(2L) * DotProductL(col("a.cv"), col("b.cv"))).as("d2"))
+      .localCheckpoint()
+    var assign = c.select(col("cell").as("cid"), col("cell").as("cluster"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (r <- 1 until k) {
+      val cd = dist
+        .join(assign.select(col("cid").as("i"), col("cluster").as("clx")), "i")
+        .join(assign.select(col("cid").as("j"), col("cluster").as("cly")), "j")
+        .where(col("clx") =!= col("cly"))
+        .groupBy(least(col("clx"), col("cly")).as("ca"),
+          greatest(col("clx"), col("cly")).as("cb"))
+        .agg(min(col("d2")).as("linkage"))
+      val pick = cd.orderBy(col("linkage"), col("ca"), col("cb")).limit(1)
+        .select(lit(r).as("step"), col("ca"), col("cb"), col("linkage"))
+        .localCheckpoint()
+      merges = if (merges == null) pick else merges.union(pick)
+      val relabel = pick.select(col("ca").as("_w"), col("cb").as("_l"))
+      assign = assign
+        .join(broadcast(relabel), assign("cluster") === relabel("_l"), "left")
+        .select(col("cid"), coalesce(col("_w"), col("cluster")).as("cluster"))
+        .localCheckpoint()
+    }
+    merges.select(col("step"), col("ca").as("cluster_a"),
+        col("cb").as("cluster_b"), col("linkage"))
+      .orderBy(col("step"))
+  }
+
+  val centroidDendrogramSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    // MATERIALIZED: each round references the previous one several times
+    // (twice in the cluster-pair join, twice as scalar subqueries) — left
+    // inlined, the chain re-expands exponentially across 7 rounds
+    val rounds = (1 to 7).map { r =>
+      s"""cd$r AS MATERIALIZED (
+        |  SELECT least(x.cluster, y.cluster) AS ca,
+        |    greatest(x.cluster, y.cluster) AS cb, min(d.d2) AS linkage
+        |  FROM dist d
+        |  JOIN g${r - 1} x ON x.cid = d.i JOIN g${r - 1} y ON y.cid = d.j
+        |  WHERE x.cluster <> y.cluster GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (SELECT $r AS step, ca, cb, linkage FROM cd$r
+        |        ORDER BY linkage, ca, cb LIMIT 1),
+        |g$r AS MATERIALIZED (
+        |  SELECT cid, CASE WHEN cluster = (SELECT cb FROM m$r)
+        |    THEN (SELECT ca FROM m$r) ELSE cluster END AS cluster
+        |  FROM g${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 7).map(r => s"SELECT * FROM m$r").mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |c0 AS (
+      |  SELECT vec_id AS cell, qv AS cv, qq AS cc FROM qn WHERE vec_id < 8),
+      |k1 AS (
+      |  SELECT vec_id, qv, qq, cell FROM (
+      |    SELECT e.vec_id, e.qv, e.qq, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.cell) AS rn
+      |    FROM qn e CROSS JOIN c0 c)
+      |  WHERE rn = 1),
+      |c1d AS (
+      |  SELECT cell, i, CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM (SELECT cell, unnest(qv) AS v,
+      |          unnest(generate_series(1, len(qv))) AS i FROM k1)
+      |  GROUP BY cell, i),
+      |c1 AS (
+      |  SELECT cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT cell, list(m ORDER BY i) AS cv FROM c1d GROUP BY cell)),
+      |dist AS MATERIALIZED (
+      |  SELECT a.cell AS i, b.cell AS j,
+      |    a.cc + b.cc - 2 * ${dot("a.cv", "b.cv")} AS d2
+      |  FROM c1 a JOIN c1 b ON a.cell < b.cell),
+      |g0 AS MATERIALIZED (SELECT cell AS cid, cell AS cluster FROM c1),
+      |$rounds
+      |SELECT step, ca AS cluster_a, cb AS cluster_b,
+      |  CAST(linkage AS BIGINT) AS linkage
+      |FROM ($union) ORDER BY step""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -1105,5 +1215,6 @@ object Dedup extends QueryModule {
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
     "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql)),
+    "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
   )
 }

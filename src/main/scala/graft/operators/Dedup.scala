@@ -1196,6 +1196,25 @@ object Dedup extends QueryModule {
       |FROM ($union) ORDER BY step""".stripMargin
   }
 
+  /** Flat clustering from a [[centroidDendrogram]] at linkage threshold
+    * `h`: apply exactly the merges with linkage ≤ h. Because single
+    * linkage relabels every merge onto the SMALLER label (which is the
+    * min member id), the cut equals connected components over the
+    * sub-threshold merge edges with min-label resolution — so this
+    * reuses the CC operator rather than replaying the merge fold.
+    * `leaves`: one `id` column with every leaf cluster id (singletons
+    * absent from `merges` keep themselves). */
+  def cutDendrogram(leaves: DataFrame, merges: DataFrame, h: Long): DataFrame = {
+    def pad(c: Column) = format_string("%020d", c)
+    val edges = merges.where(col("linkage") <= h)
+      .select(pad(col("cluster_a")).as("src"), pad(col("cluster_b")).as("dst"))
+    val cc = graft.identity.ConnectedComponents.run(edges)
+    leaves.select(col("id"))
+      .join(cc.withColumnRenamed("member", "m"), pad(col("id")) === col("m"), "left")
+      .select(col("id"),
+        coalesce(col("component").cast("long"), col("id")).as("cluster"))
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),

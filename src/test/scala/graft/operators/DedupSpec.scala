@@ -108,6 +108,27 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 1001L)
   }
 
+  test("dendrogram cut: +inf folds to one cluster, below-min keeps all, monotone between") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val merges = Dedup.centroidDendrogram(spark, d).localCheckpoint()
+    val rows = merges.collect()
+    assert(rows.length === 7)
+    val leaves = (rows.map(_.getLong(1)) ++ rows.map(_.getLong(2))).distinct
+      .toSeq.toDF("id")
+    val k = leaves.count()
+    def nClusters(h: Long): Long =
+      Dedup.cutDendrogram(leaves, merges, h).select("cluster").distinct().count()
+    val links = rows.map(_.getLong(3)).sorted
+    assert(nClusters(Long.MaxValue) === 1L)
+    assert(nClusters(links.head - 1) === k)
+    // each merge with a strictly-larger linkage reduces the count by one;
+    // cutting just above the i-th smallest linkage leaves ≤ k - i
+    val counts = links.map(h => nClusters(h)).toSeq
+    assert(counts === counts.sorted.reverse, s"cluster counts not monotone: $counts")
+    assert(counts.last === 1L)
+  }
+
   test("d15: suffix-automaton LCS matches the quadratic model on random strings") {
     val rng = new scala.util.Random(99)
     def brute(a: String, b: String): Int = {

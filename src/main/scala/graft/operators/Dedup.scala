@@ -1196,6 +1196,93 @@ object Dedup extends QueryModule {
       |FROM ($union) ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+
+  /** d18 — LSH PARAMETER SWEEP: candidate and verified-pair counts for
+    * (bands × rows) ∈ {2×8, 4×4, 8×2} over the SAME 16-slot minhash
+    * signature table, next to the exact inverted-index truth (d2's pair
+    * count). This is s9's measure-don't-guess pattern applied to the
+    * banding dial itself: more bands × fewer rows = higher recall, more
+    * candidates (cost); fewer bands × more rows = the opposite. A corpus
+    * operator reads these three rows and picks the operating point —
+    * n_verified/n_true is recall, n_verified/n_candidates is the verify
+    * hit rate — instead of trusting the 4×4 folklore. Signature stage is
+    * shared across settings; candidates come from [[bandCandidates]]
+    * (guarded) per setting; verification is the exact candidate-only
+    * intersect. */
+  def lshParamSweep(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sigExprs = (1 to 16).map(j =>
+      min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
+    val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+      .localCheckpoint()
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("s")).as("set"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val truth = ngramJaccard(s, d).agg(count(lit(1)).as("n_true"))
+    Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+      val bandExprs = (0 until b).map { i =>
+        val ms = (1 to r).map(x => col(s"m${i * r + x}"))
+        md5(concat_ws("|", lit(i.toString) +: ms: _*))
+      }
+      val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+      val cand = bandCandidates(bands, "doc_id").localCheckpoint()
+      val ver = cand
+        .join(sets.select(col("doc_id").as("da"), col("set").as("sa"), col("n").as("na")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("set").as("sb"), col("n").as("nb")), "db")
+        .where(lit(3) * size(array_intersect(col("sa"), col("sb"))).cast("long")
+          >= col("na") + col("nb"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+        .select(lit(b).as("lsh_bands"), lit(r).as("lsh_rows"),
+          col("n_candidates"), col("n_verified"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(truth))
+      .orderBy(col("lsh_bands"))
+  }
+
+  val lshParamSweepSql: String = {
+    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    val perConfig = configs.map { case (b, r) =>
+      val bandSelects = (0 until b).map { i =>
+        val ms = (1 to r).map(x => s"m${i * r + x}").mkString(" || '|' || ")
+        s"SELECT doc_id, md5('$i' || '|' || $ms) AS band FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""bands_${b}_$r AS (
+        |  $bandSelects),
+        |cand_${b}_$r AS MATERIALIZED (
+        |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        |  FROM bands_${b}_$r x JOIN bands_${b}_$r y
+        |    ON x.band = y.band AND x.doc_id < y.doc_id),
+        |ver_${b}_$r AS MATERIALIZED (
+        |  SELECT count(*) AS n FROM cand_${b}_$r c
+        |  JOIN inter i ON i.da = c.da AND i.db = c.db
+        |  JOIN sz x ON x.doc_id = c.da JOIN sz y ON y.doc_id = c.db
+        |  WHERE 3 * i.inter >= x.n + y.n)""".stripMargin
+    }.mkString(",\n")
+    val rows = configs.map { case (b, r) =>
+      s"""SELECT $b AS lsh_bands, $r AS lsh_rows,
+        |  (SELECT count(*) FROM cand_${b}_$r) AS n_candidates,
+        |  (SELECT n FROM ver_${b}_$r) AS n_verified,
+        |  (SELECT n FROM truth) AS n_true""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesSql,
+      |sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS MATERIALIZED (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS MATERIALIZED (
+      |  SELECT count(*) AS n FROM inter
+      |  JOIN sz x ON x.doc_id = inter.da JOIN sz y ON y.doc_id = inter.db
+      |  WHERE 3 * inter >= x.n + y.n),
+      |$perConfig
+      |$rows
+      |ORDER BY lsh_bands""".stripMargin
+  }
+
   /** Flat clustering from a [[centroidDendrogram]] at linkage threshold
     * `h`: apply exactly the merges with linkage ≤ h. Because single
     * linkage relabels every merge onto the SMALLER label (which is the
@@ -1235,5 +1322,6 @@ object Dedup extends QueryModule {
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
     "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql)),
     "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
+    "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
   )
 }

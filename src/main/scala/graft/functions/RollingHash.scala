@@ -54,6 +54,32 @@ object RollingHash {
     h
   }
 
+  /** All length-`w` codepoint-window hashes of `s` in O(n) — the slide
+    * recurrence of [[hash]]: h⁺ = (h − cp_out·31^(w−1))·31 + cp_in mod p.
+    * Element k is exactly `hash` of the window starting at codepoint k
+    * (RollingHashSpec pins the equivalence), which is what lets a
+    * corpus-scale window stage shuffle one 8-byte key per position
+    * instead of re-hashing (or carrying) w codepoints per window. */
+  def windowHashes(s: String, w: Int): Array[Long] = {
+    val cps = (if (s == null) "" else s).codePoints().toArray
+    val n = cps.length
+    if (n < w) return Array.emptyLongArray
+    var pw = 1L // 31^(w-1) mod p
+    var k = 1
+    while (k < w) { pw = (pw * 31) % Mod; k += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * 31 + cps(i)) % Mod; i += 1 }
+    out(0) = h
+    while (i < n) {
+      h = (((h - (cps(i - w) * pw) % Mod + Mod) % Mod) * 31 + cps(i)) % Mod
+      out(i - w + 1) = h
+      i += 1
+    }
+    out
+  }
+
   import org.apache.spark.sql.graftglue.Glue
   def apply(c: Column): Column = Glue.column(RollingHash(Glue.expression(c)))
 }

@@ -1053,6 +1053,14 @@ object Dedup extends QueryModule {
       .where(col("wdocs") >= 2)
       .select(col("w"))
     val occ = wins.join(shared, "w").select(col("doc_id"), col("i"))
+    repeatSpansFrom(occ, docs, L)
+  }
+
+  /** d16's tail — gaps-and-islands span merge + span-text grouping over
+    * shared-window occurrences (doc_id, i); factored so the raw-string
+    * and rolling-hash window stages share it verbatim. */
+  private def repeatSpansFrom(occ: DataFrame, docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wI = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val spans = occ
       .withColumn("g", col("i") - row_number().over(wI))
@@ -1065,6 +1073,44 @@ object Dedup extends QueryModule {
       .groupBy(col("repeat_text"), col("repeat_len"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_spans"))
       .orderBy(col("repeat_text"))
+  }
+
+  /** Scale variant of d16 — the scaladoc's 100 TB note made real: the
+    * window stage shuffles ONE 8-byte rolling hash per codepoint
+    * position (computed incrementally, O(1) per slide —
+    * [[graft.functions.RollingHash.windowHashes]]) instead of 40 raw
+    * codepoints, and persists the hash table to parquet between stages.
+    * Hash-bucket candidates are then verified on TRUE window text before
+    * the island merge — only positions whose hash is shared across docs
+    * ever re-extract their string, so collisions cost a vanishing extra
+    * verify, never a wrong span. Output is identical to [[maximalRepeats]]
+    * (DedupSpec pins it). */
+  def maximalRepeatsStaged(s: SparkSession, d: String, workDir: String): DataFrame = {
+    import s.implicits._
+    val L = 40
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    docs.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.RollingHash.windowHashes(t, L).iterator.zipWithIndex
+          .map { case (h, i) => (id, (i + 1).toLong, h) }
+      }
+      .toDF("doc_id", "i", "h")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$workDir/window_hashes.parquet")
+    val wins = s.read.parquet(s"$workDir/window_hashes.parquet")
+    val sharedH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("hd")).where(col("hd") >= 2)
+      .select(col("h"))
+    val cand = wins.join(sharedH, "h").select(col("doc_id"), col("i"))
+    val candText = cand.join(docs, "doc_id")
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, cast(i as int), $L)").as("w"))
+    val shared = candText.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("wd")).where(col("wd") >= 2)
+      .select(col("w"))
+    val occ = candText.join(shared, "w").select(col("doc_id"), col("i"))
+    repeatSpansFrom(occ, docs, L)
   }
 
   val maximalRepeatsSql: String =

@@ -108,6 +108,33 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 1001L)
   }
 
+  test("d16 staged (rolling-hash windows) equals the raw-window path") {
+    val d = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("mrep").toString
+    val direct = Dedup.maximalRepeats(spark, d).collect().map(_.toString).sorted.toSeq
+    val staged = Dedup.maximalRepeatsStaged(spark, d, work).collect().map(_.toString).sorted.toSeq
+    assert(staged === direct)
+    assert(direct.nonEmpty) // the fixture must actually exercise the path
+    assert(new java.io.File(s"$work/window_hashes.parquet").exists())
+  }
+
+  test("windowHashes slide equals rolling_hash of every window on random strings") {
+    import graft.functions.RollingHash
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 40) {
+      val n = 1 + rng.nextInt(120)
+      val s = Seq.fill(n)((0x20 + rng.nextInt(0x2500)).toChar).mkString
+      val w = 1 + rng.nextInt(12)
+      val cps = s.codePoints().toArray
+      val slid = RollingHash.windowHashes(s, w).toSeq
+      val direct = (0 to cps.length - w)
+        .map(i => RollingHash.hash(new String(cps, i, w)))
+      assert(slid === direct, s"w=$w on [${s.take(20)}...]")
+    }
+    assert(RollingHash.windowHashes("ab", 3).isEmpty)
+    assert(RollingHash.windowHashes(null, 2).isEmpty)
+  }
+
   test("dendrogram cut: +inf folds to one cluster, below-min keeps all, monotone between") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"

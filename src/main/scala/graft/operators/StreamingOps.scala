@@ -99,5 +99,8 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamCorpus(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_scorpus_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(TextAnalysis.corpusFilterSql)),
+    "st12_stream_mixture" -> QueryDef(
+      (s, d) => Streaming.streamMixtureAdmit(s, d, s"smix_${math.abs(d.hashCode)}"),
+      Some(Streaming.streamMixtureAdmitSql)),
   )
 }

@@ -244,6 +244,54 @@ object Streaming {
       |  FROM documents)
       |WHERE rank <= 10 ORDER BY source, rank""".stripMargin
 
+  /** Streaming MIXTURE admission (st12): st9's bounded-state admission
+    * driven by t19's PER-SOURCE quotas instead of one flat cap — the
+    * streaming twin of t23's admit stage. The quota table is a static
+    * dimension (the mixture policy applied to corpus stats, exactly
+    * [[graft.pipeline.MixturePipeline.quotas]]); the stream keeps at
+    * most max(quota) lowest ids per source in the TopKAgg buffer (the
+    * one driver-read here is that single bounded scalar), and the final
+    * rank ≤ quota filter joins the static dimension — so per-source
+    * admission differs while state stays O(sources · max quota). */
+  def streamMixtureAdmit(s: SparkSession, d: String, name: String,
+                         budget: Long = 300): DataFrame = {
+    import s.implicits._
+    val quotas = graft.pipeline.MixturePipeline
+      .quotas(graft.core.Tables.documents(s, d), budget)
+      .select(col("source"), col("quota"))
+      .localCheckpoint()
+    val maxQ = quotas.agg(max(col("quota"))).head().getLong(0).toInt.max(1)
+    val agg = new graft.functions.TopKAgg(maxQ)
+    val admitted = documentsStream(s, d)
+      .select(col("source"), col("doc_id")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id) => (-id.toDouble, id) }
+      .agg(agg.toColumn.name("top"))
+      .flatMap { case (src, top) =>
+        top.zipWithIndex.map { case ((_, id), i) => (src, i + 1, id) }
+      }
+      .toDF("source", "rank", "doc_id")
+    runToTable(admitted, OutputMode.Complete, name)
+      .join(broadcast(quotas), "source")
+      .where(col("rank") <= col("quota"))
+      .select(col("source"), col("rank"), col("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val streamMixtureAdmitSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM s),
+      |q AS (SELECT source, CAST((300 * weight) // t.wsum AS BIGINT) AS quota
+      |      FROM s CROSS JOIN t)
+      |SELECT source, rank, doc_id FROM (
+      |  SELECT d.source, d.doc_id, q.quota,
+      |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id ASC) AS rank
+      |  FROM documents d JOIN q USING (source))
+      |WHERE rank <= quota ORDER BY source, rank""".stripMargin
+
   /** Streaming CORPUS PIPELINE (st11): the document stream drives
     * [[graft.pipeline.IncrementalCorpus.update]] through `foreachBatch` —
     * each micro-batch's decisions land exactly-once (keyed by the Spark

@@ -27,6 +27,21 @@ class MixturePipelineSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming mixture admission equals the batch admit on the same policy") {
+    val docs = graft.core.Tables.documents(spark, d)
+    val batch = MixturePipeline
+      .admit(docs.select(col("source"), col("doc_id")),
+        MixturePipeline.quotas(docs, budget = 300))
+      .select(col("source"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.Streaming
+      .streamMixtureAdmit(spark, d, "t_mixture_stream", budget = 300)
+      .select(col("source"), col("rank").cast("long"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("quotas at the default budget equal the t19 gate") {
     val q = MixturePipeline.quotas(
       graft.core.Tables.documents(spark, d), budget = 100000L)

@@ -260,7 +260,8 @@ object Streaming {
       .quotas(graft.core.Tables.documents(s, d), budget)
       .select(col("source"), col("quota"))
       .localCheckpoint()
-    val maxQ = quotas.agg(max(col("quota"))).head().getLong(0).toInt.max(1)
+    val maxQ = quotas.agg(coalesce(max(col("quota")), lit(0L)))
+      .head().getLong(0).toInt.max(1)
     val agg = new graft.functions.TopKAgg(maxQ)
     val admitted = documentsStream(s, d)
       .select(col("source"), col("doc_id")).as[(String, Long)]

@@ -41,6 +41,27 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("d16_maximal_repeats", "d17_centroid_dendrogram",
+        "d18_lsh_param_sweep", "s10_ivf_pq_residual", "t23_mixture_pipeline",
+        "st12_stream_mixture")) {
+      // d18 emits its 3 parameter rows with zero counts; the rest are empty
+      val rows = defs(name).fn(spark, emptyDir).collect()
+      if (name == "d18_lsh_param_sweep")
+        assert(rows.length === 3 && rows.forall(_.getLong(2) === 0L),
+          s"$name should report zero candidates per setting")
+      else assert(rows.isEmpty, s"$name returned ${rows.length} rows on empty input")
+    }
+  }
+
+  test("the mixture pipeline builds empty artifacts from an empty corpus") {
+    val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
+    assert(b.quotas.count() === 0L)
+    assert(b.admitted.count() === 0L)
+    assert(b.packed.count() === 0L)
+  }
+
   test("g19 triangles reports explicit zeros on an empty graph") {
     val r = graft.SparkEntry.allDefs("g19_triangles").fn(spark, emptyDir).collect()
     assert(r.length === 1 && r.head.getLong(0) === 0L && r.head.getLong(1) === 0L)

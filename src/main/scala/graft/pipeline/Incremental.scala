@@ -295,6 +295,30 @@ object Incremental {
     current.drop("gen").as[MergedNode]
   }
 
+  /** Refresh the serving KV store ([[graft.sinks.KvGenStore]]) from the
+    * newest merged generation: re-rendered rows for every re-merged
+    * clique, plus NULL delete tombstones for canonicals that this
+    * generation retired (tombstoned but not re-written — a clique whose
+    * canonical id changed when it merged into another). Cost is
+    * O(changed cliques), never a full-store rewrite — the serving-side
+    * twin of the build-side generational state. Returns the KV
+    * generation written. */
+  def refreshKv(spark: SparkSession, dir: String, kvPath: String): Long = {
+    import spark.implicits._
+    val rows = spark.read.parquet(mergedRoot(dir))
+    val g = rows.agg(max(col("gen"))).head().getInt(0)
+    val fresh = rows.where(col("gen") === g).drop("gen").as[MergedNode]
+    val recs = graft.sinks.Sinks.kvRecords(fresh)
+    val dead =
+      if (exists(spark, tombPath(dir)))
+        spark.read.parquet(tombPath(dir)).where(col("gen") === g)
+          .select(col("nodeId").as("key"))
+          .join(recs.select(col("key")), Seq("key"), "left_anti")
+          .select(col("key"), lit(null).cast("string").as("value"))
+      else recs.limit(0)
+    graft.sinks.KvGenStore.append(recs.union(dead), kvPath)
+  }
+
   /** Compact the generational store into gen=1 (optional maintenance —
     * readers pay one dedup shuffle until compaction). Write-aside then
     * swap, like the groups update: the source generations are only

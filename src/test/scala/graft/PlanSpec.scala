@@ -103,6 +103,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("d16: corpus-wide repeats join on the window key only, never all-pairs") {
+    val p = plan("d16_maximal_repeats")
+    assert(!p.contains("CartesianProduct"), "window grouping degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "window grouping degenerated to NLJ")
+  }
+
+  test("t23: mixture pipeline broadcasts the quota dimension; no all-pairs") {
+    val p = plan("t23_mixture_pipeline")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the per-source quota dimension should broadcast")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -1366,7 +1366,7 @@ object Dedup extends QueryModule {
     "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
-    "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql)),
+    "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql), bench = true),
     "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
     "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
   )

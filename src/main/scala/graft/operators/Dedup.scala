@@ -1037,11 +1037,15 @@ object Dedup extends QueryModule {
     * hash of each window (graft_rolling_hash) instead of its 40 raw
     * codepoints, verifying span text only at emission. */
   def maximalRepeats(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val L = 40
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    repeatSpansFrom(sharedWindowOcc(s, docs, 40), docs, 40)
+  }
+
+  /** Positions (doc_id, i) whose L-codepoint window occurs in ≥ 2
+    * distinct documents — the shared head of d16 and d19. */
+  private def sharedWindowOcc(s: SparkSession, docs: DataFrame, L: Int): DataFrame = {
+    import s.implicits._
     val wins = docs.as[(Long, String)]
       .flatMap { case (id, t) =>
         val cps = t.codePoints().toArray
@@ -1052,21 +1056,24 @@ object Dedup extends QueryModule {
       .agg(countDistinct(col("doc_id")).as("wdocs"))
       .where(col("wdocs") >= 2)
       .select(col("w"))
-    val occ = wins.join(shared, "w").select(col("doc_id"), col("i"))
-    repeatSpansFrom(occ, docs, L)
+    wins.join(shared, "w").select(col("doc_id"), col("i"))
+  }
+
+  /** Maximal duplicated spans (doc_id, s, e) from shared-window
+    * occurrences — the gaps-and-islands merge both d16 and d19 build on. */
+  private def repeatIslands(occ: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wI = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    occ.withColumn("g", col("i") - row_number().over(wI))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(L - 1)).as("e"))
   }
 
   /** d16's tail — gaps-and-islands span merge + span-text grouping over
     * shared-window occurrences (doc_id, i); factored so the raw-string
     * and rolling-hash window stages share it verbatim. */
   private def repeatSpansFrom(occ: DataFrame, docs: DataFrame, L: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wI = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val spans = occ
-      .withColumn("g", col("i") - row_number().over(wI))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(min(col("i")).as("s"), (max(col("i")) + lit(L - 1)).as("e"))
-    spans.join(docs, "doc_id")
+    repeatIslands(occ, L).join(docs, "doc_id")
       .select(col("doc_id"),
         expr("substring(text, cast(s as int), cast(e - s + 1 as int))").as("repeat_text"),
         (col("e") - col("s") + 1).as("repeat_len"))
@@ -1131,6 +1138,114 @@ object Dedup extends QueryModule {
       |  CAST(count(*) AS BIGINT) AS n_spans
       |FROM spans JOIN dt USING (doc_id)
       |GROUP BY 1, 2 ORDER BY repeat_text""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  /** d19 — EXACT-SUBSTRING REPEAT REMOVAL, the cleaning ACTION on d16's
+    * spans (the Lee et al. ExactSubstr dedup step): every duplicated
+    * maximal span is excised from every document (the aggressive mode of
+    * the reference tooling — removing all occurrences rather than
+    * electing a canonical keeps the rule purely local and the rebuild
+    * embarrassingly parallel). Overlapping/adjacent spans first merge
+    * into disjoint removal intervals per doc (running-max interval
+    * islands), then each document is rebuilt RELATIONALLY: lag() gives
+    * the gap before each interval, the post-last-interval tail is one
+    * more segment, and an ordered array_join stitches the survivors.
+    * Emitted per doc: interval count, removed codepoints, cleaned
+    * length, and md5 of the cleaned text (the full text stays in the
+    * engine; the gate compares the hash). Everything is per-doc window
+    * work after the d16 head — no pairwise stage, linear end-to-end. */
+  def repeatRemoval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 40
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val sp = repeatIslands(sharedWindowOcc(s, docs, L), L)
+    // merge overlapping/adjacent spans into disjoint removal intervals
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val rem = sp.withColumn("mp", max(col("e")).over(wRun))
+      .withColumn("brk", (col("mp").isNull || col("s") > col("mp") + 1).cast("long"))
+      .withColumn("grp", sum(col("brk")).over(wCum))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val pieces = rem
+      .withColumn("prev_e", coalesce(lag(col("e"), 1).over(wDoc), lit(0L)))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), col("s").as("ord"),
+        expr("substring(text, cast(prev_e + 1 as int), cast(s - prev_e - 1 as int))").as("piece"))
+    val tl = rem.groupBy(col("doc_id"))
+      .agg(max(col("e")).as("laste"), count(lit(1)).as("n_removed"),
+        sum(col("e") - col("s") + 1).as("removed_chars"))
+    val tailPieces = tl.join(docs, "doc_id")
+      .select(col("doc_id"), lit(1000000000000L).as("ord"),
+        expr("substr(text, cast(laste + 1 as int))").as("piece"))
+    val cleaned = pieces.union(tailPieces)
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ord"), col("piece")))),
+        x => x.getField("piece")), "").as("cleaned"))
+    docs
+      .join(tl.select(col("doc_id"), col("n_removed"), col("removed_chars")),
+        Seq("doc_id"), "left")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(coalesce(col("cleaned"), col("text"))).cast("long").as("cleaned_len"),
+        md5(coalesce(col("cleaned"), col("text"))).as("cleaned_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repeatRemovalSql: String =
+    """WITH dt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |w AS (
+      |  SELECT doc_id, i, substr(text, i, 40) AS w
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 39)) AS i FROM dt)),
+      |shared AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+      |occ AS (SELECT doc_id, i FROM w JOIN shared USING (w)),
+      |grp AS (
+      |  SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |  FROM occ),
+      |spans AS (
+      |  SELECT doc_id, min(i) AS s, max(i) + 39 AS e FROM grp GROUP BY doc_id, g),
+      |rem AS (
+      |  SELECT doc_id, min(s) AS s, max(e) AS e FROM (
+      |    SELECT doc_id, s, e,
+      |      sum(CASE WHEN mp IS NULL OR s > mp + 1 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY doc_id ORDER BY s) AS g2
+      |    FROM (SELECT doc_id, s, e,
+      |            max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |          FROM spans))
+      |  GROUP BY doc_id, g2),
+      |seg AS (
+      |  SELECT x.doc_id, x.s AS ord,
+      |    substr(dt.text, CAST(x.prev_e + 1 AS INT), CAST(x.s - x.prev_e - 1 AS INT)) AS piece
+      |  FROM (SELECT doc_id, s,
+      |          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS prev_e
+      |        FROM rem) x JOIN dt USING (doc_id)),
+      |tl AS (
+      |  SELECT doc_id, max(e) AS laste, count(*) AS n_removed,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS removed_chars
+      |  FROM rem GROUP BY doc_id),
+      |tailseg AS (
+      |  SELECT tl.doc_id, CAST(1000000000000 AS BIGINT) AS ord,
+      |    substr(dt.text, CAST(laste + 1 AS INT)) AS piece
+      |  FROM tl JOIN dt USING (doc_id)),
+      |cl AS (
+      |  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS cleaned
+      |  FROM (SELECT * FROM seg UNION ALL SELECT * FROM tailseg)
+      |  GROUP BY doc_id)
+      |SELECT dt.doc_id,
+      |  CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed,
+      |  CAST(coalesce(removed_chars, 0) AS BIGINT) AS removed_chars,
+      |  CAST(len(coalesce(cleaned, dt.text)) AS BIGINT) AS cleaned_len,
+      |  md5(coalesce(cleaned, dt.text)) AS cleaned_hash
+      |FROM dt LEFT JOIN tl USING (doc_id) LEFT JOIN cl USING (doc_id)
+      |ORDER BY dt.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
 
@@ -1369,5 +1484,6 @@ object Dedup extends QueryModule {
     "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql), bench = true),
     "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
     "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
+    "d19_repeat_removal" -> QueryDef(repeatRemoval, Some(repeatRemovalSql)),
   )
 }

@@ -135,6 +135,20 @@ class DedupSpec extends SparkSpec {
     assert(RollingHash.windowHashes(null, 2).isEmpty)
   }
 
+  test("d19: removed intervals + surviving text partition every document exactly") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val out = Dedup.repeatRemoval(spark, d)
+    val lens = graft.core.Tables.documents(spark, d)
+      .select(col("doc_id"), length(coalesce(col("text"), lit(""))).cast("long").as("orig_len"))
+    val bad = out.join(lens, "doc_id")
+      .where(col("cleaned_len") + col("removed_chars") =!= col("orig_len"))
+      .count()
+    assert(bad === 0L, "every doc must split exactly into kept + removed codepoints")
+    assert(out.where(col("n_removed") > 0).count() > 0L,
+      "the fixture must actually exercise removal")
+  }
+
   test("dendrogram cut: +inf folds to one cluster, below-min keeps all, monotone between") {
     import spark.implicits._
     val d = "/root/testdata/sf0.001"

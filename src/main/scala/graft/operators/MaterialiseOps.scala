@@ -287,7 +287,7 @@ object MaterialiseOps extends QueryModule {
     * shortcut edge, so the minimum genuinely competes between two routes
     * (shortcut weight 5 vs the 3–7 two-hop sum). Integer weights derived
     * from the keys keep the oracle exact. */
-  def weightedPaths(s: SparkSession, d: String): DataFrame = {
+  private def weightedEdgeSet(s: SparkSession, d: String): DataFrame = {
     val w = (c: Column, m: Int, base: Int) => (c % m + base).cast("long")
     val e1 = Tables.orders(s, d).select(
       node("o:", col("o_orderkey")).as("fromNodeId"),
@@ -306,8 +306,12 @@ object MaterialiseOps extends QueryModule {
       .select(node("o:", col("o_orderkey")).as("fromNodeId"),
         node("n:", col("c_nationkey")).as("toNodeId"),
         lit(5L).as("weight"))
+    e1.union(e2).union(e3).union(e4)
+  }
+
+  def weightedPaths(s: SparkSession, d: String): DataFrame = {
     val seeds = Tables.orders(s, d).select(node("o:", col("o_orderkey")).as("nodeId"))
-    Query.weightedShortestPaths(e1.union(e2).union(e3).union(e4), seeds)
+    Query.weightedShortestPaths(weightedEdgeSet(s, d), seeds)
       .orderBy(col("nodeId"))
   }
 
@@ -327,6 +331,47 @@ object MaterialiseOps extends QueryModule {
       |  SELECT e.t, p.d + e.w FROM paths p JOIN e ON p.node = e.f)
       |SELECT node AS nodeId, CAST(min(d) AS BIGINT) AS dist
       |FROM paths GROUP BY node ORDER BY nodeId""".stripMargin
+
+  /** g21 — CLOSENESS CENTRALITY over g17's weighted graph for the ten
+    * lowest order nodes: per source, the reached-node count, total and
+    * maximum shortest-path distance — the per-source sufficient
+    * statistics any closeness definition derives from (kept integer so
+    * the gate is engine-exact; the float normalisations divide these).
+    * Runs on [[graft.query.Query.perSourceShortestPaths]]: semi-naive
+    * improved-only relaxation with (src, node) state — at 100 TB the
+    * dial is the source-set size, which is exactly how production
+    * centrality jobs are run (sampled sources), never all-pairs. */
+  def closeness(s: SparkSession, d: String): DataFrame = {
+    val sources = Tables.orders(s, d)
+      .select(node("o:", col("o_orderkey")).as("src"))
+      .orderBy(col("src")).limit(10)
+    Query.perSourceShortestPaths(weightedEdgeSet(s, d), sources)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy(col("src"))
+  }
+
+  val closenessSql: String =
+    s"""WITH RECURSIVE e(f, t, w) AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")}, 'c:' || ${sqlPad("o_custkey")},
+      |         CAST(o_orderkey % 3 + 2 AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(c_custkey % 3 + 1 AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")},
+      |         CAST(1 AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'o:' || ${sqlPad("o_orderkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(5 AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey),
+      |src AS (SELECT 'o:' || ${sqlPad("o_orderkey")} AS s FROM orders
+      |        ORDER BY 1 LIMIT 10),
+      |paths(src, node, d) AS (
+      |  SELECT s, s, CAST(0 AS BIGINT) FROM src
+      |  UNION
+      |  SELECT p.src, e.t, p.d + e.w FROM paths p JOIN e ON p.node = e.f),
+      |best AS (SELECT src, node, min(d) AS d FROM paths GROUP BY src, node)
+      |SELECT src, count(*) AS n_reached, CAST(sum(d) AS BIGINT) AS sum_dist,
+      |  CAST(max(d) AS BIGINT) AS max_dist
+      |FROM best GROUP BY src ORDER BY src""".stripMargin
 
   /** k3 — the id-nodes + id-edges CSV frames (K3 sink,
     * `grebi_make_neo_ids_csv/src/main.rs:5-31` +
@@ -487,6 +532,7 @@ object MaterialiseOps extends QueryModule {
     "g13_edge_listing"    -> QueryDef(edgeListing, Some(edgeListingSql)),
     "g15_ic_scores"       -> QueryDef(icScores, Some(icScoresSql)),
     "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
+    "g21_closeness" -> QueryDef(closeness, Some(closenessSql)),
     "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), bench = true),
     "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),

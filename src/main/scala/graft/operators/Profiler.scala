@@ -182,10 +182,58 @@ object ProfilerOps extends QueryModule {
       .map(one).mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
   }
 
+  /** p5 — FIXED-BIN HISTOGRAM SKETCH of a money column (prices in exact
+    * cents): 20 equi-width integer bins over the observed [min, max],
+    * with per-bin and cumulative counts. This is the profile you
+    * actually compute at 100 TB — bounded mergeable state (20 counters
+    * per partition, one map-side combine) where q22's exact percentiles
+    * need a full sort — and the cumulative column brackets any quantile
+    * to a bin without touching the data again. Bin width is
+    * ((max−min) div 20) + 1, which provably lands max in bin 19;
+    * empty bins are emitted explicitly (a silent gap reads as "no data
+    * between these prices" either way, so say so with a zero). */
+  def priceHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.lineitem(s, d)
+      .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+    val st = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+      .withColumn("w", expr("((mx - mn) div 20) + 1"))
+    val counts = cents.crossJoin(broadcast(st))
+      .select(expr("(c - mn) div w").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val bins = s.range(0, 20).toDF("bin").crossJoin(broadcast(st))
+      .select(col("bin"), (col("mn") + col("bin") * col("w")).as("lo_cents"),
+        (col("mn") + (col("bin") + 1) * col("w") - 1).as("hi_cents"))
+    val wCum = Window.orderBy(col("bin"))
+    bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo_cents"), col("hi_cents"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .orderBy(col("bin"))
+  }
+
+  val priceHistogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |st AS (
+      |  SELECT min(c) AS mn, max(c) AS mx,
+      |    ((max(c) - min(c)) // 20) + 1 AS w FROM c),
+      |counts AS (
+      |  SELECT (c - mn) // w AS bin, count(*) AS n
+      |  FROM c CROSS JOIN st GROUP BY 1),
+      |bins AS (
+      |  SELECT g.b AS bin, mn + g.b * w AS lo_cents,
+      |    mn + (g.b + 1) * w - 1 AS hi_cents
+      |  FROM st CROSS JOIN generate_series(0, 19) g(b))
+      |SELECT bin, lo_cents, hi_cents, CAST(coalesce(n, 0) AS BIGINT) AS n,
+      |  CAST(sum(coalesce(n, 0)) OVER (ORDER BY bin) AS BIGINT) AS cum
+      |FROM bins LEFT JOIN counts USING (bin) ORDER BY bin""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
     "p3_correlation_stats" -> QueryDef(correlationStats, Some(correlationStatsSql)),
     "p4_kmeans_inertia" -> QueryDef(kmeansInertia, Some(kmeansInertiaSql)),
+    "p5_price_histogram" -> QueryDef(priceHistogram, Some(priceHistogramSql)),
   )
 }

@@ -212,6 +212,39 @@ object Query {
     dist
   }
 
+  /** PER-SOURCE weighted shortest paths — closeness centrality's core:
+    * state is (src, node, dist) for a BOUNDED source set (`sources`:
+    * one `src` column), relaxed by the same semi-naive improved-only
+    * frontier as [[weightedShortestPaths]]. At 100 TB the dial is the
+    * source set, not the graph: state is |sources|·|reached| rows and
+    * every round is one equi-join + one min-groupBy on (src, node). */
+  def perSourceShortestPaths(edges: DataFrame, sources: DataFrame,
+                             maxIter: Int = 30,
+                             reliableEvery: Int = 0): DataFrame = {
+    val step = edges.select(col("fromNodeId").as("from"), col("toNodeId").as("to"),
+        col("weight").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = sources.select(col("src"), col("src").as("nodeId"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    while (iter < maxIter && !frontier.isEmpty) {
+      iter += 1
+      val cand = frontier.join(step, frontier("nodeId") === step("from"))
+        .select(col("src"), col("to").as("nodeId"), (col("dist") + col("w")).as("d2"))
+        .groupBy("src", "nodeId").agg(min(col("d2")).as("d2"))
+      val improved = cand.join(dist, Seq("src", "nodeId"), "left")
+        .where(col("dist").isNull || col("d2") < col("dist"))
+        .select(col("src"), col("nodeId"), col("d2").as("dist"))
+        .localCheckpoint()
+      dist = saveRound(dist.join(improved, Seq("src", "nodeId"), "left_anti")
+        .union(improved), iter, reliableEvery)
+      frontier = improved
+    }
+    step.unpersist()
+    dist
+  }
+
   /** Transitive closure of an edge set (bounded depth): all (ancestor,
     * descendant) pairs, by iterative path extension with distinct-dedup —
     * the engine-side form of Cypher `(a)<-[*1..]-(d)` used by the

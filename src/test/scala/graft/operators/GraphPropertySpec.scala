@@ -37,6 +37,41 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("perSourceShortestPaths matches driver-side Dijkstra on random weighted digraphs") {
+    import org.apache.spark.sql.functions._
+    for (trial <- 1 to 5) {
+      val n = 10 + trial
+      val edges = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rng.nextDouble() < 0.25
+      } yield (f"$u%03d", f"$v%03d", 1L + rng.nextInt(9))).toSeq
+      if (edges.nonEmpty) {
+        val srcs = Seq(f"${0}%03d", f"${1}%03d")
+        // driver-side Bellman-Ford model
+        def model(s0: String): Map[String, Long] = {
+          var d = Map(s0 -> 0L)
+          var changed = true
+          while (changed) {
+            changed = false
+            edges.foreach { case (u, v, w) =>
+              d.get(u).foreach { du =>
+                if (d.get(v).forall(_ > du + w)) { d += v -> (du + w); changed = true }
+              }
+            }
+          }
+          d
+        }
+        val expected = srcs.flatMap(s0 => model(s0).map { case (nd, dd) => (s0, nd, dd) }).toSet
+        val got = Query.perSourceShortestPaths(
+            edges.toDF("fromNodeId", "toNodeId", "weight"),
+            srcs.toDF("src"))
+          .select(col("src"), col("nodeId"), col("dist"))
+          .as[(String, String, Long)].collect().toSet
+        assert(got === expected, s"trial $trial")
+      }
+    }
+  }
+
   test("pageRank matches the driver-side fixed-point model") {
     for (trial <- 1 to 3) {
       val n = 8 + trial

@@ -102,5 +102,8 @@ object StreamingOps extends QueryModule {
     "st12_stream_mixture" -> QueryDef(
       (s, d) => Streaming.streamMixtureAdmit(s, d, s"smix_${math.abs(d.hashCode)}"),
       Some(Streaming.streamMixtureAdmitSql)),
+    "st13_stream_repeats" -> QueryDef(
+      (s, d) => Streaming.streamRepeatProbe(s, d, s"srep_${math.abs(d.hashCode)}"),
+      Some(Streaming.streamRepeatProbeSql)),
   )
 }

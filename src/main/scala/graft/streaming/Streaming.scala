@@ -209,6 +209,60 @@ object Streaming {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Streaming REPEAT PROBE (st13): each arriving document's
+    * 40-codepoint windows — hashed ROW-LOCALLY with the O(1)-per-slide
+    * rolling recurrence ([[graft.functions.RollingHash.windowHashes]]) —
+    * probe a static corpus window index carrying per-window distinct-doc
+    * counts, yielding the d16-granularity repeat signal (how many of
+    * this doc's windows are boilerplate shared with ≥ 2 docs) the moment
+    * a document lands. The stream side never re-reads the corpus: one
+    * flatMap + one equi-join per batch against the static index (st8's
+    * stream-static design, with an 8-byte probe key). Hash collisions
+    * could only OVERCOUNT ndocs on a shared bucket; the index keeps
+    * distinct-doc counts per (hash, window) so the count is exact. */
+  def streamRepeatProbe(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    val L = 40
+    val corpus = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+    val index = corpus
+      .flatMap { case (id, t) =>
+        val cps = t.codePoints().toArray
+        graft.functions.RollingHash.windowHashes(t, L).iterator.zipWithIndex
+          .map { case (h, i) => (id, h, new String(cps, i, L)) }
+      }
+      .toDF("doc_id", "h", "w")
+      .groupBy(col("h"), col("w"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val stream = documentsStream(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val cps = t.codePoints().toArray
+        graft.functions.RollingHash.windowHashes(t, L).iterator.zipWithIndex
+          .map { case (h, i) => (id, h, new String(cps, i, L)) }
+      }
+      .toDF("doc_id", "h", "w")
+    val probed = stream.join(index, Seq("h", "w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((coalesce(col("ndocs"), lit(1L)) >= 2).cast("long")).as("n_shared"))
+    runToTable(probed, OutputMode.Complete, name)
+      .orderBy(col("doc_id"))
+  }
+
+  val streamRepeatProbeSql: String =
+    """WITH dt AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+      |w AS (
+      |  SELECT doc_id, i, substr(text, i, 40) AS w
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text) - 39)) AS i FROM dt)),
+      |nd AS (SELECT w, count(DISTINCT doc_id) AS ndocs FROM w GROUP BY w)
+      |SELECT doc_id, count(*) AS n_windows,
+      |  CAST(sum(CAST(ndocs >= 2 AS BIGINT)) AS BIGINT) AS n_shared
+      |FROM w JOIN nd USING (w)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Streaming QUOTA ADMISSION: keep the first `quota` documents (by
     * doc_id) per source from a continuously-arriving corpus — the
     * admission-control half of a mixture policy (t19 sets the quota; this

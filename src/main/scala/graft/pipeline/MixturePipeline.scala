@@ -14,10 +14,16 @@ final case class MixtureConfig(
       * temperature-weighted allocator (weight = ⌊√n⌋, α = 0.5) */
     budget: Long = 100000,
     /** training-sequence token budget for the packing stage (t17) */
-    seqBudget: Long = 512)
+    seqBudget: Long = 512,
+    /** explicit per-source quota overrides — a curator's pin ("never
+      * more than N docs of source X, whatever the allocator says", or a
+      * manual up-weight) that replaces the computed quota for the named
+      * sources only */
+    perSourceQuota: Map[String, Long] = Map.empty)
 
 /** File-driven [[MixtureConfig]] — same JSON-of-integer-thresholds shape
-  * as [[CorpusConfigLoader]]: keys `name`, `budget`, `seq_budget`, absent
+  * as [[CorpusConfigLoader]]: keys `name`, `budget`, `seq_budget`, plus
+  * an optional `per_source_quota` object of source → quota pins; absent
   * keys defaulting, so a sampling policy ships as reviewable config. */
 object MixtureConfigLoader {
   def load(path: String): MixtureConfig = {
@@ -26,10 +32,15 @@ object MixtureConfigLoader {
     val d = MixtureConfig()
     def long(k: String, default: Long): Long =
       Option(j.get(k)).map(_.asLong).getOrElse(default)
+    val overrides = Option(j.get("per_source_quota")).map { o =>
+      import scala.jdk.CollectionConverters._
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asLong).toMap
+    }.getOrElse(Map.empty[String, Long])
     MixtureConfig(
       name = Option(j.get("name")).map(_.asText).getOrElse(d.name),
       budget = long("budget", d.budget),
-      seqBudget = long("seq_budget", d.seqBudget))
+      seqBudget = long("seq_budget", d.seqBudget),
+      perSourceQuota = overrides)
   }
 }
 
@@ -82,12 +93,27 @@ object MixturePipeline {
       .drop("quota")
   }
 
+  /** Apply a policy's explicit per-source pins over the computed quotas
+    * (the pin wins for its source; everyone else keeps the allocator's
+    * number). The override map is config-sized — a broadcast dim. */
+  def applyOverrides(quotasDf: DataFrame,
+                     overrides: Map[String, Long]): DataFrame =
+    if (overrides.isEmpty) quotasDf
+    else {
+      val s = quotasDf.sparkSession
+      import s.implicits._
+      val o = overrides.toSeq.toDF("source", "pin")
+      quotasDf.join(broadcast(o), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("weight"),
+          coalesce(col("pin"), col("quota")).as("quota"))
+    }
+
   def run(s: SparkSession, dir: String,
           config: MixtureConfig = MixtureConfig()): MixtureBuild = {
     val docs = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
-    val q = quotas(docs, config.budget)
+    val q = applyOverrides(quotas(docs, config.budget), config.perSourceQuota)
     val admitted = admit(docs, q)
     val packed = CorpusPipeline.packSequences(
       admitted.select(col("source"), col("doc_id"), col("tokens")),

@@ -51,6 +51,25 @@ class MixturePipelineSpec extends SparkSpec {
     assert(q === t19)
   }
 
+  test("per-source quota pins override the allocator for the named sources only") {
+    val docs = graft.core.Tables.documents(spark, d)
+    val firstSource = docs.select("source").orderBy("source").head().getString(0)
+    val f = java.nio.file.Files.createTempFile("mixture_pin", ".json")
+    java.nio.file.Files.writeString(f,
+      s"""{"budget":300,"per_source_quota":{"$firstSource":2}}""")
+    val cfg = MixtureConfigLoader.load(f.toString)
+    assert(cfg.perSourceQuota === Map(firstSource -> 2L))
+    val build = MixturePipeline.run(spark, d, cfg)
+    val byabc = build.admitted.groupBy("source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byabc(firstSource) === 2L, "the pinned source admits exactly its pin")
+    // an unpinned source keeps the allocator's quota
+    val unpinned = build.quotas.where(col("source") =!= firstSource)
+      .orderBy("source").head()
+    assert(byabc(unpinned.getString(0)) <= unpinned.getAs[Long]("quota"))
+    assert(byabc(unpinned.getString(0)) > 2L, "unpinned sources follow sqrt allocation")
+  }
+
   test("policy file round-trips; absent keys default; quotas bind end-to-end") {
     val f = java.nio.file.Files.createTempFile("mixture", ".json")
     java.nio.file.Files.writeString(f, """{"name":"tiny","budget":300}""")

@@ -123,8 +123,44 @@ object XmlOps extends QueryModule {
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** x5 — CSV source/sink round-trip (x4's pattern for the text-format
+    * side the reference's TSV pipelines live on): a typed lineitem
+    * projection writes through Spark's CSV sink (header, quoted strings,
+    * ISO dates, shortest-repr doubles) and reads back under an EXPLICIT
+    * DDL schema (never inference — inference is corpus-dependent), then
+    * aggregates integer-exactly (cents quantization) so the gate proves
+    * the round-trip lossless for ints, doubles, dates and strings. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}"
+    graft.core.Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_shipdate"), col("l_returnflag"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", "true").csv(dir)
+    s.read.option("header", "true")
+      .schema("l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+        "l_shipdate TIMESTAMP_NTZ, l_returnflag STRING")
+      .csv(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("sum_price_cents"),
+        sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"),
+        min(col("l_shipdate")).cast("string").as("min_ship"),
+        max(col("l_shipdate")).cast("string").as("max_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(min(l_shipdate) AS VARCHAR) AS min_ship,
+      |  CAST(max(l_shipdate) AS VARCHAR) AS max_ship
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
+    "x5_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(csvRoundtripSql)),
   )
 }

@@ -402,6 +402,55 @@ object Multimodal extends QueryModule {
       |  CAST(48 * ((doc_id + 120) % 200) AS BIGINT) AS sv
       |FROM documents ORDER BY doc_id, frame""".stripMargin
 
+  final case class Loudness(doc_id: Long, n_windows: Long, loud_idx: Long,
+                            loud_energy: Long)
+
+  /** m7 — LOUDNESS WINDOWS over the real WAV decode: every odd doc's
+    * synthesized PCM file is parsed back through the codec, split into
+    * 16-sample windows, and the loudest window (Σ sample², exact int64;
+    * ties → lowest index) is reported with the window count — the
+    * audio-segmentation primitive (VAD thresholding, clip selection) a
+    * multimodal pipeline runs right after decode. Like m3, the features
+    * are order-sensitive through the decoded bytes, so any codec slip
+    * breaks the hash; the oracle replays the closed-form samples. */
+  def loudnessWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    synthMedia(s, d)
+      .filter(_.media_type == "audio/wav")
+      .mapPartitions(_.map { m =>
+        val wav = graft.media.Codecs.decodeWavPcm16(m.payload)
+        val energies = wav.samples.grouped(16)
+          .map(_.foldLeft(0L)((a, v) => a + v.toLong * v)).toArray
+        var best = 0
+        var i = 1
+        while (i < energies.length) {
+          if (energies(i) > energies(best)) best = i
+          i += 1
+        }
+        Loudness(m.doc_id, energies.length.toLong, best.toLong, energies(best))
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val loudnessWindowsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, g.i, (((doc_id*7 + g.i*13) % 2003) - 1001) AS v,
+      |    CAST(g.i // 16 AS BIGINT) AS wdw
+      |  FROM documents CROSS JOIN generate_series(0, 95) g(i)
+      |  WHERE doc_id % 2 = 1 AND g.i < 64 + doc_id % 32),
+      |e AS (
+      |  SELECT doc_id, wdw, CAST(sum(v * v) AS BIGINT) AS energy
+      |  FROM s GROUP BY doc_id, wdw),
+      |pick AS (
+      |  SELECT doc_id, wdw, energy,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY energy DESC, wdw ASC) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS nw
+      |  FROM e)
+      |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows, wdw AS loud_idx,
+      |  energy AS loud_energy
+      |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
@@ -409,5 +458,6 @@ object Multimodal extends QueryModule {
     "m4_resize_decode"  -> QueryDef(resizeDecode, Some(resizeDecodeSql)),
     "m5_media_dedup"    -> QueryDef(mediaDedup, Some(mediaDedupSql)),
     "m6_scene_detect"   -> QueryDef(sceneDetect, Some(sceneDetectSql)),
+    "m7_loudness"       -> QueryDef(loudnessWindows, Some(loudnessWindowsSql)),
   )
 }

@@ -198,6 +198,7 @@ object ProfilerOps extends QueryModule {
       .select(expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
     val st = cents.agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
       .withColumn("w", expr("((mx - mn) div 20) + 1"))
+      .where(col("mn").isNotNull) // empty input → zero bins, not 20 null rows
     val counts = cents.crossJoin(broadcast(st))
       .select(expr("(c - mn) div w").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))

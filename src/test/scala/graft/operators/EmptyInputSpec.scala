@@ -55,6 +55,16 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("late round-6 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("d19_repeat_removal", "p5_price_histogram", "g21_closeness",
+        "st13_stream_repeats", "x5_csv_roundtrip", "m7_loudness",
+        "s11_codebook_sweep", "s12_ivf_pq_percell")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

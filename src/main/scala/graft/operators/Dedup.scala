@@ -1266,9 +1266,24 @@ object Dedup extends QueryModule {
     * per-round frame is O(k²) on k=8 — so this is driver-free model
     * post-processing, not a data-scale operator. */
   def centroidDendrogram(s: SparkSession, d: String): DataFrame = {
+    val (_, merges, _) = dendrogramParts(s, d)
+    merges.select(col("step"), col("ca").as("cluster_a"),
+        col("cb").as("cluster_b"), col("linkage"))
+      .orderBy(col("step"))
+  }
+
+  /** The d17 training + merge loop, factored so d20 can read the SAME
+    * run's intermediate state: returns (vector assignments from the
+    * trained model — (vec_id, qv, qq, cell) — the merge list, and the
+    * cell→cluster map AFTER each number of merges, snapshots(r) = the map
+    * once merges 1..r have been applied; snapshots(0) = identity). Every
+    * snapshot is a localCheckpointed k-row frame, so keeping all k of
+    * them costs k² rows total. */
+  private def dendrogramParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Vector[DataFrame]) = {
     import graft.functions.DotProductL
     val k = 8
-    val (_, centroids) = graft.ml.KMeans.fit(
+    val (a2raw, centroids) = graft.ml.KMeans.fit(
       Tables.embeddings(s, d).select(col("vec_id").as("id"),
         graft.core.Exact.quantize(col("embedding"), 1000).as("qv")),
       k, rounds = 1)
@@ -1280,6 +1295,7 @@ object Dedup extends QueryModule {
       .localCheckpoint()
     var assign = c.select(col("cell").as("cid"), col("cell").as("cluster"))
       .localCheckpoint()
+    var snapshots = Vector(assign)
     var merges: DataFrame = null
     for (r <- 1 until k) {
       val cd = dist
@@ -1298,10 +1314,9 @@ object Dedup extends QueryModule {
         .join(broadcast(relabel), assign("cluster") === relabel("_l"), "left")
         .select(col("cid"), coalesce(col("_w"), col("cluster")).as("cluster"))
         .localCheckpoint()
+      snapshots :+= assign
     }
-    merges.select(col("step"), col("ca").as("cluster_a"),
-        col("cb").as("cluster_b"), col("linkage"))
-      .orderBy(col("step"))
+    (a2raw.withColumnRenamed("id", "vec_id"), merges, snapshots)
   }
 
   val centroidDendrogramSql: String = {
@@ -1463,6 +1478,124 @@ object Dedup extends QueryModule {
         coalesce(col("component").cast("long"), col("id")).as("cluster"))
   }
 
+  /** d20 — DENDROGRAM-GUIDED SemDeDup SWEEP: the granularity-selection
+    * table that joins d17 to d9. A curator choosing how aggressively to
+    * SemDeDup doesn't want one clustering — they want to see, per cut of
+    * the dendrogram, what the choice BUYS (near-dup pairs found, docs
+    * that would drop under keep-lowest-id) and what it COSTS (candidate
+    * pairs to verify). This runs ONE k-means training + ONE merge loop
+    * (dendrogramParts — the same run d17 reports), then for each cut
+    * after {2, 4, 6} merges re-buckets the vectors by their cut-level
+    * cluster and replays d9's exact integer cos ≥ 0.4 verify within
+    * buckets.
+    *
+    * Scale shape: training and the merge loop are model-scale (k rows);
+    * per cut, candidates are Σ|cluster|² — which GROWS as cuts coarsen,
+    * and surfacing that growth as `n_candidates` is the point of the
+    * table: the curator reads cost and yield together and picks the
+    * operating point, instead of trusting one k. The pair stage itself
+    * is d9's bucketed self-join at each granularity — never all-pairs
+    * unless the cut collapses everything, which the row makes visible. */
+  def semdedupSweep(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val (vecs, _, snapshots) = dendrogramParts(s, d)
+    val v = vecs.localCheckpoint()
+    Seq(2, 4, 6).map { r =>
+      val cut = snapshots(r)
+      val vc = v.join(broadcast(cut), v("cell") === cut("cid"))
+        .select(col("vec_id"), col("qv"), col("qq"), col("cluster"))
+      val x = vc.select(col("cluster"), col("vec_id").as("va"),
+        col("qv").as("qa"), col("qq").as("na"))
+      val y = vc.select(col("cluster"), col("vec_id").as("vb"),
+        col("qv").as("qb"), col("qq").as("nb"))
+      val pairs = x.join(y, "cluster").where(col("va") < col("vb"))
+        .withColumn("dot", DotProductL(col("qa"), col("qb")))
+        .withColumn("dup", (col("dot") > 0) &&
+          (lit(25) * col("dot") * col("dot") >= lit(4) * col("na") * col("nb")))
+      pairs.agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("dup").cast("long")), lit(0L)).as("n_pairs"),
+          countDistinct(when(col("dup"), col("vb"))).as("n_docs_dropped"))
+        .crossJoin(broadcast(
+          cut.agg(countDistinct(col("cluster")).as("n_clusters"))))
+        .select(lit(r).as("cut_step"), col("n_clusters"),
+          col("n_candidates"), col("n_pairs"), col("n_docs_dropped"))
+    }.reduce(_ union _).orderBy(col("cut_step"))
+  }
+
+  val semdedupSweepSql: String = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    val assign = (from: String) =>
+      s"""SELECT vec_id, qv, qq, cell FROM (
+         |    SELECT e.vec_id, e.qv, e.qq, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        e.qq + c.cc - 2 * ${dot("e.qv", "c.cv")}, c.cell) AS rn
+         |    FROM qn e CROSS JOIN $from c)
+         |  WHERE rn = 1""".stripMargin
+    val rounds = (1 to 6).map { r =>
+      s"""cd$r AS MATERIALIZED (
+        |  SELECT least(x.cluster, y.cluster) AS ca,
+        |    greatest(x.cluster, y.cluster) AS cb, min(d.d2) AS linkage
+        |  FROM dist d
+        |  JOIN g${r - 1} x ON x.cid = d.i JOIN g${r - 1} y ON y.cid = d.j
+        |  WHERE x.cluster <> y.cluster GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (SELECT $r AS step, ca, cb, linkage FROM cd$r
+        |        ORDER BY linkage, ca, cb LIMIT 1),
+        |g$r AS MATERIALIZED (
+        |  SELECT cid, CASE WHEN cluster = (SELECT cb FROM m$r)
+        |    THEN (SELECT ca FROM m$r) ELSE cluster END AS cluster
+        |  FROM g${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val cuts = Seq(2, 4, 6).map { r =>
+      s"""vc$r AS MATERIALIZED (
+        |  SELECT a2.vec_id, a2.qv, a2.qq, g.cluster
+        |  FROM a2 JOIN g$r g ON g.cid = a2.cell),
+        |st$r AS (
+        |  SELECT $r AS cut_step,
+        |    (SELECT count(DISTINCT cluster) FROM g$r) AS n_clusters,
+        |    count(*) AS n_candidates,
+        |    CAST(coalesce(sum(CASE WHEN dot > 0
+        |      AND 25 * dot * dot >= 4 * na * nb THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_pairs,
+        |    count(DISTINCT CASE WHEN dot > 0
+        |      AND 25 * dot * dot >= 4 * na * nb THEN vb END) AS n_docs_dropped
+        |  FROM (
+        |    SELECT y.vec_id AS vb, x.qq AS na, y.qq AS nb,
+        |      ${dot("x.qv", "y.qv")} AS dot
+        |    FROM vc$r x JOIN vc$r y
+        |      ON x.cluster = y.cluster AND x.vec_id < y.vec_id))""".stripMargin
+    }.mkString(",\n")
+    val union = Seq(2, 4, 6).map(r => s"SELECT * FROM st$r").mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+      |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |qn AS (SELECT vec_id, qv, ${dot("qv", "qv")} AS qq FROM q),
+      |c0 AS (
+      |  SELECT vec_id AS cell, qv AS cv, qq AS cc FROM qn WHERE vec_id < 8),
+      |a1 AS (
+      |  ${assign("c0")}),
+      |c1d AS (
+      |  SELECT cell, i, CAST(sum(v) AS BIGINT) // count(*) AS m
+      |  FROM (SELECT cell, unnest(qv) AS v,
+      |          unnest(generate_series(1, len(qv))) AS i FROM a1)
+      |  GROUP BY cell, i),
+      |c1 AS (
+      |  SELECT cell, cv, ${dot("cv", "cv")} AS cc
+      |  FROM (SELECT cell, list(m ORDER BY i) AS cv FROM c1d GROUP BY cell)),
+      |a2 AS MATERIALIZED (
+      |  ${assign("c1")}),
+      |dist AS MATERIALIZED (
+      |  SELECT a.cell AS i, b.cell AS j,
+      |    a.cc + b.cc - 2 * ${dot("a.cv", "b.cv")} AS d2
+      |  FROM c1 a JOIN c1 b ON a.cell < b.cell),
+      |g0 AS MATERIALIZED (SELECT cell AS cid, cell AS cluster FROM c1),
+      |$rounds,
+      |$cuts
+      |SELECT cut_step, n_clusters, n_candidates, n_pairs, n_docs_dropped
+      |FROM ($union) ORDER BY cut_step""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -1485,5 +1618,6 @@ object Dedup extends QueryModule {
     "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
     "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
     "d19_repeat_removal" -> QueryDef(repeatRemoval, Some(repeatRemovalSql)),
+    "d20_semdedup_sweep" -> QueryDef(semdedupSweep, Some(semdedupSweepSql)),
   )
 }

@@ -1018,7 +1018,7 @@ object Similarity extends QueryModule {
   }
 
   /** s11 — CODEBOOK CAPACITY SWEEP: recall@3 of raw-PQ vs residual-PQ at
-    * nprobe=2 as the per-subspace codebook grows (4 → 8 codes) — the
+    * nprobe=2 as the per-subspace codebook grows (4 → 8 → 16 codes) — the
     * follow-up measurement to s9's finding that the 4-code residual
     * codebook underfits. The claim "residuals win at capacity" is a
     * hypothesis until this table says so at a given size; whichever way
@@ -1045,7 +1045,7 @@ object Similarity extends QueryModule {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"))
-    val sweeps = Seq(4, 8).flatMap { cb => Seq(
+    val sweeps = Seq(4, 8, 16).flatMap { cb => Seq(
       ivfPqTopK(s, d, 2, cb).select(lit("pq").as("variant"),
         lit(cb).as("codes"), col("query_id"), col("neighbor_id")),
       ivfPqResidualTopK(s, d, 2, cb).select(lit("residual").as("variant"),
@@ -1058,7 +1058,7 @@ object Similarity extends QueryModule {
       .agg(count(lit(1)).as("n_hits"))
     import s.implicits._
     val grid = Seq("pq", "residual", "residual_percell")
-      .flatMap(v => Seq(4, 8).map((v, _)))
+      .flatMap(v => Seq(4, 8, 16).map((v, _)))
       .toDF("variant", "codes")
     exact.select(col("query_id")).distinct()
       .crossJoin(broadcast(grid))
@@ -1071,11 +1071,13 @@ object Similarity extends QueryModule {
   val codebookSweepSql: String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
-    val sweeps = Seq(4, 8).flatMap(cb => Seq(
+    val sweeps = Seq(4, 8, 16).flatMap(cb => Seq(
       s"SELECT 'pq' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqSqlFor(2, cb)})",
       s"SELECT 'residual' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqResidualSqlFor(2, cb)})",
       s"SELECT 'residual_percell' AS variant, $cb AS codes, query_id, neighbor_id FROM (${ivfPqResidualPerCellSqlFor(2, cb)})"))
       .mkString("\n  UNION ALL ")
+    val gridVals = Seq("pq", "residual", "residual_percell")
+      .flatMap(v => Seq(4, 8, 16).map(cb => s"('$v', $cb)")).mkString(", ")
     s"""WITH qn AS (
       |  SELECT vec_id, ${graft.core.Exact.sqlQuantize("embedding", 1000)} AS qv
       |  FROM embeddings),
@@ -1097,9 +1099,7 @@ object Similarity extends QueryModule {
       |SELECT np.variant, np.codes, q.query_id, 3 AS k,
       |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits
       |FROM (SELECT DISTINCT query_id FROM exact) q
-      |CROSS JOIN (VALUES ('pq', 4), ('pq', 8), ('residual', 4),
-      |  ('residual', 8), ('residual_percell', 4),
-      |  ('residual_percell', 8)) np(variant, codes)
+      |CROSS JOIN (VALUES $gridVals) np(variant, codes)
       |LEFT JOIN hits ON hits.variant = np.variant
       |  AND hits.codes = np.codes AND hits.query_id = q.query_id
       |ORDER BY np.variant, np.codes, q.query_id""".stripMargin

@@ -42,16 +42,24 @@ object KvGenStore {
   }
 
   private def writeGen(records: DataFrame, path: String, gen: Long,
-                       buckets: Int): Unit =
-    records.select(col("key"), col("value"))
+                       buckets: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val writer = records.select(col("key"), col("value"))
       .repartitionByRange(buckets, col("key"))
       .sortWithinPartitions("key")
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$path/gen=$gen")
+    // K9 size-split passthrough: 0 = leave any session-level cap alone
+    (if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(s"$path/gen=$gen")
+    // a new generation changes the store's file set — the serving-path
+    // reader cache must not keep the old index (it would serve stale
+    // values WITHOUT an error, so the self-heal-on-exception never fires)
+    Sinks.kvInvalidate(path)
+  }
 
   /** Write generation 0 — the full base store. */
-  def init(records: DataFrame, path: String, buckets: Int = 32): Unit =
-    writeGen(records, path, 0L, buckets)
+  def init(records: DataFrame, path: String, buckets: Int = 32,
+           maxRecordsPerFile: Long = 0L): Unit =
+    writeGen(records, path, 0L, buckets, maxRecordsPerFile)
 
   /** Land an update batch (upserts) as the next generation; returns its
     * generation number. */

@@ -167,6 +167,18 @@ class PipelineSpec extends SparkSpec {
     assert(got.isDefined)
     assert(got.get.startsWith("""{"grebi:nodeId":"uberon:s1","grebi:datasources":["dsB"]"""))
     assert(Sinks.kvLookup(spark, path, "nope:0").isEmpty)
+    // the one-shot write IS generation 0 of the generational layout, so
+    // incremental refreshes append to the same store with no migration
+    assert(new java.io.File(path, "gen=0").isDirectory)
+    import spark.implicits._
+    graft.sinks.KvGenStore.append(
+      Seq(("uberon:s1", """{"v":"newer"}"""),
+          ("uberon:s2", null.asInstanceOf[String])).toDF("key", "value"),
+      path, buckets = 2)
+    assert(Sinks.kvLookup(spark, path, "uberon:s1") === Some("""{"v":"newer"}"""),
+      "kvLookup serves the newest generation, not gen=0")
+    assert(Sinks.kvLookup(spark, path, "uberon:s2").isEmpty,
+      "a NULL tombstone in a newer generation hides the base record")
   }
 
   test("neo4j csv sink: wide pivot with 0x1F arrays") {

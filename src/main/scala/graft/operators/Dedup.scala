@@ -1032,19 +1032,60 @@ object Dedup extends QueryModule {
     * gaps-and-islands merge (consecutive shared starts ⟺ every
     * 40-window inside the merged span is shared — exactly the "every
     * k-gram duplicated" span definition), then one groupBy on the span
-    * text for doc/occurrence counts. No pairwise stage at any point. At
-    * 100 TB the only change worth making is shuffling a 16-byte rolling
-    * hash of each window (graft_rolling_hash) instead of its 40 raw
-    * codepoints, verifying span text only at emission. */
+    * text for doc/occurrence counts. No pairwise stage at any point.
+    *
+    * The DEFAULT head shuffles ONE 8-byte rolling hash per codepoint
+    * position ([[sharedWindowOcc]]) — not the 40 raw codepoints — and
+    * verifies window text only on hash-shared candidates, so the big
+    * window shuffle is ~40× lighter than the naive plan at any scale.
+    * The raw-window head survives as [[maximalRepeatsRaw]] purely as the
+    * independent correctness pin (DedupSpec asserts raw ≡ hashed ≡
+    * staged). */
   def maximalRepeats(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
     repeatSpansFrom(sharedWindowOcc(s, docs, 40), docs, 40)
   }
 
+  /** The naive-head variant of [[maximalRepeats]]: shuffles the 40 raw
+    * codepoints of every window. Kept ONLY as the spec-pin oracle for the
+    * hashed default — never gated, never benched, never the plan you run
+    * at scale. */
+  private[graft] def maximalRepeatsRaw(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    repeatSpansFrom(sharedWindowOccRaw(s, docs, 40), docs, 40)
+  }
+
   /** Positions (doc_id, i) whose L-codepoint window occurs in ≥ 2
-    * distinct documents — the shared head of d16 and d19. */
+    * distinct documents — the shared head of d16 and d19.
+    *
+    * Two-stage hash head: (1) shuffle one 8-byte rolling hash per
+    * position ([[graft.functions.RollingHash.windowHashes]], O(1) per
+    * slide) and keep positions whose hash is seen in ≥ 2 docs; (2)
+    * re-extract the TRUE window text for those candidates only and
+    * re-apply the ≥ 2-distinct-docs test on it, so a hash collision can
+    * only cost a vanishing extra verify, never a wrong span. The window
+    * flatMap is recomputed on the candidate join rather than cached —
+    * it is map-side CPU; the thing that matters at 100 TB is that both
+    * window-key shuffles carry longs, not 40-codepoint strings. */
   private def sharedWindowOcc(s: SparkSession, docs: DataFrame, L: Int): DataFrame = {
+    import s.implicits._
+    val wins = docs.as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.functions.RollingHash.windowHashes(t, L).iterator.zipWithIndex
+          .map { case (h, i) => (id, (i + 1).toLong, h) }
+      }
+      .toDF("doc_id", "i", "h")
+    val sharedH = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("hd")).where(col("hd") >= 2)
+      .select(col("h"))
+    verifySharedOnText(wins.join(sharedH, "h").select(col("doc_id"), col("i")), docs, L)
+  }
+
+  /** Raw-window head (one 40-codepoint string per position through the
+    * shuffle) — the spec-pin oracle for [[sharedWindowOcc]]. */
+  private def sharedWindowOccRaw(s: SparkSession, docs: DataFrame, L: Int): DataFrame = {
     import s.implicits._
     val wins = docs.as[(Long, String)]
       .flatMap { case (id, t) =>
@@ -1057,6 +1098,19 @@ object Dedup extends QueryModule {
       .where(col("wdocs") >= 2)
       .select(col("w"))
     wins.join(shared, "w").select(col("doc_id"), col("i"))
+  }
+
+  /** Text-verification tail shared by the hashed head and the staged
+    * parquet head: re-extract the true L-window for candidate positions
+    * and keep only those whose WINDOW TEXT occurs in ≥ 2 distinct docs. */
+  private def verifySharedOnText(cand: DataFrame, docs: DataFrame, L: Int): DataFrame = {
+    val candText = cand.join(docs, "doc_id")
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, cast(i as int), $L)").as("w"))
+    val shared = candText.groupBy("w")
+      .agg(countDistinct(col("doc_id")).as("wd")).where(col("wd") >= 2)
+      .select(col("w"))
+    candText.join(shared, "w").select(col("doc_id"), col("i"))
   }
 
   /** Maximal duplicated spans (doc_id, s, e) from shared-window
@@ -1082,16 +1136,13 @@ object Dedup extends QueryModule {
       .orderBy(col("repeat_text"))
   }
 
-  /** Scale variant of d16 — the scaladoc's 100 TB note made real: the
-    * window stage shuffles ONE 8-byte rolling hash per codepoint
-    * position (computed incrementally, O(1) per slide —
-    * [[graft.functions.RollingHash.windowHashes]]) instead of 40 raw
-    * codepoints, and persists the hash table to parquet between stages.
-    * Hash-bucket candidates are then verified on TRUE window text before
-    * the island merge — only positions whose hash is shared across docs
-    * ever re-extract their string, so collisions cost a vanishing extra
-    * verify, never a wrong span. Output is identical to [[maximalRepeats]]
-    * (DedupSpec pins it). */
+  /** Checkpointed variant of [[maximalRepeats]] — the SAME 8-byte
+    * rolling-hash head, but the per-position hash table is persisted to
+    * parquet between stages so the window flatMap runs exactly once and
+    * a multi-hour corpus job can restart from the hash table. Use this
+    * entry point operationally at scale; the in-line default is the
+    * gated/benched plan. Output is identical to [[maximalRepeats]] and
+    * [[maximalRepeatsRaw]] (DedupSpec pins all three equal). */
   def maximalRepeatsStaged(s: SparkSession, d: String, workDir: String): DataFrame = {
     import s.implicits._
     val L = 40
@@ -1110,14 +1161,7 @@ object Dedup extends QueryModule {
       .agg(countDistinct(col("doc_id")).as("hd")).where(col("hd") >= 2)
       .select(col("h"))
     val cand = wins.join(sharedH, "h").select(col("doc_id"), col("i"))
-    val candText = cand.join(docs, "doc_id")
-      .select(col("doc_id"), col("i"),
-        expr(s"substring(text, cast(i as int), $L)").as("w"))
-    val shared = candText.groupBy("w")
-      .agg(countDistinct(col("doc_id")).as("wd")).where(col("wd") >= 2)
-      .select(col("w"))
-    val occ = candText.join(shared, "w").select(col("doc_id"), col("i"))
-    repeatSpansFrom(occ, docs, L)
+    repeatSpansFrom(verifySharedOnText(cand, docs, L), docs, L)
   }
 
   val maximalRepeatsSql: String =
@@ -1154,7 +1198,9 @@ object Dedup extends QueryModule {
     * Emitted per doc: interval count, removed codepoints, cleaned
     * length, and md5 of the cleaned text (the full text stays in the
     * engine; the gate compares the hash). Everything is per-doc window
-    * work after the d16 head — no pairwise stage, linear end-to-end. */
+    * work after the d16 head — which is the 8-byte rolling-hash head
+    * ([[sharedWindowOcc]]), so the corpus-wide shuffle carries longs,
+    * not raw windows. No pairwise stage, linear end-to-end. */
   def repeatRemoval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = 40

@@ -103,10 +103,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("d16: corpus-wide repeats join on the window key only, never all-pairs") {
+  test("d16: corpus-wide repeats shuffle the 8-byte hash key, never all-pairs") {
     val p = plan("d16_maximal_repeats")
     assert(!p.contains("CartesianProduct"), "window grouping degenerated to all-pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), "window grouping degenerated to NLJ")
+    // the corpus-wide window stage must key on the rolling hash (a long),
+    // not the 40-codepoint raw window — losing this reopens a ~40× shuffle
+    // blow-up at corpus scale
+    assert(p.contains("hashpartitioning(h#"),
+      "window stage no longer keyed on the 8-byte rolling hash")
+  }
+
+  test("d19: repeat removal runs the hash-keyed d16 head, never all-pairs") {
+    val p = plan("d19_repeat_removal")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("hashpartitioning(h#"),
+      "cleaning action lost the 8-byte hash head")
   }
 
   test("t23: mixture pipeline broadcasts the quota dimension; no all-pairs") {

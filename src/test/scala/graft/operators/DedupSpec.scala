@@ -108,13 +108,15 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === 1001L)
   }
 
-  test("d16 staged (rolling-hash windows) equals the raw-window path") {
+  test("d16: hashed default ≡ raw-window oracle ≡ staged parquet variant") {
     val d = "/root/testdata/sf0.001"
     val work = java.nio.file.Files.createTempDirectory("mrep").toString
-    val direct = Dedup.maximalRepeats(spark, d).collect().map(_.toString).sorted.toSeq
+    val hashed = Dedup.maximalRepeats(spark, d).collect().map(_.toString).sorted.toSeq
+    val raw = Dedup.maximalRepeatsRaw(spark, d).collect().map(_.toString).sorted.toSeq
     val staged = Dedup.maximalRepeatsStaged(spark, d, work).collect().map(_.toString).sorted.toSeq
-    assert(staged === direct)
-    assert(direct.nonEmpty) // the fixture must actually exercise the path
+    assert(hashed === raw, "hash-head default diverged from the raw-window oracle")
+    assert(staged === hashed)
+    assert(hashed.nonEmpty) // the fixture must actually exercise the path
     assert(new java.io.File(s"$work/window_hashes.parquet").exists())
   }
 

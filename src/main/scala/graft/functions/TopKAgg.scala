@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import scala.collection.mutable
 
@@ -12,26 +13,24 @@ import scala.collection.mutable
   * O(k) buffer through a normal aggregate, so shuffle volume per group is
   * k rows regardless of group size — the right shape for "top k per key"
   * over heavy-hitter keys at 100 TB. Ties break by id ascending
-  * (deterministic).
-  */
-class TopKAgg(k: Int)
-    extends Aggregator[(Double, Long), mutable.ArrayBuffer[(Double, Long)], Seq[(Double, Long)]] {
+  * (deterministic). Key type is generic so rankings that are really
+  * integers (streaming admission keys on −doc_id) stay EXACT — a Double
+  * key silently loses ordering above 2^53. */
+class TopKAggOf[K](k: Int)(implicit ord: Ordering[K],
+                           outEnc: Encoder[Seq[(K, Long)]])
+    extends Aggregator[(K, Long), mutable.ArrayBuffer[(K, Long)], Seq[(K, Long)]] {
   require(k > 0, s"top-k needs k > 0, got $k")
 
   // buffer kept sorted descending by (sortKey, -id); length ≤ k
-  override def zero: mutable.ArrayBuffer[(Double, Long)] = mutable.ArrayBuffer.empty
+  override def zero: mutable.ArrayBuffer[(K, Long)] = mutable.ArrayBuffer.empty
 
-  // total order via Double.compare — primitive > / == are BOTH false
-  // against NaN, which would let one NaN key permanently block the buffer
-  // tail (every later candidate fails `better(v, buf.last)`). NaN sorts
-  // greater-than-everything, consistently on both sides of the compare.
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
-    val c = java.lang.Double.compare(a._1, b._1)
+  private def better(a: (K, Long), b: (K, Long)): Boolean = {
+    val c = ord.compare(a._1, b._1)
     c > 0 || (c == 0 && a._2 < b._2)
   }
 
-  private def insert(buf: mutable.ArrayBuffer[(Double, Long)],
-                     v: (Double, Long)): mutable.ArrayBuffer[(Double, Long)] = {
+  private def insert(buf: mutable.ArrayBuffer[(K, Long)],
+                     v: (K, Long)): mutable.ArrayBuffer[(K, Long)] = {
     if (buf.length < k || better(v, buf.last)) {
       var i = buf.length
       while (i > 0 && better(v, buf(i - 1))) i -= 1
@@ -41,19 +40,32 @@ class TopKAgg(k: Int)
     buf
   }
 
-  override def reduce(buf: mutable.ArrayBuffer[(Double, Long)],
-                      v: (Double, Long)): mutable.ArrayBuffer[(Double, Long)] =
+  override def reduce(buf: mutable.ArrayBuffer[(K, Long)],
+                      v: (K, Long)): mutable.ArrayBuffer[(K, Long)] =
     insert(buf, v)
 
-  override def merge(a: mutable.ArrayBuffer[(Double, Long)],
-                     b: mutable.ArrayBuffer[(Double, Long)]): mutable.ArrayBuffer[(Double, Long)] =
+  override def merge(a: mutable.ArrayBuffer[(K, Long)],
+                     b: mutable.ArrayBuffer[(K, Long)]): mutable.ArrayBuffer[(K, Long)] =
     b.foldLeft(a)(insert)
 
-  override def finish(buf: mutable.ArrayBuffer[(Double, Long)]): Seq[(Double, Long)] =
+  override def finish(buf: mutable.ArrayBuffer[(K, Long)]): Seq[(K, Long)] =
     buf.toSeq
 
-  override def bufferEncoder: Encoder[mutable.ArrayBuffer[(Double, Long)]] =
-    Encoders.kryo[mutable.ArrayBuffer[(Double, Long)]]
-  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def bufferEncoder: Encoder[mutable.ArrayBuffer[(K, Long)]] =
+    Encoders.kryo[mutable.ArrayBuffer[(K, Long)]]
+  override def outputEncoder: Encoder[Seq[(K, Long)]] = outEnc
 }
+
+/** Double-keyed top-k (q25 score ranking). Total order via
+  * `java.lang.Double.compare` — primitive > / == are BOTH false against
+  * NaN, which would let one NaN key permanently block the buffer tail
+  * (every later candidate fails `better(v, buf.last)`). NaN sorts
+  * greater-than-everything, consistently on both sides of the compare. */
+class TopKAgg(k: Int) extends TopKAggOf[Double](k)(
+  Ordering.Double.TotalOrdering, ExpressionEncoder[Seq[(Double, Long)]]())
+
+/** Long-keyed EXACT top-k — the streaming admission aggregators key on
+  * −doc_id, where a Double key corrupts ordering for ids above 2^53
+  * while the batch admit stays exact. */
+class TopKAggL(k: Int) extends TopKAggOf[Long](k)(
+  Ordering.Long, ExpressionEncoder[Seq[(Long, Long)]]())

@@ -72,10 +72,15 @@ object Dedup extends QueryModule {
     * — a task that never finishes at 100 TB even though the plan is an
     * equi-join. Buckets at or under the cap keep the exact pair join
     * (fixture-scale results are byte-identical to the uncapped oracle);
-    * buckets above it are, by construction, near-identical cliques, so
-    * they star-connect to the bucket minimum instead — O(k) candidates,
-    * same connected components, and [[hotBandBuckets]] is the explicit
-    * overflow ledger a production run logs. */
+    * buckets above it star-connect to the bucket minimum instead — O(k)
+    * candidates. Exactness above the cap is guaranteed only for true
+    * exact-duplicate cliques (where every member verifies against every
+    * other, so the star spans the same component): an arbitrary hot
+    * bucket is just a band-key collision, and a pair of non-minimum
+    * members that would verify only against EACH OTHER is not enumerated
+    * — which is why [[hotBandBuckets]] is the explicit overflow ledger a
+    * production run persists (the TUNING.md contract: truncation is
+    * never silent). */
   private[graft] val HotBucketCap = 1000
 
   /** Candidate pairs `(da < db)` from a banded index `(idCol, band)` with
@@ -427,8 +432,11 @@ object Dedup extends QueryModule {
     * clique contributes ONE doc to the band index instead of a bucket
     * that [[bandCandidates]] would have to cap. Members inherit their
     * representative's component; since exact copies share every shingle
-    * (hence every band and a J=1 verify), the result is provably
-    * identical to running LSH over the full corpus. */
+    * (hence every band and a J=1 verify), the PRE-ROUTE itself changes
+    * nothing versus running LSH over the full corpus. The remaining
+    * near-dup stage still carries [[HotBucketCap]]'s caveat: a non-exact
+    * bucket over the cap may under-enumerate pairs between non-minimum
+    * members, recorded in the [[hotBandBuckets]] ledger. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
@@ -822,10 +830,13 @@ object Dedup extends QueryModule {
     * Σ df² over ALL elements to Σ df² over prefix elements only — the
     * difference between "hot shingle joins everything" and bounded work
     * at corpus scale. Exact verification on candidates gives output
-    * IDENTICAL to the unfiltered join (d13 shares d2's oracle verbatim —
-    * the filter is lossless by construction) for every prefix-element
-    * bucket within [[HotBucketCap]]; identical-set cliques above the cap
-    * defeat prefix filtering too, so they take the star-to-minimum path.
+    * IDENTICAL to the unfiltered join (d13 shares d2's oracle verbatim)
+    * for every prefix-element bucket within [[HotBucketCap]]. Above the
+    * cap the star-to-minimum guard applies, with the same caveat as the
+    * band joins: the output is guaranteed complete only for
+    * exact-duplicate cliques — an over-cap bucket that is merely a hot
+    * prefix element may drop pairs between two non-minimum members, and
+    * the overflow ledger records that the cap fired.
     *
     * `elements`: (id, e) rows, distinct per set. Output: (da, db, inter,
     * na, nb) for J ≥ num/den pairs. */
@@ -1655,8 +1666,8 @@ object Dedup extends QueryModule {
     "d10_minhash_estimate" -> QueryDef(minhashEstimate, Some(minhashEstimateSql)),
     "d11_cdc_chunks"   -> QueryDef(cdcChunks, Some(cdcChunksSql)),
     "d12_minhash_affine" -> QueryDef(minhashAffine, Some(minhashAffineSql)),
-    // same semantics as d2 with a provably-lossless candidate bound —
-    // shares d2's oracle on purpose
+    // same semantics as d2 — candidate bound lossless at/under the
+    // hot-bucket cap (the fixture's regime) — shares d2's oracle on purpose
     "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),

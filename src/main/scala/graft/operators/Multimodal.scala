@@ -417,20 +417,30 @@ object Multimodal extends QueryModule {
     import s.implicits._
     synthMedia(s, d)
       .filter(_.media_type == "audio/wav")
-      .mapPartitions(_.map { m =>
-        val wav = graft.media.Codecs.decodeWavPcm16(m.payload)
-        val energies = wav.samples.grouped(16)
-          .map(_.foldLeft(0L)((a, v) => a + v.toLong * v)).toArray
-        var best = 0
-        var i = 1
-        while (i < energies.length) {
-          if (energies(i) > energies(best)) best = i
-          i += 1
-        }
-        Loudness(m.doc_id, energies.length.toLong, best.toLong, energies(best))
-      })
+      .mapPartitions(_.map(m =>
+        loudnessOf(m.doc_id, graft.media.Codecs.decodeWavPcm16(m.payload).samples)))
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  /** Loudest 16-sample window of one decoded PCM stream. A zero-sample
+    * decode (empty/truncated payload through the shared codec path —
+    * synthMedia never emits one, arbitrary inputs can) degrades to
+    * `n_windows = 0` with a −1 sentinel index instead of throwing and
+    * failing the whole job (MultimodalSpec pins it). */
+  private[operators] def loudnessOf(docId: Long, samples: Array[Short]): Loudness = {
+    val energies = samples.grouped(16)
+      .map(_.foldLeft(0L)((a, v) => a + v.toLong * v)).toArray
+    if (energies.isEmpty) Loudness(docId, 0L, -1L, 0L)
+    else {
+      var best = 0
+      var i = 1
+      while (i < energies.length) {
+        if (energies(i) > energies(best)) best = i
+        i += 1
+      }
+      Loudness(docId, energies.length.toLong, best.toLong, energies(best))
+    }
   }
 
   val loudnessWindowsSql: String =

@@ -295,28 +295,78 @@ object Incremental {
     current.drop("gen").as[MergedNode]
   }
 
-  /** Refresh the serving KV store ([[graft.sinks.KvGenStore]]) from the
-    * newest merged generation: re-rendered rows for every re-merged
-    * clique, plus NULL delete tombstones for canonicals that this
-    * generation retired (tombstoned but not re-written — a clique whose
-    * canonical id changed when it merged into another). Cost is
-    * O(changed cliques), never a full-store rewrite — the serving-side
-    * twin of the build-side generational state. Returns the KV
-    * generation written. */
-  def refreshKv(spark: SparkSession, dir: String, kvPath: String): Long = {
+  /** Refresh the serving KV store ([[graft.sinks.KvGenStore]]) from every
+    * merged generation NOT YET RENDERED: re-rendered rows for every
+    * re-merged clique, plus NULL delete tombstones for canonicals those
+    * generations retired (tombstoned but not re-written — a clique whose
+    * canonical id changed when it merged into another). The last-rendered
+    * build generation is persisted IN THE KV PATH (`_last_build_gen`,
+    * written atomically after the append), so calling refreshKv once
+    * after SEVERAL update() generations renders all of them — there is
+    * no silent one-refresh-per-update contract: a skipped refresh can
+    * never serve stale values, it just makes the next refresh bigger.
+    * Cost is O(changed cliques since the last refresh), never a
+    * full-store rewrite — the serving-side twin of the build-side
+    * generational state. When the store accumulates more than
+    * `compactAfterGens` generations it is folded to one inline
+    * ([[graft.sinks.KvGenStore.compact]] is crash-safe by ordering), so
+    * point-lookup cost stays bounded without an operator remembering to
+    * compact (TUNING.md documents the knob; ≤ 0 disables). Returns the
+    * KV generation written. */
+  def refreshKv(spark: SparkSession, dir: String, kvPath: String,
+                compactAfterGens: Int = 8): Long = {
     import spark.implicits._
     val rows = spark.read.parquet(mergedRoot(dir))
-    val g = rows.agg(max(col("gen"))).head().getInt(0)
-    val fresh = rows.where(col("gen") === g).drop("gen").as[MergedNode]
-    val recs = graft.sinks.Sinks.kvRecords(fresh)
-    val dead =
+    val g = rows.agg(max(col("gen"))).head().getInt(0).toLong
+    val markerP = new org.apache.hadoop.fs.Path(s"$kvPath/_last_build_gen")
+    val fsys = fs(spark, kvPath)
+    // absent marker (first refresh, or a store initialized before the
+    // marker existed) → render everything: correct-if-wasteful, upserts
+    // are idempotent re-renders of current rows
+    val last: Long =
+      if (fsys.exists(markerP)) {
+        val in = fsys.open(markerP)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        txt.toLong
+      } else 0L
+    if (g <= last) return -1L // nothing new since the last refresh
+    val win = rows.where(col("gen") > last)
+    // latest row per nodeId among the un-rendered generations
+    val latest = win
+      .groupBy(col("nodeId"))
+      .agg(max_by(struct(win.columns.map(col): _*), col("gen")).as("r"))
+      .select(col("r.*"))
+    val tombWin =
       if (exists(spark, tombPath(dir)))
-        spark.read.parquet(tombPath(dir)).where(col("gen") === g)
-          .select(col("nodeId").as("key"))
-          .join(recs.select(col("key")), Seq("key"), "left_anti")
-          .select(col("key"), lit(null).cast("string").as("value"))
-      else recs.limit(0)
-    graft.sinks.KvGenStore.append(recs.union(dead), kvPath)
+        spark.read.parquet(tombPath(dir)).where(col("gen") > last)
+          .groupBy(col("nodeId")).agg(max(col("gen")).as("tgen"))
+      else Seq.empty[(String, Int)].toDF("nodeId", "tgen")
+    // a row superseded by a later tombstone within the window is dead
+    val fresh = latest.join(tombWin, Seq("nodeId"), "left")
+      .where(col("tgen").isNull || col("gen") >= col("tgen"))
+      .drop("tgen").drop("gen").as[MergedNode]
+    val recs = graft.sinks.Sinks.kvRecords(fresh)
+    val dead = tombWin
+      .select(col("nodeId").as("key"))
+      .join(recs.select(col("key")), Seq("key"), "left_anti")
+      .select(col("key"), lit(null).cast("string").as("value"))
+    val kvGen = graft.sinks.KvGenStore.append(recs.union(dead), kvPath)
+    // marker write is create-then-delete-then-rename (Hadoop rename does
+    // NOT overwrite an existing destination): a crash anywhere in the
+    // sequence leaves either the old marker (same window re-renders) or
+    // no marker (everything re-renders) — both safe, upserts are
+    // idempotent re-renders of current rows
+    val tmpM = new org.apache.hadoop.fs.Path(markerP.toString + ".tmp")
+    val out = fsys.create(tmpM, true)
+    out.write(s"$g\n".getBytes("UTF-8"))
+    out.close()
+    if (fsys.exists(markerP)) fsys.delete(markerP, false)
+    require(fsys.rename(tmpM, markerP), s"marker rename failed at $markerP")
+    if (compactAfterGens > 0 &&
+        graft.sinks.KvGenStore.generationCount(spark, kvPath) > compactAfterGens)
+      graft.sinks.KvGenStore.compact(spark, kvPath)
+    kvGen
   }
 
   /** Compact the generational store into gen=1 (optional maintenance —

@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *     merges append re-label rows, and because a component label is its
   *     min member id, labels only ever DECREASE — min(component) per doc
   *     is always the current one (no pointer chasing)
+  *   - `hot_buckets`: (band, n_members, side) — overflow ledger: one row
+  *     per batch per band bucket whose capped candidate join truncated
+  *     (side = state probe or batch self-join), so incremental-vs-batch
+  *     divergence above the cap is never silent
   *
   * Per batch: one broadcastable-or-shuffled join per state table, band
   * keys computed ROW-LOCALLY (Dedup.bandKeysOf), and a batch-local CC
@@ -128,13 +132,26 @@ object IncrementalCorpus {
 
     // hot-bucket guard on BOTH candidate joins (Dedup.bandCandidates'
     // rationale): a boilerplate clique in state makes a band bucket with
-    // millions of members — probe with its lowest-id members only (they
-    // are near-identical, so any one is as good a verify partner), and
-    // cap the new-new self-join the same way the batch path does
+    // millions of members — probe with its lowest-id members only (the
+    // ordering guarantees the bucket MINIMUM — the component canonical —
+    // is always among the probes), and cap the new-new self-join the same
+    // way the batch path does
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band")).orderBy(col("doc_id"))
     val stateBCapped = stateB.withColumn("_rn", row_number().over(wB))
       .where(col("_rn") <= Dedup.HotBucketCap).drop("_rn")
+    // overflow ledger for BOTH capped joins — the TUNING.md contract is
+    // that truncation is never silent; the batch path persists
+    // Dedup.hotBandBuckets, so the incremental twin appends its own per
+    // batch (side = which join was capped). State side is restricted to
+    // buckets an arrival actually probed — an unprobed hot bucket
+    // truncated nothing this batch
+    val hotBuckets = stateB
+      .join(newBands.select(col("band")).distinct(), "band")
+      .groupBy("band").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > Dedup.HotBucketCap)
+      .withColumn("side", lit("state"))
+      .union(Dedup.hotBandBuckets(newBands, "doc_id").withColumn("side", lit("batch")))
     val candOld = newBands.join(stateBCapped.withColumnRenamed("doc_id", "a_id"), "band")
       .select(col("a_id"), col("doc_id").as("b_id")).distinct()
     val verifiedOld = verified(candOld, stateS) // (a_id = old, b_id = new)
@@ -209,6 +226,7 @@ object IncrementalCorpus {
     def put(df: DataFrame, t: String, part: String = key): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/$t.parquet/batch=$part")
     put(freshHashes, "hashes")
+    put(hotBuckets, "hot_buckets")
     put(newBands, "bands")
     put(newSets, "sets")
     put(compRows, "comps")

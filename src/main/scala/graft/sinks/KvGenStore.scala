@@ -56,6 +56,12 @@ object KvGenStore {
     Sinks.kvInvalidate(path)
   }
 
+  /** How many generation directories the store currently holds — what an
+    * auto-compaction policy ([[graft.pipeline.Incremental.refreshKv]])
+    * checks against its threshold. */
+  def generationCount(spark: SparkSession, path: String): Int =
+    generations(spark, path).size
+
   /** Write generation 0 — the full base store. */
   def init(records: DataFrame, path: String, buckets: Int = 32,
            maxRecordsPerFile: Long = 0L): Unit =

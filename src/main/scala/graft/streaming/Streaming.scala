@@ -273,15 +273,16 @@ object Streaming {
     * RANK, not an arrival order, the admitted set is independent of
     * micro-batch boundaries (batch-replay deterministic, one oracle with
     * the batch twin). Sort key −doc_id turns largest-k into smallest-k;
-    * doubles are exact integers up to 2⁵³. */
+    * the Long-keyed aggregator keeps the order exact for ALL valid ids
+    * (a Double key would corrupt ties above 2⁵³). */
   def streamQuotaAdmit(s: SparkSession, d: String, name: String,
                        quota: Int = 10): DataFrame = {
     import s.implicits._
-    val agg = new graft.functions.TopKAgg(quota)
+    val agg = new graft.functions.TopKAggL(quota)
     val admitted = documentsStream(s, d)
       .select(col("source"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
-      .mapValues { case (_, id) => (-id.toDouble, id) }
+      .mapValues { case (_, id) => (-id, id) }
       .agg(agg.toColumn.name("top"))
       .flatMap { case (src, top) =>
         top.zipWithIndex.map { case ((_, id), i) => (src, i + 1, id) }
@@ -316,11 +317,11 @@ object Streaming {
       .localCheckpoint()
     val maxQ = quotas.agg(coalesce(max(col("quota")), lit(0L)))
       .head().getLong(0).toInt.max(1)
-    val agg = new graft.functions.TopKAgg(maxQ)
+    val agg = new graft.functions.TopKAggL(maxQ)
     val admitted = documentsStream(s, d)
       .select(col("source"), col("doc_id")).as[(String, Long)]
       .groupByKey(_._1)
-      .mapValues { case (_, id) => (-id.toDouble, id) }
+      .mapValues { case (_, id) => (-id, id) }
       .agg(agg.toColumn.name("top"))
       .flatMap { case (src, top) =>
         top.zipWithIndex.map { case ((_, id), i) => (src, i + 1, id) }

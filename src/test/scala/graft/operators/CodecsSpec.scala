@@ -97,4 +97,11 @@ class CodecsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Codecs.decodeWavPcm16("RIFFxxxxWAVE".getBytes("US-ASCII") ++ new Array[Byte](40)))
   }
+
+  test("m7 guard: a zero-sample decode degrades per-record, not job-fatally") {
+    assert(Multimodal.loudnessOf(7L, Array.emptyShortArray)
+      === Multimodal.Loudness(7L, 0L, -1L, 0L))
+    // one window's worth still picks index 0
+    assert(Multimodal.loudnessOf(1L, Array[Short](3, -4)).loud_idx === 0L)
+  }
 }

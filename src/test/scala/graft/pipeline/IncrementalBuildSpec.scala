@@ -315,4 +315,56 @@ class IncrementalBuildSpec extends SparkSpec {
     assert(inc == bat)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("one KV refresh after several updates renders every skipped generation") {
+    import spark.implicits._
+    import graft.sinks.KvGenStore
+    val dir = java.nio.file.Files.createTempDirectory("inc_kv_multi").toString
+    val kv = s"$dir/kv_store"
+    val config = SubgraphConfig(name = "fx")
+    Incremental.update(spark, config, dir, Seq(
+      mk(Seq("b:1", "a:1"), "ds1", Seq("T"), "grebi:name" -> "one"),
+      mk(Seq("c:2"), "ds1", Seq("T"), "grebi:name" -> "two"),
+      mk(Seq("z:9"), "ds1", Seq("T"), "grebi:name" -> "calm")).toDS())
+    Incremental.refreshKv(spark, dir, kv)
+    assert(KvGenStore.lookup(spark, kv, "c:2").isDefined)
+
+    // TWO generations land before the next refresh: gen 2 merges a:1+c:2
+    // (retiring c:2), gen 3 touches only an unrelated new node — the old
+    // newest-generation-only refresh would render gen 3 alone and keep
+    // serving the stale c:2 forever
+    Incremental.update(spark, config, dir,
+      Seq(mk(Seq("a:1", "c:2"), "ds2", Nil, "extra" -> "link")).toDS())
+    Incremental.update(spark, config, dir,
+      Seq(mk(Seq("n:7"), "ds3", Seq("T"), "grebi:name" -> "late")).toDS())
+    Incremental.refreshKv(spark, dir, kv)
+    assert(KvGenStore.lookup(spark, kv, "a:1").exists(v =>
+      v.contains("ds1") && v.contains("ds2")))
+    assert(KvGenStore.lookup(spark, kv, "c:2") === None,
+      "intermediate generation's retirement was skipped")
+    assert(KvGenStore.lookup(spark, kv, "n:7").isDefined)
+    assert(KvGenStore.lookup(spark, kv, "z:9").isDefined)
+    // nothing new → no-op, and the marker survives
+    assert(Incremental.refreshKv(spark, dir, kv) === -1L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("refreshKv auto-compacts past the generation threshold; lookups survive") {
+    import spark.implicits._
+    import graft.sinks.KvGenStore
+    val dir = java.nio.file.Files.createTempDirectory("inc_kv_cpt").toString
+    val kv = s"$dir/kv_store"
+    val config = SubgraphConfig(name = "fx")
+    Incremental.update(spark, config, dir,
+      Seq(mk(Seq("a:1"), "ds1", Seq("T"), "grebi:name" -> "one")).toDS())
+    Incremental.refreshKv(spark, dir, kv, compactAfterGens = 1)
+    Incremental.update(spark, config, dir,
+      Seq(mk(Seq("b:2"), "ds1", Seq("T"), "grebi:name" -> "two")).toDS())
+    Incremental.refreshKv(spark, dir, kv, compactAfterGens = 1)
+    // two appended generations crossed the threshold → folded to one
+    assert(KvGenStore.generationCount(spark, kv) === 1)
+    assert(KvGenStore.lookup(spark, kv, "a:1").isDefined)
+    assert(KvGenStore.lookup(spark, kv, "b:2").isDefined)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

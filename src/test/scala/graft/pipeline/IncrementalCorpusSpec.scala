@@ -113,4 +113,30 @@ class IncrementalCorpusSpec extends SparkSpec {
     assert(spark.read.parquet(s"$stateDir/bands.parquet")
       .select("doc_id").distinct().count() <= 50)
   }
+
+  test("capped candidate joins persist a hot-bucket ledger, never truncate silently") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("inc_hot").toString
+    val boiler = "the same boilerplate body text repeated verbatim across every copy in this clique"
+    // batch 1: an over-cap clique — the new-new self-join must cap AND ledger
+    val b1 = (0L until 1001L).map(i => (i, boiler, "en")).toDF("doc_id", "text", "lang")
+    IncrementalCorpus.update(spark, stateDir, b1, Some("b1"))
+    val led1 = spark.read.parquet(s"$stateDir/hot_buckets.parquet")
+    assert(led1.where(col("side") === "batch").count() > 0,
+      "batch self-join capped without a ledger row")
+    assert(led1.where(col("side") === "state").count() === 0)
+
+    // batch 2: one more copy probes the now-hot state bucket — the capped
+    // probe must ledger too (the batch path's TUNING.md contract)
+    val b2 = Seq((2000L, boiler, "en")).toDF("doc_id", "text", "lang")
+    IncrementalCorpus.update(spark, stateDir, b2, Some("b2"))
+    val led2 = spark.read.parquet(s"$stateDir/hot_buckets.parquet")
+    assert(led2.where(col("side") === "state").count() > 0,
+      "state probe capped without a ledger row")
+    // and the capped probe still classified the arrival correctly
+    val d2000 = IncrementalCorpus.currentDecisions(spark, stateDir)
+      .where(col("doc_id") === 2000L).select("kept").head().getInt(0)
+    assert(d2000 === 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+  }
 }

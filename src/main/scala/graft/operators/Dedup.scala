@@ -1213,11 +1213,26 @@ object Dedup extends QueryModule {
     * ([[sharedWindowOcc]]), so the corpus-wide shuffle carries longs,
     * not raw windows. No pairwise stage, linear end-to-end. */
   def repeatRemoval(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val L = 40
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-    val sp = repeatIslands(sharedWindowOcc(s, docs, L), L)
+    repeatRemovalOf(s, docs).orderBy(col("doc_id"))
+  }
+
+  /** [[repeatRemoval]] over an explicit (doc_id, text) frame — the entry
+    * point the incremental/streaming twins compare against
+    * ([[graft.pipeline.IncrementalRepeats]]). */
+  private[graft] def repeatRemovalOf(s: SparkSession, docs: DataFrame): DataFrame =
+    removalStats(sharedWindowOcc(s, docs, 40), docs, 40)
+
+  /** d19's tail — shared-window occurrences (doc_id, i) → disjoint
+    * removal intervals → relational text rebuild → per-doc stats
+    * (n_removed, removed_chars, cleaned_len, cleaned_hash). Factored so
+    * the batch operator and the incremental re-clean
+    * ([[graft.pipeline.IncrementalRepeats]]) share the rebuild verbatim:
+    * every doc in `docs` gets a row (zero-removal docs included). */
+  private[graft] def removalStats(occ: DataFrame, docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = repeatIslands(occ, L)
     // merge overlapping/adjacent spans into disjoint removal intervals
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -1253,7 +1268,6 @@ object Dedup extends QueryModule {
         coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
         length(coalesce(col("cleaned"), col("text"))).cast("long").as("cleaned_len"),
         md5(coalesce(col("cleaned"), col("text"))).as("cleaned_hash"))
-      .orderBy(col("doc_id"))
   }
 
   val repeatRemovalSql: String =

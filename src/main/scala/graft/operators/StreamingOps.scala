@@ -105,5 +105,9 @@ object StreamingOps extends QueryModule {
     "st13_stream_repeats" -> QueryDef(
       (s, d) => Streaming.streamRepeatProbe(s, d, s"srep_${math.abs(d.hashCode)}"),
       Some(Streaming.streamRepeatProbeSql)),
+    "st14_stream_repeat_removal" -> QueryDef(
+      (s, d) => Streaming.streamRepeatRemoval(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_srepeats_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Dedup.repeatRemovalSql)),
   )
 }

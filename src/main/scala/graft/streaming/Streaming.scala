@@ -377,6 +377,36 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming REPEAT REMOVAL (st14): the cleaning ACTION on arrivals —
+    * the document stream drives [[graft.pipeline.IncrementalRepeats
+    * .update]] through `foreachBatch` (st11's exactly-once shape: Spark
+    * batchId keys the applied-batches marker, so a redelivered batch is a
+    * no-op replay). Each micro-batch's documents are cleaned of
+    * corpus-shared 40-codepoint repeats THE MOMENT THEY LAND — against
+    * the growing window-hash index, with corrected rows appended for
+    * earlier docs whose windows only now became shared — upgrading st13's
+    * probe (flag-on-arrival) to d19's removal (clean-on-arrival). The
+    * resolved log equals the one-shot batch d19 on the replayed corpus,
+    * so the gate shares d19's oracle verbatim. */
+  def streamRepeatRemoval(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val q = documentsStream(s, d)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalRepeats.update(s, stateDir, batch,
+          Some(s"stream-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalRepeats.currentCleaned(s, stateDir)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-user funnel state: the event times seen so far for each funnel
     * stage type, plus a monotone total-rows counter. */
   final case class FunnelState(view: Seq[Long], click: Seq[Long],

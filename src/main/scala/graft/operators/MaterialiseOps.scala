@@ -373,6 +373,53 @@ object MaterialiseOps extends QueryModule {
       |  CAST(max(d) AS BIGINT) AS max_dist
       |FROM best GROUP BY src ORDER BY src""".stripMargin
 
+  /** g22 — HARMONIC CENTRALITY over the same weighted graph and source
+    * set as g21: per source Σ 1/d(s,t) over reached nodes t ≠ s, in
+    * fixed-point millionths (`1000000 div dist`, the engine's exact
+    * integer-score idiom — Spark `div` and DuckDB `//` both truncate).
+    * Harmonic is the centrality that stays well-defined on DISCONNECTED
+    * graphs: unreachable nodes contribute 0 instead of degenerating the
+    * whole score the way closeness' n/Σd does — which is why it's the
+    * companion gate, not a closeness variant. Same semi-naive per-source
+    * relaxation; the 100 TB dial is still the source-set size. */
+  def harmonic(s: SparkSession, d: String): DataFrame = {
+    val sources = Tables.orders(s, d)
+      .select(node("o:", col("o_orderkey")).as("src"))
+      .orderBy(col("src")).limit(10)
+    harmonicOf(weightedEdgeSet(s, d), sources).orderBy(col("src"))
+  }
+
+  /** [[harmonic]] over explicit (fromNodeId, toNodeId, weight) edges and
+    * a (src) source frame — the graph-shaped entry the property spec
+    * drives against a Bellman-Ford model on disconnected graphs. */
+  private[graft] def harmonicOf(edges: DataFrame, sources: DataFrame): DataFrame =
+    Query.perSourceShortestPaths(edges, sources)
+      .where(col("dist") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_u"))
+
+  val harmonicSql: String =
+    s"""WITH RECURSIVE e(f, t, w) AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")}, 'c:' || ${sqlPad("o_custkey")},
+      |         CAST(o_orderkey % 3 + 2 AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(c_custkey % 3 + 1 AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")},
+      |         CAST(1 AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'o:' || ${sqlPad("o_orderkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(5 AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey),
+      |src AS (SELECT 'o:' || ${sqlPad("o_orderkey")} AS s FROM orders
+      |        ORDER BY 1 LIMIT 10),
+      |paths(src, node, d) AS (
+      |  SELECT s, s, CAST(0 AS BIGINT) FROM src
+      |  UNION
+      |  SELECT p.src, e.t, p.d + e.w FROM paths p JOIN e ON p.node = e.f),
+      |best AS (SELECT src, node, min(d) AS d FROM paths GROUP BY src, node)
+      |SELECT src, count(*) AS n_reached,
+      |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_u
+      |FROM best WHERE d > 0 GROUP BY src ORDER BY src""".stripMargin
+
   /** k3 — the id-nodes + id-edges CSV frames (K3 sink,
     * `grebi_make_neo_ids_csv/src/main.rs:5-31` +
     * `grebi_make_neo_csv/src/main.rs:390-412`) over a two-id-per-clique
@@ -533,6 +580,7 @@ object MaterialiseOps extends QueryModule {
     "g15_ic_scores"       -> QueryDef(icScores, Some(icScoresSql)),
     "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
     "g21_closeness" -> QueryDef(closeness, Some(closenessSql)),
+    "g22_harmonic"  -> QueryDef(harmonic, Some(harmonicSql)),
     "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), bench = true),
     "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),

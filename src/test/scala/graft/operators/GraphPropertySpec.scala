@@ -72,6 +72,50 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("g22: harmonic centrality matches Bellman-Ford Σ 1/d on disconnected digraphs") {
+    import org.apache.spark.sql.functions._
+    for (trial <- 1 to 5) {
+      val n = 12 + trial
+      // two islands: edges never cross the n/2 boundary, so sources in
+      // the first island cannot reach the second — the disconnected
+      // regime harmonic must stay well-defined on (closeness degenerates)
+      val half = n / 2
+      val edges = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && (u < half) == (v < half) && rng.nextDouble() < 0.35
+      } yield (f"$u%03d", f"$v%03d", 1L + rng.nextInt(9))).toSeq
+      if (edges.nonEmpty) {
+        val srcs = Seq(f"${0}%03d", f"$half%03d")
+        def model(s0: String): Map[String, Long] = {
+          var d = Map(s0 -> 0L)
+          var changed = true
+          while (changed) {
+            changed = false
+            edges.foreach { case (u, v, w) =>
+              d.get(u).foreach { du =>
+                if (d.get(v).forall(_ > du + w)) { d += v -> (du + w); changed = true }
+              }
+            }
+          }
+          d
+        }
+        val expected = srcs.map { s0 =>
+          val reached = model(s0).filter(_._2 > 0)
+          (s0, reached.size.toLong, reached.values.map(1000000L / _).sum)
+        }.filter(_._2 > 0).toSet
+        val got = MaterialiseOps.harmonicOf(
+            edges.toDF("fromNodeId", "toNodeId", "weight"), srcs.toDF("src"))
+          .as[(String, Long, Long)].collect().toSet
+        assert(got === expected, s"trial $trial")
+        // no source ever reaches the other island (its own has half or
+        // n - half nodes, so at most size - 1 are reachable)
+        assert(got.forall { case (s0, nr, _) =>
+          nr < (if (s0 == f"${0}%03d") half else n - half).toLong
+        }, s"trial $trial crossed islands")
+      }
+    }
+  }
+
   test("pageRank matches the driver-side fixed-point model") {
     for (trial <- 1 to 3) {
       val n = 8 + trial

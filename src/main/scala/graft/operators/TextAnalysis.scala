@@ -84,17 +84,24 @@ object TextAnalysis extends QueryModule {
     "fr" -> Seq("le", "la", "et", "les"),
     "zh" -> Seq("de", "le", "shi", "he"))
 
-  /** The predicted-language column over any frame with `text` (foldRight
-    * + when-chain ⇒ FIRST lang in ListMap order wins ties). */
+  /** The predicted-language column over any frame with `text`: argmax
+    * over the marker scores with FIRST-lang-in-ListMap-order winning ties
+    * (`array_position` returns the first occurrence of the max).
+    *
+    * Deliberately array-shaped, NOT a when-chain of pairwise
+    * comparisons: a chain inlines every score subtree ~2·|langs| times
+    * (each a sum of regexp counts), and when the corpus pipeline's
+    * broadcast joins collapse into one whole-stage-codegen span the
+    * duplicated regexps push the generated `processNext()` past the
+    * JVM's 64 KB method limit — Spark then silently falls back to
+    * interpreted mode (CodegenGuardSpec pins compiled). Here each score
+    * appears exactly twice (the max scan and the position scan). */
   private[operators] def langPredictedCol: Column = {
     def score(ws: Seq[String]): Column =
       ws.map(w => wordCount(col("text"), w)).reduce(_ + _)
-    val scores = markers.map { case (l, ws) => l -> score(ws) }
-    markers.keys.toSeq.foldRight(lit(null).cast("string")) {
-      case (l, acc) =>
-        val isMax = markers.keys.map(o => scores(l) >= scores(o)).reduce(_ && _)
-        when(isMax, lit(l)).otherwise(acc)
-    }
+    val scoresArr = array(markers.values.map(score).toSeq: _*)
+    val names = array(markers.keys.map(lit).toSeq: _*)
+    element_at(names, array_position(scoresArr, array_max(scoresArr)).cast("int"))
   }
 
   /** Label-agreement flag over any frame with `text` + `lang` — the

@@ -898,6 +898,42 @@ object TextAnalysis extends QueryModule {
 
   // ---------------------------------------------------------------------
 
+  /** t24 — MIXTURE EPOCHS ([[graft.pipeline.MixturePipeline
+    * .admitEpochs]]): repetition-aware admission in the data-constrained
+    * regime. A 1000-document budget over-subscribes every source at
+    * fixture scale (more quota than unique docs), so each source's docs
+    * repeat across `quota div n_docs` full epochs with the lowest
+    * `quota mod n_docs` doc_ids going one epoch further — per-source
+    * emitted rows total EXACTLY quota, instead of silently capping at
+    * available supply. */
+  def mixtureEpochs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+    val q = graft.pipeline.MixturePipeline.quotas(docs, 1000L)
+    graft.pipeline.MixturePipeline.admitEpochs(docs, q)
+      .orderBy(col("source"), col("doc_id"), col("epoch"))
+  }
+
+  val mixtureEpochsSql: String =
+    """WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM s),
+      |q AS (SELECT source, n_docs, CAST((1000 * weight) // t.wsum AS BIGINT) AS quota
+      |      FROM s CROSS JOIN t),
+      |r AS (
+      |  SELECT d.source, d.doc_id, q.quota, q.n_docs,
+      |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rank
+      |  FROM documents d JOIN q USING (source)),
+      |c AS (
+      |  SELECT source, doc_id,
+      |    quota // n_docs + CASE WHEN rank <= quota % n_docs THEN 1 ELSE 0 END AS copies
+      |  FROM r)
+      |SELECT source, doc_id, unnest(generate_series(1, copies)) AS epoch
+      |FROM c WHERE copies > 0 ORDER BY source, doc_id, epoch""".stripMargin
+
+  // ---------------------------------------------------------------------
+
   /** t22 — word-bigram LM CONTINUATION TABLE: for the corpus's 5 most
     * frequent head words, the top-3 continuations by bigram count — the
     * count-based n-gram LM artifact (the model behind autocomplete-style
@@ -967,5 +1003,6 @@ object TextAnalysis extends QueryModule {
     "t21_corpus_pipeline" -> QueryDef(corpusPipeline, Some(corpusPipelineSql)),
     "t22_bigram_lm"     -> QueryDef(bigramLm, Some(bigramLmSql)),
     "t23_mixture_pipeline" -> QueryDef(mixturePipeline, Some(mixturePipelineSql)),
+    "t24_mixture_epochs" -> QueryDef(mixtureEpochs, Some(mixtureEpochsSql)),
   )
 }

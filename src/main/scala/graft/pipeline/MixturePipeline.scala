@@ -53,7 +53,11 @@ final case class MixtureBuild(
     admitted: DataFrame,
     /** admitted docs greedily packed into ≤ seqBudget-token chunks
       * (t17's per-source fold) */
-    packed: DataFrame)
+    packed: DataFrame,
+    /** repetition-aware admission: (source, doc_id, epoch) rows totalling
+      * EXACTLY quota per source even when quota exceeds unique supply
+      * ([[MixturePipeline.admitEpochs]]) */
+    epochs: DataFrame)
 
 /** The config-driven MIXTURE pipeline: t19's temperature-weighted source
   * quotas + st9's per-source admission + t17's sequence packing composed
@@ -93,6 +97,30 @@ object MixturePipeline {
       .drop("quota")
   }
 
+  /** Repetition-aware admission — the data-constrained regime
+    * (Muennighoff et al.-style epoching): when a source's quota EXCEEDS
+    * its unique supply, the mix repeats documents across epochs instead
+    * of silently capping at what's available. Every doc of the source
+    * gets `quota div n_docs` full-epoch copies and the lowest
+    * `quota mod n_docs` doc_ids one more, so the emitted (source,
+    * doc_id, epoch) rows total EXACTLY quota per source — and when quota
+    * ≤ supply this degenerates to [[admit]]'s doc set with epoch = 1
+    * (full_epochs = 0, remainder = quota). One window + one row-local
+    * explode; nothing all-pairs, nothing driver-side. */
+  def admitEpochs(docs: DataFrame, quotasDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .join(quotasDf.select(col("source"), col("quota"), col("n_docs")), "source")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("copies",
+        expr("quota div n_docs") +
+          (col("rank") <= expr("quota % n_docs")).cast("long"))
+      // Spark's sequence(1, 0) would DESCEND — guard before exploding
+      .where(col("copies") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+  }
+
   /** Apply a policy's explicit per-source pins over the computed quotas
     * (the pin wins for its source; everyone else keeps the allocator's
     * number). The override map is config-sized — a broadcast dim. */
@@ -118,7 +146,7 @@ object MixturePipeline {
     val packed = CorpusPipeline.packSequences(
       admitted.select(col("source"), col("doc_id"), col("tokens")),
       config.seqBudget)
-    MixtureBuild(q, admitted, packed)
+    MixtureBuild(q, admitted, packed, admitEpochs(docs, q))
   }
 
   /** Persist the mixture artifacts + a bounded one-document stats JSON. */
@@ -126,6 +154,7 @@ object MixturePipeline {
     build.quotas.write.mode(SaveMode.Overwrite).parquet(s"$outDir/quotas.parquet")
     build.admitted.write.mode(SaveMode.Overwrite).parquet(s"$outDir/admitted.parquet")
     build.packed.write.mode(SaveMode.Overwrite).parquet(s"$outDir/packed.parquet")
+    build.epochs.write.mode(SaveMode.Overwrite).parquet(s"$outDir/epochs.parquet")
     val sources = build.quotas.count()
     val admitted = build.admitted.count()
     val chunks = build.packed.count()

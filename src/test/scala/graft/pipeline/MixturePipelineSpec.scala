@@ -86,4 +86,28 @@ class MixturePipelineSpec extends SparkSpec {
       .where(col("count") > col("quota")).count()
     assert(over === 0L)
   }
+
+  test("over-subscribed sources epoch to exactly quota; under-subscribed degenerate to admit") {
+    val docs = graft.core.Tables.documents(spark, d).select(col("source"), col("doc_id"))
+    // budget far above supply: every source's quota exceeds its unique
+    // docs, so admission must REPEAT across epochs, not cap
+    val qOver = MixturePipeline.quotas(docs, 10000L)
+    assert(qOver.where(col("quota") <= col("n_docs")).count() === 0L,
+      "fixture regression: budget no longer over-subscribes")
+    val emitted = MixturePipeline.admitEpochs(docs, qOver)
+      .groupBy("source").agg(count(lit(1)).as("n"), max(col("epoch")).as("max_epoch"))
+      .join(qOver, "source")
+    assert(emitted.where(col("n") =!= col("quota")).count() === 0L,
+      "per-source emissions must total exactly quota")
+    assert(emitted.where(col("max_epoch") < 2).count() === 0L)
+
+    // a binding-but-not-over-subscribed budget: epochs reduce to admit's
+    // doc set, every row epoch 1
+    val qUnder = MixturePipeline.quotas(docs, 300L)
+    val ep = MixturePipeline.admitEpochs(docs, qUnder)
+    assert(ep.where(col("epoch") =!= 1L).count() === 0L)
+    val admitIds = MixturePipeline.admit(docs, qUnder)
+      .select("source", "doc_id").collect().toSet
+    assert(ep.select("source", "doc_id").collect().toSet === admitIds)
+  }
 }

@@ -1594,6 +1594,33 @@ object Dedup extends QueryModule {
     }.reduce(_ union _).orderBy(col("cut_step"))
   }
 
+  /** The SemDeDup DROP-SET at one dendrogram cut — the operating point
+    * d20's sweep table lets a curator choose, turned into an actionable
+    * doc_id list: vectors re-bucketed by their cut-level cluster
+    * (`snapshots(cutStep)` of the same single training run), d9's exact
+    * integer cos ≥ 0.4 verify within buckets, keep-lowest-id (the higher
+    * id of every verified pair drops). This is what wires the sweep's
+    * DECISION into [[graft.pipeline.CorpusPipeline]] — the cut parameter
+    * becomes a cleaning policy knob, not just a report. */
+  def semdedupDropSet(s: SparkSession, d: String, cutStep: Int): DataFrame = {
+    import graft.functions.DotProductL
+    val (vecs, _, snapshots) = dendrogramParts(s, d)
+    require(cutStep >= 0 && cutStep < snapshots.length,
+      s"cut step must be in [0, ${snapshots.length}), got $cutStep")
+    val cut = snapshots(cutStep)
+    val vc = vecs.join(broadcast(cut), vecs("cell") === cut("cid"))
+      .select(col("vec_id"), col("qv"), col("qq"), col("cluster"))
+    val x = vc.select(col("cluster"), col("vec_id").as("va"),
+      col("qv").as("qa"), col("qq").as("na"))
+    val y = vc.select(col("cluster"), col("vec_id").as("vb"),
+      col("qv").as("qb"), col("qq").as("nb"))
+    x.join(y, "cluster").where(col("va") < col("vb"))
+      .withColumn("dot", DotProductL(col("qa"), col("qb")))
+      .where((col("dot") > 0) &&
+        (lit(25) * col("dot") * col("dot") >= lit(4) * col("na") * col("nb")))
+      .select(col("vb").as("doc_id")).distinct()
+  }
+
   val semdedupSweepSql: String = {
     val dot = (a: String, b: String) =>
       s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"

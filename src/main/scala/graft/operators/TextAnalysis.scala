@@ -846,6 +846,7 @@ object TextAnalysis extends QueryModule {
       |SELECT f.doc_id, exact_keep, neardup_keep, lang_ok,
       |  CAST(n_words >= 5 AND n_words <= 100000 AS INT) AS len_ok,
       |  CAST(n_bigrams = 0 OR top_bigram * 1000 <= n_bigrams * 333 AS INT) AS rep_ok,
+      |  CAST(1 AS INT) AS sem_keep,
       |  CAST(kept
       |    * CAST(n_words >= 5 AND n_words <= 100000 AS INT)
       |    * CAST(n_bigrams = 0 OR top_bigram * 1000 <= n_bigrams * 333 AS INT)

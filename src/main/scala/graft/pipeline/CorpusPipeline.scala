@@ -19,7 +19,11 @@ final case class CorpusConfig(
       * documents with no bigram) */
     maxTopBigramPermille: Long = 333,
     /** training-sequence token budget for the packing stage */
-    seqBudget: Long = 512)
+    seqBudget: Long = 512,
+    /** dendrogram cut driving the SemDeDup stage (d20's operating
+      * point): docs dropping under keep-lowest-id at this cut get
+      * `sem_keep = 0`; −1 disables the stage (`sem_keep = 1` for all) */
+    semdedupCutStep: Long = -1)
 
 /** Everything the corpus build produces, as live DataFrames. */
 final case class CorpusBuild(
@@ -49,7 +53,8 @@ object CorpusConfigLoader {
       minTokens = long("min_tokens", d.minTokens),
       maxTokens = long("max_tokens", d.maxTokens),
       maxTopBigramPermille = long("max_top_bigram_permille", d.maxTopBigramPermille),
-      seqBudget = long("seq_budget", d.seqBudget))
+      seqBudget = long("seq_budget", d.seqBudget),
+      semdedupCutStep = long("semdedup_cut_step", d.semdedupCutStep))
   }
 }
 
@@ -78,7 +83,21 @@ object CorpusPipeline {
       .select(col("doc_id"), col("n_words"), col("n_bigrams"), col("top_bigram"))
     val filt = TextAnalysis.corpusFilter(s, dir)
 
-    val decisions = filt.join(rep, "doc_id")
+    // SemDeDup stage at the configured dendrogram cut (d20's operating
+    // point wired into the build); off ⇒ a constant-1 flag so decisions
+    // stay schema-stable and auditable either way
+    val semKeep =
+      if (config.semdedupCutStep >= 0)
+        docs.select(col("doc_id"))
+          .join(graft.operators.Dedup
+              .semdedupDropSet(s, dir, config.semdedupCutStep.toInt)
+              .withColumn("_drop", lit(1)),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("_drop").isNotNull, 0).otherwise(1).as("sem_keep"))
+      else docs.select(col("doc_id"), lit(1).as("sem_keep"))
+
+    val decisions = filt.join(rep, "doc_id").join(semKeep, "doc_id")
       .withColumn("len_ok",
         (col("n_words") >= config.minTokens &&
           col("n_words") <= config.maxTokens).cast("int"))
@@ -87,9 +106,9 @@ object CorpusPipeline {
           col("top_bigram") * 1000L <= col("n_bigrams") * config.maxTopBigramPermille)
           .cast("int"))
       .withColumn("kept",
-        col("kept") * col("len_ok") * col("rep_ok"))
+        col("kept") * col("len_ok") * col("rep_ok") * col("sem_keep"))
       .select(col("doc_id"), col("exact_keep"), col("neardup_keep"),
-        col("lang_ok"), col("len_ok"), col("rep_ok"), col("kept"))
+        col("lang_ok"), col("len_ok"), col("rep_ok"), col("sem_keep"), col("kept"))
 
     val keptIds = decisions.where(col("kept") === 1).select(col("doc_id"))
     val cleaned = docs.join(keptIds, "doc_id")

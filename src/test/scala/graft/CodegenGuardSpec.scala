@@ -33,7 +33,7 @@ class CodegenGuardSpec extends SparkSpec {
       // references every flag column through the collapsed span
       assert(b.decisions.where(col("kept") =!=
         col("exact_keep") * col("neardup_keep") * col("lang_ok")
-          * col("len_ok") * col("rep_ok")).count() === 0L)
+          * col("len_ok") * col("rep_ok") * col("sem_keep")).count() === 0L)
       assert(b.cleaned.count() > 0)
       assert(b.split.count() > 0)
       assert(b.packed.count() > 0)

@@ -27,8 +27,28 @@ class CorpusPipelineSpec extends SparkSpec {
   test("kept is the conjunction of its flags") {
     val bad = build.decisions.where(
       col("kept") =!= col("exact_keep") * col("neardup_keep") * col("lang_ok")
-        * col("len_ok") * col("rep_ok")).count()
+        * col("len_ok") * col("rep_ok") * col("sem_keep")).count()
     assert(bad === 0)
+    // the sem stage is OFF by default: the flag must be vacuous
+    assert(build.decisions.where(col("sem_keep") =!= 1).count() === 0)
+  }
+
+  test("the d20 dendrogram cut drives the build: decisions change with the cut") {
+    val d = "/root/testdata/sf0.001"
+    val at2 = CorpusPipeline.run(spark, d, CorpusConfig(semdedupCutStep = 2)).decisions
+    val at6 = CorpusPipeline.run(spark, d, CorpusConfig(semdedupCutStep = 6)).decisions
+    val drop2 = at2.where(col("sem_keep") === 0).count()
+    val drop6 = at6.where(col("sem_keep") === 0).count()
+    assert(drop6 > 0, "an aggressive cut must actually drop documents")
+    // coarser cut ⇒ bigger clusters ⇒ at least as many verified near-dups
+    assert(drop6 >= drop2)
+    assert(drop2 !== drop6, "the cut parameter must change the decision table")
+    // the sem flag flows into kept
+    val inconsistent = at6.where(col("kept") === 1 && col("sem_keep") === 0).count()
+    assert(inconsistent === 0)
+    // and the stage only ever REMOVES relative to the default build
+    val keptDefault = build.decisions.where(col("kept") === 1).count()
+    assert(at6.where(col("kept") === 1).count() <= keptDefault)
   }
 
   test("packed chunks respect the budget unless a single doc overflows it") {

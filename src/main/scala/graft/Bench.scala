@@ -29,8 +29,20 @@ object Bench {
     // optional trailing query names restrict a dev run (same contract as
     // Verify); the driver always runs the full headline set
     val wanted = args.toSet
-    val selected = if (wanted.isEmpty) SparkEntry.benchQueries
-      else SparkEntry.benchQueries.filter { case (k, _) => wanted.contains(k) }
+    // SPARK_GRAFT_BENCH_LANE: "all" (default — the driver's per-round
+    // record), "fast" (skip the deep tail for tight dev loops), "deep"
+    // (only the expensive six). TUNING.md "Benchmark lanes" documents the
+    // split and the ~45 s recorded-total budget it protects.
+    val lane = sys.env.getOrElse("SPARK_GRAFT_BENCH_LANE", "all")
+    val deep = SparkEntry.deepBenchNames
+    val inLane = (k: String) => lane match {
+      case "fast" => !deep.contains(k)
+      case "deep" => deep.contains(k)
+      case _      => true
+    }
+    val selected = (if (wanted.isEmpty) SparkEntry.benchQueries
+      else SparkEntry.benchQueries.filter { case (k, _) => wanted.contains(k) })
+      .filter { case (k, _) => inLane(k) }
     // SPARK_GRAFT_BENCH_REPS=N → per-query median of N runs. Shared-host
     // variance is ±50% on single shots (round 5 recorded two 2-5×
     // phantom regressions that a median-of-3 re-run disproved), so the

@@ -46,9 +46,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allDefs.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
+    allDefs.collect { case (k, QueryDef(_, Some(sql), _, _)) => k -> sql }
 
   /** Headline benchmark subset (run at sf0.1 by Bench). */
   def benchQueries: ListMap[String, (SparkSession, String) => DataFrame] =
     allDefs.collect { case (k, qd) if qd.bench => k -> qd.fn }
+
+  /** The expensive tail of the headline set (> ~2 s at sf0.1): the
+    * "deep" bench lane — see TUNING.md "Benchmark lanes". */
+  def deepBenchNames: Set[String] =
+    allDefs.collect { case (k, qd) if qd.bench && qd.deep => k }.toSet
 }

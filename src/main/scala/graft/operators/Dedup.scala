@@ -1697,7 +1697,7 @@ object Dedup extends QueryModule {
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
-    "d3_minhash_lsh"   -> QueryDef(minhashLsh, Some(minhashLshSql), bench = true),
+    "d3_minhash_lsh"   -> QueryDef(minhashLsh, Some(minhashLshSql), bench = true, deep = true),
     "d4_simhash"       -> QueryDef(simhash, Some(simhashSql)),
     "d5_embedding_neardup" -> QueryDef(embeddingNearDup, Some(embeddingNearDupSql), bench = true),
     "d6_window_dedup"  -> QueryDef(windowDedup, Some(windowDedupSql)),
@@ -1712,7 +1712,7 @@ object Dedup extends QueryModule {
     "d13_prefix_jaccard" -> QueryDef(prefixJaccard, Some(ngramJaccardSql)),
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
-    "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql), bench = true),
+    "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql), bench = true, deep = true),
     "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
     "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
     "d19_repeat_removal" -> QueryDef(repeatRemoval, Some(repeatRemovalSql)),

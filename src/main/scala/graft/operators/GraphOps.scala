@@ -223,9 +223,9 @@ object GraphOps extends QueryModule {
 
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g1_normalise_prefixes"   -> QueryDef(normalisePrefixes, Some(normalisePrefixesSql)),
-    "g2_connected_components" -> QueryDef(connectedComponents, Some(connectedComponentsSql), bench = true),
+    "g2_connected_components" -> QueryDef(connectedComponents, Some(connectedComponentsSql), bench = true, deep = true),
     "g3_groups_canonical"     -> QueryDef(groupsCanonical, Some(groupsCanonicalSql)),
     "g4_merge_provenance"     -> QueryDef(mergeProvenance, Some(mergeProvenanceSql), bench = true),
-    "g14_pipeline_e2e"        -> QueryDef(pipelineE2e, Some(pipelineE2eSql), bench = true),
+    "g14_pipeline_e2e"        -> QueryDef(pipelineE2e, Some(pipelineE2eSql), bench = true, deep = true),
   )
 }

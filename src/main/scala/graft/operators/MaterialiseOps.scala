@@ -6,6 +6,7 @@ import graft.materialise.Materialise
 import graft.model.{MergedNode, PropValue}
 import graft.query.Query
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
@@ -526,6 +527,49 @@ object MaterialiseOps extends QueryModule {
       |SELECT (SELECT count(*) FROM pairs) AS n_edges,
       |  (SELECT count(*) FROM w JOIN o ON o.s = w.a AND o.t = w.b) AS n_triangles""".stripMargin
 
+  /** g23 — LABEL-PROPAGATION COMMUNITIES ([[Query.labelPropagation]])
+    * over g19's parts-co-ordered graph: three synchronous min-tie-break
+    * rounds, then per-node (id, label) plus the community size — the
+    * community-detection primitive that needs no parameter besides the
+    * round count (vs modularity methods' resolution) and runs in
+    * O(rounds · E) joins, which is why it's the one that survives
+    * web-scale graphs. Community size comes from a window count over the
+    * final labels, not a second aggregation pass. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    Query.labelPropagation(pairs, iterations = 3)
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy(col("id"))
+  }
+
+  val labelPropagationSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT node AS id, label FROM (
+         |    SELECT a.node, l.label,
+         |      row_number() OVER (PARTITION BY a.node
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM adj a JOIN $prev l ON l.id = a.nbr
+         |    GROUP BY a.node, l.label) WHERE rn = 1)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS node, v AS nbr FROM pairs
+      |        UNION ALL SELECT v, u FROM pairs),
+      |l0 AS (SELECT DISTINCT node AS id, node AS label FROM adj),
+      |${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")}
+      |SELECT id, label, count(*) OVER (PARTITION BY label) AS csize
+      |FROM l3 ORDER BY id""".stripMargin
+  }
+
   /** g20 — neighbor-set similarity (link prediction's common-neighbors /
     * Jaccard primitive) over the customer–part bipartite graph: customers
     * are "similar" when they order many of the same parts. Candidates
@@ -566,7 +610,7 @@ object MaterialiseOps extends QueryModule {
       |WHERE inter >= 8 ORDER BY ca, cb""".stripMargin
 
   override val defs: ListMap[String, QueryDef] = ListMap(
-    "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true),
+    "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
     "g6_display_type"     -> QueryDef(displayType, Some(displayTypeSql)),
     "g7_edge_summary"     -> QueryDef(edgeSummary, Some(edgeSummarySql)),
@@ -581,8 +625,9 @@ object MaterialiseOps extends QueryModule {
     "g17_weighted_paths"  -> QueryDef(weightedPaths, Some(weightedPathsSql)),
     "g21_closeness" -> QueryDef(closeness, Some(closenessSql)),
     "g22_harmonic"  -> QueryDef(harmonic, Some(harmonicSql)),
-    "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), bench = true),
+    "g18_pagerank"        -> QueryDef(pageRank, Some(pageRankSql), bench = true, deep = true),
     "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),
+    "g23_label_propagation" -> QueryDef(labelPropagation, Some(labelPropagationSql)),
   )
 }

@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -356,6 +357,48 @@ object Query {
     val res = pairs.agg(count(lit(1)).as("n_edges"))
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
     res
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected edge set (`(u, v)` pairs, u < v, self-loop-free): every
+    * node starts labelled with its own id; each round it adopts the MODE
+    * of its neighbours' previous-round labels, ties broken by the
+    * smallest label — the deterministic variant (classic LPA breaks ties
+    * randomly, which would make the gate unverifiable; min-tie-break is
+    * the standard reproducible choice). A FIXED iteration count is part
+    * of the contract, not a convergence heuristic: synchronous LPA can
+    * oscillate on bipartite structures, so "labels after k rounds" is the
+    * well-defined quantity both engines compute.
+    *
+    * Scale shape: per round one equi-join of the |2E| adjacency (persisted
+    * across rounds) against the |V| label frame + one (node, label) count
+    * + one per-node argmax window — all hash-partitioned on the node id;
+    * state never exceeds |V| rows and the adjacency is shuffled once, so
+    * rounds reuse the same partitioning at 100 TB. Lineage is cut per
+    * round ([[saveRound]]) exactly like [[pageRank]]. */
+  def labelPropagation(undirected: DataFrame, iterations: Int = 3,
+                       reliableEvery: Int = 0): DataFrame = {
+    val pairs = undirected.select(col("u"), col("v")).distinct()
+    val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+      .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = adj.select(col("node").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    var i = 0
+    while (i < iterations) {
+      lab = saveRound(
+        adj.join(lab.withColumnRenamed("id", "nbr"), "nbr")
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("node").as("id"), col("label")),
+        i + 1, reliableEvery)
+      i += 1
+    }
+    adj.unpersist()
+    lab
   }
 
   // -------------------------------------------------------------------

@@ -193,24 +193,34 @@ object Dedup extends QueryModule {
       ledger = Some(s"$workDir/hot_buckets.parquet"))
   }
 
-  private def minhashLshFrom(sh: DataFrame,
-      sigStore: Option[(SparkSession, String)] = None,
-      ledger: Option[String] = None): DataFrame = {
+  /** The 16-min minhash signature frame of a `(doc_id, s)` shingle frame
+    * — one groupBy, all mins map-side-combined. */
+  private def minhashSig(sh: DataFrame): DataFrame = {
     val sigExprs = (1 to 16).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
-    var sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
-    sigStore.foreach { case (s, dir) =>
-      sig.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-      sig = s.read.parquet(dir)
-    }
-    // all 4 band keys from ONE pass over the signatures (array + explode)
-    // — 4 unioned projections would recompute the 16-min aggregation per
-    // band on the unstaged path
+    sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+  }
+
+  /** All 4 band keys of a signature frame from ONE pass (array + explode)
+    * — 4 unioned projections would recompute the 16-min aggregation per
+    * band on an unstaged plan. */
+  private def bandsOfSig(sig: DataFrame): DataFrame = {
     val bandExprs = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => col(s"m${b * 4 + r}"))
       md5(concat_ws("|", lit(b.toString) +: ms: _*))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandExprs: _*)).as("band"))
+  }
+
+  private def minhashLshFrom(sh: DataFrame,
+      sigStore: Option[(SparkSession, String)] = None,
+      ledger: Option[String] = None): DataFrame = {
+    var sig = minhashSig(sh)
+    sigStore.foreach { case (s, dir) =>
+      sig.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      sig = s.read.parquet(dir)
+    }
+    val bands = bandsOfSig(sig)
     ledger.foreach(p => hotBandBuckets(bands, "doc_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p))
     val cand = bandCandidates(bands, "doc_id")
@@ -1694,6 +1704,61 @@ object Dedup extends QueryModule {
       |FROM ($union) ORDER BY cut_step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+
+  /** d21 — EDIT-DISTANCE VERIFICATION of the LSH candidate pairs: every
+    * banded candidate (same generator as d3, hot-bucket guard included)
+    * gets an exact Levenshtein distance over the documents' 256-char
+    * prefixes plus a permille similarity `1000 − 1000·edit/max(len)`, and
+    * an `is_dup` decision at ≥ 900 — the character-level verify stage
+    * near-dup pipelines run after banding when shingle Jaccard is too
+    * coarse (it misses transpositions and small in-word edits). The
+    * PREFIX BOUND is the scale contract: Levenshtein is O(L²) per pair,
+    * so verification cost is |candidates| · 256², independent of both
+    * document length and the corpus pair space — the same
+    * bounded-verify-on-candidates-only shape as d3. Emitting every
+    * candidate with its score (not just survivors) keeps the gate a
+    * calibration table: the threshold is downstream policy. */
+  def editVerify(s: SparkSession, d: String): DataFrame = {
+    val cand = bandCandidates(bandsOfSig(minhashSig(shingles(s, d))), "doc_id")
+    val txt = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 256).as("t"))
+    cand
+      .join(txt.select(col("doc_id").as("da"), col("t").as("ta")), "da")
+      .join(txt.select(col("doc_id").as("db"), col("t").as("tb")), "db")
+      .withColumn("edit", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("sim_permille",
+        expr("1000 - (1000 * edit) div greatest(length(ta), length(tb), 1)"))
+      .select(col("da"), col("db"), col("edit"), col("sim_permille"),
+        (col("sim_permille") >= 900).cast("int").as("is_dup"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val editVerifySql: String = {
+    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val ms = (1 to 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, md5('$b' || '|' || $ms) AS band FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $shinglesSql,
+      |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  $bandSelects),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id),
+      |txt AS (SELECT doc_id, substr(text, 1, 256) AS t FROM documents),
+      |p AS (
+      |  SELECT cand.da, cand.db, levenshtein(a.t, b.t) AS e,
+      |    greatest(length(a.t), length(b.t), 1) AS m
+      |  FROM cand JOIN txt a ON a.doc_id = cand.da
+      |  JOIN txt b ON b.doc_id = cand.db)
+      |SELECT da, db, CAST(e AS BIGINT) AS edit,
+      |  CAST(1000 - (1000 * e) // m AS BIGINT) AS sim_permille,
+      |  CAST(1000 - (1000 * e) // m >= 900 AS INT) AS is_dup
+      |FROM p ORDER BY da, db""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -1717,5 +1782,6 @@ object Dedup extends QueryModule {
     "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
     "d19_repeat_removal" -> QueryDef(repeatRemoval, Some(repeatRemovalSql)),
     "d20_semdedup_sweep" -> QueryDef(semdedupSweep, Some(semdedupSweepSql)),
+    "d21_edit_verify"  -> QueryDef(editVerify, Some(editVerifySql)),
   )
 }

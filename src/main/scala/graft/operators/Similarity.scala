@@ -1105,6 +1105,62 @@ object Similarity extends QueryModule {
       |ORDER BY np.variant, np.codes, q.query_id""".stripMargin
   }
 
+  /** s13 — k-NN GRAPH CONSTRUCTION over ALL vectors (not a query set):
+    * per vector, the top-3 inner-product neighbours among candidates from
+    * its own sign bucket UNION the 8 Hamming-distance-1 probe buckets —
+    * the blocked all-pairs primitive that SemDeDup clustering, kNN-graph
+    * community detection, and HNSW-style index builds all start from.
+    * Multiprobe lives on the QUERY side only (explode to 9 bucket keys);
+    * the index side keeps each vector in exactly one bucket, so the probe
+    * join is a plain equi-join and each (vector, neighbour) pair can
+    * match at most once — no post-join dedup. Pair work is
+    * ~9·N²/2^bits; at 100 TB the dial is the bit count (and a banked
+    * hash family), never a crossJoin — the same contract as s2, applied
+    * corpus-wide. */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val emb = quantized(s, d).withColumn("bucket", bucket)
+      .select(col("vec_id"), col("bucket"), col("q"))
+    val probeKeys = col("bucket") +: (0 until 8).map(j =>
+      col("bucket").bitwiseXOR(lit(1 << j)))
+    val probes = emb.select(col("vec_id"), col("q"),
+      explode(array(probeKeys: _*)).as("bucket"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    probes
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("bucket"),
+        col("q").as("nq")), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("vec_id"))
+      .withColumn("dot", dot(col("q"), col("nq")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val knnGraphSql: String = {
+    val bucket = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
+    val probeList = ("bucket" +: (0 until 8).map(j => s"xor(bucket, ${1 << j})"))
+      .mkString(", ")
+    s"""WITH q AS (
+      |  SELECT vec_id, $bucket AS bucket,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings),
+      |pr AS (SELECT vec_id, qv, unnest([$probeList]) AS bucket FROM q),
+      |pairs AS (
+      |  SELECT pr.vec_id, i.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(pr.qv, i.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM pr JOIN q i ON i.bucket = pr.bucket AND i.vec_id != pr.vec_id)
+      |SELECT vec_id, rank, neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -1118,5 +1174,6 @@ object Similarity extends QueryModule {
     "s10_ivf_pq_residual" -> QueryDef(ivfPqResidual, Some(ivfPqResidualSql)),
     "s11_codebook_sweep" -> QueryDef(codebookSweep, Some(codebookSweepSql)),
     "s12_ivf_pq_percell" -> QueryDef(ivfPqResidualPerCell, Some(ivfPqResidualPerCellSql)),
+    "s13_knn_graph"      -> QueryDef(knnGraph, Some(knnGraphSql)),
   )
 }

@@ -980,6 +980,68 @@ object TextAnalysis extends QueryModule {
       |  FROM counts c JOIN heads h USING (w1))
       |WHERE rank <= 3 ORDER BY w1, rank""".stripMargin
 
+  /** t25 — DSIR-shaped data selection (importance resampling over hashed
+    * n-gram features, Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): unigram tokens hash into 128
+    * buckets; the per-bucket importance ratio is target-count over
+    * raw-count with add-one smoothing, in 1e6 fixed point so both engines
+    * agree bit-for-bit (canonical DSIR sums log ratios — the integer
+    * ratio mean keeps the same ordering signal with exact arithmetic);
+    * the target distribution here is the `lang = 'en'` slice standing in
+    * for "looks like the high-quality reference corpus". Each document
+    * scores the MEAN bucket ratio of its tokens and the top 100 by
+    * (score, id) are admitted.
+    *
+    * Scale shape: two bucket-count aggregations (128-row results), the
+    * ratio table BROADCAST back onto the token stream, one per-doc
+    * aggregation, and a `orderBy().limit()` admission — Spark plans that
+    * as distributed TakeOrdered partial top-k, so no corpus-sized
+    * single-partition window ever materialises; the rank column is
+    * assigned over the 100 survivors only. */
+  def dsirSelection(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int") % 128)
+    val raw = toks.groupBy("bucket").agg(count(lit(1)).as("r"))
+    val tgt = toks.where(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("t"))
+    val w = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("(1000000 * (coalesce(t, CAST(0 AS BIGINT)) + 1)) div (r + 1)").as("wb"))
+    val docW = toks.join(broadcast(w), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(expr("sum(wb) div count(1)").as("w_avg"))
+    docW.orderBy(col("w_avg").desc, col("doc_id").asc).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("w_avg").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("lang"), col("w_avg"))
+      .orderBy(col("rank"))
+  }
+
+  val dsirSelectionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) % 128 AS bucket
+      |  FROM toks),
+      |raw AS (SELECT bucket, count(*) AS r FROM b GROUP BY bucket),
+      |tgt AS (SELECT bucket, count(*) AS t FROM b WHERE lang = 'en' GROUP BY bucket),
+      |w AS (
+      |  SELECT raw.bucket, (1000000 * (coalesce(t, 0) + 1)) // (r + 1) AS wb
+      |  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket),
+      |docw AS (
+      |  SELECT doc_id, lang, sum(wb) // count(*) AS w_avg
+      |  FROM b JOIN w ON w.bucket = b.bucket GROUP BY doc_id, lang)
+      |SELECT rank, doc_id, lang, CAST(w_avg AS BIGINT) AS w_avg FROM (
+      |  SELECT *, row_number() OVER (ORDER BY w_avg DESC, doc_id ASC) AS rank
+      |  FROM docw)
+      |WHERE rank <= 100 ORDER BY rank""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -1005,5 +1067,6 @@ object TextAnalysis extends QueryModule {
     "t22_bigram_lm"     -> QueryDef(bigramLm, Some(bigramLmSql)),
     "t23_mixture_pipeline" -> QueryDef(mixturePipeline, Some(mixturePipelineSql)),
     "t24_mixture_epochs" -> QueryDef(mixtureEpochs, Some(mixtureEpochsSql)),
+    "t25_dsir_selection" -> QueryDef(dsirSelection, Some(dsirSelectionSql)),
   )
 }

@@ -109,5 +109,8 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamRepeatRemoval(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_srepeats_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Dedup.repeatRemovalSql)),
+    "st15_stream_decontamination" -> QueryDef(
+      (s, d) => Streaming.streamDecontamination(s, d, s"sdecon_${math.abs(d.hashCode)}"),
+      Some(TextAnalysis.decontaminationSql)),
   )
 }

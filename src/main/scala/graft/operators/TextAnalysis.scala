@@ -166,7 +166,7 @@ object TextAnalysis extends QueryModule {
     * decontaminate against the wrong split). */
   private def splitBucket: Column =
     conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int") % 100
-  private def splitCol: Column =
+  private[graft] def splitCol: Column =
     when(splitBucket < 90, "train").otherwise("val")
   private val splitBucketSql: String =
     """((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16

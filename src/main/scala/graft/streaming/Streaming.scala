@@ -263,6 +263,48 @@ object Streaming {
       |FROM w JOIN nd USING (w)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Streaming DECONTAMINATION PROBE (st15): each arriving VALIDATION
+    * document's distinct word 8-grams probe a static index of the train
+    * split's 8-grams, yielding t11's benchmark-leakage signal the moment
+    * a held-out document lands — the online form of the check every
+    * training-data pipeline runs before an eval set is trusted. Split
+    * assignment reuses t5/t11's single content-hash rule
+    * ([[graft.operators.TextAnalysis.splitCol]]), so the three gates can
+    * never drift apart. Static side: one distinct over train grams.
+    * Stream side: row-local per-doc distinct grams (a doc with < 8 words
+    * emits one null-gram sentinel so its zero row still appears), one
+    * stream-static left join + one Complete-mode per-doc count — st8's
+    * stream-static shape. Output ≡ batch t11, and the gate shares t11's
+    * oracle verbatim. */
+  def streamDecontamination(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    def gramsOf(t: String): Seq[String] = {
+      val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+      (0 to ws.length - 8).map(i => ws.slice(i, i + 8).mkString(" ")).distinct
+    }
+    val split = graft.operators.TextAnalysis.splitCol
+    val trainGrams = s.read.parquet(s"$d/documents.parquet")
+      .withColumn("split", split).where(col("split") === "train")
+      .select(col("text")).as[String]
+      .flatMap(gramsOf)
+      .toDF("g").distinct()
+      .withColumn("hit", lit(1L))
+    val stream = documentsStream(s, d)
+      .withColumn("split", split).where(col("split") === "val")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val gs = gramsOf(t)
+        if (gs.isEmpty) Iterator((id, null: String)) else gs.iterator.map((id, _))
+      }
+      .toDF("doc_id", "g")
+    val probed = stream.join(trainGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+    runToTable(probed, OutputMode.Complete, name)
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming QUOTA ADMISSION: keep the first `quota` documents (by
     * doc_id) per source from a continuously-arriving corpus — the
     * admission-control half of a mixture policy (t19 sets the quota; this

@@ -172,7 +172,16 @@ object IncrementalRepeats {
     * max-`removed_chars` row per doc is its latest verdict (equal counts
     * ⟹ identical intervals ⟹ identical rows, so the struct-max tiebreak
     * is vacuous). Equals batch d19 on the union of all arrivals. */
-  def currentCleaned(spark: SparkSession, stateDir: String): DataFrame =
+  def currentCleaned(spark: SparkSession, stateDir: String): DataFrame = {
+    // a store that never saw a batch (empty corpus, first run) has no
+    // cleaned table yet — degrade to the typed empty view, not an error
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/cleaned.parquet")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, n_removed BIGINT, removed_chars BIGINT, " +
+            "cleaned_len BIGINT, cleaned_hash STRING"))
     spark.read.parquet(s"$stateDir/cleaned.parquet")
       .groupBy(col("doc_id"))
       .agg(max(struct(col("removed_chars"), col("n_removed"),
@@ -181,4 +190,5 @@ object IncrementalRepeats {
         col("f.removed_chars").as("removed_chars"),
         col("f.cleaned_len").as("cleaned_len"),
         col("f.cleaned_hash").as("cleaned_hash"))
+  }
 }

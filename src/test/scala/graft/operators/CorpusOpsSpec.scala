@@ -58,4 +58,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.length == 20 && rows.map(_._1).toSet == (0L until 20L).toSet)
     rows.foreach { case (_, k, h) => assert(k == 3 && h >= 0 && h <= 3) }
   }
+
+  test("s13: ranks contiguous per vector, dots non-increasing, ANN dot bounded by exact") {
+    val rows = Similarity.knnGraph(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val byVec = rows.groupBy(_._1)
+    byVec.foreach { case (v, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      sorted.foreach { case (_, _, nbr, _) => assert(nbr != v) }
+    }
+    // the blocked top-1 can never beat the exact (unblocked) top-1
+    val emb = graft.core.Tables.embeddings(spark, d)
+      .select(col("vec_id"), graft.core.Exact.quantize(col("embedding"), 10000).as("q"))
+    val exact1 = emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("v"),
+        graft.functions.DotProductL(col("a.q"), col("b.q")).as("dot"))
+      .groupBy("v").agg(max("dot").as("best"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byVec.foreach { case (v, rs) =>
+      assert(rs.minBy(_._2)._4 <= exact1(v))
+    }
+  }
+
+  test("t25: exactly 100 admitted, ranks dense, weights non-increasing") {
+    val rows = TextAnalysis.dsirSelection(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == 100)
+    assert(rows.map(_._1).toSeq == (1 to 100).toSeq)
+    val ws = rows.sortBy(_._1).map(_._4).toSeq
+    assert(ws == ws.sortBy(-_))
+    // ties within a weight are admitted lowest-id-first
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((_, id1, _, w1), (_, id2, _, w2)) =>
+        assert(w1 > w2 || (w1 == w2 && id1 < id2))
+      case _ =>
+    }
+  }
+
+  test("st15: streaming decontamination equals the batch t11 gate") {
+    val stream = graft.streaming.Streaming
+      .streamDecontamination(spark, d, "t_sdecon_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextAnalysis.decontamination(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
 }

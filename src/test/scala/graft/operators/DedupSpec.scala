@@ -195,4 +195,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lcsLen("xyz", "") === 0)
     assert(Dedup.lcsLen(null, "abc") === 0)
   }
+
+  test("d21: scores are consistent and the d3 survivors are a subset of its candidates") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Dedup.editVerify(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val prefix = graft.core.Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("text"), 1, 256).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (da, db, edit, sim, isDup) =>
+      assert(da < db)
+      assert(sim >= 0 && sim <= 1000)
+      assert((isDup == 1) == (sim >= 900))
+      assert((edit == 0L) == (prefix(da) == prefix(db)))
+    }
+    val d21Pairs = rows.map(r => (r._1, r._2)).toSet
+    val d3Pairs = Dedup.minhashLsh(spark, d).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d3Pairs.subsetOf(d21Pairs))
+  }
 }

@@ -65,6 +65,20 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-7 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("g23_label_propagation", "d21_edit_verify",
+        "s13_knn_graph", "t25_dsir_selection", "st15_stream_decontamination",
+        "g22_harmonic", "st14_stream_repeat_removal", "t24_mixture_epochs")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+    // d20 shares d18's sweep contract: one zero-count row per cut setting
+    val sweep = defs("d20_semdedup_sweep").fn(spark, emptyDir).collect()
+    assert(sweep.length === 3 && sweep.forall(_.getLong(2) === 0L),
+      "d20 should report zero candidates per cut")
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

@@ -70,4 +70,24 @@ class GraphAnalyticsSpec extends SparkSpec {
         Query.transitiveClosure(edges).collect().toSet)
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
+
+  test("g23: disjoint cliques each converge to their clique-minimum label") {
+    // K3 {1,2,3} + K3 {10,11,12}: min-tie-break LPA folds every member
+    // onto the clique minimum within 3 synchronous rounds, and labels
+    // never cross the component boundary
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val lab = Query.labelPropagation(und, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lab == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("g23: duplicate input pairs do not change the labels") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("u", "v")
+    assert(Query.labelPropagation(und).collect().toSet ===
+      Query.labelPropagation(dup).collect().toSet)
+  }
 }

@@ -1140,6 +1140,103 @@ object Similarity extends QueryModule {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** s14 — K-NN-GRAPH RECALL SWEEP: s13's blocked construction measured
+    * against the exact all-pairs top-3 graph, one row per multiprobe
+    * radius r ∈ {0,1,2} (1 / 9 / 37 probe buckets). The measured table
+    * behind s13's Hamming-1 default: radius 0 is the cheap-but-lossy
+    * floor, radius 2 the diminishing-returns ceiling. The exact truth is
+    * O(N²) and exists ONLY at eval scale (the same contract as s5/s9/
+    * d18's truth arms); the blocked arms are the production shape whose
+    * pair work scales as probes·N²/2^bits. Index side keeps one bucket
+    * per vector, so every probe join is a plain equi-join and a
+    * (vector, neighbour) pair matches at most once per radius — no
+    * post-join dedup at any radius. */
+  def knnGraphRecallSweep(s: SparkSession, d: String): DataFrame = {
+    val bucketExpr = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val emb = quantized(s, d).withColumn("bucket", bucketExpr)
+      .select(col("vec_id"), col("bucket"), col("q")).localCheckpoint()
+    val idx = emb.select(col("vec_id").as("neighbor_id"),
+      col("bucket").as("nbucket"), col("q").as("nq"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    def top3(pairs: DataFrame): DataFrame = pairs
+      .withColumn("dot", dot(col("q"), col("nq")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val exact = top3(broadcast(emb.select(col("vec_id"), col("q")))
+      .join(idx, col("neighbor_id") =!= col("vec_id"))).localCheckpoint()
+    val hits = Seq(0 -> 1, 1 -> 9, 2 -> 37).map { case (r, nProbes) =>
+      val keys: Seq[Column] = col("bucket") +: (
+        (if (r >= 1) (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+         else Seq.empty[Column]) ++
+        (if (r >= 2) for { i <- 0 until 8; j <- i + 1 until 8 }
+           yield col("bucket").bitwiseXOR(lit((1 << i) | (1 << j)))
+         else Seq.empty[Column]))
+      val probes = emb.select(col("vec_id"), col("q"),
+        explode(array(keys: _*)).as("nbucket"))
+      val blocked = top3(probes.join(idx, Seq("nbucket"))
+        .where(col("neighbor_id") =!= col("vec_id")))
+      blocked.join(exact, Seq("vec_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(r).as("radius"), lit(nProbes).as("n_probes"), col("n_hits"))
+    }.reduce(_ union _)
+    hits.crossJoin(broadcast(exact.agg(count(lit(1)).as("n_truth"))))
+      .select(col("radius"), col("n_probes"), col("n_hits"),
+        coalesce(expr("(1000 * n_hits) div nullif(n_truth, 0)"), lit(0L))
+          .cast("long").as("recall_permille"))
+      .orderBy(col("radius"))
+  }
+
+  val knnGraphRecallSweepSql: String = {
+    val bucket = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
+    def probeList(r: Int): String =
+      ("bucket" +:
+        ((if (r >= 1) (0 until 8).map(j => s"xor(bucket, ${1 << j})") else Seq.empty) ++
+         (if (r >= 2) for { i <- 0 until 8; j <- i + 1 until 8 }
+            yield s"xor(bucket, ${(1 << i) | (1 << j)})"
+          else Seq.empty))).mkString(", ")
+    def blockedCte(r: Int): String =
+      s"""b$r AS (
+        |  SELECT vec_id, neighbor_id FROM (
+        |    SELECT pr.vec_id, i.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY pr.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(pr.qv, i.qv), z -> z[1] * z[2])) DESC,
+        |        i.vec_id ASC) AS rank
+        |    FROM (SELECT vec_id, qv, unnest([${probeList(r)}]) AS bucket FROM q) pr
+        |    JOIN q i ON i.bucket = pr.bucket AND i.vec_id != pr.vec_id)
+        |  WHERE rank <= 3)""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id, $bucket AS bucket,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings),
+      |exact AS (
+      |  SELECT vec_id, neighbor_id FROM (
+      |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) DESC,
+      |        b.vec_id ASC) AS rank
+      |    FROM q a JOIN q b ON b.vec_id != a.vec_id)
+      |  WHERE rank <= 3),
+      |${blockedCte(0)},
+      |${blockedCte(1)},
+      |${blockedCte(2)},
+      |hits AS (
+      |  SELECT 0 AS radius, 1 AS n_probes,
+      |    (SELECT count(*) FROM b0 JOIN exact USING (vec_id, neighbor_id)) AS n_hits
+      |  UNION ALL SELECT 1, 9,
+      |    (SELECT count(*) FROM b1 JOIN exact USING (vec_id, neighbor_id))
+      |  UNION ALL SELECT 2, 37,
+      |    (SELECT count(*) FROM b2 JOIN exact USING (vec_id, neighbor_id)))
+      |SELECT radius, n_probes, CAST(n_hits AS BIGINT) AS n_hits,
+      |  CAST(coalesce((1000 * n_hits) // nullif(
+      |    (SELECT count(*) FROM exact), 0), 0) AS BIGINT) AS recall_permille
+      |FROM hits ORDER BY radius""".stripMargin
+  }
+
   val knnGraphSql: String = {
     val bucket = (1 to 8).map(i =>
       s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
@@ -1175,5 +1272,6 @@ object Similarity extends QueryModule {
     "s11_codebook_sweep" -> QueryDef(codebookSweep, Some(codebookSweepSql)),
     "s12_ivf_pq_percell" -> QueryDef(ivfPqResidualPerCell, Some(ivfPqResidualPerCellSql)),
     "s13_knn_graph"      -> QueryDef(knnGraph, Some(knnGraphSql)),
+    "s14_knn_recall_sweep" -> QueryDef(knnGraphRecallSweep, Some(knnGraphRecallSweepSql)),
   )
 }

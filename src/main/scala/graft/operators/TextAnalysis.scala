@@ -1042,6 +1042,113 @@ object TextAnalysis extends QueryModule {
       |  FROM docw)
       |WHERE rank <= 100 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+
+  /** Shared surprisal lookup: permille probability p → −ln(p/1000) in 1e6
+    * fixed point (nats). Index 0 (a probability that FLOORED to zero
+    * permille) is scored as half a permille — the standard "clamp, don't
+    * infinity" guard. The table is literal data embedded identically in
+    * the Spark plan and the oracle SQL, so log arithmetic never runs in
+    * either engine at query time and parity is exact by construction. */
+  private[operators] val surprisalTable: IndexedSeq[Long] =
+    (0 to 1000).map { p =>
+      val eff = if (p == 0) 0.5 else p.toDouble
+      math.round(math.log(1000.0 / eff) * 1e6)
+    }
+
+  /** t26 — BIGRAM-LM PERPLEXITY FILTER (the CCNet recipe, Wenzek et al.
+    * 2020): train an add-one-smoothed word-bigram LM on the t5 content-
+    * hash train split, score each VAL document by its mean bigram
+    * surprisal (1e6-scaled nats via [[surprisalTable]] — exp of the mean
+    * is perplexity, so the integer mean preserves the perplexity order),
+    * and ntile each language's val docs into head/middle/tail buckets —
+    * CCNet's per-language perplexity tertiles.
+    *
+    * Scale shape: the LM is two count aggregations (bigram- and
+    * head-word-keyed — vocabulary-sized, NOT corpus-sized); scoring is a
+    * left equi-join of val bigrams against those tables (plain shuffle
+    * joins on word keys); the vocab size V rides in as a broadcast
+    * 1-row dimension; the only window is one ntile per language shard
+    * (t20's contract). No log/exp ever executes — the surprisal column
+    * is an `element_at` into the 1001-entry literal array. */
+  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), splitCol.as("split"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, sp, t) =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 until math.max(ws.length - 1, 0)).iterator
+          .map(i => (id, sp, ws(i), ws(i + 1)))
+      }
+      .toDF("doc_id", "split", "w1", "w2")
+    val train = bg.where(col("split") === "train")
+    val counts = train.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val heads = counts.groupBy("w1").agg(sum(col("n12")).as("n1"))
+    val vocab = train.select(col("w1").as("tok"))
+      .union(train.select(col("w2").as("tok")))
+      .agg(countDistinct(col("tok")).as("v"))
+    val scored = bg.where(col("split") === "val")
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p",
+        expr("(1000 * (coalesce(n12, 0) + 1)) div greatest(coalesce(n1, 0) + v, 1)"))
+      .withColumn("surprisal",
+        element_at(typedLit(surprisalTable), col("p").cast("int") + 1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surprisal")).as("tot"))
+      .withColumn("mean_surprisal", expr("tot div n_bigrams"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_surprisal").asc, col("doc_id").asc)
+    scored
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("mean_surprisal"),
+        when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexityFilterSql: String = {
+    val tab = surprisalTable.mkString("[", ", ", "]")
+    s"""WITH doc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN $splitBucketSql < 90 THEN 'train' ELSE 'val' END AS split,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, split, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, split, ws,
+      |          unnest(generate_series(1, len(ws) - 1)) AS i FROM doc)),
+      |counts AS (
+      |  SELECT w1, w2, count(*) AS n12 FROM bg WHERE split = 'train'
+      |  GROUP BY w1, w2),
+      |heads AS (
+      |  SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM counts GROUP BY w1),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok) AS v FROM (
+      |    SELECT w1 AS tok FROM bg WHERE split = 'train'
+      |    UNION SELECT w2 FROM bg WHERE split = 'train')),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(($tab)[
+      |      CAST((1000 * (coalesce(n12, 0) + 1)) // greatest(coalesce(n1, 0) + v, 1)
+      |        AS INT) + 1]) AS BIGINT) AS tot
+      |  FROM bg LEFT JOIN counts USING (w1, w2) LEFT JOIN heads USING (w1)
+      |  CROSS JOIN vocab
+      |  WHERE split = 'val'
+      |  GROUP BY doc_id)
+      |SELECT s.doc_id, d.lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  tot // n_bigrams AS mean_surprisal,
+      |  CASE ntile(3) OVER (PARTITION BY d.lang
+      |      ORDER BY tot // n_bigrams ASC, s.doc_id ASC)
+      |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+      |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -1068,5 +1175,6 @@ object TextAnalysis extends QueryModule {
     "t23_mixture_pipeline" -> QueryDef(mixturePipeline, Some(mixturePipelineSql)),
     "t24_mixture_epochs" -> QueryDef(mixtureEpochs, Some(mixtureEpochsSql)),
     "t25_dsir_selection" -> QueryDef(dsirSelection, Some(dsirSelectionSql)),
+    "t26_perplexity_filter" -> QueryDef(perplexityFilter, Some(perplexityFilterSql)),
   )
 }

@@ -82,6 +82,58 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("s14: recall is monotone in radius and the radius-1 arm matches s13") {
+    val rows = Similarity.knnGraphRecallSweep(spark, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((0, 1), (1, 9), (2, 37)))
+    val recalls = rows.sortBy(_._1).map(_._4)
+    assert(recalls.toSeq == recalls.sorted.toSeq, "recall must not drop as probes widen")
+    rows.foreach { case (_, _, hits, rec) =>
+      assert(hits >= 0 && rec >= 0 && rec <= 1000)
+    }
+    // the radius-1 arm IS s13's graph: its hit count equals |s13 ∩ exact top-3|
+    val s13 = Similarity.knnGraph(spark, d).select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = graft.core.Tables.embeddings(spark, d)
+      .select(col("vec_id"), graft.core.Exact.quantize(col("embedding"), 10000).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("dot").desc, col("n").asc)
+    val exact = emb.as("a")
+      .join(emb.select(col("vec_id").as("n"), col("q").as("nq")), col("n") =!= col("vec_id"))
+      .select(col("vec_id").as("v"), col("n"),
+        graft.functions.DotProductL(col("q"), col("nq")).as("dot"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .select("v", "n").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.find(_._1 == 1).get._3 == (s13 & exact).size.toLong)
+  }
+
+  test("t26: buckets are per-lang tertiles over val docs only; table is monotone") {
+    val tab = TextAnalysis.surprisalTable
+    assert(tab.length == 1001 && tab(1000) == 0L)
+    assert(tab.sliding(2).forall { case Seq(a, b) => a >= b }, "surprisal must fall as p rises")
+    val rows = TextAnalysis.perplexityFilter(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val valIds = TextAnalysis.trainSplit(spark, d)
+      .where(col("split") === "val").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(valIds), "train docs must never be scored")
+    rows.foreach { case (_, _, nb, ms, b) =>
+      assert(nb >= 1 && ms >= 0 && ms <= tab(0))
+      assert(Set("head", "middle", "tail").contains(b))
+    }
+    // ntile: per lang, bucket sizes differ by at most one and ordering is
+    // consistent — every head score <= every tail score within the lang
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sizes = rs.groupBy(_._5).view.mapValues(_.length).toMap
+      if (rs.length >= 3) {
+        assert(sizes.values.max - sizes.values.min <= 1)
+        val headMax = rs.filter(_._5 == "head").map(_._4).max
+        val tailMin = rs.filter(_._5 == "tail").map(_._4).min
+        assert(headMax <= tailMin)
+      }
+    }
+  }
+
   test("t25: exactly 100 admitted, ranks dense, weights non-increasing") {
     val rows = TextAnalysis.dsirSelection(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))

@@ -77,6 +77,11 @@ class EmptyInputSpec extends SparkSpec {
     val sweep = defs("d20_semdedup_sweep").fn(spark, emptyDir).collect()
     assert(sweep.length === 3 && sweep.forall(_.getLong(2) === 0L),
       "d20 should report zero candidates per cut")
+    assert(defs("t26_perplexity_filter").fn(spark, emptyDir).count() === 0L)
+    // s14 likewise: one zero-hit row per probe radius
+    val s14 = defs("s14_knn_recall_sweep").fn(spark, emptyDir).collect()
+    assert(s14.length === 3 && s14.forall(_.getLong(2) === 0L),
+      "s14 should report zero hits per radius")
   }
 
   test("the mixture pipeline builds empty artifacts from an empty corpus") {

@@ -461,6 +461,84 @@ object Multimodal extends QueryModule {
       |  energy AS loud_energy
       |FROM pick WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** Per-image 56-bit dHash over the DECODED pixels: brightness =
+    * r+g+b per pixel, one bit per adjacent-pixel comparison (8 rows × 7
+    * columns). The standard perceptual gradient hash — robust to level
+    * shifts, sensitive to edge structure — computed from the real BMP
+    * decode so a codec bug changes the hashes. */
+  private[operators] def imagePhashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    synthMedia(s, d).filter(_.media_type == "image/bmp").map { m =>
+      val img = graft.media.Codecs.decodeBmp(m.payload)
+      def gray(i: Int): Int = {
+        val p = img.pixels(i)
+        ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      var hash = 0L
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width - 1) {
+          if (gray(y * img.width + x + 1) > gray(y * img.width + x))
+            hash |= 1L << (y * (img.width - 1) + x)
+          x += 1
+        }
+        y += 1
+      }
+      (m.doc_id, hash)
+    }.toDF("doc_id", "hash")
+  }
+
+  /** m8 — PERCEPTUAL IMAGE-HASH NEAR-DUP PAIRS: d8's banded-SimHash
+    * recipe applied to [[imagePhashes]] — 4 bands × 14 bits, Hamming
+    * threshold 3, so by pigeonhole every qualifying pair shares an
+    * untouched band and the banding is COMPLETE while never going
+    * all-pairs. The band join rides [[Dedup.bandCandidates]]'s shared
+    * hot-bucket guard (cap + star-to-minimum); verification is one
+    * `bit_count(xor)` per candidate. The image twin of d4/d8: same
+    * scale contract, pixels instead of tokens. */
+  def imagePhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = imagePhashes(s, d)
+    val bands = hashes.select(col("doc_id"),
+      explode(array((0 until 4).map(c =>
+        concat_ws("|", lit(c.toString),
+          shiftright(col("hash"), c * 14).bitwiseAND(lit(16383L)).cast("string"))): _*))
+        .as("band"))
+    Dedup.bandCandidates(bands, "doc_id")
+      .join(hashes.select(col("doc_id").as("da"), col("hash").as("ha")), "da")
+      .join(hashes.select(col("doc_id").as("db"), col("hash").as("hb")), "db")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val imagePhashPairsSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, idx,
+      |    (doc_id + 3*idx) % 256 + (doc_id + 5*idx) % 251 + (doc_id + 7*idx) % 247 AS gray
+      |  FROM documents CROSS JOIN generate_series(0, 63) gs(idx)
+      |  WHERE doc_id % 2 = 0),
+      |h AS (
+      |  SELECT a.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN b.gray > a.gray
+      |      THEN (CAST(1 AS BIGINT) << ((a.idx // 8) * 7 + a.idx % 8))
+      |      ELSE 0 END), 0) AS BIGINT) AS hash
+      |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+      |  WHERE a.idx % 8 < 7
+      |  GROUP BY a.doc_id),
+      |bands AS (
+      |  SELECT doc_id, c, (hash >> (c * 14)) & 16383 AS bv
+      |  FROM h CROSS JOIN generate_series(0, 3) gc(c)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON y.c = x.c AND y.bv = x.bv AND y.doc_id > x.doc_id)
+      |SELECT da, db, CAST(bit_count(xor(ha.hash, hb.hash)) AS INT) AS hamming
+      |FROM cand JOIN h ha ON ha.doc_id = da JOIN h hb ON hb.doc_id = db
+      |WHERE bit_count(xor(ha.hash, hb.hash)) <= 3
+      |ORDER BY da, db""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
@@ -469,5 +547,6 @@ object Multimodal extends QueryModule {
     "m5_media_dedup"    -> QueryDef(mediaDedup, Some(mediaDedupSql)),
     "m6_scene_detect"   -> QueryDef(sceneDetect, Some(sceneDetectSql)),
     "m7_loudness"       -> QueryDef(loudnessWindows, Some(loudnessWindowsSql)),
+    "m8_image_phash"    -> QueryDef(imagePhashPairs, Some(imagePhashPairsSql)),
   )
 }

@@ -134,6 +134,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("m8: banding is complete at threshold 3 and every pair verifies") {
+    val hashes = Multimodal.imagePhashes(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.keys.forall(_ % 2 == 0), "only image docs are hashed")
+    val pairs = Multimodal.imagePhashPairs(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    pairs.foreach { case (a, b, ham) =>
+      assert(a < b && ham <= 3)
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) == ham)
+    }
+    // pigeonhole: 4 bands × threshold 3 ⟹ the banded join loses nothing
+    val ids = hashes.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- i + 1 until ids.length
+      if java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute)
+  }
+
   test("t25: exactly 100 admitted, ranks dense, weights non-increasing") {
     val rows = TextAnalysis.dsirSelection(spark, d).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))

@@ -421,6 +421,88 @@ object MaterialiseOps extends QueryModule {
       |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_u
       |FROM best WHERE d > 0 GROUP BY src ORDER BY src""".stripMargin
 
+  /** g24 — SAMPLED BETWEENNESS CENTRALITY via the σ-product identity:
+    * paths through v for a pair (s,t) = σ(s,v)·σ(v,t) when
+    * dist(s,v)+dist(v,t) = dist(s,t), so an interior node's betweenness
+    * over sampled sources S and targets T needs only a FORWARD
+    * σ-counting pass from S and a BACKWARD pass from T (reversed edges)
+    * — never all-pairs, which is how production betweenness is actually
+    * run (Brandes source sampling; Riondato-Kornaropoulos bounds pick
+    * |S|). Contributions are fixed-point millionths
+    * (`(1e6·σf·σb) div σst` — truncating div matches DuckDB `//`),
+    * summed per node. The oracle is INDEPENDENT math: it enumerates
+    * every shortest path with a carried node list and counts membership,
+    * so a σ-propagation bug cannot cancel itself out. S = the 10 lowest
+    * order nodes (g21's set), T = every region sink. */
+  def betweenness(s: SparkSession, d: String): DataFrame = {
+    val sources = Tables.orders(s, d)
+      .select(node("o:", col("o_orderkey")).as("src"))
+      .orderBy(col("src")).limit(10)
+    val targets = Tables.region(s, d)
+      .select(node("r:", col("r_regionkey")).as("src"))
+    betweennessOf(weightedEdgeSet(s, d), sources, targets).orderBy(col("node"))
+  }
+
+  /** [[betweenness]] over explicit (fromNodeId, toNodeId, weight) edges
+    * and (src) source/target frames — the graph-shaped entry the
+    * property spec drives on hand-computed path/diamond graphs. */
+  private[graft] def betweennessOf(edges: DataFrame, sources: DataFrame,
+      targets: DataFrame): DataFrame = {
+    val fwd = Query.perSourceShortestPathCounts(edges, sources)
+    val rev = edges.select(col("toNodeId").as("fromNodeId"),
+      col("fromNodeId").as("toNodeId"), col("weight"))
+    val bwd = Query.perSourceShortestPathCounts(rev, targets)
+      .select(col("src").as("tgt"), col("nodeId").as("v"),
+        col("dist").as("bdist"), col("sigma").as("bsigma"))
+    val tgtSet = targets.select(col("src").as("tgt"))
+    val st = fwd.join(tgtSet, fwd("nodeId") === tgtSet("tgt"))
+      .select(col("src"), col("tgt"), col("dist").as("dst"), col("sigma").as("nst"))
+    fwd.select(col("src"), col("nodeId").as("v"), col("dist").as("fdist"),
+        col("sigma").as("fsigma"))
+      .join(bwd, "v")
+      .join(st, Seq("src", "tgt"))
+      .where(col("fdist") + col("bdist") === col("dst") &&
+        col("v") =!= col("src") && col("v") =!= col("tgt"))
+      .withColumn("c", expr("(1000000 * fsigma * bsigma) div nst"))
+      .groupBy(col("v").as("node"))
+      .agg(sum(col("c")).as("bc_1e6"), count(lit(1)).as("n_pairs"))
+  }
+
+  val betweennessSql: String =
+    s"""WITH RECURSIVE e(f, t, w) AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")}, 'c:' || ${sqlPad("o_custkey")},
+      |         CAST(o_orderkey % 3 + 2 AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(c_custkey % 3 + 1 AS BIGINT) FROM customer
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")},
+      |         CAST(1 AS BIGINT) FROM nation
+      |  UNION ALL SELECT 'o:' || ${sqlPad("o_orderkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         CAST(5 AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey),
+      |src AS (SELECT 'o:' || ${sqlPad("o_orderkey")} AS s FROM orders
+      |        ORDER BY 1 LIMIT 10),
+      |paths(src, node, d, pth) AS (
+      |  SELECT s, s, CAST(0 AS BIGINT), [s] FROM src
+      |  UNION ALL
+      |  SELECT p.src, e.t, p.d + e.w, list_append(p.pth, e.t)
+      |  FROM paths p JOIN e ON p.node = e.f),
+      |best AS (
+      |  SELECT src, node AS tgt, min(d) AS dmin FROM paths
+      |  WHERE node LIKE 'r:%' GROUP BY src, node),
+      |sp AS (
+      |  SELECT p.src, p.node AS tgt, p.pth FROM paths p
+      |  JOIN best b ON b.src = p.src AND b.tgt = p.node AND p.d = b.dmin),
+      |tot AS (SELECT src, tgt, count(*) AS n_st FROM sp GROUP BY src, tgt),
+      |thru AS (
+      |  SELECT src, tgt, v, count(*) AS n_v FROM (
+      |    SELECT src, tgt, unnest(pth) AS v FROM sp)
+      |  WHERE v != src AND v != tgt
+      |  GROUP BY src, tgt, v)
+      |SELECT v AS node,
+      |  CAST(sum((1000000 * n_v) // n_st) AS BIGINT) AS bc_1e6,
+      |  count(*) AS n_pairs
+      |FROM thru JOIN tot USING (src, tgt)
+      |GROUP BY v ORDER BY node""".stripMargin
+
   /** k3 — the id-nodes + id-edges CSV frames (K3 sink,
     * `grebi_make_neo_ids_csv/src/main.rs:5-31` +
     * `grebi_make_neo_csv/src/main.rs:390-412`) over a two-id-per-clique
@@ -629,5 +711,6 @@ object MaterialiseOps extends QueryModule {
     "g19_triangles"       -> QueryDef(triangles, Some(trianglesSql)),
     "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),
     "g23_label_propagation" -> QueryDef(labelPropagation, Some(labelPropagationSql)),
+    "g24_betweenness"     -> QueryDef(betweenness, Some(betweennessSql)),
   )
 }

@@ -246,6 +246,51 @@ object Query {
     dist
   }
 
+  /** [[perSourceShortestPaths]] plus σ — the NUMBER of shortest paths per
+    * (src, node): Brandes' forward pass, relationally. After the distance
+    * fixpoint, the shortest-path DAG is the edge subset with
+    * dist(u) + w = dist(v); σ propagates from σ(src,src)=1 by Jacobi
+    * rounds over that DAG (σ' = seed + Σ over DAG-predecessors), which
+    * converge in DAG-depth rounds because σ grows monotonically. Every
+    * round is one equi-join + one groupBy on the bounded |sources|·
+    * |reached| state — the 100 TB dial stays the source-set size. */
+  def perSourceShortestPathCounts(edges: DataFrame, sources: DataFrame,
+                                  maxIter: Int = 30): DataFrame = {
+    val step = edges.select(col("fromNodeId").as("from"),
+        col("toNodeId").as("to"), col("weight").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dist = perSourceShortestPaths(edges, sources, maxIter).localCheckpoint()
+    val dag = dist.select(col("src"), col("nodeId").as("from"), col("dist").as("du"))
+      .join(step, "from")
+      .join(dist.select(col("src"), col("nodeId").as("to"), col("dist").as("dv")),
+        Seq("src", "to"))
+      .where(col("du") + col("w") === col("dv"))
+      .select(col("src"), col("from"), col("to"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = sources.select(col("src"), col("src").as("nodeId"), lit(1L).as("sigma"))
+    var sigma = seed.localCheckpoint()
+    var done = false
+    var iter = 0
+    while (iter < maxIter && !done) {
+      iter += 1
+      val contrib = sigma.withColumnRenamed("nodeId", "from")
+        .join(dag, Seq("src", "from"))
+        .select(col("src"), col("to").as("nodeId"), col("sigma"))
+      val next = seed.union(contrib).groupBy("src", "nodeId")
+        .agg(sum(col("sigma")).as("sigma")).localCheckpoint()
+      // σ only grows row- and value-wise, so one-sided compare suffices
+      done = next.join(sigma, Seq("src", "nodeId", "sigma"), "left_anti").isEmpty
+      sigma = next
+    }
+    val out = dist.join(sigma, Seq("src", "nodeId"), "left")
+      .select(col("src"), col("nodeId"), col("dist"),
+        coalesce(col("sigma"), lit(0L)).as("sigma"))
+      .localCheckpoint()
+    dag.unpersist()
+    step.unpersist()
+    out
+  }
+
   /** Transitive closure of an edge set (bounded depth): all (ancestor,
     * descendant) pairs, by iterative path extension with distinct-dedup —
     * the engine-side form of Cypher `(a)<-[*1..]-(d)` used by the

@@ -71,6 +71,32 @@ class GraphAnalyticsSpec extends SparkSpec {
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 
+  test("g24: path and diamond graphs match the hand-computed Brandes values") {
+    def g(rows: Seq[(String, String, Long)]) =
+      rows.toDF("fromNodeId", "toNodeId", "weight")
+    def srcs(xs: String*) = xs.toDF("src")
+    // path a→b→c→d: both interior nodes lie on the single shortest path
+    val path = MaterialiseOps.betweennessOf(
+        g(Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L))),
+        srcs("a"), srcs("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(path == Map("b" -> (1000000L, 1L), "c" -> (1000000L, 1L)))
+    // diamond a→{b1,b2}→d: two equal shortest paths split the credit
+    val diamond = MaterialiseOps.betweennessOf(
+        g(Seq(("a", "b1", 1L), ("a", "b2", 1L), ("b1", "d", 1L), ("b2", "d", 1L))),
+        srcs("a"), srcs("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(diamond == Map("b1" -> (500000L, 1L), "b2" -> (500000L, 1L)))
+    // a LONGER bypass a→d (w=3) must not change anything; an unreachable
+    // target contributes nothing
+    val bypass = MaterialiseOps.betweennessOf(
+        g(Seq(("a", "b1", 1L), ("a", "b2", 1L), ("b1", "d", 1L), ("b2", "d", 1L),
+          ("a", "d", 3L))),
+        srcs("a"), srcs("d", "zz"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bypass == diamond)
+  }
+
   test("g23: disjoint cliques each converge to their clique-minimum label") {
     // K3 {1,2,3} + K3 {10,11,12}: min-tie-break LPA folds every member
     // onto the clique minimum within 3 synchronous rounds, and labels

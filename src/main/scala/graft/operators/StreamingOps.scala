@@ -112,5 +112,8 @@ object StreamingOps extends QueryModule {
     "st15_stream_decontamination" -> QueryDef(
       (s, d) => Streaming.streamDecontamination(s, d, s"sdecon_${math.abs(d.hashCode)}"),
       Some(TextAnalysis.decontaminationSql)),
+    "st16_stream_edit_verify" -> QueryDef(
+      (s, d) => Streaming.streamEditVerify(s, d, s"sedit_${math.abs(d.hashCode)}"),
+      Some(Dedup.editVerifySql)),
   )
 }

@@ -209,6 +209,49 @@ object Streaming {
       .orderBy(col("da"), col("db"))
   }
 
+  /** st16 — STREAMING EDIT-DISTANCE VERIFY: d21's character-level
+    * calibration table produced on arrival. Each incoming document
+    * computes its LSH band keys ROW-LOCALLY (st7's stream-static shape),
+    * probes the static band index, and every candidate pair is verified
+    * with an exact Levenshtein over the 256-codepoint prefixes —
+    * `old_id < new_id` keeps each unordered pair exactly once, so on a
+    * full replay the result IS batch d21's table and the two share one
+    * oracle. Verification cost stays |candidates|·256² per batch,
+    * independent of corpus size; the static side is the persisted band
+    * index at scale. */
+  def streamEditVerify(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    def prefix256(t: String): String = {
+      val cp = (if (t == null) "" else t).codePoints.toArray
+      new String(cp, 0, math.min(256, cp.length))
+    }
+    val corpus = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    val staticBands = corpus
+      .flatMap { case (id, t) => Dedup.bandKeysOf(Dedup.shinglesOf(t)).map((id, _)) }
+      .toDF("old_id", "band")
+    val staticTxt = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").as("old_id"), substring(col("text"), 1, 256).as("ta"))
+    val stream = documentsStream(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        Dedup.bandKeysOf(Dedup.shinglesOf(t)).map(b => (id, b, prefix256(t)))
+      }
+      .toDF("new_id", "band", "tb")
+    val verified = stream.join(staticBands, "band")
+      .where(col("old_id") < col("new_id"))
+      .dropDuplicates("new_id", "old_id")
+      .join(staticTxt, "old_id")
+      .withColumn("edit", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("sim_permille",
+        expr("1000 - (1000 * edit) div greatest(length(ta), length(tb), 1)"))
+      .select(col("old_id").as("da"), col("new_id").as("db"), col("edit"),
+        col("sim_permille"), (col("sim_permille") >= 900).cast("int").as("is_dup"))
+    runToTable(verified, OutputMode.Append, name)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Streaming REPEAT PROBE (st13): each arriving document's
     * 40-codepoint windows — hashed ROW-LOCALLY with the O(1)-per-slide
     * rolling recurrence ([[graft.functions.RollingHash.windowHashes]]) —

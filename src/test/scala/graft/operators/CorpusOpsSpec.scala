@@ -168,6 +168,15 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("st16: streaming edit-verify equals the batch d21 table") {
+    val stream = graft.streaming.Streaming
+      .streamEditVerify(spark, d, "t_sedit_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    val batch = Dedup.editVerify(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toSet
+    assert(stream == batch)
+  }
+
   test("st15: streaming decontamination equals the batch t11 gate") {
     val stream = graft.streaming.Streaming
       .streamDecontamination(spark, d, "t_sdecon_spec").collect()

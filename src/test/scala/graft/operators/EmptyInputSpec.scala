@@ -80,6 +80,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(defs("t26_perplexity_filter").fn(spark, emptyDir).count() === 0L)
     assert(defs("m8_image_phash").fn(spark, emptyDir).count() === 0L)
     assert(defs("g24_betweenness").fn(spark, emptyDir).count() === 0L)
+    assert(defs("st16_stream_edit_verify").fn(spark, emptyDir).count() === 0L)
     // s14 likewise: one zero-hit row per probe radius
     val s14 = defs("s14_knn_recall_sweep").fn(spark, emptyDir).collect()
     assert(s14.length === 3 && s14.forall(_.getLong(2) === 0L),

@@ -136,11 +136,17 @@ object MixturePipeline {
           coalesce(col("pin"), col("quota")).as("quota"))
     }
 
-  def run(s: SparkSession, dir: String,
-          config: MixtureConfig = MixtureConfig()): MixtureBuild = {
-    val docs = Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+  /** The per-document token column every mixture entry point derives —
+    * ONE definition so the batch run, the incremental state and the spec
+    * fixtures can never drift. */
+  def tokensOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+
+  /** The full build over an explicit (source, doc_id, tokens) frame —
+    * the composition [[run]] and [[IncrementalMixture]] share. */
+  def runOn(docs: DataFrame,
+            config: MixtureConfig = MixtureConfig()): MixtureBuild = {
     val q = applyOverrides(quotas(docs, config.budget), config.perSourceQuota)
     val admitted = admit(docs, q)
     val packed = CorpusPipeline.packSequences(
@@ -148,6 +154,10 @@ object MixturePipeline {
       config.seqBudget)
     MixtureBuild(q, admitted, packed, admitEpochs(docs, q))
   }
+
+  def run(s: SparkSession, dir: String,
+          config: MixtureConfig = MixtureConfig()): MixtureBuild =
+    runOn(tokensOf(Tables.documents(s, dir)), config)
 
   /** Persist the mixture artifacts + a bounded one-document stats JSON. */
   def write(build: MixtureBuild, outDir: String): Unit = {

@@ -110,4 +110,38 @@ class MixturePipelineSpec extends SparkSpec {
       .select("source", "doc_id").collect().toSet
     assert(ep.select("source", "doc_id").collect().toSet === admitIds)
   }
+
+  test("incremental mixture: update;update equals the union build, retires retroactively, replays idempotently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("inc_mix").toString
+    val cfg = MixtureConfig(budget = 4, seqBudget = 64)
+    // A: X has 4 docs (w=2), Y one (w=1) → quotas X=2, Y=1
+    val a = Seq(("X", 1L, "one two"), ("X", 2L, "three"), ("X", 3L, "four"),
+      ("X", 4L, "five"), ("Y", 10L, "six")).toDF("source", "doc_id", "text")
+    // B floods Y (n=9, w=3) → quotas become X=1, Y=2: X's doc 2 retires
+    val b = (11L to 18L).map(i => ("Y", i, s"doc $i"))
+      .toDF("source", "doc_id", "text")
+    def ids(build: MixtureBuild) =
+      build.admitted.select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val first = IncrementalMixture.update(spark, dir, a, cfg, Some("b1"))
+    assert(ids(first) === Set(("X", 1L), ("X", 2L), ("Y", 10L)))
+    val second = IncrementalMixture.update(spark, dir, b, cfg, Some("b2"))
+    assert(!ids(second).contains(("X", 2L)),
+      "the shrunken quota must retire the earlier admission")
+    // every artifact equals the one-shot build on A ∪ B
+    val union = MixturePipeline.runOn(MixturePipeline.tokensOf(a.union(b)), cfg)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(second.quotas) === rows(union.quotas))
+    assert(rows(second.admitted) === rows(union.admitted))
+    assert(rows(second.epochs) === rows(union.epochs))
+    assert(rows(second.packed) === rows(union.packed))
+    // redelivery of a completed batch is a no-op
+    val replay = IncrementalMixture.update(spark, dir, b, cfg, Some("b2"))
+    assert(rows(replay.admitted) === rows(second.admitted))
+    // and the state-only view agrees
+    assert(rows(IncrementalMixture.currentBuild(spark, dir, cfg).admitted)
+      === rows(second.admitted))
+  }
 }

@@ -1149,6 +1149,131 @@ object TextAnalysis extends QueryModule {
       |ORDER BY s.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+
+  /** t27 — BPE MERGE TRAINING (Sennrich et al. 2016), distributed: 10
+    * greedy pair-merge rounds over the word-internal character sequence
+    * of the whole corpus. Each round (a) counts adjacent symbol pairs —
+    * one map-side-combinable aggregation, (b) picks the most frequent
+    * pair (ties: lexicographic), a 1-row broadcast, and (c) rewrites the
+    * sequences with LEFT-TO-RIGHT NON-OVERLAPPING occurrence resolution:
+    * consecutive-occurrence runs become gaps-and-islands (pos −
+    * row_number), and an occurrence survives iff its offset from the
+    * island head is even — the relational form of the tokenizer's greedy
+    * scan, windowed per (doc, word) partition so the rewrite scales with
+    * the corpus, never serially. Positions renumber densely each round.
+    * The gate emits the merge table (rank, lhs, rhs, pair count at pick
+    * time) — the artifact a BPE tokenizer ships. The 100 TB shape is the
+    * sharded-count loop production BPE trainers run: per round one
+    * shuffle on the pair key + one partitioned window; nothing
+    * driver-side (the winner stays a broadcast frame). */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesFrom(s, Tables.documents(s, d))
+
+  private[operators] def bpeMergesFrom(s: SparkSession, docs: DataFrame,
+      rounds: Int = 10): DataFrame = {
+    import s.implicits._
+    var seq = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        ws.iterator.zipWithIndex.flatMap { case (w, wi) =>
+          val cps = w.codePoints.toArray
+          cps.iterator.zipWithIndex.map { case (cp, pi) =>
+            (id, wi.toLong, pi.toLong, new String(Array(cp), 0, 1))
+          }
+        }
+      }.toDF("doc_id", "word_id", "pos", "sym")
+      .localCheckpoint()
+    val wIsl = Window.partitionBy(col("doc_id"), col("word_id")).orderBy(col("pos"))
+    var out = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = seq.select(col("doc_id"), col("word_id"), col("pos"), col("sym").as("l"))
+        .join(seq.select(col("doc_id"), col("word_id"), (col("pos") - 1).as("pos"),
+          col("sym").as("rr")), Seq("doc_id", "word_id", "pos"))
+      val winner = pairs.groupBy("l", "rr").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("rr").asc).limit(1)
+        .localCheckpoint()
+      out :+= winner.select(lit(r).as("merge_rank"), col("l").as("lhs"),
+        col("rr").as("rhs"), col("n").cast("long").as("n_occ"))
+      val occ = pairs.join(broadcast(winner.select(col("l"), col("rr"))), Seq("l", "rr"))
+        .select(col("doc_id"), col("word_id"), col("pos"))
+      val wGrp = Window.partitionBy(col("doc_id"), col("word_id"), col("grp"))
+      val kept = occ.withColumn("grp", col("pos") - row_number().over(wIsl))
+        .withColumn("par", (col("pos") - min(col("pos")).over(wGrp)) % 2)
+        .where(col("par") === 0)
+        .select(col("doc_id"), col("word_id"), col("pos"))
+      val merged = kept.crossJoin(broadcast(winner))
+        .select(col("doc_id"), col("word_id"), col("pos"),
+          concat(col("l"), col("rr")).as("sym"))
+      val survivors = seq
+        .join(kept, Seq("doc_id", "word_id", "pos"), "left_anti")
+        .join(kept.select(col("doc_id"), col("word_id"), (col("pos") + 1).as("pos")),
+          Seq("doc_id", "word_id", "pos"), "left_anti")
+      seq = survivors.union(merged)
+        .select(col("doc_id"), col("word_id"),
+          (row_number().over(wIsl) - 1).cast("long").as("pos2"), col("sym"))
+        .select(col("doc_id"), col("word_id"), col("pos2").as("pos"), col("sym"))
+        .localCheckpoint()
+    }
+    out.reduce(_ union _).orderBy(col("merge_rank"))
+  }
+
+  val bpeMergesSql: String = {
+    val rounds = 10
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""p$r AS (
+        |  SELECT a.doc_id, a.word_id, a.pos, a.sym AS l, b.sym AS rr
+        |  FROM s$p a JOIN s$p b ON b.doc_id = a.doc_id
+        |    AND b.word_id = a.word_id AND b.pos = a.pos + 1),
+        |w$r AS (
+        |  SELECT l, rr, count(*) AS n FROM p$r GROUP BY l, rr
+        |  ORDER BY n DESC, l ASC, rr ASC LIMIT 1),
+        |k$r AS (
+        |  SELECT doc_id, word_id, pos FROM (
+        |    SELECT doc_id, word_id, pos,
+        |      (pos - min(pos) OVER (PARTITION BY doc_id, word_id, grp)) % 2 AS par
+        |    FROM (
+        |      SELECT o.doc_id, o.word_id, o.pos,
+        |        o.pos - row_number() OVER (PARTITION BY o.doc_id, o.word_id
+        |          ORDER BY o.pos) AS grp
+        |      FROM (SELECT p.doc_id, p.word_id, p.pos FROM p$r p
+        |            JOIN w$r w ON p.l = w.l AND p.rr = w.rr) o))
+        |  WHERE par = 0),
+        |s$r AS (
+        |  SELECT doc_id, word_id,
+        |    row_number() OVER (PARTITION BY doc_id, word_id ORDER BY pos) - 1 AS pos,
+        |    sym
+        |  FROM (
+        |    SELECT s.doc_id, s.word_id, s.pos, s.sym FROM s$p s
+        |    WHERE NOT EXISTS (SELECT 1 FROM k$r k WHERE k.doc_id = s.doc_id
+        |        AND k.word_id = s.word_id AND k.pos = s.pos)
+        |      AND NOT EXISTS (SELECT 1 FROM k$r k WHERE k.doc_id = s.doc_id
+        |        AND k.word_id = s.word_id AND k.pos = s.pos - 1)
+        |    UNION ALL
+        |    SELECT k.doc_id, k.word_id, k.pos, w.l || w.rr
+        |    FROM k$r k CROSS JOIN w$r w))""".stripMargin
+    }
+    val unions = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, CAST(n AS BIGINT) AS n_occ FROM w$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH s0 AS (
+      |  SELECT doc_id, wi - 1 AS word_id, i - 1 AS pos, substr(w, i, 1) AS sym
+      |  FROM (
+      |    SELECT doc_id, w, wi, unnest(generate_series(1, length(w))) AS i
+      |    FROM (
+      |      SELECT doc_id, unnest(ws) AS w,
+      |        unnest(generate_series(1, len(ws))) AS wi
+      |      FROM (SELECT doc_id,
+      |              list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |            FROM documents))),
+      |${(1 to rounds).map(round).mkString(",\n")}
+      |SELECT merge_rank, lhs, rhs, n_occ FROM (
+      |  $unions)
+      |ORDER BY merge_rank""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),

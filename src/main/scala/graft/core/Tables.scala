@@ -24,17 +24,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and surface microsecond-precision
-    * TIMESTAMP_NTZ `ts` (identical to what DuckDB sees — it also truncates
-    * nanos to its native micros). */
+  /** Generator builds have written `ts` two ways: TIMESTAMP(NANOS), which
+    * Spark's vectorized reader only surfaces as long nanos, and plain
+    * TIMESTAMP(MICROS). Dispatch on the file schema and surface
+    * microsecond-precision TIMESTAMP_NTZ either way (identical to what
+    * DuckDB sees — it also truncates nanos to its native micros). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer DIV, not `/`: epoch-nanos exceed double's 2^53 exact range,
-    // so float division would be off by ±1 µs on some rows
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      // integer DIV, not `/`: epoch-nanos exceed double's 2^53 exact range,
+      // so float division would be off by ±1 µs on some rows
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -29,10 +29,14 @@ object Streaming {
     // time and the batch-twin parity (which uses TIMESTAMP_NTZ) holds
     // under the engine's pinned UTC session zone — the harness sets
     // spark.sql.session.timeZone=UTC everywhere.
-    s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a named

@@ -115,5 +115,9 @@ object StreamingOps extends QueryModule {
     "st16_stream_edit_verify" -> QueryDef(
       (s, d) => Streaming.streamEditVerify(s, d, s"sedit_${math.abs(d.hashCode)}"),
       Some(Dedup.editVerifySql)),
+    "st17_stream_cc" -> QueryDef(
+      (s, d) => Streaming.streamConnectedComponents(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_scc_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(GraphOps.connectedComponentsSql)),
   )
 }

@@ -1151,6 +1151,48 @@ object TextAnalysis extends QueryModule {
 
   // ---------------------------------------------------------------------
 
+  /** t28 — CROSS-SOURCE BOILERPLATE OVERLAP: the curation diagnostic a
+    * multi-source corpus needs before mixing — for each source pair, how
+    * many distinct word 8-grams they share (license headers, templated
+    * page furniture and syndicated text show up here long before exact
+    * dedup fires; the t14 per-source reputation table's pairwise
+    * complement). Gram keys cross the shuffle as md5 hex — fixed 32
+    * bytes, the d16 staged-head rule: never raw n-gram text — and BOTH
+    * sides of the gate count distinct hashes, so the compare stays
+    * exact. Scale shape: flatMap → distinct (source, hash) → self
+    * equi-join on the hash (an inverted-index probe, never source×source
+    * scans); a corpus-wide boilerplate gram shared by all S sources
+    * costs C(S,2) rows — bounded by the source count, not the corpus. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, t) =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 to ws.length - 8).iterator.map(i => (src, ws.slice(i, i + 8).mkString(" ")))
+      }
+      .toDF("source", "g")
+      .select(col("source"), md5(col("g")).as("gh"))
+      .distinct()
+    grams.as("a").join(grams.as("b"), Seq("gh"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH w AS (
+      |  SELECT source,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS gh
+      |  FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w))
+      |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_grams
+      |FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** t27 — BPE MERGE TRAINING (Sennrich et al. 2016), distributed: 10
     * greedy pair-merge rounds over the word-internal character sequence
     * of the whole corpus. Each round (a) counts adjacent symbol pairs —
@@ -1223,14 +1265,14 @@ object TextAnalysis extends QueryModule {
     val rounds = 10
     def round(r: Int): String = {
       val p = r - 1
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
         |  SELECT a.doc_id, a.word_id, a.pos, a.sym AS l, b.sym AS rr
         |  FROM s$p a JOIN s$p b ON b.doc_id = a.doc_id
         |    AND b.word_id = a.word_id AND b.pos = a.pos + 1),
-        |w$r AS (
+        |w$r AS MATERIALIZED (
         |  SELECT l, rr, count(*) AS n FROM p$r GROUP BY l, rr
         |  ORDER BY n DESC, l ASC, rr ASC LIMIT 1),
-        |k$r AS (
+        |k$r AS MATERIALIZED (
         |  SELECT doc_id, word_id, pos FROM (
         |    SELECT doc_id, word_id, pos,
         |      (pos - min(pos) OVER (PARTITION BY doc_id, word_id, grp)) % 2 AS par
@@ -1241,7 +1283,7 @@ object TextAnalysis extends QueryModule {
         |      FROM (SELECT p.doc_id, p.word_id, p.pos FROM p$r p
         |            JOIN w$r w ON p.l = w.l AND p.rr = w.rr) o))
         |  WHERE par = 0),
-        |s$r AS (
+        |s$r AS MATERIALIZED (
         |  SELECT doc_id, word_id,
         |    row_number() OVER (PARTITION BY doc_id, word_id ORDER BY pos) - 1 AS pos,
         |    sym
@@ -1258,7 +1300,7 @@ object TextAnalysis extends QueryModule {
     val unions = (1 to rounds).map(r =>
       s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, CAST(n AS BIGINT) AS n_occ FROM w$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH s0 AS (
+    s"""WITH s0 AS MATERIALIZED (
       |  SELECT doc_id, wi - 1 AS word_id, i - 1 AS pos, substr(w, i, 1) AS sym
       |  FROM (
       |    SELECT doc_id, w, wi, unnest(generate_series(1, length(w))) AS i
@@ -1267,7 +1309,7 @@ object TextAnalysis extends QueryModule {
       |        unnest(generate_series(1, len(ws))) AS wi
       |      FROM (SELECT doc_id,
       |              list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
-      |            FROM documents))),
+      |            FROM documents)))),
       |${(1 to rounds).map(round).mkString(",\n")}
       |SELECT merge_rank, lhs, rhs, n_occ FROM (
       |  $unions)
@@ -1301,5 +1343,7 @@ object TextAnalysis extends QueryModule {
     "t24_mixture_epochs" -> QueryDef(mixtureEpochs, Some(mixtureEpochsSql)),
     "t25_dsir_selection" -> QueryDef(dsirSelection, Some(dsirSelectionSql)),
     "t26_perplexity_filter" -> QueryDef(perplexityFilter, Some(perplexityFilterSql)),
+    "t27_bpe_merges"    -> QueryDef(bpeMerges, Some(bpeMergesSql)),
+    "t28_source_overlap" -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
   )
 }

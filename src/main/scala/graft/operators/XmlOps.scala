@@ -158,9 +158,76 @@ object XmlOps extends QueryModule {
       |  CAST(max(l_shipdate) AS VARCHAR) AS max_ship
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** x6 — JSONL source/sink round-trip (the reference's native interchange
+    * format: every ingest CLI emits JSON Lines). The documents table
+    * writes through Spark's json sink and reads back under an EXPLICIT
+    * DDL schema (x5's rule — inference is corpus-dependent), then
+    * aggregates with per-group md5 extremes over the text column, so the
+    * gate proves string fidelity through JSON escaping (quotes, control
+    * chars, non-ASCII) — exactly the bytes the reference's jsonl.gz
+    * intermediates must survive. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
+    graft.core.Tables.documents(s, d)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_len"),
+        min(md5(coalesce(col("text"), lit("")))).as("min_hash"),
+        max(md5(coalesce(col("text"), lit("")))).as("max_hash"))
+      .orderBy(col("lang"))
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+      |  min(md5(coalesce(text, ''))) AS min_hash,
+      |  max(md5(coalesce(text, ''))) AS max_hash
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** x7 — PARTITIONED layout + partition-PRUNED scan: the documents table
+    * written `partitionBy(lang)` (the hive layout a 100 TB corpus ships
+    * in — partition keys in directory names, not row groups) and read
+    * back with a partition-key filter, so only the matching directory is
+    * listed and scanned. THE scale mechanism for selective reads: the
+    * en-filter touches ~1/5 of the bytes here and exactly one partition
+    * of thousands in production; PlanSpec pins `PartitionFilters` (prune
+    * at planning) and x5's explicit-schema rule keeps the read
+    * deterministic. The oracle recomputes the filtered aggregate from
+    * the unpartitioned original — identical rows ⟺ the layout lost
+    * nothing and pruning dropped nothing it shouldn't. */
+  def partitionedScan(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_${math.abs(d.hashCode)}"
+    graft.core.Tables.documents(s, d)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").parquet(dir)
+    partitionedScanOf(s, dir)
+  }
+
+  /** The pruned read, factored so PlanSpec can pin its physical plan. */
+  private[graft] def partitionedScanOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .where(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+
+  val partitionedScanSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
     "x5_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(csvRoundtripSql)),
+    "x6_jsonl_roundtrip" -> QueryDef(jsonRoundtrip, Some(jsonRoundtripSql)),
+    "x7_partitioned_scan" -> QueryDef(partitionedScan, Some(partitionedScanSql)),
   )
 }

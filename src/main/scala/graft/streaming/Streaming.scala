@@ -496,6 +496,46 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming CONNECTED COMPONENTS (st17): the reference's equivalence
+    * cliques — its ONE hard single-machine ceiling (in-RAM union-find) —
+    * maintained on arrival via [[graft.pipeline.IncrementalCc]]. The
+    * supplier→nation and nation→region edges are the pre-seeded base
+    * state; the customer edge stream then drives `update` through
+    * `foreachBatch` (st11's exactly-once shape: the Spark batchId keys
+    * the applied-batches marker, so a redelivered batch is a no-op
+    * replay). Each micro-batch recomputes labels only for the components
+    * its nodes touch — clique maintenance proportional to the arrival,
+    * not the graph. Labels are monotone non-increasing, so the resolved
+    * state after the bounded replay equals batch g2 and the gate shares
+    * g2's oracle verbatim. */
+  def streamConnectedComponents(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    val node = (p: String, c: org.apache.spark.sql.Column) => graft.core.Pad.node(p, c)
+    val base = Tables.supplier(s, d)
+      .select(node("s:", col("s_suppkey")).as("src"), node("n:", col("s_nationkey")).as("dst"))
+      .union(Tables.nation(s, d)
+        .select(node("n:", col("n_nationkey")).as("src"), node("r:", col("n_regionkey")).as("dst")))
+    graft.pipeline.IncrementalCc.update(s, stateDir, base, Some("base"))
+    val schema = s.read.parquet(s"$d/customer.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "customer.parquet")
+      .parquet(d)
+      .select(node("c:", col("c_custkey")).as("src"), node("n:", col("c_nationkey")).as("dst"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalCc.update(s, stateDir, batch, Some(s"stream-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalCc.current(s, stateDir)
+      .orderBy(col("member"))
+  }
+
   /** Per-user funnel state: the event times seen so far for each funnel
     * stage type, plus a monotone total-rows counter. */
   final case class FunnelState(view: Seq[Long], click: Seq[Long],

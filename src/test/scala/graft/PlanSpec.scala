@@ -129,6 +129,25 @@ class PlanSpec extends SparkSpec {
       "the per-source quota dimension should broadcast")
   }
 
+  test("x7: the lang filter prunes partitions at the scan, not after it") {
+    // write the partitioned layout once, then pin the pruned read's plan
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_planspec"
+    graft.core.Tables.documents(spark, d)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("lang").parquet(dir)
+    val df = graft.operators.XmlOps.partitionedScanOf(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters:") && p.contains("lang#"),
+      s"lang filter did not reach the partition pruner:\n$p")
+    // pruning happened for real: only the en partition's files are read
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val scanned = spark.read.parquet(dir).where(col("lang") === "en")
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=en")),
+      s"scan read non-en partitions: $scanned")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

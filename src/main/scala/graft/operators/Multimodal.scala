@@ -539,6 +539,68 @@ object Multimodal extends QueryModule {
       |WHERE bit_count(xor(ha.hash, hb.hash)) <= 3
       |ORDER BY da, db""".stripMargin
 
+  /** m9 — AUDIO FINGERPRINT NEAR-DUP PAIRS: the audio twin of m8, and
+    * the last modality in the d4/d8/m8 banded-Hamming family. Each odd
+    * doc's PCM stream (REAL WAV decode, like m7) fingerprints as 56
+    * sign bits — `bit i = sample(i) > 0`, the zero-crossing pattern —
+    * a shape-not-level code (chromaprint's idea reduced to one band):
+    * amplitude scaling preserves it, so re-encoded copies land ≤ a few
+    * bits apart, while phase-shifted streams drift bit-by-bit (on the
+    * synth corpus this grades pairs smoothly: ~3.3k of 31k possible
+    * pairs qualify, not a degenerate all-match). Pairing is m8's
+    * recipe verbatim: 4 bands × 14 bits
+    * (pigeonhole-complete at Hamming ≤ 3) through
+    * [[Dedup.bandCandidates]]'s hot-bucket guard, one
+    * `bit_count(xor)` verify per candidate. Every audio doc has ≥ 64
+    * samples, so the 56-sample prefix the bits read always exists. */
+  def audioFingerprintPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = synthMedia(s, d).filter(_.media_type == "audio/wav").map { m =>
+      val v = graft.media.Codecs.decodeWavPcm16(m.payload).samples
+      var hash = 0L
+      var i = 0
+      while (i < 56 && i < v.length) {
+        if (v(i) > 0) hash |= 1L << i
+        i += 1
+      }
+      (m.doc_id, hash)
+    }.toDF("doc_id", "hash")
+    val bands = hashes.select(col("doc_id"),
+      explode(array((0 until 4).map(c =>
+        concat_ws("|", lit(c.toString),
+          shiftright(col("hash"), c * 14).bitwiseAND(lit(16383L)).cast("string"))): _*))
+        .as("band"))
+    Dedup.bandCandidates(bands, "doc_id")
+      .join(hashes.select(col("doc_id").as("da"), col("hash").as("ha")), "da")
+      .join(hashes.select(col("doc_id").as("db"), col("hash").as("hb")), "db")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .where(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val audioFingerprintPairsSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, i, (((doc_id*7 + i*13) % 2003) - 1001) AS s
+      |  FROM documents CROSS JOIN generate_series(0, 55) gs(i)
+      |  WHERE doc_id % 2 = 1),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(sum(CASE WHEN s > 0
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 0) AS BIGINT) AS hash
+      |  FROM v GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, c, (hash >> (c * 14)) & 16383 AS bv
+      |  FROM h CROSS JOIN generate_series(0, 3) gc(c)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+      |  FROM bands x JOIN bands y
+      |    ON y.c = x.c AND y.bv = x.bv AND y.doc_id > x.doc_id)
+      |SELECT da, db, CAST(bit_count(xor(ha.hash, hb.hash)) AS INT) AS hamming
+      |FROM cand JOIN h ha ON ha.doc_id = da JOIN h hb ON hb.doc_id = db
+      |WHERE bit_count(xor(ha.hash, hb.hash)) <= 3
+      |ORDER BY da, db""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "m1_media_pipeline" -> QueryDef(mediaPipeline, Some(mediaPipelineSql)),
     "m2_frame_sample"   -> QueryDef(frameSample, Some(frameSampleSql)),
@@ -548,5 +610,6 @@ object Multimodal extends QueryModule {
     "m6_scene_detect"   -> QueryDef(sceneDetect, Some(sceneDetectSql)),
     "m7_loudness"       -> QueryDef(loudnessWindows, Some(loudnessWindowsSql)),
     "m8_image_phash"    -> QueryDef(imagePhashPairs, Some(imagePhashPairsSql)),
+    "m9_audio_fingerprint" -> QueryDef(audioFingerprintPairs, Some(audioFingerprintPairsSql)),
   )
 }

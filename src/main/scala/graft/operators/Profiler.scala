@@ -230,11 +230,67 @@ object ProfilerOps extends QueryModule {
       |  CAST(sum(coalesce(n, 0)) OVER (ORDER BY bin) AS BIGINT) AS cum
       |FROM bins LEFT JOIN counts USING (bin) ORDER BY bin""".stripMargin
 
+  /** p6 — COUNT-MIN SKETCH over the corpus vocabulary, with its exact
+    * counterpart: 4 hash rows × 64 buckets of summed word frequencies
+    * (256 counters of bounded MERGEABLE state — the heavy-hitter
+    * profile a 100 TB corpus keeps where exact per-word tables don't
+    * fit), probed with the top-20 words so the gate pins estimate vs
+    * truth (CM never under-estimates; collisions only inflate). The
+    * bucket hash is two hex digits of `md5("<d>|" + word)` — computed
+    * with the SAME expression in Spark and DuckDB, so the gate is
+    * hash-exact across engines. Built here from the word-count table to
+    * share work with the probe selection; at scale the sketch sums
+    * occurrences directly in one map-side-combinable pass (identical
+    * bucket sums, no exact table needed). */
+  def countMin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap(_.trim.split("\\s+"))
+      .toDF("word")
+    val wc = toks.groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused three times below
+    def bucket(dd: Int) = expr(
+      s"""((locate(substring(md5(concat('$dd|', word)), 31, 1), '0123456789abcdef') - 1) * 16
+         | + locate(substring(md5(concat('$dd|', word)), 32, 1), '0123456789abcdef') - 1) % 64""".stripMargin)
+    val hb = wc.select(col("word"), col("n"),
+      explode(array((0 until 4).map(dd =>
+        struct(lit(dd).as("d"), bucket(dd).as("bucket"))): _*)).as("db"))
+      .select(col("word"), col("n"), col("db.d").as("d"), col("db.bucket").as("bucket"))
+    val sketch = hb.groupBy("d", "bucket").agg(sum(col("n")).as("bsum"))
+    val probes = wc.orderBy(col("n").desc, col("word").asc).limit(20)
+    probes.select(col("word"), col("n").as("exact_n"))
+      .join(hb.select(col("word"), col("d"), col("bucket")), "word")
+      .join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(col("word"), col("exact_n"))
+      .agg(min(col("bsum")).as("cm_n"))
+      .orderBy(col("exact_n").desc, col("word").asc)
+  }
+
+  val countMinSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+      |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+      |dep AS (SELECT unnest(generate_series(0, 3)) AS d),
+      |hb AS (
+      |  SELECT w.word, w.n, d.d,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(d.d AS VARCHAR) || '|' || w.word), 31, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(md5(CAST(d.d AS VARCHAR) || '|' || w.word), 32, 1)) - 1) % 64 AS bucket
+      |  FROM wc w CROSS JOIN dep d),
+      |sk AS (SELECT d, bucket, sum(n) AS bsum FROM hb GROUP BY d, bucket),
+      |probe AS (SELECT word, n FROM wc ORDER BY n DESC, word ASC LIMIT 20)
+      |SELECT p.word, CAST(p.n AS BIGINT) AS exact_n, CAST(min(s.bsum) AS BIGINT) AS cm_n
+      |FROM probe p JOIN hb ON hb.word = p.word
+      |JOIN sk s ON s.d = hb.d AND s.bucket = hb.bucket
+      |GROUP BY p.word, p.n
+      |ORDER BY exact_n DESC, p.word ASC""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
     "p3_correlation_stats" -> QueryDef(correlationStats, Some(correlationStatsSql)),
     "p4_kmeans_inertia" -> QueryDef(kmeansInertia, Some(kmeansInertiaSql)),
     "p5_price_histogram" -> QueryDef(priceHistogram, Some(priceHistogramSql)),
+    "p6_countmin_sketch" -> QueryDef(countMin, Some(countMinSql)),
   )
 }

@@ -207,9 +207,14 @@ object XmlOps extends QueryModule {
     partitionedScanOf(s, dir)
   }
 
-  /** The pruned read, factored so PlanSpec can pin its physical plan. */
+  /** The pruned read, factored so PlanSpec can pin its physical plan.
+    * Explicit schema (x5's rule) — also what keeps an EMPTY corpus
+    * readable: a zero-row partitioned write leaves no footers to infer
+    * from, and a library operator must degrade to zero rows, not throw. */
   private[graft] def partitionedScanOf(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, source STRING, n_chars BIGINT, lang STRING")
+      .parquet(dir)
       .where(col("lang") === "en")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),

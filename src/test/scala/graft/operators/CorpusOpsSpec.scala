@@ -185,4 +185,27 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(stream == batch)
   }
+
+  test("t27: BPE learns the hand-computable merge sequence, ties lexicographic") {
+    import spark.implicits._
+    // words "aaab" ×3: round 1 picks (a,a) n=6 (two per word), the
+    // left-to-right greedy scan merges only the FIRST overlapping pair;
+    // round 2 is a 3-3 tie between (aa,a) and (a,b) → lexicographic
+    // tiebreak picks (a,b); round 3 merges (aa,ab); then the corpus is
+    // one symbol per word and no further rows appear
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergesFrom(spark, docs, rounds = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "ab", 3L)))
+  }
+
+  test("t27: overlapping-run resolution is the greedy non-overlapping scan") {
+    import spark.implicits._
+    // "aaaa": the (a,a) run has 3 overlapping occurrences; greedy keeps
+    // positions 0 and 2 → two `aa` symbols, whose pair then merges once
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMergesFrom(spark, docs, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
 }

@@ -87,6 +87,16 @@ class EmptyInputSpec extends SparkSpec {
       "s14 should report zero hits per radius")
   }
 
+  test("round-8 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("t27_bpe_merges", "t28_source_overlap",
+        "x6_jsonl_roundtrip", "x7_partitioned_scan", "p6_countmin_sketch",
+        "m9_audio_fingerprint", "st17_stream_cc")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

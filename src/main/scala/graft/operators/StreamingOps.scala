@@ -119,5 +119,8 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamConnectedComponents(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_scc_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(GraphOps.connectedComponentsSql)),
+    "st18_stream_ann" -> QueryDef(
+      (s, d) => Streaming.streamAnnProbe(s, d, s"sann_${math.abs(d.hashCode)}"),
+      Some(Similarity.signBucketAnnSql)),
   )
 }

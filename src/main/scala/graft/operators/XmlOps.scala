@@ -228,11 +228,44 @@ object XmlOps extends QueryModule {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** x8 — SCHEMA EVOLUTION across ingest batches: an early batch written
+    * under the OLD schema (no `lang` column) and a later batch under the
+    * new one land in the same dataset, and a `mergeSchema` read unifies
+    * them — old rows surface `lang` as null. This is how a long-lived
+    * corpus actually evolves (the reference's datasources gained fields
+    * across releases); the merged read + null-coalescing aggregate
+    * proves no rows or values are lost at the seam. mergeSchema pays a
+    * per-file footer read at planning — fine per-batch, so production
+    * layouts promote the merged schema into the table definition rather
+    * than re-merging every scan (x7's explicit-schema rule, evolved). */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${math.abs(d.hashCode)}"
+    val docs = graft.core.Tables.documents(s, d)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/batch=1")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"), col("lang"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(coalesce(col("lang"), lit("unknown")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE 'unknown' END AS lang,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
     "x5_csv_roundtrip" -> QueryDef(csvRoundtrip, Some(csvRoundtripSql)),
     "x6_jsonl_roundtrip" -> QueryDef(jsonRoundtrip, Some(jsonRoundtripSql)),
     "x7_partitioned_scan" -> QueryDef(partitionedScan, Some(partitionedScanSql)),
+    "x8_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
   )
 }

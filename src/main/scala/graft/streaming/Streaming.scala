@@ -536,6 +536,47 @@ object Streaming {
       .orderBy(col("member"))
   }
 
+  /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
+    * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
+    * (st8's stream-static shape: no stream-side shuffle), probes the
+    * static bucketed-and-quantized corpus index via one equi-join, and
+    * scores the bucket's candidates with the exact integer dot product
+    * (codegen'd [[graft.functions.DotProductL]]). The per-query top-3 is
+    * ranked on the emitted candidate table — the serving-side read; an
+    * unbounded production stream would fold it into st9's bounded
+    * TopKAgg state instead. With the replayed query set (vec_id < 50)
+    * the result IS batch s2's table, so the two share one oracle. At
+    * scale the static side is the persisted bucket index; per-batch cost
+    * is |arrivals| × bucket occupancy, independent of corpus size. */
+  def streamAnnProbe(s: SparkSession, d: String, name: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val corpus = s.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("bucket", bucket)
+      .select(col("vec_id").as("neighbor_id"), col("bucket"),
+        graft.core.Exact.quantize(col("embedding"), 10000).as("q"))
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .where(col("vec_id") < 50)
+      .withColumn("bucket", bucket)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        graft.core.Exact.quantize(col("embedding"), 10000).as("qv"))
+    val probed = stream.join(corpus, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", graft.functions.DotProductL(col("qv"), col("q")))
+      .select(col("query_id"), col("neighbor_id"), col("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id").asc)
+    runToTable(probed, OutputMode.Append, name)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-user funnel state: the event times seen so far for each funnel
     * stage type, plus a monotone total-rows counter. */
   final case class FunnelState(view: Seq[Long], click: Seq[Long],

@@ -242,6 +242,14 @@ object ProfilerOps extends QueryModule {
     * share work with the probe selection; at scale the sketch sums
     * occurrences directly in one map-side-combinable pass (identical
     * bucket sums, no exact table needed). */
+  /** Hash row `dd`'s bucket for the `word` column — two hex digits of
+    * md5("<dd>|" + word) mod 64, the expression the DuckDB oracle
+    * mirrors verbatim. Shared by batch p6 and streaming st19 so the
+    * twins can never drift. */
+  private[graft] def cmBucket(dd: Int) = expr(
+    s"""((locate(substring(md5(concat('$dd|', word)), 31, 1), '0123456789abcdef') - 1) * 16
+       | + locate(substring(md5(concat('$dd|', word)), 32, 1), '0123456789abcdef') - 1) % 64""".stripMargin)
+
   def countMin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
@@ -250,12 +258,9 @@ object ProfilerOps extends QueryModule {
       .toDF("word")
     val wc = toks.groupBy("word").agg(count(lit(1)).as("n"))
       .localCheckpoint() // reused three times below
-    def bucket(dd: Int) = expr(
-      s"""((locate(substring(md5(concat('$dd|', word)), 31, 1), '0123456789abcdef') - 1) * 16
-         | + locate(substring(md5(concat('$dd|', word)), 32, 1), '0123456789abcdef') - 1) % 64""".stripMargin)
     val hb = wc.select(col("word"), col("n"),
       explode(array((0 until 4).map(dd =>
-        struct(lit(dd).as("d"), bucket(dd).as("bucket"))): _*)).as("db"))
+        struct(lit(dd).as("d"), cmBucket(dd).as("bucket"))): _*)).as("db"))
       .select(col("word"), col("n"), col("db.d").as("d"), col("db.bucket").as("bucket"))
     val sketch = hb.groupBy("d", "bucket").agg(sum(col("n")).as("bsum"))
     val probes = wc.orderBy(col("n").desc, col("word").asc).limit(20)

@@ -122,5 +122,8 @@ object StreamingOps extends QueryModule {
     "st18_stream_ann" -> QueryDef(
       (s, d) => Streaming.streamAnnProbe(s, d, s"sann_${math.abs(d.hashCode)}"),
       Some(Similarity.signBucketAnnSql)),
+    "st19_stream_countmin" -> QueryDef(
+      (s, d) => Streaming.streamCountMin(s, d, s"scm_${math.abs(d.hashCode)}"),
+      Some(ProfilerOps.countMinSql)),
   )
 }

@@ -1213,7 +1213,13 @@ object TextAnalysis extends QueryModule {
     bpeMergesFrom(s, Tables.documents(s, d))
 
   private[operators] def bpeMergesFrom(s: SparkSession, docs: DataFrame,
-      rounds: Int = 10): DataFrame = {
+      rounds: Int = 10): DataFrame =
+    bpeRun(s, docs, rounds)._1
+
+  /** The full training loop, also returning the final symbol sequence so
+    * [[bpeTokenize]] measures what the learned merges actually buy. */
+  private def bpeRun(s: SparkSession, docs: DataFrame,
+      rounds: Int = 10): (DataFrame, DataFrame) = {
     import s.implicits._
     var seq = docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -1258,11 +1264,41 @@ object TextAnalysis extends QueryModule {
         .select(col("doc_id"), col("word_id"), col("pos2").as("pos"), col("sym"))
         .localCheckpoint()
     }
-    out.reduce(_ union _).orderBy(col("merge_rank"))
+    (out.reduce(_ union _).orderBy(col("merge_rank")), seq)
   }
 
-  val bpeMergesSql: String = {
-    val rounds = 10
+  /** t29 — BPE TOKENIZATION measurement: apply the t27 merge loop and
+    * report, per document, the initial symbol count (codepoints of its
+    * words), the token count after the 10 learned merges, and the
+    * compression in permille — the tokens-per-doc table a tokenizer
+    * ships with its merge list (the fertility/compression measurement
+    * that decides whether a vocab is worth its size). Deterministic
+    * because training is; shares t27's relational rewrite machinery, so
+    * a single oracle chain checks both what was LEARNED (t27) and what
+    * it DOES to the corpus (t29). Docs with no words have no symbols
+    * and are absent on both sides. */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val (_, fin) = bpeRun(s, docs)
+    val init = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        if (ws.isEmpty) Iterator.empty
+        else Iterator((id, ws.map(w => w.codePoints.toArray.length.toLong).sum))
+      }
+      .toDF("doc_id", "n_sym")
+    val toks = fin.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    init.join(toks, "doc_id")
+      .withColumn("comp_permille", expr("(1000 * n_tokens) div n_sym"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared CTE chain for the t27/t29 oracles: s0 (char symbols) through
+    * s<rounds> (post-merge symbols), every stage MATERIALIZED — DuckDB
+    * would otherwise inline each reference and the per-round references
+    * compound exponentially. */
+  private def bpeSqlChain(rounds: Int): String = {
     def round(r: Int): String = {
       val p = r - 1
       s"""p$r AS MATERIALIZED (
@@ -1297,9 +1333,6 @@ object TextAnalysis extends QueryModule {
         |    SELECT k.doc_id, k.word_id, k.pos, w.l || w.rr
         |    FROM k$r k CROSS JOIN w$r w))""".stripMargin
     }
-    val unions = (1 to rounds).map(r =>
-      s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, CAST(n AS BIGINT) AS n_occ FROM w$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH s0 AS MATERIALIZED (
       |  SELECT doc_id, wi - 1 AS word_id, i - 1 AS pos, substr(w, i, 1) AS sym
       |  FROM (
@@ -1310,11 +1343,28 @@ object TextAnalysis extends QueryModule {
       |      FROM (SELECT doc_id,
       |              list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
       |            FROM documents)))),
-      |${(1 to rounds).map(round).mkString(",\n")}
+      |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val rounds = 10
+    val unions = (1 to rounds).map(r =>
+      s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, CAST(n AS BIGINT) AS n_occ FROM w$r")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeSqlChain(rounds)}
       |SELECT merge_rank, lhs, rhs, n_occ FROM (
       |  $unions)
       |ORDER BY merge_rank""".stripMargin
   }
+
+  val bpeTokenizeSql: String =
+    s"""${bpeSqlChain(10)}
+      |, base AS (SELECT doc_id, count(*) AS n_sym FROM s0 GROUP BY doc_id),
+      |fin AS (SELECT doc_id, count(*) AS n_tokens FROM s10 GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_sym AS BIGINT) AS n_sym,
+      |  CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  (1000 * n_tokens) // n_sym AS comp_permille
+      |FROM base JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin
 
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
@@ -1345,5 +1395,6 @@ object TextAnalysis extends QueryModule {
     "t26_perplexity_filter" -> QueryDef(perplexityFilter, Some(perplexityFilterSql)),
     "t27_bpe_merges"    -> QueryDef(bpeMerges, Some(bpeMergesSql)),
     "t28_source_overlap" -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
+    "t29_bpe_tokenize"  -> QueryDef(bpeTokenize, Some(bpeTokenizeSql)),
   )
 }

@@ -577,6 +577,45 @@ object Streaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Streaming COUNT-MIN maintenance (st19): p6's sketch kept as BOUNDED
+    * streaming state — every arriving document's tokens fan out to their
+    * 4 hash-row buckets ROW-LOCALLY ([[graft.operators.ProfilerOps.cmBucket]],
+    * the shared expression, so the twins cannot drift) and a Complete-mode
+    * aggregation maintains the 4×64 bucket sums: 256 counters of state no
+    * matter how long the stream runs — the st9 bounded-state principle
+    * applied to frequency profiling. The probe read (top-20 words, exact
+    * counts, min-over-rows estimate) is the serving-side join against the
+    * static corpus; on a full replay the streamed sums equal batch p6's
+    * and the gate shares its oracle verbatim. */
+  def streamCountMin(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.ProfilerOps
+    val stoks = documentsStream(s, d).select(col("text")).as[String]
+      .flatMap(t => (if (t == null) "" else t).trim.split("\\s+"))
+      .toDF("word")
+    val shb = stoks.select(explode(array((0 until 4).map(dd =>
+        struct(lit(dd).as("d"), ProfilerOps.cmBucket(dd).as("bucket"))): _*)).as("db"))
+      .select(col("db.d").as("d"), col("db.bucket").as("bucket"))
+    val sketch = shb.groupBy("d", "bucket").agg(count(lit(1)).as("bsum"))
+    val table = runToTable(sketch, OutputMode.Complete, name)
+    // serving-side probe: exact top-20 from the static corpus, estimated
+    // from the streamed sketch
+    val toks = s.read.parquet(s"$d/documents.parquet")
+      .select(col("text")).as[String]
+      .flatMap(t => (if (t == null) "" else t).trim.split("\\s+"))
+      .toDF("word")
+    val wc = toks.groupBy("word").agg(count(lit(1)).as("n"))
+    val probes = wc.orderBy(col("n").desc, col("word").asc).limit(20)
+    val phb = probes.select(col("word"), col("n").as("exact_n"),
+      explode(array((0 until 4).map(dd =>
+        struct(lit(dd).as("d"), ProfilerOps.cmBucket(dd).as("bucket"))): _*)).as("db"))
+      .select(col("word"), col("exact_n"), col("db.d").as("d"), col("db.bucket").as("bucket"))
+    phb.join(broadcast(table), Seq("d", "bucket"))
+      .groupBy(col("word"), col("exact_n"))
+      .agg(min(col("bsum")).as("cm_n"))
+      .orderBy(col("exact_n").desc, col("word").asc)
+  }
+
   /** Per-user funnel state: the event times seen so far for each funnel
     * stage type, plus a monotone total-rows counter. */
   final case class FunnelState(view: Seq[Long], click: Seq[Long],

@@ -691,6 +691,75 @@ object MaterialiseOps extends QueryModule {
       |FROM inter JOIN sz x ON x.c = ca JOIN sz y ON y.c = cb
       |WHERE inter >= 8 ORDER BY ca, cb""".stripMargin
 
+  /** g25 — k-CORE MEMBERSHIP (k = 26) over the supplier–part
+    * co-occurrence graph (distinct `(l_suppkey, l_partkey)` lineitem
+    * pairs): iterative peel — `alive := {v : deg_alive(v) ≥ k}` until
+    * fixpoint — emitting each surviving member with its in-core degree.
+    * The dense-subgraph extraction every curation pipeline runs on
+    * co-occurrence graphs, and the one the earlier rounds could not
+    * gate: the order/customer graphs are degree-uniform and peel
+    * all-or-nothing (round-7 note), while this bipartite graph has
+    * graded coreness (13–35 at sf0.01). Each round is one semi-join
+    * pair + one map-combinable aggregation over the static symmetric
+    * edge list; `localCheckpoint` truncates the per-round lineage
+    * (the CC/PageRank iteration discipline). The engine iterates to the
+    * true fixpoint at any scale; the oracle unrolls 6 peel rounds —
+    * measured depth is ≤ 2 at both gate SFs, and the spec-pinned guard
+    * is the gate itself (an under-unrolled oracle diverges loudly). */
+  def kCore(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .select(node("s:", col("l_suppkey")).as("f"), node("p:", col("l_partkey")).as("t"))
+      .distinct()
+    kCoreOf(e0, 26).orderBy(col("member"))
+  }
+
+  /** The peel loop on an arbitrary (f, t) edge list — property-tested on
+    * hand graphs where the core is computable by eye. */
+  private[graft] def kCoreOf(e0: DataFrame, k: Int): DataFrame = {
+    val sym = e0.union(e0.select(col("t").as("f"), col("f").as("t")))
+      .where(col("f") =!= col("t")).distinct()
+      .localCheckpoint()
+    def degIn(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("v").as("f")), "f")
+        .join(alive.select(col("v").as("t")), "t")
+        .groupBy(col("f")).agg(count(lit(1)).as("c"))
+    var alive = sym.select(col("f").as("v")).distinct().localCheckpoint()
+    var n = alive.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < 100) {
+      val next = degIn(alive).where(col("c") >= k)
+        .select(col("f").as("v")).localCheckpoint()
+      val m = next.count()
+      done = m == n
+      n = m
+      alive = next
+      iter += 1
+    }
+    degIn(alive)
+      .select(col("f").as("member"), col("c").as("deg_in_core"))
+  }
+
+  val kCoreSql: String = {
+    val rounds = 6
+    def round(r: Int): String =
+      s"""a$r AS MATERIALIZED (
+        |  SELECT x.f AS v FROM e x
+        |  JOIN a${r - 1} s ON s.v = x.f
+        |  JOIN a${r - 1} t2 ON t2.v = x.t
+        |  GROUP BY x.f HAVING count(*) >= 26)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 's:' || ${sqlPad("l_suppkey")} AS f,
+      |    'p:' || ${sqlPad("l_partkey")} AS t FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT f, t FROM e0 UNION ALL SELECT t, f FROM e0),
+      |a0 AS MATERIALIZED (SELECT DISTINCT f AS v FROM e),
+      |${(1 to rounds).map(round).mkString(",\n")}
+      |SELECT x.f AS member, count(*) AS deg_in_core
+      |FROM e x JOIN a$rounds s ON s.v = x.f JOIN a$rounds t2 ON t2.v = x.t
+      |GROUP BY x.f ORDER BY member""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -712,5 +781,6 @@ object MaterialiseOps extends QueryModule {
     "g20_node_similarity" -> QueryDef(nodeSimilarity, Some(nodeSimilaritySql)),
     "g23_label_propagation" -> QueryDef(labelPropagation, Some(labelPropagationSql)),
     "g24_betweenness"     -> QueryDef(betweenness, Some(betweennessSql)),
+    "g25_kcore"           -> QueryDef(kCore, Some(kCoreSql)),
   )
 }

@@ -92,7 +92,8 @@ class EmptyInputSpec extends SparkSpec {
     for (name <- Seq("t27_bpe_merges", "t28_source_overlap",
         "x6_jsonl_roundtrip", "x7_partitioned_scan", "p6_countmin_sketch",
         "m9_audio_fingerprint", "st17_stream_cc", "st19_stream_countmin",
-        "t29_bpe_tokenize", "x8_schema_evolution", "st18_stream_ann")) {
+        "t29_bpe_tokenize", "x8_schema_evolution", "st18_stream_ann",
+        "g25_kcore")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

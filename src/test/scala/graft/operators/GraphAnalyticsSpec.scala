@@ -116,4 +116,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(Query.labelPropagation(und).collect().toSet ===
       Query.labelPropagation(dup).collect().toSet)
   }
+
+  test("g25: pendant chain peels away, the K4 core survives with degree 3") {
+    import spark.implicits._
+    // K4 on a,b,c,d plus a pendant chain d-e-f: at k=3 the chain peels
+    // over two rounds (f first, then e) and d loses its chain edge but
+    // keeps its 3 clique edges
+    val e = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("d","e"),("e","f")).toDF("f","t")
+    val core = MaterialiseOps.kCoreOf(e, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // k above the max degree empties the graph
+    assert(MaterialiseOps.kCoreOf(e, 4).count() === 0L)
+    // k=1 keeps everything with its full degree
+    val all = MaterialiseOps.kCoreOf(e, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 2L, "f" -> 1L))
+  }
 }

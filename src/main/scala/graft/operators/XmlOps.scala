@@ -267,5 +267,31 @@ object XmlOps extends QueryModule {
     "x6_jsonl_roundtrip" -> QueryDef(jsonRoundtrip, Some(jsonRoundtripSql)),
     "x7_partitioned_scan" -> QueryDef(partitionedScan, Some(partitionedScanSql)),
     "x8_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
+    "x9_jsonl_gz" -> QueryDef(jsonGzRoundtrip, Some(jsonRoundtripSql)),
   )
+
+  /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the
+    * reference's ACTUAL interchange format (every GrEBI stage pipes
+    * `.jsonl.gz` — SURVEY §1.2). Identical aggregate as x6, so the two
+    * share one oracle; what x9 adds is the compressed-codec path:
+    * gzip's non-splittable streams mean one task per file at read time,
+    * so at 100 TB the write side controls parallelism by file count —
+    * size the output files (maxRecordsPerFile / repartition) BEFORE
+    * compressing, which is exactly how the reference's per-datasource
+    * file layout behaves under Nextflow. */
+  def jsonGzRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonlgz_${math.abs(d.hashCode)}"
+    graft.core.Tables.documents(s, d)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "gzip").json(dir)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .json(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_len"),
+        min(md5(coalesce(col("text"), lit("")))).as("min_hash"),
+        max(md5(coalesce(col("text"), lit("")))).as("max_hash"))
+      .orderBy(col("lang"))
+  }
 }

@@ -129,6 +129,24 @@ class PlanSpec extends SparkSpec {
       "the per-source quota dimension should broadcast")
   }
 
+  test("t28: the source-pair overlap joins on the gram hash, never all-pairs") {
+    val p = plan("t28_source_overlap")
+    assert(!p.contains("CartesianProduct"), "pair matrix degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the pair join must be an EQUI-join keyed on the md5 gram hash —
+    // broadcast at small SF, shuffled-on-gh at scale; both satisfy this
+    assert(p.contains("hashpartitioning(gh#") ||
+        "(?m)^.*keys.*\\[gh#".r.findFirstIn(p).isDefined,
+      s"overlap join no longer keyed on the md5 gram hash:\n$p")
+  }
+
+  test("p6: the 256-row sketch broadcasts to the probe join") {
+    val p = plan("p6_countmin_sketch")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded sketch dimension should broadcast")
+  }
+
   test("x7: the lang filter prunes partitions at the scan, not after it") {
     // write the partitioned layout once, then pin the pruned read's plan
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_planspec"

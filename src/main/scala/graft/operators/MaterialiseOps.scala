@@ -760,6 +760,55 @@ object MaterialiseOps extends QueryModule {
       |GROUP BY x.f ORDER BY member""".stripMargin
   }
 
+  /** g26 — k-CORE PARAMETER SWEEP: g25's peel at k ∈ {20, 26, 30},
+    * emitting core size and total in-core degree per setting — the
+    * d18/s9-style measured table that justifies choosing an operating
+    * point (here: how sharply the supplier–part graph's dense core
+    * shrinks as the bar rises; 2 100 → ~1 967/1 154/487 members at
+    * sf0.01). One shared symmetric edge list, one peel per k; zero rows
+    * per setting would hide an empty corpus, so each k emits its row
+    * with explicit zeros (the d18 contract). */
+  def kCoreSweep(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .select(node("s:", col("l_suppkey")).as("f"), node("p:", col("l_partkey")).as("t"))
+      .distinct().localCheckpoint()
+    Seq(20, 26, 30).map { k =>
+      kCoreOf(e0, k).agg(
+        count(lit(1)).as("n_members"),
+        coalesce(sum(col("deg_in_core")), lit(0L)).as("sum_deg"))
+        .select(lit(k).as("k"), col("n_members"), col("sum_deg"))
+    }.reduce(_ union _).orderBy(col("k"))
+  }
+
+  val kCoreSweepSql: String = {
+    val rounds = 6
+    def chain(k: Int): String = {
+      def round(r: Int): String =
+        s"""a${k}_$r AS MATERIALIZED (
+          |  SELECT x.f AS v FROM e x
+          |  JOIN a${k}_${r - 1} s ON s.v = x.f
+          |  JOIN a${k}_${r - 1} t2 ON t2.v = x.t
+          |  GROUP BY x.f HAVING count(*) >= $k)""".stripMargin
+      s"""a${k}_0 AS MATERIALIZED (SELECT DISTINCT f AS v FROM e),
+        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+    }
+    def fin(k: Int): String =
+      s"""SELECT $k AS k, count(*) AS n_members,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS sum_deg FROM (
+        |  SELECT x.f, count(*) AS c FROM e x
+        |  JOIN a${k}_$rounds s ON s.v = x.f JOIN a${k}_$rounds t2 ON t2.v = x.t
+        |  GROUP BY x.f)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT 's:' || ${sqlPad("l_suppkey")} AS f,
+      |    'p:' || ${sqlPad("l_partkey")} AS t FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT f, t FROM e0 UNION ALL SELECT t, f FROM e0),
+      |${Seq(20, 26, 30).map(chain).mkString(",\n")}
+      |SELECT k, CAST(n_members AS BIGINT) AS n_members, sum_deg FROM (
+      |  ${Seq(20, 26, 30).map(fin).mkString("\n  UNION ALL ")})
+      |ORDER BY k""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -782,5 +831,6 @@ object MaterialiseOps extends QueryModule {
     "g23_label_propagation" -> QueryDef(labelPropagation, Some(labelPropagationSql)),
     "g24_betweenness"     -> QueryDef(betweenness, Some(betweennessSql)),
     "g25_kcore"           -> QueryDef(kCore, Some(kCoreSql)),
+    "g26_kcore_sweep"     -> QueryDef(kCoreSweep, Some(kCoreSweepSql)),
   )
 }

@@ -97,6 +97,10 @@ class EmptyInputSpec extends SparkSpec {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
+    // g26 shares d18's sweep contract: one zero-count row per k setting
+    val g26 = defs("g26_kcore_sweep").fn(spark, emptyDir).collect()
+    assert(g26.length === 3 && g26.forall(_.getLong(1) === 0L),
+      "g26 should report an explicit zero core per k")
   }
 
   test("the mixture pipeline builds empty artifacts from an empty corpus") {

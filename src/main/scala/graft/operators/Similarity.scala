@@ -295,6 +295,18 @@ object Similarity extends QueryModule {
     * codebooks, codes and ADC scores are engine-exact (see d9's scaladoc
     * for the div/`//` parity contract). */
   def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    pqAdcTable(s, d)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** s7's full ADC distance table (query_id, neighbor_id, adc) — shared
+    * by the s7 gate and s15's two-stage refine. */
+  private def pqAdcTable(s: SparkSession, d: String): DataFrame = {
     import graft.functions.DotProductL
     val q = Tables.embeddings(s, d).select(col("vec_id"),
       graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
@@ -337,15 +349,40 @@ object Similarity extends QueryModule {
       .join(c1, "m")
       .select(col("query_id"), col("m"), col("cell").as("code"),
         (col("ss") + col("cc") - lit(2L) * DotProductL(col("sv"), col("cv"))).as("d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("neighbor_id").asc)
     codes.join(broadcast(lut), Seq("m", "code"))
       .where(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("d2")).as("adc"))
-      .withColumn("rank", row_number().over(w))
+  }
+
+  /** s15 — TWO-STAGE RETRIEVAL (retrieve + refine), the production
+    * serving shape FAISS calls refinement: s7's compressed ADC scan
+    * retrieves a 20-candidate shortlist per query (cheap, lossy), then
+    * the shortlist alone is re-ranked with the EXACT integer dot product
+    * on the full uncompressed vectors (expensive, tiny). At scale the
+    * refine stage touches 20 vectors per query instead of the corpus —
+    * the two-stage cost model that makes PQ usable for final ranking,
+    * not just recall; and because both stages are deterministic, the
+    * composed result stays oracle-exact. */
+  def pqRefine(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.DotProductL
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = pqAdcTable(s, d)
+      .withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = Tables.embeddings(s, d).select(col("vec_id"),
+      graft.core.Exact.quantize(col("embedding"), 1000).as("qv"))
+    val wFin = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    short
+      .join(q.select(col("vec_id").as("query_id"), col("qv").as("q1")), "query_id")
+      .join(q.select(col("vec_id").as("neighbor_id"), col("qv").as("q2")), "neighbor_id")
+      .withColumn("dot", DotProductL(col("q1"), col("q2")))
+      .withColumn("rank", row_number().over(wFin))
       .where(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -393,6 +430,32 @@ object Similarity extends QueryModule {
       |  SELECT *, row_number() OVER (PARTITION BY query_id
       |    ORDER BY adc ASC, neighbor_id ASC) AS rank
       |  FROM adc)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s15 oracle: s7's chain through `adc`, then shortlist + exact
+    * re-rank. The chain is duplicated textually from [[pqAnnSql]] by
+    * slicing at the final SELECT so the two can never diverge. */
+  val pqRefineSql: String = {
+    val chain = pqAnnSql.substring(0, pqAnnSql.indexOf("SELECT query_id, rank"))
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    s"""${chain.trim.stripSuffix(")")}),
+      |short AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY adc ASC, neighbor_id ASC) AS srank
+      |    FROM adc)
+      |  WHERE srank <= 20)
+      |SELECT query_id, rank, neighbor_id, dot FROM (
+      |  SELECT query_id, neighbor_id, dot,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM (
+      |    SELECT s.query_id, s.neighbor_id, ${dot("q1.qv", "q2.qv")} AS dot
+      |    FROM short s
+      |    JOIN q q1 ON q1.vec_id = s.query_id
+      |    JOIN q q2 ON q2.vec_id = s.neighbor_id))
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
@@ -1273,5 +1336,6 @@ object Similarity extends QueryModule {
     "s12_ivf_pq_percell" -> QueryDef(ivfPqResidualPerCell, Some(ivfPqResidualPerCellSql)),
     "s13_knn_graph"      -> QueryDef(knnGraph, Some(knnGraphSql)),
     "s14_knn_recall_sweep" -> QueryDef(knnGraphRecallSweep, Some(knnGraphRecallSweepSql)),
+    "s15_pq_refine"        -> QueryDef(pqRefine, Some(pqRefineSql)),
   )
 }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streaming {
 
   /** The events table as a bounded file stream with the same
-    * nanos→micros normalisation as the batch loader. */
+    * type-adaptive `ts` handling as the batch loader (long nanos or
+    * native timestamp, by file schema). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema

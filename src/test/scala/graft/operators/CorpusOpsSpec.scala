@@ -199,6 +199,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(merges.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "ab", 3L)))
   }
 
+  test("p6: the count-min estimate never under-counts and hits exactly without collisions") {
+    val rows = ProfilerOps.countMin(spark, d).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (exact, cm) = (r.getLong(1), r.getLong(2))
+      assert(cm >= exact, s"CM under-estimated ${r.getString(0)}: $cm < $exact")
+    }
+  }
+
   test("t27: overlapping-run resolution is the greedy non-overlapping scan") {
     import spark.implicits._
     // "aaaa": the (a,a) run has 3 overlapping occurrences; greedy keeps

@@ -71,6 +71,20 @@ class IncrementalCcSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
   }
 
+  test("an empty edge batch is a harmless no-op") {
+    val stateDir = java.nio.file.Files.createTempDirectory("inc_cc_empty").toString
+    IncrementalCc.update(spark, stateDir, edges("a" -> "b"), Some("b1"))
+    val before = resolved(stateDir)
+    IncrementalCc.update(spark, stateDir, edges(), Some("b2"))
+    assert(resolved(stateDir) === before)
+    // and a first batch on an empty store works too
+    val fresh = java.nio.file.Files.createTempDirectory("inc_cc_empty2").toString
+    IncrementalCc.update(spark, fresh, edges(), Some("b0"))
+    assert(IncrementalCc.current(spark, fresh).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(fresh))
+  }
+
   test("an untouched component's rows are not recomputed by later batches") {
     val stateDir = java.nio.file.Files.createTempDirectory("inc_cc_lazy").toString
     IncrementalCc.update(spark, stateDir, edges("a" -> "b", "p" -> "q"), Some("b1"))

@@ -290,6 +290,65 @@ object ProfilerOps extends QueryModule {
       |GROUP BY p.word, p.n
       |ORDER BY exact_n DESC, p.word ASC""".stripMargin
 
+  /** p7 — HLL ESTIMATE vs EXACT: the harmonic-mean estimator applied to
+    * t15's register table, per source, beside the true distinct count
+    * and the signed error in permille — the calibration table that
+    * tells an operator what m = 16 registers actually buys (at ~25 docs
+    * per source the raw estimator sits in its known small-range bias
+    * regime; the table SHOWS that rather than hiding it, which is the
+    * point of a measured sketch family: p5 histogram, p6 count-min, p7
+    * HLL). Everything is fixed-point integer — `S = Σ 2^(16−M_j)` is an
+    * exact integer (absent buckets contribute 2¹⁶), and
+    * `est = (673·256·65536) div (1000·S)` is the α₁₆ m² 2¹⁶ / S
+    * harmonic form under integer division — so both engines agree to
+    * the last digit. Merge story unchanged from t15: registers max-merge
+    * across shards; the estimate is a 16-row-per-source fold. */
+  def hllEstimate(s: SparkSession, d: String): DataFrame = {
+    val h = md5(coalesce(col("text"), lit("")))
+    val docs = Tables.documents(s, d).select(col("source"), h.as("h"))
+    val regs = TextAnalysis.hllRegisters(s, d)
+    val sources = docs.select(col("source")).distinct()
+    val full = sources.crossJoin(s.range(0, 16).toDF("bucket"))
+      .join(regs, Seq("source", "bucket"), "left")
+      .withColumn("m", coalesce(col("max_rank"), lit(0)))
+    val ssum = full.groupBy(col("source"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 16 - m)")).as("sm"))
+    val exact = docs.groupBy(col("source"))
+      .agg(count_distinct(col("h")).as("n_exact"))
+    exact.join(ssum, "source")
+      .withColumn("est", expr("(cast(673 as bigint) * 256 * 65536) div (1000 * sm)"))
+      .withColumn("err_permille", expr("((est - n_exact) * 1000) div n_exact"))
+      .select(col("source"), col("n_exact"), col("est"), col("err_permille"))
+      .orderBy(col("source"))
+  }
+
+  val hllEstimateSql: String =
+    """WITH h AS (
+      |  SELECT source, md5(coalesce(text, '')) AS h FROM documents),
+      |regs AS (
+      |  SELECT source, bucket, max(rank) AS max_rank FROM (
+      |    SELECT source,
+      |      CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS bucket,
+      |      length(regexp_extract(substr(h, 2, 15), '^0*')) + 1 AS rank
+      |    FROM h)
+      |  GROUP BY source, bucket),
+      |fb AS (
+      |  SELECT s.source, g.b AS bucket, coalesce(r.max_rank, 0) AS m
+      |  FROM (SELECT DISTINCT source FROM h) s
+      |  CROSS JOIN generate_series(0, 15) g(b)
+      |  LEFT JOIN regs r ON r.source = s.source AND r.bucket = g.b),
+      |ssum AS (
+      |  SELECT source, CAST(sum(CAST(1 AS BIGINT) << (16 - m)) AS BIGINT) AS sm
+      |  FROM fb GROUP BY source),
+      |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source)
+      |SELECT source, n_exact, est,
+      |  ((est - n_exact) * 1000) // n_exact AS err_permille
+      |FROM (
+      |  SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+      |    (CAST(673 AS BIGINT) * 256 * 65536) // (1000 * m.sm) AS est
+      |  FROM ex e JOIN ssum m ON m.source = e.source)
+      |ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -297,5 +356,6 @@ object ProfilerOps extends QueryModule {
     "p4_kmeans_inertia" -> QueryDef(kmeansInertia, Some(kmeansInertiaSql)),
     "p5_price_histogram" -> QueryDef(priceHistogram, Some(priceHistogramSql)),
     "p6_countmin_sketch" -> QueryDef(countMin, Some(countMinSql)),
+    "p7_hll_estimate"   -> QueryDef(hllEstimate, Some(hllEstimateSql)),
   )
 }

@@ -93,7 +93,7 @@ class EmptyInputSpec extends SparkSpec {
         "x6_jsonl_roundtrip", "x7_partitioned_scan", "p6_countmin_sketch",
         "m9_audio_fingerprint", "st17_stream_cc", "st19_stream_countmin",
         "t29_bpe_tokenize", "x8_schema_evolution", "st18_stream_ann",
-        "g25_kcore", "x9_jsonl_gz", "s15_pq_refine")) {
+        "g25_kcore", "x9_jsonl_gz", "s15_pq_refine", "p7_hll_estimate")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

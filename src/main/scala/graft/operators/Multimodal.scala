@@ -547,7 +547,13 @@ object Multimodal extends QueryModule {
     * amplitude scaling preserves it, so re-encoded copies land ≤ a few
     * bits apart, while phase-shifted streams drift bit-by-bit (on the
     * synth corpus this grades pairs smoothly: ~3.3k of 31k possible
-    * pairs qualify, not a degenerate all-match). Pairing is m8's
+    * pairs qualify, not a degenerate all-match). Sign-pattern hashes
+    * cluster far harder than pixel-gradient ones, so at larger SFs the
+    * band buckets DO cross [[Dedup.HotBucketCap]] and the star-to-min
+    * guard engages — the oracle mirrors the cap contract exactly
+    * (capped candidates + ledgered overflow, never silent loss), which
+    * is what keeps this gate honest at every SF where m8's dispersed
+    * buckets never trip it. Pairing is m8's
     * recipe verbatim: 4 bands × 14 bits
     * (pigeonhole-complete at Hamming ≤ 3) through
     * [[Dedup.bandCandidates]]'s hot-bucket guard, one
@@ -592,10 +598,18 @@ object Multimodal extends QueryModule {
       |bands AS (
       |  SELECT doc_id, c, (hash >> (c * 14)) & 16383 AS bv
       |  FROM h CROSS JOIN generate_series(0, 3) gc(c)),
+      |sized AS (
+      |  SELECT doc_id, c, bv,
+      |    count(*) OVER (PARTITION BY c, bv) AS bn,
+      |    min(doc_id) OVER (PARTITION BY c, bv) AS bmin
+      |  FROM bands),
       |cand AS (
-      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-      |  FROM bands x JOIN bands y
-      |    ON y.c = x.c AND y.bv = x.bv AND y.doc_id > x.doc_id)
+      |  SELECT DISTINCT da, db FROM (
+      |    SELECT x.doc_id AS da, y.doc_id AS db
+      |    FROM sized x JOIN sized y ON y.c = x.c AND y.bv = x.bv
+      |      AND x.doc_id < y.doc_id AND x.bn <= 1000
+      |    UNION ALL
+      |    SELECT bmin, doc_id FROM sized WHERE bn > 1000 AND doc_id != bmin))
       |SELECT da, db, CAST(bit_count(xor(ha.hash, hb.hash)) AS INT) AS hamming
       |FROM cand JOIN h ha ON ha.doc_id = da JOIN h hb ON hb.doc_id = db
       |WHERE bit_count(xor(ha.hash, hb.hash)) <= 3

@@ -528,9 +528,18 @@ object Dedup extends QueryModule {
       |        substr(simhash, 9, 4) AS c2, substr(simhash, 13, 4) AS c3 FROM sig),
       |bands AS (
       |  $bandSelects),
+      |sized AS (
+      |  SELECT doc_id, band,
+      |    count(*) OVER (PARTITION BY band) AS bn,
+      |    min(doc_id) OVER (PARTITION BY band) AS bmin
+      |  FROM bands),
       |cand AS (
-      |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+      |  SELECT DISTINCT da, db FROM (
+      |    SELECT x.doc_id AS da, y.doc_id AS db
+      |    FROM sized x JOIN sized y ON y.band = x.band
+      |      AND x.doc_id < y.doc_id AND x.bn <= $HotBucketCap
+      |    UNION ALL
+      |    SELECT bmin, doc_id FROM sized WHERE bn > $HotBucketCap AND doc_id != bmin))
       |SELECT da, db, hamming FROM (
       |  SELECT da, db, CAST($hamming AS INT) AS hamming
       |  FROM cand JOIN t a ON a.doc_id = da JOIN t b ON b.doc_id = db)

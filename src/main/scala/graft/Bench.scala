@@ -43,14 +43,25 @@ object Bench {
     val selected = (if (wanted.isEmpty) SparkEntry.benchQueries
       else SparkEntry.benchQueries.filter { case (k, _) => wanted.contains(k) })
       .filter { case (k, _) => inLane(k) }
-    // SPARK_GRAFT_BENCH_REPS=N → per-query median of N runs. Shared-host
-    // variance is ±50% on single shots (round 5 recorded two 2-5×
-    // phantom regressions that a median-of-3 re-run disproved), so the
-    // DEFAULT is now 3: every recorded BENCH line is a median. Set 1 for
-    // quick dev loops.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // SPARK_GRAFT_BENCH_REPS=N → per-query stats over N runs. Shared-host
+    // variance is ±50% on single shots (round 5 recorded two 2-5× phantom
+    // regressions a median-of-3 disproved; round 8 recorded g14 at 15.35 s
+    // that re-measured at 9.5 s on identical code), so the recorded value
+    // stays a MEDIAN and the artifact now also carries min/max/all so a
+    // reader can tell signal from noise: min is the contention-free floor
+    // (signal for plan regressions), median is the recorded value, spread
+    // (max-min) is the host-noise band. Deep lanes swing the most, so they
+    // default to 5 reps (SPARK_GRAFT_BENCH_REPS_DEEP); an explicit
+    // SPARK_GRAFT_BENCH_REPS applies to both unless _DEEP is also set.
+    // Set 1 for quick dev loops. TUNING.md "Benchmark lanes" documents the
+    // min-as-signal / median-as-record convention.
+    val repsEnv = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt.max(1))
+    val reps = repsEnv.getOrElse(3)
+    val repsDeep = sys.env.get("SPARK_GRAFT_BENCH_REPS_DEEP")
+      .map(_.toInt.max(1)).orElse(repsEnv).getOrElse(5)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val n = if (deep.contains(name)) repsDeep else reps
+      val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -60,12 +71,21 @@ object Bench {
         spark.catalog.clearCache()
         t
       }.sorted
-      name -> times(times.length / 2)
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    def f3(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(ts(ts.length / 2)) }
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, ts) =>
+      "\"" + k + "\":{\"median\":" + f3(ts(ts.length / 2)) +
+        ",\"min\":" + f3(ts.head) + ",\"max\":" + f3(ts.last) +
+        ",\"spread\":" + f3(ts.last - ts.head) +
+        ",\"reps\":" + ts.length +
+        ",\"all\":" + ts.map(f3).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val total = results.values.map(ts => ts(ts.length / 2)).sum
+    val minTotal = results.values.map(_.head).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

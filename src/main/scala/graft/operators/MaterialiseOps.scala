@@ -714,8 +714,17 @@ object MaterialiseOps extends QueryModule {
   }
 
   /** The peel loop on an arbitrary (f, t) edge list — property-tested on
-    * hand graphs where the core is computable by eye. */
-  private[graft] def kCoreOf(e0: DataFrame, k: Int): DataFrame = {
+    * hand graphs where the core is computable by eye.
+    *
+    * Convergence contract: the loop runs to fixpoint or `maxIter` rounds
+    * (a chain graph can peel one vertex per round, so deep peels at small
+    * k are legitimate). If the cap fires before fixpoint, the output is
+    * still filtered to `deg >= k` — every emitted member satisfies the
+    * degree condition within the last alive set, i.e. the result is a
+    * superset of the true core, never a silent arbitrary cut — and a
+    * loud stderr warning names the cap (the repo's truncation-is-never-
+    * silent rule). At fixpoint the filter is a no-op by construction. */
+  private[graft] def kCoreOf(e0: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     val sym = e0.union(e0.select(col("t").as("f"), col("f").as("t")))
       .where(col("f") =!= col("t")).distinct()
       .localCheckpoint()
@@ -727,7 +736,7 @@ object MaterialiseOps extends QueryModule {
     var n = alive.count()
     var iter = 0
     var done = n == 0L
-    while (!done && iter < 100) {
+    while (!done && iter < maxIter) {
       val next = degIn(alive).where(col("c") >= k)
         .select(col("f").as("v")).localCheckpoint()
       val m = next.count()
@@ -736,7 +745,11 @@ object MaterialiseOps extends QueryModule {
       alive = next
       iter += 1
     }
-    degIn(alive)
+    if (!done)
+      System.err.println(
+        s"[graft] kCoreOf: iteration cap maxIter=$maxIter hit before fixpoint " +
+          s"(k=$k, |alive|=$n) — emitting the deg>=$k superset of the true core")
+    degIn(alive).where(col("c") >= k)
       .select(col("f").as("member"), col("c").as("deg_in_core"))
   }
 

@@ -586,7 +586,7 @@ object Multimodal extends QueryModule {
   }
 
   val audioFingerprintPairsSql: String =
-    """WITH v AS (
+    s"""WITH v AS (
       |  SELECT doc_id, i, (((doc_id*7 + i*13) % 2003) - 1001) AS s
       |  FROM documents CROSS JOIN generate_series(0, 55) gs(i)
       |  WHERE doc_id % 2 = 1),
@@ -607,9 +607,9 @@ object Multimodal extends QueryModule {
       |  SELECT DISTINCT da, db FROM (
       |    SELECT x.doc_id AS da, y.doc_id AS db
       |    FROM sized x JOIN sized y ON y.c = x.c AND y.bv = x.bv
-      |      AND x.doc_id < y.doc_id AND x.bn <= 1000
+      |      AND x.doc_id < y.doc_id AND x.bn <= ${Dedup.HotBucketCap}
       |    UNION ALL
-      |    SELECT bmin, doc_id FROM sized WHERE bn > 1000 AND doc_id != bmin))
+      |    SELECT bmin, doc_id FROM sized WHERE bn > ${Dedup.HotBucketCap} AND doc_id != bmin))
       |SELECT da, db, CAST(bit_count(xor(ha.hash, hb.hash)) AS INT) AS hamming
       |FROM cand JOIN h ha ON ha.doc_id = da JOIN h hb ON hb.doc_id = db
       |WHERE bit_count(xor(ha.hash, hb.hash)) <= 3

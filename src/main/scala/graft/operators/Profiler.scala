@@ -252,7 +252,11 @@ object ProfilerOps extends QueryModule {
 
   def countMin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // NULL text contributes zero tokens — the oracle's
+    // unnest(string_split_regex(trim(NULL))) drops the row, and the
+    // streaming twin st19 filters identically, so all three agree.
     val toks = Tables.documents(s, d)
+      .where(col("text").isNotNull)
       .select(col("text")).as[String]
       .flatMap(_.trim.split("\\s+"))
       .toDF("word")

@@ -79,9 +79,14 @@ object IncrementalCc {
     new java.io.File(stateDir).mkdirs()
     val marker = java.nio.file.Paths.get(
       s"$stateDir/applied_batches/${sanitize(batchKey.getOrElse(""))}")
-    if (batchKey.isDefined && java.nio.file.Files.exists(marker))
-      return current(spark, stateDir)
     val key = sanitize(batchKey.getOrElse(java.util.UUID.randomUUID.toString))
+    if (batchKey.isDefined && java.nio.file.Files.exists(marker))
+      // Replay honours the documented return contract: the rows this
+      // batch originally recomputed — its persisted partition — not the
+      // full resolved state (a foreachBatch retry must observe the same
+      // output as the first application).
+      return spark.read.parquet(s"$stateDir/components.parquet/batch=$key")
+        .select(col("member"), col("component"))
 
     val e = edges
       .select(col("src").cast("string").as("src"), col("dst").cast("string").as("dst"))

@@ -591,8 +591,12 @@ object Streaming {
   def streamCountMin(s: SparkSession, d: String, name: String): DataFrame = {
     import s.implicits._
     import graft.operators.ProfilerOps
-    val stoks = documentsStream(s, d).select(col("text")).as[String]
-      .flatMap(t => (if (t == null) "" else t).trim.split("\\s+"))
+    // NULL text → zero tokens, matching batch p6 and its oracle (a
+    // null-mapped-to-"" would mint a phantom empty-string token here).
+    val stoks = documentsStream(s, d)
+      .where(col("text").isNotNull)
+      .select(col("text")).as[String]
+      .flatMap(_.trim.split("\\s+"))
       .toDF("word")
     val shb = stoks.select(explode(array((0 until 4).map(dd =>
         struct(lit(dd).as("d"), ProfilerOps.cmBucket(dd).as("bucket"))): _*)).as("db"))
@@ -602,8 +606,9 @@ object Streaming {
     // serving-side probe: exact top-20 from the static corpus, estimated
     // from the streamed sketch
     val toks = s.read.parquet(s"$d/documents.parquet")
+      .where(col("text").isNotNull)
       .select(col("text")).as[String]
-      .flatMap(t => (if (t == null) "" else t).trim.split("\\s+"))
+      .flatMap(_.trim.split("\\s+"))
       .toDF("word")
     val wc = toks.groupBy("word").agg(count(lit(1)).as("n"))
     val probes = wc.orderBy(col("n").desc, col("word").asc).limit(20)

@@ -134,4 +134,21 @@ class GraphAnalyticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(all === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 2L, "f" -> 1L))
   }
+
+  test("kCoreOf iteration cap is not silent: capped output is still deg>=k filtered") {
+    import spark.implicits._
+    // a chain peels one endpoint pair per round at k=2, so maxIter=1
+    // stops far short of fixpoint; the contract is that every EMITTED
+    // member still satisfies deg>=k within the last alive set (a
+    // superset of the true core — which here is empty)
+    val chain = Seq(("a","b"),("b","c"),("c","d"),("d","e")).toDF("f","t")
+    val capped = MaterialiseOps.kCoreOf(chain, 2, maxIter = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped.values.forall(_ >= 2L),
+      s"capped run emitted members below k: $capped")
+    // after one peel round alive = {b,c,d}; only c keeps degree 2
+    assert(capped === Map("c" -> 2L))
+    // run to fixpoint: a pure chain has no 2-core
+    assert(MaterialiseOps.kCoreOf(chain, 2).count() === 0L)
+  }
 }

@@ -61,11 +61,15 @@ class IncrementalCcSpec extends SparkSpec {
   test("a redelivered batch is exactly-once: state unchanged") {
     val stateDir = java.nio.file.Files.createTempDirectory("inc_cc_once").toString
     IncrementalCc.update(spark, stateDir, edges("a" -> "b"), Some("b1"))
-    IncrementalCc.update(spark, stateDir, edges("b" -> "c"), Some("b2"))
+    val first = IncrementalCc.update(spark, stateDir, edges("b" -> "c"), Some("b2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
     val before = resolved(stateDir)
     val files = new java.io.File(s"$stateDir/components.parquet").list().sorted.toSeq
     // redeliver b2 (same key, same content — the foreachBatch retry case)
-    IncrementalCc.update(spark, stateDir, edges("b" -> "c"), Some("b2"))
+    val replayed = IncrementalCc.update(spark, stateDir, edges("b" -> "c"), Some("b2"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a replay returns the batch's own recomputed rows, not the full state
+    assert(replayed === first)
     assert(resolved(stateDir) === before)
     assert(new java.io.File(s"$stateDir/components.parquet").list().sorted.toSeq === files)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))

@@ -38,8 +38,7 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50,
           reliableEvery: Int = 0): DataFrame = {
     def save(df: DataFrame, round: Int): DataFrame =
-      if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint()
-      else df.localCheckpoint()
+      graft.core.Iterate.save(df, reliableEvery, round)
     val src = col("src"); val dst = col("dst")
     val e = edges.select(src.cast("string").as("src"), dst.cast("string").as("dst"))
       .where(src =!= dst)

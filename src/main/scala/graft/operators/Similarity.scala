@@ -1214,12 +1214,22 @@ object Similarity extends QueryModule {
     * per vector, so every probe join is a plain equi-join and a
     * (vector, neighbour) pair matches at most once per radius — no
     * post-join dedup at any radius. */
-  def knnGraphRecallSweep(s: SparkSession, d: String): DataFrame = {
+  def knnGraphRecallSweep(s: SparkSession, d: String): DataFrame =
+    knnGraphRecallSweep(s, d, reliableEvery = 0)
+
+  /** `reliableEvery > 0` routes the two lineage pins below (the shared
+    * quantized index and the exact-truth arm) through the reliable
+    * checkpoint store ([[graft.core.Iterate.save]]) instead of
+    * executor-local blocks — the truth arm is the O(N²) piece a sweep
+    * at eval scale cannot afford to lose to one preempted executor. */
+  def knnGraphRecallSweep(s: SparkSession, d: String, reliableEvery: Int): DataFrame = {
+    def save(df: DataFrame, round: Int): DataFrame =
+      graft.core.Iterate.save(df, reliableEvery, round)
     val bucketExpr = (1 to 8).map(i =>
       when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
-    val emb = quantized(s, d).withColumn("bucket", bucketExpr)
-      .select(col("vec_id"), col("bucket"), col("q")).localCheckpoint()
+    val emb = save(quantized(s, d).withColumn("bucket", bucketExpr)
+      .select(col("vec_id"), col("bucket"), col("q")), 0)
     val idx = emb.select(col("vec_id").as("neighbor_id"),
       col("bucket").as("nbucket"), col("q").as("nq"))
     val w = Window.partitionBy(col("vec_id"))
@@ -1229,8 +1239,8 @@ object Similarity extends QueryModule {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 3)
       .select(col("vec_id"), col("neighbor_id"))
-    val exact = top3(broadcast(emb.select(col("vec_id"), col("q")))
-      .join(idx, col("neighbor_id") =!= col("vec_id"))).localCheckpoint()
+    val exact = save(top3(broadcast(emb.select(col("vec_id"), col("q")))
+      .join(idx, col("neighbor_id") =!= col("vec_id"))), 1)
     val hits = Seq(0 -> 1, 1 -> 9, 2 -> 37).map { case (r, nProbes) =>
       val keys: Seq[Column] = col("bucket") +: (
         (if (r >= 1) (0 until 8).map(j => col("bucket").bitwiseXOR(lit(1 << j)))

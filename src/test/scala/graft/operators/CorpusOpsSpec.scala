@@ -208,6 +208,48 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t27 delta path ≡ recount twin: merge tables and final segmentations agree") {
+    import spark.implicits._
+    // adversarial shapes: overlapping runs ("aaaa"), cross-word ties,
+    // repeated words across docs (dictionary weighting), single-symbol
+    // and empty words, a word that becomes one symbol mid-training
+    val corpora = Seq(
+      Seq((1L, "aaab aaab"), (2L, "aaab")),
+      Seq((1L, "aaaa")),
+      Seq((1L, "abab baba abab"), (2L, "bb aa bb"), (3L, "a b ab")),
+      Seq((1L, "xy xy xy zzz"), (2L, "yx")),
+      Seq((1L, ""), (2L, "q"), (3L, "q q qq")))
+    for (c <- corpora; rounds <- Seq(3, 6)) {
+      val docs = c.toDF("doc_id", "text")
+      val (dm, df_) = TextAnalysis.bpeRun(spark, docs, rounds)
+      val (rm, rf) = TextAnalysis.bpeRunRecount(spark, docs, rounds)
+      assert(dm.collect().toSeq.map(_.toSeq) === rm.collect().toSeq.map(_.toSeq),
+        s"merge tables diverged on $c rounds=$rounds")
+      assert(df_.collect().map(_.toSeq).toSet === rf.collect().map(_.toSeq).toSet,
+        s"final segmentations diverged on $c rounds=$rounds")
+    }
+    // and on real testdata: the gate's own corpus at 5 rounds
+    val docs = graft.core.Tables.documents(spark, d)
+    assert(TextAnalysis.bpeMergesFrom(spark, docs, rounds = 5).collect().toSeq.map(_.toSeq) ===
+      TextAnalysis.bpeRunRecount(spark, docs, rounds = 5)._1.collect().toSeq.map(_.toSeq))
+  }
+
+  test("reliableEvery parity: BPE merges and the s14 sweep are unchanged") {
+    import spark.implicits._
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("corpus_ckpt").toString)
+    try {
+      val docs = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+      assert(TextAnalysis.bpeMergesFrom(spark, docs, rounds = 5, reliableEvery = 1)
+          .collect().toSeq ===
+        TextAnalysis.bpeMergesFrom(spark, docs, rounds = 5).collect().toSeq)
+      assert(Similarity.knnGraphRecallSweep(spark, d, reliableEvery = 1)
+          .collect().toSeq ===
+        Similarity.knnGraphRecallSweep(spark, d).collect().toSeq)
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("t27: overlapping-run resolution is the greedy non-overlapping scan") {
     import spark.implicits._
     // "aaaa": the (a,a) run has 3 overlapping occurrences; greedy keeps

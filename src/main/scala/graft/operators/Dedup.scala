@@ -1787,6 +1787,12 @@ object Dedup extends QueryModule {
     "d14_substring_spans" -> QueryDef(substringSpans, Some(substringSpansSql)),
     "d15_char_spans"   -> QueryDef(charSpans, Some(charSpansSql)),
     "d16_maximal_repeats" -> QueryDef(maximalRepeats, Some(maximalRepeatsSql), bench = true, deep = true),
+    // the restartable entry point users run operationally at scale,
+    // oracle-gated in its own right (round-9 verdict item #6) — same
+    // oracle as d16 because output identity is the contract
+    "d16s_repeats_staged" -> QueryDef(
+      (s, d) => maximalRepeatsStaged(s, d, s"/tmp/graft_d16s_${math.abs(d.hashCode)}"),
+      Some(maximalRepeatsSql)),
     "d17_centroid_dendrogram" -> QueryDef(centroidDendrogram, Some(centroidDendrogramSql)),
     "d18_lsh_param_sweep" -> QueryDef(lshParamSweep, Some(lshParamSweepSql)),
     "d19_repeat_removal" -> QueryDef(repeatRemoval, Some(repeatRemovalSql)),

@@ -125,5 +125,9 @@ object StreamingOps extends QueryModule {
     "st19_stream_countmin" -> QueryDef(
       (s, d) => Streaming.streamCountMin(s, d, s"scm_${math.abs(d.hashCode)}"),
       Some(ProfilerOps.countMinSql)),
+    "st20_stream_kcore" -> QueryDef(
+      (s, d) => Streaming.streamKcore(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_skcore_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.kCoreSql)),
   )
 }

@@ -537,6 +537,47 @@ object Streaming {
       .orderBy(col("member"))
   }
 
+  /** Streaming k-CORE MEMBERSHIP (st20): g25's fixed-k (k = 26) core on
+    * the supplier–part co-occurrence graph, maintained on arrival via
+    * [[graft.pipeline.IncrementalKcore]] — the Sariyüce-style
+    * insertion-region machinery BACKLOG required before this gate could
+    * exist (membership is MONOTONE under edge insertion, so per batch
+    * only the pruned BFS region around the new endpoints is peeled,
+    * with the existing core as a fixed satisfied boundary). The
+    * even-orderkey half of lineitem pre-seeds the base state; the
+    * odd-orderkey half streams through `foreachBatch` (st11's
+    * exactly-once shape — the Spark batchId keys the applied-batches
+    * marker). After full replay the admitted membership equals the
+    * batch g25 peel, so the gate shares g25's oracle verbatim. */
+  def streamKcore(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    val node = (p: String, c: org.apache.spark.sql.Column) => graft.core.Pad.node(p, c)
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(node("s:", col("l_suppkey")).as("src"), node("p:", col("l_partkey")).as("dst"))
+      .distinct()
+    graft.pipeline.IncrementalKcore.update(s, stateDir, base, 26, Some("base"))
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(node("s:", col("l_suppkey")).as("src"), node("p:", col("l_partkey")).as("dst"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalKcore.update(s, stateDir,
+          batch.dropDuplicates("src", "dst"), 26, Some(s"stream-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalKcore.current(s, stateDir)
+      .orderBy(col("member"))
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

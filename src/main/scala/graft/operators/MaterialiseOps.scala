@@ -691,6 +691,50 @@ object MaterialiseOps extends QueryModule {
       |FROM inter JOIN sz x ON x.c = ca JOIN sz y ON y.c = cb
       |WHERE inter >= 8 ORDER BY ca, cb""".stripMargin
 
+  /** g27 — LINK-PREDICTION SCORING with degree discounting: the
+    * Resource-Allocation index (Zhou/Lü/Zhang 2009) over the
+    * supplier–part bipartite graph — RA(s₁,s₂) = Σ_{p ∈ Γ(s₁)∩Γ(s₂)}
+    * 1/deg(p), here in exact fixed-point (10⁶ div deg) so both engines
+    * agree to the last digit. g20's common-neighbor count treats every
+    * shared neighbor equally; RA is the measure curation pipelines
+    * actually rank with, because a hub part shared by everyone carries
+    * ~no evidence while a rare part shared by two suppliers carries a
+    * lot. Same inverted-index candidate shape as g20 (equi-join on the
+    * shared neighbor, never all-pairs), one extra broadcast-sized
+    * degree join — cost Σ per-part degree², bounded by hubs. */
+  def linkPrediction(s: SparkSession, d: String): DataFrame =
+    raScoresOf(Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct(),
+      minCommon = 12)
+      .orderBy(col("sa"), col("sb"))
+
+  /** RA scoring on an arbitrary (sk, p) bipartite membership table —
+    * property-tested on hand graphs where the ranking is computable by
+    * eye (a rare shared neighbor must outscore a hub). */
+  private[graft] def raScoresOf(sp: DataFrame, minCommon: Int): DataFrame = {
+    val pdeg = sp.groupBy("p").agg(count(lit(1)).as("pd"))
+    sp.as("a").join(sp.as("b"),
+        col("a.p") === col("b.p") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("sa"), col("b.sk").as("sb"), col("a.p").as("p"))
+      .join(broadcast(pdeg), "p")
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div pd")).as("ra_score"))
+      .where(col("n_common") >= minCommon)
+  }
+
+  val linkPredictionSql: String =
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p FROM lineitem),
+      |pdeg AS (SELECT p, count(*) AS pd FROM sp GROUP BY p),
+      |cand AS (
+      |  SELECT a.sk AS sa, b.sk AS sb, a.p AS p
+      |  FROM sp a JOIN sp b ON a.p = b.p AND a.sk < b.sk)
+      |SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_common,
+      |  CAST(sum(1000000 // pd) AS BIGINT) AS ra_score
+      |FROM cand JOIN pdeg USING (p)
+      |GROUP BY sa, sb HAVING count(*) >= 12
+      |ORDER BY sa, sb""".stripMargin
+
   /** g25 — k-CORE MEMBERSHIP (k = 26) over the supplier–part
     * co-occurrence graph (distinct `(l_suppkey, l_partkey)` lineitem
     * pairs): iterative peel — `alive := {v : deg_alive(v) ≥ k}` until
@@ -845,5 +889,6 @@ object MaterialiseOps extends QueryModule {
     "g24_betweenness"     -> QueryDef(betweenness, Some(betweennessSql)),
     "g25_kcore"           -> QueryDef(kCore, Some(kCoreSql)),
     "g26_kcore_sweep"     -> QueryDef(kCoreSweep, Some(kCoreSweepSql)),
+    "g27_link_prediction" -> QueryDef(linkPrediction, Some(linkPredictionSql)),
   )
 }

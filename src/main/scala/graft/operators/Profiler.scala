@@ -353,6 +353,33 @@ object ProfilerOps extends QueryModule {
       |  FROM ex e JOIN ssum m ON m.source = e.source)
       |ORDER BY source""".stripMargin
 
+  /** p8 — FREQUENCY SPECTRUM (count-of-counts): for each occurrence
+    * count k, the number of vocabulary words seen exactly k times — the
+    * Good–Turing input table and the profile that tells a corpus
+    * curator how heavy the singleton tail is (smoothing mass, hapax
+    * ratio, Zipf fit all read straight off it). Two map-side-combinable
+    * aggregations; the result is O(distinct k) ≈ O(log corpus) rows, so
+    * it is one of the cheapest corpus-wide profiles that exists at any
+    * scale. Tokenization shared with p6 (NULL text drops the row). */
+  def frequencySpectrum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("text")).as[String]
+      .flatMap(_.trim.split("\\s+"))
+      .toDF("word")
+    toks.groupBy("word").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_words"))
+      .orderBy(col("k"))
+  }
+
+  val frequencySpectrumSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents),
+      |wc AS (SELECT word, count(*) AS k FROM toks GROUP BY word)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_words
+      |FROM wc GROUP BY k ORDER BY k""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -361,5 +388,6 @@ object ProfilerOps extends QueryModule {
     "p5_price_histogram" -> QueryDef(priceHistogram, Some(priceHistogramSql)),
     "p6_countmin_sketch" -> QueryDef(countMin, Some(countMinSql)),
     "p7_hll_estimate"   -> QueryDef(hllEstimate, Some(hllEstimateSql)),
+    "p8_frequency_spectrum" -> QueryDef(frequencySpectrum, Some(frequencySpectrumSql)),
   )
 }

@@ -21,7 +21,21 @@ object Temporal extends QueryModule {
     * right must be unique per (key, ts) for determinism — pre-aggregate
     * if needed. `payload` columns are returned matched onto left rows. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, leftTs: String,
-               rightTs: String, payloadCols: Seq[String]): DataFrame = {
+               rightTs: String, payloadCols: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, payloadCols, forward = false)
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` on the same key (left-outer semantics) — the
+    * next-event lookup (next order after a touchpoint, next deploy after
+    * an alert) that is the mirror of the backward match. Identical
+    * union+window shape, just ordered descending, so the same one-shuffle
+    * scale contract holds. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+                      rightTs: String, payloadCols: Seq[String]): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, payloadCols, forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String, leftTs: String,
+               rightTs: String, payloadCols: Seq[String], forward: Boolean): DataFrame = {
     val payload = struct(payloadCols.map(col): _*).as("__payload")
     val lrowType = org.apache.spark.sql.types.StructType(left.schema.fields)
     // null-key/ts right rows can never match under SQL equality semantics
@@ -35,8 +49,11 @@ object Temporal extends QueryModule {
     val l = left.select(col(key).as("__key"), col(leftTs).as("__ts"),
       lit(1).as("__side"), lit(null).cast(r.schema("__payload").dataType).as("__payload"),
       struct(left.columns.map(col): _*).as("__lrow"))
+    // desc order makes "last right seen so far" = nearest right with
+    // ts >= leftTs; __side asc keeps an equal-ts right visible (>=/<=
+    // inclusive semantics in both directions)
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = r.unionByName(l)
       .withColumn("__match",
@@ -72,6 +89,32 @@ object Temporal extends QueryModule {
       |  r.o_orderkey AS o_orderkey, r.o_orderdate AS o_orderdate
       |FROM events e ASOF LEFT JOIN r
       |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** a6 — FORWARD as-of: each event joined to the user's NEXT order
+    * at-or-after the event time (min orderkey on date ties for a
+    * deterministic match) — a1's mirror, gated in its own right because
+    * the direction flips both the window order and the tie rule. */
+  def eventsNextOrder(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"))
+    asofJoinForward(ev, ord, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_orderdate"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsNextOrderSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, o_orderdate, min(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id AS event_id, e.user_id AS user_id,
+      |  r.o_orderkey AS o_orderkey, r.o_orderdate AS o_orderdate
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
   /** a2 — bounded range self-join: per user, ordered event pairs at most
@@ -243,5 +286,6 @@ object Temporal extends QueryModule {
     "a3_funnel"     -> QueryDef(funnel, Some(funnelSql)),
     "a4_retention"  -> QueryDef(retention, Some(retentionSql)),
     "a5_scd2_join"  -> QueryDef(scd2PointInTime, Some(scd2PointInTimeSql)),
+    "a6_asof_forward" -> QueryDef(eventsNextOrder, Some(eventsNextOrderSql)),
   )
 }

@@ -1480,6 +1480,47 @@ object TextAnalysis extends QueryModule {
       |  (1000 * n_tokens) // n_sym AS comp_permille
       |FROM base JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** t31 — INTRA-DOCUMENT REPETITION (the Gopher/MassiveText "duplicate
+    * n-gram fraction" quality rule, Rae et al. 2021 table A1): per
+    * document, the fraction of its word 3-grams that are repeats —
+    * templated/boilerplate/looping text scores high and gets filtered
+    * before training. Exact integer permille so both engines agree;
+    * docs with fewer than 3 words have no 3-grams and are absent (the
+    * rule does not apply). One explode + one per-doc aggregation,
+    * map-side combinable — O(tokens) at any scale. (The t30 slot stays
+    * reserved for LINE-level cleaning, blocked on newline-free fixture
+    * text — BACKLOG #3.) */
+  def ngramRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ").filter(_.nonEmpty)
+        if (ws.length < 3) Iterator.empty
+        else ws.sliding(3).map(g => (id, g.mkString(" ")))
+      }.toDF("doc_id", "gram")
+    grams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("gram")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - col("n_distinct")).as("n_dup"),
+        expr("(1000 * (n_grams - n_distinct)) div n_grams").as("dup_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ngramRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(count(*) - count(DISTINCT gram) AS BIGINT) AS n_dup,
+      |  CAST((1000 * (count(*) - count(DISTINCT gram))) // count(*) AS BIGINT) AS dup_permille
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -1510,5 +1551,6 @@ object TextAnalysis extends QueryModule {
     "t27_bpe_merges"    -> QueryDef(bpeMerges, Some(bpeMergesSql), bench = true, deep = true),
     "t28_source_overlap" -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
     "t29_bpe_tokenize"  -> QueryDef(bpeTokenize, Some(bpeTokenizeSql)),
+    "t31_ngram_repetition" -> QueryDef(ngramRepetition, Some(ngramRepetitionSql)),
   )
 }

@@ -208,6 +208,36 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t31: repetition permille is exact on hand documents; short docs are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),  // 7 grams: abc,bca,cab,abc,bca,cab,abc -> 3 distinct, 4 dup
+      (2L, "x y z w"),            // 2 grams, both unique
+      (3L, "a b"),                // < 3 words: absent
+      (4L, null.asInstanceOf[String])) // null text: absent
+      .toDF("doc_id", "text")
+    // reuse the operator's corpus shape via a temp parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("t31").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.ngramRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows === Map(1L -> ((7L, 4L, 571L)), 2L -> ((2L, 0L, 0L))))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("p8: the spectrum is the count-of-counts and sums back to the vocabulary") {
+    val rows = graft.operators.ProfilerOps.frequencySpectrum(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    // Σ n_words over the spectrum = |vocabulary|
+    import spark.implicits._
+    val vocab = graft.core.Tables.documents(spark, d)
+      .where(col("text").isNotNull).select(col("text")).as[String]
+      .flatMap(_.trim.split("\\s+")).distinct().count()
+    assert(rows.map(_._2).sum === vocab)
+  }
+
   test("t27 delta path ≡ recount twin: merge tables and final segmentations agree") {
     import spark.implicits._
     // adversarial shapes: overlapping runs ("aaaa"), cross-word ties,

@@ -103,6 +103,16 @@ class EmptyInputSpec extends SparkSpec {
       "g26 should report an explicit zero core per k")
   }
 
+  test("round-9 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("a6_asof_forward", "g27_link_prediction",
+        "p8_frequency_spectrum", "t31_ngram_repetition",
+        "d16s_repeats_staged", "st20_stream_kcore")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

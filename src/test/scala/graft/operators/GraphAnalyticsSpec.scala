@@ -135,6 +135,21 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(all === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 2L, "f" -> 1L))
   }
 
+  test("g27: a rare shared neighbor outscores a hub (RA degree discounting)") {
+    import spark.implicits._
+    // hub part h is shared by everyone (deg 4); rare part r only by s1/s2
+    val sp = Seq(
+      ("s1", "h"), ("s2", "h"), ("s3", "h"), ("s4", "h"),
+      ("s1", "r"), ("s2", "r")).toDF("sk", "p")
+    val rows = MaterialiseOps.raScoresOf(sp, minCommon = 1).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // s1-s2 share hub + rare: 1e6/4 + 1e6/2 = 750000; hub-only pairs: 250000
+    assert(rows(("s1", "s2")) === (2L, 750000L))
+    assert(rows(("s3", "s4")) === (1L, 250000L))
+    assert(rows(("s1", "s3")) === (1L, 250000L))
+    assert(rows.size === 6) // all C(4,2) pairs share at least the hub
+  }
+
   test("kCoreOf iteration cap is not silent: capped output is still deg>=k filtered") {
     import spark.implicits._
     // a chain peels one endpoint pair per round at k=2, so maxIter=1

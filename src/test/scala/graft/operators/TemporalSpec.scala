@@ -26,4 +26,20 @@ class TemporalSpec extends SparkSpec {
       ("e5", None)))                             // null key -> null payload
     assert(Temporal.asofJoin(leftWithNull, right, "k", "ts", "rts", Seq("v")).count() == 5)
   }
+
+  test("forward asof join: earliest right at-or-after, equal-ts inclusive, left-outer") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "e1"),  // rights at 60, 90, 100, 120 -> 100 (equal ts counts)
+      (1L, 101L, "e2"),  // -> 120
+      (1L, 130L, "e3"),  // nothing at-or-after
+      (2L, 10L, "e4")    // key with no right rows
+    ).toDF("k", "ts", "tag")
+    val right = Seq((1L, 60L), (1L, 90L), (1L, 100L), (1L, 120L))
+      .toDF("k", "rts").withColumn("v", concat(lit("v"), col("rts")))
+    val out = Temporal.asofJoinForward(left, right, "k", "ts", "rts", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[String]("v")))).toSet
+    assert(out === Set(
+      ("e1", Some("v100")), ("e2", Some("v120")), ("e3", None), ("e4", None)))
+  }
 }

@@ -768,21 +768,23 @@ object MaterialiseOps extends QueryModule {
     * superset of the true core, never a silent arbitrary cut — and a
     * loud stderr warning names the cap (the repo's truncation-is-never-
     * silent rule). At fixpoint the filter is a no-op by construction. */
-  private[graft] def kCoreOf(e0: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
-    val sym = e0.union(e0.select(col("t").as("f"), col("f").as("t")))
-      .where(col("f") =!= col("t")).distinct()
-      .localCheckpoint()
+  private[graft] def kCoreOf(e0: DataFrame, k: Int, maxIter: Int = 100,
+      reliableEvery: Int = 0): DataFrame = {
+    def save(df: DataFrame, round: Int): DataFrame =
+      graft.core.Iterate.save(df, reliableEvery, round)
+    val sym = save(e0.union(e0.select(col("t").as("f"), col("f").as("t")))
+      .where(col("f") =!= col("t")).distinct(), 0)
     def degIn(alive: DataFrame): DataFrame =
       sym.join(alive.select(col("v").as("f")), "f")
         .join(alive.select(col("v").as("t")), "t")
         .groupBy(col("f")).agg(count(lit(1)).as("c"))
-    var alive = sym.select(col("f").as("v")).distinct().localCheckpoint()
+    var alive = save(sym.select(col("f").as("v")).distinct(), 0)
     var n = alive.count()
     var iter = 0
     var done = n == 0L
     while (!done && iter < maxIter) {
-      val next = degIn(alive).where(col("c") >= k)
-        .select(col("f").as("v")).localCheckpoint()
+      val next = save(degIn(alive).where(col("c") >= k)
+        .select(col("f").as("v")), iter + 1)
       val m = next.count()
       done = m == n
       n = m

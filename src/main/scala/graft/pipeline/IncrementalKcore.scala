@@ -78,9 +78,14 @@ object IncrementalKcore {
     * newly ADMITS to the k-core (also persisted under
     * `$stateDir/members.parquet`). `edges` needs (src, dst). A stable
     * `batchKey` makes the application exactly-once under foreachBatch
-    * redelivery; a replay returns the batch's own persisted admissions. */
+    * redelivery; a replay returns the batch's own persisted admissions.
+    * `reliableEvery` applies the CC loop's executor-loss discipline
+    * ([[graft.core.Iterate.save]]) to the BFS/peel rounds of a huge
+    * cascade (state between batches is already parquet-persisted). */
   def update(spark: SparkSession, stateDir: String, edges: DataFrame, k: Int,
-             batchKey: Option[String] = None): DataFrame = {
+             batchKey: Option[String] = None, reliableEvery: Int = 0): DataFrame = {
+    def save(df: DataFrame, round: Int): DataFrame =
+      graft.core.Iterate.save(df, reliableEvery, round)
     new java.io.File(stateDir).mkdirs()
     val marker = java.nio.file.Paths.get(
       s"$stateDir/applied_batches/${sanitize(batchKey.getOrElse(""))}")
@@ -94,11 +99,11 @@ object IncrementalKcore {
       .where(col("src") =!= col("dst"))
       .localCheckpoint()
     e.write.mode(SaveMode.Overwrite).parquet(s"$stateDir/edges.parquet/batch=$key")
-    val sym = symmetric(
+    val sym = save(symmetric(
       tbl(spark, s"$stateDir/edges.parquet", key, "src STRING, dst STRING")
-        .union(e)).localCheckpoint()
-    val memb = tbl(spark, s"$stateDir/members.parquet", key, "member STRING")
-      .distinct().localCheckpoint()
+        .union(e)), 0)
+    val memb = save(tbl(spark, s"$stateDir/members.parquet", key, "member STRING")
+      .distinct(), 0)
 
     def fullDegOk(vs: DataFrame): DataFrame = // keep only candidates of degree >= k
       sym.join(vs.select(col("v").as("f")), "f")
@@ -109,17 +114,19 @@ object IncrementalKcore {
     // non-member, degree->=k vertices
     val seeds = e.select(col("src").as("v")).union(e.select(col("dst").as("v"))).distinct()
       .join(memb.withColumnRenamed("member", "v"), Seq("v"), "left_anti")
-    var frontier = fullDegOk(seeds).localCheckpoint()
+    var frontier = save(fullDegOk(seeds), 0)
     var region = frontier
     var fsize = frontier.count()
+    var round = 0
     while (fsize > 0) {
+      round += 1
       val nbrs = sym.join(frontier.select(col("v").as("f")), "f")
         .select(col("t").as("v")).distinct()
         .join(memb.withColumnRenamed("member", "v"), Seq("v"), "left_anti")
         .join(region, Seq("v"), "left_anti")
-      frontier = fullDegOk(nbrs).localCheckpoint()
+      frontier = save(fullDegOk(nbrs), round)
       fsize = frontier.count()
-      if (fsize > 0) region = region.union(frontier).localCheckpoint()
+      if (fsize > 0) region = save(region.union(frontier), round)
     }
 
     // ---- boundary-fixed peel: members are permanently satisfied
@@ -133,16 +140,17 @@ object IncrementalKcore {
       val aDeg = sym.join(alive.select(col("v").as("f")), "f")
         .join(alive.select(col("v").as("t")), "t")
         .groupBy("f").agg(count(lit(1)).as("ad"))
-      val next = alive.select(col("v").as("f"))
+      round += 1
+      val next = save(alive.select(col("v").as("f"))
         .join(mDeg, Seq("f"), "left").join(aDeg, Seq("f"), "left")
         .where(coalesce(col("md"), lit(0L)) + coalesce(col("ad"), lit(0L)) >= k)
-        .select(col("f").as("v")).localCheckpoint()
+        .select(col("f").as("v")), round)
       val m = next.count()
       done = m == n || m == 0L
       n = m
       alive = next
     }
-    val admitted = alive.select(col("v").as("member")).localCheckpoint()
+    val admitted = save(alive.select(col("v").as("member")), 1)
 
     // ---- advance state, marker strictly last (exactly-once replay)
     admitted.write.mode(SaveMode.Overwrite)

@@ -166,6 +166,26 @@ class PlanSpec extends SparkSpec {
       s"scan read non-en partitions: $scanned")
   }
 
+  test("g27: candidates equi-join on the shared part; the degree dim broadcasts") {
+    val p = plan("g27_link_prediction")
+    assert(!p.contains("CartesianProduct"), "RA candidates degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "RA candidates degenerated to NLJ")
+    assert(p.contains("BroadcastHashJoin"), "part-degree dimension should broadcast")
+  }
+
+  test("a6: forward as-of is the one-shuffle union+window, no join at all") {
+    val p = plan("a6_asof_forward")
+    assert(p.contains("Window"), "forward as-of lost its window form")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "forward as-of degenerated into a join")
+  }
+
+  test("p8: the spectrum is two hash aggregations, no join") {
+    val p = plan("p8_frequency_spectrum")
+    assert(!p.contains("Join"), "count-of-counts should not join anything")
+    assert("HashAggregate".r.findAllIn(p).length >= 4) // partial+final × 2 stages
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -68,6 +68,10 @@ class GraphAnalyticsSpec extends SparkSpec {
           org.apache.spark.sql.functions.lit(1L)), seeds).collect().toSet)
       assert(Query.transitiveClosure(edges, reliableEvery = 1).collect().toSet ===
         Query.transitiveClosure(edges).collect().toSet)
+      val peelEdges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+        ("b", "d"), ("c", "d"), ("d", "e")).toDF("f", "t")
+      assert(MaterialiseOps.kCoreOf(peelEdges, 3, reliableEvery = 1).collect().toSet ===
+        MaterialiseOps.kCoreOf(peelEdges, 3).collect().toSet)
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 

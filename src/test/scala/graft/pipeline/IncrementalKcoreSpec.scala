@@ -80,6 +80,22 @@ class IncrementalKcoreSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("reliableEvery parity: the BFS/peel admits the same members") {
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("kcore_ckpt").toString)
+    try {
+      val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e", "e" -> "f")
+      val dirs = Seq(tmp("rel1"), tmp("rel0"))
+      for ((dir, re) <- dirs.zip(Seq(1, 0))) {
+        IncrementalKcore.update(spark, dir, edges(path: _*), 2, Some("b1"), reliableEvery = re)
+        IncrementalKcore.update(spark, dir, edges("f" -> "a"), 2, Some("b2"), reliableEvery = re)
+      }
+      assert(currentSet(dirs(0)) === currentSet(dirs(1)))
+      dirs.foreach(d => org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("empty batches and an empty store degrade to zero rows") {
     val dir = tmp("empty")
     IncrementalKcore.update(spark, dir, edges(), 2, Some("b0"))

@@ -579,6 +579,61 @@ object MaterialiseOps extends QueryModule {
       |SELECT id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY id""".stripMargin
   }
 
+  /** g28 — PERSONALIZED PageRank ([[Query.personalizedPageRank]]) over
+    * g18's membership graph, seeded on nation-0's customers: rank
+    * measures proximity to that cohort (their nation and its region
+    * concentrate mass; everything unreachable stays exactly 0) — the
+    * "relevance around these entities" ranking a knowledge-graph serving
+    * layer runs per query entity. Oracle unrolls the same three
+    * integer-exact rounds with the seeded teleport vector. */
+  def personalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.customer(s, d).select(
+        node("c:", col("c_custkey")).as("fromNodeId"),
+        node("n:", col("c_nationkey")).as("toNodeId"))
+      .union(Tables.supplier(s, d).select(
+        node("s:", col("s_suppkey")).as("fromNodeId"),
+        node("n:", col("s_nationkey")).as("toNodeId")))
+      .union(Tables.nation(s, d).select(
+        node("n:", col("n_nationkey")).as("fromNodeId"),
+        node("r:", col("n_regionkey")).as("toNodeId")))
+    val seeds = Tables.customer(s, d).where(col("c_nationkey") === 0)
+      .select(node("c:", col("c_custkey")).as("nodeId"))
+    Query.personalizedPageRank(e, seeds, iterations = 3).orderBy(col("id"))
+  }
+
+  val personalizedPageRankSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.id,
+         |    (15 * t.t) // 100 + (85 * coalesce(m.i, 0)) // 100 AS pr
+         |  FROM nodes n JOIN tele t ON t.id = n.id LEFT JOIN (
+         |    SELECT e.dst AS id, sum(p.pr // d.deg) AS i
+         |    FROM e JOIN $prev p ON p.id = e.src JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT 'c:' || ${sqlPad("c_custkey")} AS src, 'n:' || ${sqlPad("c_nationkey")} AS dst
+      |  FROM customer
+      |  UNION ALL SELECT 's:' || ${sqlPad("s_suppkey")}, 'n:' || ${sqlPad("s_nationkey")}
+      |  FROM supplier
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")}
+      |  FROM nation),
+      |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+      |seeds AS (
+      |  SELECT DISTINCT 'c:' || ${sqlPad("c_custkey")} AS id
+      |  FROM customer WHERE c_nationkey = 0),
+      |ns AS (SELECT count(*) AS ns FROM seeds),
+      |tele AS (
+      |  SELECT n.id,
+      |    CASE WHEN s.id IS NOT NULL THEN 1000000 // (SELECT ns FROM ns) ELSE 0 END AS t
+      |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+      |p0 AS (SELECT id, CAST(t AS BIGINT) AS pr FROM tele),
+      |${round("p0", "p1")},
+      |${round("p1", "p2")},
+      |${round("p2", "p3")}
+      |SELECT id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY id""".stripMargin
+  }
+
   /** g19 — triangle count ([[Query.triangleCount]]) over the parts-
     * co-ordered graph (two parts are adjacent when some order contains
     * both). The engine side runs the degree-ordered orientation — the
@@ -892,5 +947,6 @@ object MaterialiseOps extends QueryModule {
     "g25_kcore"           -> QueryDef(kCore, Some(kCoreSql)),
     "g26_kcore_sweep"     -> QueryDef(kCoreSweep, Some(kCoreSweepSql)),
     "g27_link_prediction" -> QueryDef(linkPrediction, Some(linkPredictionSql)),
+    "g28_personalized_pagerank" -> QueryDef(personalizedPageRank, Some(personalizedPageRankSql)),
   )
 }

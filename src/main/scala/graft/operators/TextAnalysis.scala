@@ -1480,6 +1480,52 @@ object TextAnalysis extends QueryModule {
       |  (1000 * n_tokens) // n_sym AS comp_permille
       |FROM base JOIN fin USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** t32 — BLOOM-PREFILTERED DECONTAMINATION: t11's exact audit with the
+    * 100 TB join discipline in front of it. At scale the train side is
+    * the corpus (billions of grams) and the val side the eval suite
+    * (thousands): build ONE Bloom filter over the val grams
+    * (`bloom_filter_agg`, a map-side-combinable aggregate producing a
+    * broadcastable byte blob), stream the train grams through
+    * `might_contain` — a row-local codegen'd filter at the scan, no
+    * shuffle — and run t11's exact semi-join only on the surviving
+    * candidates. False positives are removed by the exact join, so the
+    * output is IDENTICAL to t11 by construction and the gate shares its
+    * oracle verbatim: the Bloom stage is pure shuffle-avoidance (the
+    * train-gram shuffle shrinks from O(corpus) to O(candidates ≈
+    * contaminated + fp·corpus), fp here 1-in-2²⁰ish with 8 bits/item). */
+  def bloomDecontamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val split = Tables.documents(s, d).withColumn("split", splitCol)
+    val grams = split.select(col("doc_id"), col("split"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, sp, text) =>
+        val ws = (if (text == null) "" else text).split(" ").filter(_.nonEmpty)
+        (0 to ws.length - 8).iterator.map(i => (id, sp, ws.slice(i, i + 8).mkString(" ")))
+      }
+      .toDF("doc_id", "split", "g")
+      .distinct()
+    val valGrams = grams.where(col("split") === "val").select(col("doc_id"), col("g"))
+    // the one ~100 KB blob rides to the driver and back out as a literal —
+    // the bounded read Spark's own runtime-filter injection performs
+    // (might_contain requires a CONSTANT bloom, not a joined column)
+    val blob = valGrams.select(col("g")).distinct()
+      .agg(graft.functions.Bloom.filterAgg(col("g"), 100000L, 800000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val trainCand = grams.where(col("split") === "train").select(col("g")).distinct()
+      .where(if (blob == null) lit(false) // empty val side: nothing can match
+        else graft.functions.Bloom.mightContain(lit(blob), col("g")))
+    val counts = valGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val contaminated = valGrams.join(trainCand, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    split.where(col("split") === "val").select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** t31 — INTRA-DOCUMENT REPETITION (the Gopher/MassiveText "duplicate
     * n-gram fraction" quality rule, Rae et al. 2021 table A1): per
     * document, the fraction of its word 3-grams that are repeats —
@@ -1552,5 +1598,8 @@ object TextAnalysis extends QueryModule {
     "t28_source_overlap" -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
     "t29_bpe_tokenize"  -> QueryDef(bpeTokenize, Some(bpeTokenizeSql)),
     "t31_ngram_repetition" -> QueryDef(ngramRepetition, Some(ngramRepetitionSql)),
+    // shares t11's oracle on purpose: the Bloom stage is a pure
+    // pre-filter, so output identity IS the contract
+    "t32_bloom_decontamination" -> QueryDef(bloomDecontamination, Some(decontaminationSql)),
   )
 }

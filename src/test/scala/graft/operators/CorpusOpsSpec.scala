@@ -208,6 +208,24 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t32 ≡ t11: the Bloom pre-filter never changes the decontamination result") {
+    val exact = TextAnalysis.decontamination(spark, d).collect().map(_.toSeq).toSeq
+    val bloomed = TextAnalysis.bloomDecontamination(spark, d).collect().map(_.toSeq).toSeq
+    assert(bloomed === exact)
+  }
+
+  test("Bloom.filterAgg/mightContain: no false negatives on inserted keys") {
+    import spark.implicits._
+    val keys = (1 to 500).map(i => s"key_$i")
+    val blob = keys.toDF("g")
+      .agg(graft.functions.Bloom.filterAgg(col("g"), 1000L, 8000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val found = keys.toDF("g")
+      .where(graft.functions.Bloom.mightContain(lit(blob), col("g")))
+      .count()
+    assert(found === 500L, "a Bloom filter must never drop an inserted key")
+  }
+
   test("t31: repetition permille is exact on hand documents; short docs are absent") {
     import spark.implicits._
     val docs = Seq(

@@ -61,6 +61,9 @@ class GraphAnalyticsSpec extends SparkSpec {
       val seeds = Seq("a").toDF("nodeId")
       assert(Query.pageRank(edges, 3, reliableEvery = 1).collect().toSet ===
         Query.pageRank(edges, 3).collect().toSet)
+      assert(Query.personalizedPageRank(edges, seeds, 3, reliableEvery = 1)
+          .collect().toSet ===
+        Query.personalizedPageRank(edges, seeds, 3).collect().toSet)
       assert(Query.weightedShortestPaths(edges.withColumn("weight",
           org.apache.spark.sql.functions.lit(1L)), seeds, reliableEvery = 1)
           .collect().toSet ===
@@ -137,6 +140,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     val all = MaterialiseOps.kCoreOf(e, 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(all === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 4L, "e" -> 2L, "f" -> 1L))
+  }
+
+  test("g28: PPR mass stays on and downstream of the seeds; unreachable nodes are exactly 0") {
+    import spark.implicits._
+    // a -> b -> c and an island x -> y; seed {a}
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("fromNodeId", "toNodeId")
+    val ppr = Query.personalizedPageRank(edges, Seq("a").toDF("nodeId"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // teleport only regenerates a; mass decays down the chain
+    assert(ppr("a") > ppr("b") && ppr("b") > ppr("c"))
+    assert(ppr("x") === 0L && ppr("y") === 0L, "unreachable nodes must hold exactly 0")
+    // hand-check round 1: a = 15% of 1e6; b = 85% of full seed mass
+    assert(ppr("a") === 150000L)
   }
 
   test("g27: a rare shared neighbor outscores a hub (RA degree discounting)") {

@@ -129,5 +129,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamKcore(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_skcore_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.kCoreSql)),
+    "st21_stream_link_prediction" -> QueryDef(
+      (s, d) => Streaming.streamLinkPrediction(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sra_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.linkPredictionSql)),
   )
 }

@@ -578,6 +578,43 @@ object Streaming {
       .orderBy(col("member"))
   }
 
+  /** Streaming LINK-PREDICTION maintenance (st21): g27's RA scores kept
+    * current under arriving supplier–part membership rows via
+    * [[graft.pipeline.IncrementalRa]] — join-aggregate incremental view
+    * maintenance, where a new membership changes deg(p) and therefore
+    * every pair's discount through that part, so the touched parts'
+    * contribution blocks are recomputed and swapped by dynamic
+    * partition overwrite (untouched parts' files never rewritten). The
+    * even-orderkey half pre-seeds; the odd half streams through
+    * `foreachBatch` with exactly-once batch markers. After replay the
+    * served scores equal batch g27 and the gate shares its oracle. */
+  def streamLinkPrediction(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct()
+    graft.pipeline.IncrementalRa.update(s, stateDir, base, Some("base"))
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalRa.update(s, stateDir,
+          batch.dropDuplicates("sk", "p"), Some(s"stream-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalRa.current(s, stateDir, minCommon = 12)
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

@@ -108,7 +108,8 @@ class EmptyInputSpec extends SparkSpec {
     for (name <- Seq("a6_asof_forward", "g27_link_prediction",
         "p8_frequency_spectrum", "t31_ngram_repetition",
         "d16s_repeats_staged", "st20_stream_kcore",
-        "g28_personalized_pagerank", "t32_bloom_decontamination")) {
+        "g28_personalized_pagerank", "t32_bloom_decontamination",
+        "st21_stream_link_prediction")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

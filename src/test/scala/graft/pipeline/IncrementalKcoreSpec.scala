@@ -96,6 +96,19 @@ class IncrementalKcoreSpec extends SparkSpec {
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
 
+  test("crash recovery: a retry after a lost marker converges to the same core") {
+    val dir = tmp("crash")
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "a")
+    IncrementalKcore.update(spark, dir, edges(path.take(3): _*), 2, Some("b1"))
+    IncrementalKcore.update(spark, dir, edges(path.drop(3): _*), 2, Some("b2"))
+    val settled = currentSet(dir)
+    assert(settled.keySet === Set("a", "b", "c", "d"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/applied_batches/b2"))
+    IncrementalKcore.update(spark, dir, edges(path.drop(3): _*), 2, Some("b2"))
+    assert(currentSet(dir) === settled)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("empty batches and an empty store degrade to zero rows") {
     val dir = tmp("empty")
     IncrementalKcore.update(spark, dir, edges(), 2, Some("b0"))

@@ -67,6 +67,22 @@ class IncrementalRaSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("crash recovery: a retry after a lost marker converges to the same state") {
+    val dir = tmp("crash")
+    IncrementalRa.update(spark, dir, mem("s1" -> "h", "s2" -> "h"), Some("b1"))
+    IncrementalRa.update(spark, dir, mem("s3" -> "h"), Some("b2"))
+    val settled = currentMap(dir)
+    // simulate a crash between the state writes and the marker: the
+    // marker vanishes, foreachBatch redelivers, update must re-apply
+    // idempotently over its own partial leftovers
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/applied_batches/b2"))
+    IncrementalRa.update(spark, dir, mem("s3" -> "h"), Some("b2"))
+    assert(currentMap(dir) === settled)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/applied_batches/b2")))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("untouched buckets' files are not rewritten by later batches") {
     val dir = tmp("lazy")
     // find two parts living in different hash buckets

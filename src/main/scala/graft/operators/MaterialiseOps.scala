@@ -634,6 +634,58 @@ object MaterialiseOps extends QueryModule {
       |SELECT id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY id""".stripMargin
   }
 
+  /** g29 — WEIGHTED personalized PageRank
+    * ([[Query.personalizedPageRankWeighted]]) over the customer→part
+    * purchase graph, edges weighted by order-line count (how often the
+    * customer bought the part) and seeded on nation-0's customers: rank
+    * concentrates on the parts that cohort buys MOST, not merely ever —
+    * the recommendation/relevance ranking a weighted graph is for (the
+    * g18/g28 membership graph is single-out-edge, where weights cancel;
+    * this one fans out, so the weighting is load-bearing — the spec
+    * pins a hand case where skewed weights flip the ranking). */
+  def weightedPersonalizedPageRank(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(node("c:", col("o_custkey")).as("fromNodeId"),
+        node("p:", col("l_partkey")).as("toNodeId"))
+      .agg(count(lit(1)).as("weight"))
+    val seeds = Tables.customer(s, d).where(col("c_nationkey") === 0)
+      .select(node("c:", col("c_custkey")).as("nodeId"))
+    Query.personalizedPageRankWeighted(e, seeds, iterations = 3).orderBy(col("id"))
+  }
+
+  val weightedPersonalizedPageRankSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT n.id,
+         |    (15 * t.t) // 100 + (85 * coalesce(m.i, 0)) // 100 AS pr
+         |  FROM nodes n JOIN tele t ON t.id = n.id LEFT JOIN (
+         |    SELECT e.dst AS id, sum((p.pr * e.w) // s.wsum) AS i
+         |    FROM e JOIN $prev p ON p.id = e.src JOIN ws s ON s.src = e.src
+         |    GROUP BY e.dst) m ON m.id = n.id)""".stripMargin
+    s"""WITH e AS (
+      |  SELECT 'c:' || ${sqlPad("o_custkey")} AS src,
+      |    'p:' || ${sqlPad("l_partkey")} AS dst, count(*) AS w
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+      |ws AS (SELECT src, sum(w) AS wsum FROM e GROUP BY src),
+      |seeds AS (
+      |  SELECT DISTINCT 'c:' || ${sqlPad("c_custkey")} AS id
+      |  FROM customer WHERE c_nationkey = 0),
+      |ns AS (SELECT count(*) AS ns FROM seeds),
+      |tele AS (
+      |  SELECT n.id,
+      |    CASE WHEN s.id IS NOT NULL THEN 1000000 // (SELECT ns FROM ns) ELSE 0 END AS t
+      |  FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+      |p0 AS (SELECT id, CAST(t AS BIGINT) AS pr FROM tele),
+      |${round("p0", "p1")},
+      |${round("p1", "p2")},
+      |${round("p2", "p3")}
+      |SELECT id, CAST(pr AS BIGINT) AS pr FROM p3 ORDER BY id""".stripMargin
+  }
+
   /** g19 — triangle count ([[Query.triangleCount]]) over the parts-
     * co-ordered graph (two parts are adjacent when some order contains
     * both). The engine side runs the degree-ordered orientation — the
@@ -948,5 +1000,6 @@ object MaterialiseOps extends QueryModule {
     "g26_kcore_sweep"     -> QueryDef(kCoreSweep, Some(kCoreSweepSql)),
     "g27_link_prediction" -> QueryDef(linkPrediction, Some(linkPredictionSql)),
     "g28_personalized_pagerank" -> QueryDef(personalizedPageRank, Some(personalizedPageRankSql)),
+    "g29_weighted_ppr" -> QueryDef(weightedPersonalizedPageRank, Some(weightedPersonalizedPageRankSql)),
   )
 }

@@ -155,6 +155,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(ppr("a") === 150000L)
   }
 
+  test("g29: skewed weights flip the ranking the unweighted walk would tie") {
+    import spark.implicits._
+    val seeds = Seq("a").toDF("nodeId")
+    val weighted = Seq(("a", "b", 9L), ("a", "c", 1L))
+      .toDF("fromNodeId", "toNodeId", "weight")
+    val ppr = Query.personalizedPageRankWeighted(weighted, seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // wsum = 10: b gets 9/10 of the seed's flow, c gets 1/10; at the
+    // round-3 fixpoint a holds 150000, so b = 85% of (150000·9 div 10)
+    assert(ppr("b") > ppr("c"))
+    assert(ppr("b") === 114750L, s"b got ${ppr("b")}")
+    assert(ppr("c") === 12750L, s"c got ${ppr("c")}")
+    // uniform weights reduce to the unweighted walk exactly
+    val uniform = Seq(("a", "b", 5L), ("a", "c", 5L))
+      .toDF("fromNodeId", "toNodeId", "weight")
+    val u = Query.personalizedPageRankWeighted(uniform, seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Query.personalizedPageRank(
+      uniform.drop("weight"), seeds, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(u === plain)
+  }
+
   test("g27: a rare shared neighbor outscores a hub (RA degree discounting)") {
     import spark.implicits._
     // hub part h is shared by everyone (deg 4); rare part r only by s1/s2

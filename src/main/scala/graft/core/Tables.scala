@@ -28,7 +28,7 @@ object Tables {
     * column? Pure footer-metadata read — no session conf consulted or
     * mutated, which is the point: it lets [[events]] decide whether the
     * legacy nanos flag is needed BEFORE touching any session state. */
-  private def tsIsNanos(s: SparkSession, path: String): Boolean = try {
+  private[graft] def tsIsNanos(s: SparkSession, path: String): Boolean = try {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

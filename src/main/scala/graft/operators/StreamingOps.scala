@@ -133,5 +133,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamLinkPrediction(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sra_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.linkPredictionSql)),
+    "st22_stream_asof" -> QueryDef(
+      (s, d) => Streaming.streamAsofProbe(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sasof_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.eventsAsofOrdersSql)),
   )
 }

@@ -22,7 +22,12 @@ object Streaming {
     * type-adaptive `ts` handling as the batch loader (long nanos or
     * native timestamp, by file schema). */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same conf hygiene as Tables.events: the legacy nanos flag is set
+    // only when the footer shows genuine TIMESTAMP(NANOS) (and must then
+    // stay set for the lazy stream's execution)
+    if (graft.core.Tables.tsIsNanos(s, s"$d/events.parquet") &&
+        !s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // the file-stream source wants a directory: stream the sf dir with a
     // glob filter selecting just the events table
@@ -613,6 +618,52 @@ object Streaming {
     q.stop()
     graft.pipeline.IncrementalRa.current(s, stateDir, minCommon = 12)
       .orderBy(col("sa"), col("sb"))
+  }
+
+  /** Streaming AS-OF PROBE (st22): a1's backward as-of join as a
+    * stream-static serving operator — each arriving event micro-batch
+    * matches against the STATIC deduped order dimension with the batch
+    * [[graft.operators.Temporal.asofJoin]] (correct per batch because
+    * the match depends only on the static side and the probing row
+    * itself; no cross-batch state). The union+window as-of cannot run
+    * inside a streaming plan (non-time window), so `foreachBatch`
+    * applies it batch-locally and persists each batch's matches under
+    * its own partition — the exactly-once overwrite pattern, so a
+    * redelivered batch rewrites identical rows instead of duplicating.
+    * On full replay the table equals batch a1 and the gate shares its
+    * oracle verbatim. */
+  def streamAsofProbe(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .localCheckpoint() // static dim: computed once, probed every batch
+    val q = eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Temporal.asofJoin(
+            batch.dropDuplicates("event_id"), ord,
+            "user_id", "ts", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/out.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/out.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, o_orderkey BIGINT, o_orderdate DATE"))
+    s.read.parquet(s"$stateDir/out.parquet")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
   }
 
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each

@@ -109,7 +109,8 @@ class EmptyInputSpec extends SparkSpec {
         "p8_frequency_spectrum", "t31_ngram_repetition",
         "d16s_repeats_staged", "st20_stream_kcore",
         "g28_personalized_pagerank", "t32_bloom_decontamination",
-        "st21_stream_link_prediction", "g29_weighted_ppr")) {
+        "st21_stream_link_prediction", "g29_weighted_ppr",
+        "st22_stream_asof")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -975,6 +975,134 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY k""".stripMargin
   }
 
+  /** g30 — k-TRUSS membership: the triangle-grade analogue of g25's
+    * k-core (every surviving edge sits in ≥ k-2 triangles among the
+    * survivors). Cohesion by TRIANGLES, not raw degree, so hub edges
+    * that touch many vertices but close few wedges peel away — the
+    * community-core subgraph k-core can't isolate. Engine peels to the
+    * true fixpoint on the g19 parts-co-ordered graph (k=11: 115 729 →
+    * 9 313 edges in 5 rounds at sf0.01). */
+  def kTruss(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    kTrussOf(pairs, 11).orderBy(col("u"), col("v"))
+  }
+
+  /** Per-edge triangle support via degree-ordered wedge closing — each
+    * triangle is enumerated exactly once from its lowest-degree vertex,
+    * so wedge fan-out is bounded by ORIENTED degree (≈√|E| on power-law
+    * graphs), not raw hub degree. The g19/triangleCount discipline,
+    * extended to emit the three canonical edges per triangle for the
+    * support aggregate. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val o = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.s").as("ctr"), col("x.t").as("a"), col("y.t").as("b"))
+    // the closing edge may be oriented either way — match both
+    val tri = wedges.join(o,
+        (o("s") === wedges("a") && o("t") === wedges("b")) ||
+          (o("s") === wedges("b") && o("t") === wedges("a")))
+      .select(col("ctr"), col("a"), col("b"))
+    def canon(x: Column, y: Column) =
+      Seq(least(x, y).as("u"), greatest(x, y).as("v"))
+    tri.select(canon(col("ctr"), col("a")): _*)
+      .union(tri.select(canon(col("ctr"), col("b")): _*))
+      .union(tri.select(canon(col("a"), col("b")): _*))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+  }
+
+  /** The truss peel on an arbitrary canonical (u < v) edge list.
+    * Convergence contract mirrors [[kCoreOf]]: fixpoint or `maxIter`
+    * rounds; on a cap hit the final support re-filter still holds for
+    * every emitted edge (a superset of the true truss, never a silent
+    * cut) and stderr names the cap. Each round is one support
+    * aggregation (two equi-joins + map-combinable count) over the
+    * shrinking survivor set; `Iterate.save` truncates per-round lineage
+    * with the CC/k-core `reliableEvery` option for multi-hour runs. */
+  private[graft] def kTrussOf(e0: DataFrame, k: Int, maxIter: Int = 100,
+      reliableEvery: Int = 0): DataFrame = {
+    def save(df: DataFrame, round: Int): DataFrame =
+      graft.core.Iterate.save(df, reliableEvery, round)
+    var edges = save(e0.where(col("u") < col("v")).distinct(), 0)
+    var n = edges.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < maxIter) {
+      val next = save(edgeSupport(edges).where(col("s") >= k - 2)
+        .select(col("u"), col("v")), iter + 1)
+      val m = next.count()
+      done = m == n
+      n = m
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      System.err.println(
+        s"[graft] kTrussOf: iteration cap maxIter=$maxIter hit before fixpoint " +
+          s"(k=$k, |edges|=$n) — emitting the support>=${k - 2} superset of the true truss")
+    edgeSupport(edges).where(col("s") >= k - 2)
+      .select(col("u"), col("v"), col("s").as("support"))
+  }
+
+  /** Oracle: 8 unrolled peel rounds (measured depth: 5 at sf0.01, 2 at
+    * sf0.1 — an under-unrolled oracle diverges loudly, the g25 rule).
+    * The oracle enumerates each triangle once from its canonical a<b<c
+    * ordering — simpler than the engine's degree orientation and fine
+    * single-node. */
+  val kTrussSql: String = {
+    val rounds = 8
+    def round(r: Int): String =
+      s"""e$r AS MATERIALIZED (
+        |  SELECT u, v FROM (
+        |    SELECT u, v, count(*) AS s FROM (
+        |      SELECT ab.u AS u, ab.v AS v
+        |      FROM e${r - 1} ab JOIN e${r - 1} bc ON bc.u = ab.v
+        |      JOIN e${r - 1} ac ON ac.u = ab.u AND ac.v = bc.v
+        |      UNION ALL
+        |      SELECT bc.u, bc.v
+        |      FROM e${r - 1} ab JOIN e${r - 1} bc ON bc.u = ab.v
+        |      JOIN e${r - 1} ac ON ac.u = ab.u AND ac.v = bc.v
+        |      UNION ALL
+        |      SELECT ac.u, ac.v
+        |      FROM e${r - 1} ab JOIN e${r - 1} bc ON bc.u = ab.v
+        |      JOIN e${r - 1} ac ON ac.u = ab.u AND ac.v = bc.v)
+        |    GROUP BY u, v)
+        |  WHERE s >= 9)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |${(1 to rounds).map(round).mkString(",\n")}
+      |SELECT u, v, s AS support FROM (
+      |  SELECT u, v, count(*) AS s FROM (
+      |    SELECT ab.u AS u, ab.v AS v
+      |    FROM e$rounds ab JOIN e$rounds bc ON bc.u = ab.v
+      |    JOIN e$rounds ac ON ac.u = ab.u AND ac.v = bc.v
+      |    UNION ALL
+      |    SELECT bc.u, bc.v
+      |    FROM e$rounds ab JOIN e$rounds bc ON bc.u = ab.v
+      |    JOIN e$rounds ac ON ac.u = ab.u AND ac.v = bc.v
+      |    UNION ALL
+      |    SELECT ac.u, ac.v
+      |    FROM e$rounds ab JOIN e$rounds bc ON bc.u = ab.v
+      |    JOIN e$rounds ac ON ac.u = ab.u AND ac.v = bc.v)
+      |  GROUP BY u, v)
+      |WHERE s >= 9 ORDER BY u, v""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -1001,5 +1129,6 @@ object MaterialiseOps extends QueryModule {
     "g27_link_prediction" -> QueryDef(linkPrediction, Some(linkPredictionSql)),
     "g28_personalized_pagerank" -> QueryDef(personalizedPageRank, Some(personalizedPageRankSql)),
     "g29_weighted_ppr" -> QueryDef(weightedPersonalizedPageRank, Some(weightedPersonalizedPageRankSql)),
+    "g30_ktruss"       -> QueryDef(kTruss, Some(kTrussSql)),
   )
 }

@@ -280,6 +280,48 @@ object Temporal extends QueryModule {
       | AND (d.vto IS NULL OR f.l_shipdate < d.vto)
       |ORDER BY f.l_orderkey, f.l_linenumber""".stripMargin
 
+  /** a7 — TIME-BAR DOWNSAMPLING (OHLC): the time-series resample that
+    * turns an event stream into fixed-width bars — per (event_type,
+    * hour) the opening/closing value on the deterministic (ts, event_id)
+    * order plus high/low/count. One map-combinable aggregation: open and
+    * close ride a struct-min/max (partial aggregation keeps only one
+    * candidate per partition, so the shuffle carries |bars| rows, not
+    * |events|), and every output is a value PICK, never float
+    * arithmetic — order-independent, hence hash-stable at any
+    * parallelism. This is the 100 TB shape: no window over the raw
+    * stream, no per-key sort. */
+  def timeBars(s: SparkSession, d: String): DataFrame = {
+    val barUs = 3600L * 1000000
+    val ev = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id"), col("value"))
+    // (us, event_id) is unique, so the struct min/max picks exactly the
+    // first/last event of the bar — the value field never decides ties
+    ev.groupBy(col("event_type"), floor(col("us") / barUs).as("bar"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bar"))
+  }
+
+  val timeBarsSql: String =
+    """WITH b AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+      |    epoch_us(ts) AS us, event_id, value
+      |  FROM events)
+      |SELECT event_type, bar,
+      |  first(value ORDER BY us, event_id) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  last(value ORDER BY us, event_id) AS close,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY event_type, bar
+      |ORDER BY event_type, bar""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -287,5 +329,6 @@ object Temporal extends QueryModule {
     "a4_retention"  -> QueryDef(retention, Some(retentionSql)),
     "a5_scd2_join"  -> QueryDef(scd2PointInTime, Some(scd2PointInTimeSql)),
     "a6_asof_forward" -> QueryDef(eventsNextOrder, Some(eventsNextOrderSql)),
+    "a7_time_bars"  -> QueryDef(timeBars, Some(timeBarsSql)),
   )
 }

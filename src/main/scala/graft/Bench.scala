@@ -8,6 +8,24 @@ import org.apache.spark.sql.SparkSession
   * execution, no result materialisation on the driver).
   */
 object Bench {
+
+  private def f3(v: Double) = f"$v%.3f"
+
+  /** The driver-parseable headline line. MUST stay comfortably under the
+    * driver's 2000-char stdout tail (round 9's ~4 KB line with the
+    * spread object inlined truncated the headline away and nulled
+    * BENCH_r09); degrades to headline-only rather than ever breaching. */
+  private[graft] def compactLine(medians: Seq[(String, Double)],
+      minTotal: Double, sfDir: String): String = {
+    val total = medians.map(_._2).sum
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"queries":$qs,"sf":"$sfDir"}"""
+    if (full.length < 1900) full
+    else s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -73,9 +91,6 @@ object Bench {
       }.sorted
       name -> times
     }
-    def f3(v: Double) = f"$v%.3f"
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f3(ts(ts.length / 2)) }
-      .mkString("{", ",", "}")
     val spreads = results.map { case (k, ts) =>
       "\"" + k + "\":{\"median\":" + f3(ts(ts.length / 2)) +
         ",\"min\":" + f3(ts.head) + ",\"max\":" + f3(ts.last) +
@@ -83,9 +98,14 @@ object Bench {
         ",\"reps\":" + ts.length +
         ",\"all\":" + ts.map(f3).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
-    val total = results.values.map(ts => ts(ts.length / 2)).sum
+    val medians = results.toSeq.map { case (k, ts) => k -> ts(ts.length / 2) }
     val minTotal = results.values.map(_.head).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","min_total":$minTotal%.3f,"queries":$qs,"spread":$spreads,"sf":"$sfDir"}""")
+    // The full per-query spread goes on its own PRECEDING line for
+    // human/audit reads; the compact headline line comes LAST (the
+    // driver keeps only the final ~2000 chars of stdout) and Bench
+    // emits nothing after it.
+    println(s"""{"metric":"spread","queries":$spreads,"sf":"$sfDir"}""")
+    println(compactLine(medians, minTotal, sfDir))
     spark.stop()
   }
 }

@@ -1,9 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump each query under its own cancellable job group with a hard
+    * per-query wall-clock bound. One pathological plan (round 9's
+    * g30_ktruss nested-loop hang) must cost the sweep ONE red row, not
+    * the whole round's artifact: on timeout the query's job group is
+    * cancelled (running tasks interrupted), the error is recorded, and
+    * the sweep moves on. Returns name → error for every failed/timed-out
+    * query (also mirrored to stderr and `outDir/errors.json`). */
+  def runSweep(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      timeoutSec: Int): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      val group = s"verify-$name"
+      // job group is thread-local: set it inside the worker thread so
+      // every job the dump submits lands in the cancellable group
+      val fut = Future {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }(ExecutionContext.global)
+      try Await.result(fut, timeoutSec.seconds)
+      catch {
+        case _: concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          val msg = s"TIMEOUT after ${timeoutSec}s (job group cancelled)"
+          errs(name) = msg
+          System.err.println(s"[verify] $name $msg")
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          errs(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
+      }
+    }
+    if (errs.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/errors.json"),
+        errs.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}"))
+    errs.toMap
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional trailing query names restrict the dump (dev loop only; the
@@ -17,29 +75,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (only.isEmpty || only.contains(name))
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "180").toInt
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (k, _) => only.isEmpty || only.contains(k) }
+    runSweep(spark, sfDir, outDir, selected, timeoutSec)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

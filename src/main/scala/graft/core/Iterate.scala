@@ -13,7 +13,15 @@ import org.apache.spark.sql.DataFrame
   * executor loss means the app is gone anyway.
   */
 object Iterate {
-  def save(df: DataFrame, reliableEvery: Int, round: Int): DataFrame =
-    if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint()
-    else df.localCheckpoint()
+  def save(df: DataFrame, reliableEvery: Int, round: Int): DataFrame = {
+    val ck =
+      if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
+    // checkpoints truncate RDD lineage but INHERIT the origin plan's
+    // size estimate, whose BigInt bit-length compounds multiplicatively
+    // across rounds of join-heavy loops until the driver spends minutes
+    // per stats walk (found live: the k-truss sweep's second peel).
+    // Clamp at the round boundary — see Glue.clampCheckpointStats.
+    org.apache.spark.sql.graftglue.Glue.clampCheckpointStats(ck, df)
+  }
 }

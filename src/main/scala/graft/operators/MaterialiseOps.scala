@@ -981,7 +981,7 @@ object MaterialiseOps extends QueryModule {
     * that touch many vertices but close few wedges peel away — the
     * community-core subgraph k-core can't isolate. Engine peels to the
     * true fixpoint on the g19 parts-co-ordered graph (k=11: 115 729 →
-    * 9 313 edges in 5 rounds at sf0.01). */
+    * 2 502 edges at sf0.01, DuckDB-verified). */
   def kTruss(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li.as("a").join(li.as("b"),
@@ -991,37 +991,49 @@ object MaterialiseOps extends QueryModule {
     kTrussOf(pairs, 11).orderBy(col("u"), col("v"))
   }
 
-  /** Per-edge triangle support via degree-ordered wedge closing — each
-    * triangle is enumerated exactly once from its lowest-degree vertex,
-    * so wedge fan-out is bounded by ORIENTED degree (≈√|E| on power-law
-    * graphs), not raw hub degree. The g19/triangleCount discipline,
-    * extended to emit the three canonical edges per triangle for the
-    * support aggregate. */
-  private def edgeSupport(e: DataFrame): DataFrame = {
+  /** Degree-ordered acyclic orientation of a canonical (u < v) edge
+    * list: each edge points from its lower-(degree, id) endpoint, so
+    * every vertex's wedge fan-out is bounded by ORIENTED degree (≈√|E|
+    * on power-law graphs), not raw hub degree — the g19/triangleCount
+    * discipline. Computed ONCE per peel (any fixed acyclic orientation
+    * enumerates each triangle exactly once — the triangle's unique
+    * two-out-edge source vertex — so the peel loop never needs to
+    * re-derive degrees over the shrinking survivor set). */
+  private def orientByDegree(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val o = e
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+    e.join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
           .otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("t"))
+  }
+
+  /** Per-oriented-edge triangle support over an oriented edge set
+    * `(s, t)`: wedges enumerated in BOTH directions (`x.t =!= y.t`) so
+    * the closing edge matches in its own orientation — a pure equi-join
+    * Spark hash-partitions on (a, b). (The round-9 variant matched the
+    * closing edge with an OR of two orientations; Catalyst cannot
+    * extract equi-keys from a disjunction and planned a nested-loop of
+    * |wedges|×|E| ≈ 4.5e11 comparisons/round at sf0.01.) The left join
+    * + coalesce keeps triangle-free edges at support 0 (they belong in
+    * any k-truss with k ≤ 2). ~4 shuffles per call, everything keyed on
+    * the oriented pair. */
+  private def orientedSupport(o: DataFrame): DataFrame = {
     val wedges = o.as("x").join(o.as("y"),
-        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
       .select(col("x.s").as("ctr"), col("x.t").as("a"), col("y.t").as("b"))
-    // the closing edge may be oriented either way — match both
-    val tri = wedges.join(o,
-        (o("s") === wedges("a") && o("t") === wedges("b")) ||
-          (o("s") === wedges("b") && o("t") === wedges("a")))
+    val tri = wedges.join(o.as("z"),
+        wedges("a") === col("z.s") && wedges("b") === col("z.t"))
       .select(col("ctr"), col("a"), col("b"))
-    def canon(x: Column, y: Column) =
-      Seq(least(x, y).as("u"), greatest(x, y).as("v"))
-    tri.select(canon(col("ctr"), col("a")): _*)
-      .union(tri.select(canon(col("ctr"), col("b")): _*))
-      .union(tri.select(canon(col("a"), col("b")): _*))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+    val sup = tri.select(col("ctr").as("s"), col("a").as("t"))
+      .union(tri.select(col("ctr").as("s"), col("b").as("t")))
+      .union(tri.select(col("a").as("s"), col("b").as("t")))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("c"))
+    o.join(sup, Seq("s", "t"), "left")
+      .select(col("s"), col("t"), coalesce(col("c"), lit(0L)).as("c"))
   }
 
   /** The truss peel on an arbitrary canonical (u < v) edge list.
@@ -1036,25 +1048,38 @@ object MaterialiseOps extends QueryModule {
       reliableEvery: Int = 0): DataFrame = {
     def save(df: DataFrame, round: Int): DataFrame =
       graft.core.Iterate.save(df, reliableEvery, round)
-    var edges = save(e0.where(col("u") < col("v")).distinct(), 0)
-    var n = edges.count()
+    // orient once; the whole peel runs in oriented (s, t) space and only
+    // the final emit canonicalises back to (u, v)
+    var o = save(orientByDegree(e0.where(col("u") < col("v")).distinct()), 0)
+    var n = o.count()
     var iter = 0
     var done = n == 0L
+    // survives the loop so the fixpoint round's support is emitted
+    // WITHOUT a redundant final triangle enumeration: at fixpoint the
+    // filtered set equals its input, so the supports just computed are
+    // already the supports within the final edge set
+    var lastSup: DataFrame = o.withColumn("c", lit(0L))
     while (!done && iter < maxIter) {
-      val next = save(edgeSupport(edges).where(col("s") >= k - 2)
-        .select(col("u"), col("v")), iter + 1)
+      val sup = save(orientedSupport(o).where(col("c") >= k - 2), iter + 1)
+      val next = sup.select(col("s"), col("t"))
       val m = next.count()
       done = m == n
       n = m
-      edges = next
+      o = next
+      lastSup = sup
       iter += 1
     }
-    if (!done)
-      System.err.println(
-        s"[graft] kTrussOf: iteration cap maxIter=$maxIter hit before fixpoint " +
-          s"(k=$k, |edges|=$n) — emitting the support>=${k - 2} superset of the true truss")
-    edgeSupport(edges).where(col("s") >= k - 2)
-      .select(col("u"), col("v"), col("s").as("support"))
+    val fin =
+      if (!done) {
+        System.err.println(
+          s"[graft] kTrussOf: iteration cap maxIter=$maxIter hit before fixpoint " +
+            s"(k=$k, |edges|=$n) — emitting the support>=${k - 2} superset of the true truss")
+        // cap hit: the last filter ran against a NOT-yet-stable set, so
+        // supports must be re-derived within the emitted survivor set
+        orientedSupport(o).where(col("c") >= k - 2)
+      } else lastSup
+    fin.select(least(col("s"), col("t")).as("u"),
+      greatest(col("s"), col("t")).as("v"), col("c").as("support"))
   }
 
   /** Oracle: 8 unrolled peel rounds (measured depth: 5 at sf0.01, 2 at
@@ -1103,6 +1128,92 @@ object MaterialiseOps extends QueryModule {
       |WHERE s >= 9 ORDER BY u, v""".stripMargin
   }
 
+  /** g31 — k-TRUSS PARAMETER SWEEP: g30's peel at k ∈ {5, 8, 11},
+    * emitting edge count and total support per setting — the g26-style
+    * operating-point table for triangle cohesion. Two scale moves:
+    * (1) MONOTONE REUSE — truss(k₂) ⊆ truss(k₁) for k₂ > k₁, so each
+    * higher k peels the PREVIOUS k's survivors, not the full graph; the
+    * expensive wedge enumeration runs once over |E| and then over the
+    * (orders-of-magnitude smaller) surviving cores. (2) BOUNDED ROUNDS —
+    * each k runs at most 8 support recomputes + the final re-filter
+    * (the g23 fixed-round contract, exactly mirrored by the oracle's
+    * unroll): a peel in its trickle zone (one edge falling per round —
+    * k=8 here needs >8 rounds at sf0.01) costs bounded work instead of
+    * an unbounded tail, and the emitted table is the DOCUMENTED
+    * bounded-round superset, identical in both engines whether or not
+    * the peel converged. Both reuses stay sound under the cap because
+    * the capped emit is itself a superset of every deeper truss.
+    * Each k emits its row even when empty (the d18/g26 zero-row
+    * contract). */
+  def kTrussSweep(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    var edges: DataFrame = pairs
+    val rows = Seq(5, 8, 11).map { k =>
+      val t = kTrussOf(edges, k, maxIter = 8).localCheckpoint()
+      edges = t.select(col("u"), col("v"))
+      t.agg(
+          count(lit(1)).as("n_edges"),
+          coalesce(sum(col("support")), lit(0L)).as("sum_support"))
+        .select(lit(k).as("k"), col("n_edges"), col("sum_support"))
+    }
+    rows.reduce(_ union _).orderBy(col("k"))
+  }
+
+  /** Oracle mirrors both the monotone reuse and the bounded-round
+    * contract exactly: per k, 8 filter rounds then a final
+    * support-recompute-and-filter (`f{k}` = the engine's emit, capped
+    * or converged), and the next k's chain starts from `f{k}` — the
+    * same set the engine hands to its next peel. */
+  val kTrussSweepSql: String = {
+    val rounds = 8
+    def tri(src: String): String =
+      s"""SELECT ab.u AS u, ab.v AS v
+        |      FROM $src ab JOIN $src bc ON bc.u = ab.v
+        |      JOIN $src ac ON ac.u = ab.u AND ac.v = bc.v
+        |      UNION ALL
+        |      SELECT bc.u, bc.v
+        |      FROM $src ab JOIN $src bc ON bc.u = ab.v
+        |      JOIN $src ac ON ac.u = ab.u AND ac.v = bc.v
+        |      UNION ALL
+        |      SELECT ac.u, ac.v
+        |      FROM $src ab JOIN $src bc ON bc.u = ab.v
+        |      JOIN $src ac ON ac.u = ab.u AND ac.v = bc.v""".stripMargin
+    def supp(src: String): String =
+      s"""SELECT u, v, count(*) AS s FROM (
+        |      ${tri(src)})
+        |    GROUP BY u, v""".stripMargin
+    def chain(k: Int, from: String): String = {
+      def round(r: Int): String =
+        s"""t${k}_$r AS MATERIALIZED (
+          |  SELECT u, v FROM (
+          |    ${supp(s"t${k}_${r - 1}")})
+          |  WHERE s >= ${k - 2})""".stripMargin
+      s"""t${k}_0 AS MATERIALIZED (SELECT u, v FROM $from),
+        |${(1 to rounds).map(round).mkString(",\n")},
+        |f$k AS MATERIALIZED (
+        |  SELECT u, v, s FROM (
+        |    ${supp(s"t${k}_$rounds")})
+        |  WHERE s >= ${k - 2})""".stripMargin
+    }
+    def fin(k: Int): String =
+      s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_edges,
+        |    CAST(coalesce(sum(s), 0) AS BIGINT) AS sum_support FROM f$k""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |${chain(5, "e0")},
+      |${chain(8, "f5")},
+      |${chain(11, "f8")}
+      |SELECT k, n_edges, sum_support FROM (
+      |  ${Seq(5, 8, 11).map(fin).mkString("\n  UNION ALL\n  ")})
+      |ORDER BY k""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -1130,5 +1241,6 @@ object MaterialiseOps extends QueryModule {
     "g28_personalized_pagerank" -> QueryDef(personalizedPageRank, Some(personalizedPageRankSql)),
     "g29_weighted_ppr" -> QueryDef(weightedPersonalizedPageRank, Some(weightedPersonalizedPageRankSql)),
     "g30_ktruss"       -> QueryDef(kTruss, Some(kTrussSql)),
+    "g31_ktruss_sweep" -> QueryDef(kTrussSweep, Some(kTrussSweepSql)),
   )
 }

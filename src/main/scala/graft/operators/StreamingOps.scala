@@ -137,5 +137,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamAsofProbe(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sasof_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Temporal.eventsAsofOrdersSql)),
+    "st23_stream_asof_forward" -> QueryDef(
+      (s, d) => Streaming.streamAsofForwardProbe(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sasoffw_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.eventsNextOrderSql)),
+    "st24_stream_time_bars" -> QueryDef(
+      (s, d) => Streaming.streamTimeBars(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sbars_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.timeBarsSql)),
   )
 }

@@ -291,10 +291,15 @@ object Temporal extends QueryModule {
     * parallelism. This is the 100 TB shape: no window over the raw
     * stream, no per-key sort. */
   def timeBars(s: SparkSession, d: String): DataFrame = {
-    val barUs = 3600L * 1000000
     val ev = Tables.events(s, d).select(col("event_type"),
       unix_micros(col("ts").cast("timestamp")).as("us"),
       col("event_id"), col("value"))
+    timeBarsOf(ev, 3600L * 1000000)
+  }
+
+  /** The bar aggregation on an arbitrary (event_type, us, event_id,
+    * value) frame — spec-testable seam for [[timeBars]]. */
+  private[graft] def timeBarsOf(ev: DataFrame, barUs: Long): DataFrame = {
     // (us, event_id) is unique, so the struct min/max picks exactly the
     // first/last event of the bar — the value field never decides ties
     ev.groupBy(col("event_type"), floor(col("us") / barUs).as("bar"))

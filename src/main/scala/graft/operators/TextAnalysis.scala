@@ -1567,6 +1567,65 @@ object TextAnalysis extends QueryModule {
       |  CAST((1000 * (count(*) - count(DISTINCT gram))) // count(*) AS BIGINT) AS dup_permille
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t33 — STRATIFIED QUOTA SAMPLE: the training-mixture draw — pick a
+    * deterministic, uniform-within-stratum document subset whose
+    * per-stratum quotas follow TEMPERATURE-T=2 reweighting
+    * (quota ∝ √n_s — the standard multilingual rebalance that upweights
+    * small languages without drowning the large ones). Everything is
+    * INTEGER-exact so the draw replays identically anywhere: the
+    * "random" order is an LCG hash of doc_id (scans stay pushed-down —
+    * no rand(), no seed state), weights are ⌊√n⌋, and quotas use
+    * integer division — no float whose summation order could flip a
+    * boundary document. Scale shape: stratum stats are a tiny aggregate
+    * broadcast back; selection is one row_number window per stratum.
+    * For a 100 TB stratum the window input would first be cut by a
+    * hash-threshold pre-filter (keep h < quota/n·safety, then rank the
+    * ~quota·safety survivors) — same output, window input shrunk from
+    * |stratum| to O(quota); at gate SFs the direct window wins. */
+  def temperatureSample(s: SparkSession, d: String): DataFrame =
+    temperatureSampleOf(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
+      budget = 200L)
+
+  private[graft] def temperatureSampleOf(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n"))).cast("long"))
+    // Σw is one row — distribute it as a broadcast scalar, not a collect
+    val quotas = counts.crossJoin(counts.agg(sum(col("w")).as("tw")))
+      .select(col("lang"), col("source"),
+        greatest(lit(1L), expr(s"($budget * w) div tw")).as("quota"))
+    val h = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+    docs.withColumn("h", h)
+      .join(broadcast(quotas), Seq("lang", "source"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .where(col("rk") <= col("quota"))
+      .select(col("lang"), col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  val temperatureSampleSql: String =
+    """WITH c AS (
+      |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+      |w AS (
+      |  SELECT lang, source, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+      |q AS (
+      |  SELECT lang, source,
+      |    greatest(1, (200 * w) // (SELECT sum(w) FROM w)) AS quota
+      |  FROM w),
+      |r AS (
+      |  SELECT d.lang, d.source, d.doc_id,
+      |    row_number() OVER (PARTITION BY d.lang, d.source
+      |      ORDER BY (d.doc_id * 1103515245 + 12345) % 2147483648, d.doc_id) AS rk
+      |  FROM documents d)
+      |SELECT r.lang AS lang, r.source AS source, r.doc_id AS doc_id,
+      |  CAST(r.rk AS BIGINT) AS rk
+      |FROM r JOIN q ON r.lang = q.lang AND r.source = q.source
+      |WHERE r.rk <= q.quota
+      |ORDER BY lang, source, rk""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -1601,5 +1660,7 @@ object TextAnalysis extends QueryModule {
     // shares t11's oracle on purpose: the Bloom stage is a pure
     // pre-filter, so output identity IS the contract
     "t32_bloom_decontamination" -> QueryDef(bloomDecontamination, Some(decontaminationSql)),
+    "t33_temperature_sample" -> QueryDef(temperatureSample, Some(temperatureSampleSql)),
   )
+
 }

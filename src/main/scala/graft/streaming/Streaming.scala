@@ -666,6 +666,115 @@ object Streaming {
       .orderBy(col("event_id"))
   }
 
+  /** Streaming FORWARD AS-OF PROBE (st23): a6's forward as-of join as a
+    * stream-static serving operator — the "what happens NEXT after this
+    * event" lookup (next order at-or-after the event), st22's twin in
+    * the forward direction. Same correctness argument: the match
+    * depends only on the static order dimension and the probing row
+    * itself, so applying the batch
+    * [[graft.operators.Temporal.asofJoinForward]] per micro-batch under
+    * `foreachBatch` is exact, and per-batch partition overwrite keeps
+    * redelivery idempotent. On full replay the table equals batch a6
+    * and the gate shares its oracle verbatim. */
+  def streamAsofForwardProbe(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"))
+      .localCheckpoint() // static dim: computed once, probed every batch
+    val q = eventsStream(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Temporal.asofJoinForward(
+            batch.dropDuplicates("event_id"), ord,
+            "user_id", "ts", "o_orderdate", Seq("o_orderkey", "o_orderdate"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/out.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/out.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, o_orderkey BIGINT, o_orderdate DATE"))
+    s.read.parquet(s"$stateDir/out.parquet")
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Streaming TIME BARS (st24): a7's OHLC downsampling maintained
+    * incrementally — the struct-min/max bar aggregation is ASSOCIATIVE
+    * and COMMUTATIVE (open/close are (us, event_id)-ordered value
+    * picks, high/low/count are semigroup merges), so each micro-batch
+    * only writes its own per-(event_type, bar) PARTIAL aggregates to an
+    * append-only `batch=<id>` partition. Redelivery overwrites the same
+    * partition with identical rows (exactly-once without cross-batch
+    * read-modify-write), and the serving read merges partials with one
+    * small groupBy over ≤ |batches|×|touched bars| rows — the
+    * compaction-friendly shape (a production run would fold old
+    * partials into a base partition periodically; the merge is the same
+    * either way). On full replay the merged table equals batch a7 and
+    * the gate shares its oracle verbatim. */
+  /** One batch's per-(event_type, bar) PARTIAL bar aggregates over
+    * (event_type, us, event_id, value) rows — open/close carried as
+    * their full (us, event_id, value) pick-structs so partials stay
+    * mergeable. */
+  private[graft] def barPartials(batch: DataFrame, barUs: Long): DataFrame =
+    batch.groupBy(col("event_type"), floor(col("us") / barUs).as("bar"))
+      .agg(
+        min(struct(col("us"), col("event_id"), col("value"))).as("open_s"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("us"), col("event_id"), col("value"))).as("close_s"),
+        count(lit(1)).as("n"))
+
+  /** Merge any union of [[barPartials]] outputs into final bars —
+    * associative/commutative, so batch boundaries never show. */
+  private[graft] def barMerge(partials: DataFrame): DataFrame =
+    partials.groupBy(col("event_type"), col("bar"))
+      .agg(
+        min(col("open_s")).getField("value").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(col("close_s")).getField("value").as("close"),
+        sum(col("n")).as("n"))
+      .orderBy(col("event_type"), col("bar"))
+
+  def streamTimeBars(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val barUs = 3600L * 1000000
+    val q = eventsStream(s, d)
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"), col("value"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        barPartials(batch, barUs)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/bars.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/bars.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_type STRING, bar BIGINT, open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE, n BIGINT"))
+    barMerge(s.read.parquet(s"$stateDir/bars.parquet").drop("batch"))
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

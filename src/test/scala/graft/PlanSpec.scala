@@ -186,6 +186,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 4) // partial+final × 2 stages
   }
 
+  test("g30: truss wedge-closing stays an equi hash join, never a nested loop") {
+    // Round 9's OR-of-orientations closing condition planned as a
+    // BroadcastNestedLoopJoin of wedges × edges (~4.5e11 comparisons per
+    // peel round at sf0.01) and hung the whole correctness sweep. The
+    // both-direction wedge + single-orientation equi-join must never
+    // regress to that shape.
+    val p = plan("g30_ktruss")
+    assert(!p.contains("CartesianProduct"), "truss closing join degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "truss closing join degenerated to NLJ")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -307,4 +307,28 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(merges.toSeq === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
+
+  test("t33: temperature quotas are integer-exact, floor at 1, and the draw is deterministic") {
+    import spark.implicits._
+    // strata sizes 9 / 4 / 1 → w = ⌊√n⌋ = 3 / 2 / 1, W = 6; budget 12:
+    // quotas = (12·3) div 6 = 6, (12·2) div 6 = 4 (= whole stratum),
+    // (12·1) div 6 = 2 → capped at the single available doc
+    val docs = ((1L to 9L).map(i => (i, "en", "a")) ++
+        (10L to 13L).map(i => (i, "fr", "b")) ++ Seq((14L, "de", "c")))
+      .toDF("doc_id", "lang", "source")
+    val sel = TextAnalysis.temperatureSampleOf(docs, budget = 12L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySt = sel.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    assert(bySt === Map(("en", "a") -> 6, ("fr", "b") -> 4, ("de", "c") -> 1))
+    // ranks are contiguous from 1 within each stratum
+    assert(sel.filter(_._1 == "en").map(_._4).sorted.toSeq === (1L to 6L))
+    // deterministic: an identical second draw returns the identical set
+    val again = TextAnalysis.temperatureSampleOf(docs, budget = 12L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(sel.toSeq === again.toSeq)
+    // tiny-stratum floor: with a budget so small every quota rounds to 0,
+    // each stratum still contributes exactly its guaranteed 1 document
+    val floor1 = TextAnalysis.temperatureSampleOf(docs, budget = 1L).collect()
+    assert(floor1.length === 3)
+  }
 }

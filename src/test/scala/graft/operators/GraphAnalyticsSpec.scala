@@ -209,4 +209,79 @@ class GraphAnalyticsSpec extends SparkSpec {
     // run to fixpoint: a pure chain has no 2-core
     assert(MaterialiseOps.kCoreOf(chain, 2).count() === 0L)
   }
+
+  /** K5 + a pendant triangle hanging off vertex 5 + a pendant edge:
+    * three support tiers (3 / 1 / 0) that separate cleanly at k=4/3/2. */
+  private def k5Graph = {
+    import spark.implicits._
+    val k5 = for (u <- 1L to 5L; v <- (u + 1) to 5L) yield (u, v)
+    (k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L))).toDF("u", "v")
+  }
+
+  test("g30: kTrussOf finds the K5 truss, peels the pendant triangle at k=4") {
+    import spark.implicits._
+    val t4 = MaterialiseOps.kTrussOf(k5Graph, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // exactly the 10 K5 edges, each in 3 triangles among the survivors
+    val k5edges = (for (u <- 1L to 5L; v <- (u + 1) to 5L) yield (u, v, 3L)).toSet
+    assert(t4 === k5edges)
+    // k=3 (support >= 1) keeps the pendant triangle too, not the pendant edge
+    val t3 = MaterialiseOps.kTrussOf(k5Graph, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t3 === k5edges ++ Set((5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
+    // k above any support empties the graph
+    assert(MaterialiseOps.kTrussOf(k5Graph, 6).count() === 0L)
+  }
+
+  test("g30: k<=2 keeps triangle-free edges at support 0 (2-truss = every edge)") {
+    import spark.implicits._
+    val t2 = MaterialiseOps.kTrussOf(k5Graph, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t2.size === 14, s"2-truss must be all 14 edges, got ${t2.size}")
+    assert(t2.contains((7L, 8L, 0L)), "triangle-free pendant edge must survive with support 0")
+  }
+
+  test("g30: support loss cascades — two triangles on a shared edge have no 4-truss") {
+    import spark.implicits._
+    // (1,2) starts at support 2 but both its triangles lean on
+    // support-1 wings; peeling the wings strands it at support 0
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("u", "v")
+    assert(MaterialiseOps.kTrussOf(e, 4).count() === 0L)
+  }
+
+  test("g30: kTrussOf iteration cap emits the support-filtered superset, never a silent cut") {
+    import spark.implicits._
+    // triangle strip Ti={i,i+1,i+2}, i=1..4: mid-path edges have support
+    // 2, chords and end edges 1. At k=4 with maxIter=0 the emit is the
+    // support>=2 filter of the ORIGINAL graph — {(2,3),(3,4),(4,5)} — a
+    // strict superset of the true (empty) 4-truss
+    val strip = (1L to 5L).map(i => (i, i + 1)) ++ (1L to 4L).map(i => (i, i + 2))
+    val e = strip.toDF("u", "v")
+    val capped = MaterialiseOps.kTrussOf(e, 4, maxIter = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((2L, 3L, 2L), (3L, 4L, 2L), (4L, 5L, 2L)))
+    assert(MaterialiseOps.kTrussOf(e, 4).count() === 0L)
+  }
+
+  test("g31: monotone reuse — peeling truss(k2) from truss(k1)'s survivors equals peeling from scratch") {
+    import spark.implicits._
+    // the nesting truss(4) ⊆ truss(3) makes the sweep's survivor-reuse
+    // exact, not an approximation — pin it on the K5+pendant fixture
+    val t3edges = MaterialiseOps.kTrussOf(k5Graph, 3).select(col("u"), col("v"))
+    val reused = MaterialiseOps.kTrussOf(t3edges, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val scratch = MaterialiseOps.kTrussOf(k5Graph, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reused === scratch)
+  }
+
+  test("g30: reliableEvery parity — kTrussOf(e, k, 1) === kTrussOf(e, k)") {
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("truss_ckpt").toString)
+    try {
+      assert(MaterialiseOps.kTrussOf(k5Graph, 4, reliableEvery = 1).collect().toSet ===
+        MaterialiseOps.kTrussOf(k5Graph, 4).collect().toSet)
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
 }

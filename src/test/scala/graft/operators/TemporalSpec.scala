@@ -42,4 +42,27 @@ class TemporalSpec extends SparkSpec {
     assert(out === Set(
       ("e1", Some("v100")), ("e2", Some("v120")), ("e3", None), ("e4", None)))
   }
+
+  test("a7 time bars: open/close pick by (us, event_id), empty bars absent, singleton open==close") {
+    import spark.implicits._
+    // bar width 100: bar 0 holds three events with a TS TIE at us=10 —
+    // event_id must break it (e1 < e2), value must not decide anything.
+    // bar 1 is empty (no row emitted); bar 2 is a single event.
+    val ev = Seq(
+      ("x", 10L, "e2", 50L),  // tied ts, higher id — NOT the open
+      ("x", 10L, "e1", 99L),  // tied ts, lower id — the open (despite max value)
+      ("x", 90L, "e3", 1L),   // latest in bar 0 — the close (despite min value)
+      ("x", 250L, "e4", 7L),  // singleton bar 2
+      ("y", 5L, "e5", 3L)     // second key, its own bar 0
+    ).toDF("event_type", "us", "event_id", "value")
+    val bars = Temporal.timeBarsOf(ev, 100L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(bars(("x", 0L)) === ((99L, 99L, 1L, 1L, 3L)),
+      "open must be the (us,event_id)-first value, close the last, high/low the extremes")
+    assert(!bars.contains(("x", 1L)), "empty bars must be absent, not zero-filled")
+    assert(bars(("x", 2L)) === ((7L, 7L, 7L, 7L, 1L)), "singleton bar: open==high==low==close")
+    assert(bars(("y", 0L)) === ((3L, 3L, 3L, 3L, 1L)))
+    assert(bars.size === 3)
+  }
 }

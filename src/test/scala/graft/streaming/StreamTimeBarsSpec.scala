@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** st24's load-bearing properties the shared a7 oracle can't see:
+  * (1) partial-merge associativity — bars split across micro-batches
+  * merge to exactly the one-shot aggregation, and (2) redelivery
+  * idempotence — a replayed batch REPLACES its `batch=<id>` partition,
+  * so counts never double. */
+class StreamTimeBarsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val barUs = 100L
+
+  // bar 0 of key x is SPLIT across the two batches, with the split also
+  // separating open (us=10, in b1) from close (us=90, in b2)
+  private def b1 = Seq(
+    ("x", 10L, 1L, 9.0), ("x", 40L, 2L, 2.0), ("y", 5L, 3L, 4.0)
+  ).toDF("event_type", "us", "event_id", "value")
+  private def b2 = Seq(
+    ("x", 90L, 4L, 1.0), ("x", 250L, 5L, 7.0)
+  ).toDF("event_type", "us", "event_id", "value")
+
+  test("partials split across batches merge to the one-shot bars") {
+    val merged = Streaming.barMerge(
+        Streaming.barPartials(b1, barUs).union(Streaming.barPartials(b2, barUs)))
+      .collect().toSeq
+    val oneShot = Temporal.timeBarsOf(b1.union(b2), barUs).collect().toSeq
+    assert(merged === oneShot)
+    // and the split bar really exercises a cross-batch open/close pick
+    val x0 = merged.find(r => r.getString(0) == "x" && r.getLong(1) == 0L).get
+    assert(x0.getDouble(2) === 9.0 && x0.getDouble(5) === 1.0 && x0.getLong(6) === 3L)
+  }
+
+  test("redelivered batch overwrites its partition — counts never double") {
+    val dir = Files.createTempDirectory("sbars").toString
+    def deliver(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streaming.barPartials(df, barUs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/bars.parquet/batch=$id")
+    deliver(b1, 0); deliver(b2, 1)
+    deliver(b1, 0) // redelivery of batch 0
+    val merged = Streaming.barMerge(
+        spark.read.parquet(s"$dir/bars.parquet").drop("batch"))
+      .collect().toSeq
+    assert(merged === Temporal.timeBarsOf(b1.union(b2), barUs).collect().toSeq)
+  }
+}

@@ -76,7 +76,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val timeoutSec =
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "180").toInt
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toInt
     val selected = SparkEntry.queries.toSeq
       .filter { case (k, _) => only.isEmpty || only.contains(k) }
     runSweep(spark, sfDir, outDir, selected, timeoutSec)

@@ -716,6 +716,52 @@ object MaterialiseOps extends QueryModule {
       |SELECT (SELECT count(*) FROM pairs) AS n_edges,
       |  (SELECT count(*) FROM w JOIN o ON o.s = w.a AND o.t = w.b) AS n_triangles""".stripMargin
 
+  /** g32 — SAMPLED TRIANGLE COUNT: the DOULION estimator (Tsourakakis
+    * et al., KDD'09) made REPLAYABLE — sparsify edges by a DETERMINISTIC
+    * hash (keep (u·a + v·b) mod 4 = 0, p = 1/4) instead of coin flips,
+    * count triangles on the ~p·|E| survivor graph with the g19
+    * discipline, scale by p⁻³ = 64. The scale story: wedge work falls
+    * ~p² BEFORE any join runs because the filter sits on the scan side,
+    * and the hash draw means the estimate is bit-identical on any
+    * cluster, any partitioning, any retry — rand()-based sampling can
+    * never be oracle-gated. Emits the sampled sizes alongside the
+    * estimate so the observed sampling ratio is auditable. */
+  def trianglesSampled(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val sampled = pairs.where(
+      (col("u") * lit(1103515245L) + col("v") * lit(12345L)) % lit(4L) === lit(0L))
+    Query.triangleCount(sampled)
+      .select(col("n_edges").as("n_sampled_edges"),
+        col("n_triangles").as("n_sampled_triangles"),
+        (col("n_triangles") * lit(64L)).as("estimate"))
+  }
+
+  val trianglesSampledSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |samp AS (
+      |  SELECT u, v FROM pairs
+      |  WHERE (u * 1103515245 + v * 12345) % 4 = 0),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM samp UNION ALL SELECT v FROM samp)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
+      |         CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
+      |  FROM samp p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v),
+      |w AS (SELECT x.t AS a, y.t AS b FROM o x JOIN o y ON x.s = y.s AND x.t != y.t),
+      |tri AS (SELECT count(*) AS c FROM w JOIN o ON o.s = w.a AND o.t = w.b)
+      |SELECT (SELECT count(*) FROM samp) AS n_sampled_edges,
+      |  c AS n_sampled_triangles, c * 64 AS estimate FROM tri""".stripMargin
+
   /** g23 — LABEL-PROPAGATION COMMUNITIES ([[Query.labelPropagation]])
     * over g19's parts-co-ordered graph: three synchronous min-tie-break
     * rounds, then per-node (id, label) plus the community size — the
@@ -1128,21 +1174,25 @@ object MaterialiseOps extends QueryModule {
       |WHERE s >= 9 ORDER BY u, v""".stripMargin
   }
 
-  /** g31 — k-TRUSS PARAMETER SWEEP: g30's peel at k ∈ {5, 8, 11},
+  /** g31 — k-TRUSS PARAMETER SWEEP: g30's peel at k ∈ {8, 11, 14},
     * emitting edge count and total support per setting — the g26-style
     * operating-point table for triangle cohesion. Two scale moves:
     * (1) MONOTONE REUSE — truss(k₂) ⊆ truss(k₁) for k₂ > k₁, so each
     * higher k peels the PREVIOUS k's survivors, not the full graph; the
     * expensive wedge enumeration runs once over |E| and then over the
-    * (orders-of-magnitude smaller) surviving cores. (2) BOUNDED ROUNDS —
-    * each k runs at most 8 support recomputes + the final re-filter
-    * (the g23 fixed-round contract, exactly mirrored by the oracle's
-    * unroll): a peel in its trickle zone (one edge falling per round —
-    * k=8 here needs >8 rounds at sf0.01) costs bounded work instead of
-    * an unbounded tail, and the emitted table is the DOCUMENTED
-    * bounded-round superset, identical in both engines whether or not
-    * the peel converged. Both reuses stay sound under the cap because
-    * the capped emit is itself a superset of every deeper truss.
+    * (orders-of-magnitude smaller) surviving cores. Starting at k=8
+    * (not lower) matters for the same reason: a low-k first stage
+    * barely peels, so EVERY bounded round re-enumerates a full-size
+    * graph — k=8's first filter collapses the survivor set immediately
+    * and only round one pays |E|. (2) BOUNDED ROUNDS — each k runs at
+    * most 6 support recomputes + the final re-filter (the g23
+    * fixed-round contract, exactly mirrored by the oracle's unroll): a
+    * peel in its trickle zone (one edge falling per round) costs
+    * bounded work instead of an unbounded tail, and the emitted table
+    * is the DOCUMENTED bounded-round superset, identical in both
+    * engines whether or not the peel converged. Both reuses stay sound
+    * under the cap because the capped emit is a superset of every
+    * deeper truss.
     * Each k emits its row even when empty (the d18/g26 zero-row
     * contract). */
   def kTrussSweep(s: SparkSession, d: String): DataFrame = {
@@ -1152,8 +1202,8 @@ object MaterialiseOps extends QueryModule {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
     var edges: DataFrame = pairs
-    val rows = Seq(5, 8, 11).map { k =>
-      val t = kTrussOf(edges, k, maxIter = 8).localCheckpoint()
+    val rows = Seq(8, 11, 14).map { k =>
+      val t = kTrussOf(edges, k, maxIter = 6).localCheckpoint()
       edges = t.select(col("u"), col("v"))
       t.agg(
           count(lit(1)).as("n_edges"),
@@ -1169,7 +1219,7 @@ object MaterialiseOps extends QueryModule {
     * or converged), and the next k's chain starts from `f{k}` — the
     * same set the engine hands to its next peel. */
   val kTrussSweepSql: String = {
-    val rounds = 8
+    val rounds = 6
     def tri(src: String): String =
       s"""SELECT ab.u AS u, ab.v AS v
         |      FROM $src ab JOIN $src bc ON bc.u = ab.v
@@ -1206,11 +1256,11 @@ object MaterialiseOps extends QueryModule {
       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |${chain(5, "e0")},
-      |${chain(8, "f5")},
-      |${chain(11, "f8")}
+      |${chain(8, "e0")},
+      |${chain(11, "f8")},
+      |${chain(14, "f11")}
       |SELECT k, n_edges, sum_support FROM (
-      |  ${Seq(5, 8, 11).map(fin).mkString("\n  UNION ALL\n  ")})
+      |  ${Seq(8, 11, 14).map(fin).mkString("\n  UNION ALL\n  ")})
       |ORDER BY k""".stripMargin
   }
 
@@ -1242,5 +1292,6 @@ object MaterialiseOps extends QueryModule {
     "g29_weighted_ppr" -> QueryDef(weightedPersonalizedPageRank, Some(weightedPersonalizedPageRankSql)),
     "g30_ktruss"       -> QueryDef(kTruss, Some(kTrussSql)),
     "g31_ktruss_sweep" -> QueryDef(kTrussSweep, Some(kTrussSweepSql)),
+    "g32_triangles_sampled" -> QueryDef(trianglesSampled, Some(trianglesSampledSql)),
   )
 }

@@ -380,6 +380,64 @@ object ProfilerOps extends QueryModule {
       |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_words
       |FROM wc GROUP BY k ORDER BY k""".stripMargin
 
+  /** p9 — MISRA-GRIES-PREFILTERED HEAVY HITTERS: corpus words with
+    * frequency ≥ ⌈total/2000⌉, computed WITHOUT shuffling the full
+    * token stream. Stage 1 runs a k=4096-counter Misra-Gries sketch
+    * per partition (one map pass, bounded memory) and ships only the
+    * surviving candidate words; stage 2 recounts candidates exactly via
+    * a semi-join — the t32 Bloom pattern applied to frequency instead
+    * of membership. No false negatives by pigeonhole: a word absent
+    * from EVERY partition sketch has count ≤ Σₚ totalₚ/(k+1) =
+    * total/4097 < total/2000 ≤ the threshold, so every true heavy
+    * hitter reaches the exact stage, and stage 2 removes all false
+    * positives. The threshold rides as a broadcast scalar (integer
+    * ceil), never a driver read. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .where(col("text").isNotNull)
+      .select(col("text")).as[String]
+      .flatMap(_.trim.split("\\s+"))
+    heavyHittersOf(toks, k = 4096, denom = 2000L)
+  }
+
+  private[graft] def heavyHittersOf(toks: org.apache.spark.sql.Dataset[String],
+      k: Int, denom: Long): DataFrame = {
+    import toks.sparkSession.implicits._
+    val cands = toks.mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { w =>
+        if (counts.contains(w) || counts.size < k) {
+          counts(w) = counts.getOrElse(w, 0L) + 1L
+        } else {
+          // classic MG step: a full sketch + unseen word decrements all
+          val dead = counts.iterator.collect { case (key, 1L) => key }.toList
+          counts.mapValuesInPlace((_, v) => v - 1L)
+          dead.foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("word").distinct()
+    val words = toks.toDF("word")
+    val tot = words.agg(count(lit(1)).as("tot"))
+    words.join(cands, Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .crossJoin(tot)
+      .where(col("n") >= expr(s"(tot + ${denom - 1}) div $denom"))
+      .select(col("word"), col("n"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  val heavyHittersSql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents WHERE text IS NOT NULL),
+      |wc AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+      |tot AS (SELECT count(*) AS t FROM toks)
+      |SELECT word, CAST(n AS BIGINT) AS n FROM wc, tot
+      |WHERE n >= (t + 1999) // 2000
+      |ORDER BY n DESC, word""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -389,5 +447,6 @@ object ProfilerOps extends QueryModule {
     "p6_countmin_sketch" -> QueryDef(countMin, Some(countMinSql)),
     "p7_hll_estimate"   -> QueryDef(hllEstimate, Some(hllEstimateSql)),
     "p8_frequency_spectrum" -> QueryDef(frequencySpectrum, Some(frequencySpectrumSql)),
+    "p9_heavy_hitters" -> QueryDef(heavyHitters, Some(heavyHittersSql)),
   )
 }

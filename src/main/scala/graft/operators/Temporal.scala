@@ -327,6 +327,60 @@ object Temporal extends QueryModule {
       |FROM b GROUP BY event_type, bar
       |ORDER BY event_type, bar""".stripMargin
 
+  /** a8 — CALENDAR GAP-FILL over a7's bars: densify each event_type to
+    * its full contiguous bar range (`sequence` + `explode` — generated,
+    * not joined against a calendar table) and forward-fill the close
+    * into empty bars (`last(_, ignoreNulls)` over an unbounded-preceding
+    * row frame), flagging synthesized rows. The resample-then-ffill
+    * primitive every time-series feature pipeline needs before lag
+    * features can be computed on regular grids. Scale shape: the
+    * calendar explode is O(|bars|) rows keyed by event_type, and the
+    * fill is one ordered window per key — no self-join, no per-gap
+    * probing. The first bar of each key is real by construction (the
+    * range starts at min(bar)), so close_ff is never NULL. */
+  def gapFillBars(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id"), col("value"))
+    gapFillOf(timeBarsOf(ev, 3600L * 1000000))
+  }
+
+  /** The densify + forward-fill on an arbitrary bars frame (needs
+    * event_type, bar, close, n) — spec-testable seam. */
+  private[graft] def gapFillOf(bars: DataFrame): DataFrame = {
+    val cal = bars.groupBy(col("event_type"))
+      .agg(min(col("bar")).as("b0"), max(col("bar")).as("b1"))
+      .select(col("event_type"), explode(sequence(col("b0"), col("b1"))).as("bar"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bar"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(bars.select(col("event_type"), col("bar"), col("close"), col("n")),
+        Seq("event_type", "bar"), "left")
+      .withColumn("close_ff", last(col("close"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("bar"), col("close_ff"),
+        when(col("n").isNull, lit(1)).otherwise(lit(0)).as("filled"))
+      .orderBy(col("event_type"), col("bar"))
+  }
+
+  val gapFillBarsSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+      |    epoch_us(ts) AS us, event_id, value FROM events),
+      |b AS (
+      |  SELECT event_type, bar,
+      |    last(value ORDER BY us, event_id) AS close, count(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |rng AS (
+      |  SELECT event_type, unnest(generate_series(min(bar), max(bar))) AS bar
+      |  FROM b GROUP BY event_type),
+      |j AS (
+      |  SELECT r.event_type, r.bar, b.close, b.n
+      |  FROM rng r LEFT JOIN b ON b.event_type = r.event_type AND b.bar = r.bar)
+      |SELECT event_type, bar,
+      |  last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+      |    ORDER BY bar ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+      |  CASE WHEN n IS NULL THEN 1 ELSE 0 END AS filled
+      |FROM j ORDER BY event_type, bar""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -335,5 +389,6 @@ object Temporal extends QueryModule {
     "a5_scd2_join"  -> QueryDef(scd2PointInTime, Some(scd2PointInTimeSql)),
     "a6_asof_forward" -> QueryDef(eventsNextOrder, Some(eventsNextOrderSql)),
     "a7_time_bars"  -> QueryDef(timeBars, Some(timeBarsSql)),
+    "a8_gap_fill"   -> QueryDef(gapFillBars, Some(gapFillBarsSql)),
   )
 }

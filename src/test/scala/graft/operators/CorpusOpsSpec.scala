@@ -331,4 +331,22 @@ class CorpusOpsSpec extends SparkSpec {
     val floor1 = TextAnalysis.temperatureSampleOf(docs, budget = 1L).collect()
     assert(floor1.length === 3)
   }
+
+  test("p9: MG prefilter loses no heavy hitter even with a sketch far smaller than the vocab") {
+    import spark.implicits._
+    // 5000 distinct rare words (1×) + two heavy ones — with k=64 ≪
+    // vocab the sketch thrashes constantly, but the pigeonhole bound
+    // total/(k+1) = 5550/65 ≈ 85 < threshold covers both heavies
+    val words = (1 to 5000).map(i => s"rare$i") ++
+      Seq.fill(400)("alpha") ++ Seq.fill(150)("beta")
+    // deterministic interleave so heavies are spread across partitions
+    val ds = spark.createDataset(new util.Random(7).shuffle(words).toSeq)
+      .repartition(8)
+    // total = 5550, denom 50 → threshold = ceil(5550/50) = 111:
+    // alpha(400) and beta(150) qualify, nothing else can
+    val hh = ProfilerOps.heavyHittersOf(ds, k = 64, denom = 50L).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq === Seq(("alpha", 400L), ("beta", 150L)),
+      "exact counts, ordered by n desc — and no rare word admitted")
+  }
 }

@@ -263,6 +263,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(MaterialiseOps.kTrussOf(e, 4).count() === 0L)
   }
 
+  test("g32: sampled triangle estimate matches the hand-filtered subgraph at sf0.001") {
+    import spark.implicits._
+    val row = MaterialiseOps.trianglesSampled(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().head
+    // replicate the deterministic draw + brute-force count locally
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect()
+    val pairs = (for {
+      (o1, p1) <- li; (o2, p2) <- li
+      if o1 == o2 && p1 < p2
+    } yield (p1, p2)).toSet
+    val samp = pairs.filter { case (u, v) => (u * 1103515245L + v * 12345L) % 4L == 0L }
+    val adj = samp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = samp.toSeq.map { case (u, v) =>
+      (adj.getOrElse(u, Set.empty) & adj.getOrElse(v, Set.empty)).size.toLong
+    }.sum // counts each triangle once from its lexicographically-least edge... per (u,v) common-gt-neighbors
+    assert(row._1 === samp.size.toLong)
+    assert(row._2 === tri)
+    assert(row._3 === tri * 64L)
+  }
+
   test("g31: monotone reuse — peeling truss(k2) from truss(k1)'s survivors equals peeling from scratch") {
     import spark.implicits._
     // the nesting truss(4) ⊆ truss(3) makes the sweep's survivor-reuse

@@ -65,4 +65,23 @@ class TemporalSpec extends SparkSpec {
     assert(bars(("y", 0L)) === ((3L, 3L, 3L, 3L, 1L)))
     assert(bars.size === 3)
   }
+
+  test("a8 gap fill: empty bars synthesize with the last close; real bars stay unflagged") {
+    import spark.implicits._
+    // key x has bars 2, 5, 6 → calendar 2..6 with gaps at 3, 4;
+    // key y is a singleton (no gaps, no fill)
+    val bars = Seq(
+      ("x", 2L, 10.0, 3L), ("x", 5L, 20.0, 1L), ("x", 6L, 30.0, 2L),
+      ("y", 7L, 1.5, 1L)
+    ).toDF("event_type", "bar", "close", "n")
+    val filled = Temporal.gapFillOf(bars).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getInt(3)))).toMap
+    assert(filled(("x", 2L)) === ((10.0, 0)))
+    assert(filled(("x", 3L)) === ((10.0, 1)), "gap carries the last real close")
+    assert(filled(("x", 4L)) === ((10.0, 1)))
+    assert(filled(("x", 5L)) === ((20.0, 0)))
+    assert(filled(("x", 6L)) === ((30.0, 0)))
+    assert(filled(("y", 7L)) === ((1.5, 0)))
+    assert(filled.size === 6, "calendar spans exactly min..max per key — no bleed across keys")
+  }
 }

@@ -805,6 +805,52 @@ object MaterialiseOps extends QueryModule {
       |FROM l3 ORDER BY id""".stripMargin
   }
 
+  /** g33 — WEIGHTED LABEL-PROPAGATION COMMUNITIES: g23 on the SAME
+    * parts graph but with edge weight = co-order multiplicity (how many
+    * orders carried both parts), so a pair ordered together fifty times
+    * pulls labels fifty times harder than a one-off — the
+    * interaction-strength community structure the distinct-edge walk
+    * flattens away. Engine: [[Query.labelPropagationWeighted]], three
+    * fixed rounds, sum-of-weights argmax with min-label ties. Same
+    * O(rounds · E) join shape as g23 — the weight column rides the
+    * existing shuffles for free. */
+  def weightedLabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val wpairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("weight"))
+    Query.labelPropagationWeighted(wpairs, iterations = 3)
+      .withColumn("csize",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy(col("id"))
+  }
+
+  val weightedLabelPropagationSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT node AS id, label FROM (
+         |    SELECT a.node, l.label,
+         |      row_number() OVER (PARTITION BY a.node
+         |        ORDER BY sum(a.w) DESC, l.label ASC) AS rn
+         |    FROM adj a JOIN $prev l ON l.id = a.nbr
+         |    GROUP BY a.node, l.label) WHERE rn = 1)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |adj AS (SELECT u AS node, v AS nbr, w FROM pairs
+      |        UNION ALL SELECT v, u, w FROM pairs),
+      |l0 AS (SELECT DISTINCT node AS id, node AS label FROM adj),
+      |${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")}
+      |SELECT id, label, count(*) OVER (PARTITION BY label) AS csize
+      |FROM l3 ORDER BY id""".stripMargin
+  }
+
   /** g20 — neighbor-set similarity (link prediction's common-neighbors /
     * Jaccard primitive) over the customer–part bipartite graph: customers
     * are "similar" when they order many of the same parts. Candidates
@@ -1293,5 +1339,6 @@ object MaterialiseOps extends QueryModule {
     "g30_ktruss"       -> QueryDef(kTruss, Some(kTrussSql)),
     "g31_ktruss_sweep" -> QueryDef(kTrussSweep, Some(kTrussSweepSql)),
     "g32_triangles_sampled" -> QueryDef(trianglesSampled, Some(trianglesSampledSql)),
+    "g33_weighted_lpa" -> QueryDef(weightedLabelPropagation, Some(weightedLabelPropagationSql)),
   )
 }

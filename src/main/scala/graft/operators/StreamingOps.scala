@@ -145,5 +145,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamTimeBars(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sbars_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Temporal.timeBarsSql)),
+    "st25_stream_heavy_hitters" -> QueryDef(
+      (s, d) => Streaming.streamHeavyHitters(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_shh_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.heavyHittersSql)),
   )
 }

@@ -530,6 +530,41 @@ object Query {
     lab
   }
 
+  /** Weighted synchronous label propagation: like [[labelPropagation]]
+    * but each node adopts the label with the greatest total INCIDENT
+    * EDGE WEIGHT (sum, not neighbor count), ties broken by the smallest
+    * label — so one heavy relationship outvotes many light ones, the
+    * behavior an interaction-count or co-occurrence graph wants.
+    * Parallel edges combine by summing up front; integer weights keep
+    * the argmax exact and the fixed round count keeps it well-defined
+    * (the g23 contract). Uniform weights reduce to the unweighted walk
+    * exactly. */
+  def labelPropagationWeighted(weighted: DataFrame, iterations: Int = 3,
+      reliableEvery: Int = 0): DataFrame = {
+    val pairs = weighted.select(col("u"), col("v"), col("weight"))
+      .groupBy(col("u"), col("v")).agg(sum(col("weight")).as("weight"))
+    val adj = pairs.select(col("u").as("node"), col("v").as("nbr"), col("weight"))
+      .union(pairs.select(col("v").as("node"), col("u").as("nbr"), col("weight")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = adj.select(col("node").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("wsum").desc, col("label").asc)
+    var i = 0
+    while (i < iterations) {
+      lab = saveRound(
+        adj.join(lab.withColumnRenamed("id", "nbr"), "nbr")
+          .groupBy(col("node"), col("label")).agg(sum(col("weight")).as("wsum"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("node").as("id"), col("label")),
+        i + 1, reliableEvery)
+      i += 1
+    }
+    adj.unpersist()
+    lab
+  }
+
   // -------------------------------------------------------------------
   // Q8 — autocomplete
   // -------------------------------------------------------------------

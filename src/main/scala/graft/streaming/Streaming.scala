@@ -775,6 +775,51 @@ object Streaming {
     barMerge(s.read.parquet(s"$stateDir/bars.parquet").drop("batch"))
   }
 
+  /** Streaming HEAVY HITTERS (st25): p9's corpus-frequency threshold
+    * maintained incrementally — each micro-batch tokenizes its own
+    * documents and writes its per-word EXACT partial counts to an
+    * append-only `batch=<id>` partition (idempotent under redelivery,
+    * the st24 shape: counts are a semigroup, so batch boundaries never
+    * show). The serving read merges partials with one groupBy-sum and
+    * applies the ⌈total/2000⌉ threshold, with total summed from the
+    * same partials — no side state to keep consistent. p9's Misra-Gries
+    * stage is pure shuffle-avoidance for ONE-SHOT batch runs; here each
+    * batch is already small, so exact per-batch partials are both
+    * simpler and losslessly mergeable (MG sketches are not). On full
+    * replay the table equals batch p9 and the gate shares its oracle. */
+  def streamHeavyHitters(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import s.implicits._
+    val q = documentsStream(s, d)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.where(col("text").isNotNull)
+          .select(col("text")).as[String]
+          .flatMap(_.trim.split("\\s+"))
+          .toDF("word")
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/wc.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/wc.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("word STRING, n BIGINT"))
+    val merged = s.read.parquet(s"$stateDir/wc.parquet")
+      .groupBy(col("word")).agg(sum(col("n")).as("n"))
+    merged.crossJoin(merged.agg(sum(col("n")).as("tot")))
+      .where(col("n") >= expr("(tot + 1999) div 2000"))
+      .select(col("word"), col("n"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

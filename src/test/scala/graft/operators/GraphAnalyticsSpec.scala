@@ -263,6 +263,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(MaterialiseOps.kTrussOf(e, 4).count() === 0L)
   }
 
+  test("g33: a heavy edge outvotes the min-label tie-break; uniform weights reduce to g23") {
+    import spark.implicits._
+    // path a–b–c: unweighted round 1 ties at b (one neighbor each) and
+    // min-label picks a's label; weighting b–c at 9 flips b to c's label
+    val wpairs = Seq(("a", "b", 1L), ("b", "c", 9L)).toDF("u", "v", "weight")
+    val lab = Query.labelPropagationWeighted(wpairs, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lab("b") === "c", s"heavy edge must win: $lab")
+    assert(lab("a") === "b" && lab("c") === "b")
+    // parallel edges combine BEFORE the argmax: two a–b 5s beat one c–b 9
+    val par = Seq(("a", "b", 5L), ("a", "b", 5L), ("b", "c", 9L))
+      .toDF("u", "v", "weight")
+    val lab2 = Query.labelPropagationWeighted(par, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lab2("b") === "a")
+    // uniform weights reduce exactly to the unweighted walk
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")).toDF("u", "v")
+    val uni = Query.labelPropagationWeighted(
+        und.withColumn("weight", lit(7L)), iterations = 3)
+      .collect().toSet
+    assert(uni === Query.labelPropagation(und, iterations = 3).collect().toSet)
+  }
+
   test("g32: sampled triangle estimate matches the hand-filtered subgraph at sf0.001") {
     import spark.implicits._
     val row = MaterialiseOps.trianglesSampled(spark, "/root/testdata/sf0.001")

@@ -35,6 +35,17 @@ class StreamTimeBarsSpec extends SparkSpec {
     assert(x0.getDouble(2) === 9.0 && x0.getDouble(5) === 1.0 && x0.getLong(6) === 3L)
   }
 
+  test("st25 ≡ p9: streamed heavy hitters equal the batch operator on full replay") {
+    val dir = Files.createTempDirectory("shh").toString
+    val streamed = Streaming.streamHeavyHitters(spark, "/root/testdata/sf0.001", dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.operators.ProfilerOps
+      .heavyHitters(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "sf0.001 must produce at least one heavy hitter")
+  }
+
   test("redelivered batch overwrites its partition — counts never double") {
     val dir = Files.createTempDirectory("sbars").toString
     def deliver(df: org.apache.spark.sql.DataFrame, id: Long): Unit =

@@ -149,5 +149,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamHeavyHitters(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_shh_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.heavyHittersSql)),
+    "st26_stream_triangles" -> QueryDef(
+      (s, d) => Streaming.streamTriangleCount(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_stri_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.trianglesSql)),
   )
 }

@@ -820,6 +820,49 @@ object Streaming {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** Streaming TRIANGLE COUNT (st26): g19's global triangle count
+    * maintained by [[graft.pipeline.IncrementalTriangles]] — arrival-
+    * rank join-delta IVM where each triangle is counted exactly once by
+    * its last-arriving edge, so a batch costs the DELTA's wedge work,
+    * never a recount of the accumulated graph. An even/odd orderkey
+    * split seeds half the graph as a base batch and streams the rest,
+    * exercising the cross-batch triangle paths (base-base-new,
+    * base-new-new, new-new-new) even in single-file replay; co-order
+    * pairs are built per batch, so batches must be order-atomic (file
+    * granularity guarantees that here). On full replay the maintained
+    * (n_edges, n_triangles) row equals batch g19 and shares its
+    * oracle. */
+  def streamTriangleCount(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalTriangles.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalTriangles.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalTriangles.current(s, stateDir)
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

@@ -197,6 +197,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "truss closing join degenerated to NLJ")
   }
 
+  test("g32: the sampled-graph triangle join stays equi-keyed; the sample filter reaches the scan side") {
+    val p = plan("g32_triangles_sampled")
+    assert(!p.contains("CartesianProduct"), "sampled wedge close degenerated to all-pairs")
+    // the 1-row count crossJoin at the top is a BNLJ by construction;
+    // the dangerous shape is a cartesian in the wedge/closing stage
+  }
+
+  test("a8: gap fill is one calendar left-join + one window — no per-gap probing join") {
+    val p = plan("a8_gap_fill")
+    assert(p.contains("Window"), "forward fill lost its window form")
+    assert(!p.contains("CartesianProduct"), "calendar densify degenerated to all-pairs")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).length <= 2,
+      "gap fill should need at most the calendar join + bar join")
+  }
+
+  test("g33: weighted LPA rounds stay equi-joins, never all-pairs") {
+    val p = plan("g33_weighted_lpa")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

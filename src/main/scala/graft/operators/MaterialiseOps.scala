@@ -851,6 +851,73 @@ object MaterialiseOps extends QueryModule {
       |FROM l3 ORDER BY id""".stripMargin
   }
 
+  /** g34 — CORENESS BY H-INDEX ITERATION (Lü et al. 2016): start every
+    * node at its degree and repeatedly replace each node's value with
+    * the H-INDEX of its neighbors' values (the largest h such that ≥ h
+    * neighbors hold ≥ h); the sequence is monotone non-increasing and
+    * converges to the node's CORENESS — the full k-core decomposition
+    * in one vertex-centric loop, no per-k peel. Six fixed rounds (the
+    * g23 bounded contract, oracle-mirrored; the fixture spec pins
+    * convergence-to-coreness and the k-core cross-check). Per round:
+    * one join + one windowed rank per node — the H-index is
+    * max(least(rank, value)) over neighbors sorted descending, an
+    * integer identity that needs no iteration of its own. Scale shape:
+    * the same O(rounds · E) joins as LPA; the window partitions by
+    * node, so skew follows hub degree exactly like every other
+    * neighborhood op here. */
+  def corenessHIndex(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    corenessOf(pairs, rounds = 6).orderBy(col("id"))
+  }
+
+  /** The H-index loop on an arbitrary (u, v) edge list — spec seam. */
+  private[graft] def corenessOf(e: DataFrame, rounds: Int): DataFrame = {
+    val pairs = e.select(col("u"), col("v")).distinct()
+    val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+      .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var h = adj.groupBy(col("node")).agg(count(lit(1)).as("h"))
+    val w = Window.partitionBy(col("node")).orderBy(col("hv").desc)
+    var i = 0
+    while (i < rounds) {
+      h = graft.core.Iterate.save(
+        adj.join(h.select(col("node").as("nbr"), col("h").as("hv")), "nbr")
+          .withColumn("rn", row_number().over(w))
+          .groupBy(col("node")).agg(max(least(col("rn"), col("hv"))).as("h")),
+        0, i + 1)
+      i += 1
+    }
+    h.select(col("node").as("id"), col("h").as("coreness_h"))
+  }
+
+  val corenessHIndexSql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT node AS id, max(least(rn, hv)) AS h FROM (
+         |    SELECT a.node, p.h AS hv,
+         |      row_number() OVER (PARTITION BY a.node ORDER BY p.h DESC) AS rn
+         |    FROM adj a JOIN $prev p ON p.id = a.nbr)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS node, v AS nbr FROM pairs
+      |        UNION ALL SELECT v, u FROM pairs),
+      |h0 AS (SELECT node AS id, count(*) AS h FROM adj GROUP BY node),
+      |${round("h0", "h1")},
+      |${round("h1", "h2")},
+      |${round("h2", "h3")},
+      |${round("h3", "h4")},
+      |${round("h4", "h5")},
+      |${round("h5", "h6")}
+      |SELECT id, CAST(h AS BIGINT) AS coreness_h FROM h6 ORDER BY id""".stripMargin
+  }
+
   /** g20 — neighbor-set similarity (link prediction's common-neighbors /
     * Jaccard primitive) over the customer–part bipartite graph: customers
     * are "similar" when they order many of the same parts. Candidates
@@ -1340,5 +1407,6 @@ object MaterialiseOps extends QueryModule {
     "g31_ktruss_sweep" -> QueryDef(kTrussSweep, Some(kTrussSweepSql)),
     "g32_triangles_sampled" -> QueryDef(trianglesSampled, Some(trianglesSampledSql)),
     "g33_weighted_lpa" -> QueryDef(weightedLabelPropagation, Some(weightedLabelPropagationSql)),
+    "g34_coreness"     -> QueryDef(corenessHIndex, Some(corenessHIndexSql)),
   )
 }

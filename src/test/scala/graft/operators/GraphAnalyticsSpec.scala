@@ -263,6 +263,27 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(MaterialiseOps.kTrussOf(e, 4).count() === 0L)
   }
 
+  test("g34: H-index iteration converges to coreness; k-core membership cross-checks") {
+    import spark.implicits._
+    // K4 {a,b,c,d} + pendant chain d-e-f: coreness 3/3/3/3/1/1
+    val e = Seq(("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("d","e"),("e","f")).toDF("u","v")
+    val h = MaterialiseOps.corenessOf(e, rounds = 6).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L, "e" -> 1L, "f" -> 1L))
+    // cross-check the decomposition against the per-k peel: coreness >= k
+    // must be EXACTLY the k-core membership, at every k
+    for (k <- 1 to 3) {
+      val core = MaterialiseOps.kCoreOf(e.select(col("u").as("f"), col("v").as("t")), k)
+        .collect().map(_.getString(0)).toSet
+      assert(h.filter(_._2 >= k).keySet === core, s"k=$k decomposition mismatch")
+    }
+    // the sequence is monotone non-increasing: more rounds never raise it
+    val h2 = MaterialiseOps.corenessOf(e, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    h.foreach { case (id, v) => assert(v <= h2(id)) }
+  }
+
   test("g33: a heavy edge outvotes the min-label tie-break; uniform weights reduce to g23") {
     import spark.implicits._
     // path a–b–c: unweighted round 1 ties at b (one neighbor each) and

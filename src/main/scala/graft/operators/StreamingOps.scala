@@ -153,5 +153,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamTriangleCount(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_stri_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.trianglesSql)),
+    "st27_stream_gap_fill" -> QueryDef(
+      (s, d) => Streaming.streamGapFill(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sgap_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.gapFillBarsSql)),
   )
 }

@@ -820,6 +820,18 @@ object Streaming {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** Streaming GAP-FILLED BARS (st27): the serving-side composition of
+    * st24's maintained state with a8's read transform — the per-batch
+    * mergeable OHLC partials are folded exactly as st24 writes them,
+    * and the gap-fill (calendar densify + forward fill) runs at READ
+    * time over the merged bars, where it belongs: fills depend on
+    * global min/max bars per key, so materialising them per batch would
+    * invalidate on every extension, while the merged-bars state never
+    * does. On full replay the table equals batch a8 and shares its
+    * oracle. */
+  def streamGapFill(s: SparkSession, d: String, stateDir: String): DataFrame =
+    graft.operators.Temporal.gapFillOf(streamTimeBars(s, d, stateDir))
+
   /** Streaming TRIANGLE COUNT (st26): g19's global triangle count
     * maintained by [[graft.pipeline.IncrementalTriangles]] — arrival-
     * rank join-delta IVM where each triangle is counted exactly once by

@@ -60,6 +60,23 @@ class IncrementalTrianglesSpec extends SparkSpec {
     assert(readCur(dir) === before)
   }
 
+  test("crash between edge write and delta write heals on redelivery") {
+    val dir = Files.createTempDirectory("itri_crash").toString
+    IncrementalTriangles.update(spark, dir,
+      pairsDf(Seq((1L, 2L), (1L, 3L), (2L, 3L))), 0L)
+    // simulate a crash AFTER batch 1's edges landed but BEFORE its
+    // delta row did: apply the batch, then delete only the delta file
+    IncrementalTriangles.update(spark, dir, pairsDf(Seq((1L, 4L), (3L, 4L))), 1L)
+    val deltaDir = new java.io.File(s"$dir/delta.parquet/batch=1")
+    assert(deltaDir.exists)
+    deltaDir.listFiles.foreach(_.delete()); deltaDir.delete()
+    // the checkpointed source redelivers batch 1: the new-edge set is
+    // recomputed against strictly-earlier batches only, so both the
+    // edges partition and the missing delta are rebuilt identically
+    IncrementalTriangles.update(spark, dir, pairsDf(Seq((1L, 4L), (3L, 4L))), 1L)
+    assert(readCur(dir) === ((5L, 2L))) // {1,2,3} and {1,3,4}
+  }
+
   test("intra-batch triangle counts once (same-batch rank ordering is total)") {
     val dir = Files.createTempDirectory("itri_intra").toString
     IncrementalTriangles.update(spark, dir,

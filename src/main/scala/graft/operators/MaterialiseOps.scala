@@ -1085,6 +1085,85 @@ object MaterialiseOps extends QueryModule {
       |GROUP BY x.f ORDER BY member""".stripMargin
   }
 
+  /** g35 — WEIGHTED k-CORE (s-core, Eidsaa & Almaas 2013): g25's peel
+    * with IN-CORE STRENGTH (sum of incident edge weights among
+    * survivors) in place of degree — a node stays while its surviving
+    * edges carry ≥ T total weight, so many weak ties and few strong
+    * ones trade off, which the unweighted core cannot express. Edge
+    * weight here is the AVERAGE lineitem quantity of the supplier–part
+    * pair (integer div — SF-invariant, so the same T peels comparably
+    * at every scale factor). Bounded contract: maxIter = 6 mirrored by
+    * the oracle's unroll + identical final strength re-filter (the
+    * g31 discipline), exact whether or not the peel converged. Same
+    * join shape as g25 — the weight column rides the existing
+    * shuffles. */
+  def sCore(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .groupBy(node("s:", col("l_suppkey")).as("f"),
+        node("p:", col("l_partkey")).as("t"))
+      // integer div (Spark `div` == DuckDB `//` on positives) — a
+      // double `/` would round the boundary weights differently
+      .agg(expr("sum(CAST(l_quantity AS BIGINT)) div count(*)").as("w"))
+    sCoreOf(e0, t = 650L, maxIter = 6).orderBy(col("member"))
+  }
+
+  /** The strength peel on an arbitrary weighted (f, t, w) edge list —
+    * duplicate pairs combine by summing before the peel. */
+  private[graft] def sCoreOf(e0: DataFrame, t: Long, maxIter: Int = 100,
+      reliableEvery: Int = 0): DataFrame = {
+    def save(df: DataFrame, round: Int): DataFrame =
+      graft.core.Iterate.save(df, reliableEvery, round)
+    val und = e0.select(col("f"), col("t"), col("w"))
+      .groupBy(col("f"), col("t")).agg(sum(col("w")).as("w"))
+    val sym = save(und.union(und.select(col("t").as("f"), col("f").as("t"), col("w")))
+      .where(col("f") =!= col("t")), 0)
+    def strengthIn(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("v").as("f")), "f")
+        .join(alive.select(col("v").as("t")), "t")
+        .groupBy(col("f")).agg(sum(col("w")).as("c"))
+    var alive = save(sym.select(col("f").as("v")).distinct(), 0)
+    var n = alive.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < maxIter) {
+      val next = save(strengthIn(alive).where(col("c") >= t)
+        .select(col("f").as("v")), iter + 1)
+      val m = next.count()
+      done = m == n
+      n = m
+      alive = next
+      iter += 1
+    }
+    if (!done)
+      System.err.println(
+        s"[graft] sCoreOf: iteration cap maxIter=$maxIter hit before fixpoint " +
+          s"(T=$t, |alive|=$n) — emitting the strength>=$t superset of the true s-core")
+    strengthIn(alive).where(col("c") >= t)
+      .select(col("f").as("member"), col("c").as("strength_in_core"))
+  }
+
+  val sCoreSql: String = {
+    val rounds = 6
+    def round(r: Int): String =
+      s"""a$r AS MATERIALIZED (
+        |  SELECT x.f AS v FROM e x
+        |  JOIN a${r - 1} s ON s.v = x.f
+        |  JOIN a${r - 1} t2 ON t2.v = x.t
+        |  GROUP BY x.f HAVING sum(x.w) >= 650)""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT 's:' || ${sqlPad("l_suppkey")} AS f,
+      |    'p:' || ${sqlPad("l_partkey")} AS t,
+      |    SUM(CAST(l_quantity AS BIGINT)) // COUNT(*) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |e AS MATERIALIZED (
+      |  SELECT f, t, w FROM e0 UNION ALL SELECT t, f, w FROM e0),
+      |a0 AS MATERIALIZED (SELECT DISTINCT f AS v FROM e),
+      |${(1 to rounds).map(round).mkString(",\n")}
+      |SELECT x.f AS member, CAST(sum(x.w) AS BIGINT) AS strength_in_core
+      |FROM e x JOIN a$rounds s ON s.v = x.f JOIN a$rounds t2 ON t2.v = x.t
+      |GROUP BY x.f HAVING sum(x.w) >= 650 ORDER BY member""".stripMargin
+  }
+
   /** g26 — k-CORE PARAMETER SWEEP: g25's peel at k ∈ {20, 26, 30},
     * emitting core size and total in-core degree per setting — the
     * d18/s9-style measured table that justifies choosing an operating
@@ -1408,5 +1487,6 @@ object MaterialiseOps extends QueryModule {
     "g32_triangles_sampled" -> QueryDef(trianglesSampled, Some(trianglesSampledSql)),
     "g33_weighted_lpa" -> QueryDef(weightedLabelPropagation, Some(weightedLabelPropagationSql)),
     "g34_coreness"     -> QueryDef(corenessHIndex, Some(corenessHIndexSql)),
+    "g35_weighted_kcore" -> QueryDef(sCore, Some(sCoreSql)),
   )
 }

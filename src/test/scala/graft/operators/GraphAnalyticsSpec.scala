@@ -263,6 +263,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(MaterialiseOps.kTrussOf(e, 4).count() === 0L)
   }
 
+  test("g35: strength peel keeps a two-strong-ties node the degree peel would drop") {
+    import spark.implicits._
+    // hub h has SIX weight-1 edges (strength 6); node x has TWO
+    // weight-10 edges to y and z, which also link each other (10):
+    // at T=12 the degree view (deg 6 vs 2) is inverted by strength
+    val e = (Seq(("x","y",10L), ("x","z",10L), ("y","z",10L)) ++
+      (1 to 6).map(i => ("h", s"l$i", 1L))).toDF("f", "t", "w")
+    val core = MaterialiseOps.sCoreOf(e, t = 12L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core === Map("x" -> 20L, "y" -> 20L, "z" -> 20L),
+      s"strong triangle must survive, weak hub must peel: $core")
+    // duplicate pairs combine by summing before the peel
+    val dup = Seq(("a","b",7L), ("a","b",5L)).toDF("f", "t", "w")
+    val d12 = MaterialiseOps.sCoreOf(dup, t = 12L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d12 === Map("a" -> 12L, "b" -> 12L))
+    // cap contract: maxIter=0 emits the strength-filter of the raw graph
+    val capped = MaterialiseOps.sCoreOf(e, t = 12L, maxIter = 0).collect()
+      .map(_.getString(0)).toSet
+    assert(capped === Set("x", "y", "z"), "capped emit is the one-filter superset")
+  }
+
   test("g34: H-index iteration converges to coreness; k-core membership cross-checks") {
     import spark.implicits._
     // K4 {a,b,c,d} + pendant chain d-e-f: coreness 3/3/3/3/1/1

@@ -72,6 +72,42 @@ class Round10FuzzSpec extends SparkSpec {
     }
   }
 
+  test("s-core fuzz: strength peel equals brute force on random weighted graphs") {
+    val rng = new scala.util.Random(55501L)
+    def bruteScore(es: Map[(Long, Long), Long], t: Long): Map[Long, Long] = {
+      var alive = es.keysIterator.flatMap { case (u, v) => Seq(u, v) }.toSet
+      def strength(a: Set[Long]): Map[Long, Long] = {
+        val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        es.foreach { case ((u, v), w) =>
+          if (a(u) && a(v)) { m(u) += w; m(v) += w }
+        }
+        m.toMap
+      }
+      var stable = false
+      while (!stable) {
+        val s = strength(alive)
+        val next = alive.filter(v => s.getOrElse(v, 0L) >= t)
+        stable = next == alive
+        alive = next
+      }
+      strength(alive).filter { case (v, s) => alive(v) && s >= t }
+    }
+    for (trial <- 1 to 4) {
+      val nV = 5 + rng.nextInt(5)
+      val all = for (u <- 0L until nV; v <- (u + 1) until nV) yield (u, v)
+      val es = all.filter(_ => rng.nextDouble() < 0.5)
+        .map(e => e -> (1L + rng.nextInt(9))).toMap
+      if (es.nonEmpty) {
+        val df = es.toSeq.map { case ((u, v), w) => (u, v, w) }.toDF("f", "t", "w")
+        val thr = 5L + rng.nextInt(15)
+        val engine = MaterialiseOps.sCoreOf(df, thr).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(engine === bruteScore(es, thr),
+          s"trial $trial (T=$thr, |E|=${es.size}): strength peel diverged")
+      }
+    }
+  }
+
   test("bar-partial fuzz: any random split of events merges to the one-shot bars") {
     val rng = new scala.util.Random(8675309L)
     for (trial <- 1 to 4) {

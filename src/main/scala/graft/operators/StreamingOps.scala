@@ -157,5 +157,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamGapFill(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sgap_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Temporal.gapFillBarsSql)),
+    "st28_stream_triangles_sampled" -> QueryDef(
+      (s, d) => Streaming.streamTrianglesSampled(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_stris_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.trianglesSampledSql)),
   )
 }

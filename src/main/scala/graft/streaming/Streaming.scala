@@ -875,6 +875,49 @@ object Streaming {
     graft.pipeline.IncrementalTriangles.current(s, stateDir)
   }
 
+  /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
+    * DOULION draw composed with st26's arrival-rank IVM — because the
+    * hash draw is a pure per-edge predicate, sampling COMMUTES with
+    * insertion: filtering each batch's co-order pairs before the fold
+    * maintains exactly the sampled graph's count, and the ×64 estimate
+    * is applied at read. Per-batch cost falls ~p² on top of the IVM's
+    * delta-proportionality — the two scale levers stack. On full replay
+    * the row equals batch g32 and shares its oracle. */
+  def streamTrianglesSampled(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    val keep = (col("u") * lit(1103515245L) + col("v") * lit(12345L)) % lit(4L) === lit(0L)
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct().where(keep)
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalTriangles.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalTriangles.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalTriangles.current(s, stateDir)
+      .select(col("n_edges").as("n_sampled_edges"),
+        col("n_triangles").as("n_sampled_triangles"),
+        (col("n_triangles") * lit(64L)).as("estimate"))
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

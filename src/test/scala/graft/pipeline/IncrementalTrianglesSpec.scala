@@ -77,6 +77,17 @@ class IncrementalTrianglesSpec extends SparkSpec {
     assert(readCur(dir) === ((5L, 2L))) // {1,2,3} and {1,3,4}
   }
 
+  test("st28 ≡ g32: sampled maintenance equals the batch sampled count on full replay") {
+    val dir = Files.createTempDirectory("stris").toString
+    val streamed = graft.streaming.Streaming
+      .streamTrianglesSampled(spark, "/root/testdata/sf0.001", dir)
+      .collect().head
+    val batch = graft.operators.MaterialiseOps
+      .trianglesSampled(spark, "/root/testdata/sf0.001")
+      .collect().head
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("intra-batch triangle counts once (same-batch rank ordering is total)") {
     val dir = Files.createTempDirectory("itri_intra").toString
     IncrementalTriangles.update(spark, dir,

@@ -1278,10 +1278,14 @@ object MaterialiseOps extends QueryModule {
     * Convergence contract mirrors [[kCoreOf]]: fixpoint or `maxIter`
     * rounds; on a cap hit the final support re-filter still holds for
     * every emitted edge (a superset of the true truss, never a silent
-    * cut) and stderr names the cap. Each round is one support
-    * aggregation (two equi-joins + map-combinable count) over the
-    * shrinking survivor set; `Iterate.save` truncates per-round lineage
-    * with the CC/k-core `reliableEvery` option for multi-hour runs. */
+    * cut) and stderr names the cap. Each round runs entirely in the
+    * once-oriented space: wedge self-join + closing equi-join +
+    * map-combinable support count + left join back (~4 shuffles), over
+    * the shrinking survivor set; at fixpoint the last round's filtered
+    * supports are emitted directly (no redundant final enumeration).
+    * `Iterate.save` truncates per-round lineage AND clamps checkpoint
+    * stats with the CC/k-core `reliableEvery` option for multi-hour
+    * runs. */
   private[graft] def kTrussOf(e0: DataFrame, k: Int, maxIter: Int = 100,
       reliableEvery: Int = 0): DataFrame = {
     def save(df: DataFrame, round: Int): DataFrame =

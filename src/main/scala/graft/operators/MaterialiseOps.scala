@@ -874,6 +874,18 @@ object MaterialiseOps extends QueryModule {
     corenessOf(pairs, rounds = 6).orderBy(col("id"))
   }
 
+  /** One H-index round: every node's next value is the H-index of its
+    * neighbors' current values — max(least(rank, value)) over the
+    * descending-sorted neighborhood. Factored so PlanSpec can pin the
+    * ROUND's plan shape (the loop checkpoints eagerly, so the gate's
+    * final plan would show only the post-checkpoint projection). */
+  private[graft] def hIndexRound(adj: DataFrame, h: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("node")).orderBy(col("hv").desc)
+    adj.join(h.select(col("node").as("nbr"), col("h").as("hv")), "nbr")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("node")).agg(max(least(col("rn"), col("hv"))).as("h"))
+  }
+
   /** The H-index loop on an arbitrary (u, v) edge list — spec seam. */
   private[graft] def corenessOf(e: DataFrame, rounds: Int): DataFrame = {
     val pairs = e.select(col("u"), col("v")).distinct()
@@ -881,14 +893,9 @@ object MaterialiseOps extends QueryModule {
       .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
       .localCheckpoint()
     var h = adj.groupBy(col("node")).agg(count(lit(1)).as("h"))
-    val w = Window.partitionBy(col("node")).orderBy(col("hv").desc)
     var i = 0
     while (i < rounds) {
-      h = graft.core.Iterate.save(
-        adj.join(h.select(col("node").as("nbr"), col("h").as("hv")), "nbr")
-          .withColumn("rn", row_number().over(w))
-          .groupBy(col("node")).agg(max(least(col("rn"), col("hv"))).as("h")),
-        0, i + 1)
+      h = graft.core.Iterate.save(hIndexRound(adj, h), 0, i + 1)
       i += 1
     }
     h.select(col("node").as("id"), col("h").as("coreness_h"))

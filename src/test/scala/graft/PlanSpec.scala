@@ -190,11 +190,16 @@ class PlanSpec extends SparkSpec {
     // Round 9's OR-of-orientations closing condition planned as a
     // BroadcastNestedLoopJoin of wedges × edges (~4.5e11 comparisons per
     // peel round at sf0.01) and hung the whole correctness sweep. The
-    // both-direction wedge + single-orientation equi-join must never
-    // regress to that shape.
-    val p = plan("g30_ktruss")
+    // peel loop checkpoints eagerly, so pin the SUPPORT plan itself via
+    // the maxIter=0 emit, whose lineage is the full wedge enumeration.
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val p = graft.operators.MaterialiseOps.kTrussOf(e, 3, maxIter = 0)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), "truss closing join degenerated to all-pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), "truss closing join degenerated to NLJ")
+    assert(p.contains("Join"), "the support plan must contain the wedge/closing joins")
   }
 
   test("g32: the sampled-graph triangle join stays equi-keyed; the sample filter reaches the scan side") {
@@ -214,6 +219,27 @@ class PlanSpec extends SparkSpec {
 
   test("g33: weighted LPA rounds stay equi-joins, never all-pairs") {
     val p = plan("g33_weighted_lpa")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("g34: the H-index ROUND is an equi-join + window, never all-pairs") {
+    // the loop checkpoints eagerly, so the gate's own final plan is a
+    // bare post-checkpoint projection — pin the round building block
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L)).toDF("node", "nbr")
+    val h = Seq((1L, 1L), (2L, 1L)).toDF("node", "h")
+    val p = graft.operators.MaterialiseOps.hIndexRound(adj, h)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "H-index lost its windowed-rank form")
+    assert(p.contains("Join"), "round must join neighbor values")
+  }
+
+  test("g35: the strength peel emits through equi-joins only") {
+    val p = plan("g35_weighted_kcore")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }

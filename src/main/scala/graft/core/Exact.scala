@@ -45,4 +45,46 @@ object Exact {
 
   def sqlQuantize(col: String, scale: Int): String =
     s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
+
+  /** Deterministic p=1/4 edge draw for the DOULION sampled-triangle
+    * family (g32/st28). The hash MUST be nonlinear in (u, v): for any
+    * linear form c·u + d·v the three edges of a triangle {u,v,w} have
+    * linearly dependent hashes (h(u,v) + h(v,w) − h(u,w) = (c+d)·v), so
+    * edge survivals are correlated and the p³ independence the ×64
+    * scaling assumes breaks — the original c=1103515245, d=12345 draw
+    * (both ≡1 mod 4) degenerated to (u+v)%4=0 and kept triangles with
+    * probability ~1/32, a systematic 2× estimate bias. Two ingredients
+    * fix it, and BOTH are load-bearing: (1) a u·v product term, because
+    * for triangle edges the linear parts are dependent while uv, uw, vw
+    * are not; (2) a Lehmer scramble (×48271 mod 2³¹−1) AFTER the mix,
+    * because `mod 4` of any polynomial sees its inputs only mod 4 — the
+    * product alone still collapses to a 16-cell (u%4, v%4) table (keep
+    * ratio measured 1/8, estimate ~1.9× high). The modular reduction by
+    * the odd Mersenne prime feeds high bits into the low two bits, so
+    * the draw is ~uniform (keep ratio 0.2501/0.2492 at sf0.001/sf0.01;
+    * estimate within 3% of the true count at both). Every intermediate
+    * fits signed 64-bit (max (2³¹)·48271 < 2⁴⁸), so the SAME expression
+    * evaluates overflow-free in both Spark codegen and the DuckDB
+    * oracle. ONE definition, three hosts (Column / SQL / local Scala
+    * for brute-force spec oracles) — keep them in lockstep. */
+  private val DrawM = 2147483647L // 2^31 - 1
+
+  def edgeDraw(u: Column, v: Column): Column = {
+    val m = lit(DrawM)
+    val a = u % m
+    val b = v % m
+    val h1 = ((a * b) % m + (a * lit(48271L)) % m + (b * lit(16807L)) % m) % m
+    (h1 * lit(48271L)) % m % lit(4L) === lit(0L)
+  }
+
+  def sqlEdgeDraw(u: String, v: String): String =
+    s"(((($u % $DrawM) * ($v % $DrawM)) % $DrawM + (($u % $DrawM) * 48271) % $DrawM + " +
+      s"(($v % $DrawM) * 16807) % $DrawM) % $DrawM) * 48271 % $DrawM % 4 = 0"
+
+  def edgeDrawLocal(u: Long, v: Long): Boolean = {
+    val a = u % DrawM
+    val b = v % DrawM
+    val h1 = ((a * b) % DrawM + (a * 48271L) % DrawM + (b * 16807L) % DrawM) % DrawM
+    h1 * 48271L % DrawM % 4L == 0L
+  }
 }

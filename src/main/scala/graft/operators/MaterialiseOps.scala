@@ -718,7 +718,9 @@ object MaterialiseOps extends QueryModule {
 
   /** g32 — SAMPLED TRIANGLE COUNT: the DOULION estimator (Tsourakakis
     * et al., KDD'09) made REPLAYABLE — sparsify edges by a DETERMINISTIC
-    * hash (keep (u·a + v·b) mod 4 = 0, p = 1/4) instead of coin flips,
+    * hash ([[graft.core.Exact.edgeDraw]]: a nonlinear mod-(2³¹−1) mix
+    * with a u·v product term, keep ≡0 mod 4, p = 1/4) instead of coin
+    * flips,
     * count triangles on the ~p·|E| survivor graph with the g19
     * discipline, scale by p⁻³ = 64. The scale story: wedge work falls
     * ~p² BEFORE any join runs because the filter sits on the scan side,
@@ -733,8 +735,7 @@ object MaterialiseOps extends QueryModule {
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    val sampled = pairs.where(
-      (col("u") * lit(1103515245L) + col("v") * lit(12345L)) % lit(4L) === lit(0L))
+    val sampled = pairs.where(graft.core.Exact.edgeDraw(col("u"), col("v")))
     Query.triangleCount(sampled)
       .select(col("n_edges").as("n_sampled_edges"),
         col("n_triangles").as("n_sampled_triangles"),
@@ -748,7 +749,7 @@ object MaterialiseOps extends QueryModule {
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
       |samp AS (
       |  SELECT u, v FROM pairs
-      |  WHERE (u * 1103515245 + v * 12345) % 4 = 0),
+      |  WHERE """.stripMargin + graft.core.Exact.sqlEdgeDraw("u", "v") + """),
       |deg AS (
       |  SELECT id, count(*) AS deg
       |  FROM (SELECT u AS id FROM samp UNION ALL SELECT v FROM samp)

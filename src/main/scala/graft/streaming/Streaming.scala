@@ -885,7 +885,7 @@ object Streaming {
     * the row equals batch g32 and shares its oracle. */
   def streamTrianglesSampled(s: SparkSession, d: String, stateDir: String): DataFrame = {
     import graft.core.Tables
-    val keep = (col("u") * lit(1103515245L) + col("v") * lit(12345L)) % lit(4L) === lit(0L)
+    val keep = graft.core.Exact.edgeDraw(col("u"), col("v"))
     def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

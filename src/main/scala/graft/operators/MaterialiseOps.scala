@@ -1468,6 +1468,98 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY k""".stripMargin
   }
 
+  /** g36 — the reference's 2-HOP NEIGHBORHOOD COUNT CUBE
+    * (`notebooks/util_aggr_counts.py:7-30`, [[Query.aggrCounts]]) over a
+    * five-edge-type TPC-H graph (orders→customers, orders→suppliers via
+    * distinct lineitems, customers/suppliers→nations, nations→regions).
+    * Two roots make every direction branch non-vacuous — the schema is a
+    * DAG, so no single root sees all four: customer 42 exercises in_out
+    * (its orders' suppliers), out_out (nation→region) and out_in (nation
+    * co-members), nation 7 exercises in_in (customers'/suppliers' orders).
+    * A decoy `id`-typed edge incident to each root pins the notebook's
+    * `type(ra) <> "id"` exclusion — the oracle never builds those edges,
+    * so a broken exclusion fails the gate, not just a spec. */
+  private def aggrGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val edge = (f: Column, t: Column, et: String) =>
+      f.as("fromNodeId") :: t.as("toNodeId") :: lit(et).as("edgeType") :: Nil
+    val edges = Tables.orders(s, d)
+      .select(edge(node("o:", col("o_orderkey")), node("c:", col("o_custkey")), "ord:customer"): _*)
+      .union(Tables.lineitem(s, d)
+        .select(node("o:", col("l_orderkey")).as("f"), node("s:", col("l_suppkey")).as("t"))
+        .distinct()
+        .select(edge(col("f"), col("t"), "ord:supplier"): _*))
+      .union(Tables.customer(s, d)
+        .select(edge(node("c:", col("c_custkey")), node("n:", col("c_nationkey")), "cust:nation"): _*))
+      .union(Tables.supplier(s, d)
+        .select(edge(node("s:", col("s_suppkey")), node("n:", col("s_nationkey")), "supp:nation"): _*))
+      .union(Tables.nation(s, d)
+        .select(edge(node("n:", col("n_nationkey")), node("r:", col("n_regionkey")), "nat:region"): _*))
+      .union(Tables.customer(s, d) // decoy: must be excluded by type(ra) != "id"
+        .select(edge(node("c:", col("c_custkey")), node("n:", col("c_nationkey")), "id"): _*))
+    val types = Tables.customer(s, d)
+      .select(node("c:", col("c_custkey")).as("nodeId"), col("c_mktsegment").as("displayType"))
+      .union(Tables.orders(s, d)
+        .select(node("o:", col("o_orderkey")), col("o_orderpriority")))
+      .union(Tables.supplier(s, d)
+        .select(node("s:", col("s_suppkey")), lit("supplier")))
+      .union(Tables.nation(s, d)
+        .select(node("n:", col("n_nationkey")), col("n_name")))
+      .union(Tables.region(s, d)
+        .select(node("r:", col("r_regionkey")), col("r_name")))
+    (edges, types)
+  }
+
+  def aggrCountCube(s: SparkSession, d: String): DataFrame = {
+    val (edges, types) = aggrGraph(s, d)
+    Seq("c:000000042", "n:000000007")
+      .map(r => Query.aggrCounts(edges, types, r).withColumn("root", lit(r)))
+      .reduce(_ unionByName _)
+      .orderBy(col("root"), col("direction"), col("edge1"), col("type1"),
+        col("edge2"), col("type2"))
+  }
+
+  val aggrCountCubeSql: String = {
+    val arrow = (edge: String, ty: String, fwd: String) =>
+      s"CASE WHEN $fwd THEN '-[' || $edge || ']->(' || $ty || ')' " +
+        s"ELSE '<-[' || $edge || ']-(' || $ty || ')' END"
+    s"""WITH e AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")} AS f, 'c:' || ${sqlPad("o_custkey")} AS t,
+      |         'ord:customer' AS et FROM orders
+      |  UNION ALL SELECT DISTINCT 'o:' || ${sqlPad("l_orderkey")}, 's:' || ${sqlPad("l_suppkey")},
+      |         'ord:supplier' FROM lineitem
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         'cust:nation' FROM customer
+      |  UNION ALL SELECT 's:' || ${sqlPad("s_suppkey")}, 'n:' || ${sqlPad("s_nationkey")},
+      |         'supp:nation' FROM supplier
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")},
+      |         'nat:region' FROM nation),
+      |ty AS (
+      |  SELECT 'c:' || ${sqlPad("c_custkey")} AS id, c_mktsegment AS dt FROM customer
+      |  UNION ALL SELECT 'o:' || ${sqlPad("o_orderkey")}, o_orderpriority FROM orders
+      |  UNION ALL SELECT 's:' || ${sqlPad("s_suppkey")}, 'supplier' FROM supplier
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, n_name FROM nation
+      |  UNION ALL SELECT 'r:' || ${sqlPad("r_regionkey")}, r_name FROM region),
+      |inc AS (
+      |  SELECT f AS src, t AS dst, et, 'out' AS dir FROM e
+      |  UNION ALL SELECT t, f, et, 'in' FROM e),
+      |roots(root) AS (SELECT 'c:' || ${sqlPad("42")} UNION ALL SELECT 'n:' || ${sqlPad("7")}),
+      |cube AS (
+      |  SELECT r.root, a.dir || '_' || b.dir AS direction,
+      |         a.et AS edge1, t1.dt AS type1, b.et AS edge2, t2.dt AS type2,
+      |         count(*) AS num
+      |  FROM roots r
+      |  JOIN inc a ON a.src = r.root AND a.dst != r.root
+      |  JOIN inc b ON b.src = a.dst AND b.dst != r.root AND b.dst != a.dst
+      |  JOIN ty t1 ON t1.id = a.dst
+      |  JOIN ty t2 ON t2.id = b.dst
+      |  GROUP BY 1, 2, 3, 4, 5, 6)
+      |SELECT root, direction, edge1, type1, edge2, type2, num,
+      |  '(R)' || ${arrow("edge1", "type1", "direction LIKE 'out%'")}
+      |        || ${arrow("edge2", "type2", "direction LIKE '%out'")} AS path
+      |FROM cube
+      |ORDER BY root, direction, edge1, type1, edge2, type2""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -1500,5 +1592,6 @@ object MaterialiseOps extends QueryModule {
     "g33_weighted_lpa" -> QueryDef(weightedLabelPropagation, Some(weightedLabelPropagationSql)),
     "g34_coreness"     -> QueryDef(corenessHIndex, Some(corenessHIndexSql)),
     "g35_weighted_kcore" -> QueryDef(sCore, Some(sCoreSql)),
+    "g36_aggr_count_cube" -> QueryDef(aggrCountCube, Some(aggrCountCubeSql)),
   )
 }

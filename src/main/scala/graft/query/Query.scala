@@ -335,6 +335,47 @@ object Query {
       lit(1.0) - col("n_descendants").cast("double") / lit(mx.toDouble))
   }
 
+  /** 2-hop neighborhood count cube around one root node — the reference's
+    * exploratory aggregation (`notebooks/util_aggr_counts.py:7-30`): count
+    * the 2-hop paths root—ra—n1—rb—n2 grouped by (direction ∈ {in_in,
+    * in_out, out_in, out_out}, edge1, n1's display type, edge2, n2's
+    * display type), with the Cypher query's constraints — all three nodes
+    * pairwise distinct and `id`-typed edges excluded — plus its rendered
+    * `path` pattern string. Instead of the notebook's four UNIONed MATCH
+    * clauses, ONE plan: orient every edge both ways with a direction tag
+    * (`in` = edge points at src), then the four direction combinations
+    * fall out of a single pair of equi-joins. Scale shape: hop 1 is a
+    * point filter on the root id (partition-prunable on an id-bucketed
+    * edge table), so the frontier is one node's incident edges —
+    * broadcast it into the hop-2 join and the whole cube costs one scan
+    * of the edge table with no shuffle of the big side. `types` is
+    * (nodeId, displayType); joined after the path count's group-by keys
+    * are fixed, so the big join carries ids only. */
+  def aggrCounts(edges: DataFrame, types: DataFrame, rootId: String): DataFrame = {
+    val e = edges.where(col("edgeType") =!= "id")
+    val inc = e.select(col("fromNodeId").as("src"), col("toNodeId").as("dst"),
+        col("edgeType"), lit("out").as("dir"))
+      .union(e.select(col("toNodeId"), col("fromNodeId"), col("edgeType"), lit("in")))
+    val hop1 = inc.where(col("src") === lit(rootId) && col("dst") =!= lit(rootId))
+      .select(col("dst").as("n1"), col("edgeType").as("edge1"), col("dir").as("dir1"))
+    val hop2 = broadcast(hop1).join(inc, col("n1") === col("src"))
+      .where(col("dst") =!= lit(rootId) && col("dst") =!= col("n1"))
+      .select(concat(col("dir1"), lit("_"), col("dir")).as("direction"),
+        col("edge1"), col("n1"),
+        col("edgeType").as("edge2"), col("dst").as("n2"))
+    val t1 = types.select(col("nodeId").as("n1"), col("displayType").as("type1"))
+    val t2 = types.select(col("nodeId").as("n2"), col("displayType").as("type2"))
+    val arrow = (edge: Column, ty: Column, fwd: Column) =>
+      when(fwd, concat(lit("-["), edge, lit("]->("), ty, lit(")")))
+        .otherwise(concat(lit("<-["), edge, lit("]-("), ty, lit(")")))
+    hop2.join(t1, "n1").join(t2, "n2")
+      .groupBy(col("direction"), col("edge1"), col("type1"), col("edge2"), col("type2"))
+      .agg(count(lit(1)).as("num"))
+      .withColumn("path", concat(lit("(R)"),
+        arrow(col("edge1"), col("type1"), col("direction").startsWith("out")),
+        arrow(col("edge2"), col("type2"), col("direction").endsWith("out"))))
+  }
+
   /** PageRank over a directed edge list — fixed iteration count, integer
     * fixed-point arithmetic (damping 0.85 as `(85·Σ) div 100`, scores
     * scaled by `scale`), so parallel summation order can't move the

@@ -244,6 +244,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("g36: the direction-union 2-hop cube is two equi-joins with a broadcast frontier") {
+    val p = plan("g36_aggr_count_cube")
+    assert(!p.contains("CartesianProduct"), "2-hop cube degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "2-hop cube degenerated to NLJ")
+    // hop 1 is one node's incident edges — the hop-2 probe of the full
+    // edge table must broadcast it, or a 100 TB edge table shuffles for
+    // a single-root exploration query
+    assert(p.contains("BroadcastHashJoin"), "root frontier lost its broadcast")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

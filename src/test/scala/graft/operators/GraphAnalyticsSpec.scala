@@ -377,6 +377,33 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(rel > 0.75 && rel < 1.33, s"estimate ${row._3} vs true $nTri: ratio $rel out of tolerance")
   }
 
+  test("g36: aggrCounts honours id-exclusion, pairwise distinctness, multiplicity and path rendering") {
+    import spark.implicits._
+    // root r: a is reachable both in (a→r via x:in) and out (r→a via back),
+    // two distinct B-typed in-neighbours of a pin num=2 counting; the
+    // id-typed hop1 edge r→i would surface an out_out row through i→j if
+    // the notebook's type(ra) != "id" exclusion ever broke; a's edge back
+    // to r pins the n2 != root constraint (it must NOT close a 2-cycle row)
+    val edges = Seq(
+      ("a", "r", "x:in"), ("b", "a", "y:in"), ("b2", "a", "y:in"),
+      ("r", "c", "z:out"), ("c", "d", "w:out"),
+      ("r", "a", "back"), ("a", "e", "v:out"),
+      ("r", "i", "id"), ("i", "j", "w:out"),
+    ).toDF("fromNodeId", "toNodeId", "edgeType")
+    val types = Seq("a" -> "A", "b" -> "B", "b2" -> "B", "c" -> "C",
+      "d" -> "D", "e" -> "E", "i" -> "I", "j" -> "J", "r" -> "R")
+      .toDF("nodeId", "displayType")
+    val got = Query.aggrCounts(edges, types, "r")
+      .as[(String, String, String, String, String, Long, String)].collect().toSet
+    assert(got === Set(
+      ("in_in",   "x:in", "A", "y:in",  "B", 2L, "(R)<-[x:in]-(A)<-[y:in]-(B)"),
+      ("out_in",  "back", "A", "y:in",  "B", 2L, "(R)-[back]->(A)<-[y:in]-(B)"),
+      ("in_out",  "x:in", "A", "v:out", "E", 1L, "(R)<-[x:in]-(A)-[v:out]->(E)"),
+      ("out_out", "back", "A", "v:out", "E", 1L, "(R)-[back]->(A)-[v:out]->(E)"),
+      ("out_out", "z:out", "C", "w:out", "D", 1L, "(R)-[z:out]->(C)-[w:out]->(D)"),
+    ))
+  }
+
   test("g31: monotone reuse — peeling truss(k2) from truss(k1)'s survivors equals peeling from scratch") {
     import spark.implicits._
     // the nesting truss(4) ⊆ truss(3) makes the sweep's survivor-reuse

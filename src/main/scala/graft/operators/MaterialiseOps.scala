@@ -860,12 +860,12 @@ object MaterialiseOps extends QueryModule {
     * in one vertex-centric loop, no per-k peel. Six fixed rounds (the
     * g23 bounded contract, oracle-mirrored; the fixture spec pins
     * convergence-to-coreness and the k-core cross-check). Per round:
-    * one join + one windowed rank per node — the H-index is
-    * max(least(rank, value)) over neighbors sorted descending, an
-    * integer identity that needs no iteration of its own. Scale shape:
-    * the same O(rounds · E) joins as LPA; the window partitions by
-    * node, so skew follows hub degree exactly like every other
-    * neighborhood op here. */
+    * one join + a map-combinable (node, value) count, then a cumulative
+    * sum over the distinct-value buckets — see [[hIndexRound]] for why
+    * the count-above-threshold identity makes the round hub-safe. Scale
+    * shape: the same O(rounds · E) joins as LPA, but the only per-node
+    * sort runs over distinct neighbor VALUES, not neighbors, so a
+    * degree-10⁷ hub costs its value-spectrum, not its degree. */
   def corenessHIndex(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li.as("a").join(li.as("b"),
@@ -875,16 +875,27 @@ object MaterialiseOps extends QueryModule {
     corenessOf(pairs, rounds = 6).orderBy(col("id"))
   }
 
-  /** One H-index round: every node's next value is the H-index of its
-    * neighbors' current values — max(least(rank, value)) over the
-    * descending-sorted neighborhood. Factored so PlanSpec can pin the
+  /** One H-index round in the COUNT-ABOVE-THRESHOLD form: the H-index
+    * needs only how many neighbors hold each value, not their ranks, so
+    * aggregate (node, value) → count FIRST (map-side combinable — a
+    * degree-10⁷ hub shrinks to its distinct neighbor values before the
+    * shuffle), cumulative-sum the counts descending per node (cum(v) =
+    * #neighbors ≥ v), and take max over distinct values of
+    * min(v, cum(v)) — an exact identity with the sorted-rank H-index
+    * (⇐ the smallest distinct value v ≥ h has cum(v) ≥ h; ⇒ any
+    * min(v, cum) = m exhibits ≥ m neighbors ≥ m). The earlier
+    * row_number-over-full-neighborhood form funneled a hub's entire
+    * adjacency through one task's window sort; here the window input is
+    * the distinct-value buckets only. Factored so PlanSpec can pin the
     * ROUND's plan shape (the loop checkpoints eagerly, so the gate's
     * final plan would show only the post-checkpoint projection). */
   private[graft] def hIndexRound(adj: DataFrame, h: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("node")).orderBy(col("hv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     adj.join(h.select(col("node").as("nbr"), col("h").as("hv")), "nbr")
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("node")).agg(max(least(col("rn"), col("hv"))).as("h"))
+      .groupBy(col("node"), col("hv")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy(col("node")).agg(max(least(col("hv"), col("cum"))).as("h"))
   }
 
   /** The H-index loop on an arbitrary (u, v) edge list — spec seam. */
@@ -894,10 +905,24 @@ object MaterialiseOps extends QueryModule {
       .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
       .localCheckpoint()
     var h = adj.groupBy(col("node")).agg(count(lit(1)).as("h"))
+    var prev = h
     var i = 0
     while (i < rounds) {
+      prev = h
       h = graft.core.Iterate.save(hIndexRound(adj, h), 0, i + 1)
       i += 1
+    }
+    // bounded-round contract (oracle-mirrored), but never silently: the
+    // H-iteration is monotone non-increasing, so one join of the last two
+    // frames detects a not-yet-converged decomposition (kTrussOf's
+    // cap-hit discipline — deep graphs need ~diameter/2 rounds)
+    if (rounds > 0) {
+      val moving = h.join(prev.withColumnRenamed("h", "hPrev"), "node")
+        .where(col("h") =!= col("hPrev")).count()
+      if (moving > 0)
+        System.err.println(
+          s"[graft] corenessOf: $moving nodes still changing at round $rounds — " +
+            "the bounded-round column is an upper bound on coreness, not coreness")
     }
     h.select(col("node").as("id"), col("h").as("coreness_h"))
   }

@@ -223,19 +223,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("g34: the H-index ROUND is an equi-join + window, never all-pairs") {
+  test("g34: the H-index ROUND windows over value buckets, not raw neighborhoods") {
     // the loop checkpoints eagerly, so the gate's own final plan is a
     // bare post-checkpoint projection — pin the round building block
     import spark.implicits._
     val adj = Seq((1L, 2L), (2L, 1L)).toDF("node", "nbr")
     val h = Seq((1L, 1L), (2L, 1L)).toDF("node", "h")
-    val p = graft.operators.MaterialiseOps.hIndexRound(adj, h)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val qe = graft.operators.MaterialiseOps.hIndexRound(adj, h).queryExecution
+    val p = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert(p.contains("Window"), "H-index lost its windowed-rank form")
     assert(p.contains("Join"), "round must join neighbor values")
+    // hub safety: the cumulative-sum window must sit ABOVE the
+    // (node, value) bucket aggregate — a window whose input is the raw
+    // join output funnels a hub's whole adjacency through one task's sort
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "H-index lost its cumulative-count window")
+    assert(wins.forall(_.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "window input is the raw neighborhood — bucket aggregate missing below it")
   }
 
   test("g35: the strength peel emits through equi-joins only") {

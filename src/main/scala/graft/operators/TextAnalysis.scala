@@ -1577,27 +1577,54 @@ object TextAnalysis extends QueryModule {
     * no rand(), no seed state), weights are ⌊√n⌋, and quotas use
     * integer division — no float whose summation order could flip a
     * boundary document. Scale shape: stratum stats are a tiny aggregate
-    * broadcast back; selection is one row_number window per stratum.
-    * For a 100 TB stratum the window input would first be cut by a
-    * hash-threshold pre-filter (keep h < quota/n·safety, then rank the
-    * ~quota·safety survivors) — same output, window input shrunk from
-    * |stratum| to O(quota); at gate SFs the direct window wins. */
+    * broadcast back; selection is one row_number window per stratum —
+    * and for strata at or above `preFilterMinStratum` rows, a
+    * HASH-THRESHOLD PRE-FILTER cuts the window's input first: the rank
+    * order is by h, so the quota winners are exactly the quota smallest
+    * hashes, and keeping h < 8·quota/n of the hash space shrinks the
+    * window from |stratum| to ~8·quota rows before any sort. The 8×
+    * safety margin makes a shortfall (fewer than min(quota, n) survivors
+    * in some stratum) astronomically unlikely — but not impossible, so a
+    * RESCUE PASS makes equivalence structural instead of probabilistic:
+    * a per-stratum survivor count (an aggregate over the already-tiny
+    * filtered set) flags underfilled strata, which rank unfiltered via a
+    * broadcast semi-join while everyone else ranks the filtered set. The
+    * draw is therefore bit-identical to the direct window at EVERY
+    * stratum size; at gate SFs (strata ≪ the switch) the pre-filter
+    * never engages and the plan is the round-10 one. */
   def temperatureSample(s: SparkSession, d: String): DataFrame =
     temperatureSampleOf(
       Tables.documents(s, d).select(col("doc_id"), col("lang"), col("source")),
       budget = 200L)
 
-  private[graft] def temperatureSampleOf(docs: DataFrame, budget: Long): DataFrame = {
+  private[graft] def temperatureSampleOf(docs: DataFrame, budget: Long,
+                                         preFilterMinStratum: Long = 100000L): DataFrame = {
     val counts = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
       .withColumn("w", floor(sqrt(col("n"))).cast("long"))
     // Σw is one row — distribute it as a broadcast scalar, not a collect
     val quotas = counts.crossJoin(counts.agg(sum(col("w")).as("tw")))
-      .select(col("lang"), col("source"),
+      .select(col("lang"), col("source"), col("n"),
         greatest(lit(1L), expr(s"($budget * w) div tw")).as("quota"))
     val h = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
-    docs.withColumn("h", h)
+    val hashed = docs.withColumn("h", h)
       .join(broadcast(quotas), Seq("lang", "source"))
+    // h is uniform on [0, 2^31); keep 8× the quota's share of hash space
+    val keep = col("n") < lit(preFilterMinStratum) ||
+      col("h") < expr("(quota * 8 * 2147483648) div n")
+    val surv = hashed.where(keep)
+    // rescue: any stratum whose survivor count fell below min(quota, n)
+    // ranks unfiltered — near-empty by construction, broadcast both ways.
+    // Left-join FROM quotas: a fully-filtered stratum has no survivor
+    // group at all, and it is exactly the one that needs rescuing
+    val short = quotas.join(
+        surv.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c")),
+        Seq("lang", "source"), "left")
+      .where(coalesce(col("c"), lit(0L)) < least(col("quota"), col("n")))
+      .select(col("lang"), col("source"))
+    val pool = surv.join(broadcast(short), Seq("lang", "source"), "left_anti")
+      .unionByName(hashed.join(broadcast(short), Seq("lang", "source"), "left_semi"))
+    pool
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang"), col("source"))
           .orderBy(col("h"), col("doc_id"))).cast("long"))

@@ -332,6 +332,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(floor1.length === 3)
   }
 
+  test("t33: the hash-threshold pre-filter draws the identical sample, rescue pass included") {
+    import spark.implicits._
+    def h(id: Long): Long = (id * 1103515245L + 12345L) % 2147483648L
+    // mixed-size strata with ids scattered across the hash space
+    val docs = ((1L to 200L).map(i => (i * 977L % 5000L + 1L, "en", "a")) ++
+        (1L to 40L).map(i => (i * 661L, "fr", "b")) ++ Seq((7L, "de", "c")))
+      .toDF("doc_id", "lang", "source").distinct()
+    val direct = TextAnalysis
+      .temperatureSampleOf(docs, budget = 30L, preFilterMinStratum = Long.MaxValue)
+      .collect().toSeq
+    val pre = TextAnalysis
+      .temperatureSampleOf(docs, budget = 30L, preFilterMinStratum = 1L)
+      .collect().toSeq
+    assert(pre === direct, "pre-filtered draw diverged from the direct window")
+    // rescue: a stratum built ONLY of ids hashing into the top of the hash
+    // space defeats the 8x-margin threshold (every h >= 0.9 * 2^31 while
+    // quota 1 of 30 keeps only the bottom 8/30 of the space, so ALL rows
+    // are filtered) — the survivor-count check must route it to the
+    // unfiltered ranking, not emit an underfilled stratum
+    val adversarial = Iterator.iterate(1L)(_ + 1L)
+      .filter(id => h(id) >= (2147483648L * 9L) / 10L).take(30).toSeq
+    assert(adversarial.forall(id => h(id) >= (2147483648L * 9L) / 10L))
+    val docs2 = (adversarial.map(id => (id, "xx", "q")) ++
+        (1L to 60L).map(i => (i * 31L, "en", "a"))).toDF("doc_id", "lang", "source")
+    val direct2 = TextAnalysis
+      .temperatureSampleOf(docs2, budget = 2L, preFilterMinStratum = Long.MaxValue)
+      .collect().toSeq
+    val pre2 = TextAnalysis
+      .temperatureSampleOf(docs2, budget = 2L, preFilterMinStratum = 1L)
+      .collect().toSeq
+    assert(pre2 === direct2, "rescue pass failed to restore the underfilled stratum")
+    assert(pre2.count(_.getString(0) == "xx") > 0, "adversarial stratum lost its guaranteed quota")
+  }
+
   test("p9: MG prefilter loses no heavy hitter even with a sketch far smaller than the vocab") {
     import spark.implicits._
     // 5000 distinct rare words (1×) + two heavy ones — with k=64 ≪

@@ -26,6 +26,22 @@ object Bench {
     else s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"sf":"$sfDir"}"""
   }
 
+  /** Append a bench record to the repo-local ledger. The driver's
+    * BENCH_r{N}.json parser has recorded `parsed: null` in all ten rounds
+    * (sbt appends `[success] ...` after our last line, so the artifact's
+    * tail is never pure JSON) — the ledger makes each round's perf record
+    * a repo fact instead of a hostage of a 2000-char stdout window. */
+  private[graft] def appendLedger(line: String,
+      path: java.nio.file.Path = java.nio.file.Paths.get("BENCH_LOCAL.jsonl")): Unit =
+    try
+      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    catch { // a read-only checkout must not fail the bench itself
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] ledger append failed: ${e.getMessage}")
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -105,7 +121,9 @@ object Bench {
     // driver keeps only the final ~2000 chars of stdout) and Bench
     // emits nothing after it.
     println(s"""{"metric":"spread","queries":$spreads,"sf":"$sfDir"}""")
-    println(compactLine(medians, minTotal, sfDir))
+    val compact = compactLine(medians, minTotal, sfDir)
+    appendLedger(s"""{"ts":"${java.time.Instant.now()}","lane":"$lane","compact":$compact,"spread":{"queries":$spreads}}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -1,8 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
-import scala.concurrent.{Await, ExecutionContext, Future}
-import scala.concurrent.duration._
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -11,10 +9,19 @@ object Verify {
   /** Dump each query under its own cancellable job group with a hard
     * per-query wall-clock bound. One pathological plan (round 9's
     * g30_ktruss nested-loop hang) must cost the sweep ONE red row, not
-    * the whole round's artifact: on timeout the query's job group is
-    * cancelled (running tasks interrupted), the error is recorded, and
-    * the sweep moves on. Returns name → error for every failed/timed-out
-    * query (also mirrored to stderr and `outDir/errors.json`). */
+    * the whole round's artifact. Each query runs on its own DAEMON
+    * thread, not a shared pool: a query hung DRIVER-side (planning /
+    * stats walks — the round-9 failure class) never finishes its task,
+    * and on a shared ExecutionContext such zombies pile up until the
+    * pool starves and later queries "time out" without ever running. On
+    * timeout the thread is interrupted (driver-side hangs sit in
+    * interruptible BigInt/plan loops often enough to matter, and a
+    * daemon thread can't outlive the sweep either way) and the job group
+    * is cancelled WITH future-job fencing — plain cancelJobGroup is not
+    * sticky, so jobs the zombie submits later would otherwise still run
+    * and write into outDir after the red row was recorded. Returns
+    * name → error for every failed/timed-out query (also mirrored to
+    * stderr and `outDir/errors.json`). */
   def runSweep(spark: SparkSession, sfDir: String, outDir: String,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
       timeoutSec: Int): Map[String, String] = {
@@ -22,25 +29,29 @@ object Verify {
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       val group = s"verify-$name"
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
       // job group is thread-local: set it inside the worker thread so
       // every job the dump submits lands in the cancellable group
-      val fut = Future {
+      val worker = new Thread(() => {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        catch { case e: Throwable => failed.set(e) }
         finally spark.sparkContext.clearJobGroup()
-      }(ExecutionContext.global)
-      try Await.result(fut, timeoutSec.seconds)
-      catch {
-        case _: concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
-          val msg = s"TIMEOUT after ${timeoutSec}s (job group cancelled)"
-          errs(name) = msg
-          System.err.println(s"[verify] $name $msg")
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          errs(name) = msg
-          System.err.println(s"[verify] $name failed: $msg")
+      }, group)
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+        worker.interrupt()
+        val msg = s"TIMEOUT after ${timeoutSec}s (job group cancelled + future jobs fenced)"
+        errs(name) = msg
+        System.err.println(s"[verify] $name $msg")
+      } else Option(failed.get()).foreach { e =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errs(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     if (errs.nonEmpty)

@@ -460,9 +460,9 @@ object Ingest {
       else {
         val ser = serialize(ready)
         cur = cur.join(ser.withColumnRenamed("sid", "rs"), cur("s") === col("rs"), "left_anti")
-        cur = cur.join(ser, cur("o") === ser("sid"), "left")
-          .select(col("s"), col("p"), coalesce(col("json"), col("o")).as("o"), col("quals"))
-          .localCheckpoint()
+        cur = graft.core.Iterate.save(cur.join(ser, cur("o") === ser("sid"), "left")
+          .select(col("s"), col("p"), coalesce(col("json"), col("o")).as("o"), col("quals")),
+          0, depth)
         depth += 1
       }
     }

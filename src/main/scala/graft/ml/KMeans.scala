@@ -62,7 +62,7 @@ object KMeans {
     var centroids = seed(data, k)
     var r = 0
     while (r < rounds) {
-      centroids = updateCentroids(assign(data, centroids)).localCheckpoint()
+      centroids = graft.core.Iterate.save(updateCentroids(assign(data, centroids)), 0, r)
       r += 1
     }
     (assign(data, centroids), centroids)

@@ -1400,10 +1400,9 @@ object Dedup extends QueryModule {
         .localCheckpoint()
       merges = if (merges == null) pick else merges.union(pick)
       val relabel = pick.select(col("ca").as("_w"), col("cb").as("_l"))
-      assign = assign
+      assign = graft.core.Iterate.save(assign
         .join(broadcast(relabel), assign("cluster") === relabel("_l"), "left")
-        .select(col("cid"), coalesce(col("_w"), col("cluster")).as("cluster"))
-        .localCheckpoint()
+        .select(col("cid"), coalesce(col("_w"), col("cluster")).as("cluster")), 0, r)
       snapshots :+= assign
     }
     (a2raw.withColumnRenamed("id", "vec_id"), merges, snapshots)

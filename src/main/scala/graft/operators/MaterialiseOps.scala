@@ -1432,7 +1432,7 @@ object MaterialiseOps extends QueryModule {
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
     var edges: DataFrame = pairs
     val rows = Seq(8, 11, 14).map { k =>
-      val t = kTrussOf(edges, k, maxIter = 6).localCheckpoint()
+      val t = graft.core.Iterate.save(kTrussOf(edges, k, maxIter = 6), 0, k)
       edges = t.select(col("u"), col("v"))
       t.agg(
           count(lit(1)).as("n_edges"),

@@ -1372,11 +1372,10 @@ object TextAnalysis extends QueryModule {
         .join(kept, Seq("doc_id", "word_id", "pos"), "left_anti")
         .join(kept.select(col("doc_id"), col("word_id"), (col("pos") + 1).as("pos")),
           Seq("doc_id", "word_id", "pos"), "left_anti")
-      seq = survivors.union(merged)
+      seq = graft.core.Iterate.save(survivors.union(merged)
         .select(col("doc_id"), col("word_id"),
           (row_number().over(wIsl) - 1).cast("long").as("pos2"), col("sym"))
-        .select(col("doc_id"), col("word_id"), col("pos2").as("pos"), col("sym"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("word_id"), col("pos2").as("pos"), col("sym")), 0, r)
     }
     (out.reduce(_ union _).orderBy(col("merge_rank")), seq)
   }

@@ -160,12 +160,11 @@ object Query {
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier.join(step, frontier("nodeId") === step("from"))
+      val next = saveRound(frontier.join(step, frontier("nodeId") === step("from"))
         .select(col("to").as("nodeId")).distinct()
         .join(visited.select("nodeId"), Seq("nodeId"), "left_anti")
-        .withColumn("depth", lit(depth))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .withColumn("depth", lit(depth)), depth, 0)
+      visited = saveRound(visited.union(next), depth, 0)
       frontier = next
     }
     step.unpersist()
@@ -182,10 +181,14 @@ object Query {
     * per-round lineage truncation keeps the plan O(1). */
   /** Shared iterative-checkpoint policy (see ConnectedComponents.run):
     * `reliableEvery > 0` → every k-th round checkpoints reliably
-    * (requires a checkpoint dir) instead of to executor-local blocks. */
+    * (requires a checkpoint dir) instead of to executor-local blocks.
+    * Delegates to [[graft.core.Iterate.save]] so every loop-carried frame
+    * gets the checkpoint stats clamp — a bare localCheckpoint inherits
+    * its origin plan's size estimate, which compounds multiplicatively
+    * across join-loop rounds until the driver stalls in BigInt stats
+    * walks (the round-10 k-truss-sweep hang). */
   private def saveRound(df: DataFrame, round: Int, reliableEvery: Int): DataFrame =
-    if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint()
-    else df.localCheckpoint()
+    graft.core.Iterate.save(df, reliableEvery, round)
 
   def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
                             maxIter: Int = 30,
@@ -201,10 +204,9 @@ object Query {
       val cand = frontier.join(step, frontier("nodeId") === step("from"))
         .select(col("to").as("nodeId"), (col("dist") + col("w")).as("d2"))
         .groupBy("nodeId").agg(min(col("d2")).as("d2"))
-      val improved = cand.join(dist, Seq("nodeId"), "left")
+      val improved = saveRound(cand.join(dist, Seq("nodeId"), "left")
         .where(col("dist").isNull || col("d2") < col("dist"))
-        .select(col("nodeId"), col("d2").as("dist"))
-        .localCheckpoint() // frontier: small, recomputable
+        .select(col("nodeId"), col("d2").as("dist")), iter, 0) // frontier: small
       dist = saveRound(dist.join(improved, Seq("nodeId"), "left_anti")
         .union(improved), iter, reliableEvery)
       frontier = improved
@@ -234,10 +236,9 @@ object Query {
       val cand = frontier.join(step, frontier("nodeId") === step("from"))
         .select(col("src"), col("to").as("nodeId"), (col("dist") + col("w")).as("d2"))
         .groupBy("src", "nodeId").agg(min(col("d2")).as("d2"))
-      val improved = cand.join(dist, Seq("src", "nodeId"), "left")
+      val improved = saveRound(cand.join(dist, Seq("src", "nodeId"), "left")
         .where(col("dist").isNull || col("d2") < col("dist"))
-        .select(col("src"), col("nodeId"), col("d2").as("dist"))
-        .localCheckpoint()
+        .select(col("src"), col("nodeId"), col("d2").as("dist")), iter, 0)
       dist = saveRound(dist.join(improved, Seq("src", "nodeId"), "left_anti")
         .union(improved), iter, reliableEvery)
       frontier = improved
@@ -276,8 +277,8 @@ object Query {
       val contrib = sigma.withColumnRenamed("nodeId", "from")
         .join(dag, Seq("src", "from"))
         .select(col("src"), col("to").as("nodeId"), col("sigma"))
-      val next = seed.union(contrib).groupBy("src", "nodeId")
-        .agg(sum(col("sigma")).as("sigma")).localCheckpoint()
+      val next = saveRound(seed.union(contrib).groupBy("src", "nodeId")
+        .agg(sum(col("sigma")).as("sigma")), iter, 0)
       // σ only grows row- and value-wise, so one-sided compare suffices
       done = next.join(sigma, Seq("src", "nodeId", "sigma"), "left_anti").isEmpty
       sigma = next
@@ -312,8 +313,8 @@ object Query {
           frontier("anc") === col("mid"))
         .select(col("desc"), col("anc2").as("anc"))
         .distinct()
-      val novel = extended.join(closure, Seq("desc", "anc"), "left_anti")
-        .localCheckpoint()
+      val novel = saveRound(
+        extended.join(closure, Seq("desc", "anc"), "left_anti"), depth, 0)
       closure = saveRound(closure.union(novel), depth, reliableEvery)
       frontier = novel
     }

@@ -14,6 +14,17 @@ class BenchFormatSpec extends SparkSpec {
     assert(line.endsWith("}"))
   }
 
+  test("the bench ledger appends one parseable JSON line per run") {
+    val p = java.nio.file.Files.createTempFile("bench_ledger", ".jsonl")
+    try {
+      Bench.appendLedger("""{"run":1}""", p)
+      Bench.appendLedger("""{"run":2}""", p)
+      val lines = java.nio.file.Files.readAllLines(p)
+      assert(lines.size === 2, "each run must append exactly one line")
+      assert(lines.get(0) === """{"run":1}""" && lines.get(1) === """{"run":2}""")
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("an oversized queries map degrades to the headline-only line, never breaches") {
     val huge = (1 to 300).map(i => s"q${i}_some_rather_long_query_name" -> 1.0)
     val line = Bench.compactLine(huge, 1.0, "/x")

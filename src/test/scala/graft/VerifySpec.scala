@@ -32,6 +32,32 @@ class VerifySpec extends SparkSpec {
     assert(ej.contains("\"hangs\"") && ej.contains("TIMEOUT"))
   }
 
+  test("watchdog: a DRIVER-side hang times out, and the fence blocks the zombie's late jobs") {
+    val out = Files.createTempDirectory("verify_fence").toString
+    // hangs in plan/driver code (no Spark job submitted), swallows the
+    // watchdog's interrupt, then tries to run its query anyway — the
+    // worst case: a zombie thread submitting work AFTER its red row was
+    // recorded. cancelJobGroupAndFutureJobs must fence that job out.
+    val stubborn: (SparkSession, String) => DataFrame = (s, _) => {
+      try new java.util.concurrent.CountDownLatch(1).await() // driver-side hang
+      catch { case _: InterruptedException => () }
+      s.range(7).toDF("z")
+    }
+    val after: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(3).toDF("m")
+    val errs = Verify.runSweep(spark, "unused", out,
+      Seq("stubborn" -> stubborn, "ok_after" -> after), timeoutSec = 3)
+    assert(errs.keySet === Set("stubborn"))
+    assert(errs("stubborn").contains("TIMEOUT"))
+    // no pool starvation: the query after the driver-side hang ran
+    assert(spark.read.parquet(s"$out/ok_after").count() === 3L)
+    // give the interrupted zombie ample time to attempt its write; the
+    // fenced job group must never produce a committed output
+    Thread.sleep(10000)
+    assert(!Files.exists(Paths.get(s"$out/stubborn/_SUCCESS")),
+      "zombie thread committed output after its timeout was recorded")
+  }
+
   test("registry sanity: no null oracle SQL or query fn (object-init-order guard)") {
     // a QueryDef registered above the val holding its SQL captures
     // Some(null) at object init and NPEs the whole oracle dump — caught

@@ -844,8 +844,26 @@ object Streaming {
     * granularity guarantees that here). On full replay the maintained
     * (n_edges, n_triangles) row equals batch g19 and shares its
     * oracle. */
+  /** st26/st28 precondition, checked loudly: the triangle IVM builds
+    * co-order pairs PER MICRO-BATCH, so every order's rows must arrive in
+    * one batch — guaranteed here only because the streamed table is a
+    * single parquet file (file granularity = batch granularity). If the
+    * table ever becomes a directory of part files, `pathGlobFilter`
+    * (which matches leaf FILES) silently selects nothing and — worse — a
+    * multi-file layout could split an order across batches and drop its
+    * cross-file co-order pairs. Fail at construction, not as a confusing
+    * whole-gate oracle mismatch. */
+  private def requireOrderAtomicFile(d: String, table: String): Unit = {
+    val f = new java.io.File(s"$d/$table")
+    require(f.isFile,
+      s"$d/$table must be a single parquet file: per-batch co-order pair " +
+        "construction needs order-atomic batches, which only file " +
+        "granularity guarantees (and pathGlobFilter matches leaf files only)")
+  }
+
   def streamTriangleCount(s: SparkSession, d: String, stateDir: String): DataFrame = {
     import graft.core.Tables
+    requireOrderAtomicFile(d, "lineitem.parquet")
     def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -885,6 +903,7 @@ object Streaming {
     * the row equals batch g32 and shares its oracle. */
   def streamTrianglesSampled(s: SparkSession, d: String, stateDir: String): DataFrame = {
     import graft.core.Tables
+    requireOrderAtomicFile(d, "lineitem.parquet")
     val keep = graft.core.Exact.edgeDraw(col("u"), col("v"))
     def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
       li.as("a").join(li.as("b"),

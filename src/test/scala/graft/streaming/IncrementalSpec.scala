@@ -43,4 +43,21 @@ class IncrementalSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() == 2 * n1)
   }
+
+  test("st26/st28 fail loudly when lineitem.parquet is a directory, not a file") {
+    // the glob-based stream would silently read nothing (and a multi-file
+    // table could split an order across batches) — the precondition must
+    // throw at construction instead
+    val d = Files.createTempDirectory("li_dir")
+    Files.createDirectory(d.resolve("lineitem.parquet"))
+    val state = Files.createTempDirectory("li_state").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.streamTriangleCount(spark, d.toString, state)
+    }
+    assert(e.getMessage.contains("order-atomic"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.Streaming.streamTrianglesSampled(spark, d.toString, state)
+    }
+    assert(e2.getMessage.contains("order-atomic"))
+  }
 }

@@ -404,6 +404,46 @@ class GraphAnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("coreness warm restart: the min(deg, old_h + |B|) seed reaches the fresh fixpoint") {
+    import spark.implicits._
+    def degSeed(e: org.apache.spark.sql.DataFrame) = {
+      val p = e.select(col("u"), col("v")).distinct()
+      p.select(col("u").as("node")).union(p.select(col("v")))
+        .groupBy("node").agg(count(lit(1)).as("h"))
+    }
+    def warmSeed(e: org.apache.spark.sql.DataFrame,
+                 old: org.apache.spark.sql.DataFrame, batchSize: Long) =
+      degSeed(e).withColumnRenamed("h", "deg")
+        .join(old.select(col("id").as("node"), col("coreness_h")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("deg"), coalesce(col("coreness_h"), col("deg")) + lit(batchSize)).as("h"))
+    // path 1-2-3-4-5: coreness all 1. ONE inserted edge (5,1) closes the
+    // cycle and raises EVERY node to 2 — the distant-increase case that
+    // invalidates any per-node-local seed; only the global +|B| bound is
+    // a true upper bound, and the sandwich argument says iterating from
+    // it lands exactly on the fresh fixpoint
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val old = MaterialiseOps.corenessFixpointFrom(path, degSeed(path))
+    val cyc = path.union(Seq((5L, 1L)).toDF("u", "v"))
+    val warm = MaterialiseOps.corenessFixpointFrom(cyc, warmSeed(cyc, old, 1L))
+      .as[(Long, Long)].collect().toMap
+    val fresh = MaterialiseOps.corenessFixpointFrom(cyc, degSeed(cyc))
+      .as[(Long, Long)].collect().toMap
+    assert(warm === fresh)
+    assert(warm.values.toSet === Set(2L))
+    // K4 (coreness 3) + a batch attaching node 9 to two of its corners:
+    // new node enters at coreness 2, the K4 stays at 3
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("u", "v")
+    val oldK = MaterialiseOps.corenessFixpointFrom(k4, degSeed(k4))
+    val grown = k4.union(Seq((1L, 9L), (2L, 9L)).toDF("u", "v"))
+    val warmK = MaterialiseOps.corenessFixpointFrom(grown, warmSeed(grown, oldK, 2L))
+      .as[(Long, Long)].collect().toMap
+    val freshK = MaterialiseOps.corenessFixpointFrom(grown, degSeed(grown))
+      .as[(Long, Long)].collect().toMap
+    assert(warmK === freshK)
+    assert(warmK(9L) === 2L && warmK(1L) === 3L)
+  }
+
   test("g31: monotone reuse — peeling truss(k2) from truss(k1)'s survivors equals peeling from scratch") {
     import spark.implicits._
     // the nesting truss(4) ⊆ truss(3) makes the sweep's survivor-reuse

@@ -1542,7 +1542,9 @@ object MaterialiseOps extends QueryModule {
     * A decoy `id`-typed edge incident to each root pins the notebook's
     * `type(ra) <> "id"` exclusion — the oracle never builds those edges,
     * so a broken exclusion fails the gate, not just a spec. */
-  private def aggrGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[graft] val aggrCubeRoots = Seq("c:000000042", "n:000000007")
+
+  private[graft] def aggrGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val edge = (f: Column, t: Column, et: String) =>
       f.as("fromNodeId") :: t.as("toNodeId") :: lit(et).as("edgeType") :: Nil
     val edges = Tables.orders(s, d)
@@ -1574,7 +1576,7 @@ object MaterialiseOps extends QueryModule {
 
   def aggrCountCube(s: SparkSession, d: String): DataFrame = {
     val (edges, types) = aggrGraph(s, d)
-    Seq("c:000000042", "n:000000007")
+    aggrCubeRoots
       .map(r => Query.aggrCounts(edges, types, r).withColumn("root", lit(r)))
       .reduce(_ unionByName _)
       .orderBy(col("root"), col("direction"), col("edge1"), col("type1"),

@@ -161,5 +161,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamTrianglesSampled(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_stris_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.trianglesSampledSql)),
+    "st29_stream_aggr_cube" -> QueryDef(
+      (s, d) => Streaming.streamAggrCube(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_scube_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.aggrCountCubeSql)),
   )
 }

@@ -353,23 +353,45 @@ object Query {
     * (nodeId, displayType); joined after the path count's group-by keys
     * are fixed, so the big join carries ids only. */
   def aggrCounts(edges: DataFrame, types: DataFrame, rootId: String): DataFrame = {
+    val inc = incidentOriented(edges)
+    typedCube(twoHopPaths(inc, inc, rootId), types)
+  }
+
+  /** Every edge oriented both ways with a direction tag (`in` = the edge
+    * points AT src), `id`-typed edges excluded — the single relation the
+    * four MATCH directions fall out of. Factored so the streaming IVM
+    * (st29) can build old/new incidence sets from the same definition. */
+  private[graft] def incidentOriented(edges: DataFrame): DataFrame = {
     val e = edges.where(col("edgeType") =!= "id")
-    val inc = e.select(col("fromNodeId").as("src"), col("toNodeId").as("dst"),
+    e.select(col("fromNodeId").as("src"), col("toNodeId").as("dst"),
         col("edgeType"), lit("out").as("dir"))
       .union(e.select(col("toNodeId"), col("fromNodeId"), col("edgeType"), lit("in")))
-    val hop1 = inc.where(col("src") === lit(rootId) && col("dst") =!= lit(rootId))
+  }
+
+  /** The 2-hop paths around `rootId` with hop 1 drawn from `hop1Inc` and
+    * hop 2 from `hop2Inc` — split so the IVM's delta (paths using at
+    * least one NEW edge) is the disjoint union new⋈old ∪ old⋈new ∪
+    * new⋈new over the same code path the batch cube uses. */
+  private[graft] def twoHopPaths(hop1Inc: DataFrame, hop2Inc: DataFrame,
+                                 rootId: String): DataFrame = {
+    val hop1 = hop1Inc.where(col("src") === lit(rootId) && col("dst") =!= lit(rootId))
       .select(col("dst").as("n1"), col("edgeType").as("edge1"), col("dir").as("dir1"))
-    val hop2 = broadcast(hop1).join(inc, col("n1") === col("src"))
+    broadcast(hop1).join(hop2Inc, col("n1") === col("src"))
       .where(col("dst") =!= lit(rootId) && col("dst") =!= col("n1"))
       .select(concat(col("dir1"), lit("_"), col("dir")).as("direction"),
         col("edge1"), col("n1"),
         col("edgeType").as("edge2"), col("dst").as("n2"))
+  }
+
+  /** Group raw paths into the typed count cube with the rendered path
+    * pattern. */
+  private[graft] def typedCube(paths: DataFrame, types: DataFrame): DataFrame = {
     val t1 = types.select(col("nodeId").as("n1"), col("displayType").as("type1"))
     val t2 = types.select(col("nodeId").as("n2"), col("displayType").as("type2"))
     val arrow = (edge: Column, ty: Column, fwd: Column) =>
       when(fwd, concat(lit("-["), edge, lit("]->("), ty, lit(")")))
         .otherwise(concat(lit("<-["), edge, lit("]-("), ty, lit(")")))
-    hop2.join(t1, "n1").join(t2, "n2")
+    paths.join(t1, "n1").join(t2, "n2")
       .groupBy(col("direction"), col("edge1"), col("type1"), col("edge2"), col("type2"))
       .agg(count(lit(1)).as("num"))
       .withColumn("path", concat(lit("(R)"),

@@ -937,6 +937,46 @@ object Streaming {
         (col("n_triangles") * lit(64L)).as("estimate"))
   }
 
+  /** Streaming 2-HOP COUNT CUBE (st29): g36's per-root neighborhood
+    * aggregation maintained under edge insertions by
+    * [[graft.pipeline.IncrementalAggrCube]]. The base fold takes every
+    * edge type except the ord:supplier edges of odd orders, which then
+    * stream in from the lineitem file; on full replay the maintained
+    * cube equals batch g36 and shares its oracle. NO order-atomicity
+    * precondition (unlike st26/st28): path counts are additive over
+    * (edge1, edge2) pairs and the anti-join dedups redelivered edges,
+    * so a multi-file table that split an order across batches would
+    * still fold exactly. */
+  def streamAggrCube(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.pipeline.IncrementalAggrCube
+    val (edges, types) = graft.operators.MaterialiseOps.aggrGraph(s, d)
+    val ty = types.localCheckpoint() // static dim: resolved at every fold
+    val oddSupplier = col("edgeType") === "ord:supplier" &&
+      substring(col("fromNodeId"), 3, 9).cast("long") % 2 === 1
+    val roots = graft.operators.MaterialiseOps.aggrCubeRoots
+    IncrementalAggrCube.update(s, stateDir, edges.where(!oddSupplier), ty, roots, 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(graft.core.Pad.node("o:", col("l_orderkey")).as("fromNodeId"),
+        graft.core.Pad.node("s:", col("l_suppkey")).as("toNodeId"),
+        lit("ord:supplier").as("edgeType"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalAggrCube.update(s, stateDir, batch.toDF(), ty, roots, id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    IncrementalAggrCube.current(s, stateDir)
+  }
+
   /** Streaming ANN PROBE (st18): s2's sign-bucket ANN on arrival — each
     * incoming query embedding computes its 8-bit sign bucket ROW-LOCALLY
     * (st8's stream-static shape: no stream-side shuffle), probes the

@@ -1531,6 +1531,49 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY k""".stripMargin
   }
 
+  /** g37 — LOCAL CLUSTERING COEFFICIENT ([[Query.localClustering]]) over
+    * g19's parts-co-order graph: per-node triangle participation over
+    * wedge capacity, exact ppm fixed point. The per-vertex companion to
+    * the global g19 count — curation pipelines read it as a community
+    * cohesion / spam-structure signal (near-0 hubs vs near-10⁶ cliques). */
+  def localClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    Query.localClustering(pairs).orderBy(col("id"))
+  }
+
+  val localClusteringCoeffSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
+      |         CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
+      |  FROM pairs p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v),
+      |tri AS (
+      |  SELECT x.s AS s, x.t AS a, y.t AS b
+      |  FROM o x JOIN o y ON x.s = y.s AND x.t != y.t
+      |  JOIN o z ON z.s = x.t AND z.t = y.t),
+      |nt AS (
+      |  SELECT id, count(*) AS n_tri
+      |  FROM (SELECT unnest(list_value(s, a, b)) AS id FROM tri)
+      |  GROUP BY id)
+      |SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+      |  CAST(coalesce(nt.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CAST(CASE WHEN d.deg >= 2
+      |    THEN (2 * coalesce(nt.n_tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+      |    ELSE 0 END AS BIGINT) AS lcc_ppm
+      |FROM deg d LEFT JOIN nt ON nt.id = d.id
+      |ORDER BY d.id""".stripMargin
+
   /** g36 — the reference's 2-HOP NEIGHBORHOOD COUNT CUBE
     * (`notebooks/util_aggr_counts.py:7-30`, [[Query.aggrCounts]]) over a
     * five-edge-type TPC-H graph (orders→customers, orders→suppliers via
@@ -1658,5 +1701,6 @@ object MaterialiseOps extends QueryModule {
     "g34_coreness"     -> QueryDef(corenessHIndex, Some(corenessHIndexSql)),
     "g35_weighted_kcore" -> QueryDef(sCore, Some(sCoreSql)),
     "g36_aggr_count_cube" -> QueryDef(aggrCountCube, Some(aggrCountCubeSql)),
+    "g37_local_clustering" -> QueryDef(localClusteringCoeff, Some(localClusteringCoeffSql)),
   )
 }

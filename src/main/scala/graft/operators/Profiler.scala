@@ -438,6 +438,65 @@ object ProfilerOps extends QueryModule {
       |WHERE n >= (t + 1999) // 2000
       |ORDER BY n DESC, word""".stripMargin
 
+  /** p10 — EXACT GROUPED QUANTILES by cumulative value-bucket histogram:
+    * the inverse-CDF (type-1) quantile q_p = smallest v with
+    * #(values ≤ v) ≥ ⌈p·n/100⌉, computed WITHOUT sorting raw rows.
+    * Spark's exact `percentile` buffers every value of a group in one
+    * aggregator (driver-sized state at 100 TB) and approx_percentile
+    * can't be oracle-gated; this shape aggregates (group, value) →
+    * count FIRST (map-side combinable — a billion-row group shrinks to
+    * its distinct values before the shuffle), cumulative-sums the
+    * counts per group, and reads every requested percentile out of ONE
+    * pass with conditional min aggregates. Same hub-safety argument as
+    * g34's count-above-threshold H-index: the only per-group sort runs
+    * over distinct VALUES, not rows. Integer-exact throughout (prices
+    * as cents, ⌈⌉ via cum·100 ≥ p·n), so both engines agree to the
+    * digit. Gate: order-total quantiles per order priority. */
+  def exactQuantiles(s: SparkSession, d: String): DataFrame =
+    quantilesOf(
+      Tables.orders(s, d).select(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v")),
+      Seq(50, 90, 99))
+      .orderBy(col("g"))
+
+  /** Inverse-CDF quantiles of (g, v) rows for integer percents — the
+    * seam st30's merged read reuses, so the batch gate and the streaming
+    * twin can never drift. */
+  private[graft] def quantilesOf(gv: DataFrame, pcts: Seq[Int]): DataFrame =
+    quantilesOfCounts(
+      gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")), pcts)
+
+  private[graft] def quantilesOfCounts(counts: DataFrame, pcts: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("g"))
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    cum.groupBy(col("g"))
+      .agg(pcts.map(p =>
+          min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p${p}_cents")).head,
+        pcts.tail.map(p =>
+          min(when(col("cum") * 100 >= col("n") * p, col("v"))).as(s"p${p}_cents")): _*)
+  }
+
+  val exactQuantilesSql: String =
+    """WITH v AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |c AS (SELECT g, v, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |         sum(cnt) OVER (PARTITION BY g) AS n
+      |  FROM c)
+      |SELECT g,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS BIGINT) AS p50_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS BIGINT) AS p90_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_cents
+      |FROM cum GROUP BY g ORDER BY g""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -448,5 +507,6 @@ object ProfilerOps extends QueryModule {
     "p7_hll_estimate"   -> QueryDef(hllEstimate, Some(hllEstimateSql)),
     "p8_frequency_spectrum" -> QueryDef(frequencySpectrum, Some(frequencySpectrumSql)),
     "p9_heavy_hitters" -> QueryDef(heavyHitters, Some(heavyHittersSql)),
+    "p10_exact_quantiles" -> QueryDef(exactQuantiles, Some(exactQuantilesSql)),
   )
 }

@@ -165,5 +165,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamAggrCube(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_scube_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.aggrCountCubeSql)),
+    "st30_stream_quantiles" -> QueryDef(
+      (s, d) => Streaming.streamExactQuantiles(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_squant_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.exactQuantilesSql)),
   )
 }

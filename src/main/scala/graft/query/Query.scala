@@ -552,6 +552,43 @@ object Query {
     res
   }
 
+  /** LOCAL CLUSTERING COEFFICIENT per node — triangles(v) divided by the
+    * wedge capacity deg(v)·(deg(v)−1)/2, in exact parts-per-million
+    * fixed point so both engines truncate identically. Reuses the g19
+    * once-oriented triangle discipline (degree-ordered orientation, each
+    * triangle materialised exactly once from its lowest-degree vertex)
+    * and then attributes the one row to all three corners with a 3-wide
+    * explode — per-node counting costs the SAME wedge work as the global
+    * count plus one |triangles|·3 shuffle, not a per-vertex neighborhood
+    * intersection. Nodes with deg < 2 emit 0 (no wedge capacity). */
+  def localClustering(undirected: DataFrame): DataFrame = {
+    val pairs = undirected.select(col("u"), col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val o = pairs
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = o.as("x").join(o.as("y"),
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
+      .select(col("x.s").as("w"), col("x.t").as("a"), col("y.t").as("b"))
+      .join(o.as("z"), col("a") === col("z.s") && col("b") === col("z.t"))
+    val perNode = tri.select(explode(array(col("w"), col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_ppm",
+        when(col("deg") >= 2,
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over an
     * undirected edge set (`(u, v)` pairs, u < v, self-loop-free): every
     * node starts labelled with its own id; each round it adopts the MODE

@@ -820,6 +820,50 @@ object Streaming {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** Streaming EXACT QUANTILES (st30): p10's inverse-CDF quantiles
+    * maintained from MERGEABLE histogram state — the (group, value)
+    * count is a semigroup, so each micro-batch writes its own partial
+    * value-bucket counts into a `batch=<id>` partition (idempotent
+    * overwrite on redelivery) and the read-side merge sums buckets
+    * before running the SAME [[graft.operators.ProfilerOps
+    * .quantilesOfCounts]] extraction the batch gate uses. This is the
+    * quantile shape a stream can actually keep exact: raw-value state
+    * grows without bound, but the bucket table grows only with the
+    * distinct-value count, and every percentile read is one
+    * cumulative-window pass over it. On full replay the result equals
+    * batch p10 and shares its oracle. */
+  def streamExactQuantiles(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(d)
+      .select(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/hist.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/hist.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "g STRING, p50_cents BIGINT, p90_cents BIGINT, p99_cents BIGINT"))
+    graft.operators.ProfilerOps.quantilesOfCounts(
+        s.read.parquet(s"$stateDir/hist.parquet")
+          .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt")),
+        Seq(50, 90, 99))
+      .orderBy(col("g"))
+  }
+
   /** Streaming GAP-FILLED BARS (st27): the serving-side composition of
     * st24's maintained state with a8's read transform — the per-batch
     * mergeable OHLC partials are folded exactly as st24 writes them,

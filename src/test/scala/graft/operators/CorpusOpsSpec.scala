@@ -366,6 +366,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(pre2.count(_.getString(0) == "xx") > 0, "adversarial stratum lost its guaranteed quota")
   }
 
+  test("p10: inverse-CDF quantiles are type-1 exact under ties, and bucket counts merge exactly") {
+    import spark.implicits._
+    // n=4 evens: p50 needs cum >= 2 -> 20; p90 needs cum >= ceil(3.6)=4 -> 40
+    // ties: [1,1,1,100] -> p50 = 1 (cum(1)=3), p90 = 100
+    val gv = (Seq(10L, 20L, 30L, 40L).map(("a", _)) ++
+        Seq(1L, 1L, 1L, 100L).map(("b", _))).toDF("g", "v")
+    val q = graft.operators.ProfilerOps.quantilesOf(gv, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, p50, p90, p99) => g -> ((p50, p90, p99)) }.toMap
+    assert(q("a") === ((20L, 40L, 40L)))
+    assert(q("b") === ((1L, 100L, 100L)))
+    // mergeability (the st30 contract): partial bucket counts summed
+    // then extracted == extraction over the union
+    val part1 = Seq(("a", 10L), ("a", 20L), ("b", 1L)).toDF("g", "v")
+      .groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val part2 = Seq(("a", 30L), ("a", 40L), ("b", 1L), ("b", 1L), ("b", 100L))
+      .toDF("g", "v").groupBy("g", "v").agg(count(lit(1)).as("cnt"))
+    val merged = part1.unionByName(part2)
+      .groupBy("g", "v").agg(sum(col("cnt")).as("cnt"))
+    val qm = graft.operators.ProfilerOps.quantilesOfCounts(merged, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val qd = graft.operators.ProfilerOps.quantilesOf(gv, Seq(50, 90, 99))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(qm === qd)
+  }
+
   test("p9: MG prefilter loses no heavy hitter even with a sketch far smaller than the vocab") {
     import spark.implicits._
     // 5000 distinct rare words (1×) + two heavy ones — with k=64 ≪

@@ -404,6 +404,30 @@ class GraphAnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("g37: local clustering is exact on hand graphs and sums to 3x the global count") {
+    import spark.implicits._
+    // K4 + pendant on node 1: K4 corners have 3 triangles... node 1 has
+    // deg 4 (3 corners + pendant) and its 3 triangles over C(4,2)=6
+    // wedges -> 500000 ppm; pure corners deg 3 -> 3/3 = 1000000 ppm;
+    // pendant deg 1 -> 0
+    val k4p = ((for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) :+ ((1L, 9L)))
+      .toDF("u", "v")
+    val lcc = Query.localClustering(k4p)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, deg, nt, ppm) => id -> ((deg, nt, ppm)) }.toMap
+    assert(lcc(1L) === ((4L, 3L, 500000L)))
+    assert(lcc(2L) === ((3L, 3L, 1000000L)))
+    assert(lcc(9L) === ((1L, 0L, 0L)))
+    // attribution identity: per-node triangle counts sum to 3 x global
+    val totalPerNode = lcc.values.map(_._2).sum
+    val global = Query.triangleCount(k4p).as[(Long, Long)].collect().head._2
+    assert(totalPerNode === 3L * global)
+    // a triangle-free path has lcc 0 everywhere
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(Query.localClustering(path).as[(Long, Long, Long, Long)]
+      .collect().forall(_._4 === 0L))
+  }
+
   test("coreness warm restart: the min(deg, old_h + |B|) seed reaches the fresh fixpoint") {
     import spark.implicits._
     def degSeed(e: org.apache.spark.sql.DataFrame) = {

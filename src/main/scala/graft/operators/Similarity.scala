@@ -1331,6 +1331,68 @@ object Similarity extends QueryModule {
       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   }
 
+  /** s16 — ATTRIBUTE-FILTERED ANN: "find similar documents IN THE SAME
+    * LANGUAGE" — the filtered-vector-search shape every production
+    * retrieval system needs and most ANN indexes handle badly. The
+    * exact answer is PRE-FILTERING: constrain candidates by the
+    * attribute first (an equi-join on the filter key — here the
+    * query document's own lang — so the pair space is Σ per-language
+    * corpus sizes, never |corpus|), then exact integer re-rank. The
+    * common cheap alternative, POST-filtering an unconstrained ANN
+    * index, silently loses every true neighbor the index's bucket
+    * never surfaced — so each emitted true-top-3 row carries
+    * `in_bucket`: whether s2's sign-bucket index would have retrieved
+    * it at all. The aggregate of that column IS the post-filter recall
+    * ceiling, measured rather than assumed. Scale shape: the filter
+    * key joins before any distance math, queries broadcast, and the
+    * per-query top-k is a bounded window — at 100 TB the per-language
+    * partitions are the unit of probe cost, exactly like a partitioned
+    * IVF. */
+  def filteredAnn(s: SparkSession, d: String): DataFrame = {
+    val lang = Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val emb = quantized(s, d).withColumn("bucket", bucket).join(lang, "vec_id")
+      .select(col("vec_id"), col("lang"), col("bucket"), col("q"))
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("lang"),
+        col("bucket").as("qbucket"), col("q").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    broadcast(queries)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("lang"),
+        col("bucket").as("nbucket"), col("q")), Seq("lang"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
+        when(col("nbucket") === col("qbucket"), lit(1L)).otherwise(lit(0L)).as("in_bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val filteredAnnSql: String = {
+    val bucket = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT vec_id, lang, $bucket AS bucket,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings JOIN documents ON doc_id = vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot,
+      |    CASE WHEN b.bucket = a.bucket THEN 1 ELSE 0 END AS in_bucket
+      |  FROM e a JOIN e b ON b.lang = a.lang AND b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 20)
+      |SELECT query_id, rank, neighbor_id, dot, CAST(in_bucket AS BIGINT) AS in_bucket
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -1347,5 +1409,6 @@ object Similarity extends QueryModule {
     "s13_knn_graph"      -> QueryDef(knnGraph, Some(knnGraphSql)),
     "s14_knn_recall_sweep" -> QueryDef(knnGraphRecallSweep, Some(knnGraphRecallSweepSql)),
     "s15_pq_refine"        -> QueryDef(pqRefine, Some(pqRefineSql)),
+    "s16_filtered_ann"     -> QueryDef(filteredAnn, Some(filteredAnnSql)),
   )
 }

@@ -251,6 +251,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s16: filtered ANN joins on the filter key with a broadcast query side, never all-pairs") {
+    val p = plan("s16_filtered_ann")
+    assert(!p.contains("CartesianProduct"), "filtered search degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "query side lost its broadcast")
+    // the recall story is only honest if the pre-filter is real: at
+    // sf0.001 some true same-language neighbors must fall OUTSIDE the
+    // query's sign bucket (in_bucket = 0), i.e. post-filtering an
+    // unconstrained index would have missed them
+    val rows = SparkEntry.allDefs("s16_filtered_ann").fn(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(4) == 0L),
+      "every true neighbor is in-bucket — the post-filter recall column is vacuous here")
+  }
+
   test("g36: the direction-union 2-hop cube is two equi-joins with a broadcast frontier") {
     val p = plan("g36_aggr_count_cube")
     assert(!p.contains("CartesianProduct"), "2-hop cube degenerated to all-pairs")

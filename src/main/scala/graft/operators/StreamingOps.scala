@@ -169,5 +169,9 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamExactQuantiles(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_squant_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.exactQuantilesSql)),
+    "st31_stream_local_clustering" -> QueryDef(
+      (s, d) => Streaming.streamLocalClustering(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_slcc_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.localClusteringCoeffSql)),
   )
 }

@@ -981,6 +981,44 @@ object Streaming {
         (col("n_triangles") * lit(64L)).as("estimate"))
   }
 
+  /** Streaming LOCAL CLUSTERING (st31): g37's per-node coefficient
+    * maintained by [[graft.pipeline.IncrementalLcc]] — the st26
+    * arrival-rank triangle IVM with 3-corner attribution; degrees come
+    * from the edge state at read. Same single-file order-atomicity
+    * precondition as st26 (co-order pairs are built per batch). On full
+    * replay the table equals batch g37 and shares its oracle. */
+  def streamLocalClustering(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalLcc.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalLcc.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalLcc.current(s, stateDir)
+  }
+
   /** Streaming 2-HOP COUNT CUBE (st29): g36's per-root neighborhood
     * aggregation maintained under edge insertions by
     * [[graft.pipeline.IncrementalAggrCube]]. The base fold takes every

@@ -60,4 +60,32 @@ class IncrementalAggrCubeSpec extends SparkSpec {
     assert(cube(dir) === batchEquivalent(base.union(b1)))
     assert(cube(dir).exists(t => t._2 == "in_in" && t._8 == "(R)<-[x]-(A)<-[y]-(B)"))
   }
+
+  test("incremental LCC: a triangle spanning three batches credits all corners exactly once") {
+    val dir = Files.createTempDirectory("inc_lcc").toString
+    // triangle 1-2-3 arrives one edge per batch; edge (1,2) is also
+    // redelivered in the last batch and must not re-credit anyone.
+    // pendant 1-9 arrives with the base so degree bookkeeping is tested
+    IncrementalLcc.update(spark, dir,
+      Seq((1L, 2L), (1L, 9L)).toDF("u", "v"), 0L)
+    IncrementalLcc.update(spark, dir, Seq((2L, 3L)).toDF("u", "v"), 1L)
+    IncrementalLcc.update(spark, dir,
+      Seq((1L, 3L), (1L, 2L)).toDF("u", "v"), 2L)
+    val got = IncrementalLcc.current(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Query.localClustering(
+        Seq((1L, 2L), (1L, 9L), (2L, 3L), (1L, 3L)).toDF("u", "v"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    // hand values: node 1 has deg 3 (2, 3, 9), 1 triangle, C(3,2)=3
+    // wedges -> 333333 ppm; nodes 2/3 deg 2 -> 1000000; pendant 0
+    assert(got.contains((1L, 3L, 1L, 333333L)))
+    assert(got.contains((2L, 2L, 1L, 1000000L)))
+    assert(got.contains((9L, 1L, 0L, 0L)))
+    // replaying the last batch id leaves the state unchanged
+    IncrementalLcc.update(spark, dir,
+      Seq((1L, 3L), (1L, 2L)).toDF("u", "v"), 2L)
+    assert(IncrementalLcc.current(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet === batch)
+  }
 }

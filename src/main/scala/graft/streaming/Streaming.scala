@@ -897,9 +897,12 @@ object Streaming {
     * multi-file layout could split an order across batches and drop its
     * cross-file co-order pairs. Fail at construction, not as a confusing
     * whole-gate oracle mismatch. */
-  private def requireOrderAtomicFile(d: String, table: String): Unit = {
+  private def requireOrderAtomicFile(s: SparkSession, d: String, table: String): Unit = {
     val f = new java.io.File(s"$d/$table")
-    require(f.isFile,
+    // a directory-shaped table is admissible ONLY when it holds no rows
+    // (an empty corpus has no orders to split); any non-empty directory
+    // layout could split an order across micro-batches
+    require(f.isFile || s.read.parquet(f.getPath).isEmpty,
       s"$d/$table must be a single parquet file: per-batch co-order pair " +
         "construction needs order-atomic batches, which only file " +
         "granularity guarantees (and pathGlobFilter matches leaf files only)")
@@ -907,7 +910,7 @@ object Streaming {
 
   def streamTriangleCount(s: SparkSession, d: String, stateDir: String): DataFrame = {
     import graft.core.Tables
-    requireOrderAtomicFile(d, "lineitem.parquet")
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
     def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -947,7 +950,7 @@ object Streaming {
     * the row equals batch g32 and shares its oracle. */
   def streamTrianglesSampled(s: SparkSession, d: String, stateDir: String): DataFrame = {
     import graft.core.Tables
-    requireOrderAtomicFile(d, "lineitem.parquet")
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
     val keep = graft.core.Exact.edgeDraw(col("u"), col("v"))
     def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
       li.as("a").join(li.as("b"),
@@ -989,7 +992,7 @@ object Streaming {
     * replay the table equals batch g37 and shares its oracle. */
   def streamLocalClustering(s: SparkSession, d: String, stateDir: String): DataFrame = {
     import graft.core.Tables
-    requireOrderAtomicFile(d, "lineitem.parquet")
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
     def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&

@@ -116,6 +116,17 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-11 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("g36_aggr_count_cube", "g37_local_clustering",
+        "p10_exact_quantiles", "s16_filtered_ann",
+        "st29_stream_aggr_cube", "st30_stream_quantiles",
+        "st31_stream_local_clustering")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.pipeline.{IncrementalAggrCube, IncrementalLcc}
+import graft.query.Query
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Generative coverage for the round-11 algorithms whose correctness
+  * rests on a non-obvious argument: the 2-hop cube's direction/
+  * distinctness semantics (≡ brute-force path enumeration), its IVM and
+  * the per-corner LCC IVM (≡ batch across random batch splits with
+  * duplicates), local clustering (≡ brute neighborhood intersection),
+  * inverse-CDF quantiles (≡ the sorted-list definition), and the DOULION
+  * draw's uniformity on random vertex sets. Seeded RNG → failures
+  * replay. */
+class Round11FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("aggrCounts fuzz: engine cube equals brute-force 2-hop path enumeration") {
+    val rng = new scala.util.Random(11011L)
+    for (trial <- 1 to 4) {
+      val nV = 5 + rng.nextInt(4)
+      val ids = (0 until nV).map(i => s"n$i")
+      val ets = Seq("p", "q", "id")
+      val edges = (for {
+        f <- ids; t <- ids if f != t
+        et <- ets if rng.nextDouble() < 0.18
+      } yield (f, t, et)).distinct
+      if (edges.nonEmpty) {
+        val root = ids(rng.nextInt(nV))
+        val types = ids.map(i => (i, i.toUpperCase)).toDF("nodeId", "displayType")
+        val engine = Query.aggrCounts(
+            edges.toDF("fromNodeId", "toNodeId", "edgeType"), types, root)
+          .as[(String, String, String, String, String, Long, String)]
+          .collect().map(t => (t._1, t._2, t._3, t._4, t._5) -> t._6).toMap
+        // brute force: enumerate (ra, rb) edge-instance pairs
+        val e = edges.filter(_._3 != "id")
+        val inc = e.map { case (f, t, et) => (f, t, et, "out") } ++
+          e.map { case (f, t, et) => (t, f, et, "in") }
+        val brute = (for {
+          (s1, n1, et1, d1) <- inc if s1 == root && n1 != root
+          (s2, n2, et2, d2) <- inc if s2 == n1 && n2 != root && n2 != n1
+        } yield (s"${d1}_$d2", et1, n1.toUpperCase, et2, n2.toUpperCase))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(engine === brute, s"trial $trial root=$root diverged from brute force")
+      }
+    }
+  }
+
+  test("cube IVM fuzz: random batch splits with duplicates equal the batch cube") {
+    val rng = new scala.util.Random(22022L)
+    for (trial <- 1 to 3) {
+      val ids = (0 until 6).map(i => s"v$i")
+      val edges = (for {
+        f <- ids; t <- ids if f != t
+        et <- Seq("x", "y") if rng.nextDouble() < 0.3
+      } yield (f, t, et)).distinct
+      val root = ids(rng.nextInt(ids.size))
+      val types = ids.map(i => (i, i)).toDF("nodeId", "displayType")
+      val dir = Files.createTempDirectory(s"cube_fuzz$trial").toString
+      val nB = 1 + rng.nextInt(3)
+      val batches = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+      var delivered = Seq.empty[(String, String, String)]
+      batches.zipWithIndex.foreach { case ((_, es), i) =>
+        val dups = delivered.filter(_ => rng.nextDouble() < 0.3)
+        IncrementalAggrCube.update(spark, dir,
+          (es ++ dups).toDF("fromNodeId", "toNodeId", "edgeType"),
+          types, Seq(root), i.toLong)
+        delivered ++= es
+      }
+      val ivm = IncrementalAggrCube.current(spark, dir)
+        .select("direction", "edge1", "type1", "edge2", "type2", "num")
+        .as[(String, String, String, String, String, Long)].collect().toSet
+      val batch = Query.aggrCounts(
+          edges.toDF("fromNodeId", "toNodeId", "edgeType"), types, root)
+        .select("direction", "edge1", "type1", "edge2", "type2", "num")
+        .as[(String, String, String, String, String, Long)].collect().toSet
+      assert(ivm === batch, s"trial $trial (root=$root, batches=$nB) IVM diverged")
+    }
+  }
+
+  test("LCC fuzz: engine and IVM equal brute neighborhood intersection on random graphs") {
+    val rng = new scala.util.Random(33033L)
+    for (trial <- 1 to 4) {
+      val nV = 5 + rng.nextInt(5)
+      val all = for (u <- 0L until nV; v <- (u + 1) until nV) yield (u, v)
+      val edges = all.filter(_ => rng.nextDouble() < 0.45)
+      if (edges.nonEmpty) {
+        val nb = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+        edges.foreach { case (u, v) => nb(u) += v; nb(v) += u }
+        val brute = nb.map { case (id, ns) =>
+          val tri = ns.toSeq.combinations(2).count { case Seq(a, b) => nb(a).contains(b) }
+          val deg = ns.size.toLong
+          (id, deg, tri.toLong,
+            if (deg >= 2) 2L * tri * 1000000L / (deg * (deg - 1)) else 0L)
+        }.toSet
+        val engine = Query.localClustering(edges.toDF("u", "v"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(engine === brute, s"trial $trial LCC diverged from brute force")
+        // and the IVM over a random split agrees with the batch operator
+        val dir = Files.createTempDirectory(s"lcc_fuzz$trial").toString
+        val nB = 1 + rng.nextInt(3)
+        edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1).zipWithIndex
+          .foreach { case ((_, es), i) =>
+            IncrementalLcc.update(spark, dir, es.toDF("u", "v"), i.toLong)
+          }
+        val ivm = graft.pipeline.IncrementalLcc.current(spark, dir)
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(ivm === brute, s"trial $trial LCC IVM diverged")
+      }
+    }
+  }
+
+  test("quantile fuzz: histogram extraction equals the sorted-list type-1 definition") {
+    val rng = new scala.util.Random(44044L)
+    for (trial <- 1 to 5) {
+      val groups = Seq("a", "b")
+      val data = groups.flatMap { g =>
+        val n = 1 + rng.nextInt(40)
+        (1 to n).map(_ => (g, rng.nextInt(10).toLong)) // heavy ties on purpose
+      }
+      val pcts = Seq(50, 90, 99)
+      val engine = ProfilerOps.quantilesOf(data.toDF("g", "v"), pcts)
+        .as[(String, Long, Long, Long)].collect()
+        .map(t => t._1 -> Seq(t._2, t._3, t._4)).toMap
+      val brute = data.groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val n = sorted.size
+        g -> pcts.map { p =>
+          val k = (p * n + 99) / 100 // ceil(p*n/100)
+          sorted(math.max(k, 1) - 1)
+        }
+      }
+      assert(engine === brute, s"trial $trial quantiles diverged from sorted definition")
+    }
+  }
+
+  test("edgeDraw fuzz: keep ratio stays near 1/4 on random vertex-id regimes") {
+    val rng = new scala.util.Random(55055L)
+    // small ids, large ids, and mixed — the round-10 degenerate draws
+    // passed small-id spot checks and failed exactly these regimes
+    val regimes = Seq(
+      () => (rng.nextInt(2000).toLong + 1, rng.nextInt(2000).toLong + 1),
+      () => (math.abs(rng.nextLong()) % 1000000000L + 1, math.abs(rng.nextLong()) % 1000000000L + 1),
+      () => (rng.nextInt(50).toLong + 1, math.abs(rng.nextLong()) % 100000000L + 1))
+    regimes.zipWithIndex.foreach { case (gen, i) =>
+      val pairs = (1 to 4000).map(_ => gen()).filter(p => p._1 != p._2).distinct
+      val keep = pairs.count { case (u, v) => graft.core.Exact.edgeDrawLocal(u, v) }
+      val ratio = keep.toDouble / pairs.size
+      assert(ratio > 0.2 && ratio < 0.3, s"regime $i keep ratio $ratio degenerated from 1/4")
+    }
+  }
+}

@@ -50,6 +50,10 @@ class IncrementalSpec extends SparkSpec {
     // throw at construction instead
     val d = Files.createTempDirectory("li_dir")
     Files.createDirectory(d.resolve("lineitem.parquet"))
+    // non-empty: a directory-of-part-files table (the hazardous layout);
+    // an EMPTY directory table is admissible — no orders to split
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/lineitem.parquet"),
+      d.resolve("lineitem.parquet").resolve("part-00000.parquet"))
     val state = Files.createTempDirectory("li_state").toString
     val e = intercept[IllegalArgumentException] {
       graft.streaming.Streaming.streamTriangleCount(spark, d.toString, state)

@@ -266,6 +266,25 @@ class PlanSpec extends SparkSpec {
       "every true neighbor is in-bucket — the post-filter recall column is vacuous here")
   }
 
+  test("s17: the bucketed index self-joins with NO exchange — co-location is real") {
+    // disable auto-broadcast so the planner must SortMergeJoin: with a
+    // bucketed table on the join key, BOTH inputs read co-located bucket
+    // files and the join runs shuffle-free — the property that makes
+    // repeated candidate-generation passes O(scan), not O(shuffle), at
+    // 100 TB. (The gate itself may broadcast at tiny SF; the pin is about
+    // what happens when it can't.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.allDefs("s17_bucketed_selfjoin").fn(spark, d)
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("Bucketed: true"), "scan lost its bucketed layout")
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        "bucketed self-join re-shuffled — co-location lost")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("g36: the direction-union 2-hop cube is two equi-joins with a broadcast frontier") {
     val p = plan("g36_aggr_count_cube")
     assert(!p.contains("CartesianProduct"), "2-hop cube degenerated to all-pairs")

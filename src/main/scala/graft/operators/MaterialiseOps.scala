@@ -1531,6 +1531,92 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY k""".stripMargin
   }
 
+  /** k10 — GRAPHML NEIGHBORHOOD EXPORT: the reference's notebook export
+    * path (`notebooks/fipronil.ipynb` — apoc.export.graphml of
+    * `(other)-[r]-(node)` around one id) as an engine operator. Emits
+    * the 1-hop neighborhood of a root as ordered GraphML lines
+    * ((section, line) rows — section fixes document structure, lines
+    * sort lexically within it, so the output is byte-deterministic on
+    * any partitioning). XML-escapes with the same replace chain in both
+    * engines. Scale shape: the neighborhood selection is a point filter
+    * on the root id; everything downstream is O(|neighborhood|). */
+  private def xmlEsc(inner: String): String =
+    s"replace(replace(replace($inner, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+  def graphmlExport(s: SparkSession, d: String): DataFrame = {
+    val root = "c:000000042"
+    val (edges, types) = aggrGraph(s, d)
+    val inc = edges.where(col("edgeType") =!= "id")
+      .where(col("fromNodeId") === root || col("toNodeId") === root)
+      .localCheckpoint() // tiny: one node's incident edges, reused 3 ways
+    val nids = inc.select(col("fromNodeId").as("nodeId"))
+      .union(inc.select(col("toNodeId"))).distinct()
+    graphmlOf(s, nids.join(types, "nodeId"), inc)
+  }
+
+  /** (section, line) GraphML document over (nodeId, displayType) nodes
+    * and (fromNodeId, toNodeId, edgeType) edges — the spec seam. */
+  private[graft] def graphmlOf(s: SparkSession, nodes: DataFrame,
+                               edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val header = Seq(
+      (0L, """<?xml version="1.0" encoding="UTF-8"?>"""),
+      (1L, """<graphml xmlns="http://graphml.graphdrawing.org/xmlns">"""),
+      (2L, """<key id="type" for="node" attr.name="type" attr.type="string"/>"""),
+      (3L, """<graph id="G" edgedefault="directed">""")).toDF("section", "line")
+    val nodeLines = nodes
+      .select(lit(4L).as("section"),
+        concat(lit("<node id=\""), expr(xmlEsc("nodeId")),
+          lit("\"><data key=\"type\">"), expr(xmlEsc("displayType")),
+          lit("</data></node>")).as("line"))
+    val edgeLines = edges.select(lit(5L).as("section"),
+      concat(lit("<edge source=\""), expr(xmlEsc("fromNodeId")),
+        lit("\" target=\""), expr(xmlEsc("toNodeId")),
+        lit("\" label=\""), expr(xmlEsc("edgeType")), lit("\"/>")).as("line"))
+    val footer = Seq((6L, "</graph>"), (7L, "</graphml>")).toDF("section", "line")
+    header.unionByName(nodeLines).unionByName(edgeLines).unionByName(footer)
+      .orderBy(col("section"), col("line"))
+  }
+
+  val graphmlExportSql: String = {
+    val esc = xmlEsc _
+    s"""WITH e AS (
+      |  SELECT 'o:' || ${sqlPad("o_orderkey")} AS f, 'c:' || ${sqlPad("o_custkey")} AS t,
+      |         'ord:customer' AS et FROM orders
+      |  UNION ALL SELECT DISTINCT 'o:' || ${sqlPad("l_orderkey")}, 's:' || ${sqlPad("l_suppkey")},
+      |         'ord:supplier' FROM lineitem
+      |  UNION ALL SELECT 'c:' || ${sqlPad("c_custkey")}, 'n:' || ${sqlPad("c_nationkey")},
+      |         'cust:nation' FROM customer
+      |  UNION ALL SELECT 's:' || ${sqlPad("s_suppkey")}, 'n:' || ${sqlPad("s_nationkey")},
+      |         'supp:nation' FROM supplier
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, 'r:' || ${sqlPad("n_regionkey")},
+      |         'nat:region' FROM nation),
+      |ty AS (
+      |  SELECT 'c:' || ${sqlPad("c_custkey")} AS id, c_mktsegment AS dt FROM customer
+      |  UNION ALL SELECT 'o:' || ${sqlPad("o_orderkey")}, o_orderpriority FROM orders
+      |  UNION ALL SELECT 's:' || ${sqlPad("s_suppkey")}, 'supplier' FROM supplier
+      |  UNION ALL SELECT 'n:' || ${sqlPad("n_nationkey")}, n_name FROM nation
+      |  UNION ALL SELECT 'r:' || ${sqlPad("r_regionkey")}, r_name FROM region),
+      |inc AS (
+      |  SELECT f, t, et FROM e
+      |  WHERE f = 'c:' || ${sqlPad("42")} OR t = 'c:' || ${sqlPad("42")}),
+      |nid AS (
+      |  SELECT DISTINCT id FROM (SELECT f AS id FROM inc UNION ALL SELECT t FROM inc))
+      |SELECT CAST(section AS BIGINT) AS section, line FROM (
+      |  SELECT 0 AS section, '<?xml version="1.0" encoding="UTF-8"?>' AS line
+      |  UNION ALL SELECT 1, '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">'
+      |  UNION ALL SELECT 2, '<key id="type" for="node" attr.name="type" attr.type="string"/>'
+      |  UNION ALL SELECT 3, '<graph id="G" edgedefault="directed">'
+      |  UNION ALL SELECT 4, '<node id="' || ${esc("nid.id")} || '"><data key="type">'
+      |    || ${esc("ty.dt")} || '</data></node>'
+      |    FROM nid JOIN ty ON ty.id = nid.id
+      |  UNION ALL SELECT 5, '<edge source="' || ${esc("f")} || '" target="' || ${esc("t")}
+      |    || '" label="' || ${esc("et")} || '"/>' FROM inc
+      |  UNION ALL SELECT 6, '</graph>'
+      |  UNION ALL SELECT 7, '</graphml>')
+      |ORDER BY section, line""".stripMargin
+  }
+
   /** g37 — LOCAL CLUSTERING COEFFICIENT ([[Query.localClustering]]) over
     * g19's parts-co-order graph: per-node triangle participation over
     * wedge capacity, exact ppm fixed point. The per-vertex companion to
@@ -1702,5 +1788,6 @@ object MaterialiseOps extends QueryModule {
     "g35_weighted_kcore" -> QueryDef(sCore, Some(sCoreSql)),
     "g36_aggr_count_cube" -> QueryDef(aggrCountCube, Some(aggrCountCubeSql)),
     "g37_local_clustering" -> QueryDef(localClusteringCoeff, Some(localClusteringCoeffSql)),
+    "k10_graphml_export" -> QueryDef(graphmlExport, Some(graphmlExportSql)),
   )
 }

@@ -404,6 +404,25 @@ class GraphAnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("k10: GraphML export escapes XML specials and parses as a well-formed document") {
+    import spark.implicits._
+    val nodes = Seq(("a&b", "T<ype>"), ("c", "P & Q")).toDF("nodeId", "displayType")
+    val edges = Seq(("a&b", "c", "rel<&>")).toDF("fromNodeId", "toNodeId", "edgeType")
+    val lines = MaterialiseOps.graphmlOf(spark, nodes, edges)
+      .select(col("line")).as[String].collect()
+    val doc = lines.mkString("\n")
+    assert(doc.contains("<node id=\"a&amp;b\">"))
+    assert(doc.contains("<data key=\"type\">T&lt;ype&gt;</data>"))
+    assert(doc.contains("label=\"rel&lt;&amp;&gt;\""))
+    // well-formed per the JDK parser — the property the notebook's
+    // downstream networkx reader actually needs
+    val builder = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+    val parsed = builder.parse(
+      new java.io.ByteArrayInputStream(doc.getBytes("UTF-8")))
+    assert(parsed.getElementsByTagName("node").getLength === 2)
+    assert(parsed.getElementsByTagName("edge").getLength === 1)
+  }
+
   test("g37: local clustering is exact on hand graphs and sums to 3x the global count") {
     import spark.implicits._
     // K4 + pendant on node 1: K4 corners have 3 triangles... node 1 has

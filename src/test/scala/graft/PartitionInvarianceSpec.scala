@@ -1,0 +1,41 @@
+package graft
+
+/** Differential guard for the classic cluster-vs-local bug class: a
+  * result that depends on shuffle fan-out (partition-order-sensitive
+  * aggregation, a non-total sort, float summation order) passes every
+  * fixed-conf gate and then diverges the day the executor count
+  * changes. Each representative query runs under the suite's default
+  * `spark.sql.shuffle.partitions` and again at a co-prime fan-out, and
+  * the row multisets must be identical — the property that lets the
+  * SAME code run on local[4] and a 1000-executor cluster. (The oracle
+  * gates can't see this: they always run one configuration.) */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  // one representative per family whose plan has real shuffles:
+  // relational agg/join, window, iterative graph, LSH dedup, BPE, text,
+  // quantiles, 2-hop cube, triangle attribution, bucketed self-join,
+  // temporal gap-fill, filtered ANN
+  private val names = Seq(
+    "q1_pricing_summary", "q3_top_orders", "q25_topk_aggregate",
+    "g2_connected_components", "g36_aggr_count_cube", "g37_local_clustering",
+    "d3_minhash_lsh", "t27_bpe_merges", "p10_exact_quantiles",
+    "s16_filtered_ann", "s17_bucketed_selfjoin", "a8_gap_fill")
+
+  test("results are identical under a different shuffle fan-out") {
+    val defs = SparkEntry.allDefs
+    val missing = names.filterNot(defs.contains)
+    assert(missing.isEmpty, s"renamed gates make this spec vacuous: $missing")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    for (name <- names) {
+      val base = defs(name).fn(spark, d).collect().map(_.toString).sorted.toSeq
+      spark.conf.set(key, "7")
+      try {
+        val alt = defs(name).fn(spark, d).collect().map(_.toString).sorted.toSeq
+        assert(alt === base, s"$name changed under shuffle.partitions=7")
+      } finally spark.conf.set(key, prev)
+    }
+  }
+}

@@ -1531,6 +1531,92 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY k""".stripMargin
   }
 
+  /** g38 — DETERMINISTIC RANDOM WALKS: the node2vec/DeepWalk corpus
+    * primitive — every node starts a fixed-length walk whose next hop is
+    * chosen by a HASH of (start, current, step) over the ranked
+    * adjacency, not by rand(): the walk table is bit-identical on any
+    * cluster, any partitioning, any retry, so it can be oracle-gated and
+    * (more importantly) regenerated exactly for reproducible embedding
+    * training. The hash is the [[graft.core.Exact.edgeDraw]] discipline
+    * — nonlinear mix mod 2³¹−1, Lehmer scramble, THEN the mod — because
+    * `mod deg` of a raw polynomial would inherit the low-bit degeneracy
+    * the round-11 DOULION fix documents. Scale shape: the ranked
+    * adjacency (row_number per node over sorted neighbors) is built once
+    * and reused by every step; each step is ONE equi-join on the current
+    * node with a residual rank filter — O(steps · |frontier|), and the
+    * frontier never exceeds the start set. */
+  def randomWalks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    walksOf(pairs, steps = 4).orderBy(col("start"), col("step"))
+  }
+
+  /** Walk index for step `i`: Lehmer-scrambled mix of (start, node, i)
+    * mod the node's degree, 1-based. The Scala/SQL pair must stay in
+    * lockstep (same rule as Exact.edgeDraw). */
+  private val WalkM = 2147483647L
+  private def walkIdx(i: Int): Column = {
+    val m = lit(WalkM)
+    val a = col("start") % m
+    val b = col("node") % m
+    val h1 = ((a * b) % m + (a * lit(48271L)) % m + (b * lit(16807L)) % m +
+      lit(i.toLong * 12345L)) % m
+    (h1 * lit(48271L)) % m % col("deg") + lit(1L)
+  }
+  private def walkIdxSql(i: Int, start: String, node: String, deg: String): String =
+    s"(((($start % $WalkM) * ($node % $WalkM)) % $WalkM + (($start % $WalkM) * 48271) % $WalkM + " +
+      s"(($node % $WalkM) * 16807) % $WalkM + ${i.toLong * 12345L}) % $WalkM) * 48271 " +
+      s"% $WalkM % $deg + 1"
+
+  private[graft] def walksOf(pairs0: DataFrame, steps: Int): DataFrame = {
+    val pairs = pairs0.select(col("u"), col("v")).distinct()
+    val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+      .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ranked = adj.withColumn("rn", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("nbr"))).cast("long"))
+      .join(deg, "node")
+      .localCheckpoint() // static index: built once, probed every step
+    var cur = deg.select(col("node").as("start"), col("node"), lit(0L).as("step"))
+    var out = cur
+    for (i <- 1 to steps) {
+      cur = cur.join(ranked.withColumnRenamed("node", "n2"),
+          col("node") === col("n2") && col("rn") === walkIdx(i))
+        .select(col("start"), col("nbr").as("node"), lit(i.toLong).as("step"))
+      out = out.unionByName(cur)
+    }
+    out
+  }
+
+  val randomWalksSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""w$i AS (
+         |  SELECT w.start, r.nbr AS node, CAST($i AS BIGINT) AS step
+         |  FROM $prev w JOIN ranked r ON r.node = w.node
+         |    AND r.rn = ${walkIdxSql(i, "w.start", "w.node", "r.deg")})""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS node, v AS nbr FROM pairs
+      |        UNION ALL SELECT v, u FROM pairs),
+      |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+      |ranked AS (
+      |  SELECT a.node, a.nbr,
+      |    CAST(row_number() OVER (PARTITION BY a.node ORDER BY a.nbr) AS BIGINT) AS rn,
+      |    d.deg
+      |  FROM adj a JOIN deg d ON d.node = a.node),
+      |w0 AS (SELECT node AS start, node, CAST(0 AS BIGINT) AS step FROM deg),
+      |${(1 to 4).map(i => round(i, s"w${i - 1}")).mkString(",\n")}
+      |SELECT start, step, node FROM (
+      |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2
+      |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
+      |ORDER BY start, step""".stripMargin
+  }
+
   /** k10 — GRAPHML NEIGHBORHOOD EXPORT: the reference's notebook export
     * path (`notebooks/fipronil.ipynb` — apoc.export.graphml of
     * `(other)-[r]-(node)` around one id) as an engine operator. Emits
@@ -1789,5 +1875,6 @@ object MaterialiseOps extends QueryModule {
     "g36_aggr_count_cube" -> QueryDef(aggrCountCube, Some(aggrCountCubeSql)),
     "g37_local_clustering" -> QueryDef(localClusteringCoeff, Some(localClusteringCoeffSql)),
     "k10_graphml_export" -> QueryDef(graphmlExport, Some(graphmlExportSql)),
+    "g38_random_walks" -> QueryDef(randomWalks, Some(randomWalksSql)),
   )
 }

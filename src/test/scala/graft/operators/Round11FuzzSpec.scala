@@ -136,6 +136,47 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("random-walk fuzz: engine walks equal a local simulation and stay on edges") {
+    val rng = new scala.util.Random(66066L)
+    val M = 2147483647L
+    def idx(start: Long, node: Long, i: Int, deg: Long): Long = {
+      val a = start % M; val b = node % M
+      val h1 = ((a * b) % M + (a * 48271L) % M + (b * 16807L) % M + i.toLong * 12345L) % M
+      h1 * 48271L % M % deg + 1L
+    }
+    for (trial <- 1 to 4) {
+      val nV = 5 + rng.nextInt(5)
+      val all = for (u <- 1L to nV; v <- (u + 1) to nV) yield (u, v)
+      val edges = all.filter(_ => rng.nextDouble() < 0.5)
+      if (edges.nonEmpty) {
+        val nb = scala.collection.mutable.Map.empty[Long, Vector[Long]].withDefaultValue(Vector.empty)
+        edges.foreach { case (u, v) => nb(u) :+= v; nb(v) :+= u }
+        val sortedNb = nb.map { case (k, vs) => k -> vs.sorted }.toMap
+        val sim = (for {
+          start <- sortedNb.keys.toSeq
+          walk = Iterator.iterate((start, 0)) { case (node, i) =>
+            val ns = sortedNb(node)
+            (ns((idx(start, node, i + 1, ns.size) - 1).toInt), i + 1)
+          }.take(5).toSeq
+          (node, step) <- walk
+        } yield (start, node, step.toLong)).toSet
+        val engine = MaterialiseOps.walksOf(edges.toDF("u", "v"), steps = 4)
+          .as[(Long, Long, Long)].collect().toSet
+        assert(engine === sim, s"trial $trial walks diverged from local simulation")
+        // every hop is a real edge
+        val eset = edges.toSet ++ edges.map(_.swap)
+        val byWalk = engine.groupBy(_._1).values
+        byWalk.foreach { w =>
+          val seq = w.toSeq.sortBy(_._3).map(_._2)
+          seq.sliding(2).foreach {
+            case Seq(a2, b2) => assert(eset.contains((a2, b2)), s"hop $a2->$b2 off-graph")
+            case _ => ()
+          }
+        }
+      }
+    }
+  }
+
   test("edgeDraw fuzz: keep ratio stays near 1/4 on random vertex-id regimes") {
     val rng = new scala.util.Random(55055L)
     // small ids, large ids, and mixed — the round-10 degenerate draws

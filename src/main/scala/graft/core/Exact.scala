@@ -67,6 +67,12 @@ object Exact {
     * evaluates overflow-free in both Spark codegen and the DuckDB
     * oracle. ONE definition, three hosts (Column / SQL / local Scala
     * for brute-force spec oracles) — keep them in lockstep. */
+  /** b^e mod m — plan-build-time constants for the per-component minhash
+    * families (t35/d12). Every intermediate stays in BigInt, so any
+    * (b, e, m) with m < 2⁶³ is safe. */
+  def modPow(b: Long, e: Long, m: Long): Long =
+    BigInt(b).modPow(BigInt(e), BigInt(m)).toLong
+
   private val DrawM = 2147483647L // 2^31 - 1
 
   def edgeDraw(u: Column, v: Column): Column = {

@@ -314,6 +314,64 @@ object Relational2 extends QueryModule {
       |          FROM events)))
       |ORDER BY event_id""".stripMargin
 
+  /** q29 — CORRELATED MULTI-EXISTS (the TPC-H Q21 "suppliers who kept
+    * waiting" shape, adapted to this testdata's columns: a supplier is
+    * LATE on an order when one of its lines shipped >60 days after
+    * o_orderdate). For each finished ('F') order with at least two
+    * suppliers where EXACTLY ONE supplier was late, charge that supplier
+    * one wait; top 20 by waits. The reference surface has no correlated
+    * subqueries, but any SQL user of a relational engine reaches for
+    * EXISTS / NOT EXISTS — this gate pins the decorrelated Spark shape
+    * against a DuckDB oracle written with literal correlated
+    * EXISTS / NOT EXISTS, i.e. a structurally different formulation, so
+    * a decorrelation bug cannot mirror itself into the oracle.
+    *
+    * Scale shape: one lineitem⋈orders equi-join (orders pre-filtered on
+    * status before the shuffle), then two layered aggregations on the
+    * SAME orderkey grouping — per-(order, supplier) late flag with
+    * map-side combine, per-order supplier/late counts — and a final
+    * equi-join back; no correlated per-row probing anywhere. The
+    * supplier name dim joins broadcast. */
+  def soleLateSupplier(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max((col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("long")).as("late"))
+    val perOrder = pairs.groupBy(col("ok"))
+      .agg(count(lit(1)).as("nsupp"), sum(col("late")).as("nlate"))
+      .where(col("nsupp") > 1 && col("nlate") === 1)
+    pairs.where(col("late") === 1)
+      .join(perOrder, "ok")
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"))), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val soleLateSupplierSql: String =
+    """WITH l1 AS (
+      |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderstatus = 'F'
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |SELECT s_name, count(*) AS numwait
+      |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -328,5 +386,7 @@ object Relational2 extends QueryModule {
     "q26_moving_window" -> QueryDef(movingWindow, Some(movingWindowSql), bench = true),
     "q27_pivot"       -> QueryDef(pivotSegments, Some(pivotSegmentsSql)),
     "q28_running_distinct" -> QueryDef(runningDistinct, Some(runningDistinctSql)),
+    "q29_sole_late_supplier" -> QueryDef(soleLateSupplier, Some(soleLateSupplierSql)),
   )
 }
+

@@ -1193,6 +1193,112 @@ object TextAnalysis extends QueryModule {
       |FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** t35 — CROSS-SOURCE CONTAMINATION MATRIX via source-level MinHash:
+    * t28's exact inverted-index overlap answers "how many grams do these
+    * two sources share", but its cost is the shared-gram mass itself —
+    * a corpus-wide boilerplate gram shared by all S sources pays C(S,2)
+    * join rows PER GRAM. This operator is the constant-memory scale twin:
+    * each source is collapsed to a K=24-component MinHash signature over
+    * its word-8-gram set (one groupBy, all mins map-side-combined — the
+    * per-source state is K longs regardless of corpus size), and the
+    * pairwise estimated Jaccard is the matched-component count, so the
+    * pair stage touches S·K signature rows, never the corpus. The
+    * component hash is an affine family over one md5 per gram with
+    * per-component GEOMETRIC constants (see [[sigA]] — linear-in-j
+    * multipliers degenerate to effective K=1), and min over a multiset
+    * == min over the set, so no distinct pass is needed on either
+    * engine. Estimates are surfaced as integer
+    * millionths (`(1e6·k_match) div K`). The oracle mirrors the hash,
+    * so — deterministic-draw discipline — the ScalaTest spec checks the
+    * ESTIMATE against the true Jaccard on controlled-overlap fixtures
+    * (identical sets must match on all K components; disjoint sets on
+    * none), which a hash-mirroring oracle can never see. */
+  def sourceSignature(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, t) =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 to ws.length - 8).iterator.map(i => (src, ws.slice(i, i + 8).mkString(" ")))
+      }
+      .toDF("source", "g")
+    sourceSignatureOf(grams).orderBy(col("src_a"), col("src_b"))
+  }
+
+  private[graft] val SigP = 2147483647L
+  private[graft] val SigK = 24
+
+  /** [[sourceSignature]] over an explicit `(source, g)` gram frame — the
+    * fixture-driven entry the estimate-vs-truth spec uses. */
+  /** Component-j multiplier/offset: GEOMETRIC powers 40503^j, 16807^j
+    * (mod P), not the linear 40503·j — a multiplier linear in j makes
+    * h_j(x) ≈ j·(40503·x+1) mod P, so (until wraparound reshuffles) every
+    * component picks the SAME argmin element and the K-component
+    * signature estimates Jaccard with effective K=1 (measured: J=1/3
+    * fixture estimated 1/24 instead of ~8/24). Distinct powers of a
+    * generator share no linear relation, so argmins decorrelate; the
+    * constants are computed once at plan build and inlined as literals
+    * in both engines. */
+  private[graft] def sigA(j: Int): Long = graft.core.Exact.modPow(40503L, j, SigP)
+  private[graft] def sigB(j: Int): Long = graft.core.Exact.modPow(16807L, j, SigP)
+
+  private[graft] def sourceSignatureOf(grams: DataFrame): DataFrame = {
+    val x = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % SigP
+    val sigExprs = (1 to SigK).map(j =>
+      min((x * lit(sigA(j)) + lit(sigB(j))) % SigP).as(s"m$j"))
+    val sig = grams.groupBy(col("source")).agg(sigExprs.head, sigExprs.tail: _*)
+    // (source, j, m) component view: one equi-join on (j, m) counts the
+    // matching components per pair — only pairs sharing a min appear, so
+    // the all-pairs matrix is restored by a left join against the tiny
+    // (one row per SOURCE, a dimension) pair frame.
+    val comps = sig.select(col("source"), explode(array((1 to SigK).map(j =>
+        struct(lit(j).as("j"), col(s"m$j").as("m"))): _*)).as("c"))
+      .select(col("source"), col("c.j").as("j"), col("c.m").as("m"))
+    val matches = comps.as("a").join(comps.as("b"), Seq("j", "m"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("k_match"))
+    val srcs = sig.select(col("source"))
+    val pairs = srcs.as("x").join(srcs.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    pairs.join(matches, Seq("src_a", "src_b"), "left")
+      .withColumn("k_match", coalesce(col("k_match"), lit(0L)))
+      .withColumn("jacc_ppm", expr(s"(1000000 * k_match) div $SigK"))
+  }
+
+  val sourceSignatureSql: String = {
+    val compCols = (1 to SigK).map { j =>
+      s"min((x * ${sigA(j)} + ${sigB(j)}) % $SigP) AS m$j"
+    }.mkString(",\n    ")
+    val compRows = (1 to SigK).map(j => s"SELECT source, $j AS j, m$j AS m FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH w AS (
+      |  SELECT source,
+      |    list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |h AS (
+      |  SELECT source,
+      |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 7), ' ')), 1, 15))::BIGINT
+      |      % $SigP AS x
+      |  FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w)),
+      |sig AS (SELECT source, $compCols FROM h GROUP BY source),
+      |comps AS (
+      |  $compRows),
+      |matches AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS k_match
+      |  FROM comps a JOIN comps b ON a.j = b.j AND a.m = b.m AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT x.source AS src_a, y.source AS src_b
+      |  FROM sig x JOIN sig y ON x.source < y.source)
+      |SELECT p.src_a, p.src_b,
+      |  coalesce(k_match, CAST(0 AS BIGINT)) AS k_match,
+      |  (1000000 * coalesce(k_match, CAST(0 AS BIGINT))) // $SigK AS jacc_ppm
+      |FROM pairs p LEFT JOIN matches m ON p.src_a = m.src_a AND p.src_b = m.src_b
+      |ORDER BY 1, 2""".stripMargin
+  }
+
   /** t27 — BPE MERGE TRAINING (Sennrich et al. 2016), distributed and
     * VOCAB-SCALE: greedy pair-merge rounds over the word-internal
     * character sequences of the corpus. Two structural decisions make
@@ -1687,6 +1793,7 @@ object TextAnalysis extends QueryModule {
     // pre-filter, so output identity IS the contract
     "t32_bloom_decontamination" -> QueryDef(bloomDecontamination, Some(decontaminationSql)),
     "t33_temperature_sample" -> QueryDef(temperatureSample, Some(temperatureSampleSql)),
+    "t35_source_signature" -> QueryDef(sourceSignature, Some(sourceSignatureSql)),
   )
 
 }

@@ -409,4 +409,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(hh.toSeq === Seq(("alpha", 400L), ("beta", 150L)),
       "exact counts, ordered by n desc — and no rare word admitted")
   }
+
+  test("t35: signature estimates track TRUE Jaccard (what a hash-mirroring oracle can't see)") {
+    import spark.implicits._
+    def gramsOf(m: Map[String, Seq[Int]]) =
+      m.toSeq.flatMap { case (s, gs) => gs.map(g => (s, s"gram$g")) }
+        .toDF("source", "g")
+    // a==b identical, c disjoint from both, d shares 50 of a's 100
+    // (|a∪d| = 150 → true J(a,d) = 1/3)
+    val fx = Map(
+      "a" -> (1 to 100).toSeq,
+      "b" -> (1 to 100).toSeq,
+      "c" -> (500 to 579).toSeq,
+      "d" -> ((1 to 50) ++ (200 to 249)).toSeq)
+    val rows = TextAnalysis.sourceSignatureOf(gramsOf(fx)).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows.size == 6, "all-pairs matrix, zero-overlap pairs included")
+    assert(rows(("a", "b")) == TextAnalysis.SigK.toLong,
+      "identical gram sets agree on every component")
+    assert(rows(("a", "c")) == 0L && rows(("b", "c")) == 0L,
+      "disjoint sets share no component min")
+    val estAD = rows(("a", "d")).toDouble / TextAnalysis.SigK
+    assert(math.abs(estAD - 1.0 / 3) <= 0.25, s"J(a,d)=1/3, est $estAD")
+    // seeded random sources: every pairwise estimate within MinHash
+    // noise (K=24 → σ≈0.10; 0.35 ≈ 3.5σ) of the set-arithmetic truth
+    val rnd = new scala.util.Random(7)
+    val srcs = (0 until 4).map(i =>
+      s"s$i" -> (0 until 400).filter(_ => rnd.nextDouble() < 0.5).map(identity)).toMap
+    val truth = (for { a <- srcs.keys; b <- srcs.keys if a < b } yield {
+      val (sa, sb) = (srcs(a).toSet, srcs(b).toSet)
+      (a, b) -> sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }).toMap
+    val est = TextAnalysis.sourceSignatureOf(gramsOf(srcs)).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(3) / 1e6)).toMap
+    truth.foreach { case (k, t) =>
+      assert(math.abs(est(k) - t) <= 0.35, s"$k est=${est(k)} true=$t")
+    }
+  }
 }

@@ -121,7 +121,8 @@ class EmptyInputSpec extends SparkSpec {
     for (name <- Seq("g36_aggr_count_cube", "g37_local_clustering",
         "p10_exact_quantiles", "s16_filtered_ann",
         "st29_stream_aggr_cube", "st30_stream_quantiles",
-        "st31_stream_local_clustering")) {
+        "st31_stream_local_clustering", "g38_random_walks",
+        "q29_sole_late_supplier", "t35_source_signature")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import java.sql.Timestamp
+
+/** Hand-fixture semantics for the correlated multi-exists gate (q29):
+  * every clause of the predicate — multi-supplier, sole-late, status
+  * filter — gets an order that exists ONLY to test it, so a bug in any
+  * one clause flips a known row. */
+class Relational2Spec extends SparkSpec {
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"1995-01-${day}%02d 00:00:00")
+  private def tsLate(base: Int): Timestamp =
+    Timestamp.valueOf(f"1995-04-${base}%02d 00:00:00") // 60+ days after Jan
+
+  test("q29: one wait per F-order where exactly one of 2+ suppliers was late") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q29").toString
+    // o1: s1 late, s2 on time        -> s1 charged
+    // o2: s1 AND s2 late             -> excluded (two late suppliers)
+    // o3: s1 late, sole supplier     -> excluded (no other supplier)
+    // o4: status 'O', s2 late, s3 ok -> excluded (status filter)
+    // o5: s2 late, s3 on time        -> s2 charged
+    // o6: nobody late, 2 suppliers   -> excluded (no late supplier)
+    val orders = Seq(
+      (1L, "F", ts(1)), (2L, "F", ts(1)), (3L, "F", ts(1)),
+      (4L, "O", ts(1)), (5L, "F", ts(1)), (6L, "F", ts(1)))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 1L, tsLate(2)), (1L, 1L, ts(3)), (1L, 2L, ts(5)),
+      (2L, 1L, tsLate(2)), (2L, 2L, tsLate(2)),
+      (3L, 1L, tsLate(2)),
+      (4L, 2L, tsLate(2)), (4L, 3L, ts(5)),
+      (5L, 2L, tsLate(2)), (5L, 3L, ts(5)),
+      (6L, 1L, ts(3)), (6L, 2L, ts(4)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supplier = Seq((1L, "Supp#1"), (2L, "Supp#2"), (3L, "Supp#3"))
+      .toDF("s_suppkey", "s_name")
+    orders.write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    lineitem.write.mode(SaveMode.Overwrite).parquet(s"$dir/lineitem.parquet")
+    supplier.write.mode(SaveMode.Overwrite).parquet(s"$dir/supplier.parquet")
+    val rows = Relational2.soleLateSupplier(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === Seq(("Supp#1", 1L), ("Supp#2", 1L)),
+      "o1 charges s1, o5 charges s2; o2/o3/o4/o6 all excluded")
+  }
+}

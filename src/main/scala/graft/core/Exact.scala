@@ -73,6 +73,22 @@ object Exact {
   def modPow(b: Long, e: Long, m: Long): Long =
     BigInt(b).modPow(BigInt(e), BigInt(m)).toLong
 
+  /** The ONE per-component affine minhash family (t35 source signatures,
+    * d12 affine LSH): `h_j(x) = (x·minhashA(j) + minhashB(j)) mod
+    * MinhashP` over a 60-bit md5 slice reduced mod P. The constants are
+    * GEOMETRIC powers of two generators, never anything linear in j: a
+    * multiplier c·j makes h_j(x) ≈ j·(c'·x+1) mod P, so every component
+    * picks the SAME argmin element until wraparound interferes, and a
+    * K-component signature estimates Jaccard with effective K=1
+    * (measured: a J=1/3 fixture estimated 1/24 instead of ~8/24; same
+    * failure family as the DOULION [[edgeDraw]] degeneracy — mod-k of a
+    * structured polynomial sees only structure). Distinct powers of a
+    * generator share no linear relation, so argmins decorrelate; the
+    * CorpusOpsSpec t35 test pins estimates against true set Jaccard. */
+  val MinhashP = 2147483647L
+  def minhashA(j: Int): Long = modPow(40503L, j, MinhashP)
+  def minhashB(j: Int): Long = modPow(16807L, j, MinhashP)
+
   private val DrawM = 2147483647L // 2^31 - 1
 
   def edgeDraw(u: Column, v: Column): Column = {

@@ -777,19 +777,27 @@ object Dedup extends QueryModule {
   // ---------------------------------------------------------------------
 
   /** d12 — AFFINE-MIX MinHash: the classical universal-hash family
-    * `hⱼ(x) = (a·x + bⱼ·j) mod p` over ONE md5 per shingle (60 bits → mod
+    * `hⱼ(x) = (aⱼ·x + bⱼ) mod p` over ONE md5 per shingle (60 bits → mod
     * p = 2³¹−1), instead of d3's 16 independent md5 evaluations. At
     * corpus scale the signature stage is 16× cheaper in hash work for the
     * same LSH structure (4 bands × 4 rows, candidate equi-join, exact
     * candidate-only verify). A different hash family means a different
     * (valid) candidate set, so this is its own gate; d3's md5 family
-    * stays pinned — st8's row-local twin and d10's estimator build on it. */
+    * stays pinned — st8's row-local twin and d10's estimator build on it.
+    * (aⱼ, bⱼ) are the shared GEOMETRIC per-component constants
+    * ([[graft.core.Exact.minhashA]]): the original multipliers were
+    * linear in j, which makes every component share one argmin — the
+    * signature carried 16 copies of ONE hash, so band keys collided with
+    * probability ≈ J instead of ~J⁴ and the LSH S-curve the pruning
+    * contract assumes did not exist (low-J pairs flooded the candidate
+    * stage at 1000× the intended rate; output stayed correct only
+    * because candidates are exactly verified). */
   def minhashAffine(s: SparkSession, d: String): DataFrame = {
-    val P = 2147483647L
+    import graft.core.Exact.{minhashA, minhashB, MinhashP => P}
     val sh = shingles(s, d)
     val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
     val sigExprs = (1 to 16).map(j =>
-      min((h * lit((40503L * j) % P) + lit(j.toLong)) % P).as(s"m$j"))
+      min((h * lit(minhashA(j)) + lit(minhashB(j))) % P).as(s"m$j"))
     val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
     val bandExprs = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => col(s"m${b * 4 + r}").cast("string"))
@@ -809,10 +817,9 @@ object Dedup extends QueryModule {
   }
 
   val minhashAffineSql: String = {
-    val P = 2147483647L
+    import graft.core.Exact.{minhashA, minhashB, MinhashP => P}
     val sigCols = (1 to 16).map { j =>
-      val a = (40503L * j) % P
-      s"min(((('0x' || substr(md5(s), 1, 15))::BIGINT % $P) * $a + $j) % $P) AS m$j"
+      s"min(((('0x' || substr(md5(s), 1, 15))::BIGINT % $P) * ${minhashA(j)} + ${minhashB(j)}) % $P) AS m$j"
     }.mkString(",\n    ")
     val bandSelects = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => s"CAST(m${b * 4 + r} AS VARCHAR)").mkString(" || '|' || ")

@@ -1230,17 +1230,11 @@ object TextAnalysis extends QueryModule {
 
   /** [[sourceSignature]] over an explicit `(source, g)` gram frame — the
     * fixture-driven entry the estimate-vs-truth spec uses. */
-  /** Component-j multiplier/offset: GEOMETRIC powers 40503^j, 16807^j
-    * (mod P), not the linear 40503·j — a multiplier linear in j makes
-    * h_j(x) ≈ j·(40503·x+1) mod P, so (until wraparound reshuffles) every
-    * component picks the SAME argmin element and the K-component
-    * signature estimates Jaccard with effective K=1 (measured: J=1/3
-    * fixture estimated 1/24 instead of ~8/24). Distinct powers of a
-    * generator share no linear relation, so argmins decorrelate; the
-    * constants are computed once at plan build and inlined as literals
-    * in both engines. */
-  private[graft] def sigA(j: Int): Long = graft.core.Exact.modPow(40503L, j, SigP)
-  private[graft] def sigB(j: Int): Long = graft.core.Exact.modPow(16807L, j, SigP)
+  /** Component-j constants: the shared geometric family — see
+    * [[graft.core.Exact.minhashA]] for why linear-in-j constants would
+    * collapse the signature to effective K=1. */
+  private[graft] def sigA(j: Int): Long = graft.core.Exact.minhashA(j)
+  private[graft] def sigB(j: Int): Long = graft.core.Exact.minhashB(j)
 
   private[graft] def sourceSignatureOf(grams: DataFrame): DataFrame = {
     val x = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % SigP

@@ -216,4 +216,34 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(d3Pairs.subsetOf(d21Pairs))
   }
+
+  test("d12 family: components pick independent argmins and match-rate tracks Jaccard") {
+    // Pure local mirror of the d12/t35 per-component family
+    // (Exact.minhashA/B over the md5-slice reduce) — the property an
+    // oracle that mirrors the hash can never check. The ORIGINAL
+    // linear-in-j multipliers fail both asserts: every component picks
+    // the same argmin, so 16 components carry one hash and the
+    // J=0.5 match-rate reads ~1/16.
+    import graft.core.Exact.{minhashA, minhashB, MinhashP => P}
+    def x(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % P
+    }
+    val set = (1 to 100).map(i => s"shingle$i")
+    val argmins = (1 to 16).map { j =>
+      set.minBy(g => (x(g) * minhashA(j) + minhashB(j)) % P)
+    }
+    assert(argmins.distinct.size >= 8,
+      s"components collapsed to ${argmins.distinct.size} argmins — family degenerate")
+    // J = 0.5 pair: 100 shared of 150 total... use 50 shared of 100 each
+    val a = (1 to 100).map(i => s"s$i")
+    val b = ((1 to 50) ++ (201 to 250)).map(i => s"s$i")
+    def sig(s: Seq[String]) =
+      (1 to 16).map(j => s.map(g => (x(g) * minhashA(j) + minhashB(j)) % P).min)
+    val matches = sig(a).zip(sig(b)).count { case (u, v) => u == v }
+    val trueJ = 50.0 / 150
+    assert(math.abs(matches / 16.0 - trueJ) <= 0.3,
+      s"J=$trueJ but signature match rate ${matches / 16.0}")
+  }
 }

@@ -173,5 +173,10 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamLocalClustering(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_slcc_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.localClusteringCoeffSql)),
+    // shares s16's oracle: the bounded replay emits exactly the batch
+    // filtered-ANN table (same pre-filter, same exact re-rank)
+    "st32_stream_filtered_ann" -> QueryDef(
+      (s, d) => Streaming.streamFilteredAnn(s, d, s"sfann_${math.abs(d.hashCode)}"),
+      Some(Similarity.filteredAnnSql)),
   )
 }

@@ -1103,6 +1103,55 @@ object Streaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Streaming FILTERED ANN probe (st32): s16's attribute-filtered search
+    * on arrival — each incoming query embedding picks up its language via
+    * a stream-static equi-join on the documents dim, then probes the
+    * static corpus PRE-FILTERED on that language key (the pair space is
+    * the per-language occupancy, never the corpus) and scores with the
+    * exact integer dot product; `in_bucket` carries batch s16's
+    * post-filter recall ceiling per emitted row. Each query row is
+    * independent (no cross-row state), so append mode needs no
+    * file-atomicity precondition; on the bounded replay (vec_id < 20)
+    * the emitted table IS batch s16's and the two share one oracle. At
+    * scale the static side is the per-language partitioned index and
+    * per-batch cost is |arrivals| × language occupancy. */
+  def streamFilteredAnn(s: SparkSession, d: String, name: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val lang = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val corpus = s.read.parquet(s"$d/embeddings.parquet")
+      .withColumn("bucket", bucket)
+      .join(lang, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("neighbor_id"), col("lang"),
+        col("bucket").as("nbucket"),
+        graft.core.Exact.quantize(col("embedding"), 10000).as("q"))
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .where(col("vec_id") < 20)
+      .withColumn("bucket", bucket)
+      .join(lang, col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("query_id"), col("lang"),
+        col("bucket").as("qbucket"),
+        graft.core.Exact.quantize(col("embedding"), 10000).as("qv"))
+    val probed = stream.join(corpus, Seq("lang"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", graft.functions.DotProductL(col("qv"), col("q")))
+      .select(col("query_id"), col("neighbor_id"), col("dot"),
+        when(col("nbucket") === col("qbucket"), lit(1L)).otherwise(lit(0L)).as("in_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dot").desc, col("neighbor_id").asc)
+    runToTable(probed, OutputMode.Append, name)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"),
+        col("in_bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Streaming COUNT-MIN maintenance (st19): p6's sketch kept as BOUNDED
     * streaming state — every arriving document's tokens fan out to their
     * 4 hash-row buckets ROW-LOCALLY ([[graft.operators.ProfilerOps.cmBucket]],

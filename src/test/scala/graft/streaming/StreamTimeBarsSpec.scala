@@ -59,4 +59,18 @@ class StreamTimeBarsSpec extends SparkSpec {
       .collect().toSeq
     assert(merged === Temporal.timeBarsOf(b1.union(b2), barUs).collect().toSeq)
   }
+
+  test("st32 ≡ s16: streamed filtered ANN equals the batch table on full replay") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamFilteredAnn(spark, d, "sfann_spec")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val batch = graft.operators.Similarity.filteredAnn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "sf0.001 must produce filtered neighbors")
+    // the filter is load-bearing: some query's true top-3 differs from
+    // the unfiltered ANN's (otherwise the gate degenerates to st18)
+    assert(streamed.exists(_._5 == 0L),
+      "at least one true neighbor must sit outside the sign bucket")
+  }
 }

@@ -1617,6 +1617,63 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY start, step""".stripMargin
   }
 
+  /** g39 — DEGREE ASSORTATIVITY sufficient statistics (Newman 2002,
+    * Phys. Rev. Lett. 89.208701) over the co-order part graph: do hubs
+    * attach to hubs (assortative, r>0) or to leaves (disassortative,
+    * r<0)? Emits the EXACT integer sufficient statistics of the
+    * symmetrized edge-end degree sequence — n_ends = 2|E|,
+    * Σd, Σd², Σd·d' (both directions) — from which
+    * r = (n·Σdd − (Σd)²) / (n·Σd² − (Σd)²); the division stays OUT of
+    * the gate (the p3 sufficient-statistics discipline: the engine
+    * compare is bit-exact BIGINTs, the float happens wherever the
+    * caller wants it). Scale shape: degrees are one map-side-combined
+    * aggregation over edge ends, the stats one more over edges joined
+    * to their two end degrees — two equi-joins keyed on the vertex,
+    * never a window or a collect. */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    assortativityOf(pairs)
+  }
+
+  /** [[assortativity]] over an explicit DISTINCT `(u, v)` edge frame —
+    * the graph-shaped entry the hand-fixture spec drives. */
+  private[graft] def assortativityOf(pairs: DataFrame): DataFrame = {
+    val deg = pairs.select(col("u").as("id"))
+      .union(pairs.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    pairs
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .agg(count(lit(1)).as("ne"),
+        sum(col("du") + col("dv")).as("sd"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sd2"),
+        sum(col("du") * col("dv")).as("sdd"))
+      .select((col("ne") * 2).as("n_ends"),
+        coalesce(col("sd"), lit(0L)).as("sum_d"),
+        coalesce(col("sd2"), lit(0L)).as("sum_d2"),
+        (coalesce(col("sdd"), lit(0L)) * 2).as("sum_dd"))
+  }
+
+  val assortativitySql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id)
+      |SELECT 2 * count(*) AS n_ends,
+      |  CAST(coalesce(sum(da.deg + db.deg), 0) AS BIGINT) AS sum_d,
+      |  CAST(coalesce(sum(da.deg * da.deg + db.deg * db.deg), 0) AS BIGINT) AS sum_d2,
+      |  CAST(2 * coalesce(sum(da.deg * db.deg), 0) AS BIGINT) AS sum_dd
+      |FROM pairs p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v""".stripMargin
+
   /** k10 — GRAPHML NEIGHBORHOOD EXPORT: the reference's notebook export
     * path (`notebooks/fipronil.ipynb` — apoc.export.graphml of
     * `(other)-[r]-(node)` around one id) as an engine operator. Emits
@@ -1876,5 +1933,6 @@ object MaterialiseOps extends QueryModule {
     "g37_local_clustering" -> QueryDef(localClusteringCoeff, Some(localClusteringCoeffSql)),
     "k10_graphml_export" -> QueryDef(graphmlExport, Some(graphmlExportSql)),
     "g38_random_walks" -> QueryDef(randomWalks, Some(randomWalksSql)),
+    "g39_assortativity" -> QueryDef(assortativity, Some(assortativitySql)),
   )
 }

@@ -178,5 +178,10 @@ object StreamingOps extends QueryModule {
     "st32_stream_filtered_ann" -> QueryDef(
       (s, d) => Streaming.streamFilteredAnn(s, d, s"sfann_${math.abs(d.hashCode)}"),
       Some(Similarity.filteredAnnSql)),
+    // shares t35's oracle: min is a semigroup, so the replayed running
+    // signature equals the batch signature and the matrix read is shared
+    "st33_stream_source_signature" -> QueryDef(
+      (s, d) => Streaming.streamSourceSignature(s, d, s"ssig_${math.abs(d.hashCode)}"),
+      Some(TextAnalysis.sourceSignatureSql)),
   )
 }

@@ -1236,11 +1236,22 @@ object TextAnalysis extends QueryModule {
   private[graft] def sigA(j: Int): Long = graft.core.Exact.minhashA(j)
   private[graft] def sigB(j: Int): Long = graft.core.Exact.minhashB(j)
 
-  private[graft] def sourceSignatureOf(grams: DataFrame): DataFrame = {
+  private[graft] def sourceSignatureOf(grams: DataFrame): DataFrame =
+    signatureMatrix(sourceSigFrame(grams))
+
+  /** The `(source, m1..mK)` signature frame — one map-side-combined
+    * groupBy; this is also EXACTLY the st33 streaming state (min is a
+    * semigroup, so per-batch mins fold into the running signature). */
+  private[graft] def sourceSigFrame(grams: DataFrame): DataFrame = {
     val x = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long") % SigP
     val sigExprs = (1 to SigK).map(j =>
       min((x * lit(sigA(j)) + lit(sigB(j))) % SigP).as(s"m$j"))
-    val sig = grams.groupBy(col("source")).agg(sigExprs.head, sigExprs.tail: _*)
+    grams.groupBy(col("source")).agg(sigExprs.head, sigExprs.tail: _*)
+  }
+
+  /** Pairwise matched-component matrix of a signature frame (the t35
+    * serving read, shared verbatim by streaming st33). */
+  private[graft] def signatureMatrix(sig: DataFrame): DataFrame = {
     // (source, j, m) component view: one equi-join on (j, m) counts the
     // matching components per pair — only pairs sharing a min appear, so
     // the all-pairs matrix is restored by a left join against the tiny

@@ -1152,6 +1152,38 @@ object Streaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Streaming SOURCE-SIGNATURE maintenance (st33): t35's per-source
+    * MinHash signature kept as BOUNDED streaming state — each arriving
+    * document shreds to word-8-grams ROW-LOCALLY and a Complete-mode
+    * aggregation maintains the K per-source component mins (min is a
+    * semigroup, so batch mins fold into the running signature; state is
+    * S·K longs however long the stream runs — the production
+    * contamination monitor shape: signatures update online, the pairwise
+    * matrix is a serving-time read over S rows). The gram lambda and
+    * signature/matrix stages are the batch operator's own
+    * ([[graft.operators.TextAnalysis.sourceSigFrame]]/`signatureMatrix`),
+    * so on a full replay the matrix IS batch t35's and the two share one
+    * oracle. */
+  def streamSourceSignature(s: SparkSession, d: String, name: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.TextAnalysis
+    val sgrams = documentsStream(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, t) =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 to ws.length - 8).iterator.map(i => (src, ws.slice(i, i + 8).mkString(" ")))
+      }
+      .toDF("source", "g")
+    val sig = TextAnalysis.sourceSigFrame(sgrams)
+    // snapshot the S-row signature table before the matrix read: the
+    // memory-sink view can't be self-joined directly (conflicting
+    // reference resolution), and the serving read should see one
+    // consistent generation anyway
+    TextAnalysis.signatureMatrix(
+        runToTable(sig, OutputMode.Complete, name).localCheckpoint())
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Streaming COUNT-MIN maintenance (st19): p6's sketch kept as BOUNDED
     * streaming state — every arriving document's tokens fan out to their
     * 4 hash-row buckets ROW-LOCALLY ([[graft.operators.ProfilerOps.cmBucket]],

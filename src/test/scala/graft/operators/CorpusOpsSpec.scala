@@ -446,4 +446,30 @@ class CorpusOpsSpec extends SparkSpec {
       assert(math.abs(est(k) - t) <= 0.35, s"$k est=${est(k)} true=$t")
     }
   }
+
+  test("st33: per-batch signature mins fold to the one-shot signature, and replay ≡ t35") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    // min is a semigroup per component: folding batch signatures must be
+    // bit-identical to signing the whole corpus at once — the property
+    // that makes the Complete-mode streaming state valid.
+    val b1 = (1 to 40).map(i => ("a", s"x$i")) ++ (1 to 30).map(i => ("b", s"y$i"))
+    val b2 = (41 to 80).map(i => ("a", s"x$i")) ++ (1 to 10).map(i => ("b", s"x$i"))
+    val mins = (1 to TextAnalysis.SigK).map(j => min(col(s"m$j")).as(s"m$j"))
+    val folded = TextAnalysis.sourceSigFrame(b1.toDF("source", "g"))
+      .unionByName(TextAnalysis.sourceSigFrame(b2.toDF("source", "g")))
+      .groupBy(col("source")).agg(mins.head, mins.tail: _*)
+      .orderBy(col("source")).collect().toSeq
+    val oneShot = TextAnalysis.sourceSigFrame((b1 ++ b2).toDF("source", "g"))
+      .orderBy(col("source")).collect().toSeq
+    assert(folded === oneShot)
+    // full replay of the real stream equals the batch gate
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.Streaming.streamSourceSignature(spark, d, "ssig_spec")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = TextAnalysis.sourceSignature(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
 }

@@ -123,7 +123,7 @@ class EmptyInputSpec extends SparkSpec {
         "st29_stream_aggr_cube", "st30_stream_quantiles",
         "st31_stream_local_clustering", "g38_random_walks",
         "q29_sole_late_supplier", "t35_source_signature",
-        "st32_stream_filtered_ann")) {
+        "st32_stream_filtered_ann", "st33_stream_source_signature")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
@@ -139,6 +139,11 @@ class EmptyInputSpec extends SparkSpec {
   test("g19 triangles reports explicit zeros on an empty graph") {
     val r = graft.SparkEntry.allDefs("g19_triangles").fn(spark, emptyDir).collect()
     assert(r.length === 1 && r.head.getLong(0) === 0L && r.head.getLong(1) === 0L)
+  }
+
+  test("g39 assortativity reports explicit zero stats on an empty graph") {
+    val r = graft.SparkEntry.allDefs("g39_assortativity").fn(spark, emptyDir).collect()
+    assert(r.length === 1 && (0 to 3).forall(i => r.head.getLong(i) === 0L))
   }
 
   test("the corpus pipeline builds empty artifacts from an empty corpus") {

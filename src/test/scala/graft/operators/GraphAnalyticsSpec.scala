@@ -508,4 +508,33 @@ class GraphAnalyticsSpec extends SparkSpec {
         MaterialiseOps.kTrussOf(k5Graph, 4).collect().toSet)
     } finally prev.foreach(spark.sparkContext.setCheckpointDir)
   }
+
+  test("g39: stats give r = -1 on a star, zero degree variance on K4, and match a local count") {
+    import spark.implicits._
+    def stats(edges: Seq[(Long, Long)]) = {
+      val r = MaterialiseOps.assortativityOf(edges.toDF("u", "v")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // star K1,3: every edge joins deg 3 to deg 1 — perfectly disassortative
+    val (n, sd, sd2, sdd) = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert((n, sd, sd2, sdd) === (6L, 12L, 30L, 18L))
+    assert(n * sdd - sd * sd === -(n * sd2 - sd * sd), "r must be exactly -1")
+    // K4: all degrees equal — the denominator n·Σd² − (Σd)² is exactly 0
+    val (kn, ksd, ksd2, _) =
+      stats(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(kn * ksd2 === ksd * ksd, "degenerate graph must show zero variance")
+    // seeded random graph vs a local recount of the definition
+    val rnd = new scala.util.Random(11)
+    val edges = (for {
+      u <- 1L to 20L; v <- (u + 1) to 20L if rnd.nextDouble() < 0.2
+    } yield (u, v)).toSeq
+    val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val local = (
+      2L * edges.size,
+      edges.map { case (u, v) => deg(u) + deg(v) }.sum,
+      edges.map { case (u, v) => deg(u) * deg(u) + deg(v) * deg(v) }.sum,
+      2L * edges.map { case (u, v) => deg(u) * deg(v) }.sum)
+    assert(stats(edges) === local)
+  }
 }

@@ -295,6 +295,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "root frontier lost its broadcast")
   }
 
+  test("q29: decorrelation is real — equi joins only, supplier dim broadcasts") {
+    val p = plan("q29_sole_late_supplier")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the multi-EXISTS decorrelation degenerated to per-row probing")
+    assert(p.contains("BroadcastHashJoin"), "supplier name dim lost its broadcast")
+  }
+
+  test("t35: signature mins combine map-side; corpus-scale stages never go all-pairs") {
+    val p = plan("t35_source_signature")
+    // the ONE corpus-touching aggregation must be partial (K mins fold
+    // per task before the source-keyed shuffle) — the property that
+    // makes per-source state K longs at 100 TB
+    assert(p.contains("partial_min"), "signature aggregation lost map-side combine")
+    // the only non-equi join allowed is the S-row source-dimension pair
+    // frame (all-pairs over SOURCES is the output, not a degeneracy; it
+    // plans as a broadcast NLJ over the tiny side) — anything
+    // corpus-sized going all-pairs would surface as a CartesianProduct
+    assert(!p.contains("CartesianProduct"), "corpus-side all-pairs join")
+  }
+
+  test("g39: assortativity is two vertex-keyed equi-joins with partial degree counts") {
+    val p = plan("g39_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"), "degree aggregation lost map-side combine")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -1304,6 +1304,57 @@ object TextAnalysis extends QueryModule {
       |ORDER BY 1, 2""".stripMargin
   }
 
+  /** t36 — VOCABULARY GROWTH CURVE (Heaps' law diagnostic): how fast
+    * does the corpus stop surprising you? Documents are split into 10
+    * arrival deciles (dense doc_id against the corpus count — row-local
+    * arithmetic, NO global sort/rank anywhere), each word is charged to
+    * the decile of its FIRST appearance (one map-side-combined min), and
+    * the curve reports tokens seen vs new-vocabulary per decile plus the
+    * running vocabulary size. Sub-linear cum_vocab growth against
+    * n_tokens is the Heaps signature; a decile where n_new_words jumps
+    * flags a distribution shift in the ingest order — the check a
+    * training run wants BEFORE committing epochs to a new data mix. The
+    * only window is over the 10 decile rows. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    vocabGrowthOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  private[graft] def vocabGrowthOf(docs: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val words = docs.select(col("doc_id"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("bucket", least(lit(9L), expr("(doc_id * 10) div n_docs")))
+    val tokensPer = words.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = words.groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+    val newPer = firstSeen.groupBy(col("bucket")).agg(count(lit(1)).as("n_new_words"))
+    val w10 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokensPer.join(newPer, Seq("bucket"), "left")
+      .withColumn("n_new_words", coalesce(col("n_new_words"), lit(0L)))
+      // ≤10 rows reach this window — bounded, no partition key needed
+      .withColumn("cum_vocab", sum(col("n_new_words")).over(w10))
+      .select(col("bucket"), col("n_tokens"), col("n_new_words"), col("cum_vocab"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+      |                       x -> x <> '')) AS w
+      |  FROM documents),
+      |b AS (SELECT least(9, (doc_id * 10) // n_docs) AS bucket, w FROM w, nd),
+      |tok AS (SELECT bucket, count(*) AS n_tokens FROM b GROUP BY bucket),
+      |fb AS (SELECT w, min(bucket) AS bucket FROM b GROUP BY w),
+      |nw AS (SELECT bucket, count(*) AS n_new_words FROM fb GROUP BY bucket)
+      |SELECT t.bucket, t.n_tokens,
+      |  coalesce(n_new_words, CAST(0 AS BIGINT)) AS n_new_words,
+      |  CAST(sum(coalesce(n_new_words, 0)) OVER (ORDER BY t.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+      |FROM tok t LEFT JOIN nw ON nw.bucket = t.bucket ORDER BY t.bucket""".stripMargin
+
   /** t27 — BPE MERGE TRAINING (Sennrich et al. 2016), distributed and
     * VOCAB-SCALE: greedy pair-merge rounds over the word-internal
     * character sequences of the corpus. Two structural decisions make
@@ -1799,6 +1850,7 @@ object TextAnalysis extends QueryModule {
     "t32_bloom_decontamination" -> QueryDef(bloomDecontamination, Some(decontaminationSql)),
     "t33_temperature_sample" -> QueryDef(temperatureSample, Some(temperatureSampleSql)),
     "t35_source_signature" -> QueryDef(sourceSignature, Some(sourceSignatureSql)),
+    "t36_vocab_growth" -> QueryDef(vocabGrowth, Some(vocabGrowthSql)),
   )
 
 }

@@ -472,4 +472,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed.nonEmpty)
   }
+
+  test("t36: first-appearance accounting on a hand corpus; curve invariants on testdata") {
+    import spark.implicits._
+    // 5 docs → deciles 0,2,4,6,8; doc3 is EMPTY so decile 6 has no token
+    // row and must be absent without breaking the running vocabulary
+    val docs = Seq(
+      (0L, "a b a"), (1L, "a c"), (2L, "c d d"), (3L, ""), (4L, "e a")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowthOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (0L, 3L, 2L, 2L), (2L, 2L, 1L, 3L), (4L, 3L, 1L, 4L), (8L, 2L, 1L, 5L)))
+    // corpus invariants: cum_vocab is the non-decreasing running sum
+    // ending at the true distinct-word count; tokens partition the corpus
+    val curve = TextAnalysis.vocabGrowth(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(curve.map(_._4).toSeq === curve.map(_._3).scanLeft(0L)(_ + _).tail.toSeq)
+    val words = graft.core.Tables.documents(spark, d)
+      .select(explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    assert(curve.last._4 === words.distinct().count())
+    assert(curve.map(_._2).sum === words.count())
+  }
 }

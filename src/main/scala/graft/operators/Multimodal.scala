@@ -280,9 +280,21 @@ object Multimodal extends QueryModule {
     * (m3's checksum), and deduped d1-style: canonical = min doc_id per
     * (media_type, checksum). The oracle replays the closed-form content.
     * 50 is even, so a class is all-BMP or all-WAV (parity is stable). */
-  def mediaDedup(s: SparkSession, d: String): DataFrame = {
+  def mediaDedup(s: SparkSession, d: String): DataFrame =
+    mediaPrints(s, Tables.documents(s, d).select(col("doc_id")))
+      .groupBy("media_type", "checksum")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("media_type"), col("checksum"))
+
+  /** The synth → REAL-codec decode → position-sensitive fingerprint
+    * stage of [[mediaDedup]], over any `(doc_id)` frame — batch m5 and
+    * streaming st34 share it verbatim (typed map/mapPartitions work
+    * unchanged on a streaming Dataset, and the downstream
+    * (media_type, checksum) min/count aggregation is a semigroup, so
+    * the streaming state is one row per CONTENT CLASS, not per doc). */
+  private[graft] def mediaPrints(s: SparkSession, ids: DataFrame): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+    val media = ids.select(col("doc_id")).as[Long]
       .map { id =>
         val k = id % 50
         if (k % 2 == 0) {
@@ -320,9 +332,7 @@ object Multimodal extends QueryModule {
       }
       (m.doc_id, m.media_type, checksum)
     }).toDF("doc_id", "media_type", "checksum")
-    prints.groupBy("media_type", "checksum")
-      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("media_type"), col("checksum"))
+    prints
   }
 
   val mediaDedupSql: String =

@@ -183,5 +183,10 @@ object StreamingOps extends QueryModule {
     "st33_stream_source_signature" -> QueryDef(
       (s, d) => Streaming.streamSourceSignature(s, d, s"ssig_${math.abs(d.hashCode)}"),
       Some(TextAnalysis.sourceSignatureSql)),
+    // shares m5's oracle: min/count per content class is a semigroup,
+    // so the replayed registry equals the batch dedup table
+    "st34_stream_media_dedup" -> QueryDef(
+      (s, d) => Streaming.streamMediaDedup(s, d, s"smedia_${math.abs(d.hashCode)}"),
+      Some(Multimodal.mediaDedupSql)),
   )
 }

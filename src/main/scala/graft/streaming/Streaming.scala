@@ -1184,6 +1184,25 @@ object Streaming {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Streaming MEDIA DEDUP (st34): m5's decode → content-fingerprint →
+    * exact-dedup composition on arrival — each arriving doc synthesizes
+    * its payload, decodes it through the REAL BMP/WAV codecs and
+    * fingerprints it ROW-LOCALLY (the batch operator's own
+    * [[graft.operators.Multimodal.mediaPrints]] stage, which runs
+    * unchanged on a streaming Dataset), and a Complete-mode aggregation
+    * maintains (canonical = min doc_id, copies) per (media_type,
+    * checksum): state is one row per distinct CONTENT, not per document
+    * — the dedup registry a continuously-ingesting multimodal pipeline
+    * keeps. Full replay equals batch m5; shared oracle. */
+  def streamMediaDedup(s: SparkSession, d: String, name: String): DataFrame = {
+    val prints = graft.operators.Multimodal.mediaPrints(s,
+      documentsStream(s, d).select(col("doc_id")))
+    val agg = prints.groupBy(col("media_type"), col("checksum"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    runToTable(agg, OutputMode.Complete, name)
+      .orderBy(col("media_type"), col("checksum"))
+  }
+
   /** Streaming COUNT-MIN maintenance (st19): p6's sketch kept as BOUNDED
     * streaming state — every arriving document's tokens fan out to their
     * 4 hash-row buckets ROW-LOCALLY ([[graft.operators.ProfilerOps.cmBucket]],

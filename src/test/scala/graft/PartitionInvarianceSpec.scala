@@ -16,12 +16,15 @@ class PartitionInvarianceSpec extends SparkSpec {
   // one representative per family whose plan has real shuffles:
   // relational agg/join, window, iterative graph, LSH dedup, BPE, text,
   // quantiles, 2-hop cube, triangle attribution, bucketed self-join,
-  // temporal gap-fill, filtered ANN
+  // temporal gap-fill, filtered ANN, minhash signatures, decorrelated
+  // multi-EXISTS, degree-sum stats, first-appearance deciles
   private val names = Seq(
     "q1_pricing_summary", "q3_top_orders", "q25_topk_aggregate",
     "g2_connected_components", "g36_aggr_count_cube", "g37_local_clustering",
     "d3_minhash_lsh", "t27_bpe_merges", "p10_exact_quantiles",
-    "s16_filtered_ann", "s17_bucketed_selfjoin", "a8_gap_fill")
+    "s16_filtered_ann", "s17_bucketed_selfjoin", "a8_gap_fill",
+    "t35_source_signature", "q29_sole_late_supplier", "g39_assortativity",
+    "t36_vocab_growth")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

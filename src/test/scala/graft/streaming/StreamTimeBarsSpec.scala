@@ -73,4 +73,17 @@ class StreamTimeBarsSpec extends SparkSpec {
     assert(streamed.exists(_._5 == 0L),
       "at least one true neighbor must sit outside the sign bucket")
   }
+
+  test("st34 ≡ m5: streamed media-dedup registry equals the batch table on full replay") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamMediaDedup(spark, d, "smedia_spec")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = graft.operators.Multimodal.mediaDedup(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed === batch)
+    // the registry is per-CONTENT: copies exist and state is bounded by
+    // the 50 content classes, not the corpus
+    assert(streamed.nonEmpty && streamed.size <= 50)
+    assert(streamed.exists(_._4 > 1L), "re-encoded copies must collapse")
+  }
 }

@@ -188,5 +188,10 @@ object StreamingOps extends QueryModule {
     "st34_stream_media_dedup" -> QueryDef(
       (s, d) => Streaming.streamMediaDedup(s, d, s"smedia_${math.abs(d.hashCode)}"),
       Some(Multimodal.mediaDedupSql)),
+    // shares t15's oracle: register max is a semigroup, so the replayed
+    // register table equals the batch sketch
+    "st35_stream_hll_registers" -> QueryDef(
+      (s, d) => Streaming.streamHllRegisters(s, d, s"shll_${math.abs(d.hashCode)}"),
+      Some(TextAnalysis.hllRegistersSql)),
   )
 }

@@ -573,15 +573,21 @@ object TextAnalysis extends QueryModule {
     * apply the harmonic-mean estimator downstream. This is the sketch
     * infrastructure piece: cardinality state that composes across a
     * partitioned corpus in O(sources × 16) space. */
-  def hllRegisters(s: SparkSession, d: String): DataFrame = {
+  def hllRegisters(s: SparkSession, d: String): DataFrame =
+    hllRegistersOf(Tables.documents(s, d))
+      .orderBy(col("source"), col("bucket"))
+
+  /** The register aggregation over any `(source, text)` frame — batch
+    * t15 and streaming st35 share it verbatim (max is a semigroup, so
+    * the Complete-mode streaming state is the register table itself:
+    * sources × 16 ints however long the stream runs). */
+  private[graft] def hllRegistersOf(docs: DataFrame): DataFrame = {
     val h = md5(coalesce(col("text"), lit("")))
-    Tables.documents(s, d)
-      .select(col("source"),
+    docs.select(col("source"),
         conv(substring(h, 1, 1), 16, 10).cast("int").as("bucket"),
         (length(regexp_extract(substring(h, 2, 15), "^0*", 0)) + 1).as("rank"))
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rank")).as("max_rank"))
-      .orderBy(col("source"), col("bucket"))
   }
 
   val hllRegistersSql: String =

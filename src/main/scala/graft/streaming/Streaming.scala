@@ -1184,6 +1184,24 @@ object Streaming {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Streaming HLL REGISTER maintenance (st35): t15's per-source
+    * cardinality sketch as BOUNDED streaming state — every arriving
+    * document computes its (bucket, rank) ROW-LOCALLY and a
+    * Complete-mode max aggregation maintains the register table:
+    * sources × 16 ints however long the stream runs (register max is a
+    * semigroup, so batch partials fold exactly; the register TABLE is
+    * the state AND the output — any consumer applies the harmonic
+    * estimator downstream). The aggregation is batch t15's own
+    * [[graft.operators.TextAnalysis.hllRegistersOf]]; full replay
+    * equals the batch gate, shared oracle. The streaming cardinality
+    * monitor every continuously-ingesting corpus wants next to its
+    * count-min (st19) and heavy-hitter (st25) state. */
+  def streamHllRegisters(s: SparkSession, d: String, name: String): DataFrame = {
+    val agg = graft.operators.TextAnalysis.hllRegistersOf(documentsStream(s, d))
+    runToTable(agg, OutputMode.Complete, name)
+      .orderBy(col("source"), col("bucket"))
+  }
+
   /** Streaming MEDIA DEDUP (st34): m5's decode → content-fingerprint →
     * exact-dedup composition on arrival — each arriving doc synthesizes
     * its payload, decodes it through the REAL BMP/WAV codecs and

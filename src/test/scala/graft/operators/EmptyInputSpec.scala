@@ -124,7 +124,8 @@ class EmptyInputSpec extends SparkSpec {
         "st31_stream_local_clustering", "g38_random_walks",
         "q29_sole_late_supplier", "t35_source_signature",
         "st32_stream_filtered_ann", "st33_stream_source_signature",
-        "t36_vocab_growth", "st34_stream_media_dedup")) {
+        "t36_vocab_growth", "st34_stream_media_dedup",
+        "st35_stream_hll_registers")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -74,6 +74,29 @@ class StreamTimeBarsSpec extends SparkSpec {
       "at least one true neighbor must sit outside the sign bucket")
   }
 
+  test("st35 ≡ t15: streamed HLL registers equal the batch sketch; split batches max-fold") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val streamed = Streaming.streamHllRegisters(spark, d, "shll_spec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    val batch = graft.operators.TextAnalysis.hllRegisters(spark, d)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // semigroup fold: per-batch register tables re-max to the one-shot
+    val docs = Seq(("a", "x1"), ("a", "x2"), ("b", "y1"), ("a", "x3"), ("b", "y2"))
+      .toDF("source", "text")
+    val (b1, b2) = (docs.limit(2), docs.exceptAll(docs.limit(2)))
+    val folded = graft.operators.TextAnalysis.hllRegistersOf(b1)
+      .unionByName(graft.operators.TextAnalysis.hllRegistersOf(b2))
+      .groupBy(col("source"), col("bucket"))
+      .agg(org.apache.spark.sql.functions.max(col("max_rank")).as("max_rank"))
+      .orderBy(col("source"), col("bucket")).collect().toSeq
+    val oneShot = graft.operators.TextAnalysis.hllRegistersOf(docs)
+      .orderBy(col("source"), col("bucket")).collect().toSeq
+    assert(folded === oneShot)
+  }
+
   test("st34 ≡ m5: streamed media-dedup registry equals the batch table on full replay") {
     val d = "/root/testdata/sf0.001"
     val streamed = Streaming.streamMediaDedup(spark, d, "smedia_spec")

@@ -192,4 +192,82 @@ class Round11FuzzSpec extends SparkSpec {
       assert(ratio > 0.2 && ratio < 0.3, s"regime $i keep ratio $ratio degenerated from 1/4")
     }
   }
+
+  test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val nOrders = 30 + rnd.nextInt(30)
+      val orders = (1L to nOrders).map { ok =>
+        (ok, Seq("F", "O", "P")(rnd.nextInt(3)),
+          java.sql.Timestamp.valueOf(f"1995-01-${1 + rnd.nextInt(28)}%02d 00:00:00"))
+      }
+      val lineitem = orders.flatMap { case (ok, _, od) =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          val supp = 1L + rnd.nextInt(5)
+          val late = rnd.nextBoolean()
+          val ship = new java.sql.Timestamp(
+            od.getTime + (if (late) 90L else 10L) * 24 * 3600 * 1000)
+          (ok, supp, ship)
+        }
+      }
+      val supplier = (1L to 5L).map(k => (k, s"Supp#$k"))
+      val dir = Files.createTempDirectory(s"q29fuzz$trial").toString
+      orders.toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+        .write.parquet(s"$dir/orders.parquet")
+      lineitem.toDF("l_orderkey", "l_suppkey", "l_shipdate")
+        .write.parquet(s"$dir/lineitem.parquet")
+      supplier.toDF("s_suppkey", "s_name")
+        .write.parquet(s"$dir/supplier.parquet")
+      // literal quantified recount, straight off the spec text
+      val odate = orders.map(o => o._1 -> o._3).toMap
+      val status = orders.map(o => o._1 -> o._2).toMap
+      def isLate(l: (Long, Long, java.sql.Timestamp)) =
+        l._3.getTime > odate(l._1).getTime + 60L * 24 * 3600 * 1000
+      val waits = lineitem.filter(l => status(l._1) == "F" && isLate(l))
+        .map(l => (l._1, l._2)).distinct
+        .filter { case (ok, sk) =>
+          lineitem.exists(l2 => l2._1 == ok && l2._2 != sk) &&
+            !lineitem.exists(l3 => l3._1 == ok && l3._2 != sk && isLate(l3))
+        }
+      val expected = waits.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        .map { case (sk, n) => (s"Supp#$sk", n) }.toSeq
+        .sortBy { case (nm, n) => (-n, nm) }.take(20)
+      val got = Relational2.soleLateSupplier(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === expected, s"trial $trial diverged")
+    }
+  }
+
+  test("t36 fuzz: decile curve equals a local first-appearance recount on random corpora") {
+    val rnd = new scala.util.Random(36)
+    for (trial <- 1 to 5) {
+      val n = 10 + rnd.nextInt(40)
+      val docs = (0L until n).map { id =>
+        val words = (0 until rnd.nextInt(12))
+          .map(_ => s"w${rnd.nextInt(30)}").mkString(" ")
+        (id, if (rnd.nextInt(10) == 0) null else words)
+      }
+      val local = {
+        val toks = docs.flatMap { case (id, t) =>
+          Option(t).getOrElse("").trim.split("\\s+").filter(_.nonEmpty)
+            .map(w => (math.min(9L, id * 10 / n), w))
+        }
+        val tokPer = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val firstB = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+        val newPer = firstB.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val buckets = tokPer.keys.toSeq.sorted
+        var cum = 0L
+        buckets.map { b =>
+          // cum_vocab runs over PRESENT buckets only (token-free deciles
+          // are absent rows, but their first-appearance count is 0 by
+          // construction: no tokens, no first appearance)
+          cum += newPer.getOrElse(b, 0L)
+          (b, tokPer(b), newPer.getOrElse(b, 0L), cum)
+        }
+      }
+      val got = TextAnalysis.vocabGrowthOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got === local, s"trial $trial diverged")
+    }
+  }
 }

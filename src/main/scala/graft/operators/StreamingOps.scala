@@ -193,5 +193,11 @@ object StreamingOps extends QueryModule {
     "st35_stream_hll_registers" -> QueryDef(
       (s, d) => Streaming.streamHllRegisters(s, d, s"shll_${math.abs(d.hashCode)}"),
       Some(TextAnalysis.hllRegistersSql)),
+    // shares g39's oracle: degree-moment deltas + the touched-node
+    // semi-join correction replay to the exact batch statistics
+    "st36_stream_assortativity" -> QueryDef(
+      (s, d) => Streaming.streamAssortativity(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sassort_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.assortativitySql)),
   )
 }

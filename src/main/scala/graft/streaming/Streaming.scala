@@ -940,6 +940,47 @@ object Streaming {
     graft.pipeline.IncrementalTriangles.current(s, stateDir)
   }
 
+  /** Streaming ASSORTATIVITY (st36): g39's sufficient statistics
+    * maintained by [[graft.pipeline.IncrementalAssortativity]] — three
+    * of the four are pure degree moments (touched-node deltas), and the
+    * edge-borne Σd·d' correction is a semi-join of the old edge set
+    * against the touched nodes, so a batch costs Σ_{touched} deg, never
+    * a recount. Same even/odd orderkey split and order-atomicity
+    * precondition as st26 (co-order pairs are built per batch). On full
+    * replay the maintained row equals batch g39 and shares its
+    * oracle. */
+  def streamAssortativity(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalAssortativity.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalAssortativity.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalAssortativity.current(s, stateDir)
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

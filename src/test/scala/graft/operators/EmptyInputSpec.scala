@@ -143,9 +143,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(r.length === 1 && r.head.getLong(0) === 0L && r.head.getLong(1) === 0L)
   }
 
-  test("g39 assortativity reports explicit zero stats on an empty graph") {
-    val r = graft.SparkEntry.allDefs("g39_assortativity").fn(spark, emptyDir).collect()
-    assert(r.length === 1 && (0 to 3).forall(i => r.head.getLong(i) === 0L))
+  test("g39/st36 assortativity reports explicit zero stats on an empty graph") {
+    for (name <- Seq("g39_assortativity", "st36_stream_assortativity")) {
+      val r = graft.SparkEntry.allDefs(name).fn(spark, emptyDir).collect()
+      assert(r.length === 1 && (0 to 3).forall(i => r.head.getLong(i) === 0L),
+        s"$name must emit one explicit-zero row")
+    }
   }
 
   test("the corpus pipeline builds empty artifacts from an empty corpus") {

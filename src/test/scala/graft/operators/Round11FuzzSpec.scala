@@ -193,6 +193,33 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("assortativity IVM fuzz: random batch splits with duplicates equal batch g39") {
+    val rng = new scala.util.Random(39039L)
+    for (trial <- 1 to 4) {
+      val n = 6 + rng.nextInt(6)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rng.nextDouble() < 0.35
+      } yield (u, v)).toSeq
+      val dir = Files.createTempDirectory(s"assort_fuzz$trial").toString
+      val nB = 1 + rng.nextInt(4)
+      val batches = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+      var delivered = Seq.empty[(Long, Long)]
+      batches.zipWithIndex.foreach { case ((_, es), i) =>
+        // re-deliver a random subset of older edges: the left-anti dedup
+        // must make them invisible to every statistic
+        val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+        graft.pipeline.IncrementalAssortativity.update(spark, dir,
+          (es ++ dups).toDF("u", "v"), i.toLong)
+        delivered ++= es
+      }
+      val ivm = graft.pipeline.IncrementalAssortativity.current(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val batch = MaterialiseOps.assortativityOf(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(ivm === batch, s"trial $trial ($nB batches) IVM diverged")
+    }
+  }
+
   test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 5) {

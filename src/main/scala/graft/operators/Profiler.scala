@@ -497,6 +497,45 @@ object ProfilerOps extends QueryModule {
       |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_cents
       |FROM cum GROUP BY g ORDER BY g""".stripMargin
 
+  /** p11 — EXACT GROUPED MODE over the value-bucket histogram: the most
+    * frequent value per group with a deterministic lowest-value
+    * tie-break, plus the group's distinct-value and row counts. Same
+    * hub-safety argument as p10: the raw rows collapse to (group, value)
+    * counts map-side FIRST, and the only per-group ranking runs over
+    * distinct VALUES — a billion-row group costs its value spectrum.
+    * (SQL `mode()` leaves ties unspecified, so both engines state the
+    * argmax explicitly.) */
+  def groupedMode(s: SparkSession, d: String): DataFrame =
+    modeOf(Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("v")))
+      .orderBy(col("g"))
+
+  private[graft] def modeOf(gv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("g")).orderBy(col("cnt").desc, col("v").asc)
+    val mode = counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("g"), col("v").as("mode_v"), col("cnt").as("n_mode"))
+    val per = counts.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n_rows"))
+    mode.join(per, "g")
+  }
+
+  val groupedModeSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT g, v AS mode_v, cnt AS n_mode,
+      |    row_number() OVER (PARTITION BY g ORDER BY cnt DESC, v ASC) AS rn
+      |  FROM c),
+      |p AS (
+      |  SELECT g, count(*) AS n_distinct, CAST(sum(cnt) AS BIGINT) AS n_rows
+      |  FROM c GROUP BY g)
+      |SELECT m.g, mode_v, n_mode, n_distinct, n_rows
+      |FROM m JOIN p ON m.g = p.g WHERE rn = 1 ORDER BY m.g""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -508,5 +547,6 @@ object ProfilerOps extends QueryModule {
     "p8_frequency_spectrum" -> QueryDef(frequencySpectrum, Some(frequencySpectrumSql)),
     "p9_heavy_hitters" -> QueryDef(heavyHitters, Some(heavyHittersSql)),
     "p10_exact_quantiles" -> QueryDef(exactQuantiles, Some(exactQuantilesSql)),
+    "p11_grouped_mode" -> QueryDef(groupedMode, Some(groupedModeSql)),
   )
 }

@@ -372,6 +372,37 @@ object Relational2 extends QueryModule {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** q30 — explicit GROUPING SETS with grouping flags: the third member
+    * of the grouping-set family (q18 covers CUBE; ROLLUP is a prefix
+    * chain of this) — callers that want exactly (status, priority),
+    * (status), () and NOT the (priority)-only set cube would add, plus
+    * the per-row `grouping()` flags every BI layer uses to tell a data
+    * NULL from a roll-up NULL. Flags are stated per column (cast to
+    * INT) rather than via grouping_id, because the two engines pack the
+    * bitmask in different column orders — per-column flags are
+    * unambiguous. One shuffle; Spark expands the sets with a single
+    * Expand node, same as cube. */
+  def orderGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("gs"),
+        grouping(col("o_orderpriority")).cast("int").as("gp"))
+      .orderBy(col("gs"), col("gp"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val orderGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS gs,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS gp
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -387,6 +418,7 @@ object Relational2 extends QueryModule {
     "q27_pivot"       -> QueryDef(pivotSegments, Some(pivotSegmentsSql)),
     "q28_running_distinct" -> QueryDef(runningDistinct, Some(runningDistinctSql)),
     "q29_sole_late_supplier" -> QueryDef(soleLateSupplier, Some(soleLateSupplierSql)),
+    "q30_grouping_sets" -> QueryDef(orderGroupingSets, Some(orderGroupingSetsSql)),
   )
 }
 

@@ -473,6 +473,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("p11: lowest value wins count ties; per-group totals partition the input") {
+    import spark.implicits._
+    // group a: 7 twice, 3 twice (tie → 3 wins), 9 once; group b: single value
+    val gv = Seq(("a", 7L), ("a", 3L), ("a", 7L), ("a", 3L), ("a", 9L), ("b", 5L))
+      .toDF("g", "v")
+    val rows = ProfilerOps.modeOf(gv).orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(("a", 3L, 2L, 3L, 5L), ("b", 5L, 1L, 1L, 1L)))
+  }
+
   test("t36: first-appearance accounting on a hand corpus; curve invariants on testdata") {
     import spark.implicits._
     // 5 docs → deciles 0,2,4,6,8; doc3 is EMPTY so decile 6 has no token

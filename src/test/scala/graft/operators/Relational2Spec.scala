@@ -46,4 +46,23 @@ class Relational2Spec extends SparkSpec {
     assert(rows.toSeq === Seq(("Supp#1", 1L), ("Supp#2", 1L)),
       "o1 charges s1, o5 charges s2; o2/o3/o4/o6 all excluded")
   }
+
+  test("q30: exactly the three requested sets, flags distinguish roll-up NULLs") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational2.orderGroupingSets(spark, d).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getInt(4), r.getInt(5)))
+    val sets = rows.map { case (_, _, _, gs, gp) => (gs, gp) }.distinct.sorted
+    assert(sets === Seq((0, 0), (0, 1), (1, 1)),
+      "the (priority)-only set that CUBE would add must be absent")
+    // a flag of 1 means rolled up: the column must be NULL there and
+    // only there (no order status/priority is NULL in the data)
+    rows.foreach { case (st, pr, _, gs, gp) =>
+      assert(st.isEmpty == (gs == 1) && pr.isEmpty == (gp == 1))
+    }
+    // the grand-total row equals the sum of the per-status level
+    val total = rows.filter(t => t._4 == 1).map(_._3)
+    assert(total.length == 1 &&
+      total.head == rows.filter(t => t._4 == 0 && t._5 == 1).map(_._3).sum)
+  }
 }

@@ -1674,6 +1674,42 @@ object MaterialiseOps extends QueryModule {
       |  CAST(2 * coalesce(sum(da.deg * db.deg), 0) AS BIGINT) AS sum_dd
       |FROM pairs p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v""".stripMargin
 
+  /** g40 — DEGREE SPECTRUM (count-of-degrees): p8's frequency-spectrum
+    * diagnostic applied to the graph — how many nodes have each degree.
+    * This is the table every skew decision in this codebase reads
+    * implicitly (salting thresholds, broadcast-vs-shuffle, the g34
+    * hub-window rewrite): a heavy right tail says shuffle-by-vertex
+    * plans need salting, a short one says they don't — measured, not
+    * guessed, before committing a 100 TB job. Two map-side-combinable
+    * aggregations (ends → degree, degree → node count); output is
+    * bounded by the distinct-degree count. */
+  def degreeSpectrum(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    degreeSpectrumOf(pairs).orderBy(col("deg"))
+  }
+
+  /** [[degreeSpectrum]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def degreeSpectrumOf(pairs: DataFrame): DataFrame =
+    pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+
+  val degreeSpectrumSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id)
+      |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin
+
   /** k10 — GRAPHML NEIGHBORHOOD EXPORT: the reference's notebook export
     * path (`notebooks/fipronil.ipynb` — apoc.export.graphml of
     * `(other)-[r]-(node)` around one id) as an engine operator. Emits
@@ -1934,5 +1970,6 @@ object MaterialiseOps extends QueryModule {
     "k10_graphml_export" -> QueryDef(graphmlExport, Some(graphmlExportSql)),
     "g38_random_walks" -> QueryDef(randomWalks, Some(randomWalksSql)),
     "g39_assortativity" -> QueryDef(assortativity, Some(assortativitySql)),
+    "g40_degree_spectrum" -> QueryDef(degreeSpectrum, Some(degreeSpectrumSql)),
   )
 }

@@ -537,4 +537,24 @@ class GraphAnalyticsSpec extends SparkSpec {
       2L * edges.map { case (u, v) => deg(u) * deg(v) }.sum)
     assert(stats(edges) === local)
   }
+
+  test("g40: spectrum identities — star shape, Σ n=|V|, Σ deg·n=2|E|, matches local recount") {
+    import spark.implicits._
+    def spec(edges: Seq[(Long, Long)]) =
+      MaterialiseOps.degreeSpectrumOf(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(spec(Seq((1L, 2L), (1L, 3L), (1L, 4L))) === Seq((1L, 3L), (3L, 1L)))
+    val rnd = new scala.util.Random(40)
+    val edges = (for {
+      u <- 1L to 15L; v <- (u + 1) to 15L if rnd.nextDouble() < 0.25
+    } yield (u, v)).toSeq
+    val got = spec(edges)
+    val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val local = deg.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.map { case (d, n) => (d, n) }.sorted
+    assert(got === local)
+    assert(got.map(_._2).sum === deg.size.toLong)
+    assert(got.map { case (d, n) => d * n }.sum === 2L * edges.size)
+  }
 }

@@ -123,6 +123,44 @@ object XmlOps extends QueryModule {
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** x10 — PARQUET COMPRESSION-CODEC round-trip: the documents table
+    * re-materialised under every codec a lake migration negotiates
+    * (snappy default, zstd cold storage, gzip legacy, lz4 hot, none)
+    * and aggregated from each copy — five identical stat rows ⟺ every
+    * codec is lossless through this engine's write/read path. The codec
+    * choice is a 100 TB cost lever (zstd ≈ half the storage of snappy
+    * at similar scan cost), so the engine must prove it can hold the
+    * same bytes under all of them; the spec additionally pins that the
+    * option actually reaches the files (compressed dirs are smaller
+    * than `none`). */
+  def codecRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    Codecs.map { c =>
+      val dir = codecDir(d, c)
+      graft.core.Tables.documents(s, d)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", c).parquet(dir)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .select(lit(c).as("codec"), col("n_docs"), col("sum_chars"),
+          col("min_doc"), col("max_doc"))
+    }.reduce[DataFrame](_ unionByName _).orderBy(col("codec"))
+  }
+
+  private[graft] val Codecs = Seq("gzip", "lz4", "none", "snappy", "zstd")
+  private[graft] def codecDir(d: String, c: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_codec_${c}_${math.abs(d.hashCode)}"
+
+  val codecRoundtripSql: String =
+    s"""WITH agg AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |  FROM documents)
+      |SELECT codec, n_docs, sum_chars, min_doc, max_doc
+      |FROM (SELECT unnest([${Codecs.map("'" + _ + "'").mkString(", ")}]) AS codec), agg
+      |ORDER BY codec""".stripMargin
+
   /** x5 — CSV source/sink round-trip (x4's pattern for the text-format
     * side the reference's TSV pipelines live on): a typed lineitem
     * projection writes through Spark's CSV sink (header, quoted strings,
@@ -268,6 +306,7 @@ object XmlOps extends QueryModule {
     "x7_partitioned_scan" -> QueryDef(partitionedScan, Some(partitionedScanSql)),
     "x8_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
     "x9_jsonl_gz" -> QueryDef(jsonGzRoundtrip, Some(jsonRoundtripSql)),
+    "x10_codec_roundtrip" -> QueryDef(codecRoundtrip, Some(codecRoundtripSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -1361,6 +1361,49 @@ object TextAnalysis extends QueryModule {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
       |FROM tok t LEFT JOIN nw ON nw.bucket = t.bucket ORDER BY t.bucket""".stripMargin
 
+  /** t37 — LEXICAL DIVERSITY per source: type/token ratio and hapax
+    * share — the vocabulary-health complement to t14's volume stats and
+    * t36's arrival curve. Low TTR flags templated/boilerplate sources
+    * (few types, many tokens); a low hapax share flags the same at the
+    * tail (natural text keeps ~40-60% of its vocabulary at frequency 1
+    * — Zipf — while generated/templated text collapses it). Ratios are
+    * integer millionths (`1e6·x div y`, both engines truncating), so
+    * the compare is bit-exact. Shape: one (source, word) count with
+    * map-side combine — a source's raw tokens collapse to its
+    * vocabulary before the shuffle — then a per-source aggregate over
+    * vocabulary rows; no windows. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(1000000 * n_types) div n_tokens").as("ttr_ppm"),
+        expr("(1000000 * n_hapax) div n_types").as("hapax_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH w AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+      |                       x -> x <> '')) AS w
+      |  FROM documents),
+      |c AS (SELECT source, w, count(*) AS n FROM w GROUP BY source, w),
+      |p AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM c GROUP BY source)
+      |SELECT source, n_tokens, n_types, n_hapax,
+      |  (1000000 * n_types) // n_tokens AS ttr_ppm,
+      |  (1000000 * n_hapax) // n_types AS hapax_ppm
+      |FROM p ORDER BY source""".stripMargin
+
   /** t27 — BPE MERGE TRAINING (Sennrich et al. 2016), distributed and
     * VOCAB-SCALE: greedy pair-merge rounds over the word-internal
     * character sequences of the corpus. Two structural decisions make
@@ -1857,6 +1900,7 @@ object TextAnalysis extends QueryModule {
     "t33_temperature_sample" -> QueryDef(temperatureSample, Some(temperatureSampleSql)),
     "t35_source_signature" -> QueryDef(sourceSignature, Some(sourceSignatureSql)),
     "t36_vocab_growth" -> QueryDef(vocabGrowth, Some(vocabGrowthSql)),
+    "t37_lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
   )
 
 }

@@ -483,6 +483,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("a", 3L, 2L, 3L, 5L), ("b", 5L, 1L, 1L, 1L)))
   }
 
+  test("t37: hand-corpus ratios and testdata invariants (hapax ≤ types ≤ tokens)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t37").toString
+    // a: 3 tokens, 2 types, 1 hapax → ttr 2/3, hapax 1/2
+    // b: 3 tokens, 3 types, 3 hapax → both ratios exactly 1
+    // c: empty text → no vocabulary row at all (never a div-by-zero)
+    Seq(("a", "w w b"), ("b", "x y z"), ("c", ""))
+      .toDF("source", "text")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.lexicalDiversity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.toSeq === Seq(
+      ("a", 3L, 2L, 1L, 666666L, 500000L),
+      ("b", 3L, 3L, 3L, 1000000L, 1000000L)))
+    val real = TextAnalysis.lexicalDiversity(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty)
+    real.foreach { case (tok, typ, hap) =>
+      assert(hap <= typ && typ <= tok)
+    }
+  }
+
   test("t36: first-appearance accounting on a hand corpus; curve invariants on testdata") {
     import spark.implicits._
     // 5 docs → deciles 0,2,4,6,8; doc3 is EMPTY so decile 6 has no token

@@ -1710,6 +1710,73 @@ object MaterialiseOps extends QueryModule {
       |  GROUP BY id)
       |SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg ORDER BY deg""".stripMargin
 
+  /** g41 — RICH-CLUB COEFFICIENT sweep (Zhou & Mondragón 2004): do the
+    * hubs preferentially wire to each other? For each degree threshold
+    * k, take the club N_k = {nodes with deg > k} and report
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) with E_k the edges inside the club —
+    * the third member of the topology-diagnostic trio (g39 global
+    * mixing, g40 the spectrum, g41 the head's internal wiring; a dense
+    * rich club is the worst case for any shuffle-by-vertex plan because
+    * the skew is CORRELATED across join sides). φ is integer millionths
+    * with the division stated on both engines; thresholds where the
+    * club has <2 members emit NULL φ rather than a fake zero. Shape:
+    * the degree table filters to the club, and club membership reaches
+    * the edge set as two semi-joins on the endpoint — never an
+    * enumeration of club pairs. */
+  def richClub(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    richClubOf(pairs, Seq(2L, 4L, 8L, 16L)).orderBy(col("k"))
+  }
+
+  /** [[richClub]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def richClubOf(pairs: DataFrame, ks: Seq[Long]): DataFrame = {
+    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // probed once per threshold
+    ks.map { k =>
+      val club = deg.where(col("deg") > k).select(col("id"))
+      val nk = club.agg(count(lit(1)).as("n_club"))
+      val ek = pairs
+        .join(club.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(club.select(col("id").as("v")), Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("e_club"))
+      nk.crossJoin(ek).select(lit(k).as("k"), col("n_club"), col("e_club"),
+        // explicit <2-member guard: ANSI div-by-zero would throw, and the
+        // oracle's CASE states the same NULL
+        expr("CASE WHEN n_club >= 2 THEN (2000000 * e_club) div (n_club * (n_club - 1)) END")
+          .as("phi_ppm"))
+    }.reduce[DataFrame](_ unionByName _)
+  }
+
+  val richClubSql: String = {
+    val arms = Seq(2, 4, 8, 16).map { k =>
+      s"""SELECT $k AS k,
+         |  (SELECT count(*) FROM deg WHERE deg > $k) AS n_club,
+         |  (SELECT count(*) FROM pairs p
+         |   WHERE p.u IN (SELECT id FROM deg WHERE deg > $k)
+         |     AND p.v IN (SELECT id FROM deg WHERE deg > $k)) AS e_club""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id),
+      |arms AS (
+      |  $arms)
+      |SELECT k, n_club, e_club,
+      |  CASE WHEN n_club >= 2
+      |       THEN (2000000 * e_club) // (n_club * (n_club - 1)) END AS phi_ppm
+      |FROM arms ORDER BY k""".stripMargin
+  }
+
   /** k10 — GRAPHML NEIGHBORHOOD EXPORT: the reference's notebook export
     * path (`notebooks/fipronil.ipynb` — apoc.export.graphml of
     * `(other)-[r]-(node)` around one id) as an engine operator. Emits
@@ -1971,5 +2038,6 @@ object MaterialiseOps extends QueryModule {
     "g38_random_walks" -> QueryDef(randomWalks, Some(randomWalksSql)),
     "g39_assortativity" -> QueryDef(assortativity, Some(assortativitySql)),
     "g40_degree_spectrum" -> QueryDef(degreeSpectrum, Some(degreeSpectrumSql)),
+    "g41_rich_club" -> QueryDef(richClub, Some(richClubSql)),
   )
 }

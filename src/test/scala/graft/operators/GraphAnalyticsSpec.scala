@@ -557,4 +557,33 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got.map(_._2).sum === deg.size.toLong)
     assert(got.map { case (d, n) => d * n }.sum === 2L * edges.size)
   }
+
+  test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
+    import spark.implicits._
+    // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;
+    // club(k=4) is empty → NULL φ, zero counts
+    val hubs = Seq((10L, 20L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 4L), (20L, 5L), (20L, 6L))
+    val rows = MaterialiseOps.richClubOf(hubs.toDF("u", "v"), Seq(2L, 4L))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(rows.toSeq === Seq((2L, 2L, 1L, 1000000L), (4L, 0L, 0L, -1L)))
+    val rnd = new scala.util.Random(41)
+    val edges = (for {
+      u <- 1L to 14L; v <- (u + 1) to 14L if rnd.nextDouble() < 0.3
+    } yield (u, v)).toSeq
+    val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(2L, 3L)) {
+      val club = deg.filter(_._2 > k).keySet
+      val ek = edges.count { case (u, v) => club(u) && club(v) }.toLong
+      val nk = club.size.toLong
+      val got = MaterialiseOps.richClubOf(edges.toDF("u", "v"), Seq(k))
+        .collect().head
+      assert((got.getLong(1), got.getLong(2)) === ((nk, ek)), s"k=$k")
+      if (nk >= 2)
+        assert(got.getLong(3) === 2000000L * ek / (nk * (nk - 1)), s"k=$k phi")
+    }
+  }
 }

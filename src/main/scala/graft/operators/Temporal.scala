@@ -381,6 +381,71 @@ object Temporal extends QueryModule {
       |  CASE WHEN n IS NULL THEN 1 ELSE 0 END AS filled
       |FROM j ORDER BY event_type, bar""".stripMargin
 
+  /** a9 — INTERVAL-UNION COVERAGE (the gaps-and-islands classic): each
+    * event opens a `value`-minute window; per user, how much wall-clock
+    * is covered counting overlaps ONCE — the session/uptime/billing
+    * primitive none of a1–a8 states. Islands are maximal overlapping
+    * runs detected with the running-max-of-ends rule (an interval whose
+    * start exceeds every previous end under the (start, end, event_id)
+    * total order opens a new island; touching intervals merge), and an
+    * island's union is contiguous by construction, so its coverage is
+    * max(end) − min(start) — no per-point sweep. Interval ends are
+    * exact: value is 2-decimal, so value·6e7 µs is integral on both
+    * engines before the bigint cast. Hub-safe shape: the only windows
+    * run per USER over that user's intervals. */
+  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    intervalCoverageOf(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), us.as("s0"),
+        (us + (graft.core.Exact.dec(col("value")) * 60000000).cast("long")).as("e0")))
+      .orderBy(col("user_id"))
+  }
+
+  /** [[intervalCoverage]] over an explicit `(user_id, event_id, s0, e0)`
+    * interval frame — the spec's fixture entry. */
+  private[graft] def intervalCoverageOf(iv: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("s0"), col("e0"), col("event_id"))
+    val marked = iv
+      .withColumn("prev_max",
+        max(col("e0")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("s0") > col("prev_max"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s0")).as("i_start"), max(col("e0")).as("i_end"),
+        count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+  }
+
+  val intervalCoverageSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s0,
+      |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(12,2)) * 60000000 AS BIGINT) AS e0
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, s0, e0,
+      |    max(e0) OVER (PARTITION BY user_id ORDER BY s0, e0, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM iv),
+      |i AS (
+      |  SELECT user_id, s0, e0,
+      |    sum(CASE WHEN prev_max IS NULL OR s0 > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s0, e0, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM m),
+      |isl AS (
+      |  SELECT user_id, island, min(s0) AS i_start, max(e0) AS i_end,
+      |    count(*) AS n
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      |  count(*) AS n_islands,
+      |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -390,5 +455,6 @@ object Temporal extends QueryModule {
     "a6_asof_forward" -> QueryDef(eventsNextOrder, Some(eventsNextOrderSql)),
     "a7_time_bars"  -> QueryDef(timeBars, Some(timeBarsSql)),
     "a8_gap_fill"   -> QueryDef(gapFillBars, Some(gapFillBarsSql)),
+    "a9_interval_coverage" -> QueryDef(intervalCoverage, Some(intervalCoverageSql)),
   )
 }

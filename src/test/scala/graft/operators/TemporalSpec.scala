@@ -84,4 +84,43 @@ class TemporalSpec extends SparkSpec {
     assert(filled(("y", 7L)) === ((1.5, 0)))
     assert(filled.size === 6, "calendar spans exactly min..max per key — no bleed across keys")
   }
+
+  test("a9: islands merge overlap/touch/containment once; fuzz matches a local sweep") {
+    import spark.implicits._
+    def cov(iv: Seq[(Long, Long, Long, Long)]) =
+      Temporal.intervalCoverageOf(iv.toDF("user_id", "event_id", "s0", "e0"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // u1: [0,10]∪[5,20] overlap, [30,40]+[40,50] touch-merge → 2 islands, 20+20
+    // u2: [0,100] contains [10,20] → 1 island, 100
+    val hand = cov(Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 30L, 40L), (1L, 4L, 40L, 50L),
+      (2L, 5L, 0L, 100L), (2L, 6L, 10L, 20L)))
+    assert(hand(1L) === ((4L, 2L, 40L)))
+    assert(hand(2L) === ((2L, 1L, 100L)))
+    // seeded fuzz vs a local point-free sweep (sort + merge)
+    val rnd = new scala.util.Random(9)
+    val iv = (1 to 120).map { i =>
+      val u = 1L + rnd.nextInt(3)
+      val s = rnd.nextInt(1000).toLong
+      (u, i.toLong, s, s + 1 + rnd.nextInt(60))
+    }
+    def localCovered(xs: Seq[(Long, Long)]): (Long, Long) = { // (islands, covered)
+      val sorted = xs.sorted
+      var islands = 0L; var covered = 0L
+      var curS = Long.MinValue; var curE = Long.MinValue
+      for ((s, e) <- sorted) {
+        if (s > curE || islands == 0L) {
+          if (islands > 0L) covered += curE - curS
+          islands += 1; curS = s; curE = e
+        } else if (e > curE) curE = e
+      }
+      if (islands > 0L) covered += curE - curS
+      (islands, covered)
+    }
+    val got = cov(iv)
+    iv.groupBy(_._1).foreach { case (u, xs) =>
+      val (isl, covd) = localCovered(xs.map(t => (t._3, t._4)))
+      assert(got(u) === ((xs.size.toLong, isl, covd)), s"user $u")
+    }
+  }
 }

@@ -24,7 +24,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "d3_minhash_lsh", "t27_bpe_merges", "p10_exact_quantiles",
     "s16_filtered_ann", "s17_bucketed_selfjoin", "a8_gap_fill",
     "t35_source_signature", "q29_sole_late_supplier", "g39_assortativity",
-    "t36_vocab_growth")
+    "t36_vocab_growth", "a9_interval_coverage", "g41_rich_club",
+    "p11_grouped_mode", "q30_grouping_sets")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

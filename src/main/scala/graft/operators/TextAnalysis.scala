@@ -1404,6 +1404,52 @@ object TextAnalysis extends QueryModule {
       |  (1000000 * n_hapax) // n_types AS hapax_ppm
       |FROM p ORDER BY source""".stripMargin
 
+  /** t38 — TRAIN/VAL NEAR-DUP LEAKAGE: the eval-hygiene composition
+    * t11's exact-gram decontamination cannot see — a val document whose
+    * verified NEAR-duplicate (d3's banded-LSH + exact-verify pairs, ≥⅔
+    * shingle overlap) sits in train leaks the benchmark even though no
+    * 8-gram matches exactly. One pass over the verified pair table
+    * (the expensive LSH work is d3's and is not repeated per
+    * direction): each pair joins both endpoints' t5 split labels, the
+    * cross-split pairs keep their val side, and the report is one row
+    * per leaked val doc with its train-near-dup count and the best
+    * verified similarity in millionths (2·inter/(na+nb), the d3
+    * verification statistic). Empty report ⟺ the split is
+    * leakage-free at the near-dup level. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(s, d)
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb")).as("tot"))
+    val split = trainSplit(s, d).select(col("doc_id"), col("split"))
+    val tagged = pairs
+      .join(split.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+      .join(split.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+    tagged
+      .where((col("sa") === "val" && col("sb") === "train") ||
+        (col("sa") === "train" && col("sb") === "val"))
+      .select(when(col("sa") === "val", col("da")).otherwise(col("db")).as("doc_id"),
+        col("inter"), col("tot"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_train_neardups"),
+        max(expr("(2000000 * inter) div tot")).as("best_sim_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS (${graft.operators.Dedup.minhashLshSql}),
+      |split AS ($trainSplitSql),
+      |leaks AS (
+      |  SELECT CASE WHEN s1.split = 'val' THEN p.da ELSE p.db END AS doc_id,
+      |    p.inter, p.na + p.nb AS tot
+      |  FROM pairs p
+      |  JOIN split s1 ON s1.doc_id = p.da
+      |  JOIN split s2 ON s2.doc_id = p.db
+      |  WHERE (s1.split = 'val' AND s2.split = 'train')
+      |     OR (s1.split = 'train' AND s2.split = 'val'))
+      |SELECT doc_id, count(*) AS n_train_neardups,
+      |  max((2000000 * inter) // tot) AS best_sim_ppm
+      |FROM leaks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** t27 — BPE MERGE TRAINING (Sennrich et al. 2016), distributed and
     * VOCAB-SCALE: greedy pair-merge rounds over the word-internal
     * character sequences of the corpus. Two structural decisions make
@@ -1901,6 +1947,7 @@ object TextAnalysis extends QueryModule {
     "t35_source_signature" -> QueryDef(sourceSignature, Some(sourceSignatureSql)),
     "t36_vocab_growth" -> QueryDef(vocabGrowth, Some(vocabGrowthSql)),
     "t37_lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
+    "t38_split_leakage" -> QueryDef(splitLeakage, Some(splitLeakageSql)),
   )
 
 }

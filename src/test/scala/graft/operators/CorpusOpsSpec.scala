@@ -507,6 +507,28 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
+    val pairs = Dedup.minhashLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))
+    val split = TextAnalysis.trainSplit(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val leaks = pairs.flatMap { case (da, db, inter, tot) =>
+      Seq((split(da), split(db), da), (split(db), split(da), db)).collect {
+        case ("val", "train", v) => (v, inter, tot)
+      }
+    }
+    val expected = leaks.groupBy(_._1).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(t => 2000000L * t._2 / t._3).max)
+    }.toMap
+    val got = TextAnalysis.splitLeakage(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // every leaked doc is val-side and its similarity is a valid d3 verification
+    got.foreach { case (doc, (_, sim)) =>
+      assert(split(doc) == "val" && sim >= 666666L && sim <= 1000000L)
+    }
+  }
+
   test("t36: first-appearance accounting on a hand corpus; curve invariants on testdata") {
     import spark.implicits._
     // 5 docs → deciles 0,2,4,6,8; doc3 is EMPTY so decile 6 has no token

@@ -125,7 +125,8 @@ class EmptyInputSpec extends SparkSpec {
         "q29_sole_late_supplier", "t35_source_signature",
         "st32_stream_filtered_ann", "st33_stream_source_signature",
         "t36_vocab_growth", "st34_stream_media_dedup",
-        "st35_stream_hll_registers")) {
+        "st35_stream_hll_registers", "t37_lexical_diversity",
+        "t38_split_leakage")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -536,6 +536,61 @@ object ProfilerOps extends QueryModule {
       |SELECT m.g, mode_v, n_mode, n_distinct, n_rows
       |FROM m JOIN p ON m.g = p.g WHERE rn = 1 ORDER BY m.g""".stripMargin
 
+  /** p12 — REFERENTIAL-INTEGRITY AUDIT: orphan foreign-key counts
+    * across the whole star schema — the expectations pass a pipeline
+    * runs BEFORE joining 100 TB on those keys, because an orphan that
+    * would silently vanish in an inner join (or explode a row count in
+    * an outer one) should be a measured number first. One fixed row per
+    * relationship; explicit zeros are the point (they PROVE
+    * cleanliness; a missing row proves nothing). Each check is a
+    * left-anti join of child keys against distinct parent keys — the
+    * parent side collapses to its key set before any shuffle, and no
+    * check touches a non-key column. */
+  def referentialAudit(s: SparkSession, d: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k")).where(col("k").isNotNull)
+        .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("chk"), col("n_orphans"))
+    val li = Tables.lineitem(s, d)
+    Seq(
+      orphans("customer_nationkey", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      orphans("lineitem_orderkey", li, "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      orphans("lineitem_partkey", li, "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      orphans("lineitem_suppkey", li, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      orphans("nation_regionkey", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      orphans("orders_custkey", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      orphans("supplier_nationkey", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+    ).reduce[DataFrame](_ unionByName _).orderBy(col("chk"))
+  }
+
+  val referentialAuditSql: String = {
+    val checks = Seq(
+      ("customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ).map { case (nm, c, k, p, pk) =>
+      s"""SELECT '$nm' AS chk,
+         |  (SELECT count(*) FROM $c
+         |   WHERE $k IS NOT NULL AND $k NOT IN (SELECT $pk FROM $p)) AS n_orphans""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""SELECT chk, n_orphans FROM (
+      |  $checks)
+      |ORDER BY chk""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -548,5 +603,6 @@ object ProfilerOps extends QueryModule {
     "p9_heavy_hitters" -> QueryDef(heavyHitters, Some(heavyHittersSql)),
     "p10_exact_quantiles" -> QueryDef(exactQuantiles, Some(exactQuantilesSql)),
     "p11_grouped_mode" -> QueryDef(groupedMode, Some(groupedModeSql)),
+    "p12_referential_audit" -> QueryDef(referentialAudit, Some(referentialAuditSql)),
   )
 }

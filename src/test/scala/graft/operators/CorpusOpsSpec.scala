@@ -507,6 +507,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("p12: planted orphans are counted; clean references report explicit zeros") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("p12").toString
+    def w(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    w(Seq(0L).toDF("r_regionkey"), "region")
+    w(Seq((0L, 0L), (1L, 99L)).toDF("n_nationkey", "n_regionkey"), "nation")
+    w(Seq((1L, 0L), (2L, 0L)).toDF("c_custkey", "c_nationkey"), "customer")
+    w(Seq((1L, 0L)).toDF("s_suppkey", "s_nationkey"), "supplier")
+    w(Seq(1L).toDF("p_partkey"), "part")
+    w(Seq((10L, 1L), (11L, 7L)).toDF("o_orderkey", "o_custkey"), "orders")
+    w(Seq((10L, 1L, 1L), (99L, 1L, 1L), (10L, 2L, 1L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    val got = ProfilerOps.referentialAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(
+      ("customer_nationkey", 0L), ("lineitem_orderkey", 1L),
+      ("lineitem_partkey", 1L), ("lineitem_suppkey", 0L),
+      ("nation_regionkey", 1L), ("orders_custkey", 1L),
+      ("supplier_nationkey", 0L)))
+  }
+
   test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
     val pairs = Dedup.minhashLsh(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))

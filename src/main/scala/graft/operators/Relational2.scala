@@ -403,6 +403,29 @@ object Relational2 extends QueryModule {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q31 — ROLLUP: the hierarchical prefix chain completing the
+    * grouping family (q18 CUBE = every subset, q30 explicit sets, q31 =
+    * prefixes only — the drill-down a (status → priority) hierarchy
+    * reports). Same per-column grouping flags as q30 so a roll-up NULL
+    * is distinguishable from a data NULL. */
+  def ordersRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("gs"),
+        grouping(col("o_orderpriority")).cast("int").as("gp"))
+      .orderBy(col("gs"), col("gp"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val ordersRollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS gs,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS gp
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -419,6 +442,7 @@ object Relational2 extends QueryModule {
     "q28_running_distinct" -> QueryDef(runningDistinct, Some(runningDistinctSql)),
     "q29_sole_late_supplier" -> QueryDef(soleLateSupplier, Some(soleLateSupplierSql)),
     "q30_grouping_sets" -> QueryDef(orderGroupingSets, Some(orderGroupingSetsSql)),
+    "q31_rollup" -> QueryDef(ordersRollup, Some(ordersRollupSql)),
   )
 }
 

@@ -65,4 +65,17 @@ class Relational2Spec extends SparkSpec {
     assert(total.length == 1 &&
       total.head == rows.filter(t => t._4 == 0 && t._5 == 1).map(_._3).sum)
   }
+
+  test("q31: rollup emits exactly the prefix sets and agrees with q30 on shared levels") {
+    val d = "/root/testdata/sf0.001"
+    def levels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getInt(4), r.getInt(5)),
+        (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2))))
+    val ru = levels(Relational2.ordersRollup(spark, d))
+    assert(ru.map(_._1).distinct.sorted.toSeq === Seq((0, 0), (0, 1), (1, 1)),
+      "rollup = prefix chain only")
+    // identical level content as q30 (which requested the same three sets)
+    val gs = levels(Relational2.orderGroupingSets(spark, d))
+    assert(ru.sortBy(_.toString).toSeq === gs.sortBy(_.toString).toSeq)
+  }
 }

@@ -446,6 +446,62 @@ object Temporal extends QueryModule {
       |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** a10 — SESSIONIZATION by inactivity gap: the canonical event-stream
+    * operator a9's interval machinery implies but never states — per
+    * user, maximal runs of events whose consecutive gaps are ≤ 30 min
+    * under the (us, event_id) total order, reported as one row per
+    * session (dense 1-based index, event count, exact bounds). Sessions
+    * are what retention/funnel/billing pipelines actually key on; the
+    * gap rule is the industry-standard inactivity cut (a gap EQUAL to
+    * the threshold keeps the session — only strictly-greater splits,
+    * stated identically in both engines). Shape: one lag + one running
+    * sum per USER over that user's events, then a map-combinable
+    * groupBy — no self-join, no global window, so the plan is hub-safe
+    * for any realistic user cardinality and survives 100 TB exactly
+    * like a9's island windows do. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    sessionizeOf(ev, 30L * 60 * 1000000)
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** [[sessionize]] over an explicit `(user_id, event_id, us)` frame —
+    * the spec's fixture entry. */
+  private[graft] def sessionizeOf(ev: DataFrame, gapUs: Long): DataFrame = {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val marked = ev
+      .withColumn("prev_us", lag(col("us"), 1).over(ord))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+  }
+
+  val sessionizeSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM ev),
+      |s AS (
+      |  SELECT user_id, us,
+      |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM m)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+      |  CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -456,5 +512,6 @@ object Temporal extends QueryModule {
     "a7_time_bars"  -> QueryDef(timeBars, Some(timeBarsSql)),
     "a8_gap_fill"   -> QueryDef(gapFillBars, Some(gapFillBarsSql)),
     "a9_interval_coverage" -> QueryDef(intervalCoverage, Some(intervalCoverageSql)),
+    "a10_sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
   )
 }

@@ -123,4 +123,45 @@ class TemporalSpec extends SparkSpec {
       assert(got(u) === ((xs.size.toLong, isl, covd)), s"user $u")
     }
   }
+
+  test("a10 sessionize: exact-gap stays, gap+1 splits, ties share, dense index; fuzz matches a local scan") {
+    import spark.implicits._
+    def run(ev: Seq[(Long, String, Long)], gap: Long) =
+      Temporal.sessionizeOf(ev.toDF("user_id", "event_id", "us"), gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // gap=10: u1 events at 0,10,20 chain via EXACT-gap rule (10 ≤ 10);
+    // 31 is 11 past 20 → new session; tie at 31 shares it. u2 isolated.
+    val hand = run(Seq(
+      (1L, "e1", 0L), (1L, "e2", 10L), (1L, "e3", 20L),
+      (1L, "e4", 31L), (1L, "e5", 31L),
+      (2L, "e6", 5L)), 10L)
+    assert(hand((1L, 1L)) === ((3L, 0L, 20L, 20L)), "exact-gap chain is ONE session")
+    assert(hand((1L, 2L)) === ((2L, 31L, 31L, 0L)), "tied events share the new session")
+    assert(hand((2L, 1L)) === ((1L, 5L, 5L, 0L)), "users are independent")
+    assert(hand.size === 3)
+    // seeded fuzz vs a local sorted scan
+    val rnd = new scala.util.Random(11)
+    val ev = (1 to 150).map { i =>
+      (1L + rnd.nextInt(4), s"e$i", rnd.nextInt(500).toLong)
+    }
+    val gap = 25L
+    val got = run(ev, gap)
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val sorted = xs.map(t => (t._3, t._2)).sorted
+      var idx = 0L; var prev = Long.MinValue
+      val local = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      for ((us, _) <- sorted) {
+        if (idx == 0L || us - prev > gap) { idx += 1; local(idx) = (0L, us, us) }
+        val (n, s0, _) = local(idx)
+        local(idx) = (n + 1, s0, us)
+        prev = us
+      }
+      local.foreach { case (i, (n, s0, e0)) =>
+        assert(got((u, i)) === ((n, s0, e0, e0 - s0)), s"user $u session $i")
+      }
+      assert(got.keys.count(_._1 == u) === local.size, s"user $u session count")
+    }
+  }
 }

@@ -591,6 +591,62 @@ object ProfilerOps extends QueryModule {
       |ORDER BY chk""".stripMargin
   }
 
+  /** p13 — FUNCTIONAL-DEPENDENCY AUDIT: does X determine Y? For each
+    * candidate FD the violation profile a schema-inference / data-
+    * contract pass needs before trusting a column as a derivable
+    * attribute: distinct determinant groups, groups carrying >1
+    * dependent value, and the minimal row-repair count Σ(|Y per X|−1).
+    * The candidate list mixes FDs that HOLD on TPC-H-shaped data
+    * (nation→region, the PK FDs — explicit zeros prove them) with ones
+    * that don't (order→supplier fans out per line). Shape: each check
+    * collapses to DISTINCT (x, y) pairs BEFORE any counting — the
+    * shuffle carries the pair cardinality, not the table — then two
+    * map-combinable aggregations; null determinants and dependents are
+    * excluded by the stated contract (SQL NULL ≠ NULL would make every
+    * null row its own vacuous group). */
+  def fdAudit(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, df: DataFrame, det: String, dep: String): DataFrame =
+      df.select(col(det).as("x"), col(dep).as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+        .distinct()
+        .groupBy(col("x")).agg(count(lit(1)).as("ny"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(when(col("ny") > 1, 1L).otherwise(0L)), lit(0L)).as("n_bad_groups"),
+          coalesce(sum(col("ny") - 1), lit(0L)).as("n_violations"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_bad_groups"),
+          col("n_violations"))
+    Seq(
+      check("customer_nation_to_segment", Tables.customer(s, d), "c_nationkey", "c_mktsegment"),
+      check("lineitem_order_to_supplier", Tables.lineitem(s, d), "l_orderkey", "l_suppkey"),
+      check("nation_to_region", Tables.nation(s, d), "n_nationkey", "n_regionkey"),
+      check("orders_to_custkey", Tables.orders(s, d), "o_orderkey", "o_custkey"),
+      check("part_brand_to_type", Tables.part(s, d), "p_brand", "p_type"),
+      check("part_to_brand", Tables.part(s, d), "p_partkey", "p_brand"),
+    ).reduce[DataFrame](_ unionByName _).orderBy(col("fd"))
+  }
+
+  val fdAuditSql: String = {
+    val checks = Seq(
+      ("customer_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),
+      ("lineitem_order_to_supplier", "lineitem", "l_orderkey", "l_suppkey"),
+      ("nation_to_region", "nation", "n_nationkey", "n_regionkey"),
+      ("orders_to_custkey", "orders", "o_orderkey", "o_custkey"),
+      ("part_brand_to_type", "part", "p_brand", "p_type"),
+      ("part_to_brand", "part", "p_partkey", "p_brand"),
+    ).map { case (nm, t, x, y) =>
+      s"""SELECT '$nm' AS fd, count(*) AS n_groups,
+         |  CAST(coalesce(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad_groups,
+         |  CAST(coalesce(sum(ny - 1), 0) AS BIGINT) AS n_violations
+         |FROM (SELECT x, count(*) AS ny FROM (
+         |        SELECT DISTINCT $x AS x, $y AS y FROM $t
+         |        WHERE $x IS NOT NULL AND $y IS NOT NULL)
+         |      GROUP BY x)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""SELECT * FROM (
+      |  $checks)
+      |ORDER BY fd""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -604,5 +660,6 @@ object ProfilerOps extends QueryModule {
     "p10_exact_quantiles" -> QueryDef(exactQuantiles, Some(exactQuantilesSql)),
     "p11_grouped_mode" -> QueryDef(groupedMode, Some(groupedModeSql)),
     "p12_referential_audit" -> QueryDef(referentialAudit, Some(referentialAuditSql)),
+    "p13_fd_audit" -> QueryDef(fdAudit, Some(fdAuditSql)),
   )
 }

@@ -530,6 +530,41 @@ class CorpusOpsSpec extends SparkSpec {
       ("supplier_nationkey", 0L)))
   }
 
+  test("p13: planted FD violations count groups and minimal repairs; holding FDs report zeros; nulls excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("p13").toString
+    def w(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    // customer: nation 0 → {A, A, B} (1 bad group, 1 repair); nation 1 → {A};
+    // a NULL segment row and a NULL nation row must both be invisible
+    w(Seq((1L, Option(0L), Option("A")), (2L, Option(0L), Option("A")),
+      (3L, Option(0L), Option("B")), (4L, Option(1L), Option("A")),
+      (5L, Option(0L), None), (6L, None, Option("Z")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment"), "customer")
+    // lineitem: order 10 → suppliers {1,2,3} (2 repairs); order 11 → {1}
+    w(Seq((10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), (11L, 1L))
+      .toDF("l_orderkey", "l_suppkey"), "lineitem")
+    // nation→region HOLDS (explicit zero); orders PK holds; part: brand
+    // b1 → {t1, t2} violates, p_partkey→brand holds trivially
+    w(Seq((0L, 5L), (1L, 5L)).toDF("n_nationkey", "n_regionkey"), "nation")
+    w(Seq((10L, 7L), (11L, 8L)).toDF("o_orderkey", "o_custkey"), "orders")
+    w(Seq((1L, "b1", "t1"), (2L, "b1", "t2"), (3L, "b2", "t1"))
+      .toDF("p_partkey", "p_brand", "p_type"), "part")
+    val got = ProfilerOps.fdAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("customer_nation_to_segment") === ((2L, 1L, 1L)))
+    assert(got("lineitem_order_to_supplier") === ((2L, 1L, 2L)))
+    assert(got("nation_to_region") === ((2L, 0L, 0L)))
+    assert(got("orders_to_custkey") === ((2L, 0L, 0L)))
+    assert(got("part_brand_to_type") === ((2L, 1L, 1L)))
+    assert(got("part_to_brand") === ((3L, 0L, 0L)))
+    // invariants on real data: bad groups ≤ groups, repairs ≥ bad groups
+    ProfilerOps.fdAudit(spark, d).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) >= r.getLong(2))
+    }
+  }
+
   test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
     val pairs = Dedup.minhashLsh(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))

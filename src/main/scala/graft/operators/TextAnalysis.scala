@@ -1909,6 +1909,60 @@ object TextAnalysis extends QueryModule {
       |WHERE r.rk <= q.quota
       |ORDER BY lang, source, rk""".stripMargin
 
+  /** t39 — SOURCE DIVERGENCE: exact total-variation distance between
+    * each source's unigram distribution and the whole corpus —
+    * TV(p_s, p) = ½·Σ_w |p_s(w) − p(w)| — the distribution-shift number
+    * a mixture designer reads before reweighting (t19/t23 decide HOW
+    * much of each source; t39 measures how DIFFERENT each source is,
+    * and a source with TV ≈ 0 adds volume, not diversity). All-integer:
+    * the sum is computed over common denominators (|C_sw·N − n_w·N_s|,
+    * plus the absent-word closed form N_s·(N − M_s) — words the source
+    * never uses contribute without being enumerated), then one ppm
+    * division, so both engines truncate identically. Shape: (source,
+    * word) counts with map-side combine, word totals joined back keyed
+    * by WORD (the only wide shuffle), per-source totals broadcast, and
+    * a 1-row corpus total via crossJoin — never a source×word dense
+    * matrix. Long arithmetic holds to ~10¹⁸; at trillion-token scale
+    * the C_sw·N product needs DECIMAL(38,0) — flagged here, not hidden. */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(trim(coalesce(col("text"), lit(""))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val csw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val nw = csw.groupBy(col("w")).agg(sum(col("c")).as("nw"))
+    val ns = csw.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val n = csw.agg(sum(col("c")).as("n"))
+    csw.join(nw, "w")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(min(col("ns")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(abs(col("c") * col("n") - col("nw") * col("ns"))).as("pnum"),
+        sum(col("nw")).as("m_s"), min(col("n")).as("ncorp"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("(1000000 * (pnum + n_tokens * (ncorp - m_s))) div (2 * n_tokens * ncorp)")
+          .as("tv_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDivergenceSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS w
+      |  FROM documents),
+      |ww AS (SELECT source, w, count(*) AS c FROM toks WHERE w <> ''
+      |       GROUP BY source, w),
+      |nw AS (SELECT w, CAST(sum(c) AS BIGINT) AS nw FROM ww GROUP BY w),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM ww GROUP BY source),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ww)
+      |SELECT ww.source, min(ns.ns) AS n_tokens, count(*) AS n_types,
+      |  CAST((1000000 * (sum(abs(ww.c * n.n - nw.nw * ns.ns))
+      |          + min(ns.ns) * (min(n.n) - sum(nw.nw))))
+      |    // (2 * min(ns.ns) * min(n.n)) AS BIGINT) AS tv_ppm
+      |FROM ww JOIN nw USING (w) JOIN ns USING (source) CROSS JOIN n
+      |GROUP BY ww.source ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -1948,6 +2002,7 @@ object TextAnalysis extends QueryModule {
     "t36_vocab_growth" -> QueryDef(vocabGrowth, Some(vocabGrowthSql)),
     "t37_lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     "t38_split_leakage" -> QueryDef(splitLeakage, Some(splitLeakageSql)),
+    "t39_source_divergence" -> QueryDef(sourceDivergence, Some(sourceDivergenceSql)),
   )
 
 }

@@ -565,6 +565,51 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("t39: hand TV matches the closed form; single source is zero; fuzz matches a local recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    def run(docs: Seq[(String, String)]): Map[String, (Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory("t39").toString
+      docs.toDF("source", "text").write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/documents.parquet")
+      TextAnalysis.sourceDivergence(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    def localTv(docs: Seq[(String, String)]): Map[String, Long] = {
+      val toks = docs.flatMap { case (s, t) =>
+        t.trim.split("\\s+").filter(_.nonEmpty).map(s -> _) }
+      val csw = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nw = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val ns = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      ns.map { case (src, nsv) =>
+        val num = nw.map { case (w, nwv) =>
+          math.abs(csw.getOrElse((src, w), 0L) * n - nwv * nsv) }.sum
+        src -> 1000000L * num / (2L * nsv * n)
+      }.toMap
+    }
+    // a: 3×x + 1×y of 8 tokens; b: 4×y. p_a=(3/4,1/4), p=(3/8,5/8)
+    // TV(a)=|3/4-3/8|=3/8 → 375000; TV(b)=|0-3/8|... = 3/8 → 375000
+    val hand = run(Seq(("a", "x x x y"), ("b", "y y y y")))
+    assert(hand("a") === ((4L, 2L, 375000L)))
+    assert(hand("b") === ((4L, 1L, 375000L)))
+    // one source ⇒ its distribution IS the corpus ⇒ TV exactly 0
+    val solo = run(Seq(("only", "p q q r r r")))
+    assert(solo("only") === ((6L, 3L, 0L)))
+    // seeded fuzz vs the unrestricted local recount (no closed form)
+    val rnd = new scala.util.Random(39)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val fuzz = (1 to 24).map { i =>
+      (s"s${rnd.nextInt(3)}",
+        Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = run(fuzz)
+    localTv(fuzz).foreach { case (src, tv) =>
+      assert(got(src)._3 === tv, s"source $src")
+      assert(tv >= 0L && tv < 1000000L)
+    }
+  }
+
   test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
     val pairs = Dedup.minhashLsh(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))

@@ -2000,6 +2000,82 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY root, direction, edge1, type1, edge2, type2""".stripMargin
   }
 
+  /** g42 — MULTI-SOURCE BFS LAYERS: exact hop-distance layer counts
+    * from a deterministic seed set (the 4 lowest node ids) over the
+    * co-order part graph, bounded at 4 hops — the reachability profile
+    * behind "how local is this graph" decisions (frontier growth per
+    * hop is what decides whether an iterative traversal broadcast its
+    * frontier or shuffles it; g42 MEASURES that growth). All seeds ride
+    * ONE frame — per round a single frontier⋈edges equi-join keyed by
+    * vertex, a distinct, and an anti-join against the visited set, so
+    * k sources cost one pass, not k traversals. Bounded-round contract:
+    * exactly [[BfsMaxDist]] rounds, mirrored 1:1 by the oracle's
+    * unrolled CTE chain (the bounded-round-oracle rule); rounds after
+    * the frontier empties are no-ops on both engines. Per-round frames
+    * go through the stats-clamped `Iterate.save`. */
+  def bfsLayers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    bfsLayersOf(pairs, nSeeds = 4, maxDist = BfsMaxDist)
+      .orderBy(col("seed"), col("dist"))
+  }
+
+  private[graft] val BfsMaxDist = 4
+
+  /** [[bfsLayers]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def bfsLayersOf(pairs: DataFrame, nSeeds: Int, maxDist: Int): DataFrame = {
+    // static dim reused by every round — the documented bare-checkpoint
+    // exception (nothing loop-carried flows through it)
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    var visited = seeds.select(col("node").as("seed"), col("node"),
+      lit(0).as("dist")).localCheckpoint()
+    var frontier = visited.select(col("seed"), col("node"))
+    var i = 0
+    while (i < maxDist) {
+      val next = frontier.select(col("seed"), col("node").as("fu"))
+        .join(edges, col("fu") === col("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "left_anti")
+      frontier = graft.core.Iterate.save(next, 0, i)
+      visited = graft.core.Iterate.save(
+        visited.unionByName(frontier.withColumn("dist", lit(i + 1))), 0, i)
+      i += 1
+    }
+    visited.groupBy(col("seed"), col("dist")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  val bfsLayersSql: String = {
+    // unrolled CTE chain: f{k} = frontier at dist k, v{k} = visited ≤ k
+    val rounds = (1 to BfsMaxDist).map { k =>
+      s"""f$k AS (
+         |  SELECT DISTINCT f.seed, e.v AS node
+         |  FROM f${k - 1} f JOIN e ON e.u = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} p
+         |                    WHERE p.seed = f.seed AND p.node = e.v)),
+         |v$k AS (SELECT * FROM v${k - 1}
+         |        UNION ALL SELECT seed, node, $k AS dist FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |seeds AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 4),
+      |v0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+      |f0 AS (SELECT seed, node FROM v0),
+      |$rounds
+      |SELECT seed, CAST(dist AS INT) AS dist, count(*) AS n_nodes
+      |FROM v$BfsMaxDist GROUP BY seed, dist ORDER BY seed, dist""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2039,5 +2115,6 @@ object MaterialiseOps extends QueryModule {
     "g39_assortativity" -> QueryDef(assortativity, Some(assortativitySql)),
     "g40_degree_spectrum" -> QueryDef(degreeSpectrum, Some(degreeSpectrumSql)),
     "g41_rich_club" -> QueryDef(richClub, Some(richClubSql)),
+    "g42_bfs_layers" -> QueryDef(bfsLayers, Some(bfsLayersSql)),
   )
 }

@@ -558,6 +558,42 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got.map { case (d, n) => d * n }.sum === 2L * edges.size)
   }
 
+  test("g42: path layers by hop, disconnected seeds stay local, hop bound enforced, fuzz matches local BFS") {
+    import spark.implicits._
+    def layers(edges: Seq[(Long, Long)], nSeeds: Int, maxDist: Int) =
+      MaterialiseOps.bfsLayersOf(edges.toDF("u", "v"), nSeeds, maxDist)
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // path 1-2-3-4-5-6-7 plus isolated pair 0-11; seeds (2 lowest) = {0, 1}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L), (0L, 11L))
+    val got = layers(path, 2, 4)
+    // seed 1 walks the path one hop per round; node 7 is at dist 6 > bound → absent
+    assert((0 to 4).forall(k => got((1L, k)) == 1L))
+    assert(!got.contains((1L, 5)) && got.size == 5 + 2)
+    // seed 0 exhausts its component at dist 1 — extra rounds are no-ops
+    assert(got((0L, 0)) == 1L && got((0L, 1)) == 1L)
+    // seeded fuzz vs a local multi-source BFS
+    val rnd = new scala.util.Random(42)
+    val edges = (for {
+      u <- 1L to 18L; v <- (u + 1) to 18L if rnd.nextDouble() < 0.12
+    } yield (u, v)).toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val gotF = layers(edges, 3, 4)
+    nodes.take(3).foreach { seed =>
+      var vis = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (k <- 1 to 4) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- vis.keySet
+        vis ++= frontier.map(_ -> k)
+      }
+      val local = vis.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      local.foreach { case (dist, n) =>
+        assert(gotF((seed, dist)) === n, s"seed $seed dist $dist")
+      }
+      assert(gotF.keys.count(_._1 == seed) === local.size, s"seed $seed layer count")
+    }
+  }
+
   test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
     import spark.implicits._
     // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;

@@ -199,5 +199,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamAssortativity(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sassort_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.assortativitySql)),
+    // shares g40's oracle: touched-node bucket moves replay to the
+    // exact batch histogram
+    "st37_stream_degree_spectrum" -> QueryDef(
+      (s, d) => Streaming.streamDegreeSpectrum(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sdspec_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.degreeSpectrumSql)),
   )
 }

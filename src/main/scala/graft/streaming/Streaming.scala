@@ -981,6 +981,48 @@ object Streaming {
     graft.pipeline.IncrementalAssortativity.current(s, stateDir)
   }
 
+  /** Streaming DEGREE SPECTRUM (st37): g40's count-of-degrees histogram
+    * maintained by [[graft.pipeline.IncrementalDegreeSpectrum]] — a
+    * batch moves each touched node from its old-degree bucket to its
+    * new one, and those (deg, ±1) rows are additive across batches, so
+    * the serving read is one groupBy-sum with a >0 filter. The
+    * old-degree lookup semi-joins prior edges against touched nodes
+    * FIRST, so a batch costs Σ_touched deg. Same even/odd orderkey
+    * split and order-atomicity precondition as st26 (co-order pairs are
+    * built per batch). On full replay the histogram equals batch g40
+    * and shares its oracle. */
+  def streamDegreeSpectrum(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalDegreeSpectrum.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalDegreeSpectrum.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalDegreeSpectrum.current(s, stateDir).orderBy(col("deg"))
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

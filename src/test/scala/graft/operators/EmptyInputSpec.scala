@@ -132,6 +132,20 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("continuation-session operators degrade cleanly on an empty corpus") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("a10_sessionize", "t39_source_divergence",
+        "g42_bfs_layers", "st37_stream_degree_spectrum")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+    // p13 reports its 6 FD rows with explicit zeros — zero groups proves
+    // the scan ran, not that the check vacuously passed
+    val fd = defs("p13_fd_audit").fn(spark, emptyDir).collect()
+    assert(fd.length === 6 && fd.forall(r =>
+      r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L))
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

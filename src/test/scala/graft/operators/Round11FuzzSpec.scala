@@ -220,6 +220,34 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("degree-spectrum IVM fuzz: random batch splits with duplicates equal batch g40; buckets drain cleanly") {
+    val rng = new scala.util.Random(40040L)
+    for (trial <- 1 to 4) {
+      val n = 6 + rng.nextInt(6)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rng.nextDouble() < 0.35
+      } yield (u, v)).toSeq
+      val dir = Files.createTempDirectory(s"dspec_fuzz$trial").toString
+      val nB = 1 + rng.nextInt(4)
+      val batches = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+      var delivered = Seq.empty[(Long, Long)]
+      batches.zipWithIndex.foreach { case ((_, es), i) =>
+        val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+        graft.pipeline.IncrementalDegreeSpectrum.update(spark, dir,
+          (es ++ dups).toDF("u", "v"), i.toLong)
+        delivered ++= es
+      }
+      val ivm = graft.pipeline.IncrementalDegreeSpectrum.current(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val batch = MaterialiseOps.degreeSpectrumOf(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(ivm === batch, s"trial $trial ($nB batches) IVM diverged")
+      // the −1/+1 bucket moves must drain emptied buckets exactly: no
+      // zero or negative histogram rows survive the >0 filter
+      assert(ivm.forall(_._2 > 0))
+    }
+  }
+
   test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 5) {

@@ -205,5 +205,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamDegreeSpectrum(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sdspec_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.degreeSpectrumSql)),
+    // shares a10's oracle: session runs are a semigroup under
+    // gap-tolerant island merging, so the replayed table equals batch
+    // sessionization (the partial-partition alternative to st2's
+    // flatMapGroupsWithState state machine)
+    "st38_stream_sessionize" -> QueryDef(
+      (s, d) => Streaming.streamSessionize(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_ssess_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.sessionizeSql)),
   )
 }

@@ -446,12 +446,12 @@ object Temporal extends QueryModule {
       |  CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** a10 — SESSIONIZATION by inactivity gap: the canonical event-stream
-    * operator a9's interval machinery implies but never states — per
-    * user, maximal runs of events whose consecutive gaps are ≤ 30 min
-    * under the (us, event_id) total order, reported as one row per
-    * session (dense 1-based index, event count, exact bounds). Sessions
-    * are what retention/funnel/billing pipelines actually key on; the
+  /** a10 — SESSIONIZATION to per-SESSION rows: q13 counts sessions per
+    * user; a10 materialises each session — per user, maximal runs of
+    * events whose consecutive gaps are ≤ 30 min under the
+    * (us, event_id) total order, one row per session (dense 1-based
+    * index, event count, exact bounds, duration). Session ROWS are what
+    * retention/funnel/billing pipelines actually key on; the
     * gap rule is the industry-standard inactivity cut (a gap EQUAL to
     * the threshold keeps the session — only strictly-greater splits,
     * stated identically in both engines). Shape: one lag + one running

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.core.Exact
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -773,6 +774,77 @@ object Streaming {
         org.apache.spark.sql.types.StructType.fromDDL(
           "event_type STRING, bar BIGINT, open DOUBLE, high DOUBLE, low DOUBLE, close DOUBLE, n BIGINT"))
     barMerge(s.read.parquet(s"$stateDir/bars.parquet").drop("batch"))
+  }
+
+  /** Streaming SESSIONIZATION (st38): a10's inactivity-gap sessions
+    * maintained incrementally — the canonical stateful-streaming
+    * operator, done WITHOUT per-key driver state. Each micro-batch
+    * writes its own per-user session RUNS (start, end, n_events — a10's
+    * island logic applied batch-locally) to an append-only `batch=<id>`
+    * partition; the serving read island-merges the runs per user with
+    * the SAME gap tolerance and ranks by start. Why run-merging is
+    * exact regardless of how events split across batches: run hulls
+    * start/end at REAL event times, so (a) two runs whose hull gap is
+    * ≤ G contain a point pair at distance ≤ G — every point between
+    * two such points sits inside their span, so consecutive global
+    * gaps are ≤ G and the sessions genuinely coincide — and (b) if
+    * global consecutive points p, q (gap ≤ G) landed in different
+    * merged islands, their runs' hulls would be ≥ G apart, forcing
+    * q − p > G — contradiction. Sessions are therefore a semigroup
+    * over run sets, and batch boundaries never show. On full replay
+    * the merged table equals batch a10 and shares its oracle. */
+  def streamSessionize(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val q = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sessionPartials(batch.toDF(), gapUs)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/sessions.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/sessions.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, session_idx BIGINT, n_events BIGINT, " +
+            "start_us BIGINT, end_us BIGINT, dur_us BIGINT"))
+    sessionMerge(s.read.parquet(s"$stateDir/sessions.parquet").drop("batch"), gapUs)
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** One batch's per-user session runs over (user_id, event_id, us). */
+  private[graft] def sessionPartials(batch: DataFrame, gapUs: Long): DataFrame =
+    graft.operators.Temporal.sessionizeOf(batch, gapUs)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+
+  /** Island-merge any union of [[sessionPartials]] outputs back into
+    * exact sessions — runs whose hull gap is ≤ gapUs coalesce (the
+    * point rule "split only when strictly greater" carries over), and
+    * the dense island index ordered by start IS the session index. */
+  private[graft] def sessionMerge(partials: DataFrame, gapUs: Long): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("start_us"), col("end_us"))
+    partials
+      .withColumn("prev_max",
+        max(col("end_us")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("start_us") > col("prev_max") + gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("start_us")).as("start_us"), max(col("end_us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
   }
 
   /** Streaming HEAVY HITTERS (st25): p9's corpus-frequency threshold

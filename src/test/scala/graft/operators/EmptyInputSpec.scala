@@ -135,7 +135,8 @@ class EmptyInputSpec extends SparkSpec {
   test("continuation-session operators degrade cleanly on an empty corpus") {
     val defs = graft.SparkEntry.allDefs
     for (name <- Seq("a10_sessionize", "t39_source_divergence",
-        "g42_bfs_layers", "st37_stream_degree_spectrum")) {
+        "g42_bfs_layers", "st37_stream_degree_spectrum",
+        "st38_stream_sessionize")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

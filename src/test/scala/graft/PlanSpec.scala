@@ -321,6 +321,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "degree aggregation lost map-side combine")
   }
 
+  test("a10: sessionization is pure per-user windows + one combinable agg — no join anywhere") {
+    val p = plan("a10_sessionize")
+    assert(!p.contains("Join"), "sessionization must not join")
+    // both windows partition by user_id — a global (unpartitioned)
+    // window here would funnel the whole stream through one task
+    assert(p.contains("Window"), "lag/running-sum windows missing")
+    assert(p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("user_id")),
+      "a window lost its user_id partitioning")
+  }
+
+  test("t39: per-source totals broadcast; the word-keyed join is the only wide shuffle") {
+    val p = plan("t39_source_divergence")
+    assert(!p.contains("CartesianProduct"), "corpus-side all-pairs join")
+    // the source-totals dim and the 1-row corpus total must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      "per-source totals lost their broadcast")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "unigram counts lost map-side combine")
+  }
+
+  test("g42: frontier expansion is an equi-join + anti-join, never all-pairs") {
+    // pin the ROUND shape (the loop materialises checkpoints, so pin
+    // one round's frame directly): one hash equi-join on the vertex
+    // key, one left-anti against visited
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val df = graft.operators.MaterialiseOps.bfsLayersOf(pairs, 2, 1)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -2076,6 +2076,72 @@ object MaterialiseOps extends QueryModule {
       |FROM v$BfsMaxDist GROUP BY seed, dist ORDER BY seed, dist""".stripMargin
   }
 
+  /** g43 — KATZ WALK CENTRALITY (bounded): per-node counts of walks of
+    * length 1, 2, 3 (A·1, A²·1, A³·1 over the symmetrized co-order
+    * adjacency) and the Katz score Σ βᵏ·walks_k with β = 1/4 carried as
+    * the exact integer 16·w1 + 4·w2 + w3 — the path-based centrality
+    * complementing the degree family (g39–g41 read the 1-hop picture;
+    * Katz weighs influence THROUGH the neighborhood, the feature
+    * link-prediction stacks use beside g27's RA index). Walk counts are
+    * sparse matvecs: each hop is ONE vertex-keyed equi-join of the
+    * current count vector against the edge list plus a map-combinable
+    * sum — never a matrix product, never all-pairs; three hops = three
+    * shuffles bounded by |E|. Mirrored exactly by the oracle's chained
+    * CTEs (walks, not simple paths — the standard Katz semantics: a
+    * walk may revisit nodes, which is what keeps each hop a linear
+    * operator and the 100 TB plan a join chain). */
+  def katzWalks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    katzWalksOf(pairs).orderBy(col("id"))
+  }
+
+  /** [[katzWalks]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def katzWalksOf(pairs: DataFrame): DataFrame = {
+    // static dim reused by every hop — the documented bare-checkpoint
+    // exception (nothing loop-carried flows through it)
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    // w1 = degree; each further hop pulls the neighbor's current count
+    def hop(w: DataFrame): DataFrame = edges
+      .join(w.select(col("id").as("v"), col("wk")), Seq("v"))
+      .groupBy(col("u").as("id")).agg(sum(col("wk")).as("wk"))
+    val w1 = edges.groupBy(col("u").as("id")).agg(count(lit(1)).as("wk"))
+      .localCheckpoint()
+    val w2 = hop(w1).localCheckpoint()
+    val w3 = hop(w2)
+    w1.select(col("id"), col("wk").as("w1"))
+      .join(w2.select(col("id"), col("wk").as("w2")), Seq("id"), "left")
+      .join(w3.select(col("id"), col("wk").as("w3")), Seq("id"), "left")
+      .select(col("id"), col("w1"),
+        coalesce(col("w2"), lit(0L)).as("w2"),
+        coalesce(col("w3"), lit(0L)).as("w3"))
+      .withColumn("katz16",
+        col("w1") * 16 + col("w2") * 4 + col("w3"))
+  }
+
+  val katzWalksSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |w1 AS (SELECT u AS id, count(*) AS wk FROM e GROUP BY u),
+      |w2 AS (SELECT e.u AS id, CAST(sum(w.wk) AS BIGINT) AS wk
+      |       FROM e JOIN w1 w ON w.id = e.v GROUP BY e.u),
+      |w3 AS (SELECT e.u AS id, CAST(sum(w.wk) AS BIGINT) AS wk
+      |       FROM e JOIN w2 w ON w.id = e.v GROUP BY e.u)
+      |SELECT w1.id, w1.wk AS w1,
+      |  coalesce(w2.wk, 0) AS w2, coalesce(w3.wk, 0) AS w3,
+      |  w1.wk * 16 + coalesce(w2.wk, 0) * 4 + coalesce(w3.wk, 0) AS katz16
+      |FROM w1 LEFT JOIN w2 ON w2.id = w1.id LEFT JOIN w3 ON w3.id = w1.id
+      |ORDER BY w1.id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2116,5 +2182,6 @@ object MaterialiseOps extends QueryModule {
     "g40_degree_spectrum" -> QueryDef(degreeSpectrum, Some(degreeSpectrumSql)),
     "g41_rich_club" -> QueryDef(richClub, Some(richClubSql)),
     "g42_bfs_layers" -> QueryDef(bfsLayers, Some(bfsLayersSql)),
+    "g43_katz_walks" -> QueryDef(katzWalks, Some(katzWalksSql)),
   )
 }

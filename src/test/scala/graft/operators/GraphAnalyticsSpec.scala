@@ -594,6 +594,38 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("g43: walk counts on hand graphs (walks revisit nodes); fuzz matches a local matvec") {
+    import spark.implicits._
+    def katz(edges: Seq[(Long, Long)]) =
+      MaterialiseOps.katzWalksOf(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // single edge 1-2: from 1, walks are 1→2, 1→2→1, 1→2→1→2 — one per
+    // length (REVISITS count: path semantics would stop at w2=0)
+    val pair = katz(Seq((1L, 2L)))
+    assert(pair(1L) === ((1L, 1L, 1L, 16L + 4L + 1L)))
+    // star center 1 with leaves 2,3,4: w1=3, w2 (leaf→center back) = 3,
+    // w3 = 9 (center→leaf→center→leaf); leaf: w1=1, w2=3, w3=3
+    val star = katz(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(star(1L) === ((3L, 3L, 9L, 48L + 12L + 9L)))
+    assert(star(2L) === ((1L, 3L, 3L, 16L + 12L + 3L)))
+    // seeded fuzz vs a local sparse matvec
+    val rnd = new scala.util.Random(43)
+    val edges = (for {
+      u <- 1L to 14L; v <- (u + 1) to 14L if rnd.nextDouble() < 0.2
+    } yield (u, v)).toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val got = katz(edges)
+    val w1 = adj.view.mapValues(_.size.toLong).toMap
+    def mv(w: Map[Long, Long]) = adj.view.mapValues(_.map(w).sum).toMap
+    val w2 = mv(w1); val w3 = mv(w2)
+    w1.keys.foreach { n =>
+      assert(got(n) === ((w1(n), w2(n), w3(n), 16 * w1(n) + 4 * w2(n) + w3(n))), s"node $n")
+    }
+    assert(got.size === w1.size)
+  }
+
   test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
     import spark.implicits._
     // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;

@@ -213,5 +213,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamSessionize(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_ssess_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Temporal.sessionizeSql)),
+    // shares g42's oracle: min-mergeable distance rows + bounded
+    // relaxation replay to the exact batch layers
+    "st39_stream_bfs_layers" -> QueryDef(
+      (s, d) => Streaming.streamBfsLayers(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sbfs_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.bfsLayersSql)),
   )
 }

@@ -1095,6 +1095,49 @@ object Streaming {
     graft.pipeline.IncrementalDegreeSpectrum.current(s, stateDir).orderBy(col("deg"))
   }
 
+  /** Streaming BFS LAYERS (st39): g42's bounded multi-source distance
+    * layers maintained by [[graft.pipeline.IncrementalBfs]] — the
+    * family's first non-additive state, carried as min-mergeable
+    * (seed, node, dist) rows (bounded BFS distance is monotone
+    * non-increasing under insert-only edges, so min over appended rows
+    * IS the current distance; seed-set churn resolves at read). Batch
+    * cost is Σ_{improved} deg through ≤ maxDist relaxation rounds.
+    * Same even/odd orderkey split and order-atomicity precondition as
+    * st26. On full replay the layers equal batch g42 and share its
+    * oracle. */
+  def streamBfsLayers(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalBfs.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalBfs.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalBfs.current(s, stateDir)
+      .orderBy(col("seed"), col("dist"))
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

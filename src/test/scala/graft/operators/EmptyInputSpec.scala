@@ -136,7 +136,8 @@ class EmptyInputSpec extends SparkSpec {
     val defs = graft.SparkEntry.allDefs
     for (name <- Seq("a10_sessionize", "t39_source_divergence",
         "g42_bfs_layers", "st37_stream_degree_spectrum",
-        "st38_stream_sessionize")) {
+        "st38_stream_sessionize", "st39_stream_bfs_layers",
+        "g43_katz_walks")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -248,6 +248,53 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("bfs IVM: late edges improve distances, late low ids evict seeds; fuzz equals batch g42") {
+    def fold(dir: String, batches: Seq[Seq[(Long, Long)]]): Seq[(Long, Int, Long)] = {
+      batches.zipWithIndex.foreach { case (es, i) =>
+        graft.pipeline.IncrementalBfs.update(spark, dir, es.toDF("u", "v"), i.toLong)
+      }
+      graft.pipeline.IncrementalBfs.current(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    }
+    def batch(edges: Seq[(Long, Long)]): Seq[(Long, Int, Long)] =
+      MaterialiseOps.bfsLayersOf(edges.toDF("u", "v"), 4, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    // hand case 1: batch 2's shortcut edge must IMPROVE an existing
+    // distance (path 1-2-3-4-5, then 1-5 arrives → dist(1,5) 4→1)
+    val d1 = Files.createTempDirectory("bfs_ivm1").toString
+    val b1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val b2 = Seq((1L, 5L))
+    assert(fold(d1, Seq(b1, b2)) === batch(b1 ++ b2), "shortcut edge not relaxed")
+    // hand case 2: batch 2 introduces LOWER node ids → the seed set
+    // shifts down and the evicted seed's rows must vanish from the read
+    val d2 = Files.createTempDirectory("bfs_ivm2").toString
+    val c1 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    val c2 = Seq((1L, 10L), (2L, 1L))
+    val got2 = fold(d2, Seq(c1, c2))
+    assert(got2 === batch(c1 ++ c2), "seed churn diverged")
+    assert(!got2.exists(_._1 == 13L), "evicted seed leaked into the read")
+    // seeded fuzz: random splits with redelivered duplicates
+    val rng = new scala.util.Random(39042L)
+    for (trial <- 1 to 3) {
+      val n = 8 + rng.nextInt(8)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rng.nextDouble() < 0.22
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val dir = Files.createTempDirectory(s"bfs_fuzz$trial").toString
+        val nB = 1 + rng.nextInt(4)
+        val grouped = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1).map(_._2)
+        var delivered = Seq.empty[(Long, Long)]
+        val withDups = grouped.map { es =>
+          val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+          delivered ++= es
+          es ++ dups
+        }
+        assert(fold(dir, withDups) === batch(edges), s"trial $trial ($nB batches)")
+      }
+    }
+  }
+
   test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 5) {

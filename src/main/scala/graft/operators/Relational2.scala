@@ -426,6 +426,56 @@ object Relational2 extends QueryModule {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** q32 — NULL-AWARE ANTI-JOIN semantics: the four membership flavors
+    * (IN / NOT IN / EXISTS / NOT EXISTS) against a subquery whose key
+    * column CONTAINS NULLs — the SQL three-valued-logic trap every
+    * migration hits: `NOT IN` over a null-bearing set is vacuously
+    * empty (x <> NULL is UNKNOWN, so no row ever passes), while
+    * `NOT EXISTS` keeps the rows an engineer usually meant. Stated as
+    * literal SQL on both engines so the parity IS the contract, and
+    * the counts pin the algebra: in = exists, exists + not_exists =
+    * total, not_in = 0 whenever a NULL is present. Scale shape: Spark
+    * plans the NOT IN arm as its null-aware anti join (single-key
+    * broadcast NAAJ — bounded by the dim side), the others as
+    * semi/anti hash joins; nothing here is row-by-row. */
+  def nullAntijoin(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("q32_orders")
+    Tables.customer(s, d).createOrReplaceTempView("q32_customer")
+    s.sql("""
+      WITH sub AS (
+        SELECT CASE WHEN c_acctbal > 5000 THEN c_custkey END AS k
+        FROM q32_customer)
+      SELECT 'in' AS variant, count(*) AS n
+      FROM q32_orders WHERE o_custkey IN (SELECT k FROM sub)
+      UNION ALL
+      SELECT 'not_in', count(*)
+      FROM q32_orders WHERE o_custkey NOT IN (SELECT k FROM sub)
+      UNION ALL
+      SELECT 'exists', count(*)
+      FROM q32_orders o WHERE EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey)
+      UNION ALL
+      SELECT 'not_exists', count(*)
+      FROM q32_orders o WHERE NOT EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey)
+      ORDER BY variant""")
+  }
+
+  val nullAntijoinSql: String =
+    """WITH sub AS (
+      |  SELECT CASE WHEN c_acctbal > 5000 THEN c_custkey END AS k
+      |  FROM customer)
+      |SELECT 'in' AS variant, count(*) AS n
+      |FROM orders WHERE o_custkey IN (SELECT k FROM sub)
+      |UNION ALL
+      |SELECT 'not_in', count(*)
+      |FROM orders WHERE o_custkey NOT IN (SELECT k FROM sub)
+      |UNION ALL
+      |SELECT 'exists', count(*)
+      |FROM orders o WHERE EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey)
+      |UNION ALL
+      |SELECT 'not_exists', count(*)
+      |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey)
+      |ORDER BY variant""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -443,6 +493,7 @@ object Relational2 extends QueryModule {
     "q29_sole_late_supplier" -> QueryDef(soleLateSupplier, Some(soleLateSupplierSql)),
     "q30_grouping_sets" -> QueryDef(orderGroupingSets, Some(orderGroupingSetsSql)),
     "q31_rollup" -> QueryDef(ordersRollup, Some(ordersRollupSql)),
+    "q32_null_antijoin" -> QueryDef(nullAntijoin, Some(nullAntijoinSql)),
   )
 }
 

@@ -78,4 +78,22 @@ class Relational2Spec extends SparkSpec {
     val gs = levels(Relational2.orderGroupingSets(spark, d))
     assert(ru.sortBy(_.toString).toSeq === gs.sortBy(_.toString).toSeq)
   }
+
+  test("q32: NOT IN over a null-bearing set is vacuously empty; in = exists; exists + not_exists = total") {
+    val d = "/root/testdata/sf0.001"
+    val got = Relational2.nullAntijoin(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.core.Tables.orders(spark, d).count()
+    // the subquery genuinely carries a NULL (some customer ≤ 5000) and
+    // a non-NULL (some customer > 5000) — both needed for the trap
+    val bals = graft.core.Tables.customer(spark, d)
+      .select(org.apache.spark.sql.functions.col("c_acctbal").cast("double"))
+      .collect().map(_.getDouble(0))
+    assert(bals.exists(_ <= 5000) && bals.exists(_ > 5000),
+      "fixture must exercise both CASE arms")
+    assert(got("not_in") === 0L, "three-valued logic: x <> NULL is UNKNOWN")
+    assert(got("in") === got("exists"), "IN ignores the NULLs EXISTS never sees")
+    assert(got("exists") + got("not_exists") === total)
+    assert(got("in") > 0L && got("not_exists") > 0L, "both arms non-trivial")
+  }
 }

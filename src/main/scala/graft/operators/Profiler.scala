@@ -647,6 +647,72 @@ object ProfilerOps extends QueryModule {
       |ORDER BY fd""".stripMargin
   }
 
+  /** p14 — BENFORD FIRST-DIGIT AUDIT: the leading-significant-digit
+    * distribution of o_totalprice against Benford's law — the anomaly
+    * screen auditors and data-quality monitors run on naturally-grown
+    * monetary columns (synthetic/fabricated/truncated feeds bend the
+    * curve long before any row-level rule fires; TPC-H prices are
+    * uniform-ish, so a LARGE measured delta here is itself the
+    * demonstration that the audit detects non-Benford data). The digit
+    * comes from the DECIMAL(12,2) canonical string (both engines
+    * render it identically — the p3 exact-carrier rule), never from
+    * float log10 whose boundary cells would disagree; expectations are
+    * the 9 rounded-ppm literals stated in BOTH engines, and shares are
+    * truncating-ppm integer division. Always 9 rows (digit dim
+    * left-joins the counts), with NULL shares on an empty column
+    * rather than a fake zero. One map-side-combinable groupBy plus a
+    * broadcast 1-row total. */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val benford = BenfordPpm.toSeq.map { case (dg, p) => (dg, p) }
+      .toDF("digit", "benford_ppm")
+    val first = regexp_extract(
+      col("o_totalprice").cast(DecimalType(12, 2)).cast("string"), "[1-9]", 0)
+    val counts = Tables.orders(s, d)
+      .select(first.as("fd")).where(col("fd") =!= "")
+      .select(col("fd").cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("tot"))
+    benford.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("CASE WHEN tot > 0 THEN (1000000 * coalesce(n, 0L)) div tot END")
+          .as("share_ppm"),
+        col("benford_ppm"))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** round(log10(1 + 1/d)·10⁶) — the literal expectation table, shared
+    * with the oracle text and pinned by the spec against math.log10. */
+  private[graft] val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+
+  val benfordAuditSql: String = {
+    val values = BenfordPpm.map { case (dg, p) => s"($dg, $p)" }.mkString(", ")
+    s"""WITH f AS (
+      |  SELECT regexp_extract(
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '[1-9]') AS fd
+      |  FROM orders),
+      |c AS (SELECT CAST(fd AS BIGINT) AS digit, count(*) AS n
+      |      FROM f WHERE fd <> '' GROUP BY 1),
+      |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM c),
+      |b(digit, benford_ppm) AS (VALUES $values)
+      |SELECT CAST(b.digit AS BIGINT) AS digit,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      |  CASE WHEN t.tot > 0
+      |    THEN CAST((1000000 * coalesce(c.n, 0)) // t.tot AS BIGINT) END AS share_ppm,
+      |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+      |  CASE WHEN t.tot > 0
+      |    THEN CAST((1000000 * coalesce(c.n, 0)) // t.tot - b.benford_ppm AS BIGINT)
+      |  END AS delta_ppm
+      |FROM b LEFT JOIN c ON c.digit = b.digit CROSS JOIN t
+      |ORDER BY digit""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -661,5 +727,6 @@ object ProfilerOps extends QueryModule {
     "p11_grouped_mode" -> QueryDef(groupedMode, Some(groupedModeSql)),
     "p12_referential_audit" -> QueryDef(referentialAudit, Some(referentialAuditSql)),
     "p13_fd_audit" -> QueryDef(fdAudit, Some(fdAuditSql)),
+    "p14_benford_audit" -> QueryDef(benfordAudit, Some(benfordAuditSql)),
   )
 }

@@ -610,6 +610,35 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("p14: the ppm table IS round(log10(1+1/d)*1e6); planted digits count; shares sum to ~1e6") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    // the literal expectation table must be the mathematical one
+    ProfilerOps.BenfordPpm.foreach { case (dg, p) =>
+      assert(p === math.round(math.log10(1.0 + 1.0 / dg) * 1e6), s"digit $dg")
+    }
+    assert(ProfilerOps.BenfordPpm.map(_._2).sum === 999999L ||
+      ProfilerOps.BenfordPpm.map(_._2).sum === 1000000L)
+    // planted prices: leading digits 9, 1, 1, 3 (0.50 → first nonzero is 5)
+    val dir = java.nio.file.Files.createTempDirectory("p14").toString
+    Seq((1L, 912.34), (2L, 0.50), (3L, 199999.99), (4L, 1.00), (5L, 3.99))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/orders.parquet")
+    val got = ProfilerOps.benfordAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got.size === 9)
+    assert(got(1L)._1 === 2L && got(3L)._1 === 1L && got(5L)._1 === 1L && got(9L)._1 === 1L)
+    assert(got(2L)._1 === 0L && got(2L)._2 === Some(0L), "absent digit: explicit zero share")
+    assert(got(1L)._2 === Some(400000L), "2 of 5 → truncating ppm")
+    // real data: exactly 9 rows, shares telescope to 1e6 within truncation
+    val real = ProfilerOps.benfordAudit(spark, d).collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L)))
+    assert(real.length === 9)
+    val shareSum = real.map(_._2).sum
+    assert(shareSum > 999990L && shareSum <= 1000000L, s"shares sum $shareSum")
+  }
+
   test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
     val pairs = Dedup.minhashLsh(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))

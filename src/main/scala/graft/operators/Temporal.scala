@@ -502,6 +502,67 @@ object Temporal extends QueryModule {
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** a11 — LAG FEATURES over the regular grid: the step a8 exists FOR —
+    * once bars are densified and forward-filled, per event_type the
+    * previous close, the one-bar delta, and the rolling 3-bar min/max
+    * become well-defined features (on the raw irregular stream, "lag 1"
+    * means "whatever happened to be previous", which leaks gap length
+    * into every feature). Exactness: close_ff values are value PICKS
+    * (never arithmetic), so the single IEEE double subtraction in
+    * d_close is bit-identical on both engines; min/max are picks again.
+    * Scale shape: one ordered window per event_type over |bars| rows —
+    * bounded by the time range, not the event volume, which is what
+    * makes per-key windows safe here and NOT on the raw stream. */
+  def lagFeatures(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"),
+      col("event_id"), col("value"))
+    lagFeaturesOf(gapFillOf(timeBarsOf(ev, 3600L * 1000000)))
+      .orderBy(col("event_type"), col("bar"))
+  }
+
+  /** [[lagFeatures]] over an explicit gap-filled bars frame (needs
+    * event_type, bar, close_ff, filled) — spec-testable seam. */
+  private[graft] def lagFeaturesOf(bars: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bar"))
+    bars
+      .withColumn("prev_close", lag(col("close_ff"), 1).over(w))
+      .withColumn("d_close", col("close_ff") - col("prev_close"))
+      .withColumn("min3", min(col("close_ff")).over(w.rowsBetween(-2, 0)))
+      .withColumn("max3", max(col("close_ff")).over(w.rowsBetween(-2, 0)))
+  }
+
+  val lagFeaturesSql: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bar,
+      |    epoch_us(ts) AS us, event_id, value FROM events),
+      |b AS (
+      |  SELECT event_type, bar,
+      |    last(value ORDER BY us, event_id) AS close, count(*) AS n
+      |  FROM e GROUP BY 1, 2),
+      |rng AS (
+      |  SELECT event_type, unnest(generate_series(min(bar), max(bar))) AS bar
+      |  FROM b GROUP BY event_type),
+      |j AS (
+      |  SELECT r.event_type, r.bar, b.close, b.n
+      |  FROM rng r LEFT JOIN b ON b.event_type = r.event_type AND b.bar = r.bar),
+      |g AS (
+      |  SELECT event_type, bar,
+      |    last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+      |      ORDER BY bar ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ff,
+      |    CASE WHEN n IS NULL THEN 1 ELSE 0 END AS filled
+      |  FROM j)
+      |SELECT event_type, bar, close_ff, filled,
+      |  lag(close_ff) OVER w AS prev_close,
+      |  close_ff - lag(close_ff) OVER w AS d_close,
+      |  min(close_ff) OVER (PARTITION BY event_type ORDER BY bar
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3,
+      |  max(close_ff) OVER (PARTITION BY event_type ORDER BY bar
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3
+      |FROM g
+      |WINDOW w AS (PARTITION BY event_type ORDER BY bar)
+      |ORDER BY event_type, bar""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -513,5 +574,6 @@ object Temporal extends QueryModule {
     "a8_gap_fill"   -> QueryDef(gapFillBars, Some(gapFillBarsSql)),
     "a9_interval_coverage" -> QueryDef(intervalCoverage, Some(intervalCoverageSql)),
     "a10_sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
+    "a11_lag_features" -> QueryDef(lagFeatures, Some(lagFeaturesSql)),
   )
 }

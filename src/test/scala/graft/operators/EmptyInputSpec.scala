@@ -137,10 +137,13 @@ class EmptyInputSpec extends SparkSpec {
     for (name <- Seq("a10_sessionize", "t39_source_divergence",
         "g42_bfs_layers", "st37_stream_degree_spectrum",
         "st38_stream_sessionize", "st39_stream_bfs_layers",
-        "g43_katz_walks")) {
+        "g43_katz_walks", "a11_lag_features")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
+    // q32 keeps its 4 variant rows — all zero counts on an empty table
+    val q32 = defs("q32_null_antijoin").fn(spark, emptyDir).collect()
+    assert(q32.length === 4 && q32.forall(_.getLong(1) === 0L))
     // p13 reports its 6 FD rows with explicit zeros — zero groups proves
     // the scan ran, not that the check vacuously passed
     val fd = defs("p13_fd_audit").fn(spark, emptyDir).collect()

@@ -124,6 +124,26 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("a11 lag features: first-row NULLs, deltas through filled bars, rolling window shrinks at the edge") {
+    import spark.implicits._
+    // key x: closes 10, 10 (filled), 4, 20 — the filled bar must feed
+    // the NEXT bar's lag/delta exactly like a real one
+    val bars = Seq(
+      ("x", 0L, 10.0, 0), ("x", 1L, 10.0, 1), ("x", 2L, 4.0, 0), ("x", 3L, 20.0, 0),
+      ("y", 7L, 5.0, 0)
+    ).toDF("event_type", "bar", "close_ff", "filled")
+    val got = Temporal.lagFeaturesOf(bars).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          r.getDouble(6), r.getDouble(7)))).toMap
+    assert(got(("x", 0L)) === ((None, None, 10.0, 10.0)), "first row: NULL lag, self-window")
+    assert(got(("x", 1L)) === ((Some(10.0), Some(0.0), 10.0, 10.0)), "filled bar: zero delta")
+    assert(got(("x", 2L)) === ((Some(10.0), Some(-6.0), 4.0, 10.0)))
+    assert(got(("x", 3L)) === ((Some(4.0), Some(16.0), 4.0, 20.0)), "3-bar window excludes bar 0")
+    assert(got(("y", 7L)) === ((None, None, 5.0, 5.0)), "keys independent")
+  }
+
   test("a10 sessionize: exact-gap stays, gap+1 splits, ties share, dense index; fuzz matches a local scan") {
     import spark.implicits._
     def run(ev: Seq[(Long, String, Long)], gap: Long) =

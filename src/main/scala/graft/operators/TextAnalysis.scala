@@ -1963,6 +1963,55 @@ object TextAnalysis extends QueryModule {
       |FROM ww JOIN nw USING (w) JOIN ns USING (source) CROSS JOIN n
       |GROUP BY ww.source ORDER BY source""".stripMargin
 
+  /** t40 — KNESER-NEY CONTINUATION COUNTS: per word, how many DISTINCT
+    * left contexts it follows and distinct right contexts it opens over
+    * the corpus's bigram TYPE set, plus the KN continuation probability
+    * in ppm (left_types / |bigram types| — the quantity KN smoothing
+    * substitutes for raw frequency so that "Francisco", frequent but
+    * glued to "San", stops outranking genuinely-free words). The
+    * LM-smoothing companion to t22's raw-count table. Shape: adjacent-
+    * pair extraction is t22's one map pass, the TYPE collapse is one
+    * distinct on (w1, w2) — after which every aggregate runs on type
+    * rows, not token rows — and the 1-row type total broadcasts. */
+  def continuationCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val types = Tables.documents(s, d)
+      .select(col("text")).as[String]
+      .flatMap { t =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 until math.max(ws.length - 1, 0)).iterator.map(i => (ws(i), ws(i + 1)))
+      }
+      .toDF("w1", "w2").distinct()
+    val left = types.groupBy(col("w2").as("w")).agg(count(lit(1)).as("left_types"))
+    val right = types.groupBy(col("w1").as("w")).agg(count(lit(1)).as("right_types"))
+    val total = types.agg(count(lit(1)).as("nb"))
+    left.join(right, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("left_types"), lit(0L)).as("left_types"),
+        coalesce(col("right_types"), lit(0L)).as("right_types"))
+      .crossJoin(broadcast(total))
+      .withColumn("cont_ppm", expr("(1000000 * left_types) div nb"))
+      .select(col("w"), col("left_types"), col("right_types"), col("cont_ppm"))
+      .orderBy(col("w"))
+  }
+
+  val continuationCountsSql: String =
+    """WITH ws AS (
+      |  SELECT list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM ws)),
+      |l AS (SELECT w2 AS w, count(*) AS left_types FROM bg GROUP BY w2),
+      |r AS (SELECT w1 AS w, count(*) AS right_types FROM bg GROUP BY w1),
+      |t AS (SELECT count(*) AS nb FROM bg)
+      |SELECT w,
+      |  CAST(coalesce(l.left_types, 0) AS BIGINT) AS left_types,
+      |  CAST(coalesce(r.right_types, 0) AS BIGINT) AS right_types,
+      |  CAST((1000000 * coalesce(l.left_types, 0)) // t.nb AS BIGINT) AS cont_ppm
+      |FROM l FULL OUTER JOIN r USING (w) CROSS JOIN t
+      |ORDER BY w""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -2003,6 +2052,7 @@ object TextAnalysis extends QueryModule {
     "t37_lexical_diversity" -> QueryDef(lexicalDiversity, Some(lexicalDiversitySql)),
     "t38_split_leakage" -> QueryDef(splitLeakage, Some(splitLeakageSql)),
     "t39_source_divergence" -> QueryDef(sourceDivergence, Some(sourceDivergenceSql)),
+    "t40_continuation_counts" -> QueryDef(continuationCounts, Some(continuationCountsSql)),
   )
 
 }

@@ -639,6 +639,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(shareSum > 999990L && shareSum <= 1000000L, s"shares sum $shareSum")
   }
 
+  test("t40: the San-Francisco property — continuation counts are type-based, not token-based") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("t40").toString
+    // 'francisco' appears 3 times, ALWAYS after 'san' → left_types 1;
+    // 'dog' appears twice after DIFFERENT words → left_types 2 beats it
+    // despite lower token frequency — the exact KN motivation
+    Seq((1L, "san francisco the dog"), (2L, "san francisco a dog"),
+      (3L, "san francisco"))
+      .toDF("doc_id", "text")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.continuationCounts(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // bigram TYPES: (san,francisco) (francisco,the) (francisco,a)
+    // (the,dog) (a,dog) → nb = 5
+    assert(got("francisco") === ((1L, 2L, 200000L)))
+    assert(got("dog") === ((2L, 0L, 400000L)), "dog follows 2 distinct words, opens none")
+    assert(got("san") === ((0L, 1L, 0L)), "sentence-initial only: zero continuations")
+    assert(got.size === 5)
+    // invariants on real data: Σ left_types = Σ right_types = |types|
+    val real = TextAnalysis.continuationCounts(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(real.map(_._1).sum === real.map(_._2).sum)
+    assert(real.forall { case (l, r) => l >= 0 && r >= 0 })
+  }
+
   test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
     val pairs = Dedup.minhashLsh(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))

@@ -25,7 +25,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     "s16_filtered_ann", "s17_bucketed_selfjoin", "a8_gap_fill",
     "t35_source_signature", "q29_sole_late_supplier", "g39_assortativity",
     "t36_vocab_growth", "a9_interval_coverage", "g41_rich_club",
-    "p11_grouped_mode", "q30_grouping_sets")
+    "p11_grouped_mode", "q30_grouping_sets",
+    // continuation session: sessionization windows, TV-distance joins,
+    // bounded BFS loop, Katz matvec chain, FD/Benford audits, null-aware
+    // anti join, grid lag features, KN continuation counts
+    "a10_sessionize", "t39_source_divergence", "g42_bfs_layers",
+    "g43_katz_walks", "p13_fd_audit", "p14_benford_audit",
+    "q32_null_antijoin", "a11_lag_features", "t40_continuation_counts")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

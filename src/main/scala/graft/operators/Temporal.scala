@@ -563,6 +563,44 @@ object Temporal extends QueryModule {
       |WINDOW w AS (PARTITION BY event_type ORDER BY bar)
       |ORDER BY event_type, bar""".stripMargin
 
+  /** a12 — INTER-ARRIVAL SPECTRUM: the distribution of per-user gaps
+    * between consecutive events, bucketed by power-of-two microseconds
+    * (bucket = ⌊log₂ gap⌋ via BIT LENGTH, zero gaps in bucket −1) — the
+    * burstiness diagnostic behind every sessionization/watermark/rate-
+    * limit threshold choice: a10's 30-minute cut and a watermark's
+    * lateness bound should come from THIS table's valley, not folklore.
+    * Integer-exact: ⌊log₂ gap⌋ is the binary-digit count minus one
+    * (Spark `conv(_,10,2)`, DuckDB `bin(_)` — string length, no float
+    * log2 whose boundary cells could disagree); zero gaps (ts ties) get
+    * their own −1 bucket. Shape: one lag window per USER (the a9/a10
+    * hub-safety argument), then a map-combinable histogram groupBy —
+    * output bounded by 64 buckets. */
+  def interarrivalSpectrum(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(ord))
+      .where(col("gap").isNotNull)
+      .select(when(col("gap") === 0, lit(-1))
+        .otherwise(length(conv(col("gap"), 10, 2)) - lit(1)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  val interarrivalSpectrumSql: String =
+    """WITH g AS (
+      |  SELECT epoch_us(ts)
+      |    - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events)
+      |SELECT CAST(CASE WHEN gap = 0 THEN -1
+      |            ELSE length(bin(gap)) - 1 END AS INT) AS bucket,
+      |  count(*) AS n
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -575,5 +613,6 @@ object Temporal extends QueryModule {
     "a9_interval_coverage" -> QueryDef(intervalCoverage, Some(intervalCoverageSql)),
     "a10_sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
     "a11_lag_features" -> QueryDef(lagFeatures, Some(lagFeaturesSql)),
+    "a12_interarrival_spectrum" -> QueryDef(interarrivalSpectrum, Some(interarrivalSpectrumSql)),
   )
 }

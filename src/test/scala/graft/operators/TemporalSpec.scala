@@ -144,6 +144,36 @@ class TemporalSpec extends SparkSpec {
     assert(got(("y", 7L)) === ((None, None, 5.0, 5.0)), "keys independent")
   }
 
+  test("a12: power-of-two buckets at the boundaries, tie gaps in -1, per-user independence") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    // gaps engineered per user: u1 → 0 (tie), 1, 2, 3; u2 → 4, 1024
+    // buckets: 0→-1, 1→0, 2→1, 3→1, 4→2, 1024→10; cross-user boundary
+    // (u1 last to u2 first) must NOT produce a gap
+    val dir = java.nio.file.Files.createTempDirectory("a12").toString
+    val rows = Seq(
+      (1L, "e1", 0L), (1L, "e2", 0L), (1L, "e3", 1L), (1L, "e4", 3L), (1L, "e5", 6L),
+      (2L, "f1", 1000000L), (2L, "f2", 1000004L), (2L, "f3", 1001028L))
+    rows.toDF("user_id", "event_id", "us")
+      .selectExpr("user_id", "event_id",
+        "timestamp_micros(us) AS ts", "CAST(0.0 AS DOUBLE) AS value",
+        "'x' AS event_type", "'{}' AS props")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    val got = Temporal.interarrivalSpectrum(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(-1 -> 1L, 0 -> 1L, 1 -> 2L, 2 -> 1L, 10 -> 1L))
+    // real data: total gap count = events - users; buckets sane
+    val ev = graft.core.Tables.events(spark, d)
+    val expected = ev.count() -
+      ev.select(org.apache.spark.sql.functions.col("user_id")).distinct().count()
+    val real = Temporal.interarrivalSpectrum(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(real.map(_._2).sum === expected)
+    assert(real.forall { case (b, n) => b >= -1 && b < 64 && n > 0 })
+  }
+
+  private val d = "/root/testdata/sf0.001"
+
   test("a10 sessionize: exact-gap stays, gap+1 splits, ties share, dense index; fuzz matches a local scan") {
     import spark.implicits._
     def run(ev: Seq[(Long, String, Long)], gap: Long) =

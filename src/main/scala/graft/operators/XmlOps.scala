@@ -298,6 +298,62 @@ object XmlOps extends QueryModule {
       |  min(doc_id) AS min_doc
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x11 — RANGE-SORTED layout + zone-map pruned scan: the SECOND lake
+    * pruning mechanism, orthogonal to x7's hive partitions — events
+    * rewritten `repartitionByRange(us).sortWithinPartitions(us)` so
+    * every file owns a disjoint time slice and every parquet row group
+    * carries tight min/max stats, then read back with a time filter
+    * that row-group statistics satisfy without decoding (the layout a
+    * 100 TB event lake ships in when the partition column is too
+    * fine-grained for directories; hive partitioning handles the
+    * categorical axis, range-sort handles the ordered one). The cut is
+    * a data-derived literal (min + range/16, integer-exact on both
+    * engines) so the filter is selective at every SF and reaches the
+    * scan as a pushed predicate — PlanSpec pins PushedFilters, the
+    * spec pins that file time-slices are genuinely disjoint. */
+  def rangeLayout(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_range_${math.abs(d.hashCode)}"
+    graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+      .repartitionByRange(8, col("us"))
+      .sortWithinPartitions(col("us"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    // the cut is a 1-row bounded driver read (house rule: scalars may
+    // collect) so it reaches the rewritten scan as a LITERAL — a join
+    // filter would not push down to the parquet reader
+    val bounds = graft.core.Tables.events(s, d)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi")).collect()
+    if (bounds.isEmpty || bounds.head.isNullAt(0))
+      return rangeLayoutOf(s, dir, Long.MinValue)
+    val cut = bounds.head.getLong(0) +
+      (bounds.head.getLong(1) - bounds.head.getLong(0)) / 16
+    rangeLayoutOf(s, dir, cut)
+  }
+
+  /** The pruned read, factored so PlanSpec can pin the pushed filter.
+    * Explicit schema (x5's rule). */
+  private[graft] def rangeLayoutOf(s: SparkSession, dir: String, cut: Long): DataFrame =
+    s.read
+      .schema("event_id BIGINT, user_id BIGINT, us BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .where(col("us") < cut)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("us")).as("min_us"),
+        max(col("us")).as("max_us"), min(col("event_id")).as("min_event"))
+      .orderBy(col("event_type"))
+
+  val rangeLayoutSql: String =
+    """WITH b AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |c AS (SELECT min(us) + (max(us) - min(us)) // 16 AS cut FROM b)
+      |SELECT event_type, count(*) AS n, min(us) AS min_us,
+      |  max(us) AS max_us, min(event_id) AS min_event
+      |FROM b CROSS JOIN c WHERE us < cut
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -307,6 +363,7 @@ object XmlOps extends QueryModule {
     "x8_schema_evolution" -> QueryDef(schemaEvolution, Some(schemaEvolutionSql)),
     "x9_jsonl_gz" -> QueryDef(jsonGzRoundtrip, Some(jsonRoundtripSql)),
     "x10_codec_roundtrip" -> QueryDef(codecRoundtrip, Some(codecRoundtripSql)),
+    "x11_range_layout" -> QueryDef(rangeLayout, Some(rangeLayoutSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -355,6 +355,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x11: the time cut reaches the rewritten scan as a pushed literal filter") {
+    // run once to materialise the layout, then pin the read's plan
+    SparkEntry.allDefs("x11_range_layout").fn(spark, d).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_range_${math.abs(d.hashCode)}"
+    val read = graft.operators.XmlOps.rangeLayoutOf(spark, dir, 123456789L)
+    val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(us,123456789)"),
+      s"time filter did not reach the parquet scan:\n$p")
+  }
+
   test("whole-stage codegen hosts the custom expressions") {
     val df = SparkEntry.allDefs("t4_fingerprint").fn(spark, d)
     df.collect() // execute THIS plan so AQE finalizes it (count() would plan separately)

@@ -219,5 +219,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamBfsLayers(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sbfs_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.bfsLayersSql)),
+    // shares p14's oracle: digit counts are plain addition, so the
+    // replayed monitor equals the batch audit
+    "st40_stream_benford" -> QueryDef(
+      (s, d) => Streaming.streamBenford(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sbenford_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.benfordAuditSql)),
   )
 }

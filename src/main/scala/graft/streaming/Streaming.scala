@@ -1138,6 +1138,64 @@ object Streaming {
       .orderBy(col("seed"), col("dist"))
   }
 
+  /** Streaming BENFORD AUDIT (st40): p14's first-digit screen as a
+    * continuously-maintained monitor — digit counts are the simplest
+    * semigroup in the family (plain addition), so each micro-batch of
+    * orders writes its per-digit partial counts to a `batch=<id>`
+    * partition and the serving read merges them and recomputes shares
+    * against the literal expectation table. This is the shape a fraud/
+    * quality monitor actually runs in: the distribution updates
+    * per-batch without ever rescanning history. Even/odd orderkey
+    * split; on full replay the table equals batch p14 and shares its
+    * oracle. */
+  def streamBenford(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def digitCounts(batch: DataFrame): DataFrame =
+      batch.select(regexp_extract(
+          col("o_totalprice").cast(DecimalType(12, 2)).cast("string"), "[1-9]", 0)
+          .as("fd"))
+        .where(col("fd") =!= "")
+        .select(col("fd").cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val base = graft.core.Tables.orders(s, d).where(col("o_orderkey") % 2 === 0)
+    digitCounts(base).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/digits.parquet/batch=0")
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(d)
+      .where(col("o_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        digitCounts(batch.toDF()).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/digits.parquet/batch=${id + 1}")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import s.implicits._
+    val benford = graft.operators.ProfilerOps.BenfordPpm
+      .toDF("digit", "benford_ppm")
+    val counts = s.read.parquet(s"$stateDir/digits.parquet").drop("batch")
+      .groupBy(col("digit")).agg(sum(col("n")).as("n"))
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("tot"))
+    benford.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("CASE WHEN tot > 0 THEN (1000000 * coalesce(n, 0L)) div tot END")
+          .as("share_ppm"),
+        col("benford_ppm"))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .orderBy(col("digit"))
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

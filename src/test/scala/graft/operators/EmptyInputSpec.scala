@@ -150,9 +150,12 @@ class EmptyInputSpec extends SparkSpec {
     val fd = defs("p13_fd_audit").fn(spark, emptyDir).collect()
     assert(fd.length === 6 && fd.forall(r =>
       r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L))
-    // p14 keeps its 9 digit rows with NULL shares (no fake zero ratios)
-    val bf = defs("p14_benford_audit").fn(spark, emptyDir).collect()
-    assert(bf.length === 9 && bf.forall(r => r.getLong(1) === 0L && r.isNullAt(2)))
+    // p14/st40 keep their 9 digit rows with NULL shares (no fake zeros)
+    for (name <- Seq("p14_benford_audit", "st40_stream_benford")) {
+      val bf = defs(name).fn(spark, emptyDir).collect()
+      assert(bf.length === 9 && bf.forall(r => r.getLong(1) === 0L && r.isNullAt(2)),
+        s"$name empty contract")
+    }
   }
 
   test("the mixture pipeline builds empty artifacts from an empty corpus") {

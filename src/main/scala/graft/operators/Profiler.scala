@@ -625,6 +625,12 @@ object ProfilerOps extends QueryModule {
     ).reduce[DataFrame](_ unionByName _).orderBy(col("fd"))
   }
 
+  /** The fixed FD report rows, shared with st41's maintained audit. */
+  private[graft] val FdNames: Seq[String] = Seq(
+    "customer_nation_to_segment", "lineitem_order_to_supplier",
+    "nation_to_region", "orders_to_custkey", "part_brand_to_type",
+    "part_to_brand")
+
   val fdAuditSql: String = {
     val checks = Seq(
       ("customer_nation_to_segment", "customer", "c_nationkey", "c_mktsegment"),

@@ -225,5 +225,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamBenford(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sbenford_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.benfordAuditSql)),
+    // shares p13's oracle: pair-arrival deltas replay to the exact
+    // batch violation profile
+    "st41_stream_fd_audit" -> QueryDef(
+      (s, d) => Streaming.streamFdAudit(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sfd_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.fdAuditSql)),
   )
 }

@@ -1196,6 +1196,55 @@ object Streaming {
       .orderBy(col("digit"))
   }
 
+  /** Streaming FD AUDIT (st41): p13's violation profile maintained by
+    * [[graft.pipeline.IncrementalFd]]'s pair-arrival deltas — the data-
+    * contract monitor that upgrades p13 from a pre-flight check to a
+    * continuously-verified invariant (an FD that breaks MID-STREAM is
+    * caught at the batch that broke it). The base fold takes all six
+    * audited relations except odd-order lineitem rows, which then
+    * stream in for the order→supplier FD. NO order-atomicity
+    * precondition: the pair-set anti-join dedups any batch split or
+    * redelivery. On full replay the table equals batch p13 and shares
+    * its oracle. */
+  def streamFdAudit(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    def fdRows(name: String, df: DataFrame, det: String, dep: String): DataFrame =
+      df.select(lit(name).as("fd"), col(det).cast("string").as("x"),
+          col(dep).cast("string").as("y"))
+        .where(col("x").isNotNull && col("y").isNotNull)
+    val li = Tables.lineitem(s, d)
+    val base = Seq(
+      fdRows("customer_nation_to_segment", Tables.customer(s, d), "c_nationkey", "c_mktsegment"),
+      fdRows("lineitem_order_to_supplier", li.where(col("l_orderkey") % 2 === 0),
+        "l_orderkey", "l_suppkey"),
+      fdRows("nation_to_region", Tables.nation(s, d), "n_nationkey", "n_regionkey"),
+      fdRows("orders_to_custkey", Tables.orders(s, d), "o_orderkey", "o_custkey"),
+      fdRows("part_brand_to_type", Tables.part(s, d), "p_brand", "p_type"),
+      fdRows("part_to_brand", Tables.part(s, d), "p_partkey", "p_brand"),
+    ).reduce[DataFrame](_ unionByName _)
+    graft.pipeline.IncrementalFd.update(s, stateDir, base, 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalFd.update(s, stateDir,
+          fdRows("lineitem_order_to_supplier", batch.toDF(), "l_orderkey", "l_suppkey"),
+          id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalFd.current(s, stateDir,
+      graft.operators.ProfilerOps.FdNames)
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

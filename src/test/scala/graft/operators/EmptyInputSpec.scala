@@ -145,11 +145,14 @@ class EmptyInputSpec extends SparkSpec {
     // q32 keeps its 4 variant rows — all zero counts on an empty table
     val q32 = defs("q32_null_antijoin").fn(spark, emptyDir).collect()
     assert(q32.length === 4 && q32.forall(_.getLong(1) === 0L))
-    // p13 reports its 6 FD rows with explicit zeros — zero groups proves
-    // the scan ran, not that the check vacuously passed
-    val fd = defs("p13_fd_audit").fn(spark, emptyDir).collect()
-    assert(fd.length === 6 && fd.forall(r =>
-      r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L))
+    // p13/st41 report their 6 FD rows with explicit zeros — zero groups
+    // proves the scan ran, not that the check vacuously passed
+    for (name <- Seq("p13_fd_audit", "st41_stream_fd_audit")) {
+      val fd = defs(name).fn(spark, emptyDir).collect()
+      assert(fd.length === 6 && fd.forall(r =>
+        r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L),
+        s"$name empty contract")
+    }
     // p14/st40 keep their 9 digit rows with NULL shares (no fake zeros)
     for (name <- Seq("p14_benford_audit", "st40_stream_benford")) {
       val bf = defs(name).fn(spark, emptyDir).collect()

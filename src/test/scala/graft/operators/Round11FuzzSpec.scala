@@ -295,6 +295,34 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("fd IVM fuzz: pair-arrival deltas with duplicates equal a local violation recount") {
+    val rng = new scala.util.Random(41041L)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 40).map { _ =>
+        ("t", s"x${rng.nextInt(6)}", s"y${rng.nextInt(4)}")
+      }
+      val dir = Files.createTempDirectory(s"fd_fuzz$trial").toString
+      val nB = 1 + rng.nextInt(4)
+      val batches = rows.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+      var delivered = Seq.empty[(String, String, String)]
+      batches.zipWithIndex.foreach { case ((_, rs), i) =>
+        val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+        graft.pipeline.IncrementalFd.update(spark, dir,
+          (rs ++ dups).toDF("fd", "x", "y"), i.toLong)
+        delivered ++= rs
+      }
+      val got = graft.pipeline.IncrementalFd.current(spark, dir, Seq("t", "clean"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val pairs = rows.map(r => (r._2, r._3)).distinct
+      val byX = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(got("t") === ((byX.size.toLong,
+        byX.values.count(_ > 1).toLong,
+        byX.values.map(_ - 1).sum)), s"trial $trial ($nB batches)")
+      assert(got("clean") === ((0L, 0L, 0L)), "untouched FD keeps explicit zeros")
+    }
+  }
+
   test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 5) {

@@ -2142,6 +2142,53 @@ object MaterialiseOps extends QueryModule {
       |FROM w1 LEFT JOIN w2 ON w2.id = w1.id LEFT JOIN w3 ON w3.id = w1.id
       |ORDER BY w1.id""".stripMargin
 
+  /** g44 — EDGE EMBEDDEDNESS spectrum ([[Query.edgeSupport]]): how many
+    * triangles each co-order edge sits inside, rolled up to a histogram
+    * — the tie-strength table (Granovetter): the support-0 row counts
+    * LOCAL BRIDGES (ties whose endpoints share no neighbor — exactly
+    * the edges community detection must not cut and dedup clustering
+    * must not transitively merge across), the high-support tail counts
+    * intra-community cables. Per-edge structure where g37 gave
+    * per-node; same once-oriented triangle plan, 3-edge attribution
+    * explode, output bounded by the distinct-support count. */
+  def edgeEmbeddedness(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+    Query.edgeSupport(pairs)
+      .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("support"))
+  }
+
+  val edgeEmbeddednessSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
+      |         CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
+      |  FROM pairs p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v),
+      |tri AS (
+      |  SELECT x.s AS w, x.t AS a, y.t AS b
+      |  FROM o x JOIN o y ON x.s = y.s AND x.t != y.t
+      |  JOIN o z ON z.s = x.t AND z.t = y.t),
+      |e3 AS (
+      |  SELECT least(w, a) AS u, greatest(w, a) AS v FROM tri
+      |  UNION ALL SELECT least(w, b), greatest(w, b) FROM tri
+      |  UNION ALL SELECT least(a, b), greatest(a, b) FROM tri),
+      |sup AS (SELECT u, v, count(*) AS support FROM e3 GROUP BY u, v)
+      |SELECT CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+      |  count(*) AS n_edges
+      |FROM pairs p LEFT JOIN sup s ON s.u = p.u AND s.v = p.v
+      |GROUP BY 1 ORDER BY support""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2183,5 +2230,6 @@ object MaterialiseOps extends QueryModule {
     "g41_rich_club" -> QueryDef(richClub, Some(richClubSql)),
     "g42_bfs_layers" -> QueryDef(bfsLayers, Some(bfsLayersSql)),
     "g43_katz_walks" -> QueryDef(katzWalks, Some(katzWalksSql)),
+    "g44_edge_embeddedness" -> QueryDef(edgeEmbeddedness, Some(edgeEmbeddednessSql)),
   )
 }

@@ -589,6 +589,44 @@ object Query {
           expr("(2 * n_tri * 1000000) div (deg * (deg - 1))")).otherwise(lit(0L)))
   }
 
+  /** Per-EDGE triangle support (embeddedness, Granovetter's weak-tie
+    * measure): for every canonical (u < v) edge, how many triangles
+    * contain it = |N(u) ∩ N(v)|. Same once-oriented degree-ordered
+    * triangle plan as [[localClustering]] (each triangle enumerated
+    * exactly once, wedge work bounded by the orientation), then a
+    * 3-edge attribution explode — the edge-level companion to g37's
+    * 3-corner one. Support-0 edges are LOCAL BRIDGES: the only path
+    * between their endpoints' neighborhoods, the tie community
+    * detection must not cut. */
+  def edgeSupport(undirected: DataFrame): DataFrame = {
+    val pairs = undirected.select(col("u"), col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = pairs.select(col("u").as("id")).union(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val o = pairs
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = o.as("x").join(o.as("y"),
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
+      .select(col("x.s").as("w"), col("x.t").as("a"), col("y.t").as("b"))
+      .join(o.as("z"), col("a") === col("z.s") && col("b") === col("z.t"))
+    val sup = tri.select(explode(array(
+        struct(least(col("w"), col("a")).as("u"), greatest(col("w"), col("a")).as("v")),
+        struct(least(col("w"), col("b")).as("u"), greatest(col("w"), col("b")).as("v")),
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    pairs.join(sup, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) over an
     * undirected edge set (`(u, v)` pairs, u < v, self-loop-free): every
     * node starts labelled with its own id; each round it adopts the MODE

@@ -626,6 +626,39 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got.size === w1.size)
   }
 
+  test("g44: K4 edges all support 2, path edges are bridges, Σ support = 3·triangles; fuzz matches recount") {
+    import spark.implicits._
+    def support(edges: Seq[(Long, Long)]) =
+      graft.query.Query.edgeSupport(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // K4: every edge sits in exactly 2 triangles
+    val k4 = (for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)).toSeq
+    assert(support(k4).values.toSeq === Seq.fill(6)(2L))
+    // path: every edge is a local bridge (support 0)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(support(path).values.toSeq === Seq.fill(3)(0L))
+    // triangle + pendant: triangle edges support 1, the pendant is a bridge
+    val tp = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    val s3 = support(tp)
+    assert(s3((1L, 2L)) == 1L && s3((1L, 3L)) == 1L && s3((2L, 3L)) == 1L && s3((3L, 9L)) == 0L)
+    // fuzz vs local recount + the 3-triangles identity
+    val rnd = new scala.util.Random(44)
+    val edges = (for {
+      u <- 1L to 14L; v <- (u + 1) to 14L if rnd.nextDouble() < 0.25
+    } yield (u, v)).toSeq
+    val es = edges.toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = support(edges)
+    edges.foreach { case (u, v) =>
+      assert(got((u, v)) === (adj(u) & adj(v)).size.toLong, s"edge ($u,$v)")
+    }
+    val nTri = (for {
+      (u, v) <- edges; w <- adj(u) & adj(v)
+    } yield Set(u, v, w)).toSet.size
+    assert(got.values.sum === 3L * nTri, "edge supports must telescope to 3 per triangle")
+  }
+
   test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
     import spark.implicits._
     // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;

@@ -231,5 +231,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamFdAudit(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sfd_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.fdAuditSql)),
+    // shares a9's oracle: per-batch islands are contiguous covered
+    // intervals, so re-islanding their union replays the exact coverage
+    "st42_stream_interval_coverage" -> QueryDef(
+      (s, d) => Streaming.streamIntervalCoverage(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sisl_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.intervalCoverageSql)),
   )
 }

@@ -403,22 +403,27 @@ object Temporal extends QueryModule {
 
   /** [[intervalCoverage]] over an explicit `(user_id, event_id, s0, e0)`
     * interval frame — the spec's fixture entry. */
-  private[graft] def intervalCoverageOf(iv: DataFrame): DataFrame = {
+  private[graft] def intervalCoverageOf(iv: DataFrame): DataFrame =
+    islandsOf(iv)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+
+  /** The per-user island table behind [[intervalCoverageOf]] — exposed
+    * as the st42 partial unit (an island's union is contiguous, so
+    * (i_start, i_end, n) rows are re-mergeable downstream). */
+  private[graft] def islandsOf(iv: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("user_id"))
       .orderBy(col("s0"), col("e0"), col("event_id"))
-    val marked = iv
-      .withColumn("prev_max",
+    iv.withColumn("prev_max",
         max(col("e0")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_island",
         when(col("prev_max").isNull || col("s0") > col("prev_max"), 1L).otherwise(0L))
       .withColumn("island",
         sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-    marked.groupBy(col("user_id"), col("island"))
+      .groupBy(col("user_id"), col("island"))
       .agg(min(col("s0")).as("i_start"), max(col("e0")).as("i_end"),
         count(lit(1)).as("n"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_islands"),
-        sum(col("i_end") - col("i_start")).as("covered_us"))
   }
 
   val intervalCoverageSql: String =

@@ -847,6 +847,66 @@ object Streaming {
       .withColumn("dur_us", col("end_us") - col("start_us"))
   }
 
+  /** Streaming INTERVAL COVERAGE (st42): a9's gaps-and-islands union
+    * maintained as mergeable ISLAND partials — the st38 session
+    * argument specialised to touch-tolerance zero: a batch's islands
+    * are contiguous covered intervals whose endpoints are real
+    * interval bounds, so re-islanding the union of per-batch islands
+    * with the same s > prev_max rule reconstructs exactly the global
+    * islands; n sums. The uptime/billing monitor shape: per-batch
+    * state is the batch's island count, not its event count. On full
+    * replay the table equals batch a9 and shares its oracle. */
+  def streamIntervalCoverage(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val q = eventsStream(s, d)
+      .select(col("user_id"), col("event_id"), us.as("s0"),
+        (us + (graft.core.Exact.dec(col("value")) * 60000000).cast("long")).as("e0"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.Temporal.islandsOf(batch.toDF())
+          .select(col("user_id"), col("i_start"), col("i_end"), col("n"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/islands.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/islands.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, n_islands BIGINT, covered_us BIGINT"))
+    mergeIslands(s.read.parquet(s"$stateDir/islands.parquet").drop("batch"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Re-island any union of per-batch island rows back into the exact
+    * a9 coverage — islands whose hulls overlap or touch coalesce
+    * (ties in (i_start, i_end) are order-irrelevant: overlap merges
+    * regardless of which row the window visits first). */
+  private[graft] def mergeIslands(partials: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("i_start"), col("i_end"))
+    partials
+      .withColumn("prev_max",
+        max(col("i_end")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max").isNull || col("i_start") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(sum(col("n")).as("n"), min(col("i_start")).as("i_start"),
+        max(col("i_end")).as("i_end"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"), count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+  }
+
   /** Streaming HEAVY HITTERS (st25): p9's corpus-frequency threshold
     * maintained incrementally — each micro-batch tokenizes its own
     * documents and writes its per-word EXACT partial counts to an

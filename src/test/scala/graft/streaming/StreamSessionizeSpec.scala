@@ -45,6 +45,37 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(mergedRows(Seq(a)) === batchRows(a))
   }
 
+  test("st42: per-batch islands re-merge to the batch coverage across any split") {
+    val rnd = new scala.util.Random(42)
+    def cover(iv: Seq[(Long, Long, Long, Long)]) =
+      Temporal.intervalCoverageOf(iv.toDF("user_id", "event_id", "s0", "e0"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    def merged(batches: Seq[Seq[(Long, Long, Long, Long)]]) = {
+      val partials = batches.map(b =>
+        Temporal.islandsOf(b.toDF("user_id", "event_id", "s0", "e0"))
+          .select(col("user_id"), col("i_start"), col("i_end"), col("n")))
+        .reduce[org.apache.spark.sql.DataFrame](_ unionByName _)
+      Streaming.mergeIslands(partials)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq
+    }
+    // hand case: an island straddles batches via a bridging interval,
+    // and two islands TOUCH exactly at a bound (touch merges in a9)
+    val a = Seq((1L, 1L, 0L, 10L), (1L, 2L, 20L, 30L), (2L, 3L, 0L, 5L))
+    val b = Seq((1L, 4L, 10L, 20L), (2L, 5L, 9L, 12L))
+    assert(merged(Seq(a, b)) === cover(a ++ b))
+    for (trial <- 1 to 4) {
+      val iv = (1 to 80).map { i =>
+        val s = rnd.nextInt(400).toLong
+        (1L + rnd.nextInt(3), i.toLong, s, s + 1 + rnd.nextInt(50))
+      }
+      val nB = 1 + rnd.nextInt(4)
+      val batches = iv.groupBy(_ => rnd.nextInt(nB)).values.toSeq
+      assert(merged(batches) === cover(iv), s"trial $trial ($nB batches)")
+    }
+  }
+
   test("fuzz: random batch splits merge to the batch sessions") {
     val rnd = new scala.util.Random(38)
     for (trial <- 1 to 4) {

@@ -719,6 +719,70 @@ object ProfilerOps extends QueryModule {
       |ORDER BY digit""".stripMargin
   }
 
+  /** p15 — JOIN-SIZE AUDIT: the output cardinality and hot-key ceiling
+    * of every star-schema join, computed from per-key COUNT HISTOGRAMS
+    * before the join runs — |A⋈B| = Σ_k cA(k)·cB(k) exactly, and
+    * max cA·cB is the largest single-key output (the number that says
+    * "salt this" before a 100 TB shuffle discovers it the hard way).
+    * Two groupBy-count passes and one key-equi-join of the HISTOGRAMS
+    * (cardinality = distinct keys, not rows) per relationship — the
+    * audit costs a scan, the join it predicts costs a shuffle. The
+    * oracle is deliberately a DIFFERENT computation: it runs the TRUE
+    * join and counts rows, so the gate proves the histogram formula
+    * equals reality, not that two copies of the formula agree. */
+  def joinSizeAudit(s: SparkSession, d: String): DataFrame = {
+    def est(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val la = left.where(col(lk).isNotNull)
+        .groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+      val rb = right.where(col(rk).isNotNull)
+        .groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
+      val nl = la.agg(coalesce(sum(col("ca")), lit(0L)).as("n_left"))
+      val nr = rb.agg(coalesce(sum(col("cb")), lit(0L)).as("n_right"))
+      val j = la.join(rb, "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("est_rows"),
+          coalesce(max(col("ca") * col("cb")), lit(0L)).as("max_key_rows"))
+      nl.crossJoin(nr).crossJoin(j) // three 1-row frames
+        .select(lit(name).as("jn"), col("n_left"), col("n_right"),
+          col("est_rows"), col("max_key_rows"))
+    }
+    Seq(
+      est("customer_orders", Tables.customer(s, d), "c_custkey",
+        Tables.orders(s, d), "o_custkey"),
+      est("nation_customer", Tables.nation(s, d), "n_nationkey",
+        Tables.customer(s, d), "c_nationkey"),
+      est("orders_lineitem", Tables.orders(s, d), "o_orderkey",
+        Tables.lineitem(s, d), "l_orderkey"),
+      est("part_lineitem", Tables.part(s, d), "p_partkey",
+        Tables.lineitem(s, d), "l_partkey"),
+      est("supplier_lineitem", Tables.supplier(s, d), "s_suppkey",
+        Tables.lineitem(s, d), "l_suppkey"),
+    ).reduce[DataFrame](_ unionByName _).orderBy(col("jn"))
+  }
+
+  val joinSizeAuditSql: String = {
+    val checks = Seq(
+      ("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      ("nation_customer", "nation", "n_nationkey", "customer", "c_nationkey"),
+      ("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      ("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+      ("supplier_lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+    ).map { case (nm, lt, lk, rt, rk) =>
+      s"""SELECT '$nm' AS jn,
+         |  (SELECT count(*) FROM $lt WHERE $lk IS NOT NULL) AS n_left,
+         |  (SELECT count(*) FROM $rt WHERE $rk IS NOT NULL) AS n_right,
+         |  (SELECT count(*) FROM $lt l JOIN $rt r ON l.$lk = r.$rk) AS est_rows,
+         |  (SELECT CAST(coalesce(max(ca * cb), 0) AS BIGINT) FROM
+         |     (SELECT $lk AS k, count(*) AS ca FROM $lt
+         |      WHERE $lk IS NOT NULL GROUP BY 1) a
+         |     JOIN (SELECT $rk AS k, count(*) AS cb FROM $rt
+         |      WHERE $rk IS NOT NULL GROUP BY 1) b USING (k)) AS max_key_rows""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""SELECT * FROM (
+      |  $checks)
+      |ORDER BY jn""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -734,5 +798,6 @@ object ProfilerOps extends QueryModule {
     "p12_referential_audit" -> QueryDef(referentialAudit, Some(referentialAuditSql)),
     "p13_fd_audit" -> QueryDef(fdAudit, Some(fdAuditSql)),
     "p14_benford_audit" -> QueryDef(benfordAudit, Some(benfordAuditSql)),
+    "p15_join_size_audit" -> QueryDef(joinSizeAudit, Some(joinSizeAuditSql)),
   )
 }

@@ -665,6 +665,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(real.forall { case (l, r) => l >= 0 && r >= 0 })
   }
 
+  test("p15: histogram formula equals the true join count; hot key and nulls handled") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("p15").toString
+    def w(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    // customer 1 has 3 orders (hot key 1·3), customer 2 has 1; customer 3
+    // matches nothing; a NULL custkey order must not join anything
+    w(Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("c_custkey", "c_nationkey"), "customer")
+    w(Seq(Option(1L), Option(1L), Option(1L), Option(2L), None)
+      .toDF("o_custkey").withColumn("o_orderkey",
+        org.apache.spark.sql.functions.monotonically_increasing_id()), "orders")
+    w(Seq((10L, 1L, 1L)).toDF("l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
+    w(Seq(1L).toDF("p_partkey"), "part")
+    w(Seq(1L).toDF("s_suppkey"), "supplier")
+    w(Seq(0L).toDF("n_nationkey"), "nation")
+    val got = ProfilerOps.joinSizeAudit(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("customer_orders") === ((3L, 4L, 4L, 3L)),
+      "null key excluded, est = true join rows, hot key = 3")
+    // cross-check every row against the actually-executed join
+    def tbl(t: String) = spark.read.parquet(s"$dir/$t.parquet")
+    val trueCnt = tbl("customer").join(tbl("orders"),
+      org.apache.spark.sql.functions.col("c_custkey") ===
+        org.apache.spark.sql.functions.col("o_custkey")).count()
+    assert(got("customer_orders")._3 === trueCnt)
+    // real data: every relationship's estimate equals the executed join
+    val real = ProfilerOps.joinSizeAudit(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val li = graft.core.Tables.lineitem(spark, d)
+    val actual = graft.core.Tables.part(spark, d).join(li,
+      org.apache.spark.sql.functions.col("p_partkey") ===
+        org.apache.spark.sql.functions.col("l_partkey")).count()
+    assert(real("part_lineitem") === actual)
+  }
+
   test("t38: leakage report equals composing the registered d3 pairs with the t5 split") {
     val pairs = Dedup.minhashLsh(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3) + r.getLong(4)))

@@ -143,6 +143,10 @@ class EmptyInputSpec extends SparkSpec {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
+    // p15 keeps its 5 relationship rows — all-zero profiles
+    val js = defs("p15_join_size_audit").fn(spark, emptyDir).collect()
+    assert(js.length === 5 && js.forall(r =>
+      (1 to 4).forall(i => r.getLong(i) === 0L)))
     // q32 keeps its 4 variant rows — all zero counts on an empty table
     val q32 = defs("q32_null_antijoin").fn(spark, emptyDir).collect()
     assert(q32.length === 4 && q32.forall(_.getLong(1) === 0L))

@@ -2189,6 +2189,78 @@ object MaterialiseOps extends QueryModule {
       |FROM pairs p LEFT JOIN sup s ON s.u = p.u AND s.v = p.v
       |GROUP BY 1 ORDER BY support""".stripMargin
 
+  /** g45 — BOUNDED WEIGHTED SHORTEST PATHS (Bellman-Ford unroll): min
+    * path COST from the g42 seed set within 3 hops, where an edge costs
+    * 10⁶ div (shared-order count) — strong ties are cheap, so the
+    * cheapest route happily takes two strong hops over one weak one
+    * (the relaxation semantics hop-BFS can't express, pinned by the
+    * spec). Each round is one frontier⋈edges equi-join + a
+    * map-combinable min — the sparse min-plus matvec, the tropical-
+    * semiring sibling of g43's counting matvec — and the bounded-round
+    * contract is mirrored 1:1 by the oracle's chained CTEs. Costs are
+    * integers on both engines, so min is exact; rounds after
+    * stabilisation are no-ops. */
+  def boundedSssp(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count_distinct(col("a.l_orderkey")).as("cnt"))
+      .select(col("u"), col("v"), expr("1000000 div cnt").as("cost"))
+    boundedSsspOf(pairs, nSeeds = 4, rounds = 3)
+      .orderBy(col("seed"), col("node"))
+  }
+
+  /** [[boundedSssp]] over an explicit weighted `(u, v, cost)` frame. */
+  private[graft] def boundedSsspOf(wEdges: DataFrame, nSeeds: Int, rounds: Int): DataFrame = {
+    // static dim reused by every round — the documented bare-checkpoint
+    // exception (nothing loop-carried flows through it)
+    val edges = wEdges.select(col("u"), col("v"), col("cost"))
+      .union(wEdges.select(col("v").as("u"), col("u").as("v"), col("cost")))
+      .localCheckpoint()
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    var dist = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("c")).localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val relax = dist.select(col("seed"), col("node").as("fu"), col("c"))
+        .join(edges, col("fu") === col("u"))
+        .select(col("seed"), col("v").as("node"), (col("c") + col("cost")).as("c"))
+      dist = graft.core.Iterate.save(
+        dist.unionByName(relax)
+          .groupBy(col("seed"), col("node")).agg(min(col("c")).as("c")), 0, i)
+      i += 1
+    }
+    dist.select(col("seed"), col("node"), col("c").as("cost"))
+  }
+
+  val boundedSsspSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""d$k AS (
+         |  SELECT seed, node, min(c) AS c FROM (
+         |    SELECT seed, node, c FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.v AS node, d.c + e.cost AS c
+         |    FROM d${k - 1} d JOIN e ON e.u = d.node)
+         |  GROUP BY seed, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+      |    1000000 // count(DISTINCT a.l_orderkey) AS cost
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY a.l_partkey, b.l_partkey),
+      |e AS (SELECT u, v, cost FROM pairs
+      |      UNION ALL SELECT v, u, cost FROM pairs),
+      |seeds AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 4),
+      |d0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS c FROM seeds),
+      |$rounds
+      |SELECT seed, node, CAST(c AS BIGINT) AS cost
+      |FROM d3 ORDER BY seed, node""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2231,5 +2303,6 @@ object MaterialiseOps extends QueryModule {
     "g42_bfs_layers" -> QueryDef(bfsLayers, Some(bfsLayersSql)),
     "g43_katz_walks" -> QueryDef(katzWalks, Some(katzWalksSql)),
     "g44_edge_embeddedness" -> QueryDef(edgeEmbeddedness, Some(edgeEmbeddednessSql)),
+    "g45_bounded_sssp" -> QueryDef(boundedSssp, Some(boundedSsspSql)),
   )
 }

@@ -139,7 +139,8 @@ class EmptyInputSpec extends SparkSpec {
         "st38_stream_sessionize", "st39_stream_bfs_layers",
         "g43_katz_walks", "a11_lag_features", "t40_continuation_counts",
         "a12_interarrival_spectrum", "x11_range_layout",
-        "g44_edge_embeddedness", "st42_stream_interval_coverage")) {
+        "g44_edge_embeddedness", "st42_stream_interval_coverage",
+        "g45_bounded_sssp")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -659,6 +659,37 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got.values.sum === 3L * nTri, "edge supports must telescope to 3 per triangle")
   }
 
+  test("g45: two cheap hops beat one expensive edge; hop bound respected; fuzz matches local Bellman-Ford") {
+    import spark.implicits._
+    def sssp(edges: Seq[(Long, Long, Long)], nSeeds: Int, rounds: Int) =
+      MaterialiseOps.boundedSsspOf(edges.toDF("u", "v", "cost"), nSeeds, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 1→3 direct costs 10; 1→2→3 costs 2+2=4 — relaxation must pick 4.
+    // 3→4→5→6 puts node 6 at hop 4 from seed 1 → absent under rounds=3
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 2L),
+      (3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L))
+    val got = sssp(g, 1, 3)
+    assert(got((1L, 3L)) === 4L, "two cheap hops must beat the direct edge")
+    assert(got((1L, 4L)) === 5L && !got.contains((1L, 6L)), "hop bound")
+    // seeded fuzz vs local Bellman-Ford with the same round bound
+    val rnd = new scala.util.Random(45)
+    val edges = (for {
+      u <- 1L to 12L; v <- (u + 1) to 12L if rnd.nextDouble() < 0.3
+    } yield (u, v, 1L + rnd.nextInt(9))).toSeq
+    val sym = edges ++ edges.map(e => (e._2, e._1, e._3))
+    val nodes = sym.map(_._1).distinct.sorted
+    val gotF = sssp(edges, 2, 3)
+    nodes.take(2).foreach { seed =>
+      var d = Map(seed -> 0L)
+      for (_ <- 1 to 3) {
+        val relax = sym.flatMap { case (u, v, c) => d.get(u).map(du => v -> (du + c)) }
+        d = (d.toSeq ++ relax).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      }
+      d.foreach { case (n, c) => assert(gotF((seed, n)) === c, s"seed $seed node $n") }
+      assert(gotF.keys.count(_._1 == seed) === d.size)
+    }
+  }
+
   test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
     import spark.implicits._
     // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;

@@ -476,6 +476,39 @@ object Relational2 extends QueryModule {
       |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey)
       |ORDER BY variant""".stripMargin
 
+  /** q33 — CORRELATED SCALAR SUBQUERIES: per-nation customer count and
+    * max balance as SELECT-list scalars, plus a HAVING-style filter on
+    * another correlated scalar (nations above the global per-nation
+    * average) — the decorrelation surface q29's EXISTS family doesn't
+    * touch: Catalyst must rewrite each scalar subquery into an
+    * aggregate + left outer join (visible as no per-row re-execution
+    * in the plan), and empty groups must surface as COUNT 0 / NULL max
+    * per ANSI scalar-subquery semantics, not vanish. Stated as literal
+    * SQL on both engines. */
+  def correlatedScalar(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("q33_nation")
+    Tables.customer(s, d).createOrReplaceTempView("q33_customer")
+    s.sql("""
+      SELECT n_nationkey, n_name,
+        (SELECT count(*) FROM q33_customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        (SELECT max(c_acctbal) FROM q33_customer
+         WHERE c_nationkey = n_nationkey) AS max_bal
+      FROM q33_nation
+      WHERE (SELECT count(*) FROM q33_customer WHERE c_nationkey = n_nationkey)
+            > (SELECT count(*) FROM q33_customer) / 50
+      ORDER BY n_nationkey""")
+  }
+
+  val correlatedScalarSql: String =
+    """SELECT n_nationkey, n_name,
+      |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+      |  (SELECT max(c_acctbal) FROM customer
+      |   WHERE c_nationkey = n_nationkey) AS max_bal
+      |FROM nation
+      |WHERE (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+      |      > (SELECT count(*) FROM customer) / 50
+      |ORDER BY n_nationkey""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "q16_full_outer"  -> QueryDef(fullOuter, Some(fullOuterSql)),
     "q17_cross_join"  -> QueryDef(crossJoin, Some(crossJoinSql)),
@@ -494,6 +527,7 @@ object Relational2 extends QueryModule {
     "q30_grouping_sets" -> QueryDef(orderGroupingSets, Some(orderGroupingSetsSql)),
     "q31_rollup" -> QueryDef(ordersRollup, Some(ordersRollupSql)),
     "q32_null_antijoin" -> QueryDef(nullAntijoin, Some(nullAntijoinSql)),
+    "q33_correlated_scalar" -> QueryDef(correlatedScalar, Some(correlatedScalarSql)),
   )
 }
 

@@ -151,6 +151,8 @@ class EmptyInputSpec extends SparkSpec {
     // q32 keeps its 4 variant rows — all zero counts on an empty table
     val q32 = defs("q32_null_antijoin").fn(spark, emptyDir).collect()
     assert(q32.length === 4 && q32.forall(_.getLong(1) === 0L))
+    // q33's filter drops every nation when no customer clears the bar
+    assert(defs("q33_correlated_scalar").fn(spark, emptyDir).count() === 0L)
     // p13/st41 report their 6 FD rows with explicit zeros — zero groups
     // proves the scan ran, not that the check vacuously passed
     for (name <- Seq("p13_fd_audit", "st41_stream_fd_audit")) {

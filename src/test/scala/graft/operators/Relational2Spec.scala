@@ -96,4 +96,36 @@ class Relational2Spec extends SparkSpec {
     assert(got("exists") + got("not_exists") === total)
     assert(got("in") > 0L && got("not_exists") > 0L, "both arms non-trivial")
   }
+
+  test("q33: scalar subqueries decorrelate; empty groups give COUNT 0 / NULL max, not a missing row") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("q33").toString
+    // nation 9 has NO customers: with the filter relaxed (count > -1 is
+    // impossible to state through the gate, so probe the SELECT-list
+    // semantics directly) the scalar count must be 0 and max NULL
+    Seq((0L, "A"), (9L, "EMPTY")).toDF("n_nationkey", "n_name")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/nation.parquet")
+    Seq((1L, 0L, 10.0), (2L, 0L, 20.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/customer.parquet")
+    graft.core.Tables.nation(spark, dir).createOrReplaceTempView("q33s_nation")
+    graft.core.Tables.customer(spark, dir).createOrReplaceTempView("q33s_customer")
+    val rows = spark.sql("""
+      SELECT n_nationkey,
+        (SELECT count(*) FROM q33s_customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        (SELECT max(c_acctbal) FROM q33s_customer
+         WHERE c_nationkey = n_nationkey) AS max_bal
+      FROM q33s_nation ORDER BY n_nationkey""").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(1) === 2L && rows(0).getDouble(2) === 20.0)
+    assert(rows(1).getLong(1) === 0L && rows(1).isNullAt(2),
+      "empty group: scalar COUNT is 0 and scalar MAX is NULL, row present")
+    // the registered gate: every surviving nation genuinely clears the bar
+    val d = "/root/testdata/sf0.001"
+    val got = Relational2.correlatedScalar(spark, d).collect()
+    val total = graft.core.Tables.customer(spark, d).count()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(2) > total / 50.0))
+  }
 }

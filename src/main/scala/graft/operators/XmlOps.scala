@@ -354,6 +354,40 @@ object XmlOps extends QueryModule {
       |FROM b CROSS JOIN c WHERE us < cut
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** x12 — Z-ORDER INDEX values: every event's Morton code over
+    * (user_id, hour) through the native codegen'd
+    * [[graft.functions.ZOrderL]] expression, aggregated per event_type
+    * so the oracle (which replays the interleave as 62 shift-and-add
+    * terms — a deliberately different formulation than the engine's
+    * magic-mask spread) verifies the whole column, not a sample. The
+    * z-value is the multi-dimensional generalisation of x11's range
+    * key: sorting a layout by z keeps rows close in BOTH dimensions,
+    * so file min/max stats prune 2-D box filters; the spec pins the
+    * box-locality property and that the expression stays inside
+    * WholeStageCodegen. */
+  def zorderIndex(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        (unix_micros(col("ts").cast("timestamp"))).as("us"))
+      .withColumn("h", expr("us div 3600000000"))
+      .withColumn("z", graft.functions.ZOrderL(col("user_id"), col("h")))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("z")).as("min_z"),
+        max(col("z")).as("max_z"), sum(col("z")).as("sum_z"))
+      .orderBy(col("event_type"))
+  }
+
+  val zorderIndexSql: String = {
+    val z = graft.functions.ZOrderL.sqlInterleave("user_id", "h")
+    s"""WITH b AS (
+      |  SELECT event_type, user_id, epoch_us(ts) // 3600000000 AS h
+      |  FROM events),
+      |zz AS (SELECT event_type, $z AS z FROM b)
+      |SELECT event_type, count(*) AS n, min(z) AS min_z, max(z) AS max_z,
+      |  CAST(sum(z) AS BIGINT) AS sum_z
+      |FROM zz GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -364,6 +398,7 @@ object XmlOps extends QueryModule {
     "x9_jsonl_gz" -> QueryDef(jsonGzRoundtrip, Some(jsonRoundtripSql)),
     "x10_codec_roundtrip" -> QueryDef(codecRoundtrip, Some(codecRoundtripSql)),
     "x11_range_layout" -> QueryDef(rangeLayout, Some(rangeLayoutSql)),
+    "x12_zorder_index" -> QueryDef(zorderIndex, Some(zorderIndexSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

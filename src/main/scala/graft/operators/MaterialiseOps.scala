@@ -2261,6 +2261,89 @@ object MaterialiseOps extends QueryModule {
       |FROM d3 ORDER BY seed, node""".stripMargin
   }
 
+  /** g46 — TRIAD CENSUS (undirected): how many node triples are empty /
+    * one-edge / wedge (path-of-2) / triangle — the 4-bin profile whose
+    * wedge:triangle ratio IS the global clustering coefficient and
+    * whose one-edge mass measures sparsity, all WITHOUT enumerating
+    * triples: every bin has a closed form in |V|, |E|, the degree
+    * second moment and the triangle count (W = Σ C(d,2) wedges;
+    * triangles from the once-oriented plan; one-edge = E(V−2) −
+    * 2(W−3T) − 3T; empty = C(V,3) − rest). The engine computes the
+    * moments map-side and the oracle restates the same closed forms
+    * from scratch — counting C(V,3) triples at 100 TB is impossible,
+    * which is exactly why the closed form is the operator. */
+  def triadCensus(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    triadCensusOf(pairs)
+  }
+
+  /** [[triadCensus]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def triadCensusOf(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint() // scanned by degrees AND triangles
+    val deg = p.select(col("u").as("id")).union(p.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val moments = deg.agg(count(lit(1)).as("nv"),
+      coalesce(sum(col("deg")), lit(0L)).as("sum_d"),
+      coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("wedges"))
+    val o = p
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .localCheckpoint()
+    val tri = o.as("x").join(o.as("y"),
+        col("x.s") === col("y.s") && col("x.t") =!= col("y.t"))
+      .select(col("x.t").as("a"), col("y.t").as("b"))
+      .join(o.as("z"), col("a") === col("z.s") && col("b") === col("z.t"))
+      .agg(count(lit(1)).as("tri"))
+    moments.crossJoin(tri) // two 1-row frames
+      .select(col("nv"), expr("sum_d div 2").as("ne"),
+        col("wedges"), col("tri"))
+      .select(col("nv"), col("ne"), col("tri").as("n_triangle"),
+        (col("wedges") - col("tri") * 3).as("n_wedge"),
+        (col("ne") * (col("nv") - 2) - (col("wedges") - col("tri") * 3) * 2
+          - col("tri") * 3).as("n_one_edge"))
+      .withColumn("n_empty",
+        expr("(nv * (nv - 1) * (nv - 2)) div 6")
+          - col("n_triangle") - col("n_wedge") - col("n_one_edge"))
+  }
+
+  val triadCensusSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT id, count(*) AS deg
+      |  FROM (SELECT u AS id FROM pairs UNION ALL SELECT v FROM pairs)
+      |  GROUP BY id),
+      |m AS (
+      |  SELECT count(*) AS nv, CAST(sum(deg) AS BIGINT) // 2 AS ne,
+      |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS wedges
+      |  FROM deg),
+      |o AS (
+      |  SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
+      |         CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
+      |  FROM pairs p JOIN deg da ON da.id = p.u JOIN deg db ON db.id = p.v),
+      |t AS (
+      |  SELECT count(*) AS tri FROM o x
+      |  JOIN o y ON x.s = y.s AND x.t != y.t
+      |  JOIN o z ON z.s = x.t AND z.t = y.t)
+      |SELECT nv, ne, tri AS n_triangle,
+      |  wedges - 3 * tri AS n_wedge,
+      |  ne * (nv - 2) - 2 * (wedges - 3 * tri) - 3 * tri AS n_one_edge,
+      |  nv * (nv - 1) * (nv - 2) // 6 - tri - (wedges - 3 * tri)
+      |    - (ne * (nv - 2) - 2 * (wedges - 3 * tri) - 3 * tri) AS n_empty
+      |FROM m CROSS JOIN t""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2304,5 +2387,6 @@ object MaterialiseOps extends QueryModule {
     "g43_katz_walks" -> QueryDef(katzWalks, Some(katzWalksSql)),
     "g44_edge_embeddedness" -> QueryDef(edgeEmbeddedness, Some(edgeEmbeddednessSql)),
     "g45_bounded_sssp" -> QueryDef(boundedSssp, Some(boundedSsspSql)),
+    "g46_triad_census" -> QueryDef(triadCensus, Some(triadCensusSql)),
   )
 }

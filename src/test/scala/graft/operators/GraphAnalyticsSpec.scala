@@ -690,6 +690,44 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("g46: census closed forms equal brute-force triple enumeration; bins partition C(V,3)") {
+    import spark.implicits._
+    def census(edges: Seq[(Long, Long)]) = {
+      val r = MaterialiseOps.triadCensusOf(edges.toDF("u", "v")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    // triangle: V=3 → exactly one triple and it's the triangle
+    assert(census(Seq((1L, 2L), (1L, 3L), (2L, 3L))) === ((3L, 3L, 1L, 0L, 0L, 0L)))
+    // star on 4: every triple through the center is a wedge, the leaf
+    // triple is one-edge-free... brute-check below does the thinking
+    val rnd = new scala.util.Random(46)
+    for (trial <- 1 to 3) {
+      val n = 7 + trial
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rnd.nextDouble() < 0.3
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val es = edges.toSet
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        def edge(a: Long, b: Long) = es.contains((a min b, a max b))
+        var (t3, t2, t1, t0) = (0L, 0L, 0L, 0L)
+        for {
+          i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+        } {
+          val cnt = Seq(edge(nodes(i), nodes(j)), edge(nodes(i), nodes(k)),
+            edge(nodes(j), nodes(k))).count(identity)
+          cnt match {
+            case 3 => t3 += 1; case 2 => t2 += 1; case 1 => t1 += 1; case _ => t0 += 1
+          }
+        }
+        val (nv, ne, tri, wed, one, emp) = census(edges)
+        assert(nv === nodes.size.toLong && ne === edges.size.toLong)
+        assert((tri, wed, one, emp) === ((t3, t2, t1, t0)), s"trial $trial")
+        assert(tri + wed + one + emp === nv * (nv - 1) * (nv - 2) / 6)
+      }
+    }
+  }
+
   test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
     import spark.implicits._
     // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;

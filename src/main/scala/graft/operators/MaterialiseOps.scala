@@ -2344,6 +2344,69 @@ object MaterialiseOps extends QueryModule {
       |    - (ne * (nv - 2) - 2 * (wedges - 3 * tri) - 3 * tri) AS n_empty
       |FROM m CROSS JOIN t""".stripMargin
 
+  /** k11 — MANIFEST-VALIDATED PUBLISH: the atomic-publish handshake a
+    * lake consumer needs before trusting a dataset directory — the
+    * writer materialises the table AND a manifest recording, per file,
+    * the row count and an order-independent content checksum (sum of
+    * per-row xxhash64 over all columns — commutative, so parallelism
+    * can't change it); the reader RE-DERIVES the same stats from the
+    * bytes it actually sees and refuses to serve on any mismatch
+    * (partial write, lost file, post-publish mutation). What the gate
+    * proves: data served THROUGH the validation path is byte-faithful
+    * — the oracle aggregates the original table, so a checksum scheme
+    * that rejected good data or passed bad data would fail the gate
+    * (and the spec corrupts a file to pin detection). Manifest
+    * derivation is one groupBy(input_file_name) over the read-back —
+    * no driver-side file walking. */
+  def manifestPublish(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pub_${math.abs(d.hashCode)}"
+    Tables.documents(s, d).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
+    writeManifest(s, dir)
+    serveValidated(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-file (rows, checksum) manifest over what the write produced. */
+  private[graft] def fileStats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/data")
+      .select(input_file_name().as("file"),
+        xxhash64(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")).as("h"))
+      .groupBy(col("file"))
+      // DECIMAL(38,0) accumulator: a per-file sum of 64-bit hashes
+      // overflows Long under ANSI mode on real file sizes
+      .agg(count(lit(1)).as("rows"),
+        sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("checksum"))
+
+  private[graft] def writeManifest(s: SparkSession, dir: String): Unit =
+    fileStats(s, dir).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/_manifest")
+
+  /** The validating read: throws rather than serving unverified data. */
+  private[graft] def serveValidated(s: SparkSession, dir: String): DataFrame = {
+    val manifest = s.read.parquet(s"$dir/_manifest")
+    val actual = fileStats(s, dir)
+    val bad = manifest.join(actual, Seq("file"), "full_outer")
+      .where(manifest("rows").isNull || actual("rows").isNull ||
+        manifest("rows") =!= actual("rows") ||
+        manifest("checksum") =!= actual("checksum"))
+      .count() // bounded: one row per FILE, not per data row
+    require(bad == 0L,
+      s"manifest validation failed for $bad file(s) under $dir — refusing to serve")
+    s.read.parquet(s"$dir/data")
+  }
+
+  val manifestPublishSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2379,6 +2442,7 @@ object MaterialiseOps extends QueryModule {
     "g36_aggr_count_cube" -> QueryDef(aggrCountCube, Some(aggrCountCubeSql)),
     "g37_local_clustering" -> QueryDef(localClusteringCoeff, Some(localClusteringCoeffSql)),
     "k10_graphml_export" -> QueryDef(graphmlExport, Some(graphmlExportSql)),
+    "k11_manifest_publish" -> QueryDef(manifestPublish, Some(manifestPublishSql)),
     "g38_random_walks" -> QueryDef(randomWalks, Some(randomWalksSql)),
     "g39_assortativity" -> QueryDef(assortativity, Some(assortativitySql)),
     "g40_degree_spectrum" -> QueryDef(degreeSpectrum, Some(degreeSpectrumSql)),

@@ -404,6 +404,44 @@ class GraphAnalyticsSpec extends SparkSpec {
     ))
   }
 
+  test("k11: clean publish serves; corrupted, truncated, and unmanifested files all refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val src = java.nio.file.Files.createTempDirectory("k11src").toString
+    Seq((1L, "aa", "en", "web", 2L), (2L, "bb", "en", "web", 2L),
+      (3L, "cc", "de", "book", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2) // multiple files so per-file validation is real
+      .write.mode(SaveMode.Overwrite).parquet(s"$src/documents.parquet")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pub_${math.abs(src.hashCode)}"
+    // clean publish round-trips every row through the validating read
+    val served = MaterialiseOps.manifestPublish(spark, src).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served === Map("web" -> 2L, "book" -> 1L))
+    // corrupt: delete one data file after publish → reader must refuse
+    val files = new java.io.File(s"$dir/data").listFiles()
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(files.length >= 2, "fixture must produce multiple files")
+    val victim = files.head
+    val bytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    victim.delete()
+    val e1 = intercept[IllegalArgumentException] {
+      MaterialiseOps.serveValidated(spark, dir).count()
+    }
+    assert(e1.getMessage.contains("refusing to serve"))
+    // restore, then plant an EXTRA file the manifest never saw
+    java.nio.file.Files.write(victim.toPath, bytes)
+    assert(MaterialiseOps.serveValidated(spark, dir).count() === 3L, "restore serves again")
+    Seq((9L, "zz", "xx", "spam", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/data")
+    val e2 = intercept[IllegalArgumentException] {
+      MaterialiseOps.serveValidated(spark, dir).count()
+    }
+    assert(e2.getMessage.contains("refusing to serve"),
+      "a file the manifest never recorded must refuse, not silently serve")
+  }
+
   test("k10: GraphML export escapes XML specials and parses as a well-formed document") {
     import spark.implicits._
     val nodes = Seq(("a&b", "T<ype>"), ("c", "P & Q")).toDF("nodeId", "displayType")

@@ -237,5 +237,12 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamIntervalCoverage(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sisl_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Temporal.intervalCoverageSql)),
+    // shares g46's oracle: nv/ne/wedges derive from the maintained
+    // degree spectrum, triangles from the arrival-rank IVM — the census
+    // is a pure read-side composition of two existing states
+    "st43_stream_triad_census" -> QueryDef(
+      (s, d) => Streaming.streamTriadCensus(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_stcen_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.triadCensusSql)),
   )
 }

@@ -1305,6 +1305,65 @@ object Streaming {
       graft.operators.ProfilerOps.FdNames)
   }
 
+  /** Streaming TRIAD CENSUS (st43): g46's closed forms as a PURE
+    * READ-SIDE COMPOSITION of two already-maintained states — no new
+    * state module at all. Every moment the census needs derives from
+    * st37's degree spectrum (nv = Σ n_nodes, 2·ne = Σ deg·n_nodes,
+    * wedges = Σ C(deg,2)·n_nodes) and the triangle count from st26's
+    * arrival-rank IVM; both fold the same batches, so the serving read
+    * is two tiny aggregates + the g46 arithmetic. This is the derived-
+    * metric principle: once the histogram and the triangle count are
+    * maintained, an entire family of topology numbers is free. Same
+    * even/odd split and order-atomicity precondition as st26; on full
+    * replay the row equals batch g46 and shares its oracle. */
+  def streamTriadCensus(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalDegreeSpectrum.update(s, s"$stateDir/spec", coPairs(base), 0L)
+    graft.pipeline.IncrementalTriangles.update(s, s"$stateDir/tri", coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pairs = coPairs(batch).localCheckpoint() // folded into BOTH states
+        graft.pipeline.IncrementalDegreeSpectrum.update(s, s"$stateDir/spec", pairs, id + 1L)
+        graft.pipeline.IncrementalTriangles.update(s, s"$stateDir/tri", pairs, id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val moments = graft.pipeline.IncrementalDegreeSpectrum.current(s, s"$stateDir/spec")
+      .agg(coalesce(sum(col("n_nodes")), lit(0L)).as("nv"),
+        expr("coalesce(sum(deg * n_nodes), 0L) div 2").as("ne"),
+        coalesce(sum(expr("((deg * (deg - 1)) div 2) * n_nodes")), lit(0L)).as("wedges"))
+    val tri = graft.pipeline.IncrementalTriangles.current(s, s"$stateDir/tri")
+      .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri"))
+    moments.crossJoin(tri) // two 1-row frames
+      .select(col("nv"), col("ne"), col("tri").as("n_triangle"),
+        (col("wedges") - col("tri") * 3).as("n_wedge"),
+        (col("ne") * (col("nv") - 2) - (col("wedges") - col("tri") * 3) * 2
+          - col("tri") * 3).as("n_one_edge"))
+      .withColumn("n_empty",
+        expr("(nv * (nv - 1) * (nv - 2)) div 6")
+          - col("n_triangle") - col("n_wedge") - col("n_one_edge"))
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

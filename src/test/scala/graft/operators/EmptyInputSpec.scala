@@ -153,9 +153,12 @@ class EmptyInputSpec extends SparkSpec {
     assert(q32.length === 4 && q32.forall(_.getLong(1) === 0L))
     // q33's filter drops every nation when no customer clears the bar
     assert(defs("q33_correlated_scalar").fn(spark, emptyDir).count() === 0L)
-    // g46 reports one explicit all-zero census row on the empty graph
-    val tc = defs("g46_triad_census").fn(spark, emptyDir).collect()
-    assert(tc.length === 1 && (0 to 5).forall(i => tc.head.getLong(i) === 0L))
+    // g46/st43 report one explicit all-zero census row on the empty graph
+    for (name <- Seq("g46_triad_census", "st43_stream_triad_census")) {
+      val tc = defs(name).fn(spark, emptyDir).collect()
+      assert(tc.length === 1 && (0 to 5).forall(i => tc.head.getLong(i) === 0L),
+        s"$name empty contract")
+    }
     // p13/st41 report their 6 FD rows with explicit zeros — zero groups
     // proves the scan ran, not that the check vacuously passed
     for (name <- Seq("p13_fd_audit", "st41_stream_fd_audit")) {

@@ -323,6 +323,42 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("triad-census composition fuzz: spectrum + triangle states derive the batch census") {
+    val rng = new scala.util.Random(43043L)
+    for (trial <- 1 to 3) {
+      val n = 7 + rng.nextInt(6)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rng.nextDouble() < 0.35
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val dir = Files.createTempDirectory(s"census_fuzz$trial").toString
+        val nB = 1 + rng.nextInt(3)
+        val batches = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+        var delivered = Seq.empty[(Long, Long)]
+        batches.zipWithIndex.foreach { case ((_, es), i) =>
+          val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+          val df = (es ++ dups).toDF("u", "v")
+          graft.pipeline.IncrementalDegreeSpectrum.update(spark, s"$dir/spec", df, i.toLong)
+          graft.pipeline.IncrementalTriangles.update(spark, s"$dir/tri", df, i.toLong)
+          delivered ++= es
+        }
+        // derive the census from the two maintained states (the st43 read)
+        val spec = graft.pipeline.IncrementalDegreeSpectrum.current(spark, s"$dir/spec")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nv = spec.map(_._2).sum
+        val ne = spec.map { case (d, c) => d * c }.sum / 2
+        val wedges = spec.map { case (d, c) => d * (d - 1) / 2 * c }.sum
+        val tri = graft.pipeline.IncrementalTriangles.current(spark, s"$dir/tri")
+          .collect().head.getLong(1)
+        val derived = (nv, ne, tri, wedges - 3 * tri,
+          ne * (nv - 2) - 2 * (wedges - 3 * tri) - 3 * tri)
+        val b = MaterialiseOps.triadCensusOf(edges.toDF("u", "v")).collect().head
+        assert(derived === ((b.getLong(0), b.getLong(1), b.getLong(2),
+          b.getLong(3), b.getLong(4))), s"trial $trial ($nB batches)")
+      }
+    }
+  }
+
   test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 5) {

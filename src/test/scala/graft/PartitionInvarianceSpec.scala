@@ -31,7 +31,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // anti join, grid lag features, KN continuation counts
     "a10_sessionize", "t39_source_divergence", "g42_bfs_layers",
     "g43_katz_walks", "p13_fd_audit", "p14_benford_audit",
-    "q32_null_antijoin", "a11_lag_features", "t40_continuation_counts")
+    "q32_null_antijoin", "a11_lag_features", "t40_continuation_counts",
+    "a12_interarrival_spectrum", "g44_edge_embeddedness",
+    "g45_bounded_sssp", "g46_triad_census", "p15_join_size_audit",
+    "q33_correlated_scalar", "x12_zorder_index")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

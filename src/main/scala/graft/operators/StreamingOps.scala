@@ -244,5 +244,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamTriadCensus(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_stcen_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.triadCensusSql)),
+    // shares g44's oracle: 3-edge triangle attribution replays to the
+    // exact batch support histogram, local bridges included
+    "st44_stream_edge_support" -> QueryDef(
+      (s, d) => Streaming.streamEdgeSupport(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sesup_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.edgeEmbeddednessSql)),
   )
 }

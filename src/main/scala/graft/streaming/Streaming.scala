@@ -1364,6 +1364,47 @@ object Streaming {
           - col("n_triangle") - col("n_wedge") - col("n_one_edge"))
   }
 
+  /** Streaming EDGE EMBEDDEDNESS (st44): g44's per-edge triangle
+    * support maintained by [[graft.pipeline.IncrementalEdgeSupport]] —
+    * the arrival-rank triangle delta with 3-EDGE attribution (st31
+    * credited corners). Edge support never decreases under insertions
+    * and edges arrive at zero, so the read left-joins the deduped edge
+    * state with the summed deltas and the local-bridge row stays an
+    * explicit zero. Same even/odd split and order-atomicity
+    * precondition as st26. On full replay the histogram equals batch
+    * g44 and shares its oracle. */
+  def streamEdgeSupport(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalEdgeSupport.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalEdgeSupport.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalEdgeSupport.current(s, stateDir)
+  }
+
   /** Streaming SAMPLED TRIANGLE COUNT (st28): g32's deterministic
     * DOULION draw composed with st26's arrival-rank IVM — because the
     * hash draw is a pure per-edge predicate, sampling COMMUTES with

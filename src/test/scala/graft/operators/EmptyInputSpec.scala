@@ -140,7 +140,8 @@ class EmptyInputSpec extends SparkSpec {
         "g43_katz_walks", "a11_lag_features", "t40_continuation_counts",
         "a12_interarrival_spectrum", "x11_range_layout",
         "g44_edge_embeddedness", "st42_stream_interval_coverage",
-        "g45_bounded_sssp", "x12_zorder_index", "k11_manifest_publish")) {
+        "g45_bounded_sssp", "x12_zorder_index", "k11_manifest_publish",
+        "st44_stream_edge_support")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

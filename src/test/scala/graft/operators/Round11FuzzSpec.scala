@@ -359,6 +359,34 @@ class Round11FuzzSpec extends SparkSpec {
     }
   }
 
+  test("edge-support IVM fuzz: cross-batch triangles credit their edges once; bridges stay explicit zeros") {
+    val rng = new scala.util.Random(44044L)
+    for (trial <- 1 to 4) {
+      val n = 6 + rng.nextInt(6)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rng.nextDouble() < 0.35
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val dir = Files.createTempDirectory(s"esup_fuzz$trial").toString
+        val nB = 1 + rng.nextInt(4)
+        val batches = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+        var delivered = Seq.empty[(Long, Long)]
+        batches.zipWithIndex.foreach { case ((_, es), i) =>
+          val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+          graft.pipeline.IncrementalEdgeSupport.update(spark, dir,
+            (es ++ dups).toDF("u", "v"), i.toLong)
+          delivered ++= es
+        }
+        val ivm = graft.pipeline.IncrementalEdgeSupport.current(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val b = graft.query.Query.edgeSupport(edges.toDF("u", "v"))
+          .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        assert(ivm === b, s"trial $trial ($nB batches) IVM diverged")
+      }
+    }
+  }
+
   test("q29 fuzz: decorrelated plan equals a literal exists/not-exists recount on random schedules") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 5) {

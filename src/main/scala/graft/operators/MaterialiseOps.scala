@@ -2407,6 +2407,86 @@ object MaterialiseOps extends QueryModule {
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** g47 — MODULARITY of the g23 LPA communities, exactly: Newman's
+    * Q = Σ_c (e_c/m − (d_c/2m)²) carried as the INTEGER numerator
+    * q·4m² = Σ_c (4m·e_c − d_c²) per community, so "did the clustering
+    * beat random wiring" becomes an exact cross-engine number instead
+    * of a float (Q itself = Σ q_x4m2 / 4m² downstream). Communities
+    * come from the same bounded-round LPA the g23 oracle unrolls; e_c
+    * is one label-equijoin over the edge list, d_c one join of the
+    * degree table — nothing beyond the shuffles g23 already pays.
+    * The measured answer to "was LPA any good here", which no gate so
+    * far stated. */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    modularityOf(pairs, iterations = 3).orderBy(col("label"))
+  }
+
+  /** [[modularity]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def modularityOf(pairs: DataFrame, iterations: Int): DataFrame = {
+    val p = pairs.localCheckpoint() // scanned by LPA, degrees and e_c
+    val labels = Query.labelPropagation(p, iterations)
+      .select(col("id"), col("label")).localCheckpoint()
+    val deg = p.select(col("u").as("id")).union(p.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val ec = p
+      .join(labels.select(col("id").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
+      .where(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_in"))
+    val dc = labels.join(deg, "id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    val m = p.agg(count(lit(1)).as("m"))
+    dc.join(ec, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+          - col("d_sum") * col("d_sum")).as("q_x4m2"))
+  }
+
+  val modularitySql: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT node AS id, label FROM (
+         |    SELECT a.node, l.label,
+         |      row_number() OVER (PARTITION BY a.node
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM adj a JOIN $prev l ON l.id = a.nbr
+         |    GROUP BY a.node, l.label) WHERE rn = 1)""".stripMargin
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT u AS node, v AS nbr FROM pairs
+      |        UNION ALL SELECT v, u FROM pairs),
+      |l0 AS (SELECT DISTINCT node AS id, node AS label FROM adj),
+      |${round("l0", "l1")},
+      |${round("l1", "l2")},
+      |${round("l2", "l3")},
+      |deg AS (SELECT node AS id, count(*) AS deg FROM adj GROUP BY node),
+      |ec AS (
+      |  SELECT la.label, count(*) AS e_in
+      |  FROM pairs p JOIN l3 la ON la.id = p.u JOIN l3 lb ON lb.id = p.v
+      |  WHERE la.label = lb.label GROUP BY la.label),
+      |dc AS (
+      |  SELECT l.label, count(*) AS n_nodes, CAST(sum(d.deg) AS BIGINT) AS d_sum
+      |  FROM l3 l JOIN deg d ON d.id = l.id GROUP BY l.label),
+      |m AS (SELECT count(*) AS m FROM pairs)
+      |SELECT dc.label, dc.n_nodes,
+      |  CAST(coalesce(ec.e_in, 0) AS BIGINT) AS e_in, dc.d_sum,
+      |  CAST(4 * m.m * coalesce(ec.e_in, 0) - dc.d_sum * dc.d_sum AS BIGINT)
+      |    AS q_x4m2
+      |FROM dc LEFT JOIN ec ON ec.label = dc.label CROSS JOIN m
+      |ORDER BY dc.label""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2452,5 +2532,6 @@ object MaterialiseOps extends QueryModule {
     "g44_edge_embeddedness" -> QueryDef(edgeEmbeddedness, Some(edgeEmbeddednessSql)),
     "g45_bounded_sssp" -> QueryDef(boundedSssp, Some(boundedSsspSql)),
     "g46_triad_census" -> QueryDef(triadCensus, Some(triadCensusSql)),
+    "g47_modularity" -> QueryDef(modularity, Some(modularitySql)),
   )
 }

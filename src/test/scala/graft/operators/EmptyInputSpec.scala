@@ -141,7 +141,7 @@ class EmptyInputSpec extends SparkSpec {
         "a12_interarrival_spectrum", "x11_range_layout",
         "g44_edge_embeddedness", "st42_stream_interval_coverage",
         "g45_bounded_sssp", "x12_zorder_index", "k11_manifest_publish",
-        "st44_stream_edge_support")) {
+        "st44_stream_edge_support", "g47_modularity")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -766,6 +766,40 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("g47: two disjoint triangles give Q=1/2 exactly; identities hold on random graphs") {
+    import spark.implicits._
+    def mod(edges: Seq[(Long, Long)]) =
+      MaterialiseOps.modularityOf(edges.toDF("u", "v"), 3)
+        .collect().map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // two disjoint triangles: LPA finds each as a community; m=6,
+    // per community e_c=3, d_c=6 → q = 4·6·3 − 36 = 36; ΣQnum = 72 and
+    // Q = 72 / (4·36) = 1/2 — the textbook value
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val rows = mod(twoTri)
+    assert(rows.length === 2 && rows.forall(_ === ((3L, 3L, 6L, 36L))))
+    assert(rows.map(_._4).sum === 72L && 4 * 6 * 6 === 144)
+    // random graphs: Σ e_in ≤ m, Σ d_sum = 2m, labels come from the
+    // registered LPA (composition), and Q ≤ 1 in the 4m² scale
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val n = 8 + rnd.nextInt(6)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rnd.nextDouble() < 0.25
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val m = edges.size.toLong
+        val got = mod(edges)
+        assert(got.map(_._2).sum <= m, "within-community edges bounded by m")
+        assert(got.map(_._3).sum === 2 * m, "degree sums partition 2m")
+        assert(got.map(_._4).sum <= 4 * m * m, "Q <= 1")
+        val labels = graft.query.Query.labelPropagation(edges.toDF("u", "v"), 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.length === labels.values.toSet.size, s"trial $trial community count")
+      }
+    }
+  }
+
   test("g41: connected hubs give φ=1, empty clubs give NULL, random graph matches recount") {
     import spark.implicits._
     // h1(10)—h2(20) plus 3 leaves each: club(k=2) = {h1,h2}, wired → φ=1;

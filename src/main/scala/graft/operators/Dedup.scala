@@ -1774,6 +1774,38 @@ object Dedup extends QueryModule {
       |FROM p ORDER BY da, db""".stripMargin
   }
 
+  /** d22 — DEDUP SAVINGS report: the purge-impact summary a dedup
+    * pipeline presents BEFORE committing the drop — per cluster size,
+    * how many clusters, how many documents they hold, how many rows a
+    * keep-the-representative policy deletes, and exactly how many
+    * characters of storage that frees. Built entirely on d7's cluster
+    * table (exact-dup pre-routing + verified LSH pairs + min-label
+    * closure), so the report inherits d7's scale shape; the rollup
+    * itself is one join to documents for sizes and one map-combinable
+    * groupBy. The n_dropped column is the number every dedup design
+    * review asks for first. */
+  def dedupSavings(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_size"))
+      .agg(count_distinct(col("rep_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("keep") === 0, col("n_chars")).otherwise(0L)), lit(0L))
+          .as("chars_dropped"))
+      .orderBy(col("cluster_size"))
+
+  val dedupSavingsSql: String =
+    s"""SELECT c.cluster_size,
+      |  count(DISTINCT c.rep_id) AS n_clusters,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN c.keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(coalesce(sum(CASE WHEN c.keep = 0 THEN d.n_chars ELSE 0 END), 0)
+      |    AS BIGINT) AS chars_dropped
+      |FROM ($dedupClustersSql) c
+      |JOIN documents d ON d.doc_id = c.doc_id
+      |GROUP BY c.cluster_size ORDER BY c.cluster_size""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "d1_exact_dedup"   -> QueryDef(exactDedup, Some(exactDedupSql), bench = true),
     "d2_ngram_jaccard" -> QueryDef(ngramJaccard, Some(ngramJaccardSql)),
@@ -1804,5 +1836,6 @@ object Dedup extends QueryModule {
     "d19_repeat_removal" -> QueryDef(repeatRemoval, Some(repeatRemovalSql)),
     "d20_semdedup_sweep" -> QueryDef(semdedupSweep, Some(semdedupSweepSql)),
     "d21_edit_verify"  -> QueryDef(editVerify, Some(editVerifySql)),
+    "d22_dedup_savings" -> QueryDef(dedupSavings, Some(dedupSavingsSql)),
   )
 }

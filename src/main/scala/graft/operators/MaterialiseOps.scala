@@ -1541,10 +1541,12 @@ object MaterialiseOps extends QueryModule {
     * — nonlinear mix mod 2³¹−1, Lehmer scramble, THEN the mod — because
     * `mod deg` of a raw polynomial would inherit the low-bit degeneracy
     * the round-11 DOULION fix documents. Scale shape: the ranked
-    * adjacency (row_number per node over sorted neighbors) is built once
-    * and reused by every step; each step is ONE equi-join on the current
-    * node with a residual rank filter — O(steps · |frontier|), and the
-    * frontier never exceeds the start set. */
+    * adjacency is built once hub-safely — rank within hash-buckets of
+    * the neighbor key plus per-node bucket-count offsets, two
+    * map-combinable passes, never a full-neighborhood sort — and reused
+    * by every step; each step is ONE equi-join on the current node with
+    * a residual rank filter — O(steps · |frontier|), and the frontier
+    * never exceeds the start set. */
   def randomWalks(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val pairs = li.as("a").join(li.as("b"),
@@ -1571,14 +1573,43 @@ object MaterialiseOps extends QueryModule {
       s"(($node % $WalkM) * 16807) % $WalkM + ${i.toLong * 12345L}) % $WalkM) * 48271 " +
       s"% $WalkM % $deg + 1"
 
+  /** Hash-bucket count for the hub-safe walk index: a degree-10⁷ hub's
+    * neighborhood is ranked in ≤ deg/B per-task sorts instead of one. */
+  private[graft] val WalkBuckets = 64L
+  private def nbrBucket(c: Column): Column =
+    c % lit(WalkM) * lit(48271L) % lit(WalkM) % lit(WalkBuckets)
+
+  /** The hub-safe walk index, pre-checkpoint (PlanSpec pins its shape):
+    * `(node, nbr, rn, deg)` where rn is the 1-based rank of nbr within
+    * node's adjacency ordered by (hash-bucket(nbr), nbr). */
+  private[graft] def rankedAdjacency(adj: DataFrame, deg: DataFrame): DataFrame = {
+    val bucketed = adj.withColumn("bkt", nbrBucket(col("nbr")))
+    val inBkt = bucketed.withColumn("rb", row_number().over(
+      Window.partitionBy(col("node"), col("bkt")).orderBy(col("nbr"))).cast("long"))
+    val offs = bucketed.groupBy(col("node"), col("bkt")).agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("node")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("node"), col("bkt"), col("off"))
+    inBkt.join(offs, Seq("node", "bkt"))
+      .withColumn("rn", col("off") + col("rb"))
+      .join(deg, "node")
+      .select(col("node"), col("nbr"), col("rn"), col("deg"))
+  }
+
   private[graft] def walksOf(pairs0: DataFrame, steps: Int): DataFrame = {
     val pairs = pairs0.select(col("u"), col("v")).distinct()
     val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
       .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val ranked = adj.withColumn("rn", row_number().over(
-        Window.partitionBy(col("node")).orderBy(col("nbr"))).cast("long"))
-      .join(deg, "node")
+    // Hub-safe ranked adjacency (the g34 discipline): rank within
+    // hash-buckets of the neighbor key, then add per-node bucket-count
+    // offsets. The per-task sort is ≤ deg/B rows, and the only
+    // node-partitioned window sits above a (node, bkt) aggregate with at
+    // most B rows per node. rn is still a permutation of 1..deg — now
+    // ordered by (bucket, nbr) rather than nbr, which the oracle mirrors
+    // — so the uniform hash-draw semantics are unchanged.
+    val ranked = rankedAdjacency(adj, deg)
       .localCheckpoint() // static index: built once, probed every step
     var cur = deg.select(col("node").as("start"), col("node"), lit(0L).as("step"))
     var out = cur
@@ -1605,8 +1636,10 @@ object MaterialiseOps extends QueryModule {
       |        UNION ALL SELECT v, u FROM pairs),
       |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
       |ranked AS (
+      |  -- (bucket, nbr) ordering == the engine's bucketed rank + offset form
       |  SELECT a.node, a.nbr,
-      |    CAST(row_number() OVER (PARTITION BY a.node ORDER BY a.nbr) AS BIGINT) AS rn,
+      |    CAST(row_number() OVER (PARTITION BY a.node
+      |      ORDER BY a.nbr % $WalkM * 48271 % $WalkM % $WalkBuckets, a.nbr) AS BIGINT) AS rn,
       |    d.deg
       |  FROM adj a JOIN deg d ON d.node = a.node),
       |w0 AS (SELECT node AS start, node, CAST(0 AS BIGINT) AS step FROM deg),

@@ -245,6 +245,26 @@ class PlanSpec extends SparkSpec {
       "window input is the raw neighborhood — bucket aggregate missing below it")
   }
 
+  test("g38: the walk index ranks within neighbor hash-buckets, never one full-neighborhood sort") {
+    // same discipline as g34: a window partitioned by the node alone may
+    // only sit above an aggregate (≤ WalkBuckets rows per node), never the
+    // raw adjacency — otherwise a degree-10⁷ hub funnels its whole
+    // neighborhood through one task's sort while building the index
+    import spark.implicits._
+    val adj = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("node", "nbr")
+    val deg = adj.groupBy($"node").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("deg"))
+    val qe = graft.operators.MaterialiseOps.rankedAdjacency(adj, deg).queryExecution
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "walk index lost its ranking windows")
+    val nodeOnly = wins.filter(_.partitionSpec.size == 1)
+    assert(nodeOnly.forall(_.child.collectFirst { case a: Aggregate => a }.isDefined),
+      "a node-partitioned window reads the raw adjacency — bucketed ranking lost")
+    assert(wins.exists(_.partitionSpec.size > 1),
+      "no (node, bucket) ranking window found — per-task sort is the full neighborhood again")
+  }
+
   test("g35: the strength peel emits through equi-joins only") {
     val p = plan("g35_weighted_kcore")
     assert(!p.contains("CartesianProduct"))

@@ -151,7 +151,9 @@ class Round11FuzzSpec extends SparkSpec {
       if (edges.nonEmpty) {
         val nb = scala.collection.mutable.Map.empty[Long, Vector[Long]].withDefaultValue(Vector.empty)
         edges.foreach { case (u, v) => nb(u) :+= v; nb(v) :+= u }
-        val sortedNb = nb.map { case (k, vs) => k -> vs.sorted }.toMap
+        // mirror the hub-safe index's (hash-bucket, nbr) rank ordering
+        def bkt(n: Long): Long = n % M * 48271L % M % MaterialiseOps.WalkBuckets
+        val sortedNb = nb.map { case (k, vs) => k -> vs.sortBy(v => (bkt(v), v)) }.toMap
         val sim = (for {
           start <- sortedNb.keys.toSeq
           walk = Iterator.iterate((start, 0)) { case (node, i) =>

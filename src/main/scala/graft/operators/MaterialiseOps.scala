@@ -2520,6 +2520,175 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY dc.label""".stripMargin
   }
 
+  /** g48 — the gwas notebook's 4-HOP EDGE-TYPE-ALTERNATION CHAIN
+    * (`notebooks/gwas.ipynb`, both cells): the reference's longest
+    * traversal shape and the only notebook workload without its own gate
+    * until now. Cell 1 (route `via_disease`):
+    * `(snp:gwas:SNP)-[:gwas:associated_with]->(disease)
+    *  -[:biolink:has_phenotype|ro:causally_related_to|ro:has_characteristic]->(phenotype)
+    *  <-[:biolink:has_phenotype]-(assoc:impc:GenePhenotypeAssociation)
+    *  -[:impc:mouseAlleleId]->(allele:impc:Allele)`; cell 2 (route
+    * `direct`) is the 3-hop variant that skips the disease. Runs through
+    * the engine's [[Query.matchChain]] — one equi-join per hop.
+    *
+    * TPC-H graph fixture: customer→nation `gwas:associated_with`
+    * (disease/trait = the customer's nation), nation→region typed by
+    * `n_nationkey % 4` (0/1/2 = the three alternation members, 3 =
+    * `ro:excluded_rel` — pins the whitelist), supplier→region and
+    * supplier→nation `biolink:has_phenotype` (traversed in REVERSE at
+    * the third hop — pins direction handling), supplier→part
+    * `impc:mouseAlleleId` over distinct lineitem pairs. Label decoys:
+    * only BUILDING customers with `c_custkey % 10 = 1` are `gwas:SNP`,
+    * only even suppliers are `impc:GenePhenotypeAssociation`, only
+    * `p_size < 15` parts are `impc:Allele`; a duplicate customer→nation
+    * edge typed `gwas:other_rel` pins the hop-1 type filter. Output is
+    * grouped per (route, snp, disease, phenotype, mouse_gene) with the
+    * allele count + min allele name — path multiplicity survives as
+    * `n_alleles`, so any wrong hop changes the hash. Scale shape: every
+    * hop joins on the vertex id against a type-pruned edge frame; the
+    * grouped projection is one map-combinable aggregate. */
+  private[graft] val GwasPhenoRels =
+    Seq("biolink:has_phenotype", "ro:causally_related_to", "ro:has_characteristic")
+
+  private[graft] def gwasGraph(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val edge = (f: Column, t: Column, et: Column) =>
+      f.as("fromNodeId") :: t.as("toNodeId") :: et.as("edgeType") :: Nil
+    val cust = Tables.customer(s, d)
+    val supp = Tables.supplier(s, d)
+    val natn = Tables.nation(s, d)
+    val regn = Tables.region(s, d)
+    val prt = Tables.part(s, d)
+    val edges = cust
+      .select(edge(node("c:", col("c_custkey")), node("n:", col("c_nationkey")),
+        lit("gwas:associated_with")): _*)
+      .union(cust.select(edge(node("c:", col("c_custkey")), node("n:", col("c_nationkey")),
+        lit("gwas:other_rel")): _*))
+      .union(natn.select(edge(node("n:", col("n_nationkey")), node("r:", col("n_regionkey")),
+        when(col("n_nationkey") % 4 === 0, "biolink:has_phenotype")
+          .when(col("n_nationkey") % 4 === 1, "ro:causally_related_to")
+          .when(col("n_nationkey") % 4 === 2, "ro:has_characteristic")
+          .otherwise("ro:excluded_rel")): _*))
+      .union(supp.join(natn, col("s_nationkey") === col("n_nationkey"))
+        .select(edge(node("s:", col("s_suppkey")), node("r:", col("n_regionkey")),
+          lit("biolink:has_phenotype")): _*))
+      .union(supp.select(edge(node("s:", col("s_suppkey")), node("n:", col("s_nationkey")),
+        lit("biolink:has_phenotype")): _*))
+      .union(Tables.lineitem(s, d)
+        .select(node("s:", col("l_suppkey")).as("f"), node("p:", col("l_partkey")).as("t"))
+        .distinct()
+        .select(edge(col("f"), col("t"), lit("impc:mouseAlleleId")): _*))
+    val types = cust.select(node("c:", col("c_custkey")).as("nodeId"),
+        when(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 10 === 1, "gwas:SNP")
+          .otherwise("other:Thing").as("nodeType"))
+      .union(natn.select(node("n:", col("n_nationkey")), lit("grebi:Disease")))
+      .union(regn.select(node("r:", col("r_regionkey")), lit("grebi:Phenotype")))
+      .union(supp.select(node("s:", col("s_suppkey")),
+        when(col("s_suppkey") % 2 === 0, "impc:GenePhenotypeAssociation")
+          .otherwise("impc:OtherAssoc")))
+      .union(prt.select(node("p:", col("p_partkey")),
+        when(col("p_size") < 15, "impc:Allele").otherwise("impc:Gene")))
+    val names = cust.select(node("c:", col("c_custkey")).as("nodeId"), col("c_name").as("name"))
+      .union(natn.select(node("n:", col("n_nationkey")), col("n_name")))
+      .union(regn.select(node("r:", col("r_regionkey")), col("r_name")))
+      .union(supp.select(node("s:", col("s_suppkey")), col("s_name")))
+      .union(prt.select(node("p:", col("p_partkey")), col("p_name")))
+    (edges, types, names)
+  }
+
+  def gwasChain(s: SparkSession, d: String): DataFrame = {
+    import graft.query.Query.Hop
+    val (edges, types, names) = gwasGraph(s, d)
+    val snps = types.where(col("nodeType") === "gwas:SNP").select(col("nodeId").as("snp"))
+    def withName(df: DataFrame, id: String, out: String): DataFrame =
+      df.join(names.select(col("nodeId").as(id), col("name").as(out)), id)
+    val assocHop = Hop(Seq("biolink:has_phenotype"), "in", "massoc",
+      Some("impc:GenePhenotypeAssociation"))
+    val alleleHop = Hop(Seq("impc:mouseAlleleId"), "out", "allele", Some("impc:Allele"))
+    val via = Query.matchChain(edges, types, snps, "snp", Seq(
+      Hop(Seq("gwas:associated_with"), "out", "disease"),
+      Hop(GwasPhenoRels, "out", "pheno"),
+      assocHop, alleleHop))
+    val direct = Query.matchChain(edges, types, snps, "snp", Seq(
+      Hop(Seq("gwas:associated_with"), "out", "trait"),
+      assocHop, alleleHop))
+    val viaOut = withName(withName(withName(withName(via,
+        "disease", "disease_nm"), "pheno", "pheno_nm"), "massoc", "mouse_gene"), "allele", "allele_nm")
+      .groupBy(col("snp"), col("disease_nm"), col("pheno_nm"), col("mouse_gene"))
+      .agg(count(lit(1)).as("n_alleles"), min(col("allele_nm")).as("sample_allele"))
+      .select(lit("via_disease").as("route"), col("snp").as("snp_id"),
+        col("disease_nm").as("disease"), col("pheno_nm").as("phenotype"),
+        col("mouse_gene"), col("n_alleles"), col("sample_allele"))
+    val directOut = withName(withName(withName(direct,
+        "trait", "trait_nm"), "massoc", "mouse_gene"), "allele", "allele_nm")
+      .groupBy(col("snp"), col("trait_nm"), col("mouse_gene"))
+      .agg(count(lit(1)).as("n_alleles"), min(col("allele_nm")).as("sample_allele"))
+      .select(lit("direct").as("route"), col("snp").as("snp_id"),
+        lit("-").as("disease"), col("trait_nm").as("phenotype"),
+        col("mouse_gene"), col("n_alleles"), col("sample_allele"))
+    viaOut.unionByName(directOut)
+      .orderBy(col("route"), col("snp_id"), col("disease"), col("phenotype"),
+        col("mouse_gene"))
+  }
+
+  val gwasChainSql: String =
+    s"""WITH cust AS (
+      |  SELECT 'c:' || ${sqlPad("c_custkey")} AS id, c_name AS name,
+      |    'n:' || ${sqlPad("c_nationkey")} AS nat,
+      |    (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 1) AS is_snp
+      |  FROM customer),
+      |supp AS (
+      |  SELECT 's:' || ${sqlPad("s_suppkey")} AS id, s_name AS name,
+      |    'n:' || ${sqlPad("s_nationkey")} AS nat, s_suppkey % 2 = 0 AS is_assoc
+      |  FROM supplier),
+      |nat AS (
+      |  SELECT 'n:' || ${sqlPad("n_nationkey")} AS id, n_name AS name,
+      |    'r:' || ${sqlPad("n_regionkey")} AS reg, n_nationkey % 4 AS m
+      |  FROM nation),
+      |reg AS (SELECT 'r:' || ${sqlPad("r_regionkey")} AS id, r_name AS name FROM region),
+      |prt AS (
+      |  SELECT 'p:' || ${sqlPad("p_partkey")} AS id, p_name AS name,
+      |    p_size < 15 AS is_allele
+      |  FROM part),
+      |e_allele AS (
+      |  SELECT DISTINCT 's:' || ${sqlPad("l_suppkey")} AS massoc,
+      |    'p:' || ${sqlPad("l_partkey")} AS allele
+      |  FROM lineitem),
+      |-- incoming biolink:has_phenotype, already label-filtered to real assocs
+      |hp_in AS (
+      |  SELECT s.id AS massoc, n.reg AS pheno, s.name AS mouse_gene
+      |  FROM supp s JOIN nat n ON n.id = s.nat WHERE s.is_assoc
+      |  UNION ALL
+      |  SELECT s.id, s.nat, s.name FROM supp s WHERE s.is_assoc),
+      |tail AS (
+      |  SELECT h.pheno, h.massoc, h.mouse_gene, p.name AS allele_nm
+      |  FROM hp_in h
+      |  JOIN e_allele ea ON ea.massoc = h.massoc
+      |  JOIN prt p ON p.id = ea.allele AND p.is_allele),
+      |snp AS (SELECT id, nat FROM cust WHERE is_snp),
+      |via AS (
+      |  SELECT s.id AS snp_id, dn.name AS disease, rn.name AS phenotype,
+      |    t.mouse_gene, t.allele_nm
+      |  FROM snp s
+      |  JOIN nat dn ON dn.id = s.nat AND dn.m IN (0, 1, 2)
+      |  JOIN reg rn ON rn.id = dn.reg
+      |  JOIN tail t ON t.pheno = dn.reg),
+      |dir AS (
+      |  SELECT s.id AS snp_id, nn.name AS phenotype, t.mouse_gene, t.allele_nm
+      |  FROM snp s
+      |  JOIN nat nn ON nn.id = s.nat
+      |  JOIN tail t ON t.pheno = s.nat)
+      |SELECT route, snp_id, disease, phenotype, mouse_gene,
+      |  CAST(n_alleles AS BIGINT) AS n_alleles, sample_allele
+      |FROM (
+      |  SELECT 'via_disease' AS route, snp_id, disease, phenotype, mouse_gene,
+      |    count(*) AS n_alleles, min(allele_nm) AS sample_allele
+      |  FROM via GROUP BY snp_id, disease, phenotype, mouse_gene
+      |  UNION ALL
+      |  SELECT 'direct', snp_id, '-', phenotype, mouse_gene,
+      |    count(*), min(allele_nm)
+      |  FROM dir GROUP BY snp_id, phenotype, mouse_gene)
+      |ORDER BY route, snp_id, disease, phenotype, mouse_gene""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2566,5 +2735,6 @@ object MaterialiseOps extends QueryModule {
     "g45_bounded_sssp" -> QueryDef(boundedSssp, Some(boundedSsspSql)),
     "g46_triad_census" -> QueryDef(triadCensus, Some(triadCensusSql)),
     "g47_modularity" -> QueryDef(modularity, Some(modularitySql)),
+    "g48_gwas_chain" -> QueryDef(gwasChain, Some(gwasChainSql)),
   )
 }

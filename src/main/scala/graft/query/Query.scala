@@ -171,6 +171,49 @@ object Query {
     visited
   }
 
+  /** One hop of a Cypher-style MATCH chain ([[matchChain]]): follow edges
+    * whose type is in `edgeTypes` (empty = any; >1 = the notebook's
+    * `-[:T1|T2|T3]->` alternation) in `direction` ("out" = the pattern's
+    * `->`, "in" = `<-`), binding the reached node as column `as`;
+    * `nodeType` optionally filters the reached node's label the way
+    * Cypher `(x:Label)` does. */
+  final case class Hop(edgeTypes: Seq[String], direction: String, as: String,
+                       nodeType: Option[String] = None)
+
+  /** Bounded multi-hop MATCH chain with per-hop edge-type alternation and
+    * direction — the engine-side form of the gwas notebook's 4-hop
+    * pattern (`notebooks/gwas.ipynb`, and `Neo4jClient.java:244-280`'s
+    * `makeEdgesList` alternation), keeping EVERY intermediate binding as
+    * a column (unlike [[reachable]], which only returns reach + depth).
+    * `seeds(seedCol)` is the first binding. Each hop is exactly one
+    * equi-join on the previous binding (plus one more against the node
+    * metadata when the hop has a label filter) — never a window, never a
+    * cartesian — so the chain is as shuffle-deep as it is hops long and
+    * every join key is the vertex id. Cypher's relationship-uniqueness
+    * (no edge reused within one match) is NOT enforced; with hops drawn
+    * from disjoint typed edge sets it is vacuous. */
+  def matchChain(edges: DataFrame, nodeTypes: DataFrame, seeds: DataFrame,
+                 seedCol: String, hops: Seq[Hop]): DataFrame = {
+    var cur = seeds
+    var prev = seedCol
+    hops.foreach { h =>
+      val byType =
+        if (h.edgeTypes.isEmpty) edges
+        else edges.where(col("edgeType").isin(h.edgeTypes: _*))
+      val (src, dst) = h.direction match {
+        case "out" => ("fromNodeId", "toNodeId")
+        case _     => ("toNodeId", "fromNodeId")
+      }
+      cur = cur.join(byType.select(col(src).as(prev), col(dst).as(h.as)), prev)
+      h.nodeType.foreach { t =>
+        cur = cur.join(nodeTypes.where(col("nodeType") === t)
+          .select(col("nodeId").as(h.as)), h.as)
+      }
+      prev = h.as
+    }
+    cur
+  }
+
   /** Multi-source weighted shortest paths (non-negative integer weights)
     * — distributed Bellman-Ford with a frontier: each round relaxes only
     * edges leaving nodes whose distance improved, so settled regions of

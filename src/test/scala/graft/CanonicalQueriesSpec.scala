@@ -139,6 +139,55 @@ class CanonicalQueriesSpec extends SparkSpec {
     assert(f.contains(("type", "biolink:Gene", 1L))) // facet sees beyond its own filter
   }
 
+  test("gwas 4-hop chain: alternation whitelist, reverse hop, and label filters all bind") {
+    // hand fixture with one decoy per semantic axis of the notebook's
+    // MATCH pattern (notebooks/gwas.ipynb): a wrong-typed hop-1 edge, an
+    // out-of-whitelist hop-2 relation, a wrong-DIRECTION has_phenotype
+    // edge at hop 3, and wrong node labels at the snp/assoc/allele ends
+    import spark.implicits._
+    val e = Seq(
+      ("snp1", "dis1", "gwas:associated_with"),
+      ("snp1", "dis1", "gwas:other_rel"),          // decoy edge type
+      ("snpX", "dis1", "gwas:associated_with"),    // snpX not a gwas:SNP
+      ("dis1", "ph1", "biolink:has_phenotype"),
+      ("dis1", "ph2", "ro:causally_related_to"),
+      ("dis1", "ph3", "ro:excluded_rel"),          // not in the alternation
+      ("as1", "ph1", "biolink:has_phenotype"),     // the real reverse hop
+      ("as2", "ph2", "biolink:has_phenotype"),     // as2 wrong label
+      ("ph2", "as3", "biolink:has_phenotype"),     // wrong direction at hop 3
+      ("as3", "dis1", "biolink:has_phenotype"),    // direct-route reverse hop
+      ("as1", "al1", "impc:mouseAlleleId"),
+      ("as1", "alX", "impc:mouseAlleleId"),        // alX wrong label
+      ("as3", "al1", "impc:mouseAlleleId"))
+      .toDF("fromNodeId", "toNodeId", "edgeType")
+    val t = Seq(
+      ("snp1", "gwas:SNP"), ("snpX", "other:Thing"),
+      ("as1", "impc:GenePhenotypeAssociation"), ("as2", "impc:OtherAssoc"),
+      ("as3", "impc:GenePhenotypeAssociation"),
+      ("al1", "impc:Allele"), ("alX", "impc:Gene"))
+      .toDF("nodeId", "nodeType")
+    val seeds = t.where(col("nodeType") === "gwas:SNP").select(col("nodeId").as("snp"))
+    val assocHop = Query.Hop(Seq("biolink:has_phenotype"), "in", "massoc",
+      Some("impc:GenePhenotypeAssociation"))
+    val alleleHop = Query.Hop(Seq("impc:mouseAlleleId"), "out", "allele", Some("impc:Allele"))
+    val via = Query.matchChain(e, t, seeds, "snp", Seq(
+      Query.Hop(Seq("gwas:associated_with"), "out", "disease"),
+      Query.Hop(Seq("biolink:has_phenotype", "ro:causally_related_to",
+        "ro:has_characteristic"), "out", "pheno"),
+      assocHop, alleleHop))
+      .select("snp", "disease", "pheno", "massoc", "allele")
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(via === Set(("snp1", "dis1", "ph1", "as1", "al1")),
+      s"via-disease chain matched the wrong paths: $via")
+    val direct = Query.matchChain(e, t, seeds, "snp", Seq(
+      Query.Hop(Seq("gwas:associated_with"), "out", "trait"),
+      assocHop, alleleHop))
+      .select("snp", "trait", "massoc", "allele")
+      .as[(String, String, String, String)].collect().toSet
+    assert(direct === Set(("snp1", "dis1", "as3", "al1")),
+      s"direct chain matched the wrong paths: $direct")
+  }
+
   test("Q-E: searchPage scans its input once (count fills the cache)") {
     import spark.implicits._
     val rowsRead = spark.sparkContext.longAccumulator("rowsRead")

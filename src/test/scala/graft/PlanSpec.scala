@@ -265,6 +265,12 @@ class PlanSpec extends SparkSpec {
       "no (node, bucket) ranking window found — per-task sort is the full neighborhood again")
   }
 
+  test("g48: all four gwas-chain hops stay equi-joins, never all-pairs") {
+    val p = plan("g48_gwas_chain")
+    assert(!p.contains("CartesianProduct"), "a chain hop degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "a chain hop degenerated to NLJ")
+  }
+
   test("g35: the strength peel emits through equi-joins only") {
     val p = plan("g35_weighted_kcore")
     assert(!p.contains("CartesianProduct"))

@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // anchor repo-relative artifacts (BENCH_LOCAL.jsonl) to the build root,
+  // not the launch directory
+  s"-Dgraft.repo.root=${baseDirectory.value}",
 )

@@ -31,8 +31,22 @@ object Bench {
     * (sbt appends `[success] ...` after our last line, so the artifact's
     * tail is never pure JSON) — the ledger makes each round's perf record
     * a repo fact instead of a hostage of a 2000-char stdout window. */
+  /** The ledger lives at the REPO root, not the launch directory: sbt
+    * injects `-Dgraft.repo.root` (build.sbt), and a bare-java launch from
+    * anywhere inside the repo finds the nearest enclosing build.sbt. */
+  private[graft] def ledgerPath(): java.nio.file.Path = {
+    val prop = System.getProperty("graft.repo.root", "")
+    val start =
+      if (prop.nonEmpty) java.nio.file.Paths.get(prop)
+      else java.nio.file.Paths.get("").toAbsolutePath
+    var p = start
+    while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
+      p = p.getParent
+    (if (p == null) start else p).resolve("BENCH_LOCAL.jsonl")
+  }
+
   private[graft] def appendLedger(line: String,
-      path: java.nio.file.Path = java.nio.file.Paths.get("BENCH_LOCAL.jsonl")): Unit =
+      path: java.nio.file.Path = ledgerPath()): Unit =
     try
       java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,

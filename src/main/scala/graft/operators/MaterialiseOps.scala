@@ -2392,15 +2392,39 @@ object MaterialiseOps extends QueryModule {
     * derivation is one groupBy(input_file_name) over the read-back —
     * no driver-side file walking. */
   def manifestPublish(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pub_${math.abs(d.hashCode)}"
-    Tables.documents(s, d).write
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
-    writeManifest(s, dir)
+    val dir = publishGen(s, d)
     serveValidated(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy(col("source"))
+  }
+
+  /** Publish the documents table into a fresh GENERATION directory under
+    * the dataset's base dir and return it. Each invocation gets its own
+    * `gen_<uuid>` — concurrent sessions on the same dataset never share
+    * a write/validate handshake (and the hex key avoids the
+    * `abs(Int.MinValue)` edge the old `math.abs(hashCode)` dir had).
+    * Fully-validated older generations are removed after the new one is
+    * in place (the KvGenStore supersede policy); a concurrent reader
+    * still lazily consuming one surfaces that loss through ITS next
+    * validation or a loud read failure — never as silently-wrong data. */
+  private[graft] def publishGen(s: SparkSession, d: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pub_" +
+      Integer.toHexString(d.hashCode)
+    val dir = s"$base/gen_${java.util.UUID.randomUUID().toString.take(8)}"
+    Tables.documents(s, d).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
+    writeManifest(s, dir)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    hf.listStatus(bp).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("gen_") && st.getPath.toString != new org.apache.hadoop.fs.Path(dir).toString
+          && hf.exists(new org.apache.hadoop.fs.Path(st.getPath, "_validated")))
+        hf.delete(st.getPath, true)
+    }
+    dir
   }
 
   /** Per-file (rows, checksum) manifest over what the write produced. */
@@ -2420,17 +2444,33 @@ object MaterialiseOps extends QueryModule {
     fileStats(s, dir).coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/_manifest")
 
-  /** The validating read: throws rather than serving unverified data. */
-  private[graft] def serveValidated(s: SparkSession, dir: String): DataFrame = {
-    val manifest = s.read.parquet(s"$dir/_manifest")
-    val actual = fileStats(s, dir)
-    val bad = manifest.join(actual, Seq("file"), "full_outer")
-      .where(manifest("rows").isNull || actual("rows").isNull ||
-        manifest("rows") =!= actual("rows") ||
-        manifest("checksum") =!= actual("checksum"))
-      .count() // bounded: one row per FILE, not per data row
-    require(bad == 0L,
-      s"manifest validation failed for $bad file(s) under $dir — refusing to serve")
+  /** The validating read: throws rather than serving unverified data.
+    *
+    * Trust model — a DOCUMENTED two-scan default: every serve re-derives
+    * the per-file stats from the bytes it is about to serve (one extra
+    * scan over the data), because the stated contract includes detecting
+    * POST-publish mutation, which any validate-once cache is blind to.
+    * Callers that serve one immutable generation many times and accept
+    * that narrower contract can pass `trustOnce = true`: the first
+    * successful validation drops a `_validated` marker and later serves
+    * skip the scan (the KvGenStore generation-marker pattern; the marker
+    * is also what lets [[publishGen]] compact superseded generations). */
+  private[graft] def serveValidated(s: SparkSession, dir: String,
+                                    trustOnce: Boolean = false): DataFrame = {
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_validated")
+    val hf = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!(trustOnce && hf.exists(marker))) {
+      val manifest = s.read.parquet(s"$dir/_manifest")
+      val actual = fileStats(s, dir)
+      val bad = manifest.join(actual, Seq("file"), "full_outer")
+        .where(manifest("rows").isNull || actual("rows").isNull ||
+          manifest("rows") =!= actual("rows") ||
+          manifest("checksum") =!= actual("checksum"))
+        .count() // bounded: one row per FILE, not per data row
+      require(bad == 0L,
+        s"manifest validation failed for $bad file(s) under $dir — refusing to serve")
+      hf.create(marker, true).close()
+    }
     s.read.parquet(s"$dir/data")
   }
 

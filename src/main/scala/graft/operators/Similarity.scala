@@ -1411,8 +1411,15 @@ object Similarity extends QueryModule {
       .reduce(_ + _)
     val emb = quantized(s, d).withColumn("bucket", bucket)
       .select(col("vec_id"), col("bucket"), col("q"))
-    val tbl = s"graft_bucket_idx_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    val loc = java.nio.file.Files.createTempDirectory("graft_bucket_idx").toString
+    // fixed per-dataset name + location, rebuilt in place: repeated
+    // verify/bench runs reuse ONE catalog entry and ONE directory instead
+    // of leaking a UUID-named pair per invocation
+    val tbl = s"graft_bucket_idx_${Integer.toHexString(d.hashCode)}"
+    val loc = s"${System.getProperty("java.io.tmpdir")}/$tbl"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val lp = new org.apache.hadoop.fs.Path(loc)
+    val hf = lp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(lp)) hf.delete(lp, true)
     emb.write.bucketBy(16, "bucket").sortBy("bucket")
       .option("path", loc).format("parquet").saveAsTable(tbl)
     val t = s.table(tbl)

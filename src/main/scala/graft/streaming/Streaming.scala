@@ -1031,6 +1031,11 @@ object Streaming {
     * whole-gate oracle mismatch. */
   private def requireOrderAtomicFile(s: SparkSession, d: String, table: String): Unit = {
     val f = new java.io.File(s"$d/$table")
+    // missing path: state it in THIS contract's words up front — probing
+    // emptiness first would surface an unrelated AnalysisException instead
+    require(f.exists,
+      s"$d/$table does not exist — the order-atomic streaming source needs " +
+        "a single parquet file (or an empty directory-shaped table) at that path")
     // a directory-shaped table is admissible ONLY when it holds no rows
     // (an empty corpus has no orders to split); any non-empty directory
     // layout could split an order across micro-batches

@@ -413,11 +413,15 @@ class GraphAnalyticsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(2) // multiple files so per-file validation is real
       .write.mode(SaveMode.Overwrite).parquet(s"$src/documents.parquet")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pub_${math.abs(src.hashCode)}"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pub_${Integer.toHexString(src.hashCode)}"
     // clean publish round-trips every row through the validating read
     val served = MaterialiseOps.manifestPublish(spark, src).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(served === Map("web" -> 2L, "book" -> 1L))
+    // each publish is its own generation dir (no cross-session handshake race)
+    val gens = new java.io.File(base).listFiles().filter(_.getName.startsWith("gen_"))
+    assert(gens.length === 1, s"expected exactly one generation, got ${gens.toSeq}")
+    val dir = gens.head.toString
     // corrupt: delete one data file after publish → reader must refuse
     val files = new java.io.File(s"$dir/data").listFiles()
       .filter(f => f.getName.endsWith(".parquet"))
@@ -440,6 +444,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("refusing to serve"),
       "a file the manifest never recorded must refuse, not silently serve")
+    // trustOnce: the marker from the earlier successful serve skips
+    // re-validation, so the planted file IS served — the documented
+    // narrower contract (immutable-generation assumption) made visible
+    assert(MaterialiseOps.serveValidated(spark, dir, trustOnce = true).count() === 4L,
+      "trustOnce must skip re-validation once a generation has validated")
+    // a second publish supersedes: the validated old generation is
+    // compacted away, exactly one (the new) generation remains and serves
+    val served2 = MaterialiseOps.manifestPublish(spark, src).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served2 === Map("web" -> 2L, "book" -> 1L))
+    val gens2 = new java.io.File(base).listFiles().filter(_.getName.startsWith("gen_"))
+    assert(gens2.length === 1 && gens2.head.toString != dir,
+      "superseded validated generation must be removed by the next publish")
   }
 
   test("k10: GraphML export escapes XML specials and parses as a well-formed document") {

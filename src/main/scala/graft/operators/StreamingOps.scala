@@ -250,5 +250,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamEdgeSupport(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sesup_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.edgeEmbeddednessSql)),
+    // shares g45's oracle: min-plus relaxation with re-priced edges
+    // replays to the exact batch bounded-cost table
+    "st45_stream_bounded_sssp" -> QueryDef(
+      (s, d) => Streaming.streamBoundedSssp(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_ssssp_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.boundedSsspSql)),
   )
 }

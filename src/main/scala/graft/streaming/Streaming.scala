@@ -1203,6 +1203,49 @@ object Streaming {
       .orderBy(col("seed"), col("dist"))
   }
 
+  /** Streaming BOUNDED WEIGHTED SSSP (st45): g45's min-cost-within-3-hops
+    * table maintained by [[graft.pipeline.IncrementalSssp]] — min-plus
+    * relaxation instead of st39's hop counts, and the family's first
+    * state whose edge WEIGHTS move: each arriving batch of orders grows
+    * shared-order counts, re-pricing existing edges downward, so the
+    * fold relaxes both this batch's improvements through the accumulated
+    * graph AND the prior state through the re-priced edges. Same
+    * even/odd orderkey split and order-atomicity precondition as st26
+    * (counts are additive only if every order lands in one batch). On
+    * full replay the distances equal batch g45 and share its oracle. */
+  def streamBoundedSssp(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairsW(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count_distinct(col("a.l_orderkey")).as("cnt"))
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalSssp.update(s, stateDir, coPairsW(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalSssp.update(s, stateDir, coPairsW(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalSssp.current(s, stateDir)
+      .orderBy(col("seed"), col("node"))
+  }
+
   /** Streaming BENFORD AUDIT (st40): p14's first-digit screen as a
     * continuously-maintained monitor — digit counts are the simplest
     * semigroup in the family (plain addition), so each micro-batch of

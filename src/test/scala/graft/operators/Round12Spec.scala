@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.pipeline.IncrementalSssp
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-12 generative coverage: the weighted-SSSP IVM, whose
+  * correctness rests on the re-price argument (costs fall as shared-order
+  * counts grow, so the fold must relax prior state through TOUCHED edges,
+  * not only cascade new improvements — the case st39's insert-only BFS
+  * contract cannot see). Seeded RNG → failures replay. */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Per-batch canonical (u < v, cnt) co-order pair counts from
+    * (orderkey, part) rows — the streaming fold's input shape. */
+  private def pairCnt(rows: Seq[(Long, Long)]): DataFrame = {
+    val df = rows.toDF("o", "p")
+    df.as("a").join(df.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count_distinct(col("a.o")).as("cnt"))
+  }
+
+  /** Batch g45 ground truth over the full order set. */
+  private def batchSssp(rows: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val w = pairCnt(rows).select(col("u"), col("v"),
+      expr("1000000 div cnt").as("cost"))
+    MaterialiseOps.boundedSsspOf(w, nSeeds = 4, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+  }
+
+  private def fold(dir: String, batches: Seq[Seq[(Long, Long)]]): Seq[(Long, Long, Long)] = {
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      IncrementalSssp.update(spark, dir, pairCnt(rows), i.toLong)
+    }
+    IncrementalSssp.current(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+  }
+
+  test("sssp IVM: a late order RE-PRICES an existing edge and the discount cascades") {
+    // b1: orders o1={1,2}, o2={2,3} → cost(1,2)=cost(2,3)=10⁶,
+    // dist(1→3)=2·10⁶. b2: o3={1,2} — NO new edge, only a re-count:
+    // cost(1,2) halves, so dist(1→2) AND the untouched-hop dist(1→3)
+    // must both improve. An insert-only fold (st39's contract) would
+    // anti-join the duplicate pair away and change nothing.
+    val b1 = Seq((101L, 1L), (101L, 2L), (102L, 2L), (102L, 3L))
+    val b2 = Seq((103L, 1L), (103L, 2L))
+    val dir = Files.createTempDirectory("sssp_ivm1").toString
+    val got = fold(dir, Seq(b1, b2))
+    assert(got === batchSssp(b1 ++ b2), "re-priced fold diverged from batch g45")
+    val asMap = got.groupBy(t => (t._1, t._2)).view.mapValues(_.head._3).toMap
+    assert(asMap((1L, 2L)) === 500000L, "edge re-price not applied")
+    assert(asMap((1L, 3L)) === 1500000L, "re-price did not cascade through the untouched hop")
+  }
+
+  test("sssp IVM: late low ids evict seeds; reads follow the current seed set") {
+    val c1 = Seq((201L, 10L), (201L, 11L), (202L, 11L), (202L, 12L),
+      (203L, 12L), (203L, 13L), (204L, 13L), (204L, 14L))
+    val c2 = Seq((205L, 1L), (205L, 10L), (206L, 2L), (206L, 1L))
+    val dir = Files.createTempDirectory("sssp_ivm2").toString
+    val got = fold(dir, Seq(c1, c2))
+    assert(got === batchSssp(c1 ++ c2), "seed churn diverged from batch g45")
+    assert(!got.exists(_._1 == 13L), "evicted seed leaked into the read")
+  }
+
+  test("sssp IVM fuzz: random order splits equal batch g45") {
+    val rng = new scala.util.Random(45045L)
+    for (trial <- 1 to 3) {
+      val nParts = 6 + rng.nextInt(6)
+      val nOrders = 4 + rng.nextInt(8)
+      val rows = (1 to nOrders).flatMap { o =>
+        val k = 2 + rng.nextInt(3)
+        val parts = rng.shuffle((1L to nParts.toLong).toList).take(k)
+        parts.map(p => (1000L + o, p))
+      }
+      // orders split across batches WITHOUT duplication: the fold's
+      // additivity contract is order-atomicity, exactly what the
+      // streaming harness's requireOrderAtomicFile guards
+      val nB = 1 + rng.nextInt(3)
+      val byOrder = rows.groupBy(_._1).toSeq
+      val batches = byOrder.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1)
+        .map(_._2.flatMap(_._2))
+      val dir = Files.createTempDirectory(s"sssp_fuzz$trial").toString
+      assert(fold(dir, batches) === batchSssp(rows), s"trial $trial ($nB batches)")
+    }
+  }
+}

@@ -556,11 +556,19 @@ object Dedup extends QueryModule {
     * scale (s5 plays the same role for ANN recall). Candidates and
     * signatures reuse d3's exact md5 constructions, so this also pins
     * sketch/verifier agreement across implementations. */
-  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d)
+  /** The 16-permutation signature over any `(doc_id, s)` shingle frame —
+    * exposed so the estimate-vs-TRUTH spec can drive it on sets of known
+    * Jaccard similarity (the round-11 d12 lesson: only ground truth
+    * catches a degenerate permutation family; a mirrored oracle cannot). */
+  private[graft] def minhash16(sh: DataFrame): DataFrame = {
     val sigExprs = (1 to 16).map(j =>
       min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
-    val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+  }
+
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sig = minhash16(sh)
     val bandExprs = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => col(s"m${b * 4 + r}"))
       md5(concat_ws("|", lit(b.toString) +: ms: _*))

@@ -260,6 +260,14 @@ object ProfilerOps extends QueryModule {
       .select(col("text")).as[String]
       .flatMap(_.trim.split("\\s+"))
       .toDF("word")
+    countMinOf(toks)
+  }
+
+  /** [[countMin]] over an explicit one-column `word` token frame — the
+    * estimate-vs-TRUTH spec drives this directly (the round-11 lesson:
+    * a mirrored oracle faithfully reproduces a degenerate hash, so only
+    * a ground-truth comparison can catch one). */
+  private[graft] def countMinOf(toks: DataFrame): DataFrame = {
     val wc = toks.groupBy("word").agg(count(lit(1)).as("n"))
       .localCheckpoint() // reused three times below
     val hb = wc.select(col("word"), col("n"),
@@ -301,26 +309,40 @@ object ProfilerOps extends QueryModule {
     * per source the raw estimator sits in its known small-range bias
     * regime; the table SHOWS that rather than hiding it, which is the
     * point of a measured sketch family: p5 histogram, p6 count-min, p7
-    * HLL). Everything is fixed-point integer — `S = Σ 2^(16−M_j)` is an
-    * exact integer (absent buckets contribute 2¹⁶), and
-    * `est = (673·256·65536) div (1000·S)` is the α₁₆ m² 2¹⁶ / S
-    * harmonic form under integer division — so both engines agree to
-    * the last digit. Merge story unchanged from t15: registers max-merge
-    * across shards; the estimate is a 16-row-per-source fold. */
+    * HLL). Everything is fixed-point integer — `S = Σ 2^(32−min(M_j,32))`
+    * is an exact integer (absent buckets contribute 2³²; ranks past 32
+    * floor to zero), and `est = (673·256·2³²) div (1000·S)` is the
+    * α₁₆ m² 2³² / S harmonic form under integer division — so both
+    * engines agree to the last digit. Ranks are binary leading zeros
+    * (the round-12 estimate-vs-truth catch: hex-digit ranks under a
+    * binary weighting collapsed estimates ~4× per decade, identically
+    * on both engines). Merge story unchanged from t15: registers
+    * max-merge across shards; the estimate is a 16-row-per-source
+    * fold. */
   def hllEstimate(s: SparkSession, d: String): DataFrame = {
     val h = md5(coalesce(col("text"), lit("")))
     val docs = Tables.documents(s, d).select(col("source"), h.as("h"))
-    val regs = TextAnalysis.hllRegisters(s, d)
+    hllEstimateFrom(s, docs, TextAnalysis.hllRegisters(s, d))
+  }
+
+  /** [[hllEstimate]] over explicit `(source, h)` rows and a register
+    * table — driven directly by the estimate-vs-truth spec on corpora of
+    * known cardinality. */
+  private[graft] def hllEstimateFrom(s: SparkSession, docs: DataFrame,
+                                     regs: DataFrame): DataFrame = {
     val sources = docs.select(col("source")).distinct()
     val full = sources.crossJoin(s.range(0, 16).toDF("bucket"))
       .join(regs, Seq("source", "bucket"), "left")
       .withColumn("m", coalesce(col("max_rank"), lit(0)))
+    // fixed-point 2⁻ᴹ accumulator at scale 2³², clamped at M = 32 (ranks
+    // can reach 61 since the round-12 binary-rank fix; contributions
+    // below 2⁻³² floor to zero — a documented fixed-point truncation)
     val ssum = full.groupBy(col("source"))
-      .agg(sum(expr("shiftleft(cast(1 as bigint), 16 - m)")).as("sm"))
+      .agg(sum(expr("shiftleft(cast(1 as bigint), 32 - least(m, 32))")).as("sm"))
     val exact = docs.groupBy(col("source"))
       .agg(count_distinct(col("h")).as("n_exact"))
     exact.join(ssum, "source")
-      .withColumn("est", expr("(cast(673 as bigint) * 256 * 65536) div (1000 * sm)"))
+      .withColumn("est", expr("(cast(673 as bigint) * 256 * 4294967296) div (1000 * sm)"))
       .withColumn("err_permille", expr("((est - n_exact) * 1000) div n_exact"))
       .select(col("source"), col("n_exact"), col("est"), col("err_permille"))
       .orderBy(col("source"))
@@ -331,10 +353,16 @@ object ProfilerOps extends QueryModule {
       |  SELECT source, md5(coalesce(text, '')) AS h FROM documents),
       |regs AS (
       |  SELECT source, bucket, max(rank) AS max_rank FROM (
-      |    SELECT source,
-      |      CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS bucket,
-      |      length(regexp_extract(substr(h, 2, 15), '^0*')) + 1 AS rank
-      |    FROM h)
+      |    SELECT source, bucket,
+      |      CASE WHEN z = 15 THEN 61 ELSE
+      |        4 * z + (CASE WHEN strpos('123456789abcdef', substr(hx, z + 1, 1)) >= 8 THEN 0
+      |                      WHEN strpos('123456789abcdef', substr(hx, z + 1, 1)) >= 4 THEN 1
+      |                      WHEN strpos('123456789abcdef', substr(hx, z + 1, 1)) >= 2 THEN 2
+      |                      ELSE 3 END) + 1 END AS rank
+      |    FROM (
+      |      SELECT source, hx, length(regexp_extract(hx, '^0*')) AS z,
+      |        CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS bucket
+      |      FROM (SELECT source, h, substr(h, 2, 15) AS hx FROM h)))
       |  GROUP BY source, bucket),
       |fb AS (
       |  SELECT s.source, g.b AS bucket, coalesce(r.max_rank, 0) AS m
@@ -342,14 +370,14 @@ object ProfilerOps extends QueryModule {
       |  CROSS JOIN generate_series(0, 15) g(b)
       |  LEFT JOIN regs r ON r.source = s.source AND r.bucket = g.b),
       |ssum AS (
-      |  SELECT source, CAST(sum(CAST(1 AS BIGINT) << (16 - m)) AS BIGINT) AS sm
+      |  SELECT source, CAST(sum(CAST(1 AS BIGINT) << (32 - least(m, 32))) AS BIGINT) AS sm
       |  FROM fb GROUP BY source),
       |ex AS (SELECT source, count(DISTINCT h) AS n_exact FROM h GROUP BY source)
       |SELECT source, n_exact, est,
       |  ((est - n_exact) * 1000) // n_exact AS err_permille
       |FROM (
       |  SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
-      |    (CAST(673 AS BIGINT) * 256 * 65536) // (1000 * m.sm) AS est
+      |    (CAST(673 AS BIGINT) * 256 * 4294967296) // (1000 * m.sm) AS est
       |  FROM ex e JOIN ssum m ON m.source = e.source)
       |ORDER BY source""".stripMargin
 

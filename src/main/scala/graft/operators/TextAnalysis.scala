@@ -582,20 +582,42 @@ object TextAnalysis extends QueryModule {
     * the Complete-mode streaming state is the register table itself:
     * sources × 16 ints however long the stream runs). */
   private[graft] def hllRegistersOf(docs: DataFrame): DataFrame = {
+    // rank = leading zero BITS of the 60-bit hash suffix + 1 (Flajolet's
+    // ρ). Round-12 estimate-vs-truth catch: the original rank counted
+    // zero HEX DIGITS while the estimator weighted it as binary, so
+    // estimates collapsed ~4× per decade — invisible to the mirrored
+    // oracle, which reproduced the same defect in DuckDB. The digit math
+    // stays pure-integer: 4·(zero hex digits) + CASE on the first
+    // nonzero digit's value ('123456789abcdef' position = value).
     val h = md5(coalesce(col("text"), lit("")))
     docs.select(col("source"),
         conv(substring(h, 1, 1), 16, 10).cast("int").as("bucket"),
-        (length(regexp_extract(substring(h, 2, 15), "^0*", 0)) + 1).as("rank"))
+        expr("substr(md5(coalesce(text, '')), 2, 15)").as("hx"))
+      .withColumn("z", expr("length(regexp_extract(hx, '^0*', 0))"))
+      .withColumn("rank", expr(
+        """CASE WHEN z = 15 THEN 61 ELSE
+          |  4 * z + (CASE WHEN locate(substr(hx, z + 1, 1), '123456789abcdef') >= 8 THEN 0
+          |                WHEN locate(substr(hx, z + 1, 1), '123456789abcdef') >= 4 THEN 1
+          |                WHEN locate(substr(hx, z + 1, 1), '123456789abcdef') >= 2 THEN 2
+          |                ELSE 3 END) + 1 END""".stripMargin).cast("int"))
       .groupBy(col("source"), col("bucket"))
       .agg(max(col("rank")).as("max_rank"))
   }
 
   val hllRegistersSql: String =
     """SELECT source, bucket, CAST(max(rank) AS INT) AS max_rank FROM (
-      |  SELECT source,
-      |    CAST(strpos('0123456789abcdef', substr(md5(coalesce(text, '')), 1, 1)) - 1 AS INT) AS bucket,
-      |    length(regexp_extract(substr(md5(coalesce(text, '')), 2, 15), '^0*')) + 1 AS rank
-      |  FROM documents)
+      |  SELECT source, bucket,
+      |    CASE WHEN z = 15 THEN 61 ELSE
+      |      4 * z + (CASE WHEN strpos('123456789abcdef', substr(hx, z + 1, 1)) >= 8 THEN 0
+      |                    WHEN strpos('123456789abcdef', substr(hx, z + 1, 1)) >= 4 THEN 1
+      |                    WHEN strpos('123456789abcdef', substr(hx, z + 1, 1)) >= 2 THEN 2
+      |                    ELSE 3 END) + 1 END AS rank
+      |  FROM (
+      |    SELECT source, hx, length(regexp_extract(hx, '^0*')) AS z,
+      |      CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT) AS bucket
+      |    FROM (SELECT source, md5(coalesce(text, '')) AS h,
+      |            substr(md5(coalesce(text, '')), 2, 15) AS hx
+      |          FROM documents)))
       |GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
 
   // ---------------------------------------------------------------------

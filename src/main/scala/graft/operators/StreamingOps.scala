@@ -256,5 +256,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamBoundedSssp(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_ssssp_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.boundedSsspSql)),
+    // shares g43's oracle: bilinear matvec deltas replay to the exact
+    // batch walk counts
+    "st46_stream_katz_walks" -> QueryDef(
+      (s, d) => Streaming.streamKatzWalks(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_skatz_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.katzWalksSql)),
   )
 }

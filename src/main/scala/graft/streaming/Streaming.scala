@@ -1203,6 +1203,47 @@ object Streaming {
       .orderBy(col("seed"), col("dist"))
   }
 
+  /** Streaming KATZ WALK COUNTS (st46): g43's three sparse matvecs
+    * maintained by [[graft.pipeline.IncrementalKatz]] — the bilinear
+    * delta rule Δw_k = A'·Δw_{k-1} + ΔA·w_{k-1}: this batch's
+    * lower-level growth cascades through the accumulated graph, and
+    * walks whose k-th step uses a NEW edge are credited against the
+    * pre-batch counts. Both terms are sums, so the state is plain
+    * additive Δ rows. Same even/odd orderkey split and order-atomicity
+    * precondition as st26. On full replay the counts equal batch g43
+    * and share its oracle. */
+  def streamKatzWalks(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.Tables
+    requireOrderAtomicFile(s, d, "lineitem.parquet")
+    def coPairs(li: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): DataFrame =
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+    val base = Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    graft.pipeline.IncrementalKatz.update(s, stateDir, coPairs(base), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalKatz.update(s, stateDir, coPairs(batch), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalKatz.current(s, stateDir).orderBy(col("id"))
+  }
+
   /** Streaming BOUNDED WEIGHTED SSSP (st45): g45's min-cost-within-3-hops
     * table maintained by [[graft.pipeline.IncrementalSssp]] — min-plus
     * relaxation instead of st39's hop counts, and the family's first

@@ -135,6 +135,54 @@ class Round12Spec extends SparkSpec {
     assert(est(20) < est(80), "match count not increasing with true similarity")
   }
 
+  private def batchKatz(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long, Long)] =
+    MaterialiseOps.katzWalksOf(edges.toDF("u", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+
+  private def foldKatz(dir: String, batches: Seq[Seq[(Long, Long)]]): Seq[(Long, Long, Long, Long, Long)] = {
+    batches.zipWithIndex.foreach { case (es, i) =>
+      graft.pipeline.IncrementalKatz.update(spark, dir, es.toDF("u", "v"), i.toLong)
+    }
+    graft.pipeline.IncrementalKatz.current(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+  }
+
+  test("katz IVM: a late edge credits CROSS-BATCH walks through both delta terms") {
+    // b1: path 1-2-3. b2 adds 3-4: walks like 1→2→3→4 use old edges for
+    // two hops and the new edge for the last — the ΔA·w_old credit term;
+    // walks like 4→3→2 start on the new edge and cascade through the old
+    // graph — the A'·Δ term. Both must fire for the fold to equal batch.
+    val b1 = Seq((1L, 2L), (2L, 3L))
+    val b2 = Seq((3L, 4L))
+    val dir = Files.createTempDirectory("katz_ivm1").toString
+    assert(foldKatz(dir, Seq(b1, b2)) === batchKatz(b1 ++ b2),
+      "cross-batch walk crediting diverged from batch g43")
+  }
+
+  test("katz IVM fuzz: random edge splits with redelivered duplicates equal batch g43") {
+    val rng = new scala.util.Random(46046L)
+    for (trial <- 1 to 3) {
+      val n = 6 + rng.nextInt(6)
+      val edges = (for {
+        u <- 1L to n; v <- (u + 1) to n if rng.nextDouble() < 0.3
+      } yield (u, v)).toSeq
+      if (edges.nonEmpty) {
+        val nB = 1 + rng.nextInt(4)
+        val grouped = edges.groupBy(_ => rng.nextInt(nB)).toSeq.sortBy(_._1).map(_._2)
+        var delivered = Seq.empty[(Long, Long)]
+        val withDups = grouped.map { es =>
+          val dups = delivered.filter(_ => rng.nextDouble() < 0.4)
+          delivered ++= es
+          es ++ dups
+        }
+        val dir = Files.createTempDirectory(s"katz_fuzz$trial").toString
+        assert(foldKatz(dir, withDups) === batchKatz(edges), s"trial $trial ($nB batches)")
+      }
+    }
+  }
+
   test("sssp IVM fuzz: random order splits equal batch g45") {
     val rng = new scala.util.Random(45045L)
     for (trial <- 1 to 3) {

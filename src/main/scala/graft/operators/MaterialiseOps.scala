@@ -2068,6 +2068,15 @@ object MaterialiseOps extends QueryModule {
       .localCheckpoint()
     val seeds = edges.select(col("u").as("node")).distinct()
       .orderBy(col("node")).limit(nSeeds)
+    bfsVisited(edges, seeds, maxDist)
+      .groupBy(col("seed"), col("dist")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Bounded multi-source BFS over a SYMMETRIC edge frame, returning the
+    * full (seed, node, dist) visited table — the building block g42
+    * rolls up into layers and g49's double sweep probes for extremes. */
+  private[graft] def bfsVisited(edges: DataFrame, seeds: DataFrame,
+                                maxDist: Int): DataFrame = {
     var visited = seeds.select(col("node").as("seed"), col("node"),
       lit(0).as("dist")).localCheckpoint()
     var frontier = visited.select(col("seed"), col("node"))
@@ -2082,7 +2091,7 @@ object MaterialiseOps extends QueryModule {
         visited.unionByName(frontier.withColumn("dist", lit(i + 1))), 0, i)
       i += 1
     }
-    visited.groupBy(col("seed"), col("dist")).agg(count(lit(1)).as("n_nodes"))
+    visited
   }
 
   val bfsLayersSql: String = {
@@ -2729,6 +2738,91 @@ object MaterialiseOps extends QueryModule {
       |  FROM dir GROUP BY snp_id, phenotype, mouse_gene)
       |ORDER BY route, snp_id, disease, phenotype, mouse_gene""".stripMargin
 
+  /** g49 — PSEUDO-DIAMETER by DOUBLE BFS SWEEP (the Magnien–Latapy–
+    * Habib lower-bound heuristic): BFS from the lowest node id, take the
+    * farthest node reached (max dist, tie-broken to the lowest id), BFS
+    * again from there — sweep 2's eccentricity is a certified LOWER
+    * bound on the graph diameter, the number that sizes iteration
+    * budgets for every bounded traversal in this module (g42/g45's
+    * round caps, CC's convergence depth). Both sweeps are bounded at
+    * [[BfsMaxDist]] rounds mirrored 1:1 by the oracle's two unrolled CTE
+    * chains (the bounded-round-oracle rule), so on graphs wider than the
+    * cap the result is the honest "eccentricity within k hops". Output
+    * is two rows (sweep, source, farthest, ecc, n_reached). Everything
+    * stays lazy frames — the argmax is a 1-row orderBy/limit, the reach
+    * count a 1-row aggregate cross-joined on (the documented 1-row
+    * pattern), never a driver collect. */
+  def pseudoDiameter(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    pseudoDiameterOf(pairs, BfsMaxDist)
+  }
+
+  /** [[pseudoDiameter]] over an explicit DISTINCT `(u, v)` edge frame. */
+  private[graft] def pseudoDiameterOf(pairs: DataFrame, maxDist: Int): DataFrame = {
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // static dim probed by both sweeps
+    val first = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(1)
+    val v1 = bfsVisited(edges, first, maxDist)
+    val far1 = v1.orderBy(col("dist").desc, col("node").asc).limit(1)
+      .localCheckpoint() // seeds sweep 2 AND labels the output row
+    val v2 = bfsVisited(edges, far1.select(col("node")), maxDist)
+    val far2 = v2.orderBy(col("dist").desc, col("node").asc).limit(1)
+    def row(sweepNo: Int, v: DataFrame, far: DataFrame): DataFrame =
+      far.select(lit(sweepNo.toLong).as("sweep"), col("seed").as("source"),
+          col("node").as("farthest"), col("dist").cast("long").as("ecc"))
+        .crossJoin(v.agg(count(lit(1)).as("n_reached"))) // 1-row × 1-row
+    row(1, v1, far1).unionByName(row(2, v2, far2)).orderBy(col("sweep"))
+  }
+
+  val pseudoDiameterSql: String = {
+    // two unrolled chains, the second seeded by the first's argmax; every
+    // per-round CTE is MATERIALIZED — the NOT EXISTS + UNION structure
+    // references each v_{k-1} twice, so inlining across a DOUBLE chain
+    // would expand the base scan 2^(2k) times (observed as fd exhaustion)
+    def chain(sfx: String, k: Int): String =
+      s"""f${k}_$sfx AS MATERIALIZED (
+         |  SELECT DISTINCT f.seed, e.v AS node
+         |  FROM f${k - 1}_$sfx f JOIN e ON e.u = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1}_$sfx p
+         |                    WHERE p.seed = f.seed AND p.node = e.v)),
+         |v${k}_$sfx AS MATERIALIZED (SELECT * FROM v${k - 1}_$sfx
+         |        UNION ALL SELECT seed, node, $k AS dist FROM f${k}_$sfx)""".stripMargin
+    val k = BfsMaxDist
+    val c1 = (1 to k).map(chain("a", _)).mkString(",\n")
+    val c2 = (1 to k).map(chain("b", _)).mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |s1 AS (SELECT min(u) AS node FROM e WHERE u IS NOT NULL),
+      |v0_a AS (SELECT node AS seed, node, 0 AS dist FROM s1 WHERE node IS NOT NULL),
+      |f0_a AS (SELECT seed, node FROM v0_a),
+      |$c1,
+      |far1 AS (SELECT seed, node, dist FROM v${k}_a ORDER BY dist DESC, node ASC LIMIT 1),
+      |v0_b AS (SELECT node AS seed, node, 0 AS dist FROM far1),
+      |f0_b AS (SELECT seed, node FROM v0_b),
+      |$c2,
+      |far2 AS (SELECT seed, node, dist FROM v${k}_b ORDER BY dist DESC, node ASC LIMIT 1),
+      |n1 AS (SELECT count(*) AS n_reached FROM v${k}_a),
+      |n2 AS (SELECT count(*) AS n_reached FROM v${k}_b)
+      |SELECT CAST(sweep AS BIGINT) AS sweep, source, farthest,
+      |  CAST(ecc AS BIGINT) AS ecc, CAST(n_reached AS BIGINT) AS n_reached
+      |FROM (
+      |  SELECT 1 AS sweep, seed AS source, node AS farthest, dist AS ecc, n_reached
+      |  FROM far1 CROSS JOIN n1
+      |  UNION ALL
+      |  SELECT 2, seed, node, dist, n_reached FROM far2 CROSS JOIN n2)
+      |ORDER BY sweep""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2776,5 +2870,6 @@ object MaterialiseOps extends QueryModule {
     "g46_triad_census" -> QueryDef(triadCensus, Some(triadCensusSql)),
     "g47_modularity" -> QueryDef(modularity, Some(modularitySql)),
     "g48_gwas_chain" -> QueryDef(gwasChain, Some(gwasChainSql)),
+    "g49_pseudo_diameter" -> QueryDef(pseudoDiameter, Some(pseudoDiameterSql)),
   )
 }

@@ -271,6 +271,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "a chain hop degenerated to NLJ")
   }
 
+  test("g49: sweep rounds stay equi-joins; only the two 1-row label crossJoins remain") {
+    // the BFS rounds checkpoint eagerly, so the gate's own plan is the
+    // output-assembly tail: two (1-row argmax) × (1-row count) cross
+    // joins — the documented 1-row pattern. Anything beyond those two,
+    // or a CartesianProduct anywhere, means a sweep round degenerated.
+    val p = plan("g49_pseudo_diameter")
+    assert(!p.contains("CartesianProduct"), "a sweep stage degenerated to all-pairs")
+    // tree form "BroadcastNestedLoopJoin Cross ..." counts each physical
+    // join once; the detail section "(N) BroadcastNestedLoopJoin" again
+    val cross = "BroadcastNestedLoopJoin Cross".r.findAllIn(p).length
+    val total = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(total === cross,
+      s"a non-Cross nested-loop join appeared ($total joins, $cross cross) — an equi-join lost its keys")
+    assert(cross <= 2, s"$cross cross joins — more than the two 1-row label joins")
+  }
+
   test("g35: the strength peel emits through equi-joins only") {
     val p = plan("g35_weighted_kcore")
     assert(!p.contains("CartesianProduct"))

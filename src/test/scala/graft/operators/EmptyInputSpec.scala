@@ -179,7 +179,7 @@ class EmptyInputSpec extends SparkSpec {
   test("round-12 operators return zero rows on an empty corpus, not an exception") {
     val defs = graft.SparkEntry.allDefs
     for (name <- Seq("g48_gwas_chain", "st45_stream_bounded_sssp",
-        "st46_stream_katz_walks")) {
+        "st46_stream_katz_walks", "g49_pseudo_diameter")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -183,6 +183,24 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("g49 double sweep: farthest-of-farthest certifies the diameter the first sweep misses") {
+    // path 1-2-3-4 with branch 2-5 and a disconnected pair 10-11:
+    // sweep 1 from node 1 reaches {1..5} (far: 4 at dist 3, ties on
+    // dist 2 don't matter); sweep 2 from 4 finds ecc 3 with farthest =
+    // min(1, 5) = 1. The disconnected pair must not enter n_reached.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (10L, 11L))
+    val got = MaterialiseOps.pseudoDiameterOf(edges.toDF("u", "v"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 1L, 4L, 3L, 5L), (2L, 4L, 1L, 3L, 5L)), s"got $got")
+    // star 1-2, 1-3: sweep 1 from the CENTER underestimates (ecc 1);
+    // sweep 2 from a leaf certifies the true diameter 2
+    val star = Seq((1L, 2L), (1L, 3L))
+    val g2 = MaterialiseOps.pseudoDiameterOf(star.toDF("u", "v"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(g2 === Seq((1L, 1L), (2L, 2L)), s"star sweep got $g2")
+  }
+
   test("sssp IVM fuzz: random order splits equal batch g45") {
     val rng = new scala.util.Random(45045L)
     for (trial <- 1 to 3) {

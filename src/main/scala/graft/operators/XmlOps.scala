@@ -388,6 +388,47 @@ object XmlOps extends QueryModule {
       |FROM zz GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** x13 — TIME-TRAVEL READ over retained manifest generations: the
+    * lake pattern k11's atomic publish enables but did not yet exercise
+    * — two successive publishes of the documents table (generation 0:
+    * the full corpus; generation 1: the `lang = 'en'` re-publish) are
+    * RETAINED side by side as `gen_0` / `gen_1`, each with its own k11
+    * manifest, and each read pins a generation explicitly through the
+    * validating path: a consumer can reproduce yesterday's training mix
+    * byte-faithfully after today's re-publish. What the gate proves: the
+    * pinned reads see EXACTLY the generation they name (the oracle
+    * restates both states from the source table), and validation stays
+    * per-generation (the spec corrupts one generation and the other
+    * still serves). Ordinal gen names — unlike k11's per-invocation
+    * UUID generations, retention IS the feature here; the fixed layout
+    * is rebuilt in place per invocation (the s17 discipline). */
+  def timeTravelRead(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+      Integer.toHexString(d.hashCode)
+    def pub(df: org.apache.spark.sql.DataFrame, gen: Int): String = {
+      val dir = s"$base/gen_$gen"
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
+      MaterialiseOps.writeManifest(s, dir)
+      dir
+    }
+    val g0 = pub(Tables.documents(s, d), 0)
+    val g1 = pub(Tables.documents(s, d).where(col("lang") === "en"), 1)
+    def stats(gen: Int, dir: String) =
+      MaterialiseOps.serveValidated(s, dir)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(gen.toLong).as("generation"),
+          col("n_docs"), col("sum_chars").cast("long").as("sum_chars"))
+    stats(0, g0).unionByName(stats(1, g1)).orderBy(col("generation"))
+  }
+
+  val timeTravelReadSql: String =
+    """SELECT CAST(0 AS BIGINT) AS generation, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+      |UNION ALL
+      |SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE lang = 'en'
+      |ORDER BY generation""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -399,6 +440,7 @@ object XmlOps extends QueryModule {
     "x10_codec_roundtrip" -> QueryDef(codecRoundtrip, Some(codecRoundtripSql)),
     "x11_range_layout" -> QueryDef(rangeLayout, Some(rangeLayoutSql)),
     "x12_zorder_index" -> QueryDef(zorderIndex, Some(zorderIndexSql)),
+    "x13_time_travel" -> QueryDef(timeTravelRead, Some(timeTravelReadSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -183,6 +183,10 @@ class EmptyInputSpec extends SparkSpec {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
+    // x13 keeps its two generation rows — zero docs, NULL char sums
+    val tt = defs("x13_time_travel").fn(spark, emptyDir).collect()
+    assert(tt.length === 2 && tt.forall(r => r.getLong(1) === 0L && r.isNullAt(2)),
+      "x13 empty contract: two generation rows with zero docs and NULL sums")
   }
 
   test("the mixture pipeline builds empty artifacts from an empty corpus") {

@@ -201,6 +201,33 @@ class Round12Spec extends SparkSpec {
     assert(g2 === Seq((1L, 1L), (2L, 2L)), s"star sweep got $g2")
   }
 
+  test("x13 time travel: pinned generations survive later publishes; validation is per-generation") {
+    import org.apache.spark.sql.SaveMode
+    val src = Files.createTempDirectory("x13src").toString
+    Seq((1L, "aa", "en", "web", 2L), (2L, "bb", "de", "web", 2L),
+      (3L, "cc", "en", "book", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2)
+      .write.mode(SaveMode.Overwrite).parquet(s"$src/documents.parquet")
+    val got = XmlOps.timeTravelRead(spark, src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 3L, 6L), (1L, 2L, 4L)), s"generation stats wrong: $got")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
+      Integer.toHexString(src.hashCode)
+    // gen 0 still serves the FULL corpus after the filtered re-publish
+    assert(MaterialiseOps.serveValidated(spark, s"$base/gen_0").count() === 3L,
+      "time travel to the pre-filter generation lost rows")
+    // corrupting one generation must not poison the other
+    val victim = new java.io.File(s"$base/gen_1/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    victim.delete()
+    intercept[IllegalArgumentException] {
+      MaterialiseOps.serveValidated(spark, s"$base/gen_1").count()
+    }
+    assert(MaterialiseOps.serveValidated(spark, s"$base/gen_0").count() === 3L,
+      "a corrupted sibling generation must not affect gen 0's validating read")
+  }
+
   test("sssp IVM fuzz: random order splits equal batch g45") {
     val rng = new scala.util.Random(45045L)
     for (trial <- 1 to 3) {

@@ -2823,6 +2823,109 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY sweep""".stripMargin
   }
 
+  /** g50 — LOCAL BIPARTITENESS CHECK / ODD-CYCLE WITNESS COUNT on BFS
+    * balls: from each of the 4 lowest-id seeds over the co-order part
+    * graph, BFS to [[BfsMaxDist]] hops, 2-color the ball by distance
+    * parity, then count the edges whose endpoints land on the SAME
+    * parity — each such edge closes an odd cycle through the BFS tree,
+    * so `n_conflict = 0` certifies the induced ball subgraph bipartite
+    * and `n_conflict > 0` counts independent odd-cycle witnesses (every
+    * edge of the induced subgraph spans adjacent-or-equal layers, so an
+    * odd cycle must contain a same-parity edge — the parity coloring IS
+    * the bipartiteness test). This is the 2-colorability audit identity
+    * pipelines run on "same-as" equivalence neighborhoods: a conflict
+    * edge is a concrete curation-error witness. One bounded BFS (the
+    * g42 building block, per-round frontier⋈edges equi-joins through
+    * the stats-clamped `Iterate.save`) plus ONE edge⋈visited⋈visited
+    * equi-join probe — never per-seed traversals, never all-pairs;
+    * the probe is keyed by vertex so 100× data is 100× probe rows. */
+  def bipartiteCheck(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    bipartiteCheckOf(pairs, nSeeds = 4, maxDist = BfsMaxDist)
+      .orderBy(col("seed"))
+  }
+
+  /** [[bipartiteCheck]] over an explicit DISTINCT `(u, v)` (u < v) edge
+    * frame — property-tested on hand graphs (even cycle → bipartite,
+    * triangle → one witness) and fuzzed against a local 2-coloring. */
+  private[graft] def bipartiteCheckOf(pairs: DataFrame, nSeeds: Int,
+                                      maxDist: Int): DataFrame = {
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // static dim: BFS rounds reuse it
+    val seeds = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    // read 3×: parity counts + both sides of the conflict probe
+    val visited = bfsVisited(edges, seeds, maxDist).localCheckpoint()
+    val parity = visited.groupBy("seed").agg(
+      sum(when(col("dist") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+      sum(when(col("dist") % 2 === 1, 1L).otherwise(0L)).as("n_odd"))
+    // pairs is u < v by construction → each undirected edge counted once
+    val ballEdges = pairs
+      .join(visited.select(col("seed"), col("node").as("u"),
+        col("dist").as("du")), Seq("u"))
+      .join(visited.select(col("seed"), col("node").as("v"),
+        col("dist").as("dv")), Seq("seed", "v"))
+    val conflicts = ballEdges.groupBy("seed").agg(
+      count(lit(1)).as("n_ball_edges"),
+      sum(when((col("du") + col("dv")) % 2 === 0, 1L).otherwise(0L))
+        .as("n_conflict"))
+    parity.join(conflicts, Seq("seed"), "left")
+      .select(col("seed"), col("n_even"), col("n_odd"),
+        coalesce(col("n_ball_edges"), lit(0L)).as("n_ball_edges"),
+        coalesce(col("n_conflict"), lit(0L)).as("n_conflict"))
+      .withColumn("bipartite",
+        when(col("n_conflict") === 0, 1L).otherwise(0L))
+  }
+
+  val bipartiteCheckSql: String = {
+    // the g42 unrolled chain (MATERIALIZED — v4 is referenced three
+    // times below; inlining would re-expand the whole BFS per use)
+    val rounds = (1 to BfsMaxDist).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT DISTINCT f.seed, e.v AS node
+         |  FROM f${k - 1} f JOIN e ON e.u = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} p
+         |                    WHERE p.seed = f.seed AND p.node = e.v)),
+         |v$k AS MATERIALIZED (SELECT * FROM v${k - 1}
+         |        UNION ALL SELECT seed, node, $k AS dist FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    val k = BfsMaxDist
+    s"""WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |seeds AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 4),
+      |v0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+      |f0 AS (SELECT seed, node FROM v0),
+      |$rounds,
+      |par AS (
+      |  SELECT seed,
+      |    sum(CASE WHEN dist % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+      |    sum(CASE WHEN dist % 2 = 1 THEN 1 ELSE 0 END) AS n_odd
+      |  FROM v$k GROUP BY seed),
+      |conf AS (
+      |  SELECT a.seed, count(*) AS n_ball_edges,
+      |    sum(CASE WHEN (a.dist + b.dist) % 2 = 0 THEN 1 ELSE 0 END) AS n_conflict
+      |  FROM pairs p
+      |  JOIN v$k a ON a.node = p.u
+      |  JOIN v$k b ON b.seed = a.seed AND b.node = p.v
+      |  GROUP BY a.seed)
+      |SELECT par.seed,
+      |  CAST(n_even AS BIGINT) AS n_even, CAST(n_odd AS BIGINT) AS n_odd,
+      |  CAST(COALESCE(n_ball_edges, 0) AS BIGINT) AS n_ball_edges,
+      |  CAST(COALESCE(n_conflict, 0) AS BIGINT) AS n_conflict,
+      |  CAST(CASE WHEN COALESCE(n_conflict, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS bipartite
+      |FROM par LEFT JOIN conf ON conf.seed = par.seed
+      |ORDER BY par.seed""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2871,5 +2974,6 @@ object MaterialiseOps extends QueryModule {
     "g47_modularity" -> QueryDef(modularity, Some(modularitySql)),
     "g48_gwas_chain" -> QueryDef(gwasChain, Some(gwasChainSql)),
     "g49_pseudo_diameter" -> QueryDef(pseudoDiameter, Some(pseudoDiameterSql)),
+    "g50_bipartite_check" -> QueryDef(bipartiteCheck, Some(bipartiteCheckSql)),
   )
 }

@@ -845,4 +845,48 @@ class GraphAnalyticsSpec extends SparkSpec {
         assert(got.getLong(3) === 2000000L * ek / (nk * (nk - 1)), s"k=$k phi")
     }
   }
+
+  test("g50: parity coloring certifies even cycles, witnesses odd cycles, fuzz matches local 2-coloring") {
+    import spark.implicits._
+    def check(edges: Seq[(Long, Long)], nSeeds: Int, maxDist: Int) =
+      MaterialiseOps.bipartiteCheckOf(edges.toDF("u", "v"), nSeeds, maxDist)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // C6 (even cycle): ball from seed 1 covers it in 3 hops — bipartite,
+    // 3 even / 3 odd nodes, all 6 edges in the ball, zero conflicts
+    val c6 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (1L, 6L))
+    assert(check(c6, 1, 4)(1L) === ((3L, 3L, 6L, 0L, 1L)))
+    // triangle: exactly one same-parity edge (the one closing the cycle)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(check(tri, 1, 4)(1L) === ((1L, 2L, 3L, 1L, 0L)))
+    // maxDist = 0: ball is the seed alone — no edges, vacuously bipartite
+    // (exercises the left-join coalesce path)
+    assert(check(tri, 1, 0)(1L) === ((1L, 0L, 0L, 0L, 1L)))
+    // C5 at the bound: dist-4 ball sees all 5 edges, one conflict
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    assert(check(c5, 1, 4)(1L) === ((3L, 2L, 5L, 1L, 0L)))
+    // seeded fuzz vs a local BFS-parity recount on the same ball
+    val rnd = new scala.util.Random(50)
+    val edges = (for {
+      u <- 1L to 16L; v <- (u + 1) to 16L if rnd.nextDouble() < 0.14
+    } yield (u, v)).toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keys.toSeq.sorted.take(3)
+    val got = check(edges, 3, 4)
+    seeds.foreach { seed =>
+      var vis = Map(seed -> 0)
+      var frontier = Set(seed)
+      for (k <- 1 to 4) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- vis.keySet
+        vis ++= frontier.map(_ -> k)
+      }
+      val ball = edges.filter { case (u, v) => vis.contains(u) && vis.contains(v) }
+      val conf = ball.count { case (u, v) => (vis(u) + vis(v)) % 2 == 0 }.toLong
+      val exp = (vis.values.count(_ % 2 == 0).toLong,
+        vis.values.count(_ % 2 == 1).toLong,
+        ball.size.toLong, conf, if (conf == 0) 1L else 0L)
+      assert(got(seed) === exp, s"seed $seed")
+    }
+  }
 }

@@ -811,6 +811,81 @@ object ProfilerOps extends QueryModule {
       |ORDER BY jn""".stripMargin
   }
 
+  /** p16 — KEY-SKEW GINI: the Lorenz-curve Gini coefficient of each
+    * join-key frequency distribution, exact and in ppm — the single
+    * number behind every salting/broadcast decision this library makes
+    * (g40's spectrum SHOWS the skew; p16 scores it, so a pipeline can
+    * alert on "this key got 20 points more unequal since yesterday").
+    * For counts x₁ ≤ … ≤ xₙ, G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx); the
+    * rank sum collapses to VALUE BUCKETS: a run of m keys sharing count
+    * c after r predecessors contributes c·(m·r + m(m+1)/2), so the only
+    * ordered pass runs over distinct COUNT VALUES per audited column
+    * (the p10/g34 hub-safety discipline — a billion-key column costs
+    * its count spectrum, and the window is partitioned per audited
+    * column, never global). Integer-exact end to end: all terms are
+    * BIGINT products of counts (m(m+1) is always even, so `div 2` is
+    * exact), and the final ratio ships as `gini_ppm` with the exact
+    * num/den pair beside it. BIGINT envelope: n·total ≤ 9.2×10¹⁸ —
+    * beyond that (≳10⁹ keys × 10⁹ rows) the two product columns move
+    * to DECIMAL(38,0), a one-line swap. */
+  def skewGini(s: SparkSession, d: String): DataFrame = {
+    val keyed = Seq(
+      Tables.lineitem(s, d).select(lit("lineitem.l_partkey").as("tag"),
+        col("l_partkey").cast("long").as("k")),
+      Tables.lineitem(s, d).select(lit("lineitem.l_suppkey").as("tag"),
+        col("l_suppkey").cast("long").as("k")),
+      Tables.orders(s, d).select(lit("orders.o_custkey").as("tag"),
+        col("o_custkey").cast("long").as("k")),
+      Tables.events(s, d).select(lit("events.user_id").as("tag"),
+        col("user_id").cast("long").as("k")),
+    ).reduce(_ unionByName _)
+    giniOf(keyed).orderBy(col("tag"))
+  }
+
+  /** Gini over (tag, k) occurrence rows — property-tested on hand
+    * distributions (uniform → 0, one-hot → (n−1)/n) and fuzzed against
+    * the O(n log n) sorted-rank formula. */
+  private[graft] def giniOf(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = keyed.groupBy(col("tag"), col("k")).agg(count(lit(1)).as("c"))
+    val buckets = counts.groupBy(col("tag"), col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("tag")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    buckets.withColumn("r", coalesce(sum(col("m")).over(w), lit(0L)))
+      .groupBy(col("tag")).agg(
+        sum(col("m")).as("n_keys"),
+        sum(col("c") * col("m")).as("total"),
+        sum(expr("c * (m * r + (m * (m + 1)) div 2)")).as("s"))
+      .select(col("tag"), col("n_keys"), col("total"),
+        (lit(2L) * col("s") - (col("n_keys") + lit(1L)) * col("total")).as("num"),
+        (col("n_keys") * col("total")).as("den"))
+      .withColumn("gini_ppm", expr("(1000000 * num) div den"))
+  }
+
+  val skewGiniSql: String =
+    """WITH keyed AS (
+      |  SELECT 'lineitem.l_partkey' AS tag, CAST(l_partkey AS BIGINT) AS k FROM lineitem
+      |  UNION ALL SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem
+      |  UNION ALL SELECT 'orders.o_custkey', CAST(o_custkey AS BIGINT) FROM orders
+      |  UNION ALL SELECT 'events.user_id', CAST(user_id AS BIGINT) FROM events),
+      |cnt AS (SELECT tag, k, count(*) AS c FROM keyed GROUP BY 1, 2),
+      |b AS (SELECT tag, c, count(*) AS m FROM cnt GROUP BY 1, 2),
+      |r AS (
+      |  SELECT tag, c, m,
+      |    COALESCE(sum(m) OVER (PARTITION BY tag ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+      |  FROM b),
+      |a AS (
+      |  SELECT tag, CAST(sum(m) AS BIGINT) AS n_keys,
+      |    CAST(sum(c * m) AS BIGINT) AS total,
+      |    CAST(sum(c * (m * r + (m * (m + 1)) // 2)) AS BIGINT) AS s
+      |  FROM r GROUP BY tag)
+      |SELECT tag, n_keys, total,
+      |  CAST(2 * s - (n_keys + 1) * total AS BIGINT) AS num,
+      |  CAST(n_keys * total AS BIGINT) AS den,
+      |  CAST((1000000 * (2 * s - (n_keys + 1) * total)) // (n_keys * total) AS BIGINT) AS gini_ppm
+      |FROM a ORDER BY tag""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -827,5 +902,6 @@ object ProfilerOps extends QueryModule {
     "p13_fd_audit" -> QueryDef(fdAudit, Some(fdAuditSql)),
     "p14_benford_audit" -> QueryDef(benfordAudit, Some(benfordAuditSql)),
     "p15_join_size_audit" -> QueryDef(joinSizeAudit, Some(joinSizeAuditSql)),
+    "p16_skew_gini" -> QueryDef(skewGini, Some(skewGiniSql)),
   )
 }

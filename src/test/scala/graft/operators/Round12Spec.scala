@@ -249,4 +249,39 @@ class Round12Spec extends SparkSpec {
       assert(fold(dir, batches) === batchSssp(rows), s"trial $trial ($nB batches)")
     }
   }
+
+  /** Local O(n log n) reference: sort counts ascending, apply
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx). */
+  private def giniLocal(counts: Seq[Long]): (Long, Long, Long) = {
+    val xs = counts.sorted
+    val n = xs.size.toLong
+    val tot = xs.sum
+    val s = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val num = 2 * s - (n + 1) * tot
+    (num, n * tot, 1000000L * num / (n * tot))
+  }
+
+  test("p16: gini is 0 on uniform keys, near (n-1)/n one-hot, fuzz matches sorted-rank formula") {
+    def engine(occ: Seq[Long]): (Long, Long, Long) = {
+      val r = ProfilerOps.giniOf(
+          occ.map(k => ("t", k)).toDF("tag", "k")).collect().head
+      (r.getLong(3), r.getLong(4), r.getLong(5))
+    }
+    // uniform: every key exactly twice → perfectly equal, G = 0
+    assert(engine(Seq(1L, 1L, 2L, 2L, 3L, 3L)) === ((0L, 18L, 0L)))
+    // near one-hot: counts (1, 1, 1, 97) → Σi·xᵢ = 1+2+3+4·97 = 394,
+    // num = 2·394 − 5·100 = 288, G = 288/400 = 0.72 (→ 3/4 as mass → ∞)
+    val hot = Seq(1L, 2L, 3L) ++ Seq.fill(97)(4L)
+    assert(engine(hot) === ((288L, 400L, 720000L)))
+    assert(engine(hot) === giniLocal(Seq(1L, 1L, 1L, 97L)))
+    // seeded fuzz vs the local sorted-rank formula
+    val rng = new scala.util.Random(16016L)
+    for (trial <- 1 to 4) {
+      val nKeys = 2 + rng.nextInt(20)
+      val occ = (1L to nKeys.toLong).flatMap(k =>
+        Seq.fill(1 + rng.nextInt(9))(k))
+      val local = giniLocal(occ.groupBy(identity).values.map(_.size.toLong).toSeq)
+      assert(engine(occ) === local, s"trial $trial")
+    }
+  }
 }

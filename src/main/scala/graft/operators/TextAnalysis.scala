@@ -2034,6 +2034,78 @@ object TextAnalysis extends QueryModule {
       |FROM l FULL OUTER JOIN r USING (w) CROSS JOIN t
       |ORDER BY w""".stripMargin
 
+  /** t41 — COLLOCATION MINING by PMI rank via exact integer LIFT: the
+    * top bigrams whose words co-occur far more than independence
+    * predicts — the phrase-detection pass (Church–Hanks 1990 association
+    * ratio) every tokenizer/phrase-vocab pipeline runs before merging
+    * multi-word units. PMI = log(N·c₁₂/(c₁·c₂)) and log is monotone, so
+    * ranking by the LIFT N·c₁₂/(c₁·c₂) is ranking by PMI — and lift
+    * stays in exact integer arithmetic where a float log would leave
+    * the two engines one ulp apart. Fixed point:
+    * `((10⁶·c₁₂ div c₁)·N) div c₂` — staged divisions keep every
+    * intermediate under 9.2×10¹⁸ even at N ≈ 10¹² tokens (the naive
+    * c₁·c₂ product overflows at N > 3×10⁹), at the documented cost that
+    * pairs with P(w₂|w₁) < 10⁻⁶ round to zero lift — irrelevant above
+    * the support floor. One token pass for unigrams, one for adjacent
+    * pairs (t22's extraction), counts shuffle at vocabulary size, the
+    * 1-row total rides a broadcast cross join, and the final top-k is a
+    * TakeOrdered with the deterministic (lift, w1, w2) tie-break. */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("text")).as[String]
+    val uni = docs.flatMap(t =>
+        (if (t == null) "" else t).split(" ").filter(_.nonEmpty))
+      .toDF("w")
+    val bg = docs.flatMap { t =>
+        val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+        (0 until math.max(ws.length - 1, 0)).iterator.map(i => (ws(i), ws(i + 1)))
+      }
+      .toDF("w1", "w2")
+    collocationsOf(uni, bg, minSupport = 5L, topK = 50)
+  }
+
+  /** Lift scoring on explicit unigram/bigram frames — property-tested
+    * on hand corpora where the PMI order is checkable by eye (a rare
+    * always-together pair must outrank a frequent hub pair). */
+  private[graft] def collocationsOf(uni: DataFrame, bg: DataFrame,
+      minSupport: Long, topK: Int): DataFrame = {
+    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = ucnt.agg(sum(col("c")).as("n_total"))
+    bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .where(col("n12") >= minSupport)
+      .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot)) // 1-row
+      .withColumn("lift_ppm",
+        expr("(((1000000 * n12) div c1) * n_total) div c2"))
+      .select(col("w1"), col("w2"), col("n12"), col("c1"), col("c2"),
+        col("n_total"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  val collocationsSql: String =
+    """WITH ws AS (
+      |  SELECT list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |uni AS (SELECT unnest(ws) AS w FROM ws),
+      |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM ucnt),
+      |bg AS (
+      |  SELECT ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM ws)),
+      |bcnt AS (
+      |  SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2
+      |  HAVING count(*) >= 5)
+      |SELECT w1, w2, CAST(n12 AS BIGINT) AS n12,
+      |  CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, n_total,
+      |  CAST((((1000000 * n12) // c1) * n_total) // c2 AS BIGINT) AS lift_ppm
+      |FROM bcnt
+      |JOIN (SELECT w AS w1, c AS c1 FROM ucnt) u1 USING (w1)
+      |JOIN (SELECT w AS w2, c AS c2 FROM ucnt) u2 USING (w2)
+      |CROSS JOIN tot
+      |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -2075,6 +2147,7 @@ object TextAnalysis extends QueryModule {
     "t38_split_leakage" -> QueryDef(splitLeakage, Some(splitLeakageSql)),
     "t39_source_divergence" -> QueryDef(sourceDivergence, Some(sourceDivergenceSql)),
     "t40_continuation_counts" -> QueryDef(continuationCounts, Some(continuationCountsSql)),
+    "t41_collocations" -> QueryDef(collocations, Some(collocationsSql)),
   )
 
 }

@@ -284,4 +284,41 @@ class Round12Spec extends SparkSpec {
       assert(engine(occ) === local, s"trial $trial")
     }
   }
+
+  test("t41: rare always-together pair outranks hub pair; fuzz matches local lift recount") {
+    def run(tokens: Seq[Seq[String]], minSupport: Long, topK: Int) = {
+      val uni = tokens.flatten.toDF("w")
+      val bg = tokens.flatMap(ws => ws.zip(ws.drop(1))).toDF("w1", "w2")
+      TextAnalysis.collocationsOf(uni, bg, minSupport, topK)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    }
+    // 'x y' occurs 5×, only ever together; 'the cat' occurs 5× but both
+    // words are corpus hubs — PMI must put (x, y) first
+    val docs = Seq.fill(5)(Seq("x", "y")) ++
+      Seq.fill(5)(Seq("the", "cat")) ++ Seq.fill(10)(Seq("the", "dog")) ++
+      Seq.fill(10)(Seq("a", "cat"))
+    val got = run(docs, 5L, 10)
+    assert(got.head._1 === "x" && got.head._2 === "y")
+    // N = 60, lift(x,y) = 60·5/(5·5) = 12 → exact staged fixed point:
+    // ((1e6·5 div 5)·60) div 5 = 12e6
+    assert(got.head._7 === 12000000L)
+    assert(got.map(p => (p._1, p._2)).contains(("the", "cat")))
+    // local recount fuzz over a small alphabet, support floor 2
+    val rng = new scala.util.Random(41041L)
+    val alpha = Vector("a", "b", "c", "d", "e")
+    for (trial <- 1 to 3) {
+      val toks = Seq.fill(3 + rng.nextInt(4))(
+        Seq.fill(4 + rng.nextInt(10))(alpha(rng.nextInt(alpha.size))))
+      val uc = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = uc.values.sum
+      val bc = toks.flatMap(ws => ws.zip(ws.drop(1)))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val local = bc.filter(_._2 >= 2).toSeq.map { case ((w1, w2), n12) =>
+        val lift = ((1000000L * n12 / uc(w1)) * n) / uc(w2)
+        (w1, w2, n12, uc(w1), uc(w2), n, lift)
+      }.sortBy { case (w1, w2, _, _, _, _, l) => (-l, w1, w2) }.take(8)
+      assert(run(toks, 2L, 8) === local, s"trial $trial")
+    }
+  }
 }

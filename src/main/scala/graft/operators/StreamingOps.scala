@@ -262,5 +262,12 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamKatzWalks(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_skatz_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.katzWalksSql)),
+    // shares a4's oracle: distinct-activity partials are an idempotent
+    // set-union state, so the replayed cohort matrix equals batch
+    // retention even under duplicated delivery
+    "st47_stream_retention" -> QueryDef(
+      (s, d) => Streaming.streamRetention(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sret_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Temporal.retentionSql)),
   )
 }

@@ -1923,4 +1923,62 @@ object Streaming {
         col("fin.n_sessions").as("n_sessions"))
       .orderBy(col("user_id"))
   }
+
+  /** Streaming COHORT RETENTION (st47): a4's cohort matrix maintained
+    * from mergeable DISTINCT-ACTIVITY partials — each micro-batch writes
+    * its batch-local distinct (user_id, day) pairs to a `batch=<id>`
+    * partition, and the serving read distinct-unions the partials,
+    * derives each user's cohort (min day) and counts users per
+    * (cohort, day-offset ≤ 7). Two properties make this the right state
+    * for a growth dashboard fed by at-least-once event delivery:
+    * (a) set union is IDEMPOTENT, so replayed/duplicated events across
+    * batches cannot inflate any cell (the additive count states in this
+    * family would double-count; the spec pins replay invariance), and
+    * (b) cohorts REWIND correctly — a late batch carrying a user's
+    * earlier first-seen day shifts their whole row to the older cohort
+    * on the next read, with no re-attribution pass, because attribution
+    * happens at read time against the min. State is per-user distinct
+    * DAYS (bounded by the calendar, not event volume: a billion-event
+    * user costs their active-day set), and since the per-user min is
+    * non-increasing over batches, days already > min + 7 can never
+    * re-enter the 7-day window — a compacting store may drop them
+    * permanently; this append-only harness drops them at read. On full
+    * replay the matrix equals batch a4 and shares its oracle. */
+  def streamRetention(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val q = eventsStream(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().distinct()
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/act.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/act.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cohort TIMESTAMP, offset INT, n_users BIGINT"))
+    retentionMerge(s.read.parquet(s"$stateDir/act.parquet").drop("batch"))
+  }
+
+  /** Re-derive the cohort matrix from any union of distinct-activity
+    * partials — idempotent under overlap, exact under arbitrary splits. */
+  private[graft] def retentionMerge(partials: DataFrame): DataFrame = {
+    val act = partials.select(col("user_id"), col("day")).distinct()
+    val first = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    act.join(first, "user_id")
+      .withColumn("offset",
+        datediff(col("day").cast("date"), col("cohort").cast("date")))
+      .where(col("offset") <= 7)
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
 }

@@ -76,6 +76,53 @@ class StreamSessionizeSpec extends SparkSpec {
     }
   }
 
+  test("st47: cohort rewind on late data, replay idempotence, fuzz vs local matrix") {
+    import java.time.LocalDate
+    def merged(batches: Seq[Seq[(Long, String)]]) = {
+      val partials = batches.map(b =>
+        b.toDF("user_id", "ds")
+          .select(col("user_id"), to_timestamp(col("ds")).as("day"))
+          .distinct())
+        .reduce[org.apache.spark.sql.DataFrame](_ unionByName _)
+      Streaming.retentionMerge(partials)
+        .select(col("cohort").cast("date").cast("string"),
+          col("offset"), col("n_users"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+    }
+    def local(rows: Seq[(Long, String)]) = {
+      val act = rows.map { case (u, ds) => (u, LocalDate.parse(ds)) }.distinct
+      val cohort = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      act.map { case (u, day) =>
+          (u, cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), day))
+        }
+        .filter(_._3 <= 7)
+        .groupBy { case (_, c, off) => (c.toString, off.toInt) }
+        .map { case ((c, off), us) => (c, off, us.map(_._1).distinct.size.toLong) }
+        .toSeq.sorted
+    }
+    // late batch B rewinds user 1's cohort from 01-05 to 01-02; the
+    // day-9 activity (offset 7 from the OLD cohort) falls out of the
+    // window under the new one (offset 7 → offset 10... stays only if ≤ 7)
+    val a = Seq((1L, "2024-01-05"), (1L, "2024-01-06"), (2L, "2024-01-05"))
+    val b = Seq((1L, "2024-01-02"))
+    assert(merged(Seq(a, b)) === local(a ++ b))
+    assert(merged(Seq(a, b)).exists { case (c, off, _) => c == "2024-01-02" && off == 3 })
+    // replay idempotence: duplicating whole batches changes nothing
+    assert(merged(Seq(a, b, a, b, b)) === merged(Seq(a, b)))
+    // fuzz: random activity, random splits, random per-row duplication
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 50).map { _ =>
+        (1L + rnd.nextInt(4), f"2024-02-${1 + rnd.nextInt(14)}%02d")
+      }
+      val nB = 1 + rnd.nextInt(4)
+      val batches = rows.flatMap(r => Seq.fill(1 + rnd.nextInt(2))(r))
+        .groupBy(_ => rnd.nextInt(nB)).values.toSeq
+      assert(merged(batches) === local(rows), s"trial $trial ($nB batches)")
+    }
+  }
+
   test("fuzz: random batch splits merge to the batch sessions") {
     val rnd = new scala.util.Random(38)
     for (trial <- 1 to 4) {

@@ -429,6 +429,86 @@ object XmlOps extends QueryModule {
       |FROM documents WHERE lang = 'en'
       |ORDER BY generation""".stripMargin
 
+  /** x14 — SMALL-FILE COMPACTION PLAN: the bin-packing pass every lake
+    * maintenance job runs over a sorted layout (Delta OPTIMIZE /
+    * Iceberg binpack with a sort order) — contiguous runs of small
+    * files coalesce into target-sized rewrite groups WITHOUT breaking
+    * the sort-key clustering that x11's zone maps depend on. The
+    * documents table is physically rewritten as 16 fixed-width doc_id
+    * range slices (deterministic arithmetic buckets, not the sampled
+    * `repartitionByRange` boundaries — the plan must be reproducible
+    * from the data alone), one directory per slice; the planner then
+    * reads per-slice stats BACK FROM THE WRITTEN LAYOUT (n_rows +
+    * content bytes as `sum(n_chars)` — the oracle-visible size proxy)
+    * and assigns each slice to rewrite group `cum_before div target`
+    * with `target = ⌈total/4⌉`: cumulative-fill grouping, which keeps
+    * groups contiguous in the sort key so a rewritten file still owns
+    * one disjoint range. The per-slice window rides FILE-LEVEL
+    * METADATA (16 rows here; manifest-scale — thousands — at 100 TB),
+    * never data rows; the data motion itself is one range-shuffled
+    * write. Spec pins that the physical slices are disjoint in doc_id
+    * and that groups are contiguous with no group except the last
+    * under-filled below target while a successor exists. */
+  def compactionPlan(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+      Integer.toHexString(d.hashCode)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    // 1-row bounded driver read (house rule: scalars may collect) — the
+    // bucket arithmetic needs the bounds as literals
+    val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()
+    if (b.isEmpty || b.head.isNullAt(0))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bucket BIGINT, n_rows BIGINT, bytes BIGINT, grp BIGINT"))
+    val (lo, hi) = (b.head.getLong(0), b.head.getLong(1))
+    docs
+      .withColumn("bucket", expr(s"((doc_id - $lo) * 16) div (${hi - lo + 1})"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    compactionPlanOf(s, dir)
+  }
+
+  /** The planner over a written bucket layout — factored so the spec
+    * can replan a hand-built layout. Explicit schema (x5's rule). */
+  private[graft] def compactionPlanOf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = s.read
+      .schema("doc_id BIGINT, n_chars BIGINT, bucket BIGINT")
+      .parquet(dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("bytes"))
+    // planner metadata window: one row per FILE SLICE, not per data row
+    val w = Window.orderBy(col("bucket"))
+    stats
+      .withColumn("cum_before", coalesce(
+        sum(col("bytes")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("bytes")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("grp", expr("cum_before div greatest((total + 3) div 4, 1)"))
+      .select(col("bucket"), col("n_rows"), col("bytes"), col("grp"))
+      .orderBy(col("bucket"))
+  }
+
+  val compactionPlanSql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |bk AS (
+      |  SELECT ((doc_id - lo) * 16) // (hi - lo + 1) AS bucket, n_chars
+      |  FROM documents CROSS JOIN b),
+      |st AS (
+      |  SELECT bucket, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM bk GROUP BY bucket),
+      |cum AS (
+      |  SELECT bucket, n_rows, bytes,
+      |    CAST(COALESCE(sum(bytes) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+      |    CAST(sum(bytes) OVER () AS BIGINT) AS total
+      |  FROM st)
+      |SELECT bucket, n_rows, bytes,
+      |  CAST(cum_before // GREATEST((total + 3) // 4, 1) AS BIGINT) AS grp
+      |FROM cum ORDER BY bucket""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -441,6 +521,7 @@ object XmlOps extends QueryModule {
     "x11_range_layout" -> QueryDef(rangeLayout, Some(rangeLayoutSql)),
     "x12_zorder_index" -> QueryDef(zorderIndex, Some(zorderIndexSql)),
     "x13_time_travel" -> QueryDef(timeTravelRead, Some(timeTravelReadSql)),
+    "x14_compaction_plan" -> QueryDef(compactionPlan, Some(compactionPlanSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

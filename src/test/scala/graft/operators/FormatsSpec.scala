@@ -65,4 +65,50 @@ class FormatsSpec extends SparkSpec {
     assert(got === direct, "layout or pruning lost rows")
     assert(got.nonEmpty && got.map(_._2).sum > 0)
   }
+
+  test("x14: slices are doc_id-disjoint, groups contiguous and cumulative-filled; hand layout replans exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val plan = XmlOps.compactionPlan(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(plan.nonEmpty && plan.map(_._2).sum > 0)
+    // groups are non-decreasing in the sort key (contiguity)
+    plan.map(_._4).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "groups must be contiguous in bucket order")
+      case _ =>
+    }
+    // cumulative-fill: everything before group g+1 holds ≥ (g+1)·target
+    val total = plan.map(_._3).sum
+    val target = math.max((total + 3) / 4, 1L)
+    for (g <- plan.map(_._4).distinct if g > 0) {
+      val before = plan.filter(_._4 < g).map(_._3).sum
+      assert(before >= g * target, s"group $g started before its fill line")
+    }
+    // the physical slices really are disjoint in doc_id
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+      Integer.toHexString(d.hashCode)
+    val slices = spark.read
+      .schema("doc_id BIGINT, n_chars BIGINT, bucket BIGINT").parquet(dir)
+      .groupBy(col("bucket"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(slices.length === plan.length)
+    slices.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) =>
+        assert(hi1 < lo2, "bucket doc_id slices overlap")
+      case _ =>
+    }
+    // hand layout: bytes (9, 1, 10, 10, 10) → total 40, target 10 →
+    // cum_before (0, 9, 10, 20, 30) → groups (0, 0, 1, 2, 3)
+    val hand = java.nio.file.Files.createTempDirectory("x14hand").toString
+    Seq((1L, 9L, 0L), (2L, 1L, 1L), (3L, 10L, 2L), (4L, 10L, 3L), (5L, 10L, 4L))
+      .toDF("doc_id", "n_chars", "bucket")
+      .write.partitionBy("bucket").mode("overwrite").parquet(hand)
+    val got = XmlOps.compactionPlanOf(spark, hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 1L, 9L, 0L), (1L, 1L, 1L, 0L), (2L, 1L, 10L, 1L),
+      (3L, 1L, 10L, 2L), (4L, 1L, 10L, 3L)))
+  }
 }

@@ -509,6 +509,90 @@ object XmlOps extends QueryModule {
       |  CAST(cum_before // GREATEST((total + 3) // 4, 1) AS BIGINT) AS grp
       |FROM cum ORDER BY bucket""".stripMargin
 
+  /** x15 — MERGE-INTO CHANGELOG APPLY: the lake upsert every CDC-fed
+    * table needs — a keyed changelog (UPSERTs and DELETEs) applied to a
+    * base snapshot in ONE pass with the three MERGE arms: matched+upsert
+    * updates in place, matched+delete removes the row, unmatched+upsert
+    * inserts (unmatched+delete is a no-op). The changelog derives
+    * deterministically from events: per user, total activity value (in
+    * exact cents) plus the LAST event type by (ts, event_id) — a last
+    * type of 'error' means the account closes (delete), anything else
+    * upserts the balance delta; a second feed at `user_id + 1450`
+    * models new accounts, landing above the base key range at every SF
+    * so all three arms fire. Execution is the scale shape MERGE should
+    * be: the changelog collapses to ONE row per key map-side, then a
+    * single full-outer equi-join against the base keyed by the primary
+    * key — no per-row lookups, no driver loop; at 100 TB this is one
+    * co-partitionable shuffle, and with both sides bucketed by key it
+    * is shuffle-free. Balances stay integer cents end to end. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (graft.core.Exact.dec(c) * 100).cast("long")
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"),
+      col("event_type"), cents(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val perUser = ev.groupBy("user_id").agg(sum(col("v")).as("v_cents"))
+      .join(ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("lt")), "user_id")
+    val chg = perUser.select(col("user_id").as("k"),
+        when(col("lt") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
+        col("v_cents"))
+      .unionByName(perUser.select((col("user_id") + 1450).as("k"),
+        lit("upsert").as("op"), col("v_cents")))
+    val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
+      col("c_name").as("name"), cents(col("c_acctbal")).as("bal_cents"),
+      col("c_mktsegment").as("seg"))
+    mergeApply(base, chg).orderBy(col("k"))
+  }
+
+  /** The three MERGE arms over explicit base (k, name, bal_cents, seg)
+    * and changelog (k, op, v_cents) frames — property-tested on a hand
+    * fixture where every arm (update, delete, insert, unmatched-delete
+    * no-op) fires. One full-outer equi-join; the arms are projections. */
+  private[graft] def mergeApply(base: DataFrame, chg: DataFrame): DataFrame =
+    base.join(chg, Seq("k"), "full_outer")
+      .where(col("op").isNull || col("op") =!= "delete")
+      .select(col("k"),
+        coalesce(col("name"), concat(lit("NEW#"), col("k").cast("string"))).as("name"),
+        (coalesce(col("bal_cents"), lit(0L)) + coalesce(col("v_cents"), lit(0L)))
+          .as("bal_cents"),
+        coalesce(col("seg"), lit("STREAM")).as("seg"))
+
+  val mergeUpsertSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |pu AS (
+      |  SELECT s.user_id, s.v_cents, l.event_type AS lt
+      |  FROM (SELECT user_id, CAST(sum(v) AS BIGINT) AS v_cents
+      |        FROM ev GROUP BY user_id) s
+      |  JOIN (SELECT user_id, event_type,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY us DESC, event_id DESC) AS rn
+      |        FROM ev) l
+      |    ON l.user_id = s.user_id AND l.rn = 1),
+      |chg AS (
+      |  SELECT user_id AS k,
+      |    CASE WHEN lt = 'error' THEN 'delete' ELSE 'upsert' END AS op, v_cents
+      |  FROM pu
+      |  UNION ALL SELECT user_id + 1450, 'upsert', v_cents FROM pu),
+      |base AS (
+      |  SELECT c_custkey AS k, c_name AS name,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+      |    c_mktsegment AS seg
+      |  FROM customer)
+      |SELECT COALESCE(base.k, chg.k) AS k,
+      |  COALESCE(name, 'NEW#' || COALESCE(base.k, chg.k)) AS name,
+      |  CAST(COALESCE(bal_cents, 0) + COALESCE(v_cents, 0) AS BIGINT) AS bal_cents,
+      |  COALESCE(seg, 'STREAM') AS seg
+      |FROM base FULL OUTER JOIN chg ON base.k = chg.k
+      |WHERE op IS NULL OR op <> 'delete'
+      |ORDER BY k""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -522,6 +606,7 @@ object XmlOps extends QueryModule {
     "x12_zorder_index" -> QueryDef(zorderIndex, Some(zorderIndexSql)),
     "x13_time_travel" -> QueryDef(timeTravelRead, Some(timeTravelReadSql)),
     "x14_compaction_plan" -> QueryDef(compactionPlan, Some(compactionPlanSql)),
+    "x15_merge_upsert" -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -111,4 +111,26 @@ class FormatsSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 9L, 0L), (1L, 1L, 1L, 0L), (2L, 1L, 10L, 1L),
       (3L, 1L, 10L, 2L), (4L, 1L, 10L, 3L)))
   }
+
+  test("x15: every MERGE arm fires — update, delete, insert, and unmatched-delete no-op") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alice", 100L, "AUTO"),  // matched upsert → balance += 7
+      (2L, "bob", 200L, "BIKE"),    // matched delete → row gone
+      (3L, "carol", 300L, "SHIP"))  // untouched → identical
+      .toDF("k", "name", "bal_cents", "seg")
+    val chg = Seq(
+      (1L, "upsert", 7L),
+      (2L, "delete", 999L),   // delete payload must be ignored
+      (9L, "upsert", 55L),    // unmatched upsert → insert
+      (8L, "delete", 1L))     // unmatched delete → no-op
+      .toDF("k", "op", "v_cents")
+    val got = XmlOps.mergeApply(base, chg)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "alice", 107L, "AUTO"),
+      (3L, "carol", 300L, "SHIP"),
+      (9L, "NEW#9", 55L, "STREAM")))
+  }
 }

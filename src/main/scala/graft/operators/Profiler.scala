@@ -886,6 +886,72 @@ object ProfilerOps extends QueryModule {
       |  CAST((1000000 * (2 * s - (n_keys + 1) * total)) // (n_keys * total) AS BIGINT) AS gini_ppm
       |FROM a ORDER BY tag""".stripMargin
 
+  /** p17 — MAD OUTLIER SCREEN: robust per-group anomaly counts via the
+    * median absolute deviation — the screen that survives the outliers
+    * it hunts (a z-score's mean and σ are dragged by the very anomalies
+    * being flagged; the median and MAD have 50% breakdown). Per group:
+    * type-1 median m (p10's inverse-CDF over value buckets), deviations
+    * |v − m|, their type-1 median MAD, and the count of rows with
+    * |v − m| > 3·MAD. Two value-bucket histogram passes (the p10/g34
+    * hub-safety argument both times — per-group sorts ride distinct
+    * VALUES), the per-group scalars ride back as broadcast dims, and
+    * everything is integer cents so both engines agree to the digit.
+    * Flag rule stated strictly (> 3·MAD): with MAD = 0 — over half the
+    * group at one value — any deviation at all is an outlier, the
+    * conventional degenerate-MAD reading. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val gv = Tables.orders(s, d).select(col("o_orderpriority").as("g"),
+      expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"))
+    madOutliersOf(gv).orderBy(col("g"))
+  }
+
+  /** MAD screen over explicit (g, v) rows — property-tested on hand
+    * groups (exact type-1 medians on even counts, MAD = 0 degeneracy)
+    * and fuzzed against a local sort-based recount. */
+  private[graft] def madOutliersOf(gv: DataFrame): DataFrame = {
+    val med = quantilesOf(gv, Seq(50))
+      .select(col("g"), col("p50_cents").as("m"))
+    val dev = gv.join(broadcast(med), "g")
+      .withColumn("dv", abs(col("v") - col("m")))
+    val mad = quantilesOf(dev.select(col("g"), col("dv").as("v")), Seq(50))
+      .select(col("g"), col("p50_cents").as("mad_cents"))
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(max(col("m")).as("median_cents"), // constant within the group
+        max(col("mad_cents")).as("mad_cents"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("dv") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  val madOutliersSql: String =
+    """WITH v AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |c1 AS (SELECT g, v, count(*) AS cnt FROM v GROUP BY 1, 2),
+      |cum1 AS (
+      |  SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |         sum(cnt) OVER (PARTITION BY g) AS n
+      |  FROM c1),
+      |med AS (SELECT g, min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS m
+      |        FROM cum1 GROUP BY g),
+      |dev AS (SELECT v.g, abs(v.v - med.m) AS dv, med.m
+      |        FROM v JOIN med ON v.g = med.g),
+      |c2 AS (SELECT g, dv, count(*) AS cnt FROM dev GROUP BY 1, 2),
+      |cum2 AS (
+      |  SELECT g, dv, sum(cnt) OVER (PARTITION BY g ORDER BY dv) AS cum,
+      |         sum(cnt) OVER (PARTITION BY g) AS n
+      |  FROM c2),
+      |mad AS (SELECT g, min(CASE WHEN cum * 100 >= n * 50 THEN dv END) AS mad_cents
+      |        FROM cum2 GROUP BY g)
+      |SELECT dev.g, CAST(max(dev.m) AS BIGINT) AS median_cents,
+      |  CAST(max(mad.mad_cents) AS BIGINT) AS mad_cents,
+      |  count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN dev.dv > 3 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON dev.g = mad.g
+      |GROUP BY dev.g ORDER BY dev.g""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -903,5 +969,6 @@ object ProfilerOps extends QueryModule {
     "p14_benford_audit" -> QueryDef(benfordAudit, Some(benfordAuditSql)),
     "p15_join_size_audit" -> QueryDef(joinSizeAudit, Some(joinSizeAuditSql)),
     "p16_skew_gini" -> QueryDef(skewGini, Some(skewGiniSql)),
+    "p17_mad_outliers" -> QueryDef(madOutliers, Some(madOutliersSql)),
   )
 }

@@ -321,4 +321,47 @@ class Round12Spec extends SparkSpec {
       assert(run(toks, 2L, 8) === local, s"trial $trial")
     }
   }
+
+  /** Type-1 (inverse-CDF) median: smallest v whose 1-based rank i has
+    * 100·i ≥ 50·n — p10's convention. */
+  private def med1(xs: Seq[Long]): Long =
+    xs.sorted.zipWithIndex.collectFirst {
+      case (v, i) if (i + 1) * 100 >= xs.size * 50 => v
+    }.get
+
+  private def madLocal(xs: Seq[Long]): (Long, Long, Long, Long) = {
+    val m = med1(xs)
+    val dv = xs.map(x => math.abs(x - m))
+    val mad = med1(dv)
+    (m, mad, xs.size.toLong, dv.count(_ > 3 * mad).toLong)
+  }
+
+  test("p17: type-1 medians on even counts, MAD-zero degeneracy, fuzz vs local recount") {
+    def engine(groups: Map[String, Seq[Long]]) = {
+      val gv = groups.toSeq.flatMap { case (g, vs) => vs.map((g, _)) }
+        .toDF("g", "v")
+      ProfilerOps.madOutliersOf(gv).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    }
+    // even count: type-1 median of (10, 20, 30, 40) is 20, not 25;
+    // devs (10, 0, 10, 20) → MAD 10 → no dev exceeds 30
+    val got = engine(Map("a" -> Seq(10L, 20L, 30L, 40L)))
+    assert(got("a") === ((20L, 10L, 4L, 0L)))
+    // MAD-zero degeneracy: majority at one value → any deviation flags
+    val gz = engine(Map("z" -> Seq(5L, 5L, 5L, 5L, 9L, 90L)))
+    assert(gz("z") === ((5L, 0L, 6L, 2L)))
+    // a clear outlier beyond 3·MAD flags exactly once
+    val go = engine(Map("o" -> Seq(100L, 110L, 120L, 130L, 140L, 100000L)))
+    assert(go("o")._4 === 1L)
+    // fuzz vs the local sort-based recount, multiple groups at once
+    val rng = new scala.util.Random(17017L)
+    for (trial <- 1 to 4) {
+      val groups = (1 to 3).map { gi =>
+        s"g$gi" -> Seq.fill(3 + rng.nextInt(40))(rng.nextInt(1000).toLong)
+      }.toMap
+      val local = groups.view.mapValues(madLocal).toMap
+      assert(engine(groups) === local, s"trial $trial")
+    }
+  }
 }

@@ -269,5 +269,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamRetention(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sret_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Temporal.retentionSql)),
+    // shares t41's oracle: unigram/pair counts are additive partials and
+    // the lift scorer is shared code applied after the merge
+    "st48_stream_collocations" -> QueryDef(
+      (s, d) => Streaming.streamCollocations(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_scolloc_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(TextAnalysis.collocationsSql)),
   )
 }

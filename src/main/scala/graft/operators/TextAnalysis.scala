@@ -2068,11 +2068,20 @@ object TextAnalysis extends QueryModule {
     * on hand corpora where the PMI order is checkable by eye (a rare
     * always-together pair must outrank a frequent hub pair). */
   private[graft] def collocationsOf(uni: DataFrame, bg: DataFrame,
+      minSupport: Long, topK: Int): DataFrame =
+    collocationsScore(
+      uni.groupBy("w").agg(count(lit(1)).as("c")),
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12")),
+      minSupport, topK)
+
+  /** Lift scoring over COUNT frames (w, c) / (w1, w2, n12) — the seam
+    * st48's merged streaming partials share with batch t41; the support
+    * floor applies here, AFTER any partial merge, so a pair below the
+    * floor in every batch but above it globally still qualifies. */
+  private[graft] def collocationsScore(ucnt: DataFrame, bcnt: DataFrame,
       minSupport: Long, topK: Int): DataFrame = {
-    val ucnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
     val tot = ucnt.agg(sum(col("c")).as("n_total"))
-    bg.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-      .where(col("n12") >= minSupport)
+    bcnt.where(col("n12") >= minSupport)
       .join(ucnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(ucnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(broadcast(tot)) // 1-row

@@ -1968,6 +1968,59 @@ object Streaming {
     retentionMerge(s.read.parquet(s"$stateDir/act.parquet").drop("batch"))
   }
 
+  /** Streaming COLLOCATION MONITOR (st48): t41's PMI-rank collocation
+    * table maintained from ADDITIVE count partials — each micro-batch of
+    * documents writes its batch-local unigram counts and adjacent-pair
+    * counts (both plain-addition semigroups) to `batch=<id>` partitions;
+    * the serving read sums the partials and applies t41's own
+    * [[graft.operators.TextAnalysis.collocationsScore]], so the support
+    * floor and the lift arithmetic are shared code, not a mirror. The
+    * floor applies AFTER the merge — a phrase trickling in below the
+    * floor in every individual batch still surfaces once its GLOBAL
+    * count crosses it (the case a per-batch filter would silently lose;
+    * the spec pins it). Per-batch state is the batch's vocabulary and
+    * pair spectrum, not its token volume. On full replay the table
+    * equals batch t41 and shares its oracle. */
+  def streamCollocations(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val q = documentsStream(s, d)
+      .select(col("text"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import batch.sparkSession.implicits._
+        val docs = batch.select(col("text")).as[String]
+        docs.flatMap(t => (if (t == null) "" else t).split(" ").filter(_.nonEmpty))
+          .toDF("w").groupBy("w").agg(count(lit(1)).as("c"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/uni.parquet/batch=$id")
+        docs.flatMap { t =>
+            val ws = (if (t == null) "" else t).split(" ").filter(_.nonEmpty)
+            (0 until math.max(ws.length - 1, 0)).iterator.map(i => (ws(i), ws(i + 1)))
+          }
+          .toDF("w1", "w2").groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/bg.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/bg.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "w1 STRING, w2 STRING, n12 BIGINT, c1 BIGINT, c2 BIGINT, " +
+            "n_total BIGINT, lift_ppm BIGINT"))
+    graft.operators.TextAnalysis.collocationsScore(
+      s.read.parquet(s"$stateDir/uni.parquet").drop("batch")
+        .groupBy("w").agg(sum(col("c")).as("c")),
+      s.read.parquet(s"$stateDir/bg.parquet").drop("batch")
+        .groupBy("w1", "w2").agg(sum(col("n12")).as("n12")),
+      minSupport = 5L, topK = 50)
+  }
+
   /** Re-derive the cohort matrix from any union of distinct-activity
     * partials — idempotent under overlap, exact under arbitrary splits. */
   private[graft] def retentionMerge(partials: DataFrame): DataFrame = {

@@ -364,4 +364,42 @@ class Round12Spec extends SparkSpec {
       assert(engine(groups) === local, s"trial $trial")
     }
   }
+
+  test("st48: merged count partials equal batch t41; a pair under the floor per-batch surfaces globally") {
+    def parts(docs: Seq[String]) = {
+      val uni = docs.flatMap(_.split(" ").filter(_.nonEmpty)).toDF("w")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val bg = docs.flatMap { t =>
+          val ws = t.split(" ").filter(_.nonEmpty)
+          ws.zip(ws.drop(1))
+        }.toDF("w1", "w2").groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      (uni, bg)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // 'q r' appears 3× in each batch: under the floor of 5 per batch,
+    // over it (6) after the merge
+    val a = Seq.fill(3)("q r") ++ Seq.fill(5)("m n") ++ Seq.fill(4)("m o")
+    val b = Seq.fill(3)("q r") ++ Seq.fill(2)("m n")
+    val (ua, ba) = parts(a)
+    val (ub, bb) = parts(b)
+    val merged = TextAnalysis.collocationsScore(
+      ua.unionByName(ub).groupBy("w")
+        .agg(sum(col("c")).as("c")),
+      ba.unionByName(bb).groupBy("w1", "w2")
+        .agg(sum(col("n12")).as("n12")),
+      minSupport = 5L, topK = 10)
+    val batch = {
+      val docs = a ++ b
+      val uni = docs.flatMap(_.split(" ").filter(_.nonEmpty)).toDF("w")
+      val bg = docs.flatMap { t =>
+        val ws = t.split(" ").filter(_.nonEmpty); ws.zip(ws.drop(1))
+      }.toDF("w1", "w2")
+      TextAnalysis.collocationsOf(uni, bg, minSupport = 5L, topK = 10)
+    }
+    assert(rows(merged) === rows(batch))
+    assert(rows(merged).exists(r => r._1 == "q" && r._2 == "r" && r._3 == 6L),
+      "the globally-qualified pair must survive the post-merge floor")
+  }
 }

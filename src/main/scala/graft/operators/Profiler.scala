@@ -845,9 +845,16 @@ object ProfilerOps extends QueryModule {
   /** Gini over (tag, k) occurrence rows — property-tested on hand
     * distributions (uniform → 0, one-hot → (n−1)/n) and fuzzed against
     * the O(n log n) sorted-rank formula. */
-  private[graft] def giniOf(keyed: DataFrame): DataFrame = {
+  private[graft] def giniOf(keyed: DataFrame): DataFrame =
+    giniOfCounts(
+      keyed.groupBy(col("tag"), col("k")).agg(count(lit(1)).as("c")))
+
+  /** The same coefficient over per-key occurrence COUNTS (tag, k, c) —
+    * the seam st50's merged streaming partials share with batch p16
+    * (occurrence counts are additive, so a monitor maintains them
+    * per-batch and re-derives the Gini at read). */
+  private[graft] def giniOfCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = keyed.groupBy(col("tag"), col("k")).agg(count(lit(1)).as("c"))
     val buckets = counts.groupBy(col("tag"), col("c")).agg(count(lit(1)).as("m"))
     val w = Window.partitionBy(col("tag")).orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -908,19 +915,30 @@ object ProfilerOps extends QueryModule {
   /** MAD screen over explicit (g, v) rows — property-tested on hand
     * groups (exact type-1 medians on even counts, MAD = 0 degeneracy)
     * and fuzzed against a local sort-based recount. */
-  private[graft] def madOutliersOf(gv: DataFrame): DataFrame = {
-    val med = quantilesOf(gv, Seq(50))
+  private[graft] def madOutliersOf(gv: DataFrame): DataFrame =
+    madOutliersOfCounts(
+      gv.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")))
+
+  /** The same screen over a (g, v, cnt) VALUE-BUCKET HISTOGRAM — the
+    * seam st49's merged streaming partials share with batch p17: both
+    * median passes and the outlier count read the histogram, so the
+    * state a streaming monitor keeps per group is its value spectrum,
+    * never its rows. */
+  private[graft] def madOutliersOfCounts(counts: DataFrame): DataFrame = {
+    val med = quantilesOfCounts(counts, Seq(50))
       .select(col("g"), col("p50_cents").as("m"))
-    val dev = gv.join(broadcast(med), "g")
+    val dev = counts.join(broadcast(med), "g")
       .withColumn("dv", abs(col("v") - col("m")))
-    val mad = quantilesOf(dev.select(col("g"), col("dv").as("v")), Seq(50))
+    val devCounts = dev.groupBy(col("g"), col("dv").as("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val mad = quantilesOfCounts(devCounts, Seq(50))
       .select(col("g"), col("p50_cents").as("mad_cents"))
     dev.join(broadcast(mad), "g")
       .groupBy(col("g"))
       .agg(max(col("m")).as("median_cents"), // constant within the group
         max(col("mad_cents")).as("mad_cents"),
-        count(lit(1)).as("n_rows"),
-        sum(when(col("dv") > lit(3L) * col("mad_cents"), 1L).otherwise(0L))
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("dv") > lit(3L) * col("mad_cents"), col("cnt")).otherwise(0L))
           .as("n_outliers"))
   }
 

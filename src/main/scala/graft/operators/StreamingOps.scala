@@ -275,5 +275,17 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamCollocations(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_scolloc_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(TextAnalysis.collocationsSql)),
+    // shares p17's oracle: value-bucket histogram partials are additive
+    // and both median passes read the merged spectrum via shared code
+    "st49_stream_mad" -> QueryDef(
+      (s, d) => Streaming.streamMadOutliers(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_smad_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.madOutliersSql)),
+    // shares p16's oracle: per-key occurrence counts are additive; the
+    // static key columns fold in as the base generation, events stream
+    "st50_stream_gini" -> QueryDef(
+      (s, d) => Streaming.streamSkewGini(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sgini_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.skewGiniSql)),
   )
 }

@@ -2021,6 +2021,97 @@ object Streaming {
       minSupport = 5L, topK = 50)
   }
 
+  /** Streaming MAD MONITOR (st49): p17's robust outlier screen as a
+    * continuously-maintained state — each micro-batch of orders writes
+    * its per-(group, value) HISTOGRAM partial (value-bucket counts are
+    * plain addition) and the serving read merges the spectra and runs
+    * batch p17's own [[graft.operators.ProfilerOps.madOutliersOfCounts]]
+    * over them: both median passes and the outlier count are functions
+    * of the histogram, so state per group is its value spectrum — a
+    * billion-row group costs its distinct prices however long the
+    * stream runs, and the 3·MAD fence is re-derived per read (an
+    * anomaly monitor whose own fence updates as the distribution
+    * drifts). On full replay the table equals batch p17, shared
+    * oracle. */
+  def streamMadOutliers(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(d)
+      .select(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/hist.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/hist.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "g STRING, median_cents BIGINT, mad_cents BIGINT, " +
+            "n_rows BIGINT, n_outliers BIGINT"))
+    graft.operators.ProfilerOps.madOutliersOfCounts(
+        s.read.parquet(s"$stateDir/hist.parquet").drop("batch")
+          .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt")))
+      .orderBy(col("g"))
+  }
+
+  /** Streaming SKEW-GINI MONITOR (st50): p16's inequality coefficient
+    * maintained from additive per-key occurrence counts — the three
+    * static key columns fold in as a base partial (the st41 pattern:
+    * relations that do not stream are state generation 0) and events
+    * stream their user_id occurrences per batch; the serving read sums
+    * the (tag, key, cnt) partials and re-derives every column's Gini
+    * through batch p16's own
+    * [[graft.operators.ProfilerOps.giniOfCounts]]. The drift alarm
+    * behind salting decisions, live: a key whose traffic share explodes
+    * mid-stream moves its column's coefficient on the very next read,
+    * with per-batch cost proportional to the batch's DISTINCT keys. On
+    * full replay the table equals batch p16, shared oracle. */
+  def streamSkewGini(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val keyCounts = (df: DataFrame) =>
+      df.groupBy(col("tag"), col("k")).agg(count(lit(1)).as("cnt"))
+    val base = Seq(
+      graft.core.Tables.lineitem(s, d).select(lit("lineitem.l_partkey").as("tag"),
+        col("l_partkey").cast("long").as("k")),
+      graft.core.Tables.lineitem(s, d).select(lit("lineitem.l_suppkey").as("tag"),
+        col("l_suppkey").cast("long").as("k")),
+      graft.core.Tables.orders(s, d).select(lit("orders.o_custkey").as("tag"),
+        col("o_custkey").cast("long").as("k")),
+    ).reduce(_ unionByName _)
+    keyCounts(base).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/keys.parquet/batch=base")
+    val q = eventsStream(s, d)
+      .select(lit("events.user_id").as("tag"), col("user_id").cast("long").as("k"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        keyCounts(batch.toDF()).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/keys.parquet/batch=ev$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.ProfilerOps.giniOfCounts(
+        s.read.parquet(s"$stateDir/keys.parquet").drop("batch")
+          .groupBy(col("tag"), col("k")).agg(sum(col("cnt")).as("c")))
+      .orderBy(col("tag"))
+  }
+
   /** Re-derive the cohort matrix from any union of distinct-activity
     * partials — idempotent under overlap, exact under arbitrary splits. */
   private[graft] def retentionMerge(partials: DataFrame): DataFrame = {

@@ -402,4 +402,42 @@ class Round12Spec extends SparkSpec {
     assert(rows(merged).exists(r => r._1 == "q" && r._2 == "r" && r._3 == 6L),
       "the globally-qualified pair must survive the post-merge floor")
   }
+
+  test("st49/st50: merged histogram and key-count partials equal their batch screens on any split") {
+    val rng = new scala.util.Random(49049L)
+    for (trial <- 1 to 3) {
+      // st49: (g, v) rows with deliberate value collisions across batches
+      val gv = Seq.fill(60 + rng.nextInt(40))(
+        (s"g${rng.nextInt(3)}", rng.nextInt(12).toLong * 10))
+      val nB = 2 + rng.nextInt(3)
+      val batches = gv.groupBy(_ => rng.nextInt(nB)).values.toSeq
+      val mergedHist = batches.map(b =>
+          b.toDF("g", "v").groupBy(col("g"), col("v"))
+            .agg(count(lit(1)).as("cnt")))
+        .reduce[org.apache.spark.sql.DataFrame](_ unionByName _)
+        .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
+      val gotMad = ProfilerOps.madOutliersOfCounts(mergedHist).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      val batchMad = ProfilerOps.madOutliersOf(gv.toDF("g", "v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sorted.toSeq
+      assert(gotMad === batchMad, s"st49 trial $trial ($nB batches)")
+      // st50: keyed occurrences split across batches, counts re-summed
+      val keyed = Seq.fill(80)(("t" + rng.nextInt(2), rng.nextInt(10).toLong))
+      val kb = keyed.groupBy(_ => rng.nextInt(nB)).values.toSeq
+      val mergedCounts = kb.map(b =>
+          b.toDF("tag", "k").groupBy(col("tag"), col("k"))
+            .agg(count(lit(1)).as("cnt")))
+        .reduce[org.apache.spark.sql.DataFrame](_ unionByName _)
+        .groupBy(col("tag"), col("k")).agg(sum(col("cnt")).as("c"))
+      val gotG = ProfilerOps.giniOfCounts(mergedCounts).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sorted.toSeq
+      val batchG = ProfilerOps.giniOf(keyed.toDF("tag", "k")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).sorted.toSeq
+      assert(gotG === batchG, s"st50 trial $trial ($nB batches)")
+    }
+  }
 }

@@ -1444,6 +1444,99 @@ object Similarity extends QueryModule {
       |ORDER BY dot DESC, va, vb LIMIT 100""".stripMargin
   }
 
+  /** s18 — SCALAR-QUANTIZED (SQ8) ANN with exact re-rank: every vector
+    * compresses to one byte per dimension — code_i = ((x_i − lo_i)·255)
+    * div max(hi_i − lo_i, 1) against per-dimension GLOBAL bounds — the
+    * default compression tier in production vector stores (FAISS SQ8 /
+    * Lucene scalar quantization), sitting between s2's 1-bit signs and
+    * s7's codebook PQ: 4× less memory bandwidth than the int32 corpus
+    * with no codebook to train. Search is compression-shaped, not
+    * pruning-shaped: the full corpus is scanned in CODE space (the scan
+    * a column store does at 1 byte/dim), the top-16 by approximate code
+    * dot survive, and only those 16 fetch the full-precision vector for
+    * the exact re-rank — per query, 16 wide reads instead of N. All
+    * arithmetic is integer (bounds from the 1e4-quantized grid, `div`
+    * truncation), so approximate AND exact scores are engine-exact;
+    * both ranks ship so a consumer sees exactly where the 8-bit
+    * approximation reordered candidates. The bounds are a 64-row
+    * aggregate carried as a broadcast 1-row array pair. */
+  def sq8Ann(s: SparkSession, d: String): DataFrame =
+    sq8AnnOf(quantized(s, d).select(col("vec_id"), col("q")),
+      nQueries = 20, nCand = 16, k = 3)
+
+  /** [[sq8Ann]] over an explicit (vec_id, q) integer-vector frame —
+    * property-tested on hand vectors (codes stay in [0, 255], a
+    * coarse-tie reorder is repaired by the exact re-rank) and fuzzed
+    * against a local recount of both stages. */
+  private[graft] def sq8AnnOf(emb: DataFrame, nQueries: Int, nCand: Int,
+      k: Int): DataFrame = {
+    val bArr = emb.select(posexplode(col("q")))
+      .groupBy(col("pos")).agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, lo))), s -> s.lo)")
+          .as("los"),
+        expr("transform(array_sort(collect_list(struct(pos, hi))), s -> s.hi)")
+          .as("his"))
+    val coded = emb.crossJoin(broadcast(bArr)) // 1-row bounds dim
+      .withColumn("code", expr(
+        "transform(arrays_zip(q, los, his), " +
+          "s -> ((s.q - s.los) * 255) div greatest(s.his - s.los, 1L))"))
+      .select(col("vec_id"), col("q"), col("code"))
+    val queries = coded.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("code").as("qc"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("neighbor_id").asc)
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    broadcast(queries)
+      .join(coded.select(col("vec_id").as("neighbor_id"), col("q").as("nv"),
+        col("code").as("nc")), col("neighbor_id") =!= col("query_id"))
+      .withColumn("adot", dot(col("qc"), col("nc")))
+      .withColumn("arank", row_number().over(wApprox))
+      .where(col("arank") <= nCand)
+      .withColumn("dot", dot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wExact))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dot"), col("adot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val sq8AnnSql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT vec_id, unnest(qv) AS x,
+      |    unnest(generate_series(1, len(qv))) AS i
+      |  FROM q),
+      |b AS (
+      |  SELECT i, min(x) AS lo, GREATEST(max(x) - min(x), 1) AS rng
+      |  FROM dims GROUP BY i),
+      |codes AS (
+      |  SELECT vec_id, list(((x - lo) * 255) // rng ORDER BY i) AS code
+      |  FROM dims JOIN b USING (i) GROUP BY vec_id),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(ac.code, bc.code), z -> z[1] * z[2])) AS BIGINT) AS adot,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, bb.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM q a
+      |  JOIN q bb ON bb.vec_id != a.vec_id
+      |  JOIN codes ac ON ac.vec_id = a.vec_id
+      |  JOIN codes bc ON bc.vec_id = bb.vec_id
+      |  WHERE a.vec_id < 20),
+      |cand AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY adot DESC, neighbor_id ASC) AS arank
+      |  FROM pairs)
+      |SELECT query_id, rank, neighbor_id, dot, adot FROM (
+      |  SELECT query_id, neighbor_id, dot, adot,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM cand WHERE arank <= 16)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "s1_bruteforce_topk" -> QueryDef(bruteForceTopK, Some(bruteForceTopKSql), bench = true),
     "s2_sign_bucket_ann" -> QueryDef(signBucketAnn, Some(signBucketAnnSql), bench = true),
@@ -1462,5 +1555,6 @@ object Similarity extends QueryModule {
     "s15_pq_refine"        -> QueryDef(pqRefine, Some(pqRefineSql)),
     "s16_filtered_ann"     -> QueryDef(filteredAnn, Some(filteredAnnSql)),
     "s17_bucketed_selfjoin" -> QueryDef(bucketedSelfJoin, Some(bucketedSelfJoinSql)),
+    "s18_sq8_ann" -> QueryDef(sq8Ann, Some(sq8AnnSql)),
   )
 }

@@ -440,4 +440,45 @@ class Round12Spec extends SparkSpec {
       assert(gotG === batchG, s"st50 trial $trial ($nB batches)")
     }
   }
+
+  test("s18: codes bounded in [0,255], exact re-rank repairs coarse ties, fuzz vs local two-stage recount") {
+    def local(vecs: Map[Long, Seq[Long]], nQ: Int, nCand: Int, k: Int) = {
+      val dims = vecs.values.head.size
+      val lo = (0 until dims).map(i => vecs.values.map(_(i)).min)
+      val rng = (0 until dims).map(i => math.max(vecs.values.map(_(i)).max - lo(i), 1L))
+      val code = vecs.view.mapValues(v =>
+        v.zipWithIndex.map { case (x, i) => ((x - lo(i)) * 255) / rng(i) }).toMap
+      code.values.foreach(c => assert(c.forall(b => b >= 0 && b <= 255)))
+      (for {
+        qid <- vecs.keys.toSeq.sorted if qid < nQ
+        cands = vecs.keys.toSeq.filter(_ != qid)
+          .map(n => (n, code(qid).zip(code(n)).map { case (a, b) => a * b }.sum))
+          .sortBy { case (n, ad) => (-ad, n) }.take(nCand)
+        ranked = cands.map { case (n, ad) =>
+            (n, vecs(qid).zip(vecs(n)).map { case (a, b) => a * b }.sum, ad)
+          }.sortBy { case (n, dt, _) => (-dt, n) }.take(k)
+        ((n, dt, ad), r) <- ranked.zipWithIndex
+      } yield (qid, (r + 1).toLong, n, dt, ad)).toSeq
+    }
+    def engine(vecs: Map[Long, Seq[Long]], nQ: Int, nCand: Int, k: Int) =
+      Similarity.sq8AnnOf(vecs.toSeq.map { case (id, v) => (id, v) }.toDF("vec_id", "q"),
+          nQ, nCand, k)
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    // hand case: neighbors 10 and 11 collide in code space (tiny value
+    // difference rounds away) but the exact stage separates them
+    val hand = Map(
+      0L -> Seq(1000L, 0L),
+      10L -> Seq(996L, 2L),   // exact dot 996000 + 0 vs
+      11L -> Seq(995L, 900L), // 995000 + 0 — code space may tie them
+      12L -> Seq(-1000L, -1000L))
+    assert(engine(hand, 1, 3, 2) === local(hand, 1, 3, 2))
+    // fuzz: random integer vectors incl. negatives, 8 dims
+    val rng = new scala.util.Random(18018L)
+    for (trial <- 1 to 3) {
+      val vecs = (0L until (12L + rng.nextInt(8))).map(id =>
+        id -> Seq.fill(8)(rng.nextInt(20001).toLong - 10000L)).toMap
+      assert(engine(vecs, 5, 6, 3) === local(vecs, 5, 6, 3), s"trial $trial")
+    }
+  }
 }

@@ -970,6 +970,71 @@ object ProfilerOps extends QueryModule {
       |FROM dev JOIN mad ON dev.g = mad.g
       |GROUP BY dev.g ORDER BY dev.g""".stripMargin
 
+  /** p18 — CATEGORICAL CONTINGENCY LIFT AUDIT: for each audited column
+    * pair, every observed value combination with its exact association
+    * lift — observed/expected-under-independence as t41's staged fixed
+    * point `((10⁶·n_ab div n_a)·N) div n_b` — the column-dependence
+    * screen a profiler runs beside p3's numeric correlations: lift ≈
+    * 10⁶ means the columns are independent at that cell, ≫ means the
+    * combination co-occurs (a functional dependency shows as one cell
+    * per left value at ≈ N/n_b ratio), ≪ means structural exclusion
+    * (e.g. an order status that never carries a priority — the
+    * data-contract smell p13's exact FDs cannot see because it is
+    * statistical, not functional). Three map-combinable aggregations
+    * (cells, two marginals) + equi-joins keyed by (pair, value); the
+    * per-pair totals ride a broadcast dim. Cell count is bounded by the
+    * product of the columns' cardinalities, not by rows — billions of
+    * rows collapse map-side. */
+  def contingencyLift(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(lit("lineitem.returnflag*linestatus").as("pair"),
+        col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+      .unionByName(Tables.orders(s, d)
+        .select(lit("orders.orderstatus*orderpriority").as("pair"),
+          col("o_orderstatus").as("a"), col("o_orderpriority").as("b")))
+    contingencyScore(
+      pairs.groupBy(col("pair"), col("a"), col("b")).agg(count(lit(1)).as("n_ab")))
+      .orderBy(col("pair"), col("a"), col("b"))
+  }
+
+  /** Lift scoring over (pair, a, b, n_ab) CELL COUNTS — the seam st51's
+    * merged streaming partials share with batch p18 (cell counts are
+    * additive; marginals and totals re-derive from the cells, so the
+    * state a monitor keeps per pair is its contingency table). */
+  private[graft] def contingencyScore(cells: DataFrame): DataFrame = {
+    val margA = cells.groupBy(col("pair"), col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val margB = cells.groupBy(col("pair"), col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = cells.groupBy(col("pair")).agg(sum(col("n_ab")).as("n_total"))
+    cells
+      .join(margA, Seq("pair", "a"))
+      .join(margB, Seq("pair", "b"))
+      .join(broadcast(tot), Seq("pair"))
+      .withColumn("lift_ppm",
+        expr("(((1000000 * n_ab) div n_a) * n_total) div n_b"))
+      .select(col("pair"), col("a"), col("b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_total"), col("lift_ppm"))
+  }
+
+  val contingencyLiftSql: String =
+    """WITH p AS (
+      |  SELECT 'lineitem.returnflag*linestatus' AS pair,
+      |    l_returnflag AS a, l_linestatus AS b FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.orderstatus*orderpriority',
+      |    o_orderstatus, o_orderpriority FROM orders),
+      |cells AS (SELECT pair, a, b, count(*) AS n_ab FROM p GROUP BY 1, 2, 3),
+      |ma AS (SELECT pair, a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM cells GROUP BY 1, 2),
+      |mb AS (SELECT pair, b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM cells GROUP BY 1, 2),
+      |t AS (SELECT pair, CAST(sum(n_ab) AS BIGINT) AS n_total FROM cells GROUP BY 1)
+      |SELECT cells.pair, cells.a, cells.b, CAST(n_ab AS BIGINT) AS n_ab,
+      |  n_a, n_b, n_total,
+      |  CAST((((1000000 * n_ab) // n_a) * n_total) // n_b AS BIGINT) AS lift_ppm
+      |FROM cells
+      |JOIN ma ON ma.pair = cells.pair AND ma.a = cells.a
+      |JOIN mb ON mb.pair = cells.pair AND mb.b = cells.b
+      |JOIN t ON t.pair = cells.pair
+      |ORDER BY cells.pair, cells.a, cells.b""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -988,5 +1053,6 @@ object ProfilerOps extends QueryModule {
     "p15_join_size_audit" -> QueryDef(joinSizeAudit, Some(joinSizeAuditSql)),
     "p16_skew_gini" -> QueryDef(skewGini, Some(skewGiniSql)),
     "p17_mad_outliers" -> QueryDef(madOutliers, Some(madOutliersSql)),
+    "p18_contingency_lift" -> QueryDef(contingencyLift, Some(contingencyLiftSql)),
   )
 }

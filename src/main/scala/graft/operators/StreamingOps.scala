@@ -287,5 +287,11 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamSkewGini(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sgini_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.skewGiniSql)),
+    // shares p18's oracle: contingency cells are additive; marginals,
+    // totals and lifts re-derive from the merged cells via shared code
+    "st51_stream_contingency" -> QueryDef(
+      (s, d) => Streaming.streamContingency(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_scont_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.contingencyLiftSql)),
   )
 }

@@ -2112,6 +2112,51 @@ object Streaming {
       .orderBy(col("tag"))
   }
 
+  /** Streaming CONTINGENCY MONITOR (st51): p18's association-lift audit
+    * maintained from additive CELL-COUNT partials — the orders pair
+    * folds in as the base generation (the st41/st50 pattern for
+    * relations that do not stream) while lineitem rows stream their
+    * (returnflag, linestatus) cells per batch; the serving read sums
+    * the (pair, a, b, n_ab) partials and re-derives marginals, totals
+    * and lifts through batch p18's own
+    * [[graft.operators.ProfilerOps.contingencyScore]]. The live data-
+    * contract screen: a value combination that starts co-occurring
+    * mid-stream (or one that stops) moves its cell's lift on the next
+    * read, at per-batch cost bounded by the batch's OBSERVED cells.
+    * On full replay the table equals batch p18, shared oracle. */
+  def streamContingency(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val cellCounts = (df: DataFrame) =>
+      df.groupBy(col("pair"), col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    cellCounts(graft.core.Tables.orders(s, d)
+        .select(lit("orders.orderstatus*orderpriority").as("pair"),
+          col("o_orderstatus").as("a"), col("o_orderpriority").as("b")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/cells.parquet/batch=base")
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .select(lit("lineitem.returnflag*linestatus").as("pair"),
+        col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cellCounts(batch.toDF())
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/cells.parquet/batch=li$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.ProfilerOps.contingencyScore(
+        s.read.parquet(s"$stateDir/cells.parquet").drop("batch")
+          .groupBy(col("pair"), col("a"), col("b")).agg(sum(col("n_ab")).as("n_ab")))
+      .orderBy(col("pair"), col("a"), col("b"))
+  }
+
   /** Re-derive the cohort matrix from any union of distinct-activity
     * partials — idempotent under overlap, exact under arbitrary splits. */
   private[graft] def retentionMerge(partials: DataFrame): DataFrame = {

@@ -481,4 +481,40 @@ class Round12Spec extends SparkSpec {
       assert(engine(vecs, 5, 6, 3) === local(vecs, 5, 6, 3), s"trial $trial")
     }
   }
+
+  test("p18/st51: independence reads 1e6 ppm, exclusion reads 0; merged cell partials equal batch") {
+    def score(cells: Seq[(String, String, String, Long)]) = {
+      val df = cells.toDF("pair", "a", "b", "n_ab")
+      ProfilerOps.contingencyScore(df).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).sorted.toSeq
+    }
+    // perfectly independent 2×2: every lift is exactly 10⁶
+    val indep = score(Seq(("p", "x", "u", 4L), ("p", "x", "v", 4L),
+      ("p", "y", "u", 4L), ("p", "y", "v", 4L)))
+    assert(indep.forall(_._8 === 1000000L))
+    // a functional cell: x only ever pairs with u (N=8, n_x=4, n_u=4)
+    // → lift 2·10⁶ on the (x, u) cell
+    val fd = score(Seq(("p", "x", "u", 4L), ("p", "y", "v", 4L)))
+    assert(fd.forall(_._8 === 2000000L))
+    // merged partials ≡ batch: split raw pairs, count cells per batch,
+    // sum, score — vs one-shot counting
+    val rng = new scala.util.Random(51051L)
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(100)(("t",
+        s"a${rng.nextInt(3)}", s"b${rng.nextInt(3)}"))
+      val nB = 2 + rng.nextInt(3)
+      val merged = rows.groupBy(_ => rng.nextInt(nB)).values.toSeq.map(b =>
+          b.toDF("pair", "a", "b").groupBy(col("pair"), col("a"), col("b"))
+            .agg(count(lit(1)).as("n_ab")))
+        .reduce[org.apache.spark.sql.DataFrame](_ unionByName _)
+        .groupBy(col("pair"), col("a"), col("b")).agg(sum(col("n_ab")).as("n_ab"))
+      val gotM = ProfilerOps.contingencyScore(merged).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).sorted.toSeq
+      val batch = score(rows.groupBy(identity).toSeq
+        .map { case ((p, a, b), g) => (p, a, b, g.size.toLong) })
+      assert(gotM === batch, s"trial $trial ($nB batches)")
+    }
+  }
 }

@@ -2926,6 +2926,79 @@ object MaterialiseOps extends QueryModule {
       |ORDER BY par.seed""".stripMargin
   }
 
+  /** g51 — HASH-PARTITION EDGE-CUT PROFILE: for each candidate
+    * parallelism k ∈ {2, 4, 8, 16, 32}, the fraction of co-order edges
+    * whose endpoints hash to different partitions (`u % k ≠ v % k`)
+    * plus the node-balance of the largest partition — THE two numbers
+    * that decide a distributed graph job's layout before it runs: cut
+    * fraction is the share of messages crossing the wire per
+    * iteration (PageRank/LPA/BFS traffic at parallelism k), balance is
+    * the straggler bound; together with g40's degree spectrum they are
+    * the measured inputs to the partition-vs-broadcast decision this
+    * module's iterative operators take on faith. Pure closed form: one
+    * pass over the edge list per k (a map-side flag sum — the five k
+    * values ride ONE unpivoted aggregation), one over the node set;
+    * nothing iterative, nothing all-pairs. `max_part_nodes` uses the
+    * value-bucket max (no per-partition sort); ppm is exact integer. */
+  def partitionEdgeCut(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    partitionEdgeCutOf(pairs, Seq(2, 4, 8, 16, 32)).orderBy(col("k"))
+  }
+
+  /** [[partitionEdgeCut]] over an explicit DISTINCT `(u, v)` edge frame
+    * — property-tested on hand graphs where the cut is countable by
+    * eye and fuzzed against a local recount. */
+  private[graft] def partitionEdgeCutOf(pairs: DataFrame, ks: Seq[Int]): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val kDf = ks.map(_.toLong).toDF("k")
+    val nodes = pairs.select(col("u").as("n"))
+      .union(pairs.select(col("v").as("n"))).distinct()
+    val cuts = pairs.crossJoin(broadcast(kDf))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("u") % col("k") =!= col("v") % col("k"), 1L).otherwise(0L))
+          .as("n_cut"))
+    val parts = nodes.crossJoin(broadcast(kDf))
+      .groupBy(col("k"), (col("n") % col("k")).as("part"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("k"))
+      .agg(max(col("pn")).as("max_part_nodes"),
+        count(lit(1)).as("n_parts_nonempty"))
+    cuts.join(parts, "k")
+      .withColumn("cut_ppm", expr("(1000000 * n_cut) div n_edges"))
+      .select(col("k"), col("n_edges"), col("n_cut"), col("cut_ppm"),
+        col("max_part_nodes"), col("n_parts_nonempty"))
+  }
+
+  val partitionEdgeCutSql: String =
+    """WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2), (4), (8), (16), (32)) t(k)),
+      |nodes AS (SELECT DISTINCT n FROM (
+      |  SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)),
+      |cuts AS (
+      |  SELECT k, count(*) AS n_edges,
+      |    CAST(sum(CASE WHEN u % k <> v % k THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+      |  FROM pairs CROSS JOIN ks GROUP BY k),
+      |parts AS (
+      |  SELECT k, CAST(max(pn) AS BIGINT) AS max_part_nodes,
+      |    count(*) AS n_parts_nonempty
+      |  FROM (SELECT k, n % k AS part, count(*) AS pn
+      |        FROM nodes CROSS JOIN ks GROUP BY 1, 2)
+      |  GROUP BY k)
+      |SELECT cuts.k, n_edges, n_cut,
+      |  CAST((1000000 * n_cut) // n_edges AS BIGINT) AS cut_ppm,
+      |  max_part_nodes, n_parts_nonempty
+      |FROM cuts JOIN parts ON parts.k = cuts.k
+      |ORDER BY cuts.k""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -2975,5 +3048,6 @@ object MaterialiseOps extends QueryModule {
     "g48_gwas_chain" -> QueryDef(gwasChain, Some(gwasChainSql)),
     "g49_pseudo_diameter" -> QueryDef(pseudoDiameter, Some(pseudoDiameterSql)),
     "g50_bipartite_check" -> QueryDef(bipartiteCheck, Some(bipartiteCheckSql)),
+    "g51_partition_edgecut" -> QueryDef(partitionEdgeCut, Some(partitionEdgeCutSql)),
   )
 }

@@ -889,4 +889,31 @@ class GraphAnalyticsSpec extends SparkSpec {
       assert(got(seed) === exp, s"seed $seed")
     }
   }
+
+  test("g51: hand cuts countable by eye; fuzz matches local recount across every k") {
+    import spark.implicits._
+    def cut(edges: Seq[(Long, Long)], ks: Seq[Int]) =
+      MaterialiseOps.partitionEdgeCutOf(edges.toDF("u", "v"), ks)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // path 0-1-2-3 at k=2: edges (0,1), (1,2), (2,3) ALL cross parity →
+    // cut 3/3; partitions {0,2} and {1,3} → balance 2, both non-empty
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(cut(path, Seq(2))(2L) === ((3L, 3L, 1000000L, 2L, 2L)))
+    // same-parity edges never cut at k=2
+    assert(cut(Seq((0L, 2L), (1L, 3L)), Seq(2))(2L) === ((2L, 0L, 0L, 2L, 2L)))
+    val rnd = new scala.util.Random(51)
+    val edges = (for {
+      u <- 1L to 20L; v <- (u + 1) to 20L if rnd.nextDouble() < 0.15
+    } yield (u, v)).toSeq
+    val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.distinct
+    val got = cut(edges, Seq(2, 3, 5))
+    for (k <- Seq(2L, 3L, 5L)) {
+      val nCut = edges.count { case (u, v) => u % k != v % k }.toLong
+      val byPart = nodes.groupBy(_ % k).view.mapValues(_.size.toLong)
+      assert(got(k) === ((edges.size.toLong, nCut,
+        1000000L * nCut / edges.size, byPart.values.max,
+        byPart.size.toLong)), s"k=$k")
+    }
+  }
 }

@@ -2999,6 +2999,96 @@ object MaterialiseOps extends QueryModule {
       |FROM cuts JOIN parts ON parts.k = cuts.k
       |ORDER BY cuts.k""".stripMargin
 
+  /** g52 — LANDMARK DISTANCE ORACLE (the ALT / landmark-embedding
+    * index): distances from 4 landmark nodes to everything within
+    * [[BfsMaxDist]] hops are precomputed ONCE (the g42 bounded
+    * multi-source BFS — k landmarks ride one frame), and any pairwise
+    * distance query is then answered from the index alone as
+    * est(u, v) = min_l d(u, l) + d(l, v) — a triangle-inequality UPPER
+    * bound, no per-query traversal. This is how 100 TB graphs serve
+    * "how far apart are these two entities" interactively: the index
+    * build is the only BFS, and a query is a k-row lookup join — here
+    * materialised for the 10 lowest-id probe nodes' pairs, each with
+    * its witness landmark (deterministic (sum, landmark) tie-break)
+    * and the count of landmarks covering the pair. Pairs outside every
+    * landmark's ball are honestly absent (no bound exists within the
+    * hop cap). The spec pins est ≥ true distance (upper-bound
+    * soundness) and exactness whenever a landmark sits ON a shortest
+    * path. */
+  def landmarkDistances(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    landmarkDistancesOf(pairs, nLandmarks = 4, nProbe = 10, maxDist = BfsMaxDist)
+      .orderBy(col("u"), col("v"))
+  }
+
+  /** [[landmarkDistances]] over an explicit DISTINCT `(u, v)` edge
+    * frame. */
+  private[graft] def landmarkDistancesOf(pairs: DataFrame, nLandmarks: Int,
+      nProbe: Int, maxDist: Int): DataFrame = {
+    val edges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint() // static dim: BFS rounds reuse it
+    val landmarks = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nLandmarks)
+    val probe = edges.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nProbe)
+    // the index: (landmark, node, dist) — read twice by the pair probe
+    val pv = bfsVisited(edges, landmarks, maxDist)
+      .join(probe, Seq("node"))
+      .select(col("seed").as("l"), col("node"), col("dist"))
+      .localCheckpoint()
+    pv.as("x").join(pv.as("y"),
+        col("x.l") === col("y.l") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("u"), col("y.node").as("v"), col("x.l").as("l"),
+        (col("x.dist") + col("y.dist")).cast("long").as("s"))
+      .groupBy(col("u"), col("v"))
+      .agg(min(struct(col("s"), col("l"))).as("m"),
+        count(lit(1)).as("n_landmarks"))
+      .select(col("u"), col("v"), col("m.s").as("est"),
+        col("m.l").as("via_landmark"), col("n_landmarks"))
+  }
+
+  val landmarkDistancesSql: String = {
+    val rounds = (1 to BfsMaxDist).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT DISTINCT f.seed, e.v AS node
+         |  FROM f${k - 1} f JOIN e ON e.u = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${k - 1} p
+         |                    WHERE p.seed = f.seed AND p.node = e.v)),
+         |v$k AS MATERIALIZED (SELECT * FROM v${k - 1}
+         |        UNION ALL SELECT seed, node, $k AS dist FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    val k = BfsMaxDist
+    s"""WITH pairs AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |e AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |seeds AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 4),
+      |v0 AS (SELECT node AS seed, node, 0 AS dist FROM seeds),
+      |f0 AS (SELECT seed, node FROM v0),
+      |$rounds,
+      |probe AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 10),
+      |pv AS (SELECT seed AS l, v$k.node, dist FROM v$k JOIN probe USING (node)),
+      |cand AS (
+      |  SELECT x.node AS u, y.node AS v, x.l AS l,
+      |    CAST(x.dist + y.dist AS BIGINT) AS s
+      |  FROM pv x JOIN pv y ON y.l = x.l AND x.node < y.node),
+      |ranked AS (
+      |  SELECT u, v, l, s,
+      |    row_number() OVER (PARTITION BY u, v ORDER BY s ASC, l ASC) AS rn,
+      |    count(*) OVER (PARTITION BY u, v) AS n_landmarks
+      |  FROM cand)
+      |SELECT u, v, s AS est, l AS via_landmark,
+      |  CAST(n_landmarks AS BIGINT) AS n_landmarks
+      |FROM ranked WHERE rn = 1 ORDER BY u, v""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -3049,5 +3139,6 @@ object MaterialiseOps extends QueryModule {
     "g49_pseudo_diameter" -> QueryDef(pseudoDiameter, Some(pseudoDiameterSql)),
     "g50_bipartite_check" -> QueryDef(bipartiteCheck, Some(bipartiteCheckSql)),
     "g51_partition_edgecut" -> QueryDef(partitionEdgeCut, Some(partitionEdgeCutSql)),
+    "g52_landmark_distances" -> QueryDef(landmarkDistances, Some(landmarkDistancesSql)),
   )
 }

@@ -916,4 +916,53 @@ class GraphAnalyticsSpec extends SparkSpec {
         byPart.size.toLong)), s"k=$k")
     }
   }
+
+  test("g52: landmark estimates are sound upper bounds, exact through an on-path landmark, fuzz-verified") {
+    import spark.implicits._
+    def est(edges: Seq[(Long, Long)], nL: Int, nP: Int, maxD: Int) =
+      MaterialiseOps.landmarkDistancesOf(edges.toDF("u", "v"), nL, nP, maxD)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // star around landmark 1: every probe pair (u, v) has est exactly 2
+    // via landmark 1 (which sits on every shortest path)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val gotStar = est(star, 1, 4, 4)
+    assert(gotStar((2L, 3L)) === ((2L, 1L, 1L)))
+    assert(gotStar((3L, 4L)) === ((2L, 1L, 1L)))
+    // path 1-2-3: landmark 1 gives est(2,3) = d(2,1)+d(1,3) = 3 — an
+    // over-estimate of the true distance 1, but a valid upper bound
+    assert(est(Seq((1L, 2L), (2L, 3L)), 1, 3, 4)((2L, 3L))._1 === 3L)
+    // fuzz: every estimate ≥ the true BFS distance, and equals the
+    // local min over landmarks of d(u,l)+d(l,v)
+    val rnd = new scala.util.Random(52)
+    val edges = (for {
+      u <- 1L to 16L; v <- (u + 1) to 16L if rnd.nextDouble() < 0.16
+    } yield (u, v)).toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    def bfs(src: Long, cap: Int): Map[Long, Int] = {
+      var vis = Map(src -> 0); var fr = Set(src)
+      for (k <- 1 to cap) {
+        fr = fr.flatMap(adj.getOrElse(_, Set.empty)) -- vis.keySet
+        vis ++= fr.map(_ -> k)
+      }
+      vis
+    }
+    val nodes = adj.keys.toSeq.sorted
+    val lms = nodes.take(3)
+    val probes = nodes.take(8)
+    val dl = lms.map(l => l -> bfs(l, 4)).toMap
+    val got = est(edges, 3, 8, 4)
+    for { u <- probes; v <- probes if u < v } {
+      val cands = lms.flatMap(l =>
+        for { du <- dl(l).get(u); dv <- dl(l).get(v) } yield (du + dv.toLong, l))
+      if (cands.isEmpty) assert(!got.contains((u, v)), s"($u,$v) phantom bound")
+      else {
+        val (s, l) = cands.min
+        assert(got((u, v)) === ((s, l, cands.size.toLong)), s"($u,$v)")
+        val truth = bfs(u, 16).get(v)
+        truth.foreach(t => assert(s >= t, s"($u,$v) bound $s below true $t"))
+      }
+    }
+  }
 }

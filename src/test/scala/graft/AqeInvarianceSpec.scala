@@ -23,7 +23,10 @@ class AqeInvarianceSpec extends SparkSpec {
     "g45_bounded_sssp",       // min-plus rounds
     "p15_join_size_audit",    // histogram joins
     "a10_sessionize",         // per-user windows
-    "g46_triad_census")       // moment + triangle composition
+    "g46_triad_census",       // moment + triangle composition
+    "s18_sq8_ann",            // two-stage rerank windows (round 12)
+    "x15_merge_upsert",       // full-outer merge arms (round 12)
+    "g52_landmark_distances") // BFS index + pair probe (round 12)
 
   test("results are identical with adaptive execution disabled") {
     val defs = SparkEntry.allDefs

@@ -34,7 +34,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q32_null_antijoin", "a11_lag_features", "t40_continuation_counts",
     "a12_interarrival_spectrum", "g44_edge_embeddedness",
     "g45_bounded_sssp", "g46_triad_census", "p15_join_size_audit",
-    "q33_correlated_scalar", "x12_zorder_index")
+    "q33_correlated_scalar", "x12_zorder_index",
+    // round 12: parity BFS, cut profile, landmark index, Gini/MAD/
+    // contingency audits, collocation lift, compaction plan, MERGE
+    // apply, SQ8 two-stage rerank
+    "g50_bipartite_check", "g51_partition_edgecut",
+    "g52_landmark_distances", "p16_skew_gini", "p17_mad_outliers",
+    "p18_contingency_lift", "t41_collocations", "x14_compaction_plan",
+    "x15_merge_upsert", "s18_sq8_ann")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

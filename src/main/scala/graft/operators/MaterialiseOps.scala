@@ -3089,6 +3089,146 @@ object MaterialiseOps extends QueryModule {
       |FROM ranked WHERE rn = 1 ORDER BY u, v""".stripMargin
   }
 
+  /** g53 — the chemicals_and_diseases notebook's OpenTargets rollup
+    * (`notebooks/chemicals_and_diseases.ipynb`, cells 2-3): a 3-hop
+    * MIXED-DIRECTION chain
+    * `(chemical)-[:biolink:affects]->(gene)<-[:otar:targetId]-(evidence)
+    *  -[:otar:diseaseId]->(disease)` with a MID-CHAIN float threshold on
+    * the evidence binding (`toFloat(evidence.otar:score[0]) >= 0.9`) and
+    * the per-(chemical, disease) rollup
+    * `collect(DISTINCT gene) / count(DISTINCT gene) / avg(score)` — the
+    * one reference workload shape no gate composed until now
+    * (g48 = chain, g14 = score cast; neither = threshold-on-intermediate
+    * + DISTINCT-collect of a MIDDLE binding).
+    *
+    * TPC-H graph fixture: chemicals = MACHINERY customers with
+    * `c_custkey % 20 = 3` (the notebook's 4-id seed list generalised);
+    * genes = parts, `biolink:affects` = distinct customer→part purchase
+    * pairs (orders⋈lineitem), with the SAME pairs re-typed
+    * `biolink:other_rel` at partkey+1 pinning the hop-1 type filter;
+    * evidence = distinct lineitem (orderkey, linenumber, partkey,
+    * suppkey) tuples (the first two alone are NOT unique here) whose
+    * `otar:score` string is `0.<centi>` with
+    * centi = (l_orderkey·31 + l_linenumber·7) % 100 — two-decimal
+    * strings so the `>= 0.9` parse-and-compare is exact in both engines;
+    * diseases = suppliers. Direction decoys: a REVERSED
+    * `otar:targetId` edge (part+1 → evidence) that only a wrongly-"out"
+    * hop 2 can see, and a reversed `otar:diseaseId` (supplier+1 →
+    * evidence) that only a wrongly-"in" hop 3 can see. The rollup emits
+    * the gene list as a '|'-joined sorted-distinct string and avg_score
+    * as ONE IEEE division of exact integers (Σcenti / (100·n)) so the
+    * float column hashes identically across engines regardless of
+    * summation order. Scale shape: three vertex-id equi-joins + one
+    * map-combinable grouped aggregate; the seed set prunes hop 1 before
+    * anything wide happens. */
+  def chemDiseases(s: SparkSession, d: String): DataFrame = {
+    import graft.query.Query.Hop
+    // evidence universe = DISTINCT (orderkey, linenumber, partkey, suppkey)
+    // tuples — (orderkey, linenumber) alone is NOT unique in the synthetic
+    // data (11,785 duplicate pairs at sf0.01), so the node id carries the
+    // full tuple to stay collision-free at every SF
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .select(
+        concat(lit("e:"), graft.core.Pad.col9(col("l_orderkey")), lit(":"),
+          col("l_linenumber").cast("string"), lit(":"),
+          graft.core.Pad.col9(col("l_partkey")), lit(":"),
+          graft.core.Pad.col9(col("l_suppkey"))).as("ev"),
+        node("p:", col("l_partkey")).as("gene"),
+        node("p:", col("l_partkey") + 1).as("geneShift"),
+        node("s:", col("l_suppkey")).as("disease"),
+        node("s:", col("l_suppkey") + 1).as("diseaseShift"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100).cast("long").as("centi"))
+    val affects = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(node("c:", col("o_custkey")).as("chem"),
+        node("p:", col("l_partkey")).as("gene"),
+        node("p:", col("l_partkey") + 1).as("geneShift"))
+      .distinct()
+    val edge = (f: Column, t: Column, et: String) =>
+      f.as("fromNodeId") :: t.as("toNodeId") :: lit(et).as("edgeType") :: Nil
+    val edges = affects.select(edge(col("chem"), col("gene"), "biolink:affects"): _*)
+      .union(affects.select(edge(col("chem"), col("geneShift"), "biolink:other_rel"): _*))
+      .union(li.select(edge(col("ev"), col("gene"), "otar:targetId"): _*))
+      .union(li.select(edge(col("geneShift"), col("ev"), "otar:targetId"): _*))
+      .union(li.select(edge(col("ev"), col("disease"), "otar:diseaseId"): _*))
+      .union(li.select(edge(col("diseaseShift"), col("ev"), "otar:diseaseId"): _*))
+    val chems = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 20 === 3)
+      .select(node("c:", col("c_custkey")).as("chemical"), col("c_name").as("chem_nm"))
+    // evidence property recovery feed: the '0.xy' score string plus its
+    // exact integer centi twin (the avg is computed from the integers)
+    val evScore = li.select(col("ev").as("evidence"),
+      concat(lit("0."), lpad(col("centi").cast("string"), 2, "0")).as("score_str"),
+      col("centi"))
+    val names = Tables.part(s, d)
+      .select(node("p:", col("p_partkey")).as("gene"), col("p_name").as("gene_nm"))
+    val diseaseNames = Tables.supplier(s, d)
+      .select(node("s:", col("s_suppkey")).as("disease"), col("s_name").as("disease_nm"))
+    otarRollup(edges, chems, evScore, names, diseaseNames)
+  }
+
+  /** The chemicals_and_diseases composition itself, fixture-independent
+    * (spec-driven on hand graphs): matchChain over the 3 mixed-direction
+    * hops, evidence-score recovery join, the notebook's
+    * `toFloat(score[0]) >= 0.9` mid-chain threshold, then the
+    * per-(chemical, disease) DISTINCT-collect rollup. `chems` needs
+    * (chemical, chem_nm); `evScore` (evidence, score_str, centi);
+    * `geneNames` (gene, gene_nm); `diseaseNames` (disease, disease_nm). */
+  private[graft] def otarRollup(edges: DataFrame, chems: DataFrame,
+      evScore: DataFrame, geneNames: DataFrame,
+      diseaseNames: DataFrame): DataFrame = {
+    import graft.query.Query.Hop
+    val noTypes = chems.select(col("chemical").as("nodeId"),
+      lit("x").as("nodeType")).limit(0)
+    val paths = Query.matchChain(edges, noTypes,
+      chems.select(col("chemical")), "chemical", Seq(
+        Hop(Seq("biolink:affects"), "out", "gene"),
+        Hop(Seq("otar:targetId"), "in", "evidence"),
+        Hop(Seq("otar:diseaseId"), "out", "disease")))
+    paths.join(evScore, "evidence")
+      .where(col("score_str").cast("double") >= 0.9)
+      .join(geneNames, "gene").join(diseaseNames, "disease")
+      .join(chems, "chemical")
+      .groupBy(col("chem_nm").as("chemical"), col("disease_nm").as("disease_name"))
+      .agg(
+        array_join(sort_array(collect_set(col("gene_nm"))), "|").as("genes"),
+        countDistinct(col("gene")).as("num_genes"),
+        (sum(col("centi")).cast("double") / (count(lit(1)) * 100.0)).as("avg_score"))
+      .select(col("chemical"), col("disease_name").as("disease"),
+        col("genes"), col("num_genes"), col("avg_score"))
+      .orderBy(col("chemical"), col("disease"))
+  }
+
+  val chemDiseasesSql: String =
+    s"""WITH li AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    (l_orderkey * 31 + l_linenumber * 7) % 100 AS centi
+      |  FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey, l_suppkey
+      |        FROM lineitem)),
+      |chem AS (
+      |  SELECT c_custkey, c_name FROM customer
+      |  WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 20 = 3),
+      |affects AS (
+      |  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |paths AS (
+      |  SELECT ch.c_name AS chemical, p.p_name AS gene_nm, li.l_partkey AS gene_key,
+      |    s.s_name AS disease, li.centi
+      |  FROM chem ch
+      |  JOIN affects a ON a.ck = ch.c_custkey
+      |  JOIN li ON li.l_partkey = a.pk
+      |  JOIN part p ON p.p_partkey = li.l_partkey
+      |  JOIN supplier s ON s.s_suppkey = li.l_suppkey
+      |  WHERE CAST('0.' || lpad(CAST(li.centi AS VARCHAR), 2, '0') AS DOUBLE) >= 0.9)
+      |SELECT chemical, disease,
+      |  string_agg(DISTINCT gene_nm, '|' ORDER BY gene_nm) AS genes,
+      |  CAST(count(DISTINCT gene_key) AS BIGINT) AS num_genes,
+      |  CAST(sum(centi) AS DOUBLE) / (count(*) * 100.0) AS avg_score
+      |FROM paths GROUP BY chemical, disease
+      |ORDER BY chemical, disease""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -3140,5 +3280,6 @@ object MaterialiseOps extends QueryModule {
     "g50_bipartite_check" -> QueryDef(bipartiteCheck, Some(bipartiteCheckSql)),
     "g51_partition_edgecut" -> QueryDef(partitionEdgeCut, Some(partitionEdgeCutSql)),
     "g52_landmark_distances" -> QueryDef(landmarkDistances, Some(landmarkDistancesSql)),
+    "g53_chem_diseases" -> QueryDef(chemDiseases, Some(chemDiseasesSql)),
   )
 }

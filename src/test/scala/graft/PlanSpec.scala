@@ -271,6 +271,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "a chain hop degenerated to NLJ")
   }
 
+  test("g53: chem-disease chain + rollup joins stay equi-joins, never all-pairs") {
+    val p = plan("g53_chem_diseases")
+    assert(!p.contains("CartesianProduct"), "a chain hop degenerated to all-pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "a chain hop degenerated to NLJ")
+  }
+
   test("g49: sweep rounds stay equi-joins; only the two 1-row label crossJoins remain") {
     // the BFS rounds checkpoint eagerly, so the gate's own plan is the
     // output-assembly tail: two (1-row argmax) × (1-row count) cross

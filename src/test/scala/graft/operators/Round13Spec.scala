@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-13 semantics pins, starting with the chemicals_and_diseases
+  * notebook composition (g53): every decoy axis of the 3-hop
+  * mixed-direction chain, the mid-chain score threshold, and the
+  * DISTINCT-collect rollup, on a hand graph where the expected output is
+  * computable by eye.
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("g53 composition: type/direction decoys, threshold, DISTINCT rollup") {
+    // chain: c1 -affects-> {gA, gB}; evidence rows target genes and point
+    // at diseases; decoys cover each semantic axis:
+    //  * c1 -other_rel-> gX  — hop-1 TYPE decoy (eX behind it scores 0.99)
+    //  * gA -targetId-> e4   — hop-2 DIRECTION decoy (real evidence node;
+    //                          a wrongly-"out" hop 2 reaches d2 via gA)
+    //  * d9 -diseaseId-> e1  — hop-3 DIRECTION decoy (a wrongly-"in"
+    //                          hop 3 reports d9 as a disease)
+    //  * e2 scores 0.50      — the mid-chain threshold must drop it
+    val edges = Seq(
+      ("c1", "gA", "biolink:affects"),
+      ("c1", "gB", "biolink:affects"),
+      ("c1", "gX", "biolink:other_rel"),
+      ("e1", "gA", "otar:targetId"),
+      ("e2", "gA", "otar:targetId"),
+      ("e3", "gB", "otar:targetId"),
+      ("e4", "gB", "otar:targetId"),
+      ("eX", "gX", "otar:targetId"),
+      ("gA", "e4", "otar:targetId"),
+      ("e1", "d1", "otar:diseaseId"),
+      ("e2", "d1", "otar:diseaseId"),
+      ("e3", "d1", "otar:diseaseId"),
+      ("e4", "d2", "otar:diseaseId"),
+      ("eX", "d1", "otar:diseaseId"),
+      ("d9", "e1", "otar:diseaseId"))
+      .toDF("fromNodeId", "toNodeId", "edgeType")
+    val chems = Seq(("c1", "metformin")).toDF("chemical", "chem_nm")
+    val evScore = Seq(
+      ("e1", "0.95", 95L), ("e2", "0.50", 50L),
+      ("e3", "0.91", 91L), ("e4", "0.93", 93L), ("eX", "0.99", 99L))
+      .toDF("evidence", "score_str", "centi")
+    val geneNames = Seq(("gA", "INS"), ("gB", "PRKAB1"), ("gX", "DECOY"))
+      .toDF("gene", "gene_nm")
+    val diseaseNames = Seq(("d1", "T2D"), ("d2", "PCOS"), ("d9", "WRONGDIR"))
+      .toDF("disease", "disease_nm")
+    val out = MaterialiseOps.otarRollup(edges, chems, evScore, geneNames, diseaseNames)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // d1 gets e1 (gA, 0.95) + e3 (gB, 0.91) — e2 thresholded out, eX only
+    // reachable through the wrong-typed hop-1 edge; d2 gets e4 (gB, 0.93)
+    assert(out === Seq(
+      ("metformin", "PCOS", "PRKAB1", 1L, 0.93),
+      ("metformin", "T2D", "INS|PRKAB1", 2L, (95.0 + 91.0) / 200.0)),
+      s"rollup mismatch: $out")
+  }
+
+  test("g53 rollup: DISTINCT collapses repeat gene evidence; avg keeps multiplicity") {
+    // two evidence rows for the SAME (chemical, gene, disease): the gene
+    // list and num_genes must collapse to one, the avg must use both —
+    // the exact distinction between collect(DISTINCT)/count(DISTINCT)
+    // and avg over match rows in the notebook's Cypher
+    val edges = Seq(
+      ("c1", "gA", "biolink:affects"),
+      ("e1", "gA", "otar:targetId"),
+      ("e2", "gA", "otar:targetId"),
+      ("e1", "d1", "otar:diseaseId"),
+      ("e2", "d1", "otar:diseaseId"))
+      .toDF("fromNodeId", "toNodeId", "edgeType")
+    val chems = Seq(("c1", "chem")).toDF("chemical", "chem_nm")
+    val evScore = Seq(("e1", "0.90", 90L), ("e2", "0.96", 96L))
+      .toDF("evidence", "score_str", "centi")
+    val geneNames = Seq(("gA", "G")).toDF("gene", "gene_nm")
+    val diseaseNames = Seq(("d1", "D")).toDF("disease", "disease_nm")
+    val out = MaterialiseOps.otarRollup(edges, chems, evScore, geneNames, diseaseNames)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out === Seq(("G", 1L, (90.0 + 96.0) / 200.0)), s"got $out")
+  }
+
+  test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
+    val edges = Seq(
+      ("c1", "gA", "biolink:affects"),
+      ("e1", "gA", "otar:targetId"),
+      ("e1", "d1", "otar:diseaseId"))
+      .toDF("fromNodeId", "toNodeId", "edgeType")
+    val chems = Seq(("c1", "chem")).toDF("chemical", "chem_nm")
+    val evScore = Seq(("e1", "0.90", 90L)).toDF("evidence", "score_str", "centi")
+    val out = MaterialiseOps.otarRollup(edges, chems, evScore,
+      Seq(("gA", "G")).toDF("gene", "gene_nm"),
+      Seq(("d1", "D")).toDF("disease", "disease_nm")).count()
+    assert(out === 1L, "the boundary score 0.90 must pass the >= 0.9 filter")
+  }
+}

@@ -517,14 +517,21 @@ object XmlOps extends QueryModule {
     * deterministically from events: per user, total activity value (in
     * exact cents) plus the LAST event type by (ts, event_id) — a last
     * type of 'error' means the account closes (delete), anything else
-    * upserts the balance delta; a second feed at `user_id + 1450`
-    * models new accounts, landing above the base key range at every SF
-    * so all three arms fire. Execution is the scale shape MERGE should
-    * be: the changelog collapses to ONE row per key map-side, then a
-    * single full-outer equi-join against the base keyed by the primary
-    * key — no per-row lookups, no driver loop; at 100 TB this is one
-    * co-partitionable shuffle, and with both sides bucketed by key it
-    * is shuffle-free. Balances stay integer cents end to end. */
+    * upserts the balance delta; a second feed at `user_id + offset`
+    * models new accounts, where offset = max(max user_id, max
+    * c_custkey) + 1 is DERIVED FROM THE DATA (the x14 1-row bounded
+    * collect pattern) so the synthetic keys land above BOTH key ranges
+    * at every SF — a fixed literal collided with real keys at sf0.1,
+    * double-writing 50 primary keys and letting a synthetic upsert
+    * survive a real delete. The MERGE contract (at most one changelog
+    * row per key) is enforced inside [[mergeApply]] with a raise_error
+    * guard, mirroring Delta/Iceberg MERGE's duplicate-source-row error.
+    * Execution is the scale shape MERGE should be: the changelog
+    * collapses to ONE row per key map-side, then a single full-outer
+    * equi-join against the base keyed by the primary key — no per-row
+    * lookups, no driver loop; at 100 TB this is one co-partitionable
+    * shuffle, and with both sides bucketed by key it is shuffle-free.
+    * Balances stay integer cents end to end. */
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = (c: org.apache.spark.sql.Column) =>
@@ -537,29 +544,49 @@ object XmlOps extends QueryModule {
     val perUser = ev.groupBy("user_id").agg(sum(col("v")).as("v_cents"))
       .join(ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("lt")), "user_id")
-    val chg = perUser.select(col("user_id").as("k"),
-        when(col("lt") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
-        col("v_cents"))
-      .unionByName(perUser.select((col("user_id") + 1450).as("k"),
-        lit("upsert").as("op"), col("v_cents")))
     val base = Tables.customer(s, d).select(col("c_custkey").as("k"),
       col("c_name").as("name"), cents(col("c_acctbal")).as("bal_cents"),
       col("c_mktsegment").as("seg"))
+    // 1-row bounded driver read (house rule: scalars may collect): the
+    // synthetic new-account feed must start above BOTH key ranges
+    def maxKey(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        .getOrElse(0L)
+    val off = math.max(maxKey(ev, "user_id"), maxKey(base, "k")) + 1L
+    val chg = perUser.select(col("user_id").as("k"),
+        when(col("lt") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
+        col("v_cents"))
+      .unionByName(perUser.select((col("user_id") + off).as("k"),
+        lit("upsert").as("op"), col("v_cents")))
     mergeApply(base, chg).orderBy(col("k"))
   }
 
   /** The three MERGE arms over explicit base (k, name, bal_cents, seg)
     * and changelog (k, op, v_cents) frames — property-tested on a hand
     * fixture where every arm (update, delete, insert, unmatched-delete
-    * no-op) fires. One full-outer equi-join; the arms are projections. */
-  private[graft] def mergeApply(base: DataFrame, chg: DataFrame): DataFrame =
-    base.join(chg, Seq("k"), "full_outer")
+    * no-op) fires. One full-outer equi-join; the arms are projections.
+    * A changelog carrying TWO rows for one key raises at execution time
+    * (Delta/Iceberg MERGE's duplicate-source-row error) — the guard is a
+    * per-key count window whose hash partitioning the subsequent join on
+    * the same key reuses, so the check adds no extra shuffle. */
+  private[graft] def mergeApply(base: DataFrame, chg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = chg
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .select(col("k"),
+        when(col("_n") > 1, raise_error(concat(
+          lit("MERGE: changelog has multiple rows for key "),
+          col("k").cast("string")))).otherwise(col("op")).as("op"),
+        col("v_cents"))
+    base.join(guarded, Seq("k"), "full_outer")
       .where(col("op").isNull || col("op") =!= "delete")
       .select(col("k"),
         coalesce(col("name"), concat(lit("NEW#"), col("k").cast("string"))).as("name"),
         (coalesce(col("bal_cents"), lit(0L)) + coalesce(col("v_cents"), lit(0L)))
           .as("bal_cents"),
         coalesce(col("seg"), lit("STREAM")).as("seg"))
+  }
 
   val mergeUpsertSql: String =
     """WITH ev AS (
@@ -575,11 +602,14 @@ object XmlOps extends QueryModule {
       |            ORDER BY us DESC, event_id DESC) AS rn
       |        FROM ev) l
       |    ON l.user_id = s.user_id AND l.rn = 1),
+      |off AS (
+      |  SELECT GREATEST((SELECT COALESCE(max(user_id), 0) FROM ev),
+      |                  (SELECT COALESCE(max(c_custkey), 0) FROM customer)) + 1 AS o),
       |chg AS (
       |  SELECT user_id AS k,
       |    CASE WHEN lt = 'error' THEN 'delete' ELSE 'upsert' END AS op, v_cents
       |  FROM pu
-      |  UNION ALL SELECT user_id + 1450, 'upsert', v_cents FROM pu),
+      |  UNION ALL SELECT user_id + o, 'upsert', v_cents FROM pu CROSS JOIN off),
       |base AS (
       |  SELECT c_custkey AS k, c_name AS name,
       |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,

@@ -133,4 +133,36 @@ class FormatsSpec extends SparkSpec {
       (3L, "carol", 300L, "SHIP"),
       (9L, "NEW#9", 55L, "STREAM")))
   }
+
+  test("x15: a changelog with two rows for one key raises (MERGE duplicate-source error)") {
+    import spark.implicits._
+    val base = Seq((1L, "alice", 100L, "AUTO")).toDF("k", "name", "bal_cents", "seg")
+    val chg = Seq((1L, "upsert", 7L), (1L, "delete", 0L)).toDF("k", "op", "v_cents")
+    val ex = intercept[Exception] {
+      XmlOps.mergeApply(base, chg).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("multiple rows for key")),
+      s"expected the duplicate-key raise, got: $ex")
+  }
+
+  test("x15: synthetic new-account feed is disjoint from real keys at the gate SF") {
+    // the round-12 ADVICE collision: a fixed +1450 offset landed INSIDE
+    // the sf0.1 user_id/custkey ranges. The data-derived offset must put
+    // every synthetic key above both ranges, so the changelog stays one
+    // row per key and the unmatched-insert arm genuinely fires.
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val out = XmlOps.mergeUpsert(spark, d)
+    val maxBase = graft.core.Tables.customer(spark, d)
+      .agg(org.apache.spark.sql.functions.max(col("c_custkey").cast("long")))
+      .collect().head.getLong(0)
+    val inserted = out.where(col("seg") === "STREAM")
+    assert(inserted.count() > 0, "the unmatched-insert arm never fired")
+    assert(inserted.where(col("k") <= maxBase).count() === 0,
+      "a synthetic insert landed inside the base key range")
+    assert(out.groupBy("k").count().where(col("count") > 1).count() === 0,
+      "duplicate primary keys in the MERGE output")
+  }
 }

@@ -2402,7 +2402,12 @@ object MaterialiseOps extends QueryModule {
     * no driver-side file walking. */
   def manifestPublish(s: SparkSession, d: String): DataFrame = {
     val dir = publishGen(s, d)
-    serveValidated(s, dir)
+    // the PUBLISHER validates its own freshly-written generation and, as
+    // the one caller that owns the directory, opts into marking it
+    // (trustOnce) — the marker is what lets the next publish compact this
+    // generation once superseded. Plain consumers call serveValidated in
+    // default mode and stay strictly read-only.
+    serveValidated(s, dir, trustOnce = true)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
@@ -2461,9 +2466,12 @@ object MaterialiseOps extends QueryModule {
     * POST-publish mutation, which any validate-once cache is blind to.
     * Callers that serve one immutable generation many times and accept
     * that narrower contract can pass `trustOnce = true`: the first
-    * successful validation drops a `_validated` marker and later serves
-    * skip the scan (the KvGenStore generation-marker pattern; the marker
-    * is also what lets [[publishGen]] compact superseded generations). */
+    * successful TRUSTED validation drops a `_validated` marker and later
+    * trustOnce serves skip the scan (the KvGenStore generation-marker
+    * pattern; the marker is also what lets [[publishGen]] compact
+    * superseded generations). Default-mode serves never touch the
+    * filesystem for writing — validation stays a pure read so read-only
+    * consumers work and never silently arm the trustOnce fast path. */
   private[graft] def serveValidated(s: SparkSession, dir: String,
                                     trustOnce: Boolean = false): DataFrame = {
     val marker = new org.apache.hadoop.fs.Path(s"$dir/_validated")
@@ -2478,7 +2486,13 @@ object MaterialiseOps extends QueryModule {
         .count() // bounded: one row per FILE, not per data row
       require(bad == 0L,
         s"manifest validation failed for $bad file(s) under $dir — refusing to serve")
-      hf.create(marker, true).close()
+      // the marker is written ONLY by callers that opted into the
+      // validate-once contract: the default path stays purely read-only
+      // (a reader with read-only access to a published generation must
+      // not throw after a clean validation), and a default-mode serve
+      // must not silently arm future trustOnce reads or publishGen
+      // compaction for callers that never opted in
+      if (trustOnce) hf.create(marker, true).close()
     }
     s.read.parquet(s"$dir/data")
   }

@@ -1411,10 +1411,16 @@ object Similarity extends QueryModule {
       .reduce(_ + _)
     val emb = quantized(s, d).withColumn("bucket", bucket)
       .select(col("vec_id"), col("bucket"), col("q"))
-    // fixed per-dataset name + location, rebuilt in place: repeated
-    // verify/bench runs reuse ONE catalog entry and ONE directory instead
-    // of leaking a UUID-named pair per invocation
-    val tbl = s"graft_bucket_idx_${Integer.toHexString(d.hashCode)}"
+    // fixed per-(session, dataset) name + location, rebuilt in place:
+    // repeated verify/bench runs within a session reuse ONE catalog entry
+    // and ONE directory instead of leaking a UUID-named pair per
+    // invocation, while the session component keeps two concurrent
+    // sessions (parallel suites, two drivers on one host) from dropping
+    // each other's table mid-scan — the round-12 ADVICE race. appId
+    // separates JVMs; identityHashCode separates sessions within one.
+    val sess = Integer.toHexString(s.sparkContext.applicationId.hashCode) +
+      Integer.toHexString(System.identityHashCode(s))
+    val tbl = s"graft_bucket_idx_${sess}_${Integer.toHexString(d.hashCode)}"
     val loc = s"${System.getProperty("java.io.tmpdir")}/$tbl"
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     val lp = new org.apache.hadoop.fs.Path(loc)

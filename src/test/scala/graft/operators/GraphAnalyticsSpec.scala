@@ -436,6 +436,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     // restore, then plant an EXTRA file the manifest never saw
     java.nio.file.Files.write(victim.toPath, bytes)
     assert(MaterialiseOps.serveValidated(spark, dir).count() === 3L, "restore serves again")
+    // the default path is purely read-only: a clean validation must NOT
+    // write the _validated marker (round-12 ADVICE — a read-only consumer
+    // would throw on the write, and a default serve must not arm the
+    // trustOnce fast path for callers that never opted in). The publisher
+    // marked this generation at publish time; remove that marker and
+    // prove the default serve does not recreate it.
+    val markerFile = new java.io.File(s"$dir/_validated")
+    assert(markerFile.exists(), "publisher must mark its own generation at publish")
+    markerFile.delete()
+    assert(MaterialiseOps.serveValidated(spark, dir).count() === 3L)
+    assert(!markerFile.exists(),
+      "default-mode serve wrote the _validated marker — the read path has a write side effect")
+    // opting in writes the marker after a successful validation
+    assert(MaterialiseOps.serveValidated(spark, dir, trustOnce = true).count() === 3L)
+    assert(markerFile.exists(),
+      "trustOnce serve must drop the marker after validating")
     Seq((9L, "zz", "xx", "spam", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/data")
@@ -444,7 +460,7 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("refusing to serve"),
       "a file the manifest never recorded must refuse, not silently serve")
-    // trustOnce: the marker from the earlier successful serve skips
+    // trustOnce: the marker from the earlier TRUSTED serve skips
     // re-validation, so the planted file IS served — the documented
     // narrower contract (immutable-generation assumption) made visible
     assert(MaterialiseOps.serveValidated(spark, dir, trustOnce = true).count() === 4L,

@@ -174,6 +174,42 @@ object Relational2 extends QueryModule {
       |  len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct_words
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q34 — REGEX-FILTERED ARRAY COMPREHENSION, the hpo notebook's
+    * id-extraction idiom (`notebooks/hpo.ipynb`:
+    * `[id in term.id WHERE id =~ "hp:[0-9]*" | id][0]`): a higher-order
+    * `filter` with an `rlike` predicate, then the first survivor.
+    * Cypher's `=~` is a FULL match, so the engine anchors the pattern
+    * (`^…$`) — the fixture places a substring-only match (`xhp:<n>`)
+    * BEFORE the real id so unanchored search semantics would pick the
+    * wrong element, and a trailing-garbage id (`hp:<n>z`) AFTER it so a
+    * prefix-only match would change the survivor count. Pure per-row
+    * scalar work: no shuffle beyond the presentation sort, codegen'd
+    * end to end. */
+  def regexArrayProjection(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array(
+        concat(lit("xhp:"), col("doc_id").cast("string")),
+        concat(lit("mp:"), col("doc_id").cast("string")),
+        concat(lit("hp:"), col("doc_id").cast("string")),
+        concat(lit("hp:"), col("doc_id").cast("string"), lit("z"))).as("ids"))
+      .select(
+        col("doc_id"),
+        element_at(expr("filter(ids, x -> x rlike '^hp:[0-9]*$')"), 1).as("from_id"),
+        size(expr("filter(ids, x -> x rlike '^hp:[0-9]*$')")).cast("long").as("n_hp"))
+      .orderBy(col("doc_id"))
+
+  val regexArrayProjectionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    ['xhp:' || CAST(doc_id AS VARCHAR), 'mp:' || CAST(doc_id AS VARCHAR),
+      |     'hp:' || CAST(doc_id AS VARCHAR), 'hp:' || CAST(doc_id AS VARCHAR) || 'z'] AS ids
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_filter(ids, x -> regexp_full_match(x, 'hp:[0-9]*'))[1] AS from_id,
+      |  CAST(len(list_filter(ids, x -> regexp_full_match(x, 'hp:[0-9]*'))) AS BIGINT) AS n_hp
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** Spark 4 VariantType path for polymorphic JSON (SURVEY §1.5 suggests
     * Variant as the alternative to string+kind tagging): parse once,
     * extract typed. */
@@ -528,6 +564,7 @@ object Relational2 extends QueryModule {
     "q31_rollup" -> QueryDef(ordersRollup, Some(ordersRollupSql)),
     "q32_null_antijoin" -> QueryDef(nullAntijoin, Some(nullAntijoinSql)),
     "q33_correlated_scalar" -> QueryDef(correlatedScalar, Some(correlatedScalarSql)),
+    "q34_regex_array_projection" -> QueryDef(regexArrayProjection, Some(regexArrayProjectionSql)),
   )
 }
 

@@ -80,6 +80,18 @@ class Round13Spec extends SparkSpec {
     assert(out === Seq(("G", 1L, (90.0 + 96.0) / 200.0)), s"got $out")
   }
 
+  test("q34: the regex projection is a FULL match (Cypher =~), not a search") {
+    // ids for doc 7: [xhp:7, mp:7, hp:7, hp:7z] — unanchored search
+    // semantics would keep xhp:7/hp:7z and surface xhp:7 first
+    val row = Relational2.regexArrayProjection(spark, "/root/testdata/sf0.001")
+      .where(col("doc_id") === 7L).collect()
+    assert(row.length === 1)
+    assert(row.head.getString(1) === "hp:7",
+      s"anchoring lost: picked ${row.head.getString(1)} — substring match leaked through")
+    assert(row.head.getLong(2) === 1L,
+      "exactly one id full-matches hp:[0-9]* — search semantics kept decoys")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -34,10 +34,17 @@ import org.apache.spark.sql.functions._
   * the two improves LAST re-triggers it, which is why the final fold's
   * state equals the batch unroll at final prices.
   *
-  * Scale note: the per-fold cost merge (groupBy (u,v) over accumulated
-  * contributions) is the one full-width step; bucket `edges.parquet` by
-  * (u, v) on a real cluster and it is a partition-local merge, the same
-  * discipline as the KV store's bucketed generations.
+  * Scale note: per-(u,v) counts are MAINTAINED STATE
+  * (`counts.parquet/batch=<id>` holds the merged snapshot as of that
+  * batch), so each fold merges ONE prior snapshot with this batch's
+  * deltas — O(|E| + |Δ|) — instead of re-aggregating every historical
+  * `batch=` partition (O(Σ|Δ_i|), quadratic over a run; the round-12
+  * verdict's finding). The merge itself is the one full-width step per
+  * fold; bucket the snapshot by (u, v) on a real cluster and it is
+  * partition-local, the same discipline as the KV store's bucketed
+  * generations. Snapshots are retained per batch for idempotent
+  * re-delivery (a re-folded batch reads the snapshot strictly before
+  * its own id); a deployment would compact old ones with the x14 plan.
   *
   * The serving read takes min c per (seed, node) over all levels,
   * filtered to the CURRENT seed set (seed churn resolves at read, as in
@@ -48,10 +55,24 @@ object IncrementalSssp {
 
   private def edgesPath(dir: String) = s"$dir/edges.parquet"
   private def distsPath(dir: String) = s"$dir/dists.parquet"
+  private def countsPath(dir: String) = s"$dir/counts.parquet"
 
   private def exists(s: SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Largest merged-count snapshot id strictly before `batchId` — a
+    * directory listing (partition names), never a data scan. */
+  private def priorSnapshot(s: SparkSession, dir: String, batchId: Long): Option[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(countsPath(dir))
+    val hf = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hf.exists(hp)) None
+    else hf.listStatus(hp).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+      .filter(_ < batchId)
+      .sorted.lastOption
   }
 
   private def sym(e: DataFrame): DataFrame =
@@ -64,19 +85,24 @@ object IncrementalSssp {
     val newCnt = pairsCnt.select(col("u"), col("v"), col("cnt").cast("long").as("cnt"))
       .localCheckpoint() // written below; never reads its own partition
     newCnt.write.mode(SaveMode.Overwrite).parquet(s"${edgesPath(dir)}/batch=$batchId")
-    val prior =
-      if (exists(s, edgesPath(dir)))
-        s.read.parquet(edgesPath(dir))
-          .select(col("u"), col("v"), col("cnt"), col("batch").cast("long").as("batch"))
-          .where(col("batch") < batchId)
-          .select(col("u"), col("v"), col("cnt"))
-      else
+    // maintained merged counts: ONE prior snapshot + this batch's deltas
+    // (never a re-aggregation of all historical batch partitions)
+    val priorMerged = priorSnapshot(s, dir, batchId) match {
+      case Some(b) =>
+        s.read.schema("u BIGINT, v BIGINT, cnt BIGINT")
+          .parquet(s"${countsPath(dir)}/batch=$b")
+      case None =>
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL("u BIGINT, v BIGINT, cnt BIGINT"))
-    // current prices over the accumulated graph (bucket-by-(u,v) on a
-    // real cluster makes this merge partition-local)
-    val costE = prior.union(newCnt)
+    }
+    priorMerged.union(newCnt)
       .groupBy(col("u"), col("v")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode(SaveMode.Overwrite).parquet(s"${countsPath(dir)}/batch=$batchId")
+    // current prices over the accumulated graph, read back from the
+    // snapshot just written (parquet IS the checkpoint; bucket-by-(u,v)
+    // on a real cluster makes the merge above partition-local)
+    val costE = s.read.schema("u BIGINT, v BIGINT, cnt BIGINT")
+      .parquet(s"${countsPath(dir)}/batch=$batchId")
       .select(col("u"), col("v"), expr("1000000 div cnt").as("cost"))
     val costSym = costE.select(col("u"), col("v"), col("cost"))
       .union(costE.select(col("v").as("u"), col("u").as("v"), col("cost")))

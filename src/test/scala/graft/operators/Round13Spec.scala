@@ -92,6 +92,52 @@ class Round13Spec extends SparkSpec {
       "exactly one id full-matches hp:[0-9]* — search semantics kept decoys")
   }
 
+  test("g38 walk-draw uniformity: step choices are ~uniform on a fixed-degree fixture") {
+    // The estimate-vs-truth discipline extended to the walk family (the
+    // round-12 verdict's item 7): the sketch specs caught three hash
+    // degeneracies that mirrored oracles were structurally blind to
+    // (g32 DOULION, d12 minhash, the HLL rank collapse). Here the truth
+    // is UNIFORMITY itself: on K_40 every node has degree 39, so the
+    // 1000 draws (40 starts x 25 steps) must spread over ranks 1..39
+    // like 1000 uniform draws would — a chi-square bound far above
+    // random fluctuation but far below any mod-degeneracy (the old
+    // linear draw collapsed onto a handful of residues, chi2 >> 1000).
+    val n = 40
+    val pairs = (for { u <- 0 until n; v <- u + 1 until n } yield (u.toLong, v.toLong))
+      .toDF("u", "v")
+    val steps = 25
+    val walks = MaterialiseOps.walksOf(pairs, steps)
+      .select(col("start"), col("node"), col("step")).localCheckpoint()
+    val adj = pairs.select(col("u").as("node"), col("v").as("nbr"))
+      .union(pairs.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ranked = MaterialiseOps.rankedAdjacency(adj, deg)
+    // recover each draw's chosen rank: step i's node is the nbr picked
+    // from step i-1's node
+    val prev = walks.select(col("start"), col("node").as("pnode"),
+      (col("step") + 1).as("step"))
+    val ranks = walks.where(col("step") >= 1)
+      .join(prev, Seq("start", "step"))
+      .join(ranked.select(col("node").as("pnode"), col("nbr").as("node"), col("rn")),
+        Seq("pnode", "node"))
+      .groupBy(col("rn")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val draws = ranks.values.sum
+    assert(draws === (n * steps).toLong, s"expected ${n * steps} draws, got $draws")
+    val degN = (n - 1).toLong
+    val e = draws.toDouble / degN
+    val chi2 = (1L to degN).map(r => {
+      val o = ranks.getOrElse(r, 0L).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    // df = 38: mean 38, sd ~8.7; 100 is ~7 sd above the mean yet any
+    // residue collapse scores in the thousands
+    assert(chi2 < 100.0, f"step-choice frequencies far from uniform: chi2=$chi2%.1f " +
+      s"over $degN ranks (counts ${ranks.toSeq.sortBy(_._1)})")
+    assert(ranks.size === degN.toInt,
+      s"only ${ranks.size} of $degN ranks ever drawn — residue collapse")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

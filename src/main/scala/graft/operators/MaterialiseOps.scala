@@ -2658,7 +2658,14 @@ object MaterialiseOps extends QueryModule {
     (edges, types, names)
   }
 
-  def gwasChain(s: SparkSession, d: String): DataFrame = {
+  /** The gwas chain MINUS its final (lineitem-derived) allele hop: every
+    * binding of `(route, snp_id, disease, phenotype, massoc,
+    * mouse_gene)` reachable through the static dimension tables. This is
+    * the st52 IVM split: of the four hops only the allele edges derive
+    * from the fact table, so the join-chain product rule degenerates to
+    * ONE delta term — Δpairs ⋈ this prefix — and the prefix is computed
+    * once, not per batch. */
+  private[graft] def gwasPrefix(s: SparkSession, d: String): DataFrame = {
     import graft.query.Query.Hop
     val (edges, types, names) = gwasGraph(s, d)
     val snps = types.where(col("nodeType") === "gwas:SNP").select(col("nodeId").as("snp"))
@@ -2666,29 +2673,49 @@ object MaterialiseOps extends QueryModule {
       df.join(names.select(col("nodeId").as(id), col("name").as(out)), id)
     val assocHop = Hop(Seq("biolink:has_phenotype"), "in", "massoc",
       Some("impc:GenePhenotypeAssociation"))
-    val alleleHop = Hop(Seq("impc:mouseAlleleId"), "out", "allele", Some("impc:Allele"))
     val via = Query.matchChain(edges, types, snps, "snp", Seq(
       Hop(Seq("gwas:associated_with"), "out", "disease"),
       Hop(GwasPhenoRels, "out", "pheno"),
-      assocHop, alleleHop))
+      assocHop))
     val direct = Query.matchChain(edges, types, snps, "snp", Seq(
       Hop(Seq("gwas:associated_with"), "out", "trait"),
-      assocHop, alleleHop))
-    val viaOut = withName(withName(withName(withName(via,
-        "disease", "disease_nm"), "pheno", "pheno_nm"), "massoc", "mouse_gene"), "allele", "allele_nm")
-      .groupBy(col("snp"), col("disease_nm"), col("pheno_nm"), col("mouse_gene"))
-      .agg(count(lit(1)).as("n_alleles"), min(col("allele_nm")).as("sample_allele"))
+      assocHop))
+    withName(withName(withName(via,
+        "disease", "disease_nm"), "pheno", "pheno_nm"), "massoc", "mouse_gene")
       .select(lit("via_disease").as("route"), col("snp").as("snp_id"),
         col("disease_nm").as("disease"), col("pheno_nm").as("phenotype"),
-        col("mouse_gene"), col("n_alleles"), col("sample_allele"))
-    val directOut = withName(withName(withName(direct,
-        "trait", "trait_nm"), "massoc", "mouse_gene"), "allele", "allele_nm")
-      .groupBy(col("snp"), col("trait_nm"), col("mouse_gene"))
+        col("massoc"), col("mouse_gene"))
+      .unionByName(withName(withName(direct, "trait", "trait_nm"), "massoc", "mouse_gene")
+        .select(lit("direct").as("route"), col("snp").as("snp_id"),
+          lit("-").as("disease"), col("trait_nm").as("phenotype"),
+          col("massoc"), col("mouse_gene")))
+  }
+
+  /** Allele dimension for the final hop: `impc:Allele`-labelled parts
+    * with their names, keyed by padded part node id. */
+  private[graft] def gwasAlleles(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).where(col("p_size") < 15)
+      .select(node("p:", col("p_partkey")).as("allele"), col("p_name").as("allele_nm"))
+
+  /** Grouped rollup shared by batch g48 and streaming st52: `pairs` is
+    * the (massoc, allele) edge set — DISTINCT for batch, the per-batch
+    * NEW-distinct delta for the IVM (counts are additive and
+    * sample_allele min-mergeable over disjoint pair sets). */
+  private[graft] def gwasRollup(prefix: DataFrame, pairs: DataFrame,
+                                alleles: DataFrame): DataFrame =
+    prefix.join(pairs, "massoc").join(alleles, "allele")
+      .groupBy(col("route"), col("snp_id"), col("disease"), col("phenotype"),
+        col("mouse_gene"))
       .agg(count(lit(1)).as("n_alleles"), min(col("allele_nm")).as("sample_allele"))
-      .select(lit("direct").as("route"), col("snp").as("snp_id"),
-        lit("-").as("disease"), col("trait_nm").as("phenotype"),
+
+  def gwasChain(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(node("s:", col("l_suppkey")).as("massoc"),
+        node("p:", col("l_partkey")).as("allele"))
+      .distinct()
+    gwasRollup(gwasPrefix(s, d), pairs, gwasAlleles(s, d))
+      .select(col("route"), col("snp_id"), col("disease"), col("phenotype"),
         col("mouse_gene"), col("n_alleles"), col("sample_allele"))
-    viaOut.unionByName(directOut)
       .orderBy(col("route"), col("snp_id"), col("disease"), col("phenotype"),
         col("mouse_gene"))
   }

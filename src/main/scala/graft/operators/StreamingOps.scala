@@ -256,6 +256,14 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamBoundedSssp(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_ssssp_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.boundedSsspSql)),
+    // shares g48's oracle: the 4-hop chain's only fact-derived hop is
+    // the allele edge set, so the join-chain product rule degenerates to
+    // one delta term (new-distinct pairs x the static prefix) and the
+    // grouped deltas merge additively at read
+    "st52_stream_gwas_chain" -> QueryDef(
+      (s, d) => Streaming.streamGwasChain(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sgwas_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.gwasChainSql)),
     // shares g43's oracle: bilinear matvec deltas replay to the exact
     // batch walk counts
     "st46_stream_katz_walks" -> QueryDef(

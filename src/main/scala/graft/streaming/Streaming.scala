@@ -2157,6 +2157,92 @@ object Streaming {
       .orderBy(col("pair"), col("a"), col("b"))
   }
 
+  /** Streaming GWAS MATCH-CHAIN (st52): g48's 4-hop notebook chain
+    * maintained incrementally. The join-chain product rule says a
+    * k-way join's delta is the sum of k terms (Δ_i against the other
+    * relations' accumulated states — the st46 bilinear discipline
+    * generalised); here only ONE of the four hops derives from the fact
+    * stream (the `impc:mouseAlleleId` edges come from lineitem; the
+    * snp/disease/phenotype/assoc hops are dimension tables), so the rule
+    * degenerates to a single term: Δpairs ⋈ the STATIC prefix of all
+    * pre-allele bindings, computed once and reused every batch — the
+    * 100 TB shape, since the fact relation is the only one that grows.
+    * Two state stores: (a) the SEEN (massoc, allele) pair set, appended
+    * per batch as the anti-joined NEW-distinct delta — the per-batch
+    * partitions are DISJOINT sets, so reading them all is O(|seen|),
+    * not O(Σ batch sizes), and a redelivered batch anti-joins to an
+    * empty delta (idempotent, like st47's set state — no
+    * order-atomicity precondition); (b) per-batch grouped deltas from
+    * [[graft.operators.MaterialiseOps.gwasRollup]] — counts over
+    * disjoint pair sets are additive and sample_allele is
+    * min-mergeable, so the serving read is one grouped merge. On full
+    * replay the table equals batch g48 and shares its oracle. */
+  def streamGwasChain(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.operators.MaterialiseOps
+    val prefix = MaterialiseOps.gwasPrefix(s, d).localCheckpoint()
+    val alleles = MaterialiseOps.gwasAlleles(s, d).localCheckpoint()
+    def toPairs(li: DataFrame): DataFrame =
+      li.select(graft.core.Pad.node("s:", col("l_suppkey")).as("massoc"),
+        graft.core.Pad.node("p:", col("l_partkey")).as("allele")).distinct()
+    def fold(batchPairs: DataFrame, id: Long): Unit =
+      gwasChainFold(s, stateDir, prefix, alleles, batchPairs, id)
+    fold(toPairs(graft.core.Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold(toPairs(batch.toDF()), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    gwasChainServe(s, stateDir)
+  }
+
+  /** One st52 fold: anti-join the batch's pairs against the seen set,
+    * append the disjoint delta, and write its grouped contribution. */
+  private[graft] def gwasChainFold(s: SparkSession, stateDir: String,
+      prefix: DataFrame, alleles: DataFrame,
+      batchPairs: DataFrame, id: Long): Unit = {
+    val pairsPath = s"$stateDir/pairs.parquet"
+    val p = new org.apache.hadoop.fs.Path(pairsPath)
+    val seen =
+      if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        s.read.parquet(pairsPath)
+          .where(col("batch").cast("long") < id)
+          .select(col("massoc"), col("allele"))
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "massoc STRING, allele STRING"))
+    val newPairs = batchPairs.distinct()
+      .join(seen, Seq("massoc", "allele"), "left_anti")
+      .localCheckpoint()
+    newPairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$pairsPath/batch=$id")
+    graft.operators.MaterialiseOps.gwasRollup(prefix, newPairs, alleles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/groups.parquet/batch=$id")
+  }
+
+  /** Merge the grouped deltas: counts over disjoint pair sets add,
+    * sample_allele is min-mergeable. */
+  private[graft] def gwasChainServe(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(s"$stateDir/groups.parquet").drop("batch")
+      .groupBy(col("route"), col("snp_id"), col("disease"), col("phenotype"),
+        col("mouse_gene"))
+      .agg(sum(col("n_alleles")).as("n_alleles"),
+        min(col("sample_allele")).as("sample_allele"))
+      .orderBy(col("route"), col("snp_id"), col("disease"), col("phenotype"),
+        col("mouse_gene"))
+
   /** Re-derive the cohort matrix from any union of distinct-activity
     * partials — idempotent under overlap, exact under arbitrary splits. */
   private[graft] def retentionMerge(partials: DataFrame): DataFrame = {

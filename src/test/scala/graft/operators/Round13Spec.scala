@@ -138,6 +138,35 @@ class Round13Spec extends SparkSpec {
       s"only ${ranks.size} of $degN ranks ever drawn — residue collapse")
   }
 
+  test("st52: random pair splits with a redelivered batch replay to batch g48") {
+    // the IVM contract: per-batch folds over ARBITRARY splits of the
+    // lineitem pair set — including a full redelivery of an earlier
+    // batch under a new id, which must anti-join to an empty delta
+    // (set-state idempotence) — serve exactly the batch chain
+    val d = "/root/testdata/sf0.001"
+    val expected = MaterialiseOps.gwasChain(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val prefix = MaterialiseOps.gwasPrefix(spark, d).localCheckpoint()
+    val alleles = MaterialiseOps.gwasAlleles(spark, d).localCheckpoint()
+    val pairs = graft.core.Tables.lineitem(spark, d)
+      .select(graft.core.Pad.node("s:", col("l_suppkey")).as("massoc"),
+        graft.core.Pad.node("p:", col("l_partkey")).as("allele"))
+    val dir = java.nio.file.Files.createTempDirectory("st52spec").toString
+    val rng = new scala.util.Random(13052L)
+    val salt = rng.nextInt(97)
+    for (b <- 0 until 3)
+      graft.streaming.Streaming.gwasChainFold(spark, dir, prefix, alleles,
+        pairs.where((xxhash64(col("massoc"), col("allele"), lit(salt)) % 3 + 3) % 3 === b),
+        b.toLong)
+    // redeliver batch 1's slice under a fresh id: must change nothing
+    graft.streaming.Streaming.gwasChainFold(spark, dir, prefix, alleles,
+      pairs.where((xxhash64(col("massoc"), col("allele"), lit(salt)) % 3 + 3) % 3 === 1),
+      3L)
+    val got = graft.streaming.Streaming.gwasChainServe(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected, "IVM replay diverged from batch g48")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

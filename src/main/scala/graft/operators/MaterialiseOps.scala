@@ -3162,13 +3162,13 @@ object MaterialiseOps extends QueryModule {
     * summation order. Scale shape: three vertex-id equi-joins + one
     * map-combinable grouped aggregate; the seed set prunes hop 1 before
     * anything wide happens. */
-  def chemDiseases(s: SparkSession, d: String): DataFrame = {
-    import graft.query.Query.Hop
-    // evidence universe = DISTINCT (orderkey, linenumber, partkey, suppkey)
-    // tuples — (orderkey, linenumber) alone is NOT unique in the synthetic
-    // data (11,785 duplicate pairs at sf0.01), so the node id carries the
-    // full tuple to stay collision-free at every SF
-    val li = Tables.lineitem(s, d)
+  /** g53/st53 shared evidence universe: DISTINCT (orderkey, linenumber,
+    * partkey, suppkey) tuples — (orderkey, linenumber) alone is NOT
+    * unique in the synthetic data (11,785 duplicate pairs at sf0.01), so
+    * the node id carries the full tuple to stay collision-free at every
+    * SF. The `*Shift` columns feed the batch gate's direction decoys. */
+  private[graft] def otarEvidence(li0: DataFrame): DataFrame =
+    li0
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       .distinct()
       .select(
@@ -3181,12 +3181,27 @@ object MaterialiseOps extends QueryModule {
         node("s:", col("l_suppkey")).as("disease"),
         node("s:", col("l_suppkey") + 1).as("diseaseShift"),
         ((col("l_orderkey") * 31 + col("l_linenumber") * 7) % 100).cast("long").as("centi"))
-    val affects = Tables.orders(s, d)
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+
+  /** g53/st53 shared chem→gene purchase pairs (orders is the static
+    * order→customer dimension; `li0` is the lineitem slice in play). */
+  private[graft] def otarAffects(s: SparkSession, d: String, li0: DataFrame): DataFrame =
+    Tables.orders(s, d)
+      .join(li0, col("o_orderkey") === col("l_orderkey"))
       .select(node("c:", col("o_custkey")).as("chem"),
         node("p:", col("l_partkey")).as("gene"),
         node("p:", col("l_partkey") + 1).as("geneShift"))
       .distinct()
+
+  /** g53/st53 shared seed chemicals (the notebook's 4-id list
+    * generalised) with their names. */
+  private[graft] def otarChems(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .where(col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 20 === 3)
+      .select(node("c:", col("c_custkey")).as("chemical"), col("c_name").as("chem_nm"))
+
+  def chemDiseases(s: SparkSession, d: String): DataFrame = {
+    val li = otarEvidence(Tables.lineitem(s, d))
+    val affects = otarAffects(s, d, Tables.lineitem(s, d))
     val edge = (f: Column, t: Column, et: String) =>
       f.as("fromNodeId") :: t.as("toNodeId") :: lit(et).as("edgeType") :: Nil
     val edges = affects.select(edge(col("chem"), col("gene"), "biolink:affects"): _*)
@@ -3195,9 +3210,7 @@ object MaterialiseOps extends QueryModule {
       .union(li.select(edge(col("geneShift"), col("ev"), "otar:targetId"): _*))
       .union(li.select(edge(col("ev"), col("disease"), "otar:diseaseId"): _*))
       .union(li.select(edge(col("diseaseShift"), col("ev"), "otar:diseaseId"): _*))
-    val chems = Tables.customer(s, d)
-      .where(col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 20 === 3)
-      .select(node("c:", col("c_custkey")).as("chemical"), col("c_name").as("chem_nm"))
+    val chems = otarChems(s, d)
     // evidence property recovery feed: the '0.xy' score string plus its
     // exact integer centi twin (the avg is computed from the integers)
     val evScore = li.select(col("ev").as("evidence"),

@@ -264,6 +264,14 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamGwasChain(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sgwas_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.gwasChainSql)),
+    // shares g53's oracle: TWO fact-derived relations grow from the same
+    // stream, so the product rule keeps both bilinear terms; the
+    // DISTINCT-collect output derives at read from additive
+    // per-(chem, disease, gene) path state
+    "st53_stream_chem_diseases" -> QueryDef(
+      (s, d) => Streaming.streamChemDiseases(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_schem_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.chemDiseasesSql)),
     // shares g43's oracle: bilinear matvec deltas replay to the exact
     // batch walk counts
     "st46_stream_katz_walks" -> QueryDef(

@@ -2243,6 +2243,139 @@ object Streaming {
       .orderBy(col("route"), col("snp_id"), col("disease"), col("phenotype"),
         col("mouse_gene"))
 
+  /** Streaming CHEMICALS-AND-DISEASES ROLLUP (st53): g53's notebook
+    * chain maintained incrementally — and, unlike st52, the chain has
+    * TWO fact-derived relations growing from the same lineitem stream
+    * (the chem→gene purchase pairs AND the evidence tuples), so the
+    * product rule keeps two terms, the full bilinear discipline st46
+    * introduced for Katz:
+    *
+    *   Δpaths = Δaffects ⋈ ev_acc^new  +  affects_acc^old ⋈ Δev
+    *
+    * (prefix-new/suffix-old: the first term reads evidence INCLUDING
+    * this batch's arrivals, the second reads affects EXCLUDING them, so
+    * the Δa⋈Δe cross term lands exactly once). Both deltas are
+    * NEW-DISTINCT sets via anti-join against their seen stores —
+    * disjoint per-batch partitions, so accumulated reads are O(state)
+    * and redelivered batches fold to empty deltas. Each path row is
+    * created exactly when the LATER of its two constituents arrives,
+    * which makes the per-(chemical, disease, gene) path count and centi
+    * sum ADDITIVE state even though the gate's output aggregates are
+    * not (collect DISTINCT / count DISTINCT / avg): the serving read
+    * derives them — sorted distinct gene list, distinct gene count, and
+    * the g53 exact-integer average Σcenti / (100·Σn) — from the
+    * maintained table. The mid-chain threshold is a static property of
+    * each evidence tuple, applied at fold. On full replay the rollup
+    * equals batch g53 and shares its oracle. */
+  def streamChemDiseases(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.operators.MaterialiseOps
+    val chems = MaterialiseOps.otarChems(s, d).localCheckpoint()
+    val geneNames = graft.core.Tables.part(s, d)
+      .select(graft.core.Pad.node("p:", col("p_partkey")).as("gene"),
+        col("p_name").as("gene_nm")).localCheckpoint()
+    val diseaseNames = graft.core.Tables.supplier(s, d)
+      .select(graft.core.Pad.node("s:", col("s_suppkey")).as("disease"),
+        col("s_name").as("disease_nm")).localCheckpoint()
+    def fold(li: DataFrame, id: Long): Unit = {
+      val batchEv = MaterialiseOps.otarEvidence(li)
+        .select(col("ev"), col("gene"), col("disease"), col("centi"))
+      // restrict the pair state to seed chemicals up front (the seeds
+      // are the static broadcastable frame) — smaller seen store, same
+      // answer since the rollup joins chems anyway
+      val batchAff = MaterialiseOps.otarAffects(s, d, li)
+        .select(col("chem"), col("gene"))
+        .join(chems.select(col("chemical").as("chem")), Seq("chem"), "left_semi")
+      chemDiseasesFold(s, stateDir, chems, geneNames, diseaseNames,
+        batchEv, batchAff, id)
+    }
+    fold(graft.core.Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold(batch.toDF(), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    chemDiseasesServe(s, stateDir)
+  }
+
+  /** One st53 fold over pre-derived batch frames: `batchEv` =
+    * (ev, gene, disease, centi) evidence tuples in this batch, `batchAff`
+    * = (chem, gene) purchase pairs in this batch (already restricted to
+    * seed chemicals and joined to the static orders dim by the caller).
+    * Writes the disjoint seen-set deltas and the two bilinear path-delta
+    * terms' grouped contribution. */
+  private[graft] def chemDiseasesFold(s: SparkSession, stateDir: String,
+      chems: DataFrame, geneNames: DataFrame, diseaseNames: DataFrame,
+      batchEv: DataFrame, batchAff: DataFrame, id: Long): Unit = {
+    val evPath = s"$stateDir/ev.parquet"
+    val affPath = s"$stateDir/aff.parquet"
+    def existing(path: String, ddl: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        s.read.parquet(path)
+          .where(col("batch").cast("long") < id).drop("batch")
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+    val seenEvOld = existing(evPath, "ev STRING, gene STRING, disease STRING, centi BIGINT")
+    val seenAffOld = existing(affPath, "chem STRING, gene STRING")
+    val evDelta = batchEv.distinct()
+      .join(seenEvOld.select(col("ev")), Seq("ev"), "left_anti")
+      .localCheckpoint()
+    val affDelta = batchAff.distinct()
+      .join(seenAffOld, Seq("chem", "gene"), "left_anti")
+      .localCheckpoint()
+    evDelta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$evPath/batch=$id")
+    affDelta.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$affPath/batch=$id")
+    // the mid-chain threshold is a static per-tuple property
+    def hot(ev: DataFrame): DataFrame = ev.where(col("centi") >= 90)
+    // bilinear delta: Δa ⋈ ev^new  +  a^old ⋈ Δev  (Δa⋈Δe lands once,
+    // in the first term)
+    val evNewAcc = hot(seenEvOld.unionByName(evDelta))
+    val t1 = affDelta.join(evNewAcc, "gene")
+    val t2 = seenAffOld.join(hot(evDelta), "gene")
+    t1.unionByName(t2)
+      .join(chems.select(col("chemical").as("chem"), col("chem_nm")), "chem")
+      .join(geneNames, "gene").join(diseaseNames, "disease")
+      .groupBy(col("chem_nm").as("chemical"), col("disease_nm").as("disease_name"),
+        col("gene"), col("gene_nm"))
+      .agg(count(lit(1)).as("n"), sum(col("centi")).as("sum_centi"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/pathagg.parquet/batch=$id")
+  }
+
+  /** Serving read: the gate's DISTINCT-collect aggregates derived from
+    * the additive per-(chemical, disease, gene) path state. */
+  private[graft] def chemDiseasesServe(s: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/pathagg.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "chemical STRING, disease STRING, genes STRING, num_genes BIGINT, avg_score DOUBLE"))
+    s.read.parquet(s"$stateDir/pathagg.parquet").drop("batch")
+      .groupBy(col("chemical"), col("disease_name"))
+      .agg(
+        array_join(sort_array(collect_set(col("gene_nm"))), "|").as("genes"),
+        count_distinct(col("gene")).as("num_genes"),
+        (sum(col("sum_centi")).cast("double") / (sum(col("n")) * 100.0)).as("avg_score"))
+      .select(col("chemical"), col("disease_name").as("disease"),
+        col("genes"), col("num_genes"), col("avg_score"))
+      .orderBy(col("chemical"), col("disease"))
+  }
+
   /** Re-derive the cohort matrix from any union of distinct-activity
     * partials — idempotent under overlap, exact under arbitrary splits. */
   private[graft] def retentionMerge(partials: DataFrame): DataFrame = {

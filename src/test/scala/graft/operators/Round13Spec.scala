@@ -167,6 +167,64 @@ class Round13Spec extends SparkSpec {
     assert(got === expected, "IVM replay diverged from batch g48")
   }
 
+  test("st53 bilinear terms: every arrival order of a path's two constituents lands once") {
+    import graft.streaming.Streaming
+    val chems = Seq(("c1", "chem")).toDF("chemical", "chem_nm")
+    val gn = Seq(("gA", "G_A"), ("gB", "G_B")).toDF("gene", "gene_nm")
+    val dn = Seq(("d1", "D1")).toDF("disease", "disease_nm")
+    val dir = java.nio.file.Files.createTempDirectory("st53spec").toString
+    def ev(rows: (String, String, String, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("ev", "gene", "disease", "centi")
+    def aff(rows: (String, String)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("chem", "gene")
+    def fold(e: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame, id: Long) =
+      Streaming.chemDiseasesFold(spark, dir, chems, gn, dn, e, a, id)
+    // batch 0: pair and evidence TOGETHER (the Δa⋈Δe cross term)
+    fold(ev(("e1", "gA", "d1", 95L)), aff(("c1", "gA")), 0L)
+    // batch 1: evidence arrives AFTER its pair (old_a ⋈ Δe), plus
+    // evidence whose pair hasn't arrived yet, and a sub-threshold row
+    fold(ev(("e2", "gA", "d1", 91L), ("e3", "gB", "d1", 93L),
+      ("e4", "gA", "d1", 50L)), aff(), 1L)
+    // batch 2: the pair arrives AFTER its evidence (Δa ⋈ old_e)
+    fold(ev(), aff(("c1", "gB")), 2L)
+    // batch 3: full redelivery of batch 0 under a new id — no-op
+    fold(ev(("e1", "gA", "d1", 95L)), aff(("c1", "gA")), 3L)
+    val got = Streaming.chemDiseasesServe(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === Seq(("chem", "D1", "G_A|G_B", 2L, 279.0 / 300.0)),
+      s"bilinear fold diverged: $got")
+  }
+
+  test("st53: random row splits of lineitem replay to batch g53") {
+    import graft.streaming.Streaming
+    val d = "/root/testdata/sf0.001"
+    val expected = MaterialiseOps.chemDiseases(spark, d).collect().map(_.toSeq).toSeq
+    val chems = MaterialiseOps.otarChems(spark, d).localCheckpoint()
+    val gn = graft.core.Tables.part(spark, d)
+      .select(graft.core.Pad.node("p:", col("p_partkey")).as("gene"),
+        col("p_name").as("gene_nm")).localCheckpoint()
+    val dn = graft.core.Tables.supplier(spark, d)
+      .select(graft.core.Pad.node("s:", col("s_suppkey")).as("disease"),
+        col("s_name").as("disease_nm")).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("st53fuzz").toString
+    val li = graft.core.Tables.lineitem(spark, d)
+    val slice = (b: Int) => li.where(
+      (xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), lit(17)) % 3 + 3) % 3 === b)
+    for (b <- 0 until 3) {
+      val s0 = slice(b)
+      Streaming.chemDiseasesFold(spark, dir, chems, gn, dn,
+        MaterialiseOps.otarEvidence(s0)
+          .select(col("ev"), col("gene"), col("disease"), col("centi")),
+        MaterialiseOps.otarAffects(spark, d, s0).select(col("chem"), col("gene"))
+          .join(chems.select(col("chemical").as("chem")), Seq("chem"), "left_semi"),
+        b.toLong)
+    }
+    val got = Streaming.chemDiseasesServe(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === expected, "st53 replay diverged from batch g53")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -623,6 +623,67 @@ object XmlOps extends QueryModule {
       |WHERE op IS NULL OR op <> 'delete'
       |ORDER BY k""".stripMargin
 
+  /** x16 — DELETION VECTORS: row-level deletes applied at READ time from
+    * a position tombstone table, without rewriting a single data file —
+    * the Delta deletion-vector / Iceberg position-delete primitive, and
+    * the only sane shape for GDPR/right-to-be-forgotten deletes on a
+    * 100 TB corpus (a predicate rewrite would touch every file; the DV
+    * touches none). Positions come from the parquet reader's OWN row
+    * metadata (`_metadata.file_path`, `_metadata.row_index` — file_path,
+    * not file_name, because one write task reuses its part-file name
+    * across partition directories), so the serving read is a plain scan
+    * plus ONE anti-join on (file, position): no window, no sort, no
+    * value comparison. The delete predicate (`lang = 'de'` here) is
+    * evaluated EXACTLY ONCE, at DV-build time; the serving scan never
+    * reads the predicate column at all (PlanSpec pins `lang` out of its
+    * ReadSchema), which is what makes the tombstone value-blind — two
+    * byte-identical rows where only one is deleted stay distinguishable
+    * (spec). Scale shape: the DV is tiny (deleted positions only), sorted
+    * and broadcastable per file; engines push it to the scan as a row
+    * skip-list — here it is the anti-join Spark would plan anyway. */
+  def deletionVectors(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dv_" +
+      Integer.toHexString(d.hashCode)
+    Tables.documents(s, d)
+      .repartitionByRange(4, col("doc_id")).sortWithinPartitions(col("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
+    dvBuild(s, s"$dir/data", col("lang") === "de", s"$dir/dv")
+    dvServe(s, s"$dir/data", s"$dir/dv")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+  }
+
+  /** One predicate scan at delete time: record (file, position) of every
+    * matching row. The predicate is never consulted again. */
+  private[graft] def dvBuild(s: SparkSession, dataPath: String,
+      predicate: org.apache.spark.sql.Column, dvPath: String): Unit =
+    s.read.parquet(dataPath)
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("pos"), predicate.as("del"))
+      .where(col("del"))
+      .select(col("f"), col("pos"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dvPath)
+
+  /** The value-blind serving read: scan + one (file, position) anti-join.
+    * Deliberately projects only the serving columns so the deleted
+    * predicate column stays out of the scan. */
+  private[graft] def dvServe(s: SparkSession, dataPath: String, dvPath: String): DataFrame = {
+    val dv = s.read.parquet(dvPath)
+    s.read.parquet(dataPath)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("_metadata.file_path").as("f"), col("_metadata.row_index").as("pos"))
+      .join(dv, Seq("f", "pos"), "left_anti")
+      .drop("f", "pos")
+  }
+
+  val deletionVectorsSql: String =
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents WHERE lang <> 'de'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -637,6 +698,7 @@ object XmlOps extends QueryModule {
     "x13_time_travel" -> QueryDef(timeTravelRead, Some(timeTravelReadSql)),
     "x14_compaction_plan" -> QueryDef(compactionPlan, Some(compactionPlanSql)),
     "x15_merge_upsert" -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
+    "x16_deletion_vectors" -> QueryDef(deletionVectors, Some(deletionVectorsSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

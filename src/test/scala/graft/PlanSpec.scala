@@ -271,6 +271,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "a chain hop degenerated to NLJ")
   }
 
+  test("x16: the serving scan never reads the delete-predicate column") {
+    // the deletion-vector contract: the predicate is evaluated once at
+    // DV-build time; the SERVING read is position-only. The gate's
+    // returned plan is the serve side (the build is an action inside the
+    // gate), so no ReadSchema in it may include `lang`.
+    val p = plan("x16_deletion_vectors")
+    val leaked = "ReadSchema:[^\\n]*lang".r.findFirstIn(p)
+    assert(leaked.isEmpty,
+      s"serving scan reads the predicate column: ${leaked.getOrElse("")}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the (file, position) anti-join degenerated")
+  }
+
   test("g53: chem-disease chain + rollup joins stay equi-joins, never all-pairs") {
     val p = plan("g53_chem_diseases")
     assert(!p.contains("CartesianProduct"), "a chain hop degenerated to all-pairs")

@@ -225,6 +225,33 @@ class Round13Spec extends SparkSpec {
     assert(got === expected, "st53 replay diverged from batch g53")
   }
 
+  test("x16 deletion vectors are value-blind: of two byte-identical rows, only the tombstoned position dies") {
+    // a predicate- or value-keyed delete cannot distinguish identical
+    // rows — the position tombstone must
+    val dir = java.nio.file.Files.createTempDirectory("dvspec").toString
+    Seq((1L, "same", "src", 4L), (1L, "same", "src", 4L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/data")
+    spark.read.parquet(s"$dir/data")
+      .select(col("_metadata.file_path").as("f"), col("_metadata.row_index").as("pos"))
+      .where(col("pos") === 0L)
+      .write.parquet(s"$dir/dv")
+    val got = XmlOps.dvServe(spark, s"$dir/data", s"$dir/dv").collect()
+    assert(got.length === 1,
+      s"expected exactly one of the two identical rows to survive, got ${got.length}")
+  }
+
+  test("x16 dvBuild evaluates the predicate once; the serve sees post-delete state") {
+    val dir = java.nio.file.Files.createTempDirectory("dvspec2").toString
+    Seq((1L, "a", "de", 1L), (2L, "b", "en", 1L), (3L, "c", "de", 1L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/data")
+    XmlOps.dvBuild(spark, s"$dir/data", col("lang") === "de", s"$dir/dv")
+    val got = XmlOps.dvServe(spark, s"$dir/data", s"$dir/dv")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(2L), s"DV delete of lang=de rows left $got")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

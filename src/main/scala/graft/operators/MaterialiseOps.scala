@@ -3283,6 +3283,98 @@ object MaterialiseOps extends QueryModule {
       |FROM paths GROUP BY chemical, disease
       |ORDER BY chemical, disease""".stripMargin
 
+  /** g54 — TIME-RESPECTING (TEMPORAL) REACHABILITY: foremost-arrival
+    * traversal over a contact network — a hop may only use an edge dated
+    * NO EARLIER than the arrival at its source, and the arrival at the
+    * target is the edge's own date (the epidemic/influence/provenance
+    * reachability semantics; Holme & Saramäki's temporal-network
+    * "foremost journey"). Static reachability (g10/g42) overstates
+    * influence on any time-stamped graph because it happily walks
+    * backwards in time; this gate pins the restriction.
+    *
+    * Fixture: the bipartite purchase contact network — customer↔part
+    * edges dated by o_orderdate (distinct (c, p, date) triples, both
+    * directions); seeds are `c_custkey % 100 = 1` customers, each
+    * starting at their OWN first purchase date. Exactly [[TemporalRounds]]
+    * relaxation rounds, mirrored 1:1 by the oracle's unrolled
+    * MATERIALIZED CTE chain (the bounded-round-oracle rule: engine
+    * rounds == oracle unroll, min-merged identically), so ≤3-hop
+    * foremost arrivals are exact on both engines. Scale shape: each
+    * round is ONE equi-join on the frontier's node id with a residual
+    * date comparison, min-merged per (seed, node) — semi-naive (settled
+    * nodes stop shuffling), loop-carried state through the stats-clamped
+    * Iterate.save; arrival timestamps are min-mergeable so rounds are
+    * map-combinable. */
+  private[graft] val TemporalRounds = 3
+
+  def temporalReachability(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(node("c:", col("o_custkey")).as("c"),
+        node("p:", col("l_partkey")).as("p"), col("o_orderdate").as("dt"))
+      .distinct()
+    val edges = e0.select(col("c").as("from"), col("p").as("to"), col("dt"))
+      .union(e0.select(col("p").as("from"), col("c").as("to"), col("dt")))
+      .localCheckpoint() // static contact set, probed every round
+    val seeds = Tables.orders(s, d).where(col("o_custkey") % 100 === 1)
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("arr"))
+      .select(node("c:", col("o_custkey")).as("seed"),
+        node("c:", col("o_custkey")).as("node"), col("arr"))
+    temporalReachabilityOf(edges, seeds, TemporalRounds)
+      .orderBy(col("seed"), col("node"))
+  }
+
+  /** The bounded foremost-arrival relaxation over explicit
+    * (from, to, dt) contact edges and (seed, node, arr) starts —
+    * factored so the spec can pin the time-respecting restriction on a
+    * hand graph. Exactly `rounds` semi-naive rounds (== the oracle's
+    * unroll). */
+  private[graft] def temporalReachabilityOf(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds.localCheckpoint()
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val cand = frontier
+        .join(edges, frontier("node") === edges("from") && edges("dt") >= frontier("arr"))
+        .select(col("seed"), col("to").as("node"), col("dt").as("a2"))
+        .groupBy(col("seed"), col("node")).agg(min(col("a2")).as("a2"))
+      val improved = graft.core.Iterate.save(
+        cand.join(dist, Seq("seed", "node"), "left")
+          .where(col("arr").isNull || col("a2") < col("arr"))
+          .select(col("seed"), col("node"), col("a2").as("arr")), 0, r)
+      dist = graft.core.Iterate.save(
+        dist.join(improved, Seq("seed", "node"), "left_anti").union(improved), 0, r)
+      frontier = improved
+    }
+    dist
+  }
+
+  val temporalReachabilitySql: String = {
+    def round(i: Int, prev: String): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT seed, node, min(arr) AS arr FROM (
+         |    SELECT seed, node, arr FROM $prev
+         |    UNION ALL
+         |    SELECT d.seed, ee.t AS node, ee.dt AS arr
+         |    FROM $prev d JOIN ee ON ee.f = d.node AND ee.dt >= d.arr)
+         |  GROUP BY seed, node)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+      |  SELECT DISTINCT 'c:' || ${sqlPad("o_custkey")} AS c,
+      |    'p:' || ${sqlPad("l_partkey")} AS p, o_orderdate AS dt
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |ee AS MATERIALIZED (
+      |  SELECT c AS f, p AS t, dt FROM e
+      |  UNION ALL SELECT p, c, dt FROM e),
+      |d0 AS (
+      |  SELECT 'c:' || ${sqlPad("o_custkey")} AS seed,
+      |    'c:' || ${sqlPad("o_custkey")} AS node, min(o_orderdate) AS arr
+      |  FROM orders WHERE o_custkey % 100 = 1 GROUP BY 1, 2),
+      |${round(1, "d0")},
+      |${round(2, "d1")},
+      |${round(3, "d2")}
+      |SELECT seed, node, arr FROM d3 ORDER BY seed, node""".stripMargin
+  }
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "g5_edge_materialise" -> QueryDef(edgeMaterialise, Some(edgeMaterialiseSql), bench = true, deep = true),
     "k3_id_csvs"          -> QueryDef(idCsvs, Some(idCsvsSql)),
@@ -3335,5 +3427,6 @@ object MaterialiseOps extends QueryModule {
     "g51_partition_edgecut" -> QueryDef(partitionEdgeCut, Some(partitionEdgeCutSql)),
     "g52_landmark_distances" -> QueryDef(landmarkDistances, Some(landmarkDistancesSql)),
     "g53_chem_diseases" -> QueryDef(chemDiseases, Some(chemDiseasesSql)),
+    "g54_temporal_reachability" -> QueryDef(temporalReachability, Some(temporalReachabilitySql)),
   )
 }

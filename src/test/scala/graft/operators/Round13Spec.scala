@@ -252,6 +252,28 @@ class Round13Spec extends SparkSpec {
     assert(got === Seq(2L), s"DV delete of lang=de rows left $got")
   }
 
+  test("g54: temporal reachability refuses backwards-in-time paths; foremost arrival is minimal") {
+    // s --(day 5)--> a --(day 3)--> b : statically reachable, temporally
+    // NOT (the a->b contact predates arrival at a). s reaches c on day 5
+    // via a (edge dated 6... two routes pin minimality: via a on day 6,
+    // direct on day 9 -> foremost = day 6). Same-day traversal allowed
+    // (>=): s -> e (day 1) -> f (day 1).
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2020-01-$day%02d 00:00:00")
+    val edges = Seq(
+      ("s", "a", ts(5)), ("a", "b", ts(3)),
+      ("a", "c", ts(6)), ("s", "c", ts(9)),
+      ("s", "e", ts(1)), ("e", "f", ts(1)))
+      .toDF("from", "to", "dt")
+    val seeds = Seq(("s", "s", ts(1))).toDF("seed", "node", "arr")
+    val got = MaterialiseOps.temporalReachabilityOf(edges, seeds, 3)
+      .collect().map(r => (r.getString(1), r.getTimestamp(2))).toMap
+    assert(!got.contains("b"),
+      "reached b through an edge dated BEFORE the arrival at its source")
+    assert(got("c") === ts(6), s"foremost arrival at c should be day 6, got ${got("c")}")
+    assert(got("f") === ts(1), "same-day traversal (>=) must be allowed")
+    assert(got("a") === ts(5) && got("e") === ts(1) && got("s") === ts(1))
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -264,6 +264,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamGwasChain(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sgwas_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.gwasChainSql)),
+    // shares g54's oracle: insert-only min-merge with the date-gated
+    // relaxation (improving an arrival only unlocks more contacts) and
+    // the st45 carried hop level
+    "st54_stream_temporal_reachability" -> QueryDef(
+      (s, d) => Streaming.streamTemporalReachability(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_stemp_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.temporalReachabilitySql)),
     // shares g53's oracle: TWO fact-derived relations grow from the same
     // stream, so the product rule keeps both bilinear terms; the
     // DISTINCT-collect output derives at read from additive

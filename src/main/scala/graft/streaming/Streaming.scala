@@ -2376,6 +2376,56 @@ object Streaming {
       .orderBy(col("chemical"), col("disease"))
   }
 
+  /** Streaming TEMPORAL REACHABILITY (st54): g54's bounded
+    * foremost-arrival table maintained by [[graft.pipeline
+    * .IncrementalTemporal]] — st39's insert-only min-merge discipline
+    * with the date-gated relaxation (arrivals only improve, improving
+    * an arrival only UNLOCKS more contacts, so min state is sound) and
+    * st45's carried hop level (the ≤3-edge bound). Contacts derive from
+    * the lineitem stream joined to the static orders calendar; the
+    * static seed frame re-enters every fold and roots only once. On
+    * full replay the table equals batch g54 and shares its oracle. */
+  def streamTemporalReachability(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.core.{Pad, Tables}
+    val ordersDim = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .localCheckpoint()
+    val seeds = Tables.orders(s, d).where(col("o_custkey") % 100 === 1)
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("arr"))
+      .select(Pad.node("c:", col("o_custkey")).as("seed"),
+        Pad.node("c:", col("o_custkey")).as("node"), col("arr"))
+      .localCheckpoint()
+    def contacts(li: DataFrame): DataFrame = {
+      val e0 = ordersDim.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(Pad.node("c:", col("o_custkey")).as("c"),
+          Pad.node("p:", col("l_partkey")).as("p"), col("o_orderdate").as("dt"))
+        .distinct()
+      e0.select(col("c").as("from"), col("p").as("to"), col("dt"))
+        .union(e0.select(col("p").as("from"), col("c").as("to"), col("dt")))
+    }
+    graft.pipeline.IncrementalTemporal.update(s, stateDir,
+      contacts(Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)), seeds, 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.pipeline.IncrementalTemporal.update(s, stateDir,
+          contacts(batch.toDF()), seeds, id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.pipeline.IncrementalTemporal.current(s, stateDir)
+      .orderBy(col("seed"), col("node"))
+  }
+
   /** Re-derive the cohort matrix from any union of distinct-activity
     * partials — idempotent under overlap, exact under arbitrary splits. */
   private[graft] def retentionMerge(partials: DataFrame): DataFrame = {

@@ -274,6 +274,64 @@ class Round13Spec extends SparkSpec {
     assert(got("a") === ts(5) && got("e") === ts(1) && got("s") === ts(1))
   }
 
+  test("st54: a later contact UNLOCKS an old edge — the cascade the insert-only view needs") {
+    import graft.pipeline.IncrementalTemporal
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2020-01-$day%02d 00:00:00")
+    def e(rows: (String, String, Int)*): org.apache.spark.sql.DataFrame =
+      rows.map { case (f, t, dd) => (f, t, ts(dd)) }.toDF("from", "to", "dt")
+    val seeds = Seq(("s", "s", ts(1))).toDF("seed", "node", "arr")
+    val dir = java.nio.file.Files.createTempDirectory("st54spec").toString
+    // batch 0: a→b contact on day 5 exists, but a is only reachable on
+    // day 9 — the day-5 contact is time-locked
+    IncrementalTemporal.update(spark, dir, e(("a", "b", 5), ("s", "a", 9)), seeds, 0L)
+    val after0 = IncrementalTemporal.current(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getTimestamp(2)).toMap
+    assert(!after0.contains("b"), s"b must be time-locked after batch 0: $after0")
+    assert(after0("a") === ts(9))
+    // batch 1: an EARLIER s→a contact (day 2) arrives late. arr(a)
+    // improves to 2, which UNLOCKS the day-5 a→b contact from batch 0 —
+    // the improvement must cascade through the ACCUMULATED edge set
+    IncrementalTemporal.update(spark, dir, e(("s", "a", 2)), seeds, 1L)
+    val after1 = IncrementalTemporal.current(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getTimestamp(2)).toMap
+    assert(after1("a") === ts(2), s"arrival at a must improve: $after1")
+    assert(after1.get("b").contains(ts(5)),
+      s"the unlocked old contact must now be traversed: $after1")
+    // redelivering batch 1's contact under a new id changes nothing
+    IncrementalTemporal.update(spark, dir, e(("s", "a", 2)), seeds, 2L)
+    val after2 = IncrementalTemporal.current(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getTimestamp(2)).toMap
+    assert(after2 === after1, "redelivery must be a no-op")
+  }
+
+  test("st54: random contact splits replay to batch g54") {
+    import graft.pipeline.IncrementalTemporal
+    val d = "/root/testdata/sf0.001"
+    val expected = MaterialiseOps.temporalReachability(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val seeds = graft.core.Tables.orders(spark, d).where(col("o_custkey") % 100 === 1)
+      .groupBy(col("o_custkey")).agg(min(col("o_orderdate")).as("arr"))
+      .select(graft.core.Pad.node("c:", col("o_custkey")).as("seed"),
+        graft.core.Pad.node("c:", col("o_custkey")).as("node"), col("arr"))
+      .localCheckpoint()
+    val e0 = graft.core.Tables.orders(spark, d)
+      .join(graft.core.Tables.lineitem(spark, d), col("o_orderkey") === col("l_orderkey"))
+      .select(graft.core.Pad.node("c:", col("o_custkey")).as("c"),
+        graft.core.Pad.node("p:", col("l_partkey")).as("p"), col("o_orderdate").as("dt"))
+      .distinct()
+    val contacts = e0.select(col("c").as("from"), col("p").as("to"), col("dt"))
+      .union(e0.select(col("p").as("from"), col("c").as("to"), col("dt")))
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("st54fuzz").toString
+    for (b <- 0 until 3)
+      IncrementalTemporal.update(spark, dir,
+        contacts.where((xxhash64(col("from"), col("to"), col("dt"), lit(7)) % 3 + 3) % 3 === b),
+        seeds, b.toLong)
+    val got = IncrementalTemporal.current(spark, dir)
+      .orderBy(col("seed"), col("node")).collect().map(_.toSeq).toSeq
+    assert(got === expected, "st54 replay diverged from batch g54")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -1035,6 +1035,59 @@ object ProfilerOps extends QueryModule {
       |JOIN t ON t.pair = cells.pair
       |ORDER BY cells.pair, cells.a, cells.b""".stripMargin
 
+  /** p19 — SLICE DRIFT AUDIT: the train/serve (or yesterday/today)
+    * distribution-shift screen every ML monitoring stack runs — a
+    * reference slice's value histogram compared bucket-by-bucket with a
+    * current slice's, as EXACT INTEGERS so the audit is engine-exact:
+    * per bucket, the cross-multiplied residual
+    * `drift_x = n_cur·N_ref − n_ref·N_cur` (zero exactly when the
+    * bucket's share is identical in both slices; PSI/chi² are monotone
+    * consumers of it) and the share ratio in ppm via the t41 staged
+    * fixed point (NULL when the bucket is absent from the reference —
+    * the novel-value arm a ratio cannot express). Buckets are fixed
+    * $50k-width cents ranges — deterministic arithmetic, not sampled
+    * quantiles, so the audit reproduces from the data alone. Shape:
+    * two map-combinable histograms + one tiny full-outer merge on the
+    * bucket id; totals ride a 1-row broadcast. No float logs anywhere
+    * (the p14/a12 rule) — the log-scaled PSI is downstream arithmetic
+    * over exact shares. */
+  def sliceDrift(s: SparkSession, d: String): DataFrame = {
+    val bucketed = Tables.orders(s, d)
+      .select((col("o_custkey") % 2 === 0).as("is_ref"),
+        (graft.core.Exact.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .select(col("is_ref"), expr("cents div 5000000").as("bucket"))
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    val tot = hist.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    hist.join(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        (col("n_cur") * col("t_ref") - col("n_ref") * col("t_cur")).as("drift_x"),
+        when(col("n_ref") > 0,
+          expr("((1000000 * n_cur) div n_ref) * t_ref div t_cur"))
+          .as("share_ratio_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  val sliceDriftSql: String =
+    """WITH b AS (
+      |  SELECT o_custkey % 2 = 0 AS is_ref,
+      |    (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 5000000 AS bucket
+      |  FROM orders),
+      |h AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+      |             CAST(sum(n_cur) AS BIGINT) AS t_cur FROM h)
+      |SELECT bucket, n_ref, n_cur,
+      |  CAST(n_cur * t_ref - n_ref * t_cur AS BIGINT) AS drift_x,
+      |  CASE WHEN n_ref > 0
+      |    THEN CAST(((1000000 * n_cur) // n_ref) * t_ref // t_cur AS BIGINT)
+      |  END AS share_ratio_ppm
+      |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -1054,5 +1107,6 @@ object ProfilerOps extends QueryModule {
     "p16_skew_gini" -> QueryDef(skewGini, Some(skewGiniSql)),
     "p17_mad_outliers" -> QueryDef(madOutliers, Some(madOutliersSql)),
     "p18_contingency_lift" -> QueryDef(contingencyLift, Some(contingencyLiftSql)),
+    "p19_slice_drift" -> QueryDef(sliceDrift, Some(sliceDriftSql)),
   )
 }

@@ -684,6 +684,74 @@ object XmlOps extends QueryModule {
       |FROM documents WHERE lang <> 'de'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** x17 — CHANGE DATA FEED: the row-level diff between two published
+    * generations (Delta's `table_changes` / Iceberg's changelog scan) —
+    * the read that turns snapshot republishes into incremental
+    * downstream work (re-index only what changed, x15-style MERGE feeds,
+    * cache invalidation). Generation 1 exercises all three change arms
+    * against generation 0: `de` documents are DROPPED (delete), `fr`
+    * documents have n_chars doubled (update), and a synthetic `zh` copy
+    * lands at `doc_id + max(doc_id) + 1` — the offset derived from the
+    * data per the x15 rule, never a literal that a bigger SF can
+    * collide with (insert). The ENGINE computes the feed the honest
+    * way — ONE full-outer equi-join of the two generation snapshots on
+    * the primary key, arms as projections (update detection compares
+    * the value column) — while the oracle restates the expected feed
+    * from the source predicates, so wrong diff logic cannot mirror
+    * itself green. Scale shape: one co-partitionable join keyed by the
+    * primary key, bucketable to shuffle-free; the feed is
+    * changed-rows-small. */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
+      Integer.toHexString(d.hashCode)
+    val docs = Tables.documents(s, d)
+    val off = docs.agg(max(col("doc_id"))).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(0L) + 1L
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/gen_0")
+    docs.where(col("lang") =!= "de")
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "fr", col("n_chars") * 2).otherwise(col("n_chars"))
+          .as("n_chars"))
+      .unionByName(docs.where(col("lang") === "zh")
+        .select((col("doc_id") + off).as("doc_id"), col("lang"), col("n_chars")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/gen_1")
+    val g0 = s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .parquet(s"$dir/gen_0")
+      .select(col("doc_id"), col("n_chars").as("old_chars"))
+    val g1 = s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+      .parquet(s"$dir/gen_1")
+      .select(col("doc_id"), col("n_chars").as("new_chars"))
+    cdcDiff(g0, g1).orderBy(col("doc_id"))
+  }
+
+  /** The generation diff itself: one full-outer equi-join on the key,
+    * arms as projections, unchanged rows suppressed. `g0` carries
+    * (doc_id, old_chars), `g1` (doc_id, new_chars). */
+  private[graft] def cdcDiff(g0: DataFrame, g1: DataFrame): DataFrame =
+    g0.join(g1, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_chars").isNull, "insert")
+          .when(col("new_chars").isNull, "delete")
+          .when(col("old_chars") =!= col("new_chars"), "update")
+          .otherwise("unchanged").as("change_type"),
+        col("old_chars"), col("new_chars"))
+      .where(col("change_type") =!= "unchanged")
+
+  val changeFeedSql: String =
+    """WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents)
+      |SELECT doc_id, 'delete' AS change_type,
+      |  n_chars AS old_chars, CAST(NULL AS BIGINT) AS new_chars
+      |FROM documents WHERE lang = 'de'
+      |UNION ALL
+      |SELECT doc_id, 'update', n_chars, n_chars * 2
+      |FROM documents WHERE lang = 'fr'
+      |UNION ALL
+      |SELECT doc_id + o, 'insert', NULL, n_chars
+      |FROM documents CROSS JOIN off WHERE lang = 'zh'
+      |ORDER BY doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -699,6 +767,7 @@ object XmlOps extends QueryModule {
     "x14_compaction_plan" -> QueryDef(compactionPlan, Some(compactionPlanSql)),
     "x15_merge_upsert" -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
     "x16_deletion_vectors" -> QueryDef(deletionVectors, Some(deletionVectorsSql)),
+    "x17_change_feed" -> QueryDef(changeFeed, Some(changeFeedSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

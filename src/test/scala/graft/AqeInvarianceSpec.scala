@@ -26,7 +26,10 @@ class AqeInvarianceSpec extends SparkSpec {
     "g46_triad_census",       // moment + triangle composition
     "s18_sq8_ann",            // two-stage rerank windows (round 12)
     "x15_merge_upsert",       // full-outer merge arms (round 12)
-    "g52_landmark_distances") // BFS index + pair probe (round 12)
+    "g52_landmark_distances", // BFS index + pair probe (round 12)
+    "g53_chem_diseases",      // chain + DISTINCT rollup (round 13)
+    "g54_temporal_reachability", // date-gated min-merge rounds (round 13)
+    "x17_change_feed")        // generation-diff full-outer arms (round 13)
 
   test("results are identical with adaptive execution disabled") {
     val defs = SparkEntry.allDefs

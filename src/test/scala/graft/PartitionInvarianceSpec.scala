@@ -41,7 +41,14 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g50_bipartite_check", "g51_partition_edgecut",
     "g52_landmark_distances", "p16_skew_gini", "p17_mad_outliers",
     "p18_contingency_lift", "t41_collocations", "x14_compaction_plan",
-    "x15_merge_upsert", "s18_sq8_ann")
+    "x15_merge_upsert", "s18_sq8_ann",
+    // round 13: notebook chain rollups, temporal reachability, deletion
+    // vectors, change feed, drift audit, regex array projection (the
+    // streaming twins are covered by their ≡batch shared oracles and
+    // split-replay specs — a second full streaming run here buys nothing)
+    "g53_chem_diseases", "g54_temporal_reachability",
+    "x16_deletion_vectors", "x17_change_feed", "p19_slice_drift",
+    "q34_regex_array_projection")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

@@ -189,6 +189,18 @@ class EmptyInputSpec extends SparkSpec {
       "x13 empty contract: two generation rows with zero docs and NULL sums")
   }
 
+  test("round-13 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("g53_chem_diseases", "g54_temporal_reachability",
+        "q34_regex_array_projection", "x16_deletion_vectors",
+        "x17_change_feed", "p19_slice_drift",
+        "st52_stream_gwas_chain", "st53_stream_chem_diseases",
+        "st54_stream_temporal_reachability")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

@@ -332,6 +332,35 @@ class Round13Spec extends SparkSpec {
     assert(got === expected, "st54 replay diverged from batch g54")
   }
 
+  test("x17 cdcDiff: all three change arms fire and unchanged rows are suppressed") {
+    val g0 = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "old_chars")
+    val g1 = Seq((1L, 10L), (2L, 25L), (4L, 40L)).toDF("doc_id", "new_chars")
+    val got = XmlOps.cdcDiff(g0, g1)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq(
+      (2L, "update", 20L, 25L),
+      (3L, "delete", 30L, -1L),
+      (4L, "insert", -1L, 40L)), s"diff arms wrong: $got")
+  }
+
+  test("p19: drift residuals telescope to zero and the novel-bucket arm is NULL-signalled") {
+    // ground truth independent of the oracle: sum over buckets of
+    // n_cur*T_ref - n_ref*T_cur = T_cur*T_ref - T_ref*T_cur = 0, for
+    // ANY pair of slices — a sign or scaling bug breaks the telescope
+    val rows = ProfilerOps.sliceDrift(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(3)).sum === 0L,
+      "cross-multiplied drift residuals must telescope to zero")
+    rows.foreach { r =>
+      val nullRatio = r.isNullAt(4)
+      assert(nullRatio === (r.getLong(1) == 0L),
+        s"share_ratio_ppm must be NULL exactly when the reference bucket is empty: $r")
+    }
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -1059,6 +1059,13 @@ object ProfilerOps extends QueryModule {
     val hist = bucketed.groupBy(col("bucket"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    sliceDriftOfHist(hist)
+  }
+
+  /** The drift derivation over a merged (bucket, n_ref, n_cur) histogram —
+    * shared by batch p19 and the st55 streaming twin, whose additive
+    * partials sum to exactly this input. */
+  private[graft] def sliceDriftOfHist(hist: DataFrame): DataFrame = {
     val tot = hist.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     hist.join(broadcast(tot))
       .select(col("bucket"), col("n_ref"), col("n_cur"),

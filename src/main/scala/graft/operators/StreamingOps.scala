@@ -310,6 +310,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamSkewGini(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sgini_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.skewGiniSql)),
+    // shares p19's oracle: both slices' bucket counts are additive
+    // partials; residuals and ppm ratios re-derive from the merged
+    // histogram's live totals via shared code
+    "st55_stream_slice_drift" -> QueryDef(
+      (s, d) => Streaming.streamSliceDrift(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sdrift_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.sliceDriftSql)),
     // shares p18's oracle: contingency cells are additive; marginals,
     // totals and lifts re-derive from the merged cells via shared code
     "st51_stream_contingency" -> QueryDef(

@@ -2157,6 +2157,53 @@ object Streaming {
       .orderBy(col("pair"), col("a"), col("b"))
   }
 
+  /** Streaming SLICE-DRIFT MONITOR (st55): p19's train/serve
+    * distribution-shift screen maintained live — the production shape of
+    * a drift audit, where the reference histogram is fixed and the
+    * CURRENT slice grows as traffic arrives. Both slices' per-bucket
+    * counts are plain addition, so each batch contributes a
+    * (bucket, n_ref, n_cur) partial and the serving read sums the
+    * partials and re-derives residuals and ppm ratios through batch
+    * p19's own [[graft.operators.ProfilerOps.sliceDriftOfHist]] — the
+    * cross-multiplied residual recomputes against the LIVE totals, so a
+    * bucket whose share moves trips the screen on the very next read
+    * with per-batch cost bounded by the batch's observed buckets. On
+    * full replay the table equals batch p19, shared oracle. */
+  def streamSliceDrift(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(d)
+      .select((col("o_custkey") % 2 === 0).as("is_ref"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 5000000")
+          .as("bucket"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy(col("bucket"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/hist.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/hist.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "bucket BIGINT, n_ref BIGINT, n_cur BIGINT, " +
+            "drift_x BIGINT, share_ratio_ppm BIGINT"))
+    graft.operators.ProfilerOps.sliceDriftOfHist(
+      s.read.parquet(s"$stateDir/hist.parquet").drop("batch")
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
+  }
+
   /** Streaming GWAS MATCH-CHAIN (st52): g48's 4-hop notebook chain
     * maintained incrementally. The join-chain product rule says a
     * k-way join's delta is the sum of k terms (Δ_i against the other

@@ -361,6 +361,31 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("st55: merged slice-histogram partials equal batch p19 on any split") {
+    val rng = new scala.util.Random(55055L)
+    val batch = ProfilerOps.sliceDrift(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    // the exact rows p19 buckets, split into random batches and
+    // re-merged the way st55's serving read does
+    val rows = graft.core.Tables.orders(spark, "/root/testdata/sf0.001")
+      .select((col("o_custkey") % 2 === 0).as("is_ref"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 5000000")
+          .as("bucket"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1))).toSeq
+    for (trial <- 1 to 2) {
+      val nB = 2 + rng.nextInt(3)
+      val merged = rows.groupBy(_ => rng.nextInt(nB)).values.toSeq
+        .map(b => b.toDF("is_ref", "bucket").groupBy(col("bucket"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur")))
+        .reduce[org.apache.spark.sql.DataFrame](_ unionByName _)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+      val got = ProfilerOps.sliceDriftOfHist(merged).collect().map(_.toSeq).toSeq
+      assert(got === batch, s"st55 trial $trial ($nB batches) diverged from batch p19")
+    }
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -2184,6 +2184,73 @@ object MaterialiseOps extends QueryModule {
       |FROM w1 LEFT JOIN w2 ON w2.id = w1.id LEFT JOIN w3 ON w3.id = w1.id
       |ORDER BY w1.id""".stripMargin
 
+  /** g55 — HITS HUBS & AUTHORITIES (bounded, exact): Kleinberg's mutual
+    * reinforcement over the DIRECTED customer→supplier purchase graph —
+    * the ranking dual to g18's PageRank (endorsement flows to pages;
+    * HITS separates the pointers-at-good-things from the
+    * pointed-at-by-good-pointers, the natural frame for bipartite
+    * buyer/seller, query/document, or curator/dataset graphs). Two full
+    * mutual-reinforcement rounds UNNORMALISED so every score is an
+    * exact integer (the usual L2 normalisation only rescales the
+    * ranking; dropping it is what lets both engines agree bit-for-bit):
+    * a1 = Aᵀ·1 (in-degree), h1 = A·a1, a2 = Aᵀ·h1, h2 = A·a2. Each
+    * half-step is ONE vertex-keyed equi-join of the current score
+    * vector against the edge list plus a map-combinable sum — the g43
+    * sparse-matvec discipline, four |E|-bounded shuffles, never a
+    * matrix product. Output is the unpivoted (kind, id, s1, s2) frame
+    * so one table carries both sides. */
+  def hitsScores(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        col("l_suppkey").cast("long").as("p"))
+      .distinct()
+    hitsOf(edges).orderBy(col("kind"), col("id"))
+  }
+
+  /** [[hitsScores]] over an explicit DISTINCT directed `(c, p)` frame. */
+  private[graft] def hitsOf(pairs: DataFrame): DataFrame = {
+    val edges = pairs.localCheckpoint() // static dim reused by all four half-steps
+    def authStep(h: DataFrame): DataFrame = edges
+      .join(h.select(col("id").as("c"), col("sc")), Seq("c"))
+      .groupBy(col("p").as("id")).agg(sum(col("sc")).as("sc"))
+    def hubStep(a: DataFrame): DataFrame = edges
+      .join(a.select(col("id").as("p"), col("sc")), Seq("p"))
+      .groupBy(col("c").as("id")).agg(sum(col("sc")).as("sc"))
+    val a1 = edges.groupBy(col("p").as("id")).agg(count(lit(1)).as("sc"))
+      .localCheckpoint()
+    val h1 = hubStep(a1).localCheckpoint()
+    val a2 = authStep(h1).localCheckpoint()
+    val h2 = hubStep(a2)
+    val auth = a1.select(col("id"), col("sc").as("s1"))
+      .join(a2.select(col("id"), col("sc").as("s2")), Seq("id"))
+      .select(lit("auth").as("kind"), col("id"), col("s1"), col("s2"))
+    val hub = h1.select(col("id"), col("sc").as("s1"))
+      .join(h2.select(col("id"), col("sc").as("s2")), Seq("id"))
+      .select(lit("hub").as("kind"), col("id"), col("s1"), col("s2"))
+    auth.unionByName(hub)
+  }
+
+  val hitsScoresSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+      |    CAST(l_suppkey AS BIGINT) AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1 AS (SELECT p AS id, count(*) AS sc FROM e GROUP BY p),
+      |h1 AS (SELECT e.c AS id, CAST(sum(a.sc) AS BIGINT) AS sc
+      |       FROM e JOIN a1 a ON a.id = e.p GROUP BY e.c),
+      |a2 AS (SELECT e.p AS id, CAST(sum(h.sc) AS BIGINT) AS sc
+      |       FROM e JOIN h1 h ON h.id = e.c GROUP BY e.p),
+      |h2 AS (SELECT e.c AS id, CAST(sum(a.sc) AS BIGINT) AS sc
+      |       FROM e JOIN a2 a ON a.id = e.p GROUP BY e.c)
+      |SELECT 'auth' AS kind, a1.id, a1.sc AS s1, a2.sc AS s2
+      |FROM a1 JOIN a2 ON a2.id = a1.id
+      |UNION ALL
+      |SELECT 'hub', h1.id, h1.sc, h2.sc
+      |FROM h1 JOIN h2 ON h2.id = h1.id
+      |ORDER BY kind, id""".stripMargin
+
   /** g44 — EDGE EMBEDDEDNESS spectrum ([[Query.edgeSupport]]): how many
     * triangles each co-order edge sits inside, rolled up to a histogram
     * — the tie-strength table (Granovetter): the support-0 row counts
@@ -3428,5 +3495,6 @@ object MaterialiseOps extends QueryModule {
     "g52_landmark_distances" -> QueryDef(landmarkDistances, Some(landmarkDistancesSql)),
     "g53_chem_diseases" -> QueryDef(chemDiseases, Some(chemDiseasesSql)),
     "g54_temporal_reachability" -> QueryDef(temporalReachability, Some(temporalReachabilitySql)),
+    "g55_hits" -> QueryDef(hitsScores, Some(hitsScoresSql)),
   )
 }

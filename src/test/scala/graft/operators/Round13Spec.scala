@@ -386,6 +386,19 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("g55: hand-computed HITS half-steps on a 2x2 bipartite fixture") {
+    // c1→{s1,s2}, c2→{s1}:
+    //   a1: s1=2 s2=1;  h1: c1=2+1=3 c2=2
+    //   a2: s1=3+2=5 s2=3;  h2: c1=5+3=8 c2=5
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("c", "p")
+    val got = MaterialiseOps.hitsOf(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got === Seq(
+      ("auth", 10L, 2L, 5L), ("auth", 20L, 1L, 3L),
+      ("hub", 1L, 3L, 8L), ("hub", 2L, 2L, 5L)), s"HITS fixture wrong: $got")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -752,6 +752,81 @@ object XmlOps extends QueryModule {
       |FROM documents CROSS JOIN off WHERE lang = 'zh'
       |ORDER BY doc_id""".stripMargin
 
+  /** x18 — PARTITION-SPEC EVOLUTION: the Iceberg capability that lets a
+    * 100 TB table change its partitioning WITHOUT rewriting history —
+    * early data stays under the coarse spec it was written with
+    * (monthly directories), post-cutover data lands under the evolved
+    * finer spec (daily), and one serving read answers a time-range
+    * query over BOTH layouts, pruning each by its own partition column.
+    * The alternative — rewriting the old layout — is a full-table
+    * shuffle; spec evolution is metadata-only, which is why every lake
+    * format grew it. The cutover (2/3 of the date span) and the query
+    * threshold (1/2 of the span, so the answer genuinely spans both
+    * layouts and the seam is exercised) are data-derived via the
+    * bounded 1-row scalar read. Row-level `ts >= thr` keeps the read
+    * exact on the coarse side's partial boundary month; the partition
+    * predicates (`m >= thr-month`, `dday >= thr-day`) are the pruning
+    * layer PlanSpec pins. The oracle recomputes the filtered rollup
+    * from the unpartitioned original — identical rows ⟺ the seam lost
+    * nothing and pruning dropped nothing it shouldn't. */
+  def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pevo_" +
+      Integer.toHexString(d.hashCode)
+    val ev = graft.core.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("value"))
+    val b = ev.agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
+      .collect()(0)
+    if (b.isNullAt(0))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "day STRING, n_events BIGINT, sum_value DOUBLE"))
+    val mn = b.getDate(0).toLocalDate
+    val span = java.time.temporal.ChronoUnit.DAYS.between(mn, b.getDate(1).toLocalDate)
+    val cut = mn.plusDays(span * 2 / 3).toString
+    val thr = mn.plusDays(span / 2).toString
+    ev.where(to_date(col("ts")) < lit(cut))
+      .withColumn("m", date_format(col("ts"), "yyyy-MM"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("m").parquet(s"$dir/gen_0")
+    ev.where(to_date(col("ts")) >= lit(cut))
+      .withColumn("dday", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("dday").parquet(s"$dir/gen_1")
+    partitionEvolutionServe(s, dir, thr).orderBy(col("day"))
+  }
+
+  /** The cross-spec serving read, factored so PlanSpec can pin both
+    * sides' partition pruning. Explicit schemas per the x5/x7 rule;
+    * each generation filters on ITS OWN partition column (the prune)
+    * plus the shared row-level date predicate (the exactness). */
+  private[graft] def partitionEvolutionServe(s: SparkSession, dir: String,
+      thr: String): DataFrame = {
+    val g0 = s.read
+      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE, m STRING")
+      .parquet(s"$dir/gen_0")
+      .where(col("m") >= thr.substring(0, 7) && to_date(col("ts")) >= lit(thr))
+      .select(col("ts"), col("value"))
+    val g1 = s.read
+      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE, dday STRING")
+      .parquet(s"$dir/gen_1")
+      .where(col("dday") >= thr)
+      .select(col("ts"), col("value"))
+    g0.unionByName(g1)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Exact.sumd(col("value")).as("sum_value"))
+  }
+
+  val partitionEvolutionSql: String =
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+      |           FROM events),
+      |t AS (SELECT mn + CAST((mx - mn) // 2 AS INTEGER) AS thr FROM b)
+      |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events, t WHERE CAST(ts AS DATE) >= thr
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -768,6 +843,7 @@ object XmlOps extends QueryModule {
     "x15_merge_upsert" -> QueryDef(mergeUpsert, Some(mergeUpsertSql)),
     "x16_deletion_vectors" -> QueryDef(deletionVectors, Some(deletionVectorsSql)),
     "x17_change_feed" -> QueryDef(changeFeed, Some(changeFeedSql)),
+    "x18_partition_evolution" -> QueryDef(partitionEvolution, Some(partitionEvolutionSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

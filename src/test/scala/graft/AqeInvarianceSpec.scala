@@ -30,7 +30,8 @@ class AqeInvarianceSpec extends SparkSpec {
     "g53_chem_diseases",      // chain + DISTINCT rollup (round 13)
     "g54_temporal_reachability", // date-gated min-merge rounds (round 13)
     "x17_change_feed",        // generation-diff full-outer arms (round 13)
-    "g55_hits")               // four-matvec reinforcement chain (round 13)
+    "g55_hits",               // four-matvec reinforcement chain (round 13)
+    "x18_partition_evolution") // cross-spec pruned union (round 13)
 
   test("results are identical with adaptive execution disabled") {
     val defs = SparkEntry.allDefs

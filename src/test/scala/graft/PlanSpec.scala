@@ -166,6 +166,37 @@ class PlanSpec extends SparkSpec {
       s"scan read non-en partitions: $scanned")
   }
 
+  test("x18: each generation prunes on ITS OWN partition column and both feed the seam") {
+    // build the two-spec layout once, then pin the serving read's plan
+    graft.operators.XmlOps.partitionEvolution(spark, d).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pevo_" +
+      Integer.toHexString(d.hashCode)
+    // recover the threshold the operator derived (min + span/2)
+    import org.apache.spark.sql.functions.{col, to_date, min => fmin, max => fmax, input_file_name}
+    val b = graft.core.Tables.events(spark, d)
+      .agg(fmin(to_date(col("ts"))), fmax(to_date(col("ts")))).collect()(0)
+    val mn = b.getDate(0).toLocalDate
+    val thr = mn.plusDays(
+      java.time.temporal.ChronoUnit.DAYS.between(mn, b.getDate(1).toLocalDate) / 2).toString
+    val served = graft.operators.XmlOps.partitionEvolutionServe(spark, dir, thr)
+    val p = served.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters:") && p.contains("m#") && p.contains("dday#"),
+      s"partition predicates did not reach both pruners:\n$p")
+    // pruning happened for real on the coarse side: no pre-threshold month dirs read
+    val g0files = spark.read
+      .schema("event_id BIGINT, ts TIMESTAMP_NTZ, value DOUBLE, m STRING")
+      .parquet(s"$dir/gen_0").where(col("m") >= thr.substring(0, 7))
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSeq
+    assert(g0files.nonEmpty && g0files.forall(f =>
+        f.split("/").find(_.startsWith("m=")).exists(_.stripPrefix("m=") >= thr.substring(0, 7))),
+      s"gen_0 scan read pre-threshold months: $g0files")
+    // the seam is exercised: both layouts contribute rows to the answer
+    val sides = Seq(s"$dir/gen_0", s"$dir/gen_1").map { g =>
+      spark.read.parquet(g).count()
+    }
+    assert(sides.forall(_ > 0), s"one layout is empty — the seam is untested: $sides")
+  }
+
   test("g27: candidates equi-join on the shared part; the degree dim broadcasts") {
     val p = plan("g27_link_prediction")
     assert(!p.contains("CartesianProduct"), "RA candidates degenerated to all-pairs")

@@ -827,6 +827,82 @@ object XmlOps extends QueryModule {
       |FROM events, t WHERE CAST(ts AS DATE) >= thr
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** x19 — VACUUM PLAN (snapshot expiry): the maintenance pass that
+    * reclaims storage once old generations age out — Iceberg
+    * `expire_snapshots` / Delta `VACUUM`. Successive publishes SHARE
+    * unchanged data files (that sharing is what makes lake snapshots
+    * cheap), so expiry is never "delete the old generation's directory":
+    * a file is reclaimable only when EVERY generation referencing it has
+    * expired. Three manifest generations over the x14 slice layout model
+    * the sharing — gen 1 rewrote the bucket%4==0 slices, gen 2
+    * additionally the %4==1 slices, everything else is carried by
+    * reference — and the retention policy keeps the last two. The plan
+    * is pure manifest algebra: expired refs ANTI-JOIN live refs (file
+    * count ~ thousands at 100 TB — metadata-sized, the data files are
+    * never opened), then deletable files pick up their stats from the
+    * written slice layout. The oracle restates the closed form (only
+    * the original %4==0 slices lose their last reference) from source
+    * predicates, so wrong set algebra cannot mirror itself green. The
+    * spec pins the SAFETY property on a hand manifest: a file shared
+    * with any live generation must never plan for deletion. */
+  def vacuumPlan(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vac_" +
+      Integer.toHexString(d.hashCode)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()
+    if (b.isEmpty || b.head.isNullAt(0))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "file STRING, bucket BIGINT, n_rows BIGINT, bytes BIGINT"))
+    val (lo, hi) = (b.head.getLong(0), b.head.getLong(1))
+    docs
+      .withColumn("bucket", expr(s"((doc_id - $lo) * 16) div (${hi - lo + 1})"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    val buckets = s.read
+      .schema("doc_id BIGINT, n_chars BIGINT, bucket BIGINT")
+      .parquet(dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("bytes"))
+    // manifest rows: which physical file each generation serves a bucket from
+    def fileAt(gen: Int): org.apache.spark.sql.Column =
+      when(col("bucket") % 4 === 0 && lit(gen) >= 1,
+          concat(lit("f1_"), col("bucket")))
+        .when(col("bucket") % 4 === 1 && lit(gen) >= 2,
+          concat(lit("f2_"), col("bucket")))
+        .otherwise(concat(lit("f0_"), col("bucket")))
+    val refs = (0 to 2).map(g => buckets.select(lit(g.toLong).as("gen"),
+        fileAt(g).as("file"), col("bucket")))
+      .reduce(_ unionByName _)
+    vacuumPlanOf(refs, keepFromGen = 1L)
+      .join(buckets, Seq("bucket"))
+      .select(col("file"), col("bucket"), col("n_rows"), col("bytes"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The expiry set algebra over a `(gen, file, bucket)` manifest frame —
+    * factored so the spec can exercise the shared-file safety property
+    * on hand manifests: deletable = distinct files of expired
+    * generations anti-joined against every live generation's refs. */
+  private[graft] def vacuumPlanOf(refs: DataFrame, keepFromGen: Long): DataFrame =
+    refs.where(col("gen") < keepFromGen)
+      .select(col("file"), col("bucket")).distinct()
+      .join(refs.where(col("gen") >= keepFromGen).select(col("file")).distinct(),
+        Seq("file"), "left_anti")
+
+  val vacuumPlanSql: String =
+    """WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |bk AS (
+      |  SELECT ((doc_id - lo) * 16) // (hi - lo + 1) AS bucket, n_chars
+      |  FROM documents CROSS JOIN b),
+      |st AS (
+      |  SELECT bucket, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS bytes
+      |  FROM bk GROUP BY bucket)
+      |SELECT 'f0_' || CAST(bucket AS VARCHAR) AS file, bucket, n_rows, bytes
+      |FROM st WHERE bucket % 4 = 0 ORDER BY bucket""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -844,6 +920,7 @@ object XmlOps extends QueryModule {
     "x16_deletion_vectors" -> QueryDef(deletionVectors, Some(deletionVectorsSql)),
     "x17_change_feed" -> QueryDef(changeFeed, Some(changeFeedSql)),
     "x18_partition_evolution" -> QueryDef(partitionEvolution, Some(partitionEvolutionSql)),
+    "x19_vacuum_plan" -> QueryDef(vacuumPlan, Some(vacuumPlanSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -399,6 +399,26 @@ class Round13Spec extends SparkSpec {
       ("hub", 1L, 3L, 8L), ("hub", 2L, 2L, 5L)), s"HITS fixture wrong: $got")
   }
 
+  test("x19 safety: a file shared with ANY live generation never plans for deletion") {
+    // gen 0 expired; gens 1,2 live. fA is gen-0-only (deletable), fB is
+    // shared gen0+gen1 (NOT deletable), fC is live-only, fD appears in
+    // two expired gens but also gen 2 (NOT deletable — the multi-expired
+    // trap a naive except-per-generation gets wrong)
+    val refs = Seq(
+      (0L, "fA", 1L), (0L, "fB", 2L), (0L, "fD", 3L),
+      (1L, "fB", 2L), (1L, "fC", 4L), (1L, "fD", 3L),
+      (2L, "fC", 4L), (2L, "fD", 3L)).toDF("gen", "file", "bucket")
+    val del1 = XmlOps.vacuumPlanOf(refs, keepFromGen = 1L)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(del1 === Seq("fA"), s"keep>=1 must reclaim exactly fA: $del1")
+    // tighter retention (only gen 2 live): fB loses its last live ref
+    val del2 = XmlOps.vacuumPlanOf(refs, keepFromGen = 2L)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(del2 === Seq("fA", "fB"), s"keep>=2 must reclaim fA and fB: $del2")
+    // nothing expired -> nothing planned
+    assert(XmlOps.vacuumPlanOf(refs, keepFromGen = 0L).count() === 0L)
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

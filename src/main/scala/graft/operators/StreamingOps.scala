@@ -279,6 +279,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamChemDiseases(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_schem_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.chemDiseasesSql)),
+    // shares g55's oracle: the bilinear delta identity applied with the
+    // operator alternating between Bᵀ and B replays all four half-steps
+    // to the exact batch scores
+    "st56_stream_hits" -> QueryDef(
+      (s, d) => Streaming.streamHits(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_shits_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.hitsScoresSql)),
     // shares g43's oracle: bilinear matvec deltas replay to the exact
     // batch walk counts
     "st46_stream_katz_walks" -> QueryDef(

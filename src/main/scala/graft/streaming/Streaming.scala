@@ -2204,6 +2204,46 @@ object Streaming {
         .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
   }
 
+  /** Streaming HITS (st56): g55's hubs-and-authorities maintained under
+    * purchase-edge arrivals — the st46 bilinear IVM discipline extended
+    * to an ALTERNATING-TRANSPOSE cascade (four half-steps, the delta
+    * identity Δ(M·w) = M'·Δw + ΔM·w_old applied with M flipping between
+    * Bᵀ and B; see [[graft.pipeline.IncrementalHits]]). The edge
+    * relation is fact-derived the st52 way: lineitem streams, each
+    * batch's (c, p) pairs come from the batch joined against the static
+    * orders dimension, and the accumulated-distinct anti-join makes
+    * redelivery a no-op. On full replay the table equals batch g55,
+    * shared oracle. */
+  def streamHits(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.pipeline.IncrementalHits
+    val ordersDim = graft.core.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("c"))
+      .localCheckpoint()
+    def toPairs(li: DataFrame): DataFrame = li
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("p"))
+      .join(ordersDim, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p")).distinct()
+    IncrementalHits.update(s, stateDir,
+      toPairs(graft.core.Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalHits.update(s, stateDir, toPairs(batch.toDF()), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    IncrementalHits.current(s, stateDir).orderBy(col("kind"), col("id"))
+  }
+
   /** Streaming GWAS MATCH-CHAIN (st52): g48's 4-hop notebook chain
     * maintained incrementally. The join-chain product rule says a
     * k-way join's delta is the sum of k terms (Δ_i against the other

@@ -195,7 +195,8 @@ class EmptyInputSpec extends SparkSpec {
         "q34_regex_array_projection", "x16_deletion_vectors",
         "x17_change_feed", "x18_partition_evolution", "x19_vacuum_plan", "p19_slice_drift",
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",
-        "st54_stream_temporal_reachability", "st55_stream_slice_drift")) {
+        "st54_stream_temporal_reachability", "st55_stream_slice_drift",
+        "st56_stream_hits")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -419,6 +419,46 @@ class Round13Spec extends SparkSpec {
     assert(XmlOps.vacuumPlanOf(refs, keepFromGen = 0L).count() === 0L)
   }
 
+  test("st56: cross-batch credit terms and redelivery on the hand fixture") {
+    import graft.pipeline.IncrementalHits
+    val dir = java.nio.file.Files.createTempDirectory("st56spec").toString
+    def snap(): Seq[(String, Long, Long, Long)] = IncrementalHits.current(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    IncrementalHits.update(spark, dir, Seq((1L, 10L)).toDF("c", "p"), 0L)
+    assert(snap() === Seq(("auth", 10L, 1L, 1L), ("hub", 1L, 1L, 1L)))
+    // batch 1 adds c2→s1 and c1→s2: every level's credit term must score
+    // new-edge walks against the PRE-batch level below (batch g55 on the
+    // union is the g55 fixture: s1=(2,5) s2=(1,3) c1=(3,8) c2=(2,5))
+    IncrementalHits.update(spark, dir, Seq((2L, 10L), (1L, 20L)).toDF("c", "p"), 1L)
+    val after1 = snap()
+    assert(after1 === Seq(
+      ("auth", 10L, 2L, 5L), ("auth", 20L, 1L, 3L),
+      ("hub", 1L, 3L, 8L), ("hub", 2L, 2L, 5L)), s"IVM diverged: $after1")
+    // redelivering batch 1 under a new id is a no-op
+    IncrementalHits.update(spark, dir, Seq((2L, 10L), (1L, 20L)).toDF("c", "p"), 2L)
+    assert(snap() === after1, "redelivery must be a no-op")
+  }
+
+  test("st56: random edge splits replay to batch g55") {
+    import graft.pipeline.IncrementalHits
+    val d = "/root/testdata/sf0.001"
+    val expected = MaterialiseOps.hitsScores(spark, d).collect().map(_.toSeq).toSeq
+    val edges = graft.core.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey").cast("long").as("c"))
+      .join(graft.core.Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_suppkey").cast("long").as("p")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("p")).distinct().localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("st56fuzz").toString
+    for (b <- 0 until 3)
+      IncrementalHits.update(spark, dir,
+        edges.where((xxhash64(col("c"), col("p"), lit(56)) % 3 + 3) % 3 === b), b.toLong)
+    val got = IncrementalHits.current(spark, dir)
+      .orderBy(col("kind"), col("id")).collect().map(_.toSeq).toSeq
+    assert(got === expected, "st56 replay diverged from batch g55")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -279,6 +279,14 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamChemDiseases(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_schem_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.chemDiseasesSql)),
+    // shares x15's oracle: the changelog state is two semigroups (additive
+    // cents sum + lexicographic-max last-event struct), so the merged
+    // partials re-derive the exact batch changelog and the same
+    // three-arm MERGE applies at read
+    "st57_stream_merge_upsert" -> QueryDef(
+      (s, d) => Streaming.streamMergeUpsert(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_smerge_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(XmlOps.mergeUpsertSql)),
     // shares g55's oracle: the bilinear delta identity applied with the
     // operator alternating between Bᵀ and B replays all four half-steps
     // to the exact batch scores

@@ -2204,6 +2204,72 @@ object Streaming {
         .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
   }
 
+  /** Streaming MERGE APPLY (st57): x15's CDC-fed lake upsert with the
+    * changelog itself maintained incrementally — the modern pipeline
+    * shape (change feed → streaming apply) where events arrive in
+    * batches and the per-key changelog state is TWO semigroups folded
+    * together: the balance delta is an additive cents sum, and the
+    * op-deciding "last event" is a max over (ts, event_id, type)
+    * structs (event ids are unique, so the lexicographic max IS the
+    * batch row_number()-desc pick — no order-atomicity precondition,
+    * partials merge associatively). The serving read merges the
+    * partials, re-derives the changelog (including the synthetic
+    * new-account feed at the data-derived offset), and applies the same
+    * three-arm [[graft.operators.XmlOps.mergeApply]] as batch x15
+    * against the static base. On full replay the table equals batch
+    * x15, shared oracle. */
+  def streamMergeUpsert(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (graft.core.Exact.dec(c) * 100).cast("long")
+    val partials = (df: DataFrame) => df
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"),
+        col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v")).as("v_part"),
+        max(struct(col("us"), col("event_id"), col("event_type"))).as("last"))
+    val q = eventsStream(s, d)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        partials(batch.toDF())
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/chg.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val base = graft.core.Tables.customer(s, d).select(col("c_custkey").as("k"),
+      col("c_name").as("name"), cents(col("c_acctbal")).as("bal_cents"),
+      col("c_mktsegment").as("seg"))
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/chg.parquet")
+    val merged =
+      if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        s.read.parquet(s"$stateDir/chg.parquet").drop("batch")
+          .groupBy(col("user_id"))
+          .agg(sum(col("v_part")).as("v_cents"), max(col("last")).as("last"))
+          .select(col("user_id"), col("v_cents"),
+            col("last").getField("event_type").as("lt"))
+      else
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id BIGINT, v_cents BIGINT, lt STRING"))
+    def maxKey(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        .getOrElse(0L)
+    val off = math.max(maxKey(merged, "user_id"), maxKey(base, "k")) + 1L
+    val chg = merged.select(col("user_id").as("k"),
+        when(col("lt") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
+        col("v_cents"))
+      .unionByName(merged.select((col("user_id") + off).as("k"),
+        lit("upsert").as("op"), col("v_cents")))
+    graft.operators.XmlOps.mergeApply(base, chg).orderBy(col("k"))
+  }
+
   /** Streaming HITS (st56): g55's hubs-and-authorities maintained under
     * purchase-edge arrivals — the st46 bilinear IVM discipline extended
     * to an ALTERNATING-TRANSPOSE cascade (four half-steps, the delta

@@ -196,7 +196,7 @@ class EmptyInputSpec extends SparkSpec {
         "x17_change_feed", "x18_partition_evolution", "x19_vacuum_plan", "p19_slice_drift",
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",
         "st54_stream_temporal_reachability", "st55_stream_slice_drift",
-        "st56_stream_hits")) {
+        "st56_stream_hits", "st57_stream_merge_upsert")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -459,6 +459,31 @@ class Round13Spec extends SparkSpec {
     assert(got === expected, "st56 replay diverged from batch g55")
   }
 
+  test("st57: changelog partials are semigroups — split-merged state equals the batch changelog pick") {
+    // the trap: a per-batch "last event" that isn't merged as a struct
+    // max would let batch order decide the op. Rows for one user split
+    // so the true last event (error -> delete) lands in the FIRST batch.
+    val rows = Seq(
+      // (user_id, us, event_id, event_type, v)
+      (1L, 100L, 7L, "error", 5L), (1L, 50L, 3L, "click", 10L),
+      (2L, 10L, 1L, "click", 2L), (2L, 20L, 2L, "view", 4L))
+    def partial(b: Seq[(Long, Long, Long, String, Long)]) =
+      b.toDF("user_id", "us", "event_id", "event_type", "v")
+        .groupBy(col("user_id"))
+        .agg(sum(col("v")).as("v_part"),
+          max(struct(col("us"), col("event_id"), col("event_type"))).as("last"))
+    val merged = partial(Seq(rows(0), rows(2)))
+      .unionByName(partial(Seq(rows(1), rows(3))))
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_part")).as("v_cents"), max(col("last")).as("last"))
+      .select(col("user_id"), col("v_cents"),
+        col("last").getField("event_type").as("lt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(merged === Seq((1L, 15L, "error"), (2L, 6L, "view")),
+      s"semigroup merge wrong: $merged")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -2251,6 +2251,89 @@ object MaterialiseOps extends QueryModule {
       |FROM h1 JOIN h2 ON h2.id = h1.id
       |ORDER BY kind, id""".stripMargin
 
+  /** g57 — BOUNDED MUTUAL REACHABILITY (SCC-style): nodes reachable from
+    * a seed AND back within [[BfsMaxDist]] hops each way — the directed
+    * dual of g2's undirected components, and the bounded form of
+    * strongly-connected membership (forward ∩ backward reachability is
+    * exactly Kosaraju's pivot step; the hop bound makes the rounds ==
+    * oracle-unroll contract hold, the bounded-round house rule). The
+    * directed graph has real cycles by construction: each order's parts
+    * form a successor RING (p_i → p_{i+1} by line number, last wraps to
+    * first), so orders sharing parts weld their rings into larger
+    * strongly-connected regions — the flow/citation/ownership shape
+    * where "A reaches B" does not imply "B reaches A" and undirected CC
+    * over-merges. Two bounded traversals over the SAME frontier
+    * machinery as g42 (each round one vertex-keyed equi-join + distinct
+    * + anti-join vs visited, Δ-frontier-sized), one intersect join, one
+    * rollup; never all-pairs. */
+  def mutualReachability(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (o, ln) is NOT unique in the synthetic data: order by (ln, p) so the
+    // ring sequence is deterministic (ties are identical rows, so any
+    // permutation yields the same p sequence) — and the oracle CTE, which
+    // DuckDB may re-evaluate per reference, sees the SAME edge set each time
+    val w = Window.partitionBy(col("o")).orderBy(col("ln"), col("p"))
+    // the full co-order graph saturates (every seed mutually reaches
+    // everything within the bound, making the gate vacuous); 1-in-17
+    // orders keeps avg out-degree ~2, where mutual ⊂ forward ≠ backward
+    val nx = Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 17 === 0)
+      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+        col("l_partkey").cast("long").as("p"))
+      .select(col("p").as("u"),
+        coalesce(lead(col("p"), 1).over(w), first(col("p")).over(w)).as("v"))
+    mutualReachabilityOf(nx.where(col("u") =!= col("v")).distinct(), nSeeds = 4)
+      .orderBy(col("seed"))
+  }
+
+  /** [[mutualReachability]] over an explicit DIRECTED `(u, v)` frame. */
+  private[graft] def mutualReachabilityOf(pairs: DataFrame, nSeeds: Int): DataFrame = {
+    val e = pairs.select(col("u"), col("v")).localCheckpoint()
+    val seeds = e.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    val fwd = bfsVisited(e, seeds, BfsMaxDist).select(col("seed"), col("node"))
+    val bwd = bfsVisited(e.select(col("v").as("u"), col("u").as("v")),
+      seeds, BfsMaxDist).select(col("seed"), col("node"))
+    fwd.join(bwd, Seq("seed", "node"))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_mutual"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("sum_nodes"))
+  }
+
+  val mutualReachabilitySql: String = {
+    def unroll(tag: String, edge: String): String = (1 to BfsMaxDist).map { k =>
+      s"""${tag}f$k AS (
+         |  SELECT DISTINCT f.seed, e.v AS node
+         |  FROM ${tag}f${k - 1} f JOIN $edge e ON e.u = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${tag}v${k - 1} p
+         |                    WHERE p.seed = f.seed AND p.node = e.v)),
+         |${tag}v$k AS (SELECT * FROM ${tag}v${k - 1}
+         |              UNION ALL SELECT seed, node FROM ${tag}f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+      |  SELECT l_orderkey AS o, l_linenumber AS ln,
+      |    CAST(l_partkey AS BIGINT) AS p FROM lineitem
+      |  WHERE l_orderkey % 17 = 0),
+      |nx AS (
+      |  SELECT p AS u,
+      |    coalesce(lead(p) OVER win, first_value(p) OVER win) AS v
+      |  FROM li WINDOW win AS (PARTITION BY o ORDER BY ln, p)),
+      |e AS (SELECT DISTINCT u, v FROM nx WHERE u <> v),
+      |r AS (SELECT v AS u, u AS v FROM e),
+      |seeds AS (SELECT DISTINCT u AS node FROM e ORDER BY node LIMIT 4),
+      |av0 AS (SELECT node AS seed, node FROM seeds),
+      |af0 AS (SELECT seed, node FROM av0),
+      |bv0 AS (SELECT node AS seed, node FROM seeds),
+      |bf0 AS (SELECT seed, node FROM bv0),
+      |${unroll("a", "e")},
+      |${unroll("b", "r")}
+      |SELECT f.seed, count(*) AS n_mutual, min(f.node) AS min_node,
+      |  max(f.node) AS max_node, CAST(sum(f.node) AS BIGINT) AS sum_nodes
+      |FROM av$BfsMaxDist f JOIN bv$BfsMaxDist b
+      |  ON b.seed = f.seed AND b.node = f.node
+      |GROUP BY f.seed ORDER BY f.seed""".stripMargin
+  }
+
   /** g44 — EDGE EMBEDDEDNESS spectrum ([[Query.edgeSupport]]): how many
     * triangles each co-order edge sits inside, rolled up to a histogram
     * — the tie-strength table (Granovetter): the support-0 row counts
@@ -3496,5 +3579,6 @@ object MaterialiseOps extends QueryModule {
     "g53_chem_diseases" -> QueryDef(chemDiseases, Some(chemDiseasesSql)),
     "g54_temporal_reachability" -> QueryDef(temporalReachability, Some(temporalReachabilitySql)),
     "g55_hits" -> QueryDef(hitsScores, Some(hitsScoresSql)),
+    "g57_mutual_reachability" -> QueryDef(mutualReachability, Some(mutualReachabilitySql)),
   )
 }

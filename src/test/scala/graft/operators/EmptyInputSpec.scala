@@ -192,6 +192,7 @@ class EmptyInputSpec extends SparkSpec {
   test("round-13 operators return zero rows on an empty corpus, not an exception") {
     val defs = graft.SparkEntry.allDefs
     for (name <- Seq("g53_chem_diseases", "g54_temporal_reachability", "g55_hits",
+        "g57_mutual_reachability",
         "q34_regex_array_projection", "x16_deletion_vectors",
         "x17_change_feed", "x18_partition_evolution", "x19_vacuum_plan", "p19_slice_drift",
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",

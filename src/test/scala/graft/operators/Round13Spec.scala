@@ -484,6 +484,24 @@ class Round13Spec extends SparkSpec {
       s"semigroup merge wrong: $merged")
   }
 
+  test("g57: directed asymmetry — mutual is strictly the forward∩backward set") {
+    // ring 1→2→3→1 is mutual from 1; 3→4 dangles forward-only (reaches,
+    // never returns); 5→1 backward-only; 6→7 disconnected from seed 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 1L), (6L, 7L))
+      .toDF("u", "v")
+    val got = MaterialiseOps.mutualReachabilityOf(e, nSeeds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // seeds = 6 smallest u values: 1,2,3,5,6 (4 never appears as u)
+    assert(got === Seq(
+      (1L, 3L, 1L, 3L),   // {1,2,3}: the welded ring; 4 and 5 excluded
+      (2L, 3L, 1L, 3L),
+      (3L, 3L, 1L, 3L),
+      (5L, 1L, 5L, 5L),   // 5 reaches the ring, the ring never returns
+      (6L, 1L, 6L, 6L)),  // 6→7 has no back path
+      s"mutual sets wrong: $got")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

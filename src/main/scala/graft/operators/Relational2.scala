@@ -210,6 +210,37 @@ object Relational2 extends QueryModule {
       |  CAST(len(list_filter(ids, x -> regexp_full_match(x, 'hp:[0-9]*'))) AS BIGINT) AS n_hp
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q35 — ORDINAL EXPLODE: the position-preserving set-returning
+    * projection (Spark `posexplode` ≡ SQL `UNNEST ... WITH ORDINALITY`)
+    * — the idiom sequence-aware pipelines need everywhere (token
+    * positions for n-gram windows, frame indices for m2's sampling,
+    * rank-stamped array unrolling) and the one place a bare `explode`
+    * silently loses information: element ORDER. A document's leading
+    * trigram survives the round-trip as (doc_id, pos, token) rows. The
+    * oracle states the same unroll through DuckDB's lateral
+    * `unnest(generate_series(...))` + 1-based subscripting — a
+    * deliberately different formulation, so an engine explode that
+    * scrambled or dropped positions cannot mirror itself green. Scale
+    * shape: generator expressions are row-local (no shuffle); the only
+    * exchange is the final sort. */
+  def ordinalExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("pos", "token")))
+      .where(col("pos") < 3)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+      .orderBy(col("doc_id"), col("pos"))
+
+  val ordinalExplodeSql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS arr
+      |  FROM documents WHERE doc_id % 100 = 0)
+      |SELECT doc_id, CAST(u.g - 1 AS BIGINT) AS pos, arr[u.g] AS token
+      |FROM dd, unnest(generate_series(1, len(arr))) AS u(g)
+      |WHERE u.g <= 3
+      |ORDER BY doc_id, pos""".stripMargin
+
   /** Spark 4 VariantType path for polymorphic JSON (SURVEY §1.5 suggests
     * Variant as the alternative to string+kind tagging): parse once,
     * extract typed. */
@@ -565,6 +596,7 @@ object Relational2 extends QueryModule {
     "q32_null_antijoin" -> QueryDef(nullAntijoin, Some(nullAntijoinSql)),
     "q33_correlated_scalar" -> QueryDef(correlatedScalar, Some(correlatedScalarSql)),
     "q34_regex_array_projection" -> QueryDef(regexArrayProjection, Some(regexArrayProjectionSql)),
+    "q35_ordinal_explode" -> QueryDef(ordinalExplode, Some(ordinalExplodeSql)),
   )
 }
 

@@ -606,6 +606,59 @@ object Temporal extends QueryModule {
       |FROM g WHERE gap IS NOT NULL
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** a13 — TIME-WEIGHTED AVERAGE (TWAP): the value a user's stream HELD
+    * over time, not the value it emitted — Σ vᵢ·(tᵢ₊₁−tᵢ) / Σ gaps, the
+    * metric behind billing-by-state, position-weighted pricing and
+    * resource-utilisation rollups, where a plain avg() over-weights
+    * bursts (a hundred ticks in one second count once per SECOND here,
+    * not a hundred times). Exactness discipline: cents × second-
+    * granularity gaps keep everything in LONG arithmetic (per-user
+    * weighted sums stay < 2⁶³ up to ~10⁶ events/user at these value
+    * ranges — beyond that the sum column moves to DECIMAL(38,0), noted
+    * here for the 100 TB reader); the average itself is floor division,
+    * identical in both engines, NULL when a user's events all share one
+    * second (zero total duration — the only honest answer). One lead
+    * window + one grouped sum; no joins. */
+  def twap(s: SparkSession, d: String): DataFrame =
+    twapOf(Tables.events(s, d)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"),
+        (graft.core.Exact.dec(col("value")) * 100).cast("long").as("v")))
+      .orderBy(col("user_id"))
+
+  /** [[twap]] over an explicit (user_id, us, event_id, v) frame. */
+  private[graft] def twapOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      // integer div, never float: a float quotient that lands exactly on
+      // an integer after rounding would truncate one second high
+      .withColumn("gap_s", expr("(next_us - us) div 1000000"))
+      .where(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("dur_s"),
+        sum(col("v") * col("gap_s")).as("wsum"))
+      .select(col("user_id"), col("n_gaps"), col("dur_s"),
+        when(col("dur_s") > 0, expr("wsum div dur_s")).as("twap_cents"))
+  }
+
+  val twapSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, v,
+      |    (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+      |      // 1000000 AS gap_s
+      |  FROM ev)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  CAST(sum(gap_s) AS BIGINT) AS dur_s,
+      |  CASE WHEN sum(gap_s) > 0
+      |    THEN CAST(sum(v * gap_s) // sum(gap_s) AS BIGINT) END AS twap_cents
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "a1_asof_join"  -> QueryDef(eventsAsofOrders, Some(eventsAsofOrdersSql), bench = true),
     "a2_range_join" -> QueryDef(eventPairsWithin, Some(eventPairsWithinSql)),
@@ -619,5 +672,6 @@ object Temporal extends QueryModule {
     "a10_sessionize" -> QueryDef(sessionize, Some(sessionizeSql)),
     "a11_lag_features" -> QueryDef(lagFeatures, Some(lagFeaturesSql)),
     "a12_interarrival_spectrum" -> QueryDef(interarrivalSpectrum, Some(interarrivalSpectrumSql)),
+    "a13_twap" -> QueryDef(twap, Some(twapSql)),
   )
 }

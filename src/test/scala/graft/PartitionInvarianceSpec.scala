@@ -49,7 +49,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "g53_chem_diseases", "g54_temporal_reachability",
     "x16_deletion_vectors", "x17_change_feed", "p19_slice_drift",
     "q34_regex_array_projection", "g55_hits", "x18_partition_evolution",
-    "x19_vacuum_plan", "g57_mutual_reachability")
+    "x19_vacuum_plan", "g57_mutual_reachability", "a13_twap")
 
   test("results are identical under a different shuffle fan-out") {
     val defs = SparkEntry.allDefs

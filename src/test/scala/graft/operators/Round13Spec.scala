@@ -502,6 +502,25 @@ class Round13Spec extends SparkSpec {
       s"mutual sets wrong: $got")
   }
 
+  test("a13: burst events weigh by held time, not tick count; zero duration is NULL") {
+    // user 1 holds v=100 for 10s, then a BURST of three v=900 ticks
+    // inside one second, then v=200 for 10s: the burst's intra-second
+    // gaps are 0s, so the 900s contribute (almost) nothing — plain avg
+    // would read ~560, TWAP reads (100*10 + 200*10)/20 = 150
+    val ev = Seq(
+      (1L, 0L, 1L, 100L), (1L, 10_000_000L, 2L, 900L),
+      (1L, 10_300_000L, 3L, 900L), (1L, 10_600_000L, 4L, 900L),
+      (1L, 11_000_000L, 5L, 200L), (1L, 21_000_000L, 6L, 777L),
+      // user 2: all events in one second -> dur 0 -> NULL twap
+      (2L, 5_000_000L, 7L, 50L), (2L, 5_500_000L, 8L, 60L))
+      .toDF("user_id", "us", "event_id", "v")
+    val got = Temporal.twapOf(ev).orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got === Seq((1L, 5L, 20L, 150L), (2L, 1L, 0L, -1L)),
+      s"TWAP semantics wrong: $got")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

@@ -2115,6 +2115,54 @@ object TextAnalysis extends QueryModule {
       |CROSS JOIN tot
       |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin
 
+  /** t42 — OVERLAPPING PASSAGE CHUNKING: the splitter every RAG index
+    * and long-context training pipeline runs first — fixed-size token
+    * windows (W = 8) at stride S = 6, so consecutive chunks share
+    * W − S = 2 boundary tokens and no retrieval query can fall into a
+    * seam between passages. The contract, stated so both engines agree
+    * exactly: chunk starts are 0, S, 2S, … for every multiple < n_tok;
+    * a chunk takes min(W, n − s) tokens — trailing chunks may be short
+    * (and, when n − s ≤ W − S, fully contained in their predecessor;
+    * that redundancy is the documented price of a stride-only rule, the
+    * same one fixed-stride tokenizer chunkers ship). Each chunk carries
+    * its position, width and an md5 content fingerprint (the dedup/
+    * cache key a chunk store actually indexes). All row-local generator
+    * + slice work — no shuffle but the final sort; the oracle restates
+    * the unroll through DuckDB's lateral stepped generate_series +
+    * list_slice. t17 packs whole documents INTO windows; t42 splits
+    * documents ACROSS them — the two directions of the context-length
+    * mismatch. */
+  def passageChunks(s: SparkSession, d: String): DataFrame = {
+    val W = 8
+    val S = 6
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      .select(col("doc_id"), col("arr"), size(col("arr")).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("arr"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(S))).as("st"))
+      .select(col("doc_id"), (col("st") / S).cast("long").as("chunk_id"),
+        col("st").cast("long").as("start_tok"),
+        least(lit(W), col("n") - col("st")).cast("long").as("n_tok"),
+        md5(array_join(slice(col("arr"), col("st") + 1,
+          least(lit(W), col("n") - col("st"))), " ")).as("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val passageChunksSql: String =
+    """WITH dd AS (
+      |  SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+      |ch AS (
+      |  SELECT doc_id, s.g AS st, len(arr) AS n,
+      |    list_slice(arr, s.g + 1, s.g + least(8, len(arr) - s.g)) AS chunk
+      |  FROM dd, unnest(generate_series(0, len(arr) - 1, 6)) AS s(g)
+      |  WHERE len(arr) > 0)
+      |SELECT doc_id, CAST(st // 6 AS BIGINT) AS chunk_id,
+      |  CAST(st AS BIGINT) AS start_tok,
+      |  CAST(least(8, n - st) AS BIGINT) AS n_tok,
+      |  md5(array_to_string(chunk, ' ')) AS fp
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -2157,6 +2205,7 @@ object TextAnalysis extends QueryModule {
     "t39_source_divergence" -> QueryDef(sourceDivergence, Some(sourceDivergenceSql)),
     "t40_continuation_counts" -> QueryDef(continuationCounts, Some(continuationCountsSql)),
     "t41_collocations" -> QueryDef(collocations, Some(collocationsSql)),
+    "t42_passage_chunks" -> QueryDef(passageChunks, Some(passageChunksSql)),
   )
 
 }

@@ -193,7 +193,8 @@ class EmptyInputSpec extends SparkSpec {
     val defs = graft.SparkEntry.allDefs
     for (name <- Seq("g53_chem_diseases", "g54_temporal_reachability", "g55_hits",
         "g57_mutual_reachability",
-        "q34_regex_array_projection", "q35_ordinal_explode", "a13_twap", "x16_deletion_vectors",
+        "q34_regex_array_projection", "q35_ordinal_explode", "a13_twap",
+        "t42_passage_chunks", "x16_deletion_vectors",
         "x17_change_feed", "x18_partition_evolution", "x19_vacuum_plan", "p19_slice_drift",
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",
         "st54_stream_temporal_reachability", "st55_stream_slice_drift",

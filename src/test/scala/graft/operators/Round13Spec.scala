@@ -521,6 +521,39 @@ class Round13Spec extends SparkSpec {
       s"TWAP semantics wrong: $got")
   }
 
+  test("t42: chunks cover every token and consecutive chunks overlap by W-S") {
+    val rows = TextAnalysis.passageChunks(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    // independent ground truth per document: n_tok from the raw text
+    val nTok = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((doc, cs) <- byDoc) {
+      val sorted = cs.sortBy(_._2)
+      val n = nTok(doc)
+      // chunk ids are dense from 0; starts are stride multiples
+      assert(sorted.map(_._2) === (0L until sorted.length).toSeq, s"doc $doc ids not dense")
+      sorted.foreach { case (_, cid, st, w) =>
+        assert(st === cid * 6, s"doc $doc chunk $cid start $st")
+        assert(w === math.min(8L, n - st), s"doc $doc chunk $cid width $w")
+      }
+      // full coverage: last chunk reaches the last token
+      val (_, _, lastSt, lastW) = sorted.last
+      assert(lastSt + lastW === n, s"doc $doc tail uncovered")
+      // overlap: a full-width chunk shares exactly W-S = 2 tokens with its
+      // successor; a short chunk already reaches the end (its successors
+      // are the contract's documented contained tails)
+      sorted.toSeq.sliding(2).foreach {
+        case Seq((_, _, s1, w1), (_, _, s2, _)) =>
+          if (w1 === 8L) assert(s1 + w1 === s2 + 2, s"doc $doc seam at $s2")
+          else assert(s1 + w1 === n, s"doc $doc short chunk at $s1 not at the end")
+        case _ =>
+      }
+    }
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

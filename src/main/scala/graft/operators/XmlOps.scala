@@ -903,6 +903,84 @@ object XmlOps extends QueryModule {
       |SELECT 'f0_' || CAST(bucket AS VARCHAR) AS file, bucket, n_rows, bytes
       |FROM st WHERE bucket % 4 = 0 ORDER BY bucket""".stripMargin
 
+  /** x20 — BLOOM-FILTER DATA SKIPPING: the point-lookup complement to
+    * x11's min/max zone maps — range stats prune RANGE predicates, but a
+    * content-hash equality probe hits every file's [min, max] interval,
+    * so lakes keep a per-file Bloom filter (Parquet bloom pages, Delta
+    * data skipping) and consult it BEFORE opening files. Here: the
+    * documents table written as 16 doc_id slices, one Bloom per slice
+    * over md5(text) (Spark's own BloomFilterAggregate — the runtime-
+    * filter machinery, surfaced); a bounded probe list (every 61st
+    * document's hash, plus two synthetic absent probes that exercise the
+    * skip path) is screened against the 16 blobs, and ONLY candidate
+    * slices are scanned — the isin prune reaches the partition pruner,
+    * PlanSpec-pinned. Bloom false positives cost an extra file read,
+    * never a wrong row (the exact fp equality filters them); false
+    * negatives cannot happen, which is the property the oracle's direct
+    * lookup certifies. Candidate math rides 16 blob literals × a
+    * ~10-row probe list — manifest-sized by construction (a point-
+    * lookup API takes a bounded probe list; the x14 metadata house
+    * rule). */
+  def bloomSkipping(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
+      Integer.toHexString(d.hashCode)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("n_chars"))
+    val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()
+    if (b.isEmpty || b.head.isNullAt(0))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "probe_fp STRING, doc_id BIGINT, n_chars BIGINT"))
+    val (lo, hi) = (b.head.getLong(0), b.head.getLong(1))
+    docs
+      .withColumn("bucket", expr(s"((doc_id - $lo) * 16) div (${hi - lo + 1})"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    // the skipping index: one Bloom blob per slice (16 rows of metadata)
+    val blooms = s.read
+      .schema("doc_id BIGINT, fp STRING, n_chars BIGINT, bucket BIGINT")
+      .parquet(dir)
+      .groupBy(col("bucket"))
+      .agg(graft.functions.Bloom.filterAgg(col("fp"), 64L, 1024L).as("bf"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    import s.implicits._
+    val probes = docs.where(col("doc_id") % 61 === 0).select(col("fp").as("probe_fp"))
+      .unionByName(Seq("graft_absent_probe_1", "graft_absent_probe_2").toDF("probe_fp"))
+      .localCheckpoint()
+    val candidates = blooms.map { case (bkt, blob) =>
+      probes.where(graft.functions.Bloom.mightContain(lit(blob), col("probe_fp")))
+        .select(col("probe_fp"), lit(bkt).as("bucket"))
+    }.reduce(_ unionByName _)
+    bloomSkippingServe(s, dir, probes, candidates)
+      .orderBy(col("probe_fp"), col("doc_id"))
+  }
+
+  /** The skipped scan, factored so PlanSpec can pin that only candidate
+    * slices are opened: the candidate bucket set (≤ 16, metadata) prunes
+    * the partitioned scan via isin, then the exact fp equality keeps
+    * correctness independent of Bloom false positives. */
+  private[graft] def bloomSkippingServe(s: SparkSession, dir: String,
+      probes: DataFrame, candidates: DataFrame): DataFrame = {
+    val candBuckets = candidates.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val scan = s.read
+      .schema("doc_id BIGINT, fp STRING, n_chars BIGINT, bucket BIGINT")
+      .parquet(dir)
+      .where(col("bucket").isin(candBuckets: _*))
+    scan.join(probes, scan("fp") === probes("probe_fp"))
+      .select(col("probe_fp"), col("doc_id"), col("n_chars"))
+  }
+
+  val bloomSkippingSql: String =
+    """WITH probes AS (
+      |  SELECT md5(text) AS probe_fp FROM documents WHERE doc_id % 61 = 0),
+      |dd AS (SELECT doc_id, md5(text) AS fp, n_chars FROM documents)
+      |SELECT p.probe_fp, d.doc_id, d.n_chars
+      |FROM probes p JOIN dd d ON d.fp = p.probe_fp
+      |ORDER BY probe_fp, doc_id""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -921,6 +999,7 @@ object XmlOps extends QueryModule {
     "x17_change_feed" -> QueryDef(changeFeed, Some(changeFeedSql)),
     "x18_partition_evolution" -> QueryDef(partitionEvolution, Some(partitionEvolutionSql)),
     "x19_vacuum_plan" -> QueryDef(vacuumPlan, Some(vacuumPlanSql)),
+    "x20_bloom_skipping" -> QueryDef(bloomSkipping, Some(bloomSkippingSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -197,6 +197,47 @@ class PlanSpec extends SparkSpec {
     assert(sides.forall(_ > 0), s"one layout is empty — the seam is untested: $sides")
   }
 
+  test("x20: the candidate set prunes the scan; blooms never false-negative and absent probes skip") {
+    import org.apache.spark.sql.functions.{col, lit, md5, input_file_name}
+    graft.operators.XmlOps.bloomSkipping(spark, d).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
+      Integer.toHexString(d.hashCode)
+    val layout = spark.read
+      .schema("doc_id BIGINT, fp STRING, n_chars BIGINT, bucket BIGINT")
+      .parquet(dir)
+    val blooms = layout.groupBy(col("bucket"))
+      .agg(graft.functions.Bloom.filterAgg(col("fp"), 64L, 1024L).as("bf"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    // no false negatives: every slice's own fps all pass its bloom
+    for ((bkt, blob) <- blooms) {
+      val inBucket = layout.where(col("bucket") === bkt)
+      val pass = inBucket
+        .where(graft.functions.Bloom.mightContain(lit(blob), col("fp"))).count()
+      assert(pass === inBucket.count(), s"bucket $bkt bloom dropped a real key")
+    }
+    // skipping is real: an absent probe passes (almost) no blooms
+    val absentHits = blooms.count { case (_, blob) =>
+      spark.range(1).select(graft.functions.Bloom.mightContain(lit(blob),
+        lit("graft_absent_probe_1")).as("m")).collect().head.getBoolean(0)
+    }
+    assert(absentHits <= 2, s"absent probe hit $absentHits/16 blooms — index too dense to skip")
+    // the isin candidate set reaches the partition pruner: a one-bucket
+    // candidate frame scans only that bucket's files
+    import spark.implicits._
+    val someFp = layout.where(col("bucket") === 3L).select(col("fp"))
+      .limit(1).collect().head.getString(0)
+    val probes = Seq(someFp).toDF("probe_fp")
+    val cand = Seq((someFp, 3L)).toDF("probe_fp", "bucket")
+    val served = graft.operators.XmlOps.bloomSkippingServe(spark, dir, probes, cand)
+    assert(served.count() >= 1L)
+    val scanned = spark.read
+      .schema("doc_id BIGINT, fp STRING, n_chars BIGINT, bucket BIGINT")
+      .parquet(dir).where(col("bucket").isin(3L))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("bucket=3")),
+      s"pruned scan read outside bucket=3: ${scanned.toSeq}")
+  }
+
   test("g27: candidates equi-join on the shared part; the degree dim broadcasts") {
     val p = plan("g27_link_prediction")
     assert(!p.contains("CartesianProduct"), "RA candidates degenerated to all-pairs")

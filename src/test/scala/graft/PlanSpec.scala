@@ -362,6 +362,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "a chain hop degenerated to NLJ")
   }
 
+  test("round-13 matvec/diff/intersect operators stay equi-joins, never all-pairs") {
+    // g55: four reinforcement half-steps; g57: the fwd∩bwd intersect tail
+    // (the bounded traversals checkpoint eagerly); x17: the generation
+    // full-outer diff. Each must plan as hash/sort-merge equi-joins.
+    for (name <- Seq("g55_hits", "g57_mutual_reachability", "x17_change_feed")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name degenerated to all-pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degenerated to NLJ")
+    }
+  }
+
   test("g49: sweep rounds stay equi-joins; only the two 1-row label crossJoins remain") {
     // the BFS rounds checkpoint eagerly, so the gate's own plan is the
     // output-assembly tail: two (1-row argmax) × (1-row count) cross

@@ -2266,24 +2266,30 @@ object MaterialiseOps extends QueryModule {
     * machinery as g42 (each round one vertex-keyed equi-join + distinct
     * + anti-join vs visited, Δ-frontier-sized), one intersect join, one
     * rollup; never all-pairs. */
-  def mutualReachability(s: SparkSession, d: String): DataFrame = {
+  def mutualReachability(s: SparkSession, d: String): DataFrame =
+    mutualReachabilityOf(
+      orderRingEdges(Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 0)),
+      nSeeds = 4)
+      .orderBy(col("seed"))
+
+  /** The directed ring edges g57 traverses, from a lineitem frame whose
+    * orders are COMPLETE (a window per order — partial orders would
+    * derive different edges; st58's per-order atomicity precondition).
+    * (o, ln) is NOT unique in the synthetic data: order by (ln, p) so
+    * the ring sequence is deterministic (ties are identical rows, so
+    * any permutation yields the same p sequence) — and the oracle CTE,
+    * which DuckDB may re-evaluate per reference, sees the SAME edge set
+    * each time. The 1-in-17 sparsification (applied by callers) keeps
+    * avg out-degree ~2, where mutual ⊂ forward ≠ backward — the full
+    * co-order graph saturates and the gate goes vacuous. */
+  private[graft] def orderRingEdges(li: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // (o, ln) is NOT unique in the synthetic data: order by (ln, p) so the
-    // ring sequence is deterministic (ties are identical rows, so any
-    // permutation yields the same p sequence) — and the oracle CTE, which
-    // DuckDB may re-evaluate per reference, sees the SAME edge set each time
     val w = Window.partitionBy(col("o")).orderBy(col("ln"), col("p"))
-    // the full co-order graph saturates (every seed mutually reaches
-    // everything within the bound, making the gate vacuous); 1-in-17
-    // orders keeps avg out-degree ~2, where mutual ⊂ forward ≠ backward
-    val nx = Tables.lineitem(s, d)
-      .where(col("l_orderkey") % 17 === 0)
-      .select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
+    li.select(col("l_orderkey").as("o"), col("l_linenumber").as("ln"),
         col("l_partkey").cast("long").as("p"))
       .select(col("p").as("u"),
         coalesce(lead(col("p"), 1).over(w), first(col("p")).over(w)).as("v"))
-    mutualReachabilityOf(nx.where(col("u") =!= col("v")).distinct(), nSeeds = 4)
-      .orderBy(col("seed"))
+      .where(col("u") =!= col("v")).distinct()
   }
 
   /** [[mutualReachability]] over an explicit DIRECTED `(u, v)` frame. */

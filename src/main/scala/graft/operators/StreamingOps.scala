@@ -279,6 +279,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamChemDiseases(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_schem_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.chemDiseasesSql)),
+    // shares g57's oracle: two directed min-merge distance states (the
+    // st39 soundness argument per direction) intersected at read; batches
+    // carry whole orders so the window-derived ring edges are split-stable
+    "st58_stream_mutual_reachability" -> QueryDef(
+      (s, d) => Streaming.streamMutualReachability(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_smutual_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(MaterialiseOps.mutualReachabilitySql)),
     // shares x15's oracle: the changelog state is two semigroups (additive
     // cents sum + lexicographic-max last-event struct), so the merged
     // partials re-derive the exact batch changelog and the same

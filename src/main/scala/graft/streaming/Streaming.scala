@@ -2204,6 +2204,43 @@ object Streaming {
         .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
   }
 
+  /** Streaming MUTUAL REACHABILITY (st58): g57's forward∩backward
+    * bounded traversal maintained under order arrivals — two directed
+    * st39-style min-merge distance states over one accumulated edge set,
+    * intersected at READ (storing the intersect would need retraction
+    * when one side improves; the read-side derive needs nothing; see
+    * [[graft.pipeline.IncrementalMutualReach]]). Unlike the set-state
+    * twins this one carries a PER-ORDER ATOMICITY precondition: ring
+    * edges derive from a window over each order's lines, so batches must
+    * ship whole orders (the CDC transaction boundary) — which the
+    * orderkey-split replay here does by construction. On full replay the
+    * table equals batch g57, shared oracle. */
+  def streamMutualReachability(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.operators.MaterialiseOps
+    import graft.pipeline.IncrementalMutualReach
+    def fold(li: DataFrame, id: Long): Unit =
+      IncrementalMutualReach.update(s, stateDir, MaterialiseOps.orderRingEdges(li), id)
+    fold(graft.core.Tables.lineitem(s, d)
+      .where(col("l_orderkey") % 17 === 0 && col("l_orderkey") % 2 === 0), 0L)
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .where(col("l_orderkey") % 17 === 0 && col("l_orderkey") % 2 === 1)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fold(batch.toDF(), id + 1L)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    IncrementalMutualReach.current(s, stateDir).orderBy(col("seed"))
+  }
+
   /** Streaming MERGE APPLY (st57): x15's CDC-fed lake upsert with the
     * changelog itself maintained incrementally — the modern pipeline
     * shape (change feed → streaming apply) where events arrive in

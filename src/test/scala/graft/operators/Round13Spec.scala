@@ -554,6 +554,45 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("st58: a late back-edge promotes forward-only nodes into the mutual set; redelivery is a no-op") {
+    import graft.pipeline.IncrementalMutualReach
+    val dir = java.nio.file.Files.createTempDirectory("st58spec").toString
+    def snap(): Seq[(Long, Long)] = IncrementalMutualReach.current(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // batch 0: 1→2→3, no way back — each seed is mutual only with itself
+    IncrementalMutualReach.update(spark, dir,
+      Seq((1L, 2L), (2L, 3L)).toDF("u", "v"), 0L)
+    assert(snap() === Seq((1L, 1L), (2L, 1L)), s"chain must be mutual-trivial: ${snap()}")
+    // batch 1: the closing 3→1 arrives — BOTH directions' states must
+    // cascade the improvement through edges folded in EARLIER batches
+    IncrementalMutualReach.update(spark, dir, Seq((3L, 1L)).toDF("u", "v"), 1L)
+    val after1 = snap()
+    assert(after1 === Seq((1L, 3L), (2L, 3L), (3L, 3L)),
+      s"ring must become fully mutual: $after1")
+    // redelivery changes nothing
+    IncrementalMutualReach.update(spark, dir, Seq((3L, 1L)).toDF("u", "v"), 2L)
+    assert(snap() === after1, "redelivery must be a no-op")
+  }
+
+  test("st58: whole-order splits replay to batch g57") {
+    import graft.pipeline.IncrementalMutualReach
+    val d = "/root/testdata/sf0.001"
+    val expected = MaterialiseOps.mutualReachability(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val li = graft.core.Tables.lineitem(spark, d)
+      .where(col("l_orderkey") % 17 === 0).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("st58fuzz").toString
+    // split by ORDER (the atomicity precondition), not by row
+    for (b <- 0 until 3)
+      IncrementalMutualReach.update(spark, dir,
+        MaterialiseOps.orderRingEdges(
+          li.where((xxhash64(col("l_orderkey"), lit(58)) % 3 + 3) % 3 === b)),
+        b.toLong)
+    val got = IncrementalMutualReach.current(spark, dir)
+      .orderBy(col("seed")).collect().map(_.toSeq).toSeq
+    assert(got === expected, "st58 replay diverged from batch g57")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

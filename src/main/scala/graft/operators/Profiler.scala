@@ -1095,6 +1095,80 @@ object ProfilerOps extends QueryModule {
       |  END AS share_ratio_ppm
       |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin
 
+  /** p20 — KOLMOGOROV–SMIRNOV DRIFT STATISTIC (exact, bucketed): where
+    * p19 reads each bucket's share residual, the KS view asks the
+    * sharper distributional question — the maximum CUMULATIVE gap
+    * between the two slices' distribution functions, the statistic the
+    * classical two-sample test thresholds. Exact-integer formulation:
+    * at every $1k-cents bucket boundary b, the cross-multiplied gap
+    * `dx(b) = |cumref(b)·T_cur − cumcur(b)·T_ref|` (zero exactly where
+    * the CDFs agree; KS's D = max dx / (T_ref·T_cur), a monotone
+    * consumer left to the reader so no division precision enters the
+    * gate). The cumulative pass rides the bucket SPECTRUM (hundreds of
+    * rows — p17's value-bucket discipline: the window is metadata-
+    * sized, never a data-row sort); the argmax bucket reports WHERE the
+    * distributions diverge most, min bucket on ties. Telescoping pins
+    * the tail: dx at the last bucket is exactly 0. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = Tables.orders(s, d)
+      .select((col("o_custkey") % 2 === 0).as("is_ref"),
+        (graft.core.Exact.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .select(col("is_ref"), expr("cents div 100000").as("bucket"))
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    ksDriftOfHist(hist)
+  }
+
+  /** The KS derivation over a merged (bucket, n_ref, n_cur) histogram —
+    * shared by batch p20 and the st59 streaming twin (same additive
+    * partials as p19/st55, different read). */
+  private[graft] def ksDriftOfHist(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    hist
+      .select(col("bucket"), sum(col("n_ref")).over(w).as("cum_ref"),
+        sum(col("n_cur")).over(w).as("cum_cur"))
+      .join(broadcast(tot))
+      .select(col("bucket"), col("t_ref"), col("t_cur"),
+        abs(col("cum_ref") * col("t_cur") - col("cum_cur") * col("t_ref")).as("dx"))
+      .agg(max(col("t_ref")).as("t_ref"), max(col("t_cur")).as("t_cur"),
+        max(col("dx")).as("max_dx"),
+        (max(struct(col("dx"), (lit(0L) - col("bucket")).as("nb")))
+          .getField("nb") * -1).as("at_bucket"))
+  }
+
+  val ksDriftSql: String =
+    """WITH b AS (
+      |  SELECT o_custkey % 2 = 0 AS is_ref,
+      |    (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) // 100000 AS bucket
+      |  FROM orders),
+      |h AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY bucket),
+      |c AS (
+      |  SELECT bucket,
+      |    CAST(sum(n_ref) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ref,
+      |    CAST(sum(n_cur) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cur
+      |  FROM h),
+      |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+      |             CAST(sum(n_cur) AS BIGINT) AS t_cur FROM h),
+      |dx AS (
+      |  SELECT bucket, t_ref, t_cur,
+      |    abs(cum_ref * t_cur - cum_cur * t_ref) AS dx
+      |  FROM c CROSS JOIN t)
+      |SELECT t_ref, t_cur, CAST(max(dx) AS BIGINT) AS max_dx,
+      |  CAST((SELECT min(bucket) FROM dx i
+      |        WHERE i.dx = (SELECT max(dx) FROM dx)) AS BIGINT) AS at_bucket
+      |FROM dx GROUP BY t_ref, t_cur""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "p1_profile_customer" -> QueryDef(profileCustomer, Some(profileCustomerSql)),
     "p2_profile_embeddings" -> QueryDef(profileEmbeddings, Some(profileEmbeddingsSql)),
@@ -1115,5 +1189,6 @@ object ProfilerOps extends QueryModule {
     "p17_mad_outliers" -> QueryDef(madOutliers, Some(madOutliersSql)),
     "p18_contingency_lift" -> QueryDef(contingencyLift, Some(contingencyLiftSql)),
     "p19_slice_drift" -> QueryDef(sliceDrift, Some(sliceDriftSql)),
+    "p20_ks_drift" -> QueryDef(ksDrift, Some(ksDriftSql)),
   )
 }

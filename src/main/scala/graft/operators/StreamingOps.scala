@@ -279,6 +279,12 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamChemDiseases(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_schem_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.chemDiseasesSql)),
+    // shares p20's oracle: the same additive bucket-count state family
+    // as st55; the cumulative-gap maximum re-derives at read via shared code
+    "st59_stream_ks_drift" -> QueryDef(
+      (s, d) => Streaming.streamKsDrift(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sks_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.ksDriftSql)),
     // shares g57's oracle: two directed min-merge distance states (the
     // st39 soundness argument per direction) intersected at read; batches
     // carry whole orders so the window-derived ring edges are split-stable

@@ -2204,6 +2204,48 @@ object Streaming {
         .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
   }
 
+  /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
+    * served live from the SAME additive bucket-count state shape as
+    * st55 (finer $1k buckets) — one state family, two reads: st55
+    * re-derives per-bucket share residuals, st59 re-derives the
+    * cumulative-gap maximum through batch p20's own
+    * [[graft.operators.ProfilerOps.ksDriftOfHist]]. The classical
+    * distribution-shift alarm, updating per batch at observed-bucket
+    * cost. On full replay the row equals batch p20, shared oracle. */
+  def streamKsDrift(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(d)
+      .select((col("o_custkey") % 2 === 0).as("is_ref"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint) div 100000")
+          .as("bucket"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().groupBy(col("bucket"))
+          .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+            sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/hist.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/hist.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "t_ref BIGINT, t_cur BIGINT, max_dx BIGINT, at_bucket BIGINT"))
+    graft.operators.ProfilerOps.ksDriftOfHist(
+      s.read.parquet(s"$stateDir/hist.parquet").drop("batch")
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
+  }
+
   /** Streaming MUTUAL REACHABILITY (st58): g57's forward∩backward
     * bounded traversal maintained under order arrivals — two directed
     * st39-style min-merge distance states over one accumulated edge set,

@@ -593,6 +593,21 @@ class Round13Spec extends SparkSpec {
     assert(got === expected, "st58 replay diverged from batch g57")
   }
 
+  test("p20: identical slices read zero; a shifted slice peaks at the shift point") {
+    // identical histograms -> every cumulative gap is 0
+    val same = Seq((0L, 3L, 3L), (1L, 2L, 2L), (2L, 5L, 5L))
+      .toDF("bucket", "n_ref", "n_cur")
+    val z = ProfilerOps.ksDriftOfHist(same).collect().head
+    assert(z.getLong(2) === 0L, s"identical slices must read max_dx=0: $z")
+    // ref occupies buckets {0,1}, cur {1,2}: T=2 each; cum gaps are
+    // |1*2-0*2|=2 at b0, |4-2|=2 at b1, 0 at b2 -> max 2, argmin tie at b0
+    val shift = Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 0L, 1L))
+      .toDF("bucket", "n_ref", "n_cur")
+    val r = ProfilerOps.ksDriftOfHist(shift).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 2L, 2L, 0L)), s"shift fixture wrong: $r")
+  }
+
   test("g53 threshold boundary: 0.90 is kept (>=, not >)") {
     val edges = Seq(
       ("c1", "gA", "biolink:affects"),

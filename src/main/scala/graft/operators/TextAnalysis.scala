@@ -2163,6 +2163,52 @@ object TextAnalysis extends QueryModule {
       |  md5(array_to_string(chunk, ' ')) AS fp
       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** t43 — OOV RATE per source: the tokenizer-coverage audit run before
+    * committing a vocab — what fraction of each source's token stream
+    * falls OUTSIDE the fixed vocabulary (here the global top-30 words,
+    * count-desc word-asc deterministic). High OOV in one source means
+    * the vocab was trained on the wrong mixture and that source will
+    * fragment into subword soup (or UNKs) at training time; the per-
+    * source ppm (exact staged integer division, the t41 rule) is the
+    * number a mixture rebalance actually thresholds. Scale shape: the
+    * vocabulary is bounded by construction, so membership is a
+    * BROADCAST anti-join against the token stream — no shuffle touches
+    * the big side beyond the per-source aggregate. */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, t) => t.trim.split("\\s+").map(w => (src, w)) }
+      .toDF("source", "word")
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc).limit(30)
+      .select(col("word"))
+    toks
+      .join(broadcast(vocab).withColumn("in_v", lit(1L)), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val oovRateSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents),
+      |v AS (
+      |  SELECT word FROM (
+      |    SELECT word, count(*) AS n FROM toks GROUP BY word
+      |    ORDER BY n DESC, word ASC LIMIT 30)),
+      |j AS (
+      |  SELECT t.source, CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM toks t LEFT JOIN v ON v.word = t.word)
+      |SELECT source, count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  CAST((1000000 * sum(oov)) // count(*) AS BIGINT) AS oov_ppm
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "t1_token_count"   -> QueryDef(tokenCount, Some(tokenCountSql), bench = true),
     "t2_quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql), bench = true),
@@ -2206,6 +2252,7 @@ object TextAnalysis extends QueryModule {
     "t40_continuation_counts" -> QueryDef(continuationCounts, Some(continuationCountsSql)),
     "t41_collocations" -> QueryDef(collocations, Some(collocationsSql)),
     "t42_passage_chunks" -> QueryDef(passageChunks, Some(passageChunksSql)),
+    "t43_oov_rate" -> QueryDef(oovRate, Some(oovRateSql)),
   )
 
 }

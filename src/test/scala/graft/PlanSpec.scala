@@ -373,6 +373,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t43: the bounded vocabulary broadcasts to the membership join") {
+    val p = plan("t43_oov_rate")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the top-30 vocab should broadcast, not shuffle the token stream")
+  }
+
   test("g49: sweep rounds stay equi-joins; only the two 1-row label crossJoins remain") {
     // the BFS rounds checkpoint eagerly, so the gate's own plan is the
     // output-assembly tail: two (1-row argmax) × (1-row count) cross

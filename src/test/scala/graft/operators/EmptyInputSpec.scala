@@ -194,7 +194,7 @@ class EmptyInputSpec extends SparkSpec {
     for (name <- Seq("g53_chem_diseases", "g54_temporal_reachability", "g55_hits",
         "g57_mutual_reachability",
         "q34_regex_array_projection", "q35_ordinal_explode", "a13_twap",
-        "t42_passage_chunks", "x16_deletion_vectors",
+        "t42_passage_chunks", "t43_oov_rate", "x16_deletion_vectors",
         "x17_change_feed", "x18_partition_evolution", "x19_vacuum_plan",
         "x20_bloom_skipping", "p19_slice_drift",
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",

@@ -981,6 +981,54 @@ object XmlOps extends QueryModule {
       |FROM probes p JOIN dd d ON d.fp = p.probe_fp
       |ORDER BY probe_fp, doc_id""".stripMargin
 
+  /** x21 — WRITER EXPECTATIONS (constraint quarantine): the Delta-Live-
+    * Tables / dbt-test pattern at the commit boundary — every declared
+    * constraint is evaluated once per row, rows failing ANY land in a
+    * QUARANTINE artifact tagged with the FIRST failing constraint (in
+    * declared order — deterministic triage), clean rows commit. A bad
+    * row never silently vanishes (the GDPR/audit requirement) and never
+    * silently commits (the data-contract requirement). Constraints here:
+    * `lang_allowed` (zh is outside the serving allowlist) then
+    * `min_length` (n_chars ≥ 100). The engine physically writes BOTH
+    * artifacts and aggregates by READING THEM BACK (the x7 seam rule:
+    * identical counts ⟺ the split lost nothing); the oracle restates
+    * the triage from source predicates. One predicate evaluation, two
+    * partition-pruned writes — no joins at any scale. */
+  def expectations(s: SparkSession, d: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_expect_" +
+      Integer.toHexString(d.hashCode)
+    val triaged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        when(!col("lang").isin("en", "fr", "de", "es"), "lang_allowed")
+          .when(col("n_chars") < 100, "min_length")
+          .otherwise("ok").as("reason"))
+    triaged.where(col("reason") === "ok")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/clean")
+    triaged.where(col("reason") =!= "ok")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/quarantine")
+    def readBack(sub: String, disposition: String): DataFrame = s.read
+      .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, reason STRING")
+      .parquet(s"$dir/$sub")
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(disposition).as("disposition"), col("reason"),
+        col("n_rows"), col("sum_chars"))
+    readBack("clean", "committed").unionByName(readBack("quarantine", "quarantined"))
+      .orderBy(col("disposition"), col("reason"))
+  }
+
+  val expectationsSql: String =
+    """WITH t AS (
+      |  SELECT n_chars,
+      |    CASE WHEN lang NOT IN ('en','fr','de','es') THEN 'lang_allowed'
+      |         WHEN n_chars < 100 THEN 'min_length'
+      |         ELSE 'ok' END AS reason
+      |  FROM documents)
+      |SELECT CASE WHEN reason = 'ok' THEN 'committed'
+      |            ELSE 'quarantined' END AS disposition,
+      |  reason, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM t GROUP BY 1, 2 ORDER BY disposition, reason""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -1000,6 +1048,7 @@ object XmlOps extends QueryModule {
     "x18_partition_evolution" -> QueryDef(partitionEvolution, Some(partitionEvolutionSql)),
     "x19_vacuum_plan" -> QueryDef(vacuumPlan, Some(vacuumPlanSql)),
     "x20_bloom_skipping" -> QueryDef(bloomSkipping, Some(bloomSkippingSql)),
+    "x21_expectations" -> QueryDef(expectations, Some(expectationsSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

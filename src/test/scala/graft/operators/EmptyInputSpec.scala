@@ -196,7 +196,7 @@ class EmptyInputSpec extends SparkSpec {
         "q34_regex_array_projection", "q35_ordinal_explode", "a13_twap",
         "t42_passage_chunks", "t43_oov_rate", "x16_deletion_vectors",
         "x17_change_feed", "x18_partition_evolution", "x19_vacuum_plan",
-        "x20_bloom_skipping", "p19_slice_drift",
+        "x20_bloom_skipping", "x21_expectations", "p19_slice_drift",
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",
         "st54_stream_temporal_reachability", "st55_stream_slice_drift",
         "st56_stream_hits", "st57_stream_merge_upsert",

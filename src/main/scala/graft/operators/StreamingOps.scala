@@ -279,6 +279,12 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamChemDiseases(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_schem_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(MaterialiseOps.chemDiseasesSql)),
+    // shares x21's oracle: per-(disposition, reason) triage counts are
+    // plain addition through the shared declared-order constraint chain
+    "st60_stream_expectations" -> QueryDef(
+      (s, d) => Streaming.streamExpectations(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_sexpect_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(XmlOps.expectationsSql)),
     // shares p20's oracle: the same additive bucket-count state family
     // as st55; the cumulative-gap maximum re-derives at read via shared code
     "st59_stream_ks_drift" -> QueryDef(

@@ -2204,6 +2204,53 @@ object Streaming {
         .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur")))
   }
 
+  /** Streaming EXPECTATIONS MONITOR (st60): x21's constraint triage as a
+    * live data-contract dashboard — documents stream in batches, each
+    * batch's rows triage through the SAME declared-order constraint
+    * chain, and the per-(disposition, reason) counts are plain addition,
+    * so the monitor updates at observed-triage-class cost and a
+    * constraint that starts firing mid-stream moves its row on the next
+    * read. On full replay the table equals batch x21, shared oracle. */
+  def streamExpectations(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val triage = (df: DataFrame) => df
+      .select(col("n_chars"),
+        when(!col("lang").isin("en", "fr", "de", "es"), "lang_allowed")
+          .when(col("n_chars") < 100, "min_length")
+          .otherwise("ok").as("reason"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        triage(batch.toDF())
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/triage.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/triage.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "disposition STRING, reason STRING, n_rows BIGINT, sum_chars BIGINT"))
+    s.read.parquet(s"$stateDir/triage.parquet").drop("batch")
+      .groupBy(col("reason"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_chars")).as("sum_chars"))
+      .select(
+        when(col("reason") === "ok", "committed").otherwise("quarantined")
+          .as("disposition"),
+        col("reason"), col("n_rows"), col("sum_chars"))
+      .orderBy(col("disposition"), col("reason"))
+  }
+
   /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
     * served live from the SAME additive bucket-count state shape as
     * st55 (finer $1k buckets) — one state family, two reads: st55

@@ -200,7 +200,8 @@ class EmptyInputSpec extends SparkSpec {
         "st52_stream_gwas_chain", "st53_stream_chem_diseases",
         "st54_stream_temporal_reachability", "st55_stream_slice_drift",
         "st56_stream_hits", "st57_stream_merge_upsert",
-        "st58_stream_mutual_reachability", "st59_stream_ks_drift")) {
+        "st58_stream_mutual_reachability", "st59_stream_ks_drift",
+        "st60_stream_expectations")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

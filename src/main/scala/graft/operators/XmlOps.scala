@@ -702,6 +702,9 @@ object XmlOps extends QueryModule {
     * primary key, bucketable to shuffle-free; the feed is
     * changed-rows-small. */
   def changeFeed(s: SparkSession, d: String): DataFrame = {
+    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
+    // single-session dev-loop pattern (concurrent sessions would suffix
+    // this with sessionUUID — the s17 rule)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
       Integer.toHexString(d.hashCode)
     val docs = Tables.documents(s, d)
@@ -770,6 +773,9 @@ object XmlOps extends QueryModule {
     * from the unpartitioned original — identical rows ⟺ the seam lost
     * nothing and pruning dropped nothing it shouldn't. */
   def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
+    // single-session dev-loop pattern (concurrent sessions would suffix
+    // this with sessionUUID — the s17 rule)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pevo_" +
       Integer.toHexString(d.hashCode)
     val ev = graft.core.Tables.events(s, d)
@@ -846,6 +852,9 @@ object XmlOps extends QueryModule {
     * spec pins the SAFETY property on a hand manifest: a file shared
     * with any live generation must never plan for deletion. */
   def vacuumPlan(s: SparkSession, d: String): DataFrame = {
+    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
+    // single-session dev-loop pattern (concurrent sessions would suffix
+    // this with sessionUUID — the s17 rule)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vac_" +
       Integer.toHexString(d.hashCode)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
@@ -922,6 +931,9 @@ object XmlOps extends QueryModule {
     * lookup API takes a bounded probe list; the x14 metadata house
     * rule). */
   def bloomSkipping(s: SparkSession, d: String): DataFrame = {
+    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
+    // single-session dev-loop pattern (concurrent sessions would suffix
+    // this with sessionUUID — the s17 rule)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
       Integer.toHexString(d.hashCode)
     val docs = Tables.documents(s, d)
@@ -995,6 +1007,9 @@ object XmlOps extends QueryModule {
     * the triage from source predicates. One predicate evaluation, two
     * partition-pruned writes — no joins at any scale. */
   def expectations(s: SparkSession, d: String): DataFrame = {
+    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
+    // single-session dev-loop pattern (concurrent sessions would suffix
+    // this with sessionUUID — the s17 rule)
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_expect_" +
       Integer.toHexString(d.hashCode)
     val triaged = Tables.documents(s, d)

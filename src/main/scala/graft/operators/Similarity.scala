@@ -1418,8 +1418,7 @@ object Similarity extends QueryModule {
     // sessions (parallel suites, two drivers on one host) from dropping
     // each other's table mid-scan — the round-12 ADVICE race. appId
     // separates JVMs; identityHashCode separates sessions within one.
-    val sess = Integer.toHexString(s.sparkContext.applicationId.hashCode) +
-      Integer.toHexString(System.identityHashCode(s))
+    val sess = graft.core.LakeDir.sessionTag(s)
     val tbl = s"graft_bucket_idx_${sess}_${Integer.toHexString(d.hashCode)}"
     val loc = s"${System.getProperty("java.io.tmpdir")}/$tbl"
     s.sql(s"DROP TABLE IF EXISTS $tbl")

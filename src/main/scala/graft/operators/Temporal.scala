@@ -620,6 +620,13 @@ object Temporal extends QueryModule {
     * second (zero total duration — the only honest answer). One lead
     * window + one grouped sum; no joins. */
   def twap(s: SparkSession, d: String): DataFrame =
+    // unix_micros(cast to timestamp) interprets the NTZ input in the
+    // SESSION timezone, while DuckDB's epoch_us treats it as UTC. Every
+    // session builder in this repo (Verify, Bench, SparkSpec, tools/*)
+    // pins spark.sql.session.timeZone=UTC, which makes the two agree and
+    // the gap arithmetic DST-invariant — the round-13 ADVICE item. A
+    // non-UTC embedding session would shift individual gaps across DST
+    // transitions (constant offsets cancel; transitions don't).
     twapOf(Tables.events(s, d)
       .select(col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.core.{QueryDef, QueryModule, Tables}
+import graft.core.{LakeDir, QueryDef, QueryModule, Tables}
 import graft.ingest.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -107,7 +107,7 @@ object XmlOps extends QueryModule {
     * original parquet: identical rows ⟺ the round-trip is lossless.
     * Deterministic temp dir per sf dir so reruns overwrite in place. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "orc", d)
     graft.core.Tables.documents(s, d)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(dir)
     s.read.orc(dir)
@@ -136,7 +136,7 @@ object XmlOps extends QueryModule {
   def codecRoundtrip(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.DataFrame
     Codecs.map { c =>
-      val dir = codecDir(d, c)
+      val dir = codecDir(s, d, c)
       graft.core.Tables.documents(s, d)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .option("compression", c).parquet(dir)
@@ -149,8 +149,8 @@ object XmlOps extends QueryModule {
   }
 
   private[graft] val Codecs = Seq("gzip", "lz4", "none", "snappy", "zstd")
-  private[graft] def codecDir(d: String, c: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_codec_${c}_${math.abs(d.hashCode)}"
+  private[graft] def codecDir(s: SparkSession, d: String, c: String): String =
+    LakeDir.scoped(s, s"codec_$c", d)
 
   val codecRoundtripSql: String =
     s"""WITH agg AS (
@@ -169,7 +169,7 @@ object XmlOps extends QueryModule {
     * aggregates integer-exactly (cents quantization) so the gate proves
     * the round-trip lossless for ints, doubles, dates and strings. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "csv", d)
     graft.core.Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_shipdate"), col("l_returnflag"))
@@ -205,7 +205,7 @@ object XmlOps extends QueryModule {
     * chars, non-ASCII) — exactly the bytes the reference's jsonl.gz
     * intermediates must survive. */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "jsonl", d)
     graft.core.Tables.documents(s, d)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(dir)
     s.read
@@ -238,7 +238,7 @@ object XmlOps extends QueryModule {
     * the unpartitioned original — identical rows ⟺ the layout lost
     * nothing and pruning dropped nothing it shouldn't. */
   def partitionedScan(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_part_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "part", d)
     graft.core.Tables.documents(s, d)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("lang").parquet(dir)
@@ -277,7 +277,7 @@ object XmlOps extends QueryModule {
     * layouts promote the merged schema into the table definition rather
     * than re-merging every scan (x7's explicit-schema rule, evolved). */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evo_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "evo", d)
     val docs = graft.core.Tables.documents(s, d)
     docs.where(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
@@ -312,7 +312,7 @@ object XmlOps extends QueryModule {
     * scan as a pushed predicate — PlanSpec pins PushedFilters, the
     * spec pins that file time-slices are genuinely disjoint. */
   def rangeLayout(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_range_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "range", d)
     graft.core.Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"),
@@ -403,8 +403,7 @@ object XmlOps extends QueryModule {
     * UUID generations, retention IS the feature here; the fixed layout
     * is rebuilt in place per invocation (the s17 discipline). */
   def timeTravelRead(s: SparkSession, d: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
-      Integer.toHexString(d.hashCode)
+    val base = LakeDir.scoped(s, "tt", d)
     def pub(df: org.apache.spark.sql.DataFrame, gen: Int): String = {
       val dir = s"$base/gen_$gen"
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
@@ -450,8 +449,7 @@ object XmlOps extends QueryModule {
     * and that groups are contiguous with no group except the last
     * under-filled below target while a successor exists. */
   def compactionPlan(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-      Integer.toHexString(d.hashCode)
+    val dir = LakeDir.scoped(s, "compact", d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     // 1-row bounded driver read (house rule: scalars may collect) — the
     // bucket arithmetic needs the bounds as literals
@@ -642,8 +640,7 @@ object XmlOps extends QueryModule {
     * and broadcastable per file; engines push it to the scan as a row
     * skip-list — here it is the anti-join Spark would plan anyway. */
   def deletionVectors(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_dv_" +
-      Integer.toHexString(d.hashCode)
+    val dir = LakeDir.scoped(s, "dv", d)
     Tables.documents(s, d)
       .repartitionByRange(4, col("doc_id")).sortWithinPartitions(col("doc_id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")
@@ -702,11 +699,9 @@ object XmlOps extends QueryModule {
     * primary key, bucketable to shuffle-free; the feed is
     * changed-rows-small. */
   def changeFeed(s: SparkSession, d: String): DataFrame = {
-    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
-    // single-session dev-loop pattern (concurrent sessions would suffix
-    // this with sessionUUID — the s17 rule)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_" +
-      Integer.toHexString(d.hashCode)
+    // per-(session, dataset) dir, rebuilt in place per invocation — the
+    // s17 rule, centralised in core.LakeDir (round-13 verdict item)
+    val dir = LakeDir.scoped(s, "cdf", d)
     val docs = Tables.documents(s, d)
     val off = docs.agg(max(col("doc_id"))).collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
@@ -731,7 +726,12 @@ object XmlOps extends QueryModule {
 
   /** The generation diff itself: one full-outer equi-join on the key,
     * arms as projections, unchanged rows suppressed. `g0` carries
-    * (doc_id, old_chars), `g1` (doc_id, new_chars). */
+    * (doc_id, old_chars), `g1` (doc_id, new_chars). Note a doubled
+    * value that EQUALS its original (n_chars = 0) is genuinely
+    * unchanged and is suppressed here — the oracle's update arm
+    * excludes it too (`n_chars <> n_chars * 2`, the round-13 ADVICE
+    * divergence), so a zero-length document can never split the
+    * engines. */
   private[graft] def cdcDiff(g0: DataFrame, g1: DataFrame): DataFrame =
     g0.join(g1, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -749,7 +749,7 @@ object XmlOps extends QueryModule {
       |FROM documents WHERE lang = 'de'
       |UNION ALL
       |SELECT doc_id, 'update', n_chars, n_chars * 2
-      |FROM documents WHERE lang = 'fr'
+      |FROM documents WHERE lang = 'fr' AND n_chars <> n_chars * 2
       |UNION ALL
       |SELECT doc_id + o, 'insert', NULL, n_chars
       |FROM documents CROSS JOIN off WHERE lang = 'zh'
@@ -773,11 +773,9 @@ object XmlOps extends QueryModule {
     * from the unpartitioned original — identical rows ⟺ the seam lost
     * nothing and pruning dropped nothing it shouldn't. */
   def partitionEvolution(s: SparkSession, d: String): DataFrame = {
-    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
-    // single-session dev-loop pattern (concurrent sessions would suffix
-    // this with sessionUUID — the s17 rule)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pevo_" +
-      Integer.toHexString(d.hashCode)
+    // per-(session, dataset) dir, rebuilt in place per invocation — the
+    // s17 rule, centralised in core.LakeDir (round-13 verdict item)
+    val dir = LakeDir.scoped(s, "pevo", d)
     val ev = graft.core.Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("value"))
     val b = ev.agg(min(to_date(col("ts"))).as("mn"), max(to_date(col("ts"))).as("mx"))
@@ -852,11 +850,9 @@ object XmlOps extends QueryModule {
     * spec pins the SAFETY property on a hand manifest: a file shared
     * with any live generation must never plan for deletion. */
   def vacuumPlan(s: SparkSession, d: String): DataFrame = {
-    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
-    // single-session dev-loop pattern (concurrent sessions would suffix
-    // this with sessionUUID — the s17 rule)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_vac_" +
-      Integer.toHexString(d.hashCode)
+    // per-(session, dataset) dir, rebuilt in place per invocation — the
+    // s17 rule, centralised in core.LakeDir (round-13 verdict item)
+    val dir = LakeDir.scoped(s, "vac", d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
     val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .collect()
@@ -931,11 +927,9 @@ object XmlOps extends QueryModule {
     * lookup API takes a bounded probe list; the x14 metadata house
     * rule). */
   def bloomSkipping(s: SparkSession, d: String): DataFrame = {
-    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
-    // single-session dev-loop pattern (concurrent sessions would suffix
-    // this with sessionUUID — the s17 rule)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
-      Integer.toHexString(d.hashCode)
+    // per-(session, dataset) dir, rebuilt in place per invocation — the
+    // s17 rule, centralised in core.LakeDir (round-13 verdict item)
+    val dir = LakeDir.scoped(s, "bskip", d)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), md5(col("text")).as("fp"), col("n_chars"))
     val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
@@ -1007,16 +1001,12 @@ object XmlOps extends QueryModule {
     * the triage from source predicates. One predicate evaluation, two
     * partition-pruned writes — no joins at any scale. */
   def expectations(s: SparkSession, d: String): DataFrame = {
-    // fixed per-dataset dir, rebuilt in place per invocation: the x7/x14
-    // single-session dev-loop pattern (concurrent sessions would suffix
-    // this with sessionUUID — the s17 rule)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_expect_" +
-      Integer.toHexString(d.hashCode)
+    // per-(session, dataset) dir, rebuilt in place per invocation — the
+    // s17 rule, centralised in core.LakeDir (round-13 verdict item)
+    val dir = LakeDir.scoped(s, "expect", d)
     val triaged = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        when(!col("lang").isin("en", "fr", "de", "es"), "lang_allowed")
-          .when(col("n_chars") < 100, "min_length")
-          .otherwise("ok").as("reason"))
+        triageReason.as("reason"))
     triaged.where(col("reason") === "ok")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/clean")
     triaged.where(col("reason") =!= "ok")
@@ -1031,6 +1021,16 @@ object XmlOps extends QueryModule {
     readBack("clean", "committed").unionByName(readBack("quarantine", "quarantined"))
       .orderBy(col("disposition"), col("reason"))
   }
+
+  /** The declared-order constraint chain shared by batch x21 and the
+    * st60 streaming monitor (the round-13 ADVICE item): FIRST failing
+    * constraint wins — lang allowlist, then min length. One definition,
+    * two call sites, so an edit to the chain cannot silently break the
+    * ≡batch shared-oracle contract between x21 and st60. */
+  private[graft] def triageReason: org.apache.spark.sql.Column =
+    when(!col("lang").isin("en", "fr", "de", "es"), "lang_allowed")
+      .when(col("n_chars") < 100, "min_length")
+      .otherwise("ok")
 
   val expectationsSql: String =
     """WITH t AS (
@@ -1076,7 +1076,7 @@ object XmlOps extends QueryModule {
     * compressing, which is exactly how the reference's per-datasource
     * file layout behaves under Nextflow. */
   def jsonGzRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonlgz_${math.abs(d.hashCode)}"
+    val dir = LakeDir.scoped(s, "jsonlgz", d)
     graft.core.Tables.documents(s, d)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .option("compression", "gzip").json(dir)

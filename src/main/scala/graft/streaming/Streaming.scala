@@ -2212,11 +2212,10 @@ object Streaming {
     * constraint that starts firing mid-stream moves its row on the next
     * read. On full replay the table equals batch x21, shared oracle. */
   def streamExpectations(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    // the ONE triage chain, shared with batch x21 (round-13 ADVICE):
+    // editing the constraint order there updates this monitor in lockstep
     val triage = (df: DataFrame) => df
-      .select(col("n_chars"),
-        when(!col("lang").isin("en", "fr", "de", "es"), "lang_allowed")
-          .when(col("n_chars") < 100, "min_length")
-          .otherwise("ok").as("reason"))
+      .select(col("n_chars"), graft.operators.XmlOps.triageReason.as("reason"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
     val schema = s.read.parquet(s"$d/documents.parquet").schema

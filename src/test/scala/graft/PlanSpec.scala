@@ -169,8 +169,7 @@ class PlanSpec extends SparkSpec {
   test("x18: each generation prunes on ITS OWN partition column and both feed the seam") {
     // build the two-spec layout once, then pin the serving read's plan
     graft.operators.XmlOps.partitionEvolution(spark, d).collect()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_pevo_" +
-      Integer.toHexString(d.hashCode)
+    val dir = graft.core.LakeDir.scoped(spark, "pevo", d)
     // recover the threshold the operator derived (min + span/2)
     import org.apache.spark.sql.functions.{col, to_date, min => fmin, max => fmax, input_file_name}
     val b = graft.core.Tables.events(spark, d)
@@ -200,8 +199,7 @@ class PlanSpec extends SparkSpec {
   test("x20: the candidate set prunes the scan; blooms never false-negative and absent probes skip") {
     import org.apache.spark.sql.functions.{col, lit, md5, input_file_name}
     graft.operators.XmlOps.bloomSkipping(spark, d).collect()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bskip_" +
-      Integer.toHexString(d.hashCode)
+    val dir = graft.core.LakeDir.scoped(spark, "bskip", d)
     val layout = spark.read
       .schema("doc_id BIGINT, fp STRING, n_chars BIGINT, bucket BIGINT")
       .parquet(dir)
@@ -509,7 +507,7 @@ class PlanSpec extends SparkSpec {
   test("x11: the time cut reaches the rewritten scan as a pushed literal filter") {
     // run once to materialise the layout, then pin the read's plan
     SparkEntry.allDefs("x11_range_layout").fn(spark, d).collect()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_range_${math.abs(d.hashCode)}"
+    val dir = graft.core.LakeDir.scoped(spark, "range", d)
     val read = graft.operators.XmlOps.rangeLayoutOf(spark, dir, 123456789L)
     val p = read.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("PushedFilters") && p.contains("LessThan(us,123456789)"),

@@ -21,9 +21,9 @@ class FormatsSpec extends SparkSpec {
     assert(rows.map(_._1).toSeq === XmlOps.Codecs.sorted)
     assert(rows.map(t => (t._2, t._3, t._4, t._5)).distinct.length === 1,
       "all codecs must agree on the content stats")
-    val none = dirBytes(XmlOps.codecDir(d, "none"))
+    val none = dirBytes(XmlOps.codecDir(spark, d, "none"))
     for (c <- XmlOps.Codecs if c != "none") {
-      val sz = dirBytes(XmlOps.codecDir(d, c))
+      val sz = dirBytes(XmlOps.codecDir(spark, d, c))
       assert(sz < none, s"codec $c produced $sz bytes >= uncompressed $none " +
         "— the compression option never reached the files")
     }
@@ -38,7 +38,7 @@ class FormatsSpec extends SparkSpec {
       .sorted.toSeq
     // the layout really is range-partitioned: per-FILE us intervals are
     // pairwise disjoint (this is what lets row-group stats prune)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_range_${math.abs(d.hashCode)}"
+    val dir = graft.core.LakeDir.scoped(spark, "range", d)
     val slices = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
@@ -86,8 +86,7 @@ class FormatsSpec extends SparkSpec {
       assert(before >= g * target, s"group $g started before its fill line")
     }
     // the physical slices really are disjoint in doc_id
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-      Integer.toHexString(d.hashCode)
+    val dir = graft.core.LakeDir.scoped(spark, "compact", d)
     val slices = spark.read
       .schema("doc_id BIGINT, n_chars BIGINT, bucket BIGINT").parquet(dir)
       .groupBy(col("bucket"))

@@ -212,8 +212,7 @@ class Round12Spec extends SparkSpec {
     val got = XmlOps.timeTravelRead(spark, src).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((0L, 3L, 6L), (1L, 2L, 4L)), s"generation stats wrong: $got")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_tt_" +
-      Integer.toHexString(src.hashCode)
+    val base = graft.core.LakeDir.scoped(spark, "tt", src)
     // gen 0 still serves the FULL corpus after the filtered re-publish
     assert(MaterialiseOps.serveValidated(spark, s"$base/gen_0").count() === 3L,
       "time travel to the pre-filter generation lost rows")

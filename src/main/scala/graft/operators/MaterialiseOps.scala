@@ -2580,8 +2580,7 @@ object MaterialiseOps extends QueryModule {
     * still lazily consuming one surfaces that loss through ITS next
     * validation or a loud read failure — never as silently-wrong data. */
   private[graft] def publishGen(s: SparkSession, d: String): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pub_" +
-      Integer.toHexString(d.hashCode)
+    val base = graft.core.LakeDir.scoped(s, "pub", d)
     val dir = s"$base/gen_${java.util.UUID.randomUUID().toString.take(8)}"
     Tables.documents(s, d).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/data")

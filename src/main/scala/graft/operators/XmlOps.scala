@@ -1044,6 +1044,138 @@ object XmlOps extends QueryModule {
       |  reason, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM t GROUP BY 1, 2 ORDER BY disposition, reason""".stripMargin
 
+  /** x22 — OPTIMISTIC-CONCURRENCY COMMIT (the lake-family capstone the
+    * round-13 verdict named): k11 gave a generation its manifest-validated
+    * publish; x22 gives the TABLE a commit log, so two uncoordinated
+    * writers can publish concurrently and the table still has one linear
+    * history — the Delta `_delta_log` / Iceberg snapshot-commit protocol.
+    *
+    * Protocol:
+    *   1. A writer reads the latest committed version N (max `v<N>` in
+    *      `_commits/`, each file's CONTENT naming its generation dir).
+    *   2. It prepares its OWN `gen_<uuid>` (data + k11 manifest) off to
+    *      the side — data-scale work, all OUTSIDE the critical section.
+    *   3. Commit = put-if-absent of `_commits/v<N+1>`: the content is
+    *      staged to a hidden temp file and HARD-LINKED into place
+    *      (`Files.createLink` is atomic O_CREAT|O_EXCL-style: it fails
+    *      with FileAlreadyExistsException if the version exists, and the
+    *      file is COMPLETE the instant it appears — no reader can see a
+    *      torn commit). On an object store this step maps to the store's
+    *      conditional put (S3 If-None-Match, GCS x-goog-if-generation-
+    *      match); on HDFS to create-no-overwrite — the one primitive the
+    *      whole protocol needs.
+    *   4. A loser gets the exception as a CONFLICT: its snapshot is
+    *      stale. It re-reads the new head, REBASES (re-applies its own
+    *      transform to the winner's output — correct exactly when its
+    *      logical operation is expressible against any snapshot) and
+    *      retries at N+2, bounded.
+    *
+    * The gate runs the full interleaving deterministically: both writers
+    * read v1 (the seeded corpus), A (GDPR delete of `de`) wins v2, B
+    * (fr reprice, PREPARED AGAINST THE STALE v1 SNAPSHOT) loses, detects
+    * the conflict, rebases on A's output and commits v3. The operations
+    * commute on disjoint row sets, so the final committed content is
+    * deterministic no matter who wins the race — which is what lets a
+    * DuckDB oracle restate it. Served through [[MaterialiseOps
+    * .serveValidated]], so a torn or half-manifested generation can
+    * never reach the aggregate. The spec additionally races 8 threads
+    * at ONE version (exactly one winner), pins loser-retry content, and
+    * pins that the stale prepared generation is never the head.
+    * Scale shape: the critical section touches one manifest-pointer
+    * file — data volume never enters it; prepared-but-lost generations
+    * are x19 vacuum food. */
+  def occCommitPublish(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occ", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true) // rebuilt in place per invocation
+    // v1: seed the table with the full corpus
+    val gen0 = occPrepare(s, base, Tables.documents(s, d))
+    require(occTryCommit(base, 1, gen0), "seed commit of an empty log must win")
+    // two writers each read the SAME committed snapshot (v1)
+    val snapA = occReadCommitted(s, base)
+    val snapB = occReadCommitted(s, base)
+    // A prepares + wins v2: delete the de partition
+    val genA = occPrepare(s, base, snapA.where(col("lang") =!= "de"))
+    require(occTryCommit(base, 2, genA), "writer A raced nobody at v2")
+    // B prepared against the STALE v1 snapshot...
+    val reprice = (df: DataFrame) => df.withColumn("n_chars",
+      when(col("lang") === "fr", col("n_chars") * 2).otherwise(col("n_chars")))
+    val genBStale = occPrepare(s, base, reprice(snapB))
+    // ...and its commit attempt at v2 MUST lose: conflict detected, not
+    // silent last-writer-wins (which would resurrect A's deleted rows)
+    require(!occTryCommit(base, 2, genBStale),
+      "stale writer must get a conflict, not a silent overwrite")
+    // rebase: re-read the NEW head, re-apply B's own transform, retry
+    val genB = occPrepare(s, base, reprice(occReadCommitted(s, base)))
+    require(occTryCommit(base, 3, genB), "rebased retry at v3 raced nobody")
+    occReadCommitted(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Prepare one generation (data + k11 manifest) under `base`, off the
+    * commit path. Returns the generation's directory name. */
+  private[graft] def occPrepare(s: SparkSession, base: String, df: DataFrame): String = {
+    val gen = s"gen_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$base/$gen/data")
+    MaterialiseOps.writeManifest(s, s"$base/$gen")
+    gen
+  }
+
+  /** The atomic CAS: claim `v<version>` for `gen` iff absent. Stage the
+    * content to a temp file, hard-link into place (atomic fail-if-exists
+    * with complete content), true iff this writer won. */
+  private[graft] def occTryCommit(base: String, version: Int, gen: String): Boolean = {
+    val dir = java.nio.file.Paths.get(base, "_commits")
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+    try {
+      java.nio.file.Files.createLink(dir.resolve(s"v$version"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Resolve the current head (max committed version) and its generation
+    * name; None on an empty log. Listing-scale metadata only. */
+  private[graft] def occHead(base: String): Option[(Int, String)] = {
+    val dir = java.nio.file.Paths.get(base, "_commits")
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val vs = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(dir).iterator()).asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("v[0-9]+") => n.drop(1).toInt }
+      .toSeq
+    if (vs.isEmpty) None
+    else {
+      val v = vs.max
+      val gen = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(base, "_commits", s"v$v")), "UTF-8")
+      Some((v, gen))
+    }
+  }
+
+  /** The committed snapshot, through the k11 validating read — a commit
+    * whose generation is torn or half-manifested throws rather than
+    * serving. */
+  private[graft] def occReadCommitted(s: SparkSession, base: String): DataFrame = {
+    val (_, gen) = occHead(base).getOrElse(
+      sys.error(s"no committed version under $base"))
+    MaterialiseOps.serveValidated(s, s"$base/$gen")
+  }
+
+  val occCommitPublishSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
+      |           ELSE n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang <> 'de'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   override val defs: ListMap[String, QueryDef] = ListMap(
     "x1_xml_ingest" -> QueryDef(xmlIngest, Some(xmlIngestSql)),
     "x4_orc_roundtrip" -> QueryDef(orcRoundtrip, Some(orcRoundtripSql)),
@@ -1064,6 +1196,7 @@ object XmlOps extends QueryModule {
     "x19_vacuum_plan" -> QueryDef(vacuumPlan, Some(vacuumPlanSql)),
     "x20_bloom_skipping" -> QueryDef(bloomSkipping, Some(bloomSkippingSql)),
     "x21_expectations" -> QueryDef(expectations, Some(expectationsSql)),
+    "x22_occ_commit" -> QueryDef(occCommitPublish, Some(occCommitPublishSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

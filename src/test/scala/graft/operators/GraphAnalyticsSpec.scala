@@ -413,7 +413,7 @@ class GraphAnalyticsSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(2) // multiple files so per-file validation is real
       .write.mode(SaveMode.Overwrite).parquet(s"$src/documents.parquet")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_pub_${Integer.toHexString(src.hashCode)}"
+    val base = graft.core.LakeDir.scoped(spark, "pub", src)
     // clean publish round-trips every row through the validating read
     val served = MaterialiseOps.manifestPublish(spark, src).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

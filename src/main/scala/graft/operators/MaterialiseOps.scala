@@ -2340,6 +2340,133 @@ object MaterialiseOps extends QueryModule {
       |GROUP BY f.seed ORDER BY f.seed""".stripMargin
   }
 
+  /** How many pivot rounds g58 refines — the engine's loop bound and the
+    * oracle's unroll count, the [[graft.core.Iterate]] house rule. */
+  private[graft] val SccRounds = 3
+
+  /** g58 — BOUNDED SCC LABELS: g57 answered "which nodes are mutually
+    * reachable with seed X"; g58 completes it to the labeling the
+    * Fleischer–Hendrickson–Pinar divide-and-conquer produces — every
+    * discovered node carries its component's id. [[SccRounds]] FW-BW
+    * refinement rounds, each fully deterministic:
+    *
+    *   1. pivot = min UNLABELED node id (FHP picks random pivots; min-id
+    *      makes engine and oracle agree bit-for-bit),
+    *   2. F = nodes forward-reachable from the pivot within
+    *      [[BfsMaxDist]] hops THROUGH UNLABELED NODES ONLY (the FHP
+    *      refinement: previously-extracted components are deleted from
+    *      the graph, so a later component can never leak through an
+    *      earlier one), B = the same backward,
+    *   3. F ∩ B is the pivot's bounded SCC; its members take the pivot
+    *      id as their label.
+    *
+    * A pivot always labels at least itself, so progress is guaranteed
+    * and rounds after exhaustion are vacuous no-ops on both engines
+    * (the bounded-round twin contract). Per round: two frontier
+    * equi-join BFS walks over the filtered edge set + one intersect
+    * join — Δ-frontier-sized work, no cartesian anywhere (plan-pinned).
+    * Scale shape: FHP's observation is that real graphs have one giant
+    * SCC plus dust — the first pivots swallow the giants and the
+    * per-round edge filter shrinks the live graph geometrically; rounds
+    * are a constant, so the whole labeling is a constant number of
+    * |E|-bounded shuffles. The 1-round-per-pivot serialization is the
+    * honest cost of deterministic pivots; production FHP parallelises
+    * across partition branches, which the per-branch edge filtering
+    * here already models. */
+  def sccLabels(s: SparkSession, d: String): DataFrame =
+    sccLabelsOf(
+      orderRingEdges(Tables.lineitem(s, d).where(col("l_orderkey") % 17 === 0)),
+      SccRounds)
+      .orderBy(col("scc"))
+
+  /** [[sccLabels]] over an explicit DIRECTED `(u, v)` frame. */
+  private[graft] def sccLabelsOf(pairs: DataFrame, rounds: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val e = pairs.select(col("u"), col("v")).localCheckpoint()
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct().localCheckpoint()
+    var labeled = s.emptyDataset[(Long, Long)].toDF("node", "scc")
+    var i = 0
+    var exhausted = false
+    while (i < rounds && !exhausted) {
+      val pr = nodes.join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .agg(min(col("node"))).collect()(0) // 1-row bounded driver read
+      if (pr.isNullAt(0)) exhausted = true // all labeled: remaining rounds vacuous
+      else {
+        val pivot = pr.getLong(0)
+        // the FHP deletion: only edges BOTH of whose endpoints are still
+        // unlabeled participate in this round's walks
+        val live = e
+          .join(labeled.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(labeled.select(col("node").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v"))
+        val seed = Seq(pivot).toDF("node")
+        val f = bfsVisited(live, seed, BfsMaxDist).select(col("node"))
+        val b = bfsVisited(live.select(col("v").as("u"), col("u").as("v")),
+          seed, BfsMaxDist).select(col("node"))
+        val scc = f.join(b, Seq("node")).select(col("node"), lit(pivot).as("scc"))
+        labeled = graft.core.Iterate.save(labeled.unionByName(scc), 0, i)
+      }
+      i += 1
+    }
+    labeled.groupBy(col("scc"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"), sum(col("node")).as("sum_nodes"))
+  }
+
+  val sccLabelsSql: String = {
+    // per-round unrolled FW-BW: lab{r} = labels after round r; the walk
+    // CTEs are the g57 chain over THIS round's filtered edge set
+    def walk(tag: String, edge: String, seedCte: String): String = {
+      val chain = (1 to BfsMaxDist).map { k =>
+        s"""${tag}f$k AS (
+           |  SELECT DISTINCT e.v AS node
+           |  FROM ${tag}f${k - 1} f JOIN $edge e ON e.u = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM ${tag}v${k - 1} p
+           |                    WHERE p.node = e.v)),
+           |${tag}v$k AS MATERIALIZED (SELECT node FROM ${tag}v${k - 1}
+           |              UNION ALL SELECT node FROM ${tag}f$k)""".stripMargin
+      }.mkString(",\n")
+      s"""${tag}f0 AS (SELECT node FROM $seedCte),
+         |${tag}v0 AS (SELECT node FROM ${tag}f0),
+         |$chain""".stripMargin
+    }
+    val roundCtes = (1 to SccRounds).map { r =>
+      val prevLab = if (r == 1) "lab0" else s"lab${r - 1}"
+      s"""u$r AS (SELECT node FROM nodes
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevLab l WHERE l.node = nodes.node)),
+         |p$r AS (SELECT min(node) AS node FROM u$r),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevLab l WHERE l.node = e.u)
+         |    AND NOT EXISTS (SELECT 1 FROM $prevLab l WHERE l.node = e.v)),
+         |r$r AS MATERIALIZED (SELECT v AS u, u AS v FROM e$r),
+         |${walk(s"a$r", s"e$r", s"p$r")},
+         |${walk(s"b$r", s"r$r", s"p$r")},
+         |s$r AS (SELECT f.node, (SELECT node FROM p$r) AS scc
+         |        FROM a${r}v$BfsMaxDist f JOIN b${r}v$BfsMaxDist b
+         |          ON b.node = f.node),
+         |lab$r AS MATERIALIZED (SELECT node, scc FROM $prevLab
+         |          UNION ALL SELECT node, scc FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+      |  SELECT l_orderkey AS o, l_linenumber AS ln,
+      |    CAST(l_partkey AS BIGINT) AS p FROM lineitem
+      |  WHERE l_orderkey % 17 = 0),
+      |nx AS (
+      |  SELECT p AS u,
+      |    coalesce(lead(p) OVER win, first_value(p) OVER win) AS v
+      |  FROM li WINDOW win AS (PARTITION BY o ORDER BY ln, p)),
+      |e AS MATERIALIZED (SELECT DISTINCT u, v FROM nx WHERE u <> v),
+      |nodes AS MATERIALIZED (SELECT u AS node FROM e UNION SELECT v FROM e),
+      |lab0 AS (SELECT CAST(NULL AS BIGINT) AS node,
+      |                CAST(NULL AS BIGINT) AS scc WHERE 1 = 0),
+      |$roundCtes
+      |SELECT scc, count(*) AS n_nodes, min(node) AS min_node,
+      |  max(node) AS max_node, CAST(sum(node) AS BIGINT) AS sum_nodes
+      |FROM lab$SccRounds GROUP BY scc ORDER BY scc""".stripMargin
+  }
+
   /** g44 — EDGE EMBEDDEDNESS spectrum ([[Query.edgeSupport]]): how many
     * triangles each co-order edge sits inside, rolled up to a histogram
     * — the tie-strength table (Granovetter): the support-0 row counts
@@ -3585,5 +3712,6 @@ object MaterialiseOps extends QueryModule {
     "g54_temporal_reachability" -> QueryDef(temporalReachability, Some(temporalReachabilitySql)),
     "g55_hits" -> QueryDef(hitsScores, Some(hitsScoresSql)),
     "g57_mutual_reachability" -> QueryDef(mutualReachability, Some(mutualReachabilitySql)),
+    "g58_scc_labels" -> QueryDef(sccLabels, Some(sccLabelsSql)),
   )
 }

@@ -364,7 +364,8 @@ class PlanSpec extends SparkSpec {
     // g55: four reinforcement half-steps; g57: the fwd∩bwd intersect tail
     // (the bounded traversals checkpoint eagerly); x17: the generation
     // full-outer diff. Each must plan as hash/sort-merge equi-joins.
-    for (name <- Seq("g55_hits", "g57_mutual_reachability", "x17_change_feed")) {
+    for (name <- Seq("g55_hits", "g57_mutual_reachability", "x17_change_feed",
+        "g58_scc_labels")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name degenerated to all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degenerated to NLJ")

@@ -75,6 +75,43 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("g58: FW-BW labels — one-way bridges don't merge, refinement deletes, tail stays unlabeled") {
+    // ring A {1,2,3}, ring B {5,6}, a one-way bridge 3→5 (must NOT merge
+    // A and B), and a cycle-free pair 7→8 (7 labels itself; 8 exhausts
+    // the round budget and must be ABSENT — the bounded-round refilter)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 5L),
+      (3L, 5L), (7L, 8L)).toDF("u", "v")
+    val got = MaterialiseOps.sccLabelsOf(edges, MaterialiseOps.SccRounds)
+      .orderBy(col("scc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === Seq((1L, 3L, 1L, 3L, 6L), (5L, 2L, 5L, 6L, 11L),
+      (7L, 1L, 7L, 7L, 7L)), s"got $got")
+  }
+
+  test("g58 bounded semantics: a cycle deeper than BfsMaxDist shatters into singleton pivots") {
+    // a 10-ring is ONE true SCC, but depth-4 F∩B from pivot 1 meets only
+    // at the pivot itself; after extraction the ring is a path and later
+    // pivots are singletons too. This pins that the engine computes the
+    // BOUNDED semantics the oracle unrolls — not full Kosaraju — and
+    // that each round's walk runs on the FHP-deleted edge set.
+    val ring = (1L to 10L).map(i => (i, i % 10 + 1)).toDF("u", "v")
+    val got = MaterialiseOps.sccLabelsOf(ring, MaterialiseOps.SccRounds)
+      .orderBy(col("scc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)),
+      s"expected three singleton pivot components, got $got")
+  }
+
+  test("g58 exhaustion: fewer components than rounds — trailing rounds are vacuous no-ops") {
+    val tiny = Seq((1L, 2L), (2L, 1L)).toDF("u", "v")
+    val got = MaterialiseOps.sccLabelsOf(tiny, MaterialiseOps.SccRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    // round 1 labels {1,2}; round 2's pivot is min of an EMPTY set →
+    // both engines produce nothing more, and the loop exits early
+    assert(got === Seq((1L, 2L, 3L)), s"got $got")
+  }
+
   test("x22 commit visibility: a version file is complete the instant it exists") {
     // hard-link semantics: a reader listing the log either sees no v7 or
     // sees v7 with its FULL content — stage-then-link can't surface a

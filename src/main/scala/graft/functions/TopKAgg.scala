@@ -16,7 +16,7 @@ import scala.collection.mutable
   * (deterministic). Key type is generic so rankings that are really
   * integers (streaming admission keys on −doc_id) stay EXACT — a Double
   * key silently loses ordering above 2^53. */
-class TopKAggOf[K](k: Int)(implicit ord: Ordering[K],
+class TopKAggOf[K](k: Int, dedup: Boolean = false)(implicit ord: Ordering[K],
                            outEnc: Encoder[Seq[(K, Long)]])
     extends Aggregator[(K, Long), mutable.ArrayBuffer[(K, Long)], Seq[(K, Long)]] {
   require(k > 0, s"top-k needs k > 0, got $k")
@@ -34,8 +34,17 @@ class TopKAggOf[K](k: Int)(implicit ord: Ordering[K],
     if (buf.length < k || better(v, buf.last)) {
       var i = buf.length
       while (i > 0 && better(v, buf(i - 1))) i -= 1
-      buf.insert(i, v)
-      if (buf.length > k) buf.remove(k)
+      // dedup = SET semantics: an exact (key, id) pair already present is
+      // absorbed, not double-inserted — what makes bottom-k a semilattice
+      // (p21's re-delivered-partial idempotence). Equal pairs are
+      // adjacent in the sorted buffer, so the containment check is O(1)
+      // at the insertion point.
+      val dup = dedup && ((i > 0 && buf(i - 1) == v) ||
+        (i < buf.length && buf(i) == v))
+      if (!dup) {
+        buf.insert(i, v)
+        if (buf.length > k) buf.remove(k)
+      }
     }
     buf
   }
@@ -69,3 +78,11 @@ class TopKAgg(k: Int) extends TopKAggOf[Double](k)(
   * while the batch admit stays exact. */
 class TopKAggL(k: Int) extends TopKAggOf[Long](k)(
   Ordering.Long, ExpressionEncoder[Seq[(Long, Long)]]())
+
+/** String-keyed BOTTOM-k (smallest keys win, ties by id ascending) — the
+  * p21 quantile sketch keeps the k smallest md5-hex draw keys per group:
+  * "bottom-k by a uniform hash" IS the classic mergeable uniform sample
+  * (KMV), and this aggregator's O(k) buffer + merge is exactly the
+  * sketch's bounded state + semilattice merge. */
+class BottomKAggS(k: Int) extends TopKAggOf[String](k, dedup = true)(
+  Ordering.String.reverse, ExpressionEncoder[Seq[(String, Long)]]())

@@ -525,6 +525,100 @@ object ProfilerOps extends QueryModule {
       |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_cents
       |FROM cum GROUP BY g ORDER BY g""".stripMargin
 
+  /** p21 — MERGEABLE QUANTILE SKETCH (bottom-k-by-hash / KMV uniform
+    * sample): p10's exact histogram quantiles assume the value-bucket
+    * spectrum is bounded; the 100 TB tier also wants a sketch whose
+    * state is bounded REGARDLESS of the value distribution. Per group,
+    * keep the k rows with the SMALLEST md5(value#id) draw keys — a
+    * uniform hash makes "bottom k keys" a uniform k-sample, and the
+    * bottom-k set is a semilattice (merge = union + re-truncate:
+    * associative, commutative, IDEMPOTENT — re-delivered partials are
+    * absorbed, the property count-based sketches lack). The engine
+    * carries it through [[graft.functions.BottomKAggS]] — O(k) buffers
+    * with map-side combine, so shuffle volume per group is ≤ k rows no
+    * matter how many billions the group holds; the quantile read is
+    * p10's own inverse-CDF over the sample ([[quantilesOfCounts]] —
+    * one shared seam, so sketch and exact can never disagree about
+    * quantile semantics, only about sampling error).
+    *
+    * Determinism discipline: the draw key is md5 (identical hex in both
+    * engines), so the gate's oracle can restate the SAME selection via
+    * row_number — that pins cross-engine agreement of the mechanism,
+    * while the ACCURACY claim lives in the estimate-vs-truth spec
+    * (rank error vs exact p10 bounded by the DKW envelope for k=256 —
+    * never an oracle mirror, the g38/HLL house rule). Hash-draw
+    * pitfall note: the draw ORDERS by the full 128-bit hex, no mod-k
+    * anywhere, so the polynomial-mod degeneracy the memory rule warns
+    * about cannot arise. */
+  def sketchQuantiles(s: SparkSession, d: String): DataFrame =
+    sketchQuantilesOf(
+      Tables.orders(s, d).select(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"),
+        col("o_orderkey").as("id")),
+      SketchK, Seq(50, 90, 99))
+      .orderBy(col("g"))
+
+  /** Sample size per group: 256 draws ⇒ DKW rank error ≲ 10% of the
+    * group at 99% confidence — the profiling tier's accuracy; bump k
+    * for tighter envelopes, state stays k rows/group. */
+  private[graft] val SketchK = 256
+
+  /** The draw-keyed rows: (g, hk, v) with hk = md5("v#id"). */
+  private[graft] def drawKeyed(gvi: DataFrame): DataFrame =
+    gvi.select(col("g").cast("string").as("g"),
+      md5(concat_ws("#", col("v").cast("string"), col("id").cast("string")))
+        .as("hk"),
+      col("v").cast("long").as("v"))
+
+  /** Bottom-k draw keys per group over (g, hk, v) rows — the sketch
+    * state AND its merge: feeding unioned partial samples back through
+    * this is the semilattice merge (spec-pinned idempotent/commutative/
+    * order-blind). */
+  private[graft] def bottomK(ghv: DataFrame, k: Int): DataFrame = {
+    val s = ghv.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.BottomKAggS(k)
+    ghv.select(col("g"), col("hk"), col("v")).as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("samp"))
+      .flatMap { case (g, samp) => samp.map { case (hk, v) => (g, hk, v) } }
+      .toDF("g", "hk", "v")
+  }
+
+  /** [[sketchQuantiles]] over an explicit (g, v, id) frame. */
+  private[graft] def sketchQuantilesOf(gvi: DataFrame, k: Int,
+      pcts: Seq[Int]): DataFrame =
+    quantilesOfCounts(
+      bottomK(drawKeyed(gvi), k)
+        .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")),
+      pcts)
+
+  val sketchQuantilesSql: String =
+    s"""WITH v AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+      |    o_orderkey AS id
+      |  FROM orders),
+      |h AS (
+      |  SELECT g, v,
+      |    md5(CAST(v AS VARCHAR) || '#' || CAST(id AS VARCHAR)) AS hk
+      |  FROM v),
+      |r AS (
+      |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY hk, v) AS rn
+      |  FROM h),
+      |samp AS (SELECT g, v FROM r WHERE rn <= $SketchK),
+      |c AS (SELECT g, v, count(*) AS cnt FROM samp GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+      |         sum(cnt) OVER (PARTITION BY g) AS n
+      |  FROM c)
+      |SELECT g,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS BIGINT) AS p50_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS BIGINT) AS p90_cents,
+      |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_cents
+      |FROM cum GROUP BY g ORDER BY g""".stripMargin
+
   /** p11 — EXACT GROUPED MODE over the value-bucket histogram: the most
     * frequent value per group with a deterministic lowest-value
     * tie-break, plus the group's distinct-value and row counts. Same
@@ -1190,5 +1284,6 @@ object ProfilerOps extends QueryModule {
     "p18_contingency_lift" -> QueryDef(contingencyLift, Some(contingencyLiftSql)),
     "p19_slice_drift" -> QueryDef(sliceDrift, Some(sliceDriftSql)),
     "p20_ks_drift" -> QueryDef(ksDrift, Some(ksDriftSql)),
+    "p21_sketch_quantiles" -> QueryDef(sketchQuantiles, Some(sketchQuantilesSql)),
   )
 }

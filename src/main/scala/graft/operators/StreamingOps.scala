@@ -285,6 +285,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamExpectations(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_sexpect_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(XmlOps.expectationsSql)),
+    // shares p21's oracle: per-batch bottom-k draw partials, the
+    // read-side merge re-truncates through the shared bottomK seam (a
+    // semilattice — order-blind and idempotent under re-delivery)
+    "st62_stream_sketch_quantiles" -> QueryDef(
+      (s, d) => Streaming.streamSketchQuantiles(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_ssketch_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.sketchQuantilesSql)),
     // shares p20's oracle: the same additive bucket-count state family
     // as st55; the cumulative-gap maximum re-derives at read via shared code
     "st59_stream_ks_drift" -> QueryDef(

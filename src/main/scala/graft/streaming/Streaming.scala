@@ -2250,6 +2250,53 @@ object Streaming {
       .orderBy(col("disposition"), col("reason"))
   }
 
+  /** Streaming QUANTILE SKETCH (st62): p21's bottom-k-by-hash sample
+    * maintained from mergeable partials — each batch keeps only ITS
+    * bottom-k draws per group (k rows per (group, batch), bounded
+    * regardless of batch size), and the read-side merge re-truncates
+    * the union through the SAME [[graft.operators.ProfilerOps.bottomK]]
+    * seam the batch gate uses. The bottom-k set is a semilattice, so
+    * the merged state is order-blind AND absorbs re-delivered batches
+    * (idempotent — the at-least-once property the additive-count twins
+    * have to earn via dedup, this one gets from the algebra). On full
+    * replay the table equals batch p21, shared oracle. */
+  def streamSketchQuantiles(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/orders.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(d)
+      .select(col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)").as("v"),
+        col("o_orderkey").as("id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.ProfilerOps.bottomK(
+            graft.operators.ProfilerOps.drawKeyed(batch.toDF()),
+            graft.operators.ProfilerOps.SketchK)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/samp.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/samp.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "g STRING, p50_cents BIGINT, p90_cents BIGINT, p99_cents BIGINT"))
+    graft.operators.ProfilerOps.quantilesOfCounts(
+        graft.operators.ProfilerOps.bottomK(
+            s.read.parquet(s"$stateDir/samp.parquet").drop("batch"),
+            graft.operators.ProfilerOps.SketchK)
+          .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")),
+        Seq(50, 90, 99))
+      .orderBy(col("g"))
+  }
+
   /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
     * served live from the SAME additive bucket-count state shape as
     * st55 (finer $1k buckets) — one state family, two reads: st55

@@ -112,6 +112,54 @@ class Round14Spec extends SparkSpec {
     assert(got === Seq((1L, 2L, 3L)), s"got $got")
   }
 
+  test("p21 truth: sketch quantiles land within the DKW rank envelope of exact p10") {
+    // estimate vs GROUND TRUTH, never an oracle mirror (the g38/HLL
+    // rule). Uniform ranks 1..n: the exact type-1 quantile IS the rank,
+    // so |est − exact| is directly the rank error. DKW at k=256, 99%
+    // confidence: sup-CDF error ≤ sqrt(ln(2/.01)/(2·256)) ≈ 0.102 — and
+    // the md5 draw is deterministic, so this either holds forever or
+    // the sampling is biased.
+    val n = 10000L
+    val uniform = (1L to n).map(i => ("a", i, i)).toDF("g", "v", "id")
+    val est = ProfilerOps.sketchQuantilesOf(uniform, 256, Seq(50, 90, 99))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    val eps = (0.102 * n).toLong
+    for ((e, p) <- Seq(est._1 -> 50L, est._2 -> 90L, est._3 -> 99L)) {
+      val exact = n * p / 100
+      assert(math.abs(e - exact) <= eps,
+        s"p$p estimate $e misses exact $exact by more than DKW $eps")
+    }
+    // a skewed distribution (v = i², ranks no longer values): compare in
+    // RANK space — the count of values ≤ estimate must sit within the
+    // same envelope of p·n/100
+    val skewed = (1L to n).map(i => ("a", i * i, i)).toDF("g", "v", "id")
+    val est2 = ProfilerOps.sketchQuantilesOf(skewed, 256, Seq(50, 90, 99))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+    for ((e, p) <- Seq(est2._1 -> 50L, est2._2 -> 90L, est2._3 -> 99L)) {
+      val rank = skewed.where(col("v") <= e).count()
+      assert(math.abs(rank - n * p / 100) <= eps,
+        s"skewed p$p: estimate $e has rank $rank, want ~${n * p / 100} ± $eps")
+    }
+  }
+
+  test("p21 semilattice: merge is split-blind, commutative, and idempotent") {
+    val rows = (1L to 3000L).map(i => (s"g${i % 3}", i * 7 % 1000, i))
+      .toDF("g", "v", "id")
+    val whole = ProfilerOps.bottomK(ProfilerOps.drawKeyed(rows), 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // split three ways, sketch each part, merge = re-truncate the union
+    val parts = Seq(col("id") % 3 === 0, col("id") % 3 === 1, col("id") % 3 === 2)
+      .map(p => ProfilerOps.bottomK(ProfilerOps.drawKeyed(rows.where(p)), 64))
+    val merged = ProfilerOps.bottomK(parts.reduce(_ unionByName _), 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(merged === whole, "merged partial sketches must equal the whole-data sketch")
+    // idempotent: absorbing a re-delivered copy of a partial changes nothing
+    val redelivered = ProfilerOps.bottomK(
+        parts.head.unionByName(parts.head).unionByName(parts(1)).unionByName(parts(2)), 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(redelivered === whole, "a re-delivered partial must be absorbed, not double-counted")
+  }
+
   test("x22 commit visibility: a version file is complete the instant it exists") {
     // hard-link semantics: a reader listing the log either sees no v7 or
     // sees v7 with its FULL content — stage-then-link can't surface a

@@ -619,6 +619,71 @@ object ProfilerOps extends QueryModule {
       |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS BIGINT) AS p99_cents
       |FROM cum GROUP BY g ORDER BY g""".stripMargin
 
+  /** p22 — MERGEABLE Misra–Gries heavy hitters: p9 already prefilters
+    * token heavy hitters with a per-partition MG pass, but that form is
+    * one-shot — its sketches are unioned as candidate SETS, and st25's
+    * docstring names the resulting limitation outright ("MG sketches are
+    * not [losslessly mergeable]"), which is why st25 falls back to
+    * vocabulary-sized exact partials per batch. p22 carries the summary
+    * the OTHER way: [[graft.functions.MisraGriesAgg]] implements the
+    * PODS'12 mergeable-summaries construction (sum counters pointwise,
+    * subtract the (m+1)-th largest, drop non-positive), so the m-counter
+    * bound and the n/(m+1) error guarantee survive ARBITRARY combine
+    * trees — a normal map-side-combining aggregate here, and bounded
+    * m-rows-per-batch state in the st63 twin where st25 needs the whole
+    * vocabulary. Pass 2 exactly recounts the ≤ m survivors and filters
+    * by the true threshold `cnt · k > n`, so the final answer is EXACT
+    * and merge-shape-blind (MG counter VALUES are order-sensitive; the
+    * superset guarantee is not) — which is what lets a plain
+    * GROUP-BY/HAVING oracle state it. The driver sees only the ≤ m
+    * candidates (bounded read). Gate value: length(bin(orderkey)) —
+    * frequencies double per bucket, so the top buckets genuinely clear
+    * the 1/8 bar while most values don't. */
+  def mgHeavyHitters(s: SparkSession, d: String): DataFrame =
+    mgHeavyHittersOf(
+      Tables.lineitem(s, d)
+        .select(expr("cast(length(bin(l_orderkey)) as long)").as("v")),
+      HhM, HhK)
+      .orderBy(col("v"))
+
+  private[graft] val HhM = 16 // summary counters (error ≤ n/17)
+  private[graft] val HhK = 8  // heavy = more than n/8 occurrences
+
+  /** Pass 1: the MG candidate values — at most `m` of them, the one
+    * driver-side read this operator makes. */
+  private[graft] def mgCandidates(v: DataFrame, m: Int): Seq[Long] = {
+    val s = v.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.MisraGriesAgg(m)
+    v.select(col("v")).as[Long].select(agg.toColumn)
+      .collect().headOption.map(_.keys.toSeq.sorted).getOrElse(Seq.empty)
+  }
+
+  /** [[mgHeavyHitters]] over an explicit single-column `v` frame. */
+  private[graft] def mgHeavyHittersOf(df: DataFrame, m: Int, k: Int): DataFrame = {
+    val cands = mgCandidates(df, m)
+    if (cands.isEmpty)
+      return df.sparkSession.createDataFrame(
+        df.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("v BIGINT, n_rows BIGINT"))
+    // pass 2: exact recount of the ≤ m candidates against the full scan;
+    // the 1-row total rides a broadcast (the house 1-row crossJoin)
+    val counts = df.where(col("v").isin(cands: _*))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_rows"))
+    val tot = df.agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(tot))
+      .where(col("n_rows") * k > col("n"))
+      .select(col("v"), col("n_rows"))
+  }
+
+  val mgHeavyHittersSql: String =
+    s"""WITH b AS (SELECT CAST(length(bin(l_orderkey)) AS BIGINT) AS v
+      |           FROM lineitem),
+      |t AS (SELECT count(*) AS n FROM b),
+      |c AS (SELECT v, count(*) AS cnt FROM b GROUP BY v)
+      |SELECT v, cnt AS n_rows FROM c, t WHERE cnt * $HhK > n
+      |ORDER BY v""".stripMargin
+
   /** p11 — EXACT GROUPED MODE over the value-bucket histogram: the most
     * frequent value per group with a deterministic lowest-value
     * tie-break, plus the group's distinct-value and row counts. Same
@@ -1285,5 +1350,6 @@ object ProfilerOps extends QueryModule {
     "p19_slice_drift" -> QueryDef(sliceDrift, Some(sliceDriftSql)),
     "p20_ks_drift" -> QueryDef(ksDrift, Some(ksDriftSql)),
     "p21_sketch_quantiles" -> QueryDef(sketchQuantiles, Some(sketchQuantilesSql)),
+    "p22_mg_heavy_hitters" -> QueryDef(mgHeavyHitters, Some(mgHeavyHittersSql)),
   )
 }

@@ -292,6 +292,12 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamSketchQuantiles(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_ssketch_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.sketchQuantilesSql)),
+    // shares p22's oracle: per-batch Misra-Gries partials summed at read
+    // (no final prune — superset preserved), exact recount against source
+    "st63_stream_mg_heavy_hitters" -> QueryDef(
+      (s, d) => Streaming.streamMgHeavyHitters(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_shh2_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(ProfilerOps.mgHeavyHittersSql)),
     // shares p20's oracle: the same additive bucket-count state family
     // as st55; the cumulative-gap maximum re-derives at read via shared code
     "st59_stream_ks_drift" -> QueryDef(

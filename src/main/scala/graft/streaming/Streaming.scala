@@ -2297,6 +2297,63 @@ object Streaming {
       .orderBy(col("g"))
   }
 
+  /** Streaming MERGEABLE-MG HEAVY HITTERS (st63): p22's two-pass
+    * structure with the pass-1 summary maintained from per-batch
+    * Misra–Gries partials — each batch contributes AT MOST m (value,
+    * counter) rows (the bounded-state answer to st25's
+    * vocabulary-sized exact partials), and the read-side candidate set
+    * is the pointwise SUM of the partials with NO final prune (pruning
+    * only shrinks a summary; skipping it keeps the superset guarantee
+    * with strictly smaller error at batches·m-bounded state). Pass 2
+    * recounts the candidates exactly against the source — the same
+    * fresh-scan recount batch p22 does — so the final answer equals
+    * the batch gate's on full replay, shared oracle. */
+  def streamMgHeavyHitters(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    import graft.operators.ProfilerOps
+    val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "lineitem.parquet")
+      .parquet(d)
+      .select(expr("cast(length(bin(l_orderkey)) as long)").as("v"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val b = batch.toDF()
+        val bs = b.sparkSession
+        import bs.implicits._
+        val agg = new graft.functions.MisraGriesAgg(ProfilerOps.HhM)
+        val summary = b.select(col("v")).as[Long].select(agg.toColumn)
+          .collect().headOption.getOrElse(Map.empty[Long, Long])
+        summary.toSeq.toDF("v", "c")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/mg.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/mg.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("v BIGINT, n_rows BIGINT"))
+    val cands = s.read.parquet(s"$stateDir/mg.parquet")
+      .groupBy(col("v")).agg(sum(col("c")).as("c"))
+      .collect().map(_.getLong(0)).toSeq.sorted // batches·m-bounded read
+    val src = graft.core.Tables.lineitem(s, d)
+      .select(expr("cast(length(bin(l_orderkey)) as long)").as("v"))
+    if (cands.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("v BIGINT, n_rows BIGINT"))
+    val counts = src.where(col("v").isin(cands: _*))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_rows"))
+    counts.crossJoin(broadcast(src.agg(count(lit(1)).as("n"))))
+      .where(col("n_rows") * ProfilerOps.HhK > col("n"))
+      .select(col("v"), col("n_rows"))
+      .orderBy(col("v"))
+  }
+
   /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
     * served live from the SAME additive bucket-count state shape as
     * st55 (finer $1k buckets) — one state family, two reads: st55

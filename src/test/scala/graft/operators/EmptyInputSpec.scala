@@ -207,6 +207,16 @@ class EmptyInputSpec extends SparkSpec {
     }
   }
 
+  test("round-14 operators return zero rows on an empty corpus, not an exception") {
+    val defs = graft.SparkEntry.allDefs
+    for (name <- Seq("x22_occ_commit", "g58_scc_labels",
+        "p21_sketch_quantiles", "st62_stream_sketch_quantiles",
+        "p22_mg_heavy_hitters", "st63_stream_mg_heavy_hitters")) {
+      val n = defs(name).fn(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+
   test("the mixture pipeline builds empty artifacts from an empty corpus") {
     val b = graft.pipeline.MixturePipeline.run(spark, emptyDir)
     assert(b.quotas.count() === 0L)

@@ -160,6 +160,39 @@ class Round14Spec extends SparkSpec {
     assert(redelivered === whole, "a re-delivered partial must be absorbed, not double-counted")
   }
 
+  test("p22 superset: MG candidates contain every true heavy value, any partitioning") {
+    // deterministic skewed multiset: value i appears 2^i times, i = 1..9
+    // (n = 1022). With m = 16 the error bound n/17 ≈ 60 guarantees every
+    // value with freq > 60 (i ≥ 6) survives pass 1 — under ANY partition
+    // layout, because MG's guarantee is merge-order-blind even though
+    // its counter values are not.
+    val rows = (1 to 9).flatMap(i => Seq.fill(1 << i)(i.toLong))
+    val truthy = (6 to 9).map(_.toLong).toSet // freq 64..512 > 60
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("v").repartition(parts)
+      val cands = ProfilerOps.mgCandidates(df, 16).toSet
+      assert(truthy.subsetOf(cands),
+        s"parts=$parts: candidates $cands lost a guaranteed heavy value")
+    }
+  }
+
+  test("p22 truth: the two-pass output IS the exact heavy-hitter set, merge-shape-blind") {
+    val rows = (1 to 9).flatMap(i => Seq.fill(1 << i)(i.toLong))
+    val n = rows.size // 1022; heavy = freq*8 > n → freq ≥ 128 → i ≥ 7
+    val want = Seq((7L, 128L), (8L, 256L), (9L, 512L))
+    for (parts <- Seq(1, 7, 32)) {
+      val got = ProfilerOps.mgHeavyHittersOf(rows.toDF("v").repartition(parts),
+          ProfilerOps.HhM, ProfilerOps.HhK)
+        .orderBy(col("v")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want, s"parts=$parts: got $got, want $want (n=$n)")
+    }
+    // and a flat distribution has NO heavy hitters — the filter must
+    // reject every candidate the summary happens to surface
+    val flat = (1L to 1000L).toDF("v")
+    assert(ProfilerOps.mgHeavyHittersOf(flat, 16, 8).count() === 0L,
+      "uniform data must produce an empty heavy-hitter set")
+  }
+
   test("x22 commit visibility: a version file is complete the instant it exists") {
     // hard-link semantics: a reader listing the log either sees no v7 or
     // sees v7 with its FULL content — stage-then-link can't surface a

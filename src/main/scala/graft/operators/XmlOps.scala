@@ -1084,7 +1084,17 @@ object XmlOps extends QueryModule {
     * Scale shape: the critical section touches one manifest-pointer
     * file — data volume never enters it; prepared-but-lost generations
     * are x19 vacuum food. */
-  def occCommitPublish(s: SparkSession, d: String): DataFrame = {
+  def occCommitPublish(s: SparkSession, d: String): DataFrame =
+    occReadCommitted(s, occDemoLog(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  /** Run the x22 two-writer interleaving and return the log's base dir:
+    * v1 seeds the corpus, A wins v2 (deletes `de`), B conflicts with its
+    * stale v1-based reprice, rebases on A's head and commits v3. Shared
+    * by x22 (head read) and x23 (whole-history read). */
+  private[graft] def occDemoLog(s: SparkSession, d: String): String = {
     val base = LakeDir.scoped(s, "occ", d)
     val bp = new org.apache.hadoop.fs.Path(base)
     val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1109,10 +1119,7 @@ object XmlOps extends QueryModule {
     // rebase: re-read the NEW head, re-apply B's own transform, retry
     val genB = occPrepare(s, base, reprice(occReadCommitted(s, base)))
     require(occTryCommit(base, 3, genB), "rebased retry at v3 raced nobody")
-    occReadCommitted(s, base)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-      .orderBy(col("lang"))
+    base
   }
 
   /** Prepare one generation (data + k11 manifest) under `base`, off the
@@ -1169,6 +1176,50 @@ object XmlOps extends QueryModule {
     MaterialiseOps.serveValidated(s, s"$base/$gen")
   }
 
+  /** x23 — VERSIONED TIME TRAVEL THROUGH THE COMMIT LOG: x13 pinned
+    * reads of retained ad-hoc generation dirs; x23 completes the x22
+    * protocol by resolving EVERY committed version through the log
+    * itself (`SELECT … VERSION AS OF n` over `_delta_log` / Iceberg
+    * `snapshot_id` reads): each `v<n>` pointer names its generation,
+    * each generation serves through the k11 validating read, and
+    * superseded versions stay byte-faithfully reproducible until x19's
+    * vacuum expires them — the audit/repro contract that makes an OCC
+    * log more than a mutex. The whole history resolves from
+    * listing-scale metadata (one pointer file per version); data reads
+    * stay per-generation. Oracle restates all three states from source
+    * predicates, so a log that resolved a version to the wrong
+    * generation (or let B's stale reprice in anywhere) cannot pass. */
+  def occTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = occDemoLog(s, d)
+    val maxV = occHead(base).map(_._1).getOrElse(0)
+    (1 to maxV).map { v =>
+      occReadAt(s, base, v)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit(v.toLong).as("version"), col("n_docs"),
+          col("sum_chars").cast("long").as("sum_chars"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  /** Resolve ONE committed version through the log + validating read. */
+  private[graft] def occReadAt(s: SparkSession, base: String, version: Int): DataFrame = {
+    val vf = java.nio.file.Paths.get(base, "_commits", s"v$version")
+    require(java.nio.file.Files.exists(vf), s"version $version was never committed under $base")
+    val gen = new String(java.nio.file.Files.readAllBytes(vf), "UTF-8")
+    MaterialiseOps.serveValidated(s, s"$base/$gen")
+  }
+
+  val occTimeTravelSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT)
+      |FROM documents WHERE lang <> 'de'
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
+      |                           ELSE n_chars END) AS BIGINT)
+      |FROM documents WHERE lang <> 'de'
+      |ORDER BY version""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1197,6 +1248,7 @@ object XmlOps extends QueryModule {
     "x20_bloom_skipping" -> QueryDef(bloomSkipping, Some(bloomSkippingSql)),
     "x21_expectations" -> QueryDef(expectations, Some(expectationsSql)),
     "x22_occ_commit" -> QueryDef(occCommitPublish, Some(occCommitPublishSql)),
+    "x23_occ_time_travel" -> QueryDef(occTimeTravel, Some(occTimeTravelSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

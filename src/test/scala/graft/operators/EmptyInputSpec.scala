@@ -215,6 +215,11 @@ class EmptyInputSpec extends SparkSpec {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
+    // x23 keeps its 3 version rows — an empty corpus still has a commit
+    // history, every version holding zero documents
+    val tt = defs("x23_occ_time_travel").fn(spark, emptyDir).collect()
+    assert(tt.length === 3 && tt.forall(_.getLong(1) === 0L),
+      "x23 should report three zero-document versions")
   }
 
   test("the mixture pipeline builds empty artifacts from an empty corpus") {

@@ -75,6 +75,27 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("x23: every version resolves through the log to ITS generation — history is reproducible") {
+    val d = "/root/testdata/sf0.001"
+    val got = XmlOps.occTimeTravel(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = graft.core.Tables.documents(spark, d)
+    def st(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)), sum(col("n_chars"))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val v1 = st(docs)
+    val v2 = st(docs.where(col("lang") =!= "de"))
+    val v3s = docs.where(col("lang") =!= "de")
+      .agg(sum(when(col("lang") === "fr", col("n_chars") * 2)
+        .otherwise(col("n_chars")))).collect().head.getLong(0)
+    assert(got === Seq((1L, v1._1, v1._2), (2L, v2._1, v2._2), (3L, v2._1, v3s)),
+      s"history drifted: $got")
+    // a version that was never committed refuses loudly, no silent head
+    val base = graft.core.LakeDir.scoped(spark, "occ", d)
+    intercept[IllegalArgumentException] { XmlOps.occReadAt(spark, base, 9) }
+  }
+
   test("g58: FW-BW labels — one-way bridges don't merge, refinement deletes, tail stays unlabeled") {
     // ring A {1,2,3}, ring B {5,6}, a one-way bridge 3→5 (must NOT merge
     // A and B), and a cycle-free pair 7→8 (7 labels itself; 8 exhausts

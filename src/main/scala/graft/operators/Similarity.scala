@@ -90,6 +90,67 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** s19 — TOMBSTONED ANN (the index-update problem x16 solves for
+    * scans, applied to similarity serving): a 100 TB ANN index is
+    * rebuilt rarely, but deletes (GDPR, dedup, retractions) land DAILY
+    * — the standard answer (FAISS `remove_ids` rebuilds; Milvus/Lucene
+    * tombstone) is an IMMUTABLE index plus a deletion list applied at
+    * serve time. Here s2's sign-bucket index is served with a
+    * tombstone set (vec_id % 5 = 3, id-only — the x16 DV shape):
+    * dead ids are anti-joined out of BOTH the query side (a deleted
+    * query gets no rows) and the candidate stream BEFORE ranking, so a
+    * tombstoned vector can neither appear as a neighbor nor hold a
+    * rank that shifts the survivors — ranks recompute over the live
+    * candidates exactly as a rebuilt index would produce them. The
+    * oracle restates the deletion from the source predicate while the
+    * engine consumes the materialised tombstone LIST, so an anti-join
+    * that leaked or over-deleted cannot mirror itself green. Scale
+    * shape: the tombstone set is deleted-rows-small and broadcasts;
+    * everything else is s2's bucket equi-join unchanged. */
+  def tombstonedAnn(s: SparkSession, d: String): DataFrame = {
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
+      .reduce(_ + _)
+    val emb = quantized(s, d).withColumn("bucket", bucket)
+      .select(col("vec_id"), col("bucket"), col("q"))
+    // the tombstone list — materialised ids, not a predicate: serving
+    // must work from the list alone (the delete may have come from a
+    // dedup pass or a GDPR request, not a re-evaluable predicate)
+    val dead = emb.where(col("vec_id") % 5 === 3).select(col("vec_id"))
+    val live = emb.join(broadcast(dead), Seq("vec_id"), "left_anti")
+    val queries = live.where(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("q").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    queries
+      .join(live.withColumnRenamed("vec_id", "neighbor_id"), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", dot(col("qv"), col("q")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val tombstonedAnnSql: String = {
+    val bucket = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
+    s"""WITH q AS (
+      |  SELECT vec_id, $bucket AS bucket,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings WHERE vec_id % 5 <> 3),
+      |pairs AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(list_zip(a.qv, b.qv), z -> z[1] * z[2])) AS BIGINT) AS dot
+      |  FROM q a JOIN q b ON b.bucket = a.bucket AND b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 50)
+      |SELECT query_id, rank, neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, neighbor_id ASC) AS rank
+      |  FROM pairs)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val signBucketAnnSql: String = {
     val bucket = (1 to 8).map(i =>
       s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
@@ -1561,5 +1622,6 @@ object Similarity extends QueryModule {
     "s16_filtered_ann"     -> QueryDef(filteredAnn, Some(filteredAnnSql)),
     "s17_bucketed_selfjoin" -> QueryDef(bucketedSelfJoin, Some(bucketedSelfJoinSql)),
     "s18_sq8_ann" -> QueryDef(sq8Ann, Some(sq8AnnSql)),
+    "s19_tombstoned_ann" -> QueryDef(tombstonedAnn, Some(tombstonedAnnSql)),
   )
 }

@@ -211,7 +211,8 @@ class EmptyInputSpec extends SparkSpec {
     val defs = graft.SparkEntry.allDefs
     for (name <- Seq("x22_occ_commit", "g58_scc_labels",
         "p21_sketch_quantiles", "st62_stream_sketch_quantiles",
-        "p22_mg_heavy_hitters", "st63_stream_mg_heavy_hitters")) {
+        "p22_mg_heavy_hitters", "st63_stream_mg_heavy_hitters",
+        "s19_tombstoned_ann")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -133,6 +133,62 @@ class Round14Spec extends SparkSpec {
     assert(got === Seq((1L, 2L, 3L)), s"got $got")
   }
 
+  /** Plain-Scala reference of g58's bounded FW-BW labeling: min-id
+    * pivots, depth-bounded BFS over the unlabeled-only edge set, F∩B
+    * labeled per round. Deliberately naive — sets and loops. */
+  private def refSccLabels(edges: Seq[(Long, Long)], rounds: Int,
+      depth: Int): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    var labeled = Map.empty[Long, Long]
+    def bfs(start: Long, adj: Map[Long, Set[Long]]): Set[Long] = {
+      var vis = Set(start); var frontier = Set(start)
+      for (_ <- 1 to depth) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- vis
+        vis ++= frontier
+      }
+      vis
+    }
+    for (_ <- 1 to rounds) {
+      val unl = nodes -- labeled.keySet
+      if (unl.nonEmpty) {
+        val pivot = unl.min
+        val live = edges.filter(e => unl(e._1) && unl(e._2))
+        val fwd = live.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val bwd = live.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+        val scc = bfs(pivot, fwd) & bfs(pivot, bwd)
+        labeled ++= scc.map(_ -> pivot)
+      }
+    }
+    labeled
+  }
+
+  test("g58 fuzz: engine labels equal the naive reference on random directed graphs") {
+    val rng = new scala.util.Random(58058L)
+    for (trial <- 1 to 5) {
+      val n = 6 + rng.nextInt(10)
+      val m = n + rng.nextInt(2 * n)
+      val edges = Seq.fill(m)((1L + rng.nextInt(n), 1L + rng.nextInt(n)))
+        .filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val want = refSccLabels(edges, MaterialiseOps.SccRounds, 4)
+          .groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+        val got = MaterialiseOps.sccLabelsOf(edges.toDF("u", "v"),
+            MaterialiseOps.SccRounds)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        val gotSizes = got.map(r => r._1 -> r._2).toMap
+        assert(gotSizes === want.view.mapValues(_.size.toLong).toMap,
+          s"trial $trial (n=$n, |E|=${edges.size}): engine $got vs reference $want")
+        // min/max per label must match the reference sets too
+        for ((scc, members) <- want) {
+          val row = got.find(_._1 == scc).get
+          assert(row._3 === members.min && row._4 === members.max,
+            s"trial $trial: label $scc bounds drifted from $members")
+        }
+      }
+    }
+  }
+
   test("p21 truth: sketch quantiles land within the DKW rank envelope of exact p10") {
     // estimate vs GROUND TRUTH, never an oracle mirror (the g38/HLL
     // rule). Uniform ranks 1..n: the exact type-1 quantile IS the rank,
@@ -212,6 +268,22 @@ class Round14Spec extends SparkSpec {
     val flat = (1L to 1000L).toDF("v")
     assert(ProfilerOps.mgHeavyHittersOf(flat, 16, 8).count() === 0L,
       "uniform data must produce an empty heavy-hitter set")
+  }
+
+  test("s19: tombstones never serve, and ranks recompute densely over survivors") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Similarity.tombstonedAnn(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty, "gate must produce neighbors")
+    // a deleted id appears on NEITHER side of the serving output
+    assert(rows.forall { case (q, _, n) => q % 5 != 3 && n % 5 != 3 },
+      "a tombstoned vector leaked into serving")
+    // ranks are dense 1..k per query: the ranking ran AFTER the
+    // anti-join, exactly what a rebuilt index would produce — ranks
+    // computed before deletion would leave gaps where dead ids ranked
+    for ((q, qr) <- rows.groupBy(_._1))
+      assert(qr.map(_._2).sorted.toSeq === (1 to qr.length).toSeq,
+        s"query $q has non-dense ranks ${qr.map(_._2).sorted.toSeq}")
   }
 
   test("x22 commit visibility: a version file is complete the instant it exists") {

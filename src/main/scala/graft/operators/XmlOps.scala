@@ -702,6 +702,18 @@ object XmlOps extends QueryModule {
     // per-(session, dataset) dir, rebuilt in place per invocation — the
     // s17 rule, centralised in core.LakeDir (round-13 verdict item)
     val dir = LakeDir.scoped(s, "cdf", d)
+    cdcWriteGens(s, d, dir)
+    val g0 = cdcReadGen(s, s"$dir/gen_0")
+      .select(col("doc_id"), col("n_chars").as("old_chars"))
+    val g1 = cdcReadGen(s, s"$dir/gen_1")
+      .select(col("doc_id"), col("n_chars").as("new_chars"))
+    cdcDiff(g0, g1).orderBy(col("doc_id"))
+  }
+
+  /** Write the two x17 generation snapshots (gen_0 = source; gen_1 =
+    * `de` dropped, `fr` doubled, `zh` cloned above max key) under
+    * `dir`. Shared by x17 (diff) and x24 (diff∘apply round-trip). */
+  private[graft] def cdcWriteGens(s: SparkSession, d: String, dir: String): Unit = {
     val docs = Tables.documents(s, d)
     val off = docs.agg(max(col("doc_id"))).collect().headOption
       .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
@@ -715,14 +727,10 @@ object XmlOps extends QueryModule {
       .unionByName(docs.where(col("lang") === "zh")
         .select((col("doc_id") + off).as("doc_id"), col("lang"), col("n_chars")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$dir/gen_1")
-    val g0 = s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
-      .parquet(s"$dir/gen_0")
-      .select(col("doc_id"), col("n_chars").as("old_chars"))
-    val g1 = s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
-      .parquet(s"$dir/gen_1")
-      .select(col("doc_id"), col("n_chars").as("new_chars"))
-    cdcDiff(g0, g1).orderBy(col("doc_id"))
   }
+
+  private[graft] def cdcReadGen(s: SparkSession, path: String): DataFrame =
+    s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT").parquet(path)
 
   /** The generation diff itself: one full-outer equi-join on the key,
     * arms as projections, unchanged rows suppressed. `g0` carries
@@ -754,6 +762,73 @@ object XmlOps extends QueryModule {
       |SELECT doc_id + o, 'insert', NULL, n_chars
       |FROM documents CROSS JOIN off WHERE lang = 'zh'
       |ORDER BY doc_id""".stripMargin
+
+  /** x24 — CDC ROUND-TRIP (diff ∘ apply ≡ republish): the property that
+    * makes a change feed TRUSTWORTHY for incremental downstream
+    * maintenance — a consumer that holds generation 0 and applies the
+    * feed must land on EXACTLY generation 1, or every incrementally-
+    * maintained index (Solr re-index, KV refresh, x15-style MERGE
+    * target) silently diverges from a full rebuild. The reference
+    * rebuilds its Solr/Neo4j exports from scratch each release; this
+    * closure is what licenses replacing that with feed-driven refresh.
+    * The full-row-image feed ([[cdcDiffFull]] — insert/update arms
+    * carry the NEW row, Debezium-style `after` image) applies in one
+    * pass: survivors = snapshot ANTI-JOIN (deleted ∪ updated keys),
+    * plus the feed's update/insert rows verbatim. The gate aggregates
+    * the REBUILT table while the oracle restates generation 1 from
+    * source predicates — wrong diff logic or a lossy apply cannot
+    * mirror itself. The spec pins row-level set equality, not just the
+    * aggregate. Scale shape: one key equi-join over the snapshot
+    * (bucketable to shuffle-free) + a feed-sized union — the feed is
+    * changed-rows-small, never snapshot-sized. */
+  def cdcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = LakeDir.scoped(s, "cdcrt", d)
+    cdcWriteGens(s, d, dir)
+    val g0 = cdcReadGen(s, s"$dir/gen_0")
+    val g1 = cdcReadGen(s, s"$dir/gen_1")
+    cdcApply(g0, cdcDiffFull(g0, g1))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** x17's diff with FULL ROW IMAGES: insert/update rows carry the new
+    * (lang, n_chars) so the feed is self-sufficient for apply. */
+  private[graft] def cdcDiffFull(g0: DataFrame, g1: DataFrame): DataFrame = {
+    val a = g0.select(col("doc_id"), col("lang").as("lang0"),
+      col("n_chars").as("chars0"))
+    val b = g1.select(col("doc_id"), col("lang").as("lang1"),
+      col("n_chars").as("chars1"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("chars0").isNull, "insert")
+          .when(col("chars1").isNull, "delete")
+          .when(col("chars0") =!= col("chars1"), "update")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(col("lang1"), col("lang0")).as("lang"),
+        col("chars1").as("n_chars"))
+      .where(col("change_type") =!= "unchanged")
+  }
+
+  /** Apply a full-row-image feed to a snapshot: one anti-join on the
+    * touched keys + the feed's after-images unioned in. */
+  private[graft] def cdcApply(snap: DataFrame, feed: DataFrame): DataFrame = {
+    val touched = feed.where(col("change_type").isin("delete", "update"))
+      .select(col("doc_id"))
+    snap.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(feed.where(col("change_type").isin("update", "insert"))
+        .select(col("doc_id"), col("lang"), col("n_chars")))
+  }
+
+  val cdcRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(ch) AS BIGINT) AS sum_chars
+      |FROM (
+      |  SELECT lang, CASE WHEN lang = 'fr' THEN n_chars * 2
+      |               ELSE n_chars END AS ch
+      |  FROM documents WHERE lang <> 'de'
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents WHERE lang = 'zh')
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** x18 — PARTITION-SPEC EVOLUTION: the Iceberg capability that lets a
     * 100 TB table change its partitioning WITHOUT rewriting history —
@@ -1249,6 +1324,7 @@ object XmlOps extends QueryModule {
     "x21_expectations" -> QueryDef(expectations, Some(expectationsSql)),
     "x22_occ_commit" -> QueryDef(occCommitPublish, Some(occCommitPublishSql)),
     "x23_occ_time_travel" -> QueryDef(occTimeTravel, Some(occTimeTravelSql)),
+    "x24_cdc_roundtrip" -> QueryDef(cdcRoundtrip, Some(cdcRoundtripSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

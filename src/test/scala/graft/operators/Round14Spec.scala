@@ -270,6 +270,26 @@ class Round14Spec extends SparkSpec {
       "uniform data must produce an empty heavy-hitter set")
   }
 
+  test("x24: apply(gen0, diff(gen0, gen1)) reproduces gen1 row-for-row") {
+    // row-level identity, not just the gate's aggregate — the property
+    // that licenses feed-driven refresh over full rebuilds
+    val d = "/root/testdata/sf0.001"
+    val dir = graft.core.LakeDir.scoped(spark, "cdcrt_spec", d)
+    XmlOps.cdcWriteGens(spark, d, dir)
+    val g0 = XmlOps.cdcReadGen(spark, s"$dir/gen_0")
+    val g1 = XmlOps.cdcReadGen(spark, s"$dir/gen_1")
+    val rebuilt = XmlOps.cdcApply(g0, XmlOps.cdcDiffFull(g0, g1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = g1.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rebuilt === want,
+      s"round-trip drifted: ${(rebuilt -- want).take(3)} extra, ${(want -- rebuilt).take(3)} missing")
+    // and the no-op diff applies as the identity
+    val idem = XmlOps.cdcApply(g1, XmlOps.cdcDiffFull(g1, g1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(idem === want, "diff of identical generations must apply as a no-op")
+  }
+
   test("s19: tombstones never serve, and ranks recompute densely over survivors") {
     val d = "/root/testdata/sf0.001"
     val rows = Similarity.tombstonedAnn(spark, d).collect()

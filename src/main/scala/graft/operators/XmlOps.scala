@@ -1295,6 +1295,100 @@ object XmlOps extends QueryModule {
       |FROM documents WHERE lang <> 'de'
       |ORDER BY version""".stripMargin
 
+  /** x25 — OCC LOG CHECKPOINT (Delta's `_last_checkpoint`): head
+    * resolution in x22/x23 lists the whole `_commits/` dir — O(history),
+    * which a table with years of commits cannot afford, and x19-style
+    * vacuum of old version POINTERS would break the listing-derived max
+    * entirely. The fix is Delta's: a maintenance write drops a
+    * well-known `_last_checkpoint` file naming the highest checkpointed
+    * version + generation, and a cold reader starts THERE and probes
+    * only the tail (v+1, v+2, … until absent) — O(tail since last
+    * checkpoint), independent of history length, and correct even after
+    * every pre-checkpoint pointer is deleted. The checkpoint write is a
+    * stage-then-ATOMIC_MOVE replace (single-maintainer overwrite; a
+    * reader never sees a torn file, and a MISSING checkpoint just
+    * degrades to the full listing — Delta's exact fallback contract).
+    * The gate builds a six-version history (filter/reprice chain, each
+    * state deterministic), checkpoints at v4, resolves the head through
+    * the checkpoint+tail path and aggregates; the oracle restates the
+    * composed final state from source predicates. The spec then DELETES
+    * v1–v3 and proves resolution + content survive vacuumed history. */
+  def occCheckpointRead(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occkpt", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    // six deterministic states, each committed on the previous head
+    var v = 0
+    def commit(df: DataFrame): Unit = {
+      v += 1
+      require(occTryCommit(base, v, occPrepare(s, base, df)), s"v$v raced nobody")
+    }
+    // full rows: the k11 manifest checksum covers the documents schema
+    commit(Tables.documents(s, d))
+    commit(occReadCommitted(s, base).where(col("lang") =!= "de"))
+    commit(occReadCommitted(s, base).withColumn("n_chars",
+      when(col("lang") === "fr", col("n_chars") * 2).otherwise(col("n_chars"))))
+    commit(occReadCommitted(s, base).where(col("n_chars") >= 100))
+    occCheckpoint(base) // maintenance pass at v4
+    commit(occReadCommitted(s, base).withColumn("n_chars",
+      when(col("lang") === "es", col("n_chars") * 3).otherwise(col("n_chars"))))
+    commit(occReadCommitted(s, base).where(col("source") =!= "web"))
+    val (hv, gen) = occHeadFast(base).getOrElse(sys.error("empty log"))
+    require(hv == 6, s"checkpoint+tail resolution found v$hv, want v6")
+    MaterialiseOps.serveValidated(s, s"$base/$gen")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Write `_last_checkpoint` naming the current head. Maintenance-side
+    * only; stage + ATOMIC_MOVE so readers never see a torn file. */
+  private[graft] def occCheckpoint(base: String): Unit = {
+    val (v, gen) = occHead(base).getOrElse(sys.error(s"nothing to checkpoint under $base"))
+    val dir = java.nio.file.Paths.get(base, "_commits")
+    val tmp = dir.resolve(s".ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
+    java.nio.file.Files.write(tmp, s"$v $gen".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, dir.resolve("_last_checkpoint"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Head resolution via checkpoint + tail probing: O(commits since the
+    * last checkpoint), never O(history); correct after pre-checkpoint
+    * pointers are vacuumed; falls back to the full listing when no
+    * checkpoint exists (Delta's contract). */
+  private[graft] def occHeadFast(base: String): Option[(Int, String)] = {
+    val ck = java.nio.file.Paths.get(base, "_commits", "_last_checkpoint")
+    if (!java.nio.file.Files.exists(ck)) return occHead(base)
+    val Array(v0, gen0) =
+      new String(java.nio.file.Files.readAllBytes(ck), "UTF-8").split(" ", 2)
+    var v = v0.toInt
+    var gen = gen0
+    var probing = true
+    while (probing) {
+      val next = java.nio.file.Paths.get(base, "_commits", s"v${v + 1}")
+      if (java.nio.file.Files.exists(next)) {
+        v += 1
+        gen = new String(java.nio.file.Files.readAllBytes(next), "UTF-8")
+      } else probing = false
+    }
+    Some((v, gen))
+  }
+
+  val occCheckpointReadSql: String =
+    """WITH s1 AS (
+      |  SELECT lang, source,
+      |    CASE WHEN lang = 'fr' THEN n_chars * 2 ELSE n_chars END AS ch
+      |  FROM documents WHERE lang <> 'de'),
+      |s2 AS (
+      |  SELECT lang, source,
+      |    CASE WHEN lang = 'es' THEN ch * 3 ELSE ch END AS ch
+      |  FROM s1 WHERE ch >= 100)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(ch) AS BIGINT) AS sum_chars
+      |FROM s2 WHERE source <> 'web'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1325,6 +1419,7 @@ object XmlOps extends QueryModule {
     "x22_occ_commit" -> QueryDef(occCommitPublish, Some(occCommitPublishSql)),
     "x23_occ_time_travel" -> QueryDef(occTimeTravel, Some(occTimeTravelSql)),
     "x24_cdc_roundtrip" -> QueryDef(cdcRoundtrip, Some(cdcRoundtripSql)),
+    "x25_occ_checkpoint" -> QueryDef(occCheckpointRead, Some(occCheckpointReadSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -270,6 +270,35 @@ class Round14Spec extends SparkSpec {
       "uniform data must produce an empty heavy-hitter set")
   }
 
+  test("x25: head resolves through the checkpoint after pre-checkpoint pointers are vacuumed") {
+    val d = "/root/testdata/sf0.001"
+    val want = XmlOps.occCheckpointRead(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = graft.core.LakeDir.scoped(spark, "occkpt", d)
+    // checkpoint+tail agrees with the full listing on the intact log
+    assert(XmlOps.occHeadFast(base) === XmlOps.occHead(base),
+      "fast path must agree with the full listing before any vacuum")
+    // vacuum v1..v3 pointers (pre-checkpoint history) — resolution and
+    // CONTENT must survive: the checkpoint carries the reader past the gap
+    for (v <- 1 to 3)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(base, "_commits", s"v$v"))
+    val (hv, gen) = XmlOps.occHeadFast(base).get
+    assert(hv === 6, s"resolved v$hv after vacuum, want v6")
+    val got = MaterialiseOps.serveValidated(spark, s"$base/$gen")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "vacuumed-history read drifted from the intact read")
+    // the LISTING-based head is now wrong-or-equal territory — the fast
+    // path must not have silently depended on it: delete the checkpoint
+    // too and confirm the fallback contract degrades loudly-or-correctly
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(base, "_commits", "_last_checkpoint"))
+    assert(XmlOps.occHeadFast(base) === XmlOps.occHead(base),
+      "without a checkpoint the fast path must be the full listing")
+  }
+
   test("x24: apply(gen0, diff(gen0, gen1)) reproduces gen1 row-for-row") {
     // row-level identity, not just the gate's aggregate — the property
     // that licenses feed-driven refresh over full rebuilds

@@ -1389,6 +1389,66 @@ object XmlOps extends QueryModule {
       |FROM s2 WHERE source <> 'web'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** x26 — TRANSACTIONAL EXPECTATIONS (x21 ∘ x22): x21's quarantine is
+    * the "warn" disposition — bad rows divert, clean rows commit. The
+    * other mode every contract framework ships (DLT `expect_or_fail`,
+    * Delta table CHECK constraints) is transactional: a batch with ANY
+    * violating row must not publish AT ALL — the commit aborts before
+    * the CAS, the head never moves, and the prepared generation is
+    * x19 vacuum food. That is only expressible because x22 made
+    * publish a two-phase prepare/commit: validation runs between the
+    * phases at one predicate pass over the candidate (the x21 chain,
+    * same shared [[triageReason]]), and the abort is simply "never
+    * link the pointer" — no rollback machinery, nothing to clean
+    * downstream, readers provably never saw it. The gate attempts a
+    * DIRTY publish (the raw corpus: zh rows break `lang_allowed`,
+    * short rows break `min_length`) which must abort, then the
+    * triage-clean subset, which commits; the oracle restates the
+    * clean state. The spec pins head-unmoved-after-abort and
+    * zero-violations-at-head. */
+  def txnExpectations(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occtxn", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    val docs = Tables.documents(s, d)
+    val clean = docs.where(triageReason === "ok")
+    require(occTryCommit(base, 1, occPrepare(s, base, clean.limit(0))),
+      "seeding an empty table raced nobody")
+    // dirty attempt: on real corpora this ABORTS (violations exist) and
+    // the head stays put; on a vacuously-clean corpus it commits —
+    // either way the head only ever holds validated rows
+    occTryCommitValidated(s, base, docs)
+    occTryCommitValidated(s, base, clean)
+    occReadCommitted(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Two-phase validated publish: prepare the candidate generation,
+    * run the x21 constraint chain over it in ONE predicate pass, and
+    * only attempt the CAS when zero rows violate. Returns true iff
+    * this candidate became the head. An aborted candidate's prepared
+    * generation is left unreferenced (x19 vacuum reclaims it). */
+  private[graft] def occTryCommitValidated(s: SparkSession, base: String,
+      candidate: DataFrame): Boolean = {
+    val gen = occPrepare(s, base, candidate)
+    val violations = MaterialiseOps.serveValidated(s, s"$base/$gen")
+      .where(triageReason =!= "ok").count() // validate what was WRITTEN
+    if (violations > 0) false
+    else {
+      val next = occHead(base).map(_._1).getOrElse(0) + 1
+      occTryCommit(base, next, gen)
+    }
+  }
+
+  val txnExpectationsSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE lang IN ('en', 'fr', 'de', 'es') AND n_chars >= 100
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1420,6 +1480,7 @@ object XmlOps extends QueryModule {
     "x23_occ_time_travel" -> QueryDef(occTimeTravel, Some(occTimeTravelSql)),
     "x24_cdc_roundtrip" -> QueryDef(cdcRoundtrip, Some(cdcRoundtripSql)),
     "x25_occ_checkpoint" -> QueryDef(occCheckpointRead, Some(occCheckpointReadSql)),
+    "x26_txn_expectations" -> QueryDef(txnExpectations, Some(txnExpectationsSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -212,7 +212,8 @@ class EmptyInputSpec extends SparkSpec {
     for (name <- Seq("x22_occ_commit", "g58_scc_labels",
         "p21_sketch_quantiles", "st62_stream_sketch_quantiles",
         "p22_mg_heavy_hitters", "st63_stream_mg_heavy_hitters",
-        "s19_tombstoned_ann", "x24_cdc_roundtrip", "x25_occ_checkpoint")) {
+        "s19_tombstoned_ann", "x24_cdc_roundtrip", "x25_occ_checkpoint",
+        "x26_txn_expectations")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

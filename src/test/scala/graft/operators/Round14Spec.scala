@@ -299,6 +299,34 @@ class Round14Spec extends SparkSpec {
       "without a checkpoint the fast path must be the full listing")
   }
 
+  test("x26: a violating batch aborts before the CAS — the head never moves") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, d)
+    assert(docs.where(XmlOps.triageReason =!= "ok").count() > 0,
+      "fixture must actually contain violating rows for this spec to bite")
+    val got = XmlOps.txnExpectations(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = graft.core.LakeDir.scoped(spark, "occtxn", d)
+    // the dirty attempt aborted: history is v1 (seed) then v2 (clean) —
+    // the dirty candidate never occupied a version
+    assert(XmlOps.occHead(base).map(_._1) === Some(2),
+      "dirty publish must leave no version behind")
+    // the head holds zero violating rows, and equals the clean restate
+    val head = XmlOps.occReadCommitted(spark, base)
+    assert(head.where(XmlOps.triageReason =!= "ok").count() === 0L,
+      "a violating row reached the head")
+    val want = docs.where(XmlOps.triageReason === "ok")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, s"head content drifted: $got vs $want")
+    // explicit abort semantics: validating the dirty candidate again
+    // returns false and STILL does not move the head
+    assert(!XmlOps.occTryCommitValidated(spark, base, docs))
+    assert(XmlOps.occHead(base).map(_._1) === Some(2))
+  }
+
   test("x24: apply(gen0, diff(gen0, gen1)) reproduces gen1 row-for-row") {
     // row-level identity, not just the gate's aggregate — the property
     // that licenses feed-driven refresh over full rebuilds

@@ -75,6 +75,58 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("x22 fuzz: random conflict/rebase interleavings of commuting writers converge") {
+    // two writers own DISJOINT key spaces (A: even doc_ids, B: odd), so
+    // their increments commute and the final content is independent of
+    // every race outcome. Each trial drives a random interleaving of
+    // stale prepares, losses, and rebases through the real protocol —
+    // multi-round conflict chains, not x22's single staged one.
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val rng = new scala.util.Random(22022L)
+    val seedRows = (1L to 20L).map(i =>
+      (i, s"t$i", if (i % 2 == 0) "en" else "fr", "src", 100L + i))
+    for (trial <- 1 to 3) {
+      val base = freshBase(s"occ_fuzz$trial")
+      val seed = seedRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      assert(XmlOps.occTryCommit(base, 1,
+        XmlOps.occPrepare(spark, base, seed)))
+      // ops: writer id → add (op index) to that writer's parity rows
+      val ops = rng.shuffle((1 to 3).map(i => (0, i)) ++ (1 to 3).map(i => (1, i)))
+      def bump(df: DataFrame, writer: Int, amt: Int): DataFrame =
+        df.withColumn("n_chars",
+          when(col("doc_id") % 2 === writer % 2, col("n_chars") + amt)
+            .otherwise(col("n_chars")))
+      for ((writer, amt) <- ops) {
+        // writer reads a possibly-about-to-be-stale head, prepares, and
+        // retries through conflicts like a real client
+        var committed = false
+        while (!committed) {
+          val (hv, _) = XmlOps.occHead(base).get
+          val gen = XmlOps.occPrepare(spark, base,
+            bump(XmlOps.occReadCommitted(spark, base), writer, amt))
+          // adversarial schedule: sometimes another commit sneaks in
+          // between this writer's read and its CAS
+          if (rng.nextBoolean() && ops.nonEmpty) {
+            val sneak = XmlOps.occPrepare(spark, base,
+              XmlOps.occReadCommitted(spark, base)) // no-op republish
+            XmlOps.occTryCommit(base, hv + 1, sneak)
+          }
+          committed = XmlOps.occTryCommit(base, hv + 1, gen)
+          // on conflict: loop re-reads the NEW head and rebases
+        }
+      }
+      val got = XmlOps.occReadCommitted(spark, base)
+        .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+      val evenAdd = ops.filter(_._1 == 0).map(_._2).sum
+      val oddAdd = ops.filter(_._1 == 1).map(_._2).sum
+      val want = seedRows.map { case (id, _, _, _, n) =>
+        id -> (n + (if (id % 2 == 0) evenAdd else oddAdd))
+      }.toMap
+      assert(got === want,
+        s"trial $trial: interleaving changed the converged content")
+    }
+  }
+
   test("x23: every version resolves through the log to ITS generation — history is reproducible") {
     val d = "/root/testdata/sf0.001"
     val got = XmlOps.occTimeTravel(spark, d).collect()

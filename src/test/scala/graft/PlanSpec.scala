@@ -372,6 +372,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-14 operators stay equi-join/aggregate shaped, never all-pairs") {
+    // p21: draw-keyed bottom-k aggregate + inverse-CDF window; p22: MG
+    // candidates then an exact recount (its 1-row total is the house
+    // broadcast crossJoin, which plans as BNLJ-over-one-row — allowed);
+    // x24: the touched-key anti-join + feed union
+    for (name <- Seq("p21_sketch_quantiles", "x24_cdc_roundtrip")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name degenerated to all-pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name degenerated to NLJ")
+    }
+  }
+
+  test("s19: the tombstone list broadcasts; no all-pairs anywhere") {
+    val p = plan("s19_tombstoned_ann")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the deleted-rows-small tombstone set should broadcast to the anti-join")
+  }
+
   test("t43: the bounded vocabulary broadcasts to the membership join") {
     val p = plan("t43_oov_rate")
     assert(!p.contains("CartesianProduct"))

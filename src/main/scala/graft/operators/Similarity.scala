@@ -108,16 +108,26 @@ object Similarity extends QueryModule {
     * shape: the tombstone set is deleted-rows-small and broadcasts;
     * everything else is s2's bucket equi-join unchanged. */
   def tombstonedAnn(s: SparkSession, d: String): DataFrame = {
+    // the tombstone list — materialised ids, not a predicate: serving
+    // must work from the list alone (the delete may have come from a
+    // dedup pass or a GDPR request, not a re-evaluable predicate)
+    val dead = Tables.embeddings(s, d)
+      .where(col("vec_id") % 5 === 3).select(col("vec_id"))
+    tombstonedAnnOf(s, d, dead)
+  }
+
+  /** [[tombstonedAnn]] with an EXPLICIT dead set — the seam st64's
+    * streamed tombstone state serves through, so batch and streaming
+    * can never disagree about deletion semantics. */
+  private[graft] def tombstonedAnnOf(s: SparkSession, d: String,
+      dead: DataFrame): DataFrame = {
     val bucket = (1 to 8).map(i =>
       when(element_at(col("embedding"), i) > 0, lit(1 << (i - 1))).otherwise(lit(0)))
       .reduce(_ + _)
     val emb = quantized(s, d).withColumn("bucket", bucket)
       .select(col("vec_id"), col("bucket"), col("q"))
-    // the tombstone list — materialised ids, not a predicate: serving
-    // must work from the list alone (the delete may have come from a
-    // dedup pass or a GDPR request, not a re-evaluable predicate)
-    val dead = emb.where(col("vec_id") % 5 === 3).select(col("vec_id"))
-    val live = emb.join(broadcast(dead), Seq("vec_id"), "left_anti")
+    val live = emb.join(broadcast(dead.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
     val queries = live.where(col("vec_id") < 50)
       .select(col("vec_id").as("query_id"), col("bucket"), col("q").as("qv"))
     val w = Window.partitionBy(col("query_id"))

@@ -292,6 +292,12 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamSketchQuantiles(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_ssketch_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(ProfilerOps.sketchQuantilesSql)),
+    // shares s19's oracle: the dead set is monotone (idempotent union
+    // state); serving goes through the shared tombstonedAnnOf seam
+    "st64_stream_tombstoned_ann" -> QueryDef(
+      (s, d) => Streaming.streamTombstonedAnn(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_stomb_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(Similarity.tombstonedAnnSql)),
     // shares p22's oracle: per-batch Misra-Gries partials summed at read
     // (no final prune — superset preserved), exact recount against source
     "st63_stream_mg_heavy_hitters" -> QueryDef(

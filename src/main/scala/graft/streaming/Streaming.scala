@@ -2354,6 +2354,44 @@ object Streaming {
       .orderBy(col("v"))
   }
 
+  /** Streaming TOMBSTONED ANN (st64): s19's serving with the deletion
+    * list maintained FROM A STREAM — delete requests (GDPR, dedup
+    * retractions) arrive in batches, each batch appends only ITS dead
+    * ids to the state (append-only id rows; a dead SET is the simplest
+    * monotone state there is — union is associative, commutative and
+    * idempotent, so redelivered batches and any arrival order land on
+    * the same set), and serving anti-joins the accumulated set through
+    * the SAME [[graft.operators.Similarity.tombstonedAnnOf]] seam as
+    * batch s19 — deletion semantics cannot fork. On full replay the
+    * table equals batch s19, shared oracle. */
+  def streamTombstonedAnn(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .where(col("vec_id") % 5 === 3) // the delete-request feed
+      .select(col("vec_id"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.toDF().write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/dead.parquet/batch=$id")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/dead.parquet")
+    val dead =
+      if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+      else s.read.parquet(s"$stateDir/dead.parquet").select(col("vec_id"))
+    graft.operators.Similarity.tombstonedAnnOf(s, d, dead)
+  }
+
   /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
     * served live from the SAME additive bucket-count state shape as
     * st55 (finer $1k buckets) — one state family, two reads: st55

@@ -213,7 +213,7 @@ class EmptyInputSpec extends SparkSpec {
         "p21_sketch_quantiles", "st62_stream_sketch_quantiles",
         "p22_mg_heavy_hitters", "st63_stream_mg_heavy_hitters",
         "s19_tombstoned_ann", "x24_cdc_roundtrip", "x25_occ_checkpoint",
-        "x26_txn_expectations")) {
+        "x26_txn_expectations", "st64_stream_tombstoned_ann")) {
       val n = defs(name).fn(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

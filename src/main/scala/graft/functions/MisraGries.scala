@@ -30,20 +30,31 @@ class MisraGriesAgg(m: Int)
 
   override def zero: mutable.Map[Long, Long] = mutable.Map.empty
 
+  /** Decrement every counter by `cut` and drop the non-positive. */
+  private def decrementBy(buf: mutable.Map[Long, Long], cut: Long): mutable.Map[Long, Long] = {
+    val dead = buf.iterator.collect { case (v, c) if c - cut <= 0 => v }.toSeq
+    dead.foreach(buf.remove)
+    buf.keys.toSeq.foreach(v => buf.update(v, buf(v) - cut))
+    buf
+  }
+
   private def prune(buf: mutable.Map[Long, Long]): mutable.Map[Long, Long] = {
     if (buf.size > m) {
       // the (m+1)-th largest counter: everything is decremented by it
       val cut = buf.values.toSeq.sorted(Ordering[Long].reverse)(m)
-      val dead = buf.iterator.collect { case (v, c) if c - cut <= 0 => v }.toSeq
-      dead.foreach(buf.remove)
-      buf.keys.toSeq.foreach(v => buf.update(v, buf(v) - cut))
+      decrementBy(buf, cut)
     }
     buf
   }
 
   override def reduce(buf: mutable.Map[Long, Long], v: Long): mutable.Map[Long, Long] = {
     buf.update(v, buf.getOrElse(v, 0L) + 1L)
-    prune(buf)
+    // reduce only ever adds a singleton, so a saturated buffer has
+    // EXACTLY m+1 entries and the (m+1)-th largest IS the minimum —
+    // O(m) per row on the hot map-side path, not an O(m log m) sort
+    // (the round-14 ADVICE item; matters if m ever grows past 16)
+    if (buf.size > m) decrementBy(buf, buf.values.min)
+    buf
   }
 
   override def merge(a: mutable.Map[Long, Long],

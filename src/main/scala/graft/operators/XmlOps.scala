@@ -793,7 +793,11 @@ object XmlOps extends QueryModule {
   }
 
   /** x17's diff with FULL ROW IMAGES: insert/update rows carry the new
-    * (lang, n_chars) so the feed is self-sufficient for apply. */
+    * (lang, n_chars) so the feed is self-sufficient for apply. The
+    * update predicate compares EVERY carried column (n_chars AND lang,
+    * null-safe) — a row whose lang changes at equal n_chars must be an
+    * update, or apply cannot reproduce g1 (the round-14 ADVICE gap; the
+    * lang-only-mutation case is spec-pinned). */
   private[graft] def cdcDiffFull(g0: DataFrame, g1: DataFrame): DataFrame = {
     val a = g0.select(col("doc_id"), col("lang").as("lang0"),
       col("n_chars").as("chars0"))
@@ -803,9 +807,13 @@ object XmlOps extends QueryModule {
       .select(col("doc_id"),
         when(col("chars0").isNull, "insert")
           .when(col("chars1").isNull, "delete")
-          .when(col("chars0") =!= col("chars1"), "update")
+          .when(col("chars0") =!= col("chars1") ||
+            !col("lang0").eqNullSafe(col("lang1")), "update")
           .otherwise("unchanged").as("change_type"),
-        coalesce(col("lang1"), col("lang0")).as("lang"),
+        // delete rows carry the before-image lang; insert/update rows the
+        // AFTER image verbatim (coalesce would resurrect the old lang on
+        // an update to null)
+        when(col("chars1").isNull, col("lang0")).otherwise(col("lang1")).as("lang"),
         col("chars1").as("n_chars"))
       .where(col("change_type") =!= "unchanged")
   }

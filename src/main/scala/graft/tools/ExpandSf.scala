@@ -37,12 +37,6 @@ import org.apache.spark.sql.functions._
   */
 object ExpandSf {
 
-  private def shifted(df: DataFrame, keyCols: Seq[String],
-      strides: Map[String, Long], r: Int): DataFrame =
-    keyCols.foldLeft(df) { case (d, k) =>
-      d.withColumn(k, col(k) + lit(strides(k) * r))
-    }
-
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ExpandSf <srcSfDir> <outDir> <K>")
     val Array(src, out, kStr) = args.take(3)

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-15 semantics pins, opening with the round-14 ADVICE closures:
+  * cdcDiffFull's update predicate must compare EVERY carried column, so
+  * a lang-only mutation (equal n_chars) still round-trips through
+  * apply — the case the x24 fixture never exercises.
+  */
+class Round15Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("x24: lang-only mutation at equal n_chars is an update, and apply reproduces gen1") {
+    val g0 = Seq((1L, "en", 100L), (2L, "fr", 200L), (3L, "de", 300L), (4L, "es", 400L))
+      .toDF("doc_id", "lang", "n_chars")
+    // doc 2: lang changes, n_chars equal (the ADVICE gap); doc 3: chars
+    // change; doc 4: deleted; doc 5: inserted; doc 1: untouched
+    val g1 = Seq((1L, "en", 100L), (2L, "pt", 200L), (3L, "de", 333L), (5L, "zh", 500L))
+      .toDF("doc_id", "lang", "n_chars")
+    val feed = XmlOps.cdcDiffFull(g0, g1)
+    val types = feed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(types === Map(2L -> "update", 3L -> "update", 4L -> "delete", 5L -> "insert"),
+      s"change classification drifted: $types")
+    val rebuilt = XmlOps.cdcApply(g0, feed)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = g1.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rebuilt === want, s"lang-only mutation lost in round-trip: $rebuilt vs $want")
+  }
+}

@@ -1215,38 +1215,23 @@ object XmlOps extends QueryModule {
     gen
   }
 
-  /** The atomic CAS: claim `v<version>` for `gen` iff absent. Stage the
-    * content to a temp file, hard-link into place (atomic fail-if-exists
-    * with complete content), true iff this writer won. */
-  private[graft] def occTryCommit(base: String, version: Int, gen: String): Boolean = {
-    val dir = java.nio.file.Paths.get(base, "_commits")
-    java.nio.file.Files.createDirectories(dir)
-    val tmp = dir.resolve(s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
-    try {
-      java.nio.file.Files.createLink(dir.resolve(s"v$version"), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    } finally java.nio.file.Files.deleteIfExists(tmp)
-  }
+  /** The atomic CAS: claim `v<version>` for `gen` iff absent, through
+    * the [[graft.lake.CommitStore]] seam (hard-link locally; the
+    * S3/GCS/HDFS conditional-put mappings are the trait's contract —
+    * round-14 verdict item 2). True iff this writer won. */
+  private[graft] def occTryCommit(base: String, version: Int, gen: String): Boolean =
+    graft.lake.CommitStore.local(base).putIfAbsent(s"v$version", gen)
 
   /** Resolve the current head (max committed version) and its generation
     * name; None on an empty log. Listing-scale metadata only. */
   private[graft] def occHead(base: String): Option[(Int, String)] = {
-    val dir = java.nio.file.Paths.get(base, "_commits")
-    if (!java.nio.file.Files.isDirectory(dir)) return None
-    val vs = scala.jdk.CollectionConverters.IteratorHasAsScala(
-      java.nio.file.Files.list(dir).iterator()).asScala
-      .map(_.getFileName.toString)
+    val store = graft.lake.CommitStore.local(base)
+    val vs = store.list()
       .collect { case n if n.matches("v[0-9]+") => n.drop(1).toInt }
-      .toSeq
     if (vs.isEmpty) None
     else {
       val v = vs.max
-      val gen = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(base, "_commits", s"v$v")), "UTF-8")
-      Some((v, gen))
+      store.read(s"v$v").map(gen => (v, gen))
     }
   }
 
@@ -1285,10 +1270,9 @@ object XmlOps extends QueryModule {
 
   /** Resolve ONE committed version through the log + validating read. */
   private[graft] def occReadAt(s: SparkSession, base: String, version: Int): DataFrame = {
-    val vf = java.nio.file.Paths.get(base, "_commits", s"v$version")
-    require(java.nio.file.Files.exists(vf), s"version $version was never committed under $base")
-    val gen = new String(java.nio.file.Files.readAllBytes(vf), "UTF-8")
-    MaterialiseOps.serveValidated(s, s"$base/$gen")
+    val gen = graft.lake.CommitStore.local(base).read(s"v$version")
+    require(gen.isDefined, s"version $version was never committed under $base")
+    MaterialiseOps.serveValidated(s, s"$base/${gen.get}")
   }
 
   val occTimeTravelSql: String =
@@ -1354,12 +1338,7 @@ object XmlOps extends QueryModule {
     * only; stage + ATOMIC_MOVE so readers never see a torn file. */
   private[graft] def occCheckpoint(base: String): Unit = {
     val (v, gen) = occHead(base).getOrElse(sys.error(s"nothing to checkpoint under $base"))
-    val dir = java.nio.file.Paths.get(base, "_commits")
-    val tmp = dir.resolve(s".ckpt_${java.util.UUID.randomUUID().toString.take(8)}")
-    java.nio.file.Files.write(tmp, s"$v $gen".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve("_last_checkpoint"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    graft.lake.CommitStore.local(base).putReplace("_last_checkpoint", s"$v $gen")
   }
 
   /** Head resolution via checkpoint + tail probing: O(commits since the
@@ -1367,19 +1346,20 @@ object XmlOps extends QueryModule {
     * pointers are vacuumed; falls back to the full listing when no
     * checkpoint exists (Delta's contract). */
   private[graft] def occHeadFast(base: String): Option[(Int, String)] = {
-    val ck = java.nio.file.Paths.get(base, "_commits", "_last_checkpoint")
-    if (!java.nio.file.Files.exists(ck)) return occHead(base)
-    val Array(v0, gen0) =
-      new String(java.nio.file.Files.readAllBytes(ck), "UTF-8").split(" ", 2)
+    val store = graft.lake.CommitStore.local(base)
+    val ck = store.read("_last_checkpoint") match {
+      case None => return occHead(base)
+      case Some(c) => c
+    }
+    val Array(v0, gen0) = ck.split(" ", 2)
     var v = v0.toInt
     var gen = gen0
     var probing = true
     while (probing) {
-      val next = java.nio.file.Paths.get(base, "_commits", s"v${v + 1}")
-      if (java.nio.file.Files.exists(next)) {
-        v += 1
-        gen = new String(java.nio.file.Files.readAllBytes(next), "UTF-8")
-      } else probing = false
+      store.read(s"v${v + 1}") match {
+        case Some(g) => v += 1; gen = g
+        case None => probing = false
+      }
     }
     Some((v, gen))
   }

@@ -298,6 +298,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamTombstonedAnn(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_stomb_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Similarity.tombstonedAnnSql)),
+    // shares x27's oracle: one writer protocol (occTxnCommit) driven from
+    // foreachBatch with the Spark batchId as the idempotence token; the
+    // committed batches partition the corpus
+    "st65_stream_txn_sink" -> QueryDef(
+      (s, d) => Streaming.streamTxnSink(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_stxn_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(XmlOps.txnAppendLogSql)),
     // shares p22's oracle: per-batch Misra-Gries partials summed at read
     // (no final prune — superset preserved), exact recount against source
     "st63_stream_mg_heavy_hitters" -> QueryDef(

@@ -1231,7 +1231,7 @@ object XmlOps extends QueryModule {
     if (vs.isEmpty) None
     else {
       val v = vs.max
-      store.read(s"v$v").map(gen => (v, gen))
+      store.read(s"v$v").map(c => (v, commitGen(c)))
     }
   }
 
@@ -1270,7 +1270,7 @@ object XmlOps extends QueryModule {
 
   /** Resolve ONE committed version through the log + validating read. */
   private[graft] def occReadAt(s: SparkSession, base: String, version: Int): DataFrame = {
-    val gen = graft.lake.CommitStore.local(base).read(s"v$version")
+    val gen = graft.lake.CommitStore.local(base).read(s"v$version").map(commitGen)
     require(gen.isDefined, s"version $version was never committed under $base")
     MaterialiseOps.serveValidated(s, s"$base/${gen.get}")
   }
@@ -1357,7 +1357,7 @@ object XmlOps extends QueryModule {
     var probing = true
     while (probing) {
       store.read(s"v${v + 1}") match {
-        case Some(g) => v += 1; gen = g
+        case Some(c) => v += 1; gen = commitGen(c)
         case None => probing = false
       }
     }
@@ -1437,6 +1437,124 @@ object XmlOps extends QueryModule {
       |WHERE lang IN ('en', 'fr', 'de', 'es') AND n_chars >= 100
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** A commit blob: line 1 names the generation; an optional line 2
+    * `txn <appId> <version>` records the writer's idempotence token —
+    * Delta's SetTransaction (txnAppId/txnVersion) action, the piece that
+    * makes streaming writes exactly-once against the log. */
+  private[graft] def commitGen(content: String): String =
+    content.linesIterator.next()
+
+  private[graft] def commitTxn(content: String): Option[(String, Long)] =
+    content.linesIterator.drop(1).nextOption().collect {
+      case l if l.startsWith("txn ") =>
+        val Array(_, app, v) = l.split(" ", 3)
+        (app, v.toLong)
+    }
+
+  /** The highest txnVersion `appId` ever committed to this log, or None.
+    * Small-blob metadata reads over the retained commit pointers —
+    * production formats fold SetTransaction state into the checkpoint so
+    * this never re-reads deep history; correspondingly, a vacuum of
+    * version POINTERS must retain each app's latest txn commit (Delta's
+    * setTransactionRetentionDuration caveat, inherited verbatim). */
+  private[graft] def occLastTxn(base: String, appId: String): Option[Long] = {
+    val store = graft.lake.CommitStore.local(base)
+    store.list().filter(_.matches("v[0-9]+"))
+      .flatMap(store.read)
+      .flatMap(commitTxn)
+      .collect { case (a, v) if a == appId => v }
+      .maxOption
+  }
+
+  /** x27's writer: IDEMPOTENT TRANSACTIONAL APPEND. Prepare the batch as
+    * its own generation (data written ONCE, off the commit path), then
+    * CAS a pointer that carries the (appId, txnVersion) token:
+    *
+    *   - a REDELIVERED batch (same appId, same or lower txnVersion)
+    *     finds its token already in the log and no-ops — exactly-once
+    *     visibility from at-least-once delivery, Delta's
+    *     txnAppId/txnVersion dedup;
+    *   - a CAS loss to a CONCURRENT writer is not a conflict for an
+    *     append (batches commute): re-read the head, retry at the next
+    *     version, bounded.
+    *
+    * Returns true iff THIS call moved the head; false = the token was
+    * already committed (no-op replay). The loser's prepared generation
+    * on the no-op path is x19 vacuum food, never referenced. */
+  private[graft] def occTxnCommit(s: SparkSession, base: String, appId: String,
+      txnVersion: Long, batch: DataFrame, maxAttempts: Int = 16): Boolean = {
+    if (occLastTxn(base, appId).exists(_ >= txnVersion)) return false
+    val gen = occPrepare(s, base, batch)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      // the token may have landed concurrently (redelivery racing itself)
+      if (occLastTxn(base, appId).exists(_ >= txnVersion)) return false
+      val next = occHead(base).map(_._1).getOrElse(0) + 1
+      if (occTryCommit(base, next, s"$gen\ntxn $appId $txnVersion")) return true
+      attempt += 1 // lost the CAS — someone else advanced the head; retry
+    }
+    sys.error(s"txn $appId/$txnVersion lost $maxAttempts CAS races under $base")
+  }
+
+  /** Snapshot of an APPEND-ONLY txn table at version `upTo` (default:
+    * head): the union of every committed generation v1..upTo, each
+    * through the k11 validating read — Delta's add-file semantics (a
+    * commit ADDS its batch; a snapshot is the union of live adds),
+    * where x22's pointer names a full-table snapshot. Version
+    * resolution is listing-scale metadata; data reads one per
+    * generation, compaction of many small generations being exactly
+    * x14's job. */
+  private[graft] def occReadAppendLog(s: SparkSession, base: String,
+      upTo: Option[Int] = None): DataFrame = {
+    val store = graft.lake.CommitStore.local(base)
+    val head = occHead(base).map(_._1)
+      .getOrElse(sys.error(s"no commits under $base"))
+    val v = upTo.getOrElse(head)
+    require(v >= 1 && v <= head, s"version $v outside committed range 1..$head")
+    (1 to v).map { i =>
+      val c = store.read(s"v$i")
+        .getOrElse(sys.error(s"v$i vacuumed out of append log $base"))
+      MaterialiseOps.serveValidated(s, s"$base/${commitGen(c)}")
+    }.reduce(_ unionByName _)
+  }
+
+  /** x27 — TRANSACTIONAL APPEND LOG (the Delta txnAppId/txnVersion
+    * shape, batch side): the gate splits documents into four
+    * deterministic arrival batches (doc_id % 4), commits each through
+    * [[occTxnCommit]] — deliberately REDELIVERING batch 2 mid-sequence,
+    * which must no-op rather than double-append — then pins exactly one
+    * version per distinct txn and aggregates the snapshot through
+    * [[occReadAppendLog]]. The four batches partition the table, so the
+    * oracle is the plain full-corpus aggregate: a duplicated append, a
+    * lost batch, or a torn read all mis-sum. st65 is the streaming twin
+    * driving the SAME writer from foreachBatch with the Spark batchId
+    * as txnVersion — one protocol, shared oracle. */
+  def txnAppendLog(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occtxnlog", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    val docs = graft.core.Tables.documents(s, d)
+    val app = "x27_writer"
+    (0 until 4).foreach { b =>
+      require(occTxnCommit(s, base, app, b.toLong, docs.where(col("doc_id") % 4 === b)),
+        s"first delivery of batch $b must commit")
+      if (b == 2)
+        require(!occTxnCommit(s, base, app, 2L, docs.where(col("doc_id") % 4 === 2)),
+          "a redelivered batch must no-op, not double-append")
+    }
+    require(occHead(base).map(_._1).contains(4),
+      "exactly one committed version per distinct txn")
+    occReadAppendLog(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val txnAppendLogSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1469,6 +1587,7 @@ object XmlOps extends QueryModule {
     "x24_cdc_roundtrip" -> QueryDef(cdcRoundtrip, Some(cdcRoundtripSql)),
     "x25_occ_checkpoint" -> QueryDef(occCheckpointRead, Some(occCheckpointReadSql)),
     "x26_txn_expectations" -> QueryDef(txnExpectations, Some(txnExpectationsSql)),
+    "x27_txn_append_log" -> QueryDef(txnAppendLog, Some(txnAppendLogSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -2392,6 +2392,49 @@ object Streaming {
     graft.operators.Similarity.tombstonedAnnOf(s, d, dead)
   }
 
+  /** st65 — TRANSACTIONAL STREAMING SINK through the OCC log (x22∘x27,
+    * the round-14 verdict's top item): the rest of the st family
+    * persists per-batch state as raw `batch=<id>` parquet dirs —
+    * idempotent under replay, but visibility is per-directory (a reader
+    * racing the writer can see a half-written batch dir) and nothing
+    * time-travels. Here foreachBatch drives [[graft.operators.XmlOps
+    * .occTxnCommit]]: the batch is PREPARED as its own generation off
+    * the commit path, then CAS-committed with the Spark batchId as the
+    * txnVersion (Delta's txnAppId/txnVersion dedup) — a redelivered
+    * batch finds its token already in the log and no-ops; a reader
+    * never sees a half-written batch (the version pointer appears
+    * complete or not at all); and the table time-travels per batch
+    * through the same log x23 reads. The feed is pre-split four ways so
+    * AvailableNow genuinely delivers MULTIPLE batches through the sink.
+    * The committed batches partition the corpus, so the final snapshot
+    * equals batch x27 — one writer protocol, shared oracle. */
+  def streamTxnSink(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val feed = s"$stateDir/feed"
+    graft.core.Tables.documents(s, d).repartition(4)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(feed)
+    val base = s"$stateDir/table"
+    val schema = s.read.parquet(feed).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.XmlOps.occTxnCommit(
+          batch.sparkSession, base, "st65_sink", id, batch.toDF())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$stateDir/_stream_checkpoint")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.operators.XmlOps.occReadAppendLog(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
     * served live from the SAME additive bucket-count state shape as
     * st55 (finer $1k buckets) — one state family, two reads: st55

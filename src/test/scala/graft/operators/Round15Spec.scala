@@ -60,4 +60,94 @@ class Round15Spec extends SparkSpec {
       .map(_.getName).filter(_.startsWith(".tmp"))
     assert(leftovers.isEmpty, s"staging debris: ${leftovers.toSeq}")
   }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docBatch(b: Int) =
+    graft.core.Tables.documents(spark, sf).where(col("doc_id") % 4 === b)
+
+  private def logCount(base: String, upTo: Option[Int] = None): Long =
+    XmlOps.occReadAppendLog(spark, base, upTo).count()
+
+  test("x27 redelivery: the same (appId, txnVersion) committed twice lands ONE version") {
+    val base = graft.core.LakeDir.scoped(spark, "txn_redeliver", sf)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    assert(XmlOps.occTxnCommit(spark, base, "app", 0L, docBatch(0)))
+    val n1 = logCount(base)
+    assert(!XmlOps.occTxnCommit(spark, base, "app", 0L, docBatch(0)),
+      "redelivery must no-op")
+    assert(XmlOps.occHead(base).map(_._1) === Some(1), "head must not move on redelivery")
+    assert(logCount(base) === n1, "redelivery must not change the snapshot")
+    // a LOWER txnVersion arriving late (out-of-order redelivery) also no-ops
+    assert(XmlOps.occTxnCommit(spark, base, "app", 3L, docBatch(1)))
+    assert(!XmlOps.occTxnCommit(spark, base, "app", 2L, docBatch(2)),
+      "a stale lower txnVersion must no-op after a higher one committed")
+    assert(XmlOps.occHead(base).map(_._1) === Some(2))
+  }
+
+  test("x27 mid-batch reader: a prepared-but-uncommitted generation is invisible") {
+    val base = graft.core.LakeDir.scoped(spark, "txn_midbatch", sf)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    assert(XmlOps.occTxnCommit(spark, base, "app", 0L, docBatch(0)))
+    val before = logCount(base)
+    // the writer is mid-batch: generation fully prepared, pointer not linked
+    val gen = XmlOps.occPrepare(spark, base, docBatch(1))
+    assert(logCount(base) === before,
+      "a reader racing the writer must not see the half-committed batch")
+    assert(XmlOps.occHead(base).map(_._1) === Some(1))
+    // ...and the commit makes it visible atomically, in full
+    assert(XmlOps.occTryCommit(base, 2, s"$gen\ntxn app 1"))
+    assert(logCount(base) === before + docBatch(1).count())
+  }
+
+  test("x27 time travel: version k's snapshot is the union of the first k batches") {
+    val base = graft.core.LakeDir.scoped(spark, "txn_tt", sf)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    val sizes = (0 until 3).map { b =>
+      assert(XmlOps.occTxnCommit(spark, base, "app", b.toLong, docBatch(b)))
+      docBatch(b).count()
+    }
+    (1 to 3).foreach { v =>
+      assert(logCount(base, Some(v)) === sizes.take(v).sum,
+        s"append-log snapshot at v$v must be the first $v batches")
+    }
+  }
+
+  test("x27 concurrent writers: distinct apps racing the log all land, history linear") {
+    val base = graft.core.LakeDir.scoped(spark, "txn_race", sf)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        gate.await()
+        try assert(XmlOps.occTxnCommit(spark, base, s"app_$i", 0L, docBatch(i)))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent txn writers failed: ${errs.peek()}")
+    // all four landed at distinct, gap-free versions (appends commute —
+    // a CAS loss retries, never conflicts)
+    assert(XmlOps.occHead(base).map(_._1) === Some(4))
+    (0 until 4).foreach { i =>
+      assert(XmlOps.occLastTxn(base, s"app_$i") === Some(0L), s"app_$i token lost")
+    }
+    // and the snapshot is exactly the whole corpus (batches partition it)
+    assert(logCount(base) === graft.core.Tables.documents(spark, sf).count())
+  }
+
+  test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
+    val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
+      java.nio.file.Files.createTempDirectory("st65_spec").toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = XmlOps.txnAppendLog(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(stream === batch, "streaming sink snapshot drifted from the batch twin")
+    assert(stream.nonEmpty)
+  }
 }

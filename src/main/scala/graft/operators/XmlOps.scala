@@ -1496,26 +1496,37 @@ object XmlOps extends QueryModule {
     sys.error(s"txn $appId/$txnVersion lost $maxAttempts CAS races under $base")
   }
 
+  /** A compaction commit's marker: `compact <n>` on a body line means
+    * this commit's generation REPLACES versions 1..n (Delta's
+    * remove+add in one commit) — a snapshot read starts here and only
+    * unions the adds above it. */
+  private[graft] def commitCompactUpTo(content: String): Option[Int] =
+    content.linesIterator.drop(1).collectFirst {
+      case l if l.startsWith("compact ") => l.split(" ", 2)(1).toInt
+    }
+
   /** Snapshot of an APPEND-ONLY txn table at version `upTo` (default:
-    * head): the union of every committed generation v1..upTo, each
-    * through the k11 validating read — Delta's add-file semantics (a
-    * commit ADDS its batch; a snapshot is the union of live adds),
-    * where x22's pointer names a full-table snapshot. Version
-    * resolution is listing-scale metadata; data reads one per
-    * generation, compaction of many small generations being exactly
-    * x14's job. */
+    * head): the union of committed generations, each through the k11
+    * validating read — Delta's add-file semantics (a commit ADDS its
+    * batch; a snapshot is the union of live adds), where x22's pointer
+    * names a full-table snapshot. The walk goes BACKWARD from `upTo`
+    * and stops at the newest compaction commit at-or-below it (whose
+    * generation replaces everything beneath), so version pointers
+    * under a compaction base may be vacuumed without breaking head
+    * reads — only time travel BELOW the base needs them (Delta's
+    * retention caveat). Version resolution is listing-scale metadata;
+    * data reads one per live generation, shrinking many small
+    * generations back to one being exactly x28's job. */
   private[graft] def occReadAppendLog(s: SparkSession, base: String,
       upTo: Option[Int] = None): DataFrame = {
-    val store = graft.lake.CommitStore.local(base)
     val head = occHead(base).map(_._1)
       .getOrElse(sys.error(s"no commits under $base"))
-    val v = upTo.getOrElse(head)
-    require(v >= 1 && v <= head, s"version $v outside committed range 1..$head")
-    (1 to v).map { i =>
-      val c = store.read(s"v$i")
-        .getOrElse(sys.error(s"v$i vacuumed out of append log $base"))
-      MaterialiseOps.serveValidated(s, s"$base/${commitGen(c)}")
-    }.reduce(_ unionByName _)
+    val target = upTo.getOrElse(head)
+    require(target >= 1 && target <= head,
+      s"version $target outside committed range 1..$head")
+    occLiveGens(base, target)
+      .map(g => MaterialiseOps.serveValidated(s, s"$base/$g"))
+      .reduce(_ unionByName _)
   }
 
   /** x27 — TRANSACTIONAL APPEND LOG (the Delta txnAppId/txnVersion
@@ -1555,6 +1566,123 @@ object XmlOps extends QueryModule {
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** The live generations a snapshot at `upTo` reads, newest first —
+    * the same back-walk as [[occReadAppendLog]], factored so the
+    * compactor and specs can see the physical read set. */
+  private[graft] def occLiveGens(base: String, upTo: Int): Seq[String] = {
+    val store = graft.lake.CommitStore.local(base)
+    val gens = scala.collection.mutable.ListBuffer.empty[String]
+    var v = upTo
+    var done = false
+    while (v >= 1 && !done) {
+      val c = store.read(s"v$v")
+        .getOrElse(sys.error(s"v$v vacuumed below an uncompacted tail of $base"))
+      gens += commitGen(c)
+      if (commitCompactUpTo(c).isDefined) done = true
+      v -= 1
+    }
+    gens.toSeq
+  }
+
+  /** A generation's k11-manifest totals: (files, rows, order-blind
+    * xxhash64 row-hash sum). Metadata-only — the manifest is one row
+    * per FILE. */
+  private[graft] def manifestTotals(s: SparkSession, base: String,
+      gen: String): (Long, Long, java.math.BigDecimal) = {
+    val r = s.read.parquet(s"$base/$gen/_manifest")
+      .agg(count(lit(1)).as("files"), sum(col("rows")).as("rows"),
+        sum(col("checksum")).as("checksum")).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) java.math.BigDecimal.ZERO else r.getDecimal(2))
+  }
+
+  /** x28's compactor: OPTIMIZE as an OCC COMMIT (x14's plan composed
+    * with x22's protocol). Attempt to compact versions 1..asOf into one
+    * generation committed at asOf+1 with the `compact asOf` marker:
+    *
+    *   1. read the snapshot at asOf through the normal append-log walk;
+    *   2. rewrite it as ONE generation, coalesced 8:1 against the live
+    *     input FILE count (from the manifests — metadata, not a data
+    *     scan), the data-scale work, entirely off the commit path;
+    *   3. validate the rewrite is LOSSLESS by comparing k11-manifest
+    *     totals (row count + order-blind xxhash64 row-hash sum) of the
+    *     rewritten generation against the sum over its inputs —
+    *     metadata-only, no second data scan; the spec additionally pins
+    *     true row-for-row multiset equality at small scale;
+    *   4. CAS the pointer at asOf+1. A concurrent writer that landed
+    *     asOf+1 first WINS: the CAS fails, this returns false, and the
+    *     caller rebases (recompacts the new head) or aborts — the
+    *     losing rewrite is x19 vacuum food, data never moves on the
+    *     loser path, and the critical section stays one pointer file.
+    *
+    * After the commit, head reads touch ONE generation and every
+    * pre-compaction version pointer is vacuumable (only time travel
+    * below the base still needs them — Delta's retention caveat). */
+  private[graft] def occCompactAt(s: SparkSession, base: String, asOf: Int): Boolean = {
+    val inputs = occLiveGens(base, asOf)
+    val inTotals = inputs.map(manifestTotals(s, base, _))
+    val inFiles = inTotals.map(_._1).sum
+    val target = math.max(1L, inFiles / 8L).toInt
+    val gen = occPrepare(s, base,
+      occReadAppendLog(s, base, Some(asOf)).coalesce(target))
+    val (_, outRows, outSum) = manifestTotals(s, base, gen)
+    require(outRows == inTotals.map(_._2).sum &&
+        outSum == inTotals.map(_._3).foldLeft(java.math.BigDecimal.ZERO)(_ add _),
+      s"compaction rewrite lost or mutated rows under $base — refusing to commit")
+    occTryCommit(base, asOf + 1, s"$gen\ncompact $asOf")
+  }
+
+  /** Bounded rebase loop over [[occCompactAt]]; returns the committed
+    * compaction version. */
+  private[graft] def occCompact(s: SparkSession, base: String,
+      maxAttempts: Int = 8): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val head = occHead(base).map(_._1)
+        .getOrElse(sys.error(s"nothing to compact under $base"))
+      if (occCompactAt(s, base, head)) return head + 1
+      attempt += 1 // a writer landed head+1 first — rebase on the new head
+    }
+    sys.error(s"compactor lost $maxAttempts races under $base")
+  }
+
+  /** x28 — COMPACTION AS AN OCC COMMIT: the round-14 verdict's gap —
+    * x14 plans compaction and KvGenStore compacts inline, but neither
+    * publishes THROUGH the log, so until now OPTIMIZE couldn't coexist
+    * with live writers. The gate fragments the corpus into four
+    * single-batch generations (x27's writer), compacts through
+    * [[occCompact]], pins that the head snapshot now reads ONE
+    * generation, then VACUUMS every pre-compaction version pointer and
+    * serves the head anyway — the read correctness the `compact` marker
+    * exists to license. The oracle restates the full corpus: a lossy
+    * rewrite, a double-counted generation, or a walk that reads below
+    * the compaction base all mis-aggregate. */
+  def compactionCommit(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occcompact", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    val docs = graft.core.Tables.documents(s, d)
+    (0 until 4).foreach { b =>
+      require(occTxnCommit(s, base, "x28_writer", b.toLong,
+        docs.where(col("doc_id") % 4 === b)))
+    }
+    require(occLiveGens(base, 4).size == 4, "fixture must start fragmented")
+    val cv = occCompact(s, base)
+    require(cv == 5 && occLiveGens(base, cv).size == 1,
+      "head snapshot must read exactly ONE generation after compaction")
+    val store = graft.lake.CommitStore.local(base)
+    (1 to 4).foreach(v => store.delete(s"v$v")) // vacuum pre-compaction pointers
+    occReadAppendLog(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val compactionCommitSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1588,6 +1716,7 @@ object XmlOps extends QueryModule {
     "x25_occ_checkpoint" -> QueryDef(occCheckpointRead, Some(occCheckpointReadSql)),
     "x26_txn_expectations" -> QueryDef(txnExpectations, Some(txnExpectationsSql)),
     "x27_txn_append_log" -> QueryDef(txnAppendLog, Some(txnAppendLogSql)),
+    "x28_compaction_commit" -> QueryDef(compactionCommit, Some(compactionCommitSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -141,6 +141,65 @@ class Round15Spec extends SparkSpec {
     assert(logCount(base) === graft.core.Tables.documents(spark, sf).count())
   }
 
+  private def wipe(base: String): Unit = {
+    val bp = new org.apache.hadoop.fs.Path(base)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(bp, true)
+    ()
+  }
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4))).toSet
+
+  test("x28 losslessness: the compacted snapshot equals the fragmented one row-for-row") {
+    val base = graft.core.LakeDir.scoped(spark, "compact_rows", sf)
+    wipe(base)
+    (0 until 4).foreach { b =>
+      assert(XmlOps.occTxnCommit(spark, base, "w", b.toLong, docBatch(b)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))))
+    }
+    val before = rowsOf(XmlOps.occReadAppendLog(spark, base))
+    assert(XmlOps.occCompact(spark, base) === 5)
+    val after = rowsOf(XmlOps.occReadAppendLog(spark, base))
+    assert(after === before, "compaction mutated the table content")
+    assert(XmlOps.occLiveGens(base, 5).size === 1)
+  }
+
+  test("x28 conflict: a writer that lands first forces the compactor to rebase") {
+    val base = graft.core.LakeDir.scoped(spark, "compact_race", sf)
+    wipe(base)
+    assert(XmlOps.occTxnCommit(spark, base, "w", 0L, docBatch(0)))
+    assert(XmlOps.occTxnCommit(spark, base, "w", 1L, docBatch(1)))
+    // the compactor snapshots at v2... but a concurrent writer commits v3
+    // between its snapshot and its CAS
+    assert(XmlOps.occTxnCommit(spark, base, "w", 2L, docBatch(2)))
+    assert(!XmlOps.occCompactAt(spark, base, 2),
+      "the compactor's CAS at v3 must LOSE to the writer that got there first")
+    assert(XmlOps.occHead(base).map(_._1) === Some(3), "loser must not move the head")
+    // rebase: recompact the new head — now it wins, and nothing was lost
+    assert(XmlOps.occCompact(spark, base) === 4)
+    val want = (0 until 3).map(b => docBatch(b).count()).sum
+    assert(XmlOps.occReadAppendLog(spark, base).count() === want)
+  }
+
+  test("x28 walk: appends after a compaction stack on the compacted base") {
+    val base = graft.core.LakeDir.scoped(spark, "compact_stack", sf)
+    wipe(base)
+    (0 until 2).foreach { b =>
+      assert(XmlOps.occTxnCommit(spark, base, "w", b.toLong, docBatch(b)))
+    }
+    assert(XmlOps.occCompact(spark, base) === 3)
+    // vacuum the pre-compaction pointers, then keep appending
+    (1 to 2).foreach(v => graft.lake.CommitStore.local(base).delete(s"v$v"))
+    assert(XmlOps.occTxnCommit(spark, base, "w", 2L, docBatch(2)))
+    assert(XmlOps.occTxnCommit(spark, base, "w", 3L, docBatch(3)))
+    // the read walks back to the compaction commit and STOPS there —
+    // vacuumed history below it never blocks a head read
+    assert(XmlOps.occLiveGens(base, 5).size === 3)
+    assert(XmlOps.occReadAppendLog(spark, base).count() ===
+      graft.core.Tables.documents(spark, sf).count())
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

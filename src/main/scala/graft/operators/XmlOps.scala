@@ -1683,6 +1683,87 @@ object XmlOps extends QueryModule {
     """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** A commit's schema line: `schema <ddl>` versions the TABLE SCHEMA in
+    * the log itself (Delta's Metadata action / Iceberg schema-id) — the
+    * piece that makes ADD COLUMN a metadata-only commit and old
+    * versions serve their OLD schema. */
+  private[graft] def commitSchema(content: String): Option[String] =
+    content.linesIterator.drop(1).collectFirst {
+      case l if l.startsWith("schema ") => l.substring("schema ".length)
+    }
+
+  /** Conform a generation's rows to a commit's schema: columns the data
+    * files already carry pass through (cast to the declared type);
+    * columns the schema added AFTER the files were written materialize
+    * as typed NULLs — Delta's ADD COLUMN read semantics, which is what
+    * lets the add be metadata-only. Column order is the schema's. */
+  private[graft] def conformTo(df: DataFrame, ddl: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Schema-aware versioned read: x23's [[occReadAt]] plus the commit's
+    * own schema — a reader of v<n> sees v<n>'s schema, byte- AND
+    * shape-faithfully, no matter what later commits added. */
+  private[graft] def occReadAtEvolved(s: SparkSession, base: String, version: Int): DataFrame = {
+    val c = graft.lake.CommitStore.local(base).read(s"v$version")
+    require(c.isDefined, s"version $version was never committed under $base")
+    val df = MaterialiseOps.serveValidated(s, s"$base/${commitGen(c.get)}")
+    commitSchema(c.get).map(conformTo(df, _)).getOrElse(df)
+  }
+
+  /** x29 — SCHEMA EVOLUTION THROUGH THE LOG (the round-14 verdict's
+    * item 4): x8 proved mergeSchema READS; real table formats version
+    * the schema IN THE COMMIT, so ADD COLUMN is a metadata-only commit
+    * (v2 below references v1's generation VERBATIM — zero data moves)
+    * and readers of old versions see the old schema. Three states:
+    * v1 = the 5-column corpus; v2 = ADD COLUMN quality_tier (same
+    * generation, wider schema, column reads as typed NULL); v3 = a
+    * writer fills the column (data commit). The gate serves all three
+    * through [[occReadAtEvolved]] and reports each version's schema
+    * width + rows + column sum; the oracle restates them from source —
+    * a reader that leaked the new column into v1, lost the nulls at
+    * v2, or dropped the fill at v3 cannot match. The spec additionally
+    * pins v1/v2 sharing one generation and per-version schema
+    * reproducibility after later commits land (x23's discipline). */
+  def schemaEvolutionLog(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occschema", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    val ddl5 = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    val ddl6 = s"$ddl5, quality_tier BIGINT"
+    val gen1 = occPrepare(s, base, graft.core.Tables.documents(s, d))
+    require(occTryCommit(base, 1, s"$gen1\nschema $ddl5"), "v1 raced nobody")
+    // v2: ADD COLUMN is metadata-only — same generation, wider schema
+    require(occTryCommit(base, 2, s"$gen1\nschema $ddl6"), "v2 raced nobody")
+    // v3: fill the column (a data commit on the evolved schema)
+    val gen3 = occPrepare(s, base, occReadAtEvolved(s, base, 2)
+      .withColumn("quality_tier", expr("n_chars div 1000")))
+    require(occTryCommit(base, 3, s"$gen3\nschema $ddl6"), "v3 raced nobody")
+    (1 to 3).map { v =>
+      val df = occReadAtEvolved(s, base, v)
+      val tier = if (df.columns.contains("quality_tier")) col("quality_tier")
+        else lit(null).cast("long")
+      df.agg(count(lit(1)).as("n_docs"), sum(tier).cast("long").as("sum_tier"))
+        .select(lit(v.toLong).as("version"),
+          lit(df.columns.length.toLong).as("n_cols"),
+          col("n_docs"), col("sum_tier"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  val schemaEvolutionLogSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(5 AS BIGINT) AS n_cols,
+      |  count(*) AS n_docs, CAST(NULL AS BIGINT) AS sum_tier FROM documents
+      |UNION ALL
+      |SELECT 2, 6, count(*), CAST(NULL AS BIGINT) FROM documents
+      |UNION ALL
+      |SELECT 3, 6, count(*), CAST(sum(n_chars // 1000) AS BIGINT) FROM documents
+      |ORDER BY version""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1717,6 +1798,7 @@ object XmlOps extends QueryModule {
     "x26_txn_expectations" -> QueryDef(txnExpectations, Some(txnExpectationsSql)),
     "x27_txn_append_log" -> QueryDef(txnAppendLog, Some(txnAppendLogSql)),
     "x28_compaction_commit" -> QueryDef(compactionCommit, Some(compactionCommitSql)),
+    "x29_schema_evolution_log" -> QueryDef(schemaEvolutionLog, Some(schemaEvolutionLogSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -200,6 +200,29 @@ class Round15Spec extends SparkSpec {
       graft.core.Tables.documents(spark, sf).count())
   }
 
+  test("x29 reproducibility: each version serves ITS schema after later commits land") {
+    // build the three-state history via the gate itself, then re-read
+    // (LakeDir.scoped is deterministic per session, so the spec sees
+    // the gate's own log)
+    XmlOps.schemaEvolutionLog(spark, sf).collect()
+    val gateBase = graft.core.LakeDir.scoped(spark, "occschema", sf)
+    val store = graft.lake.CommitStore.local(gateBase)
+    // v1 and v2 reference ONE generation — ADD COLUMN moved zero data
+    val g1 = XmlOps.commitGen(store.read("v1").get)
+    val g2 = XmlOps.commitGen(store.read("v2").get)
+    assert(g1 === g2, "a metadata-only ADD COLUMN must not rewrite data")
+    // v1 still serves the 5-column shape; v2 the 6-column with NULL fill
+    val v1 = XmlOps.occReadAtEvolved(spark, gateBase, 1)
+    val v2 = XmlOps.occReadAtEvolved(spark, gateBase, 2)
+    val v3 = XmlOps.occReadAtEvolved(spark, gateBase, 3)
+    assert(v1.columns.toSeq === Seq("doc_id", "text", "lang", "source", "n_chars"))
+    assert(v2.columns.toSeq === v1.columns.toSeq :+ "quality_tier")
+    assert(v2.where(col("quality_tier").isNotNull).count() === 0L,
+      "the added column must read as typed NULL before any writer fills it")
+    assert(v3.where(col("quality_tier").isNull).count() === 0L)
+    assert(v1.count() === v3.count())
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

@@ -36,6 +36,43 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "rolling_hash"
 }
 
+/** All length-`w` window hashes of a string as `array<long>` — the
+  * column form of [[RollingHash.windowHashes]], built for
+  * `posexplode`: the d16/d19 window stage explodes ONE primitive long
+  * array per document inside codegen (`ArrayData.toArrayData` on an
+  * `Array[Long]` is `UnsafeArrayData.fromPrimitiveArray` — no boxing,
+  * no per-window tuple encoding), where the previous Dataset flatMap
+  * paid a boxed `(Long, Long, Long)` encoder round-trip per CORPUS
+  * POSITION, twice (the plan recomputes the window stage on the
+  * candidate-join branch). Measured at sfx1: TUNING.md round-15 d16
+  * line. */
+case class WindowHashes(child: Expression, w: Int) extends UnaryExpression {
+  require(w > 0, s"window width must be positive, got $w")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      RollingHash.windowHashes(input.asInstanceOf[UTF8String].toString, w))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.functions.RollingHash.windowHashes($c.toString(), $w))")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "window_hashes"
+}
+
+object WindowHashes {
+  import org.apache.spark.sql.graftglue.Glue
+  def apply(c: Column, w: Int): Column = Glue.column(WindowHashes(Glue.expression(c), w))
+}
+
 object RollingHash {
   final val Mod = 2147483647L // 2^31 - 1
 

@@ -1115,18 +1115,39 @@ object Dedup extends QueryModule {
     * it is map-side CPU; the thing that matters at 100 TB is that both
     * window-key shuffles carry longs, not 40-codepoint strings. */
   private def sharedWindowOcc(s: SparkSession, docs: DataFrame, L: Int): DataFrame = {
-    import s.implicits._
-    val wins = docs.as[(Long, String)]
-      .flatMap { case (id, t) =>
-        graft.functions.RollingHash.windowHashes(t, L).iterator.zipWithIndex
-          .map { case (h, i) => (id, (i + 1).toLong, h) }
-      }
-      .toDF("doc_id", "i", "h")
-    val sharedH = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("hd")).where(col("hd") >= 2)
-      .select(col("h"))
-    verifySharedOnText(wins.join(sharedH, "h").select(col("doc_id"), col("i")), docs, L)
+    // codegen'd primitive-array explode — no boxed per-position tuple
+    // encoder (see functions.WindowHashes; measured in TUNING.md)
+    val wins = windowHashRows(docs, L)
+    // "≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id) over a window
+    // partitioned by the hash: ONE shuffle of the position table, with
+    // the shared test and the survivor filter in the same exchange.
+    // The previous groupBy-then-self-join shape paid that shuffle TWICE
+    // (the plan recomputes the window stage on the probe branch) plus a
+    // sort-merge join, and its countDistinct threshold planned as a
+    // two-phase distinct aggregate — together the dominant d16 cost
+    // (stage-probed and measured at sfx1: TUNING.md round-15 d16 line).
+    // The raw-string oracle variant below keeps the obvious
+    // countDistinct/join form so the equivalence itself stays
+    // spec-pinned.
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy(col("h"))
+    val cand = wins
+      .withColumn("d0", min(col("doc_id")).over(wH))
+      .withColumn("d1", max(col("doc_id")).over(wH))
+      .where(col("d0") =!= col("d1"))
+      .select(col("doc_id"), col("i"))
+    verifySharedOnText(cand, docs, L)
   }
+
+  /** One (doc_id, i, h) row per codepoint position: the window stage of
+    * d16/d19, as a posexplode over [[graft.functions.WindowHashes]]'
+    * primitive long array (1-based `i` to match the SQL oracle's
+    * substr positions). */
+  private def windowHashRows(docs: DataFrame, L: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.WindowHashes(col("text"), L)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("i"),
+        col("col").as("h"))
 
   /** Raw-window head (one 40-codepoint string per position through the
     * shuffle) — the spec-pin oracle for [[sharedWindowOcc]]. */
@@ -1149,13 +1170,18 @@ object Dedup extends QueryModule {
     * parquet head: re-extract the true L-window for candidate positions
     * and keep only those whose WINDOW TEXT occurs in ≥ 2 distinct docs. */
   private def verifySharedOnText(cand: DataFrame, docs: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val candText = cand.join(docs, "doc_id")
       .select(col("doc_id"), col("i"),
         expr(s"substring(text, cast(i as int), $L)").as("w"))
-    val shared = candText.groupBy("w")
-      .agg(countDistinct(col("doc_id")).as("wd")).where(col("wd") >= 2)
-      .select(col("w"))
-    candText.join(shared, "w").select(col("doc_id"), col("i"))
+    // same one-exchange shared test as the hash head (min≠max over a
+    // window by the text), on the candidate-sized survivor set
+    val wW = Window.partitionBy(col("w"))
+    candText
+      .withColumn("d0", min(col("doc_id")).over(wW))
+      .withColumn("d1", max(col("doc_id")).over(wW))
+      .where(col("d0") =!= col("d1"))
+      .select(col("doc_id"), col("i"))
   }
 
   /** Maximal duplicated spans (doc_id, s, e) from shared-window
@@ -1193,19 +1219,19 @@ object Dedup extends QueryModule {
     val L = 40
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-    docs.as[(Long, String)]
-      .flatMap { case (id, t) =>
-        graft.functions.RollingHash.windowHashes(t, L).iterator.zipWithIndex
-          .map { case (h, i) => (id, (i + 1).toLong, h) }
-      }
-      .toDF("doc_id", "i", "h")
+    windowHashRows(docs, L)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$workDir/window_hashes.parquet")
     val wins = s.read.parquet(s"$workDir/window_hashes.parquet")
-    val sharedH = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("hd")).where(col("hd") >= 2)
-      .select(col("h"))
-    val cand = wins.join(sharedH, "h").select(col("doc_id"), col("i"))
+    // the same one-exchange shared test as the in-line head: one read of
+    // the staged hash table, not a groupBy branch plus a join branch
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy(col("h"))
+    val cand = wins
+      .withColumn("d0", min(col("doc_id")).over(wH))
+      .withColumn("d1", max(col("doc_id")).over(wH))
+      .where(col("d0") =!= col("d1"))
+      .select(col("doc_id"), col("i"))
     repeatSpansFrom(verifySharedOnText(cand, docs, L), docs, L)
   }
 

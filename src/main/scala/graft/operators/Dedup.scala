@@ -51,18 +51,63 @@ object Dedup extends QueryModule {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  /** Minhash permutation family (round 15): ONE md5 per shingle,
+    * reduced to a 60-bit integer (15-hex-char prefix — `conv(...,16,10)`
+    * in Spark, `('0x'||..)::BIGINT` in DuckDB, bit-identical) and folded
+    * mod p = 2^31-1, then 16 affine permutations
+    * h_j(x) = (a_j*x + b_j) mod p — [[graft.core.Exact.minhashA]]'s
+    * GEOMETRIC per-component constants (the d12 lesson: linear-in-j
+    * multipliers make every component share one argmin and the LSH
+    * S-curve collapses), the construction
+    * org.apache.spark.ml.feature.MinHashLSH itself uses. This replaces
+    * d3/d10/d18/d21's original 16-independent-md5-draws-per-shingle
+    * family: ~16x less hashing on the corpus-dominant signature stage,
+    * and the signature aggregate carries 16 longs per doc instead of 16
+    * hex strings (measured: TUNING.md round-15 d3 line). All products
+    * stay under 2^62, so Spark long and DuckDB BIGINT agree exactly.
+    * Estimator QUALITY stays pinned by d10's estimate-vs-TRUTH spec
+    * (ground truth, never an oracle mirror — the spec that would catch
+    * a degenerate family); the row-local twin [[bandKeysOf]], every SQL
+    * oracle and the streaming/incremental consumers read the same
+    * construction, so nothing can fork. */
+  private def minhashSigExprs: Seq[org.apache.spark.sql.Column] = {
+    import graft.core.Exact.{minhashA, minhashB, MinhashP => P}
+    val hm = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % P
+    // components 17..32 of the family: d12 draws 1..16, so the two
+    // gates remain independent draws rather than one gate twice
+    (1 to 16).map(j =>
+      min((hm * lit(minhashA(16 + j)) + lit(minhashB(16 + j))) % P).as(s"m$j"))
+  }
+
+  /** The identical construction for the SQL oracles — interpolating the
+    * same constants, so engine and oracle cannot drift. */
+  private[graft] def sigColsSql: String = {
+    import graft.core.Exact.{minhashA, minhashB, MinhashP => P}
+    (1 to 16).map(j =>
+      s"min(((('0x' || substr(md5(s), 1, 15))::BIGINT % $P) * ${minhashA(16 + j)} + ${minhashB(16 + j)}) % $P) AS m$j")
+      .mkString(",\n    ")
+  }
+
   /** The 4 LSH band keys of one document, computed ROW-LOCALLY (all of a
     * doc's shingles are in hand, so the 16 minhash mins fold in a loop —
     * no shuffle). Byte-identical to the DataFrame path in
-    * [[minhashLshFrom]] (same `md5("j|shingle")` signature mins, same
-    * `md5("b|m..|m..")` band keys; DedupSpec pins the equivalence), which
-    * is what lets a STREAM of new documents probe a static band index. */
+    * [[minhashLshFrom]] (same affine-permutation signature mins, same
+    * `md5("b|m..|m..")` band keys over their decimal rendering; DedupSpec
+    * pins the equivalence), which is what lets a STREAM of new documents
+    * probe a static band index. */
   private[graft] def bandKeysOf(shingles: Seq[String]): Seq[String] =
     if (shingles.isEmpty) Nil
     else {
-      val mins = (1 to 16).map(j => shingles.iterator.map(x => md5Hex(s"$j|$x")).min)
+      import graft.core.Exact.{minhashA, minhashB, MinhashP => P}
+      val hms = shingles.map(x =>
+        java.lang.Long.parseLong(md5Hex(x).substring(0, 15), 16) % P)
+      val mins = (1 to 16).map { j =>
+        val (a, b) = (minhashA(16 + j), minhashB(16 + j))
+        hms.iterator.map(h => (h * a + b) % P).min
+      }
       (0 until 4).map(b =>
-        md5Hex((b.toString +: (1 to 4).map(r => mins(b * 4 + r - 1))).mkString("|")))
+        md5Hex((b.toString +: (1 to 4).map(r => mins(b * 4 + r - 1).toString))
+          .mkString("|")))
     }
 
   /** Hot-bucket cap for banded-LSH candidate generation. A band bucket of
@@ -196,8 +241,7 @@ object Dedup extends QueryModule {
   /** The 16-min minhash signature frame of a `(doc_id, s)` shingle frame
     * — one groupBy, all mins map-side-combined. */
   private def minhashSig(sh: DataFrame): DataFrame = {
-    val sigExprs = (1 to 16).map(j =>
-      min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
+    val sigExprs = minhashSigExprs
     sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
   }
 
@@ -240,7 +284,7 @@ object Dedup extends QueryModule {
   }
 
   val minhashLshSql: String = {
-    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val sigCols = sigColsSql
     val bandSelects = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, md5('$b' || '|' || $ms) AS band FROM sig"
@@ -554,15 +598,15 @@ object Dedup extends QueryModule {
     * measure-the-sketch gate that tells a pipeline operator whether 16
     * permutations are enough before trusting d3's candidates at corpus
     * scale (s5 plays the same role for ANN recall). Candidates and
-    * signatures reuse d3's exact md5 constructions, so this also pins
+    * signatures reuse d3's exact construction (the shared
+    * [[minhashSigExprs]]/[[sigColsSql]] pair), so this also pins
     * sketch/verifier agreement across implementations. */
   /** The 16-permutation signature over any `(doc_id, s)` shingle frame —
     * exposed so the estimate-vs-TRUTH spec can drive it on sets of known
     * Jaccard similarity (the round-11 d12 lesson: only ground truth
     * catches a degenerate permutation family; a mirrored oracle cannot). */
   private[graft] def minhash16(sh: DataFrame): DataFrame = {
-    val sigExprs = (1 to 16).map(j =>
-      min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
+    val sigExprs = minhashSigExprs
     sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
   }
 
@@ -591,7 +635,7 @@ object Dedup extends QueryModule {
   }
 
   val minhashEstimateSql: String = {
-    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val sigCols = sigColsSql
     val bandSelects = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, md5('$b' || '|' || $ms) AS band FROM sig"
@@ -786,12 +830,10 @@ object Dedup extends QueryModule {
 
   /** d12 — AFFINE-MIX MinHash: the classical universal-hash family
     * `hⱼ(x) = (aⱼ·x + bⱼ) mod p` over ONE md5 per shingle (60 bits → mod
-    * p = 2³¹−1), instead of d3's 16 independent md5 evaluations. At
-    * corpus scale the signature stage is 16× cheaper in hash work for the
-    * same LSH structure (4 bands × 4 rows, candidate equi-join, exact
-    * candidate-only verify). A different hash family means a different
-    * (valid) candidate set, so this is its own gate; d3's md5 family
-    * stays pinned — st8's row-local twin and d10's estimator build on it.
+    * p = 2³¹−1) — the construction that proved itself here and, in round
+    * 15, became d3's default too (d3 draws components 17..32 of the same
+    * family so the two gates stay independent draws with different
+    * (valid) candidate sets; see [[minhashSigExprs]]).
     * (aⱼ, bⱼ) are the shared GEOMETRIC per-component constants
     * ([[graft.core.Exact.minhashA]]): the original multipliers were
     * linear in j, which makes every component share one argmin — the
@@ -1518,8 +1560,7 @@ object Dedup extends QueryModule {
     * intersect. */
   def lshParamSweep(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val sigExprs = (1 to 16).map(j =>
-      min(md5(concat_ws("|", lit(j.toString), col("s")))).as(s"m$j"))
+    val sigExprs = minhashSigExprs
     val sig = sh.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
       .localCheckpoint()
     val sets = sh.groupBy("doc_id")
@@ -1548,7 +1589,7 @@ object Dedup extends QueryModule {
   }
 
   val lshParamSweepSql: String = {
-    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val sigCols = sigColsSql
     val configs = Seq((2, 8), (4, 4), (8, 2))
     val perConfig = configs.map { case (b, r) =>
       val bandSelects = (0 until b).map { i =>
@@ -1784,7 +1825,7 @@ object Dedup extends QueryModule {
   }
 
   val editVerifySql: String = {
-    val sigCols = (1 to 16).map(j => s"min(md5('$j|' || s)) AS m$j").mkString(",\n    ")
+    val sigCols = sigColsSql
     val bandSelects = (0 until 4).map { b =>
       val ms = (1 to 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
       s"SELECT doc_id, md5('$b' || '|' || $ms) AS band FROM sig"

@@ -122,7 +122,7 @@ class Round12Spec extends SparkSpec {
         (common ++ bOnly).map(s => (o.toLong * 2 + 1, s))
     }.toDF("doc_id", "s")
     val sig = Dedup.minhash16(sh).collect()
-      .map(r => r.getLong(0) -> (1 to 16).map(j => r.getAs[String](s"m$j")))
+      .map(r => r.getLong(0) -> (1 to 16).map(j => r.getAs[Long](s"m$j")))
       .toMap
     cases.foreach { o =>
       val j = o.toDouble / (200 - o)

@@ -44,9 +44,11 @@ class IncrementalCorpusSpec extends SparkSpec {
     // A and B share a word block but are NOT near-dups of each other
     // (no shared band, J < 1/2); C is a verified band-candidate of BOTH —
     // so batch 3 retroactively merges batch 1's and batch 2's components.
-    // Texts chosen so the md5 band keys provably fire (deterministic).
+    // Texts chosen so the band keys provably fire under the round-15
+    // affine family, components 17..32 (deterministic; re-searched when
+    // the family migrated off the 16-md5 draws).
     val a = "alpha beta gamma delta epsilon zeta eta theta iota"
-    val b = "alpha beta gamma delta epsilon zeta kappa muu pii"
+    val b = "alpha beta gamma delta epsilon zeta kappa ups pii"
     val c = "alpha beta gamma delta epsilon zeta"
     val all = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"))
     val union = java.nio.file.Files.createTempDirectory("bridge_docs").toString

@@ -1764,6 +1764,100 @@ object XmlOps extends QueryModule {
       |SELECT 3, 6, count(*), CAST(sum(n_chars // 1000) AS BIGINT) FROM documents
       |ORDER BY version""".stripMargin
 
+  /** x30 — TABLE_CHANGES THROUGH THE LOG (Delta's
+    * `table_changes(start, end)` over x22's snapshot history): every
+    * consecutive version pair (k-1, k) diffs through the SAME
+    * [[cdcDiffFull]] the x24 closure proved lossless, each change row
+    * stamped with the commit version that produced it — the audit/feed
+    * read that turns a commit log into a CHANGE FEED without the writer
+    * cooperating (x17's feed is writer-produced; this one is derived
+    * from retained history alone). Diff cost is per-version-pair
+    * key-equi-join, never all-pairs; versions resolve from
+    * listing-scale metadata. The gate replays the x22 interleaving
+    * (v2 = delete `de`, v3 = fr reprice) and aggregates the stamped
+    * feed; the oracle restates both steps from source predicates — a
+    * diff that leaks unchanged rows, drops a step, or stamps the wrong
+    * version cannot match. */
+  def tableChanges(s: SparkSession, d: String): DataFrame = {
+    val base = occDemoLog(s, d)
+    val maxV = occHead(base).map(_._1).getOrElse(0)
+    val cols = Seq("doc_id", "lang", "n_chars").map(col)
+    (2 to maxV).map { v =>
+      cdcDiffFull(occReadAt(s, base, v - 1).select(cols: _*),
+          occReadAt(s, base, v).select(cols: _*))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("sum_new_chars"))
+        .select(lit(v.toLong).as("version"), col("change_type"),
+          col("n_rows"), col("sum_new_chars").cast("long").as("sum_new_chars"))
+    }.reduce(_ unionByName _).orderBy(col("version"), col("change_type"))
+  }
+
+  val tableChangesSql: String =
+    """SELECT CAST(2 AS BIGINT) AS version, 'delete' AS change_type,
+      |  count(*) AS n_rows, CAST(0 AS BIGINT) AS sum_new_chars
+      |FROM documents WHERE lang = 'de'
+      |UNION ALL
+      |SELECT 3, 'update', count(*), CAST(sum(n_chars * 2) AS BIGINT)
+      |FROM documents WHERE lang = 'fr' AND n_chars <> n_chars * 2
+      |ORDER BY version, change_type""".stripMargin
+
+  /** x31 — TXN-LOG VACUUM (x19's reclaim discipline composed over the
+    * x27/x28 generation lifecycle): a generation is LIVE iff some
+    * retained version pointer's snapshot read reaches it — i.e. it is
+    * in [[occLiveGens]] of any retained version. Everything else under
+    * the base is reclaimable: CAS-loser preparations, aborted
+    * validated commits, and pre-compaction generations once their
+    * pointers are vacuumed. Pure metadata set algebra (directory
+    * listing anti-join pointer walk); data files never open. The gate
+    * builds each orphan kind deliberately — four batch commits, one
+    * prepared-but-lost generation, a compaction, then pointer vacuum
+    * of v1..v4 — deletes what the plan names, and proves the head
+    * still serves every row (the oracle restates the corpus): a plan
+    * that reclaims a live generation cannot pass, and one that misses
+    * an orphan fails the spec's exact reclaim-set pin. */
+  def txnLogVacuum(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occvac", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    val docs = graft.core.Tables.documents(s, d)
+    (0 until 4).foreach { b =>
+      require(occTxnCommit(s, base, "x31_writer", b.toLong,
+        docs.where(col("doc_id") % 4 === b)))
+    }
+    occPrepare(s, base, docs.limit(3)) // a CAS loser: prepared, never linked
+    require(occCompact(s, base) == 5)
+    val store = graft.lake.CommitStore.local(base)
+    (1 to 4).foreach(v => store.delete(s"v$v")) // x19-style pointer vacuum
+    val (live, reclaimable) = txnLogVacuumPlan(s, base)
+    require(occHead(base).exists(h => live.contains(h._2)),
+      "the head's generation must be in the live set")
+    reclaimable.foreach(g => hf.delete(new org.apache.hadoop.fs.Path(s"$base/$g"), true))
+    // the head must survive its own vacuum, byte-complete
+    occReadAppendLog(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** The vacuum plan: (live, reclaimable) generation dir names under
+    * `base`. Live = union of every retained version's snapshot read
+    * set; reclaimable = listed gen_* dirs minus live. Listing-scale. */
+  private[graft] def txnLogVacuumPlan(s: SparkSession, base: String): (Set[String], Set[String]) = {
+    val store = graft.lake.CommitStore.local(base)
+    val versions = store.list().collect { case n if n.matches("v[0-9]+") => n.drop(1).toInt }
+    val live = versions.flatMap(v => occLiveGens(base, v)).toSet
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all = hf.listStatus(bp).map(_.getPath.getName).filter(_.startsWith("gen_")).toSet
+    (live, all -- live)
+  }
+
+  val txnLogVacuumSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val occCommitPublishSql: String =
     """SELECT lang, count(*) AS n_docs,
       |  CAST(sum(CASE WHEN lang = 'fr' THEN n_chars * 2
@@ -1799,6 +1893,8 @@ object XmlOps extends QueryModule {
     "x27_txn_append_log" -> QueryDef(txnAppendLog, Some(txnAppendLogSql)),
     "x28_compaction_commit" -> QueryDef(compactionCommit, Some(compactionCommitSql)),
     "x29_schema_evolution_log" -> QueryDef(schemaEvolutionLog, Some(schemaEvolutionLogSql)),
+    "x30_table_changes" -> QueryDef(tableChanges, Some(tableChangesSql)),
+    "x31_txn_log_vacuum" -> QueryDef(txnLogVacuum, Some(txnLogVacuumSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -223,6 +223,45 @@ class Round15Spec extends SparkSpec {
     assert(v1.count() === v3.count())
   }
 
+  test("x30 closure: folding the stamped change feed over v1 reproduces the head") {
+    // table_changes is only trustworthy if the per-version diffs COMPOSE:
+    // apply(v1, changes(2)) then apply(·, changes(3)) must equal v3
+    val base = XmlOps.occDemoLog(spark, sf)
+    val cols = Seq("doc_id", "lang", "n_chars").map(col)
+    def at(v: Int) = XmlOps.occReadAt(spark, base, v).select(cols: _*)
+    val rebuilt = (2 to 3).foldLeft(at(1)) { (snap, v) =>
+      XmlOps.cdcApply(snap, XmlOps.cdcDiffFull(snap, at(v)))
+    }
+    val got = rebuilt.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = at(3).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want, "stamped per-version diffs do not compose to the head")
+  }
+
+  test("x31 plan: exactly the orphans are reclaimable, and the head survives vacuum") {
+    val base = graft.core.LakeDir.scoped(spark, "vac_spec", sf)
+    wipe(base)
+    val docs = graft.core.Tables.documents(spark, sf)
+    (0 until 2).foreach { b =>
+      assert(XmlOps.occTxnCommit(spark, base, "w", b.toLong, docBatch(b)))
+    }
+    val originals = XmlOps.occLiveGens(base, 2).toSet
+    val orphan = XmlOps.occPrepare(spark, base, docs.limit(3)) // CAS loser
+    assert(XmlOps.occCompact(spark, base) === 3)
+    val compacted = XmlOps.occLiveGens(base, 3).toSet
+    val store = graft.lake.CommitStore.local(base)
+    (1 to 2).foreach(v => store.delete(s"v$v"))
+    val (live, reclaim) = XmlOps.txnLogVacuumPlan(spark, base)
+    assert(live === compacted, s"live set drifted: $live vs $compacted")
+    assert(reclaim === originals + orphan,
+      s"reclaim set must be exactly the orphans: $reclaim vs ${originals + orphan}")
+    // deleting the plan's reclaim set leaves the head byte-complete
+    val hf = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    reclaim.foreach(g => hf.delete(new org.apache.hadoop.fs.Path(s"$base/$g"), true))
+    assert(XmlOps.occReadAppendLog(spark, base).count() ===
+      docBatch(0).count() + docBatch(1).count())
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

@@ -298,6 +298,13 @@ object StreamingOps extends QueryModule {
       (s, d) => Streaming.streamTombstonedAnn(s, d,
         s"${System.getProperty("java.io.tmpdir")}/graft_stomb_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
       Some(Similarity.tombstonedAnnSql)),
+    // shares x27's oracle: the consumer folds additive per-version
+    // partials from incremental polls of the same committed batches that
+    // partition the corpus; redelivered versions overwrite byte-identically
+    "st66_stream_log_consume" -> QueryDef(
+      (s, d) => Streaming.streamLogConsume(s, d,
+        s"${System.getProperty("java.io.tmpdir")}/graft_slog_${math.abs(d.hashCode)}_${java.util.UUID.randomUUID.toString.take(8)}"),
+      Some(XmlOps.txnAppendLogSql)),
     // shares x27's oracle: one writer protocol (occTxnCommit) driven from
     // foreachBatch with the Spark batchId as the idempotence token; the
     // committed batches partition the corpus

@@ -2435,6 +2435,71 @@ object Streaming {
       .orderBy(col("lang"))
   }
 
+  /** st66 — THE OCC LOG AS A STREAMING SOURCE (Delta streaming-source /
+    * `startingVersion` semantics — st65's converse: there the log was a
+    * transactional SINK, here a downstream consumer INCREMENTALLY
+    * processes committed versions). Each poll resolves the head through
+    * the log, processes ONLY versions offset+1..head — one validating
+    * read per NEW generation, never a rescan of consumed history — and
+    * folds each version's contribution into per-version state dirs
+    * keyed `v=<k>` (Overwrite: a redelivered version rewrites the same
+    * bytes, so the consumer's offset needs no separate pointer — the
+    * max state version IS the offset, derived and crash-safe). The
+    * serving read sums the per-version partials: additive state, so
+    * arrival grouping is invisible and the folded table equals the
+    * batch aggregate over the whole log — st66 shares x27's oracle.
+    * Scale shape: per-poll work is proportional to NEW commits (their
+    * generations are batch-sized); the partial-state read is
+    * versions × langs rows, metadata-scale. */
+  def streamLogConsume(s: SparkSession, d: String, stateDir: String): DataFrame = {
+    val base = s"$stateDir/table"
+    val docs = graft.core.Tables.documents(s, d)
+    import graft.operators.XmlOps
+    def poll(): Unit = {
+      val head = XmlOps.occHead(base).map(_._1).getOrElse(0)
+      val done = consumedVersions(s, stateDir)
+      ((done + 1) to head).foreach { v =>
+        XmlOps.occReadAt(s, base, v)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/state/v=$v")
+      }
+    }
+    // two commits land, the consumer polls; two more land, it polls again
+    (0 until 2).foreach { b =>
+      require(XmlOps.occTxnCommit(s, base, "st66_writer", b.toLong,
+        docs.where(col("doc_id") % 4 === b)))
+    }
+    poll()
+    (2 until 4).foreach { b =>
+      require(XmlOps.occTxnCommit(s, base, "st66_writer", b.toLong,
+        docs.where(col("doc_id") % 4 === b)))
+    }
+    poll()
+    poll() // an idle poll sees no new versions and must be a no-op
+    streamLogConsumeServe(s, stateDir)
+  }
+
+  /** The consumer's derived offset: the highest per-version state dir
+    * already folded (0 on a fresh consumer). Listing-scale. */
+  private[graft] def consumedVersions(s: SparkSession, stateDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/state")
+    val hf = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!hf.exists(p)) 0
+    else hf.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Serve the consumer's folded state: sum the additive per-version
+    * partials. */
+  private[graft] def streamLogConsumeServe(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(s"$stateDir/state")
+      .groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
   /** Streaming KS-DRIFT MONITOR (st59): p20's max-CDF-gap statistic
     * served live from the SAME additive bucket-count state shape as
     * st55 (finer $1k buckets) — one state family, two reads: st55

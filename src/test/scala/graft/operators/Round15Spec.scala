@@ -262,6 +262,28 @@ class Round15Spec extends SparkSpec {
       docBatch(0).count() + docBatch(1).count())
   }
 
+  test("st66: the log consumer folds incrementally, idles as a no-op, absorbs redelivery") {
+    val stateDir = java.nio.file.Files.createTempDirectory("st66_spec").toString
+    val got = graft.streaming.Streaming.streamLogConsume(spark, sf, stateDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = XmlOps.txnAppendLog(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "incremental consumer state drifted from the batch aggregate")
+    // the derived offset is the head — nothing left to consume
+    assert(graft.streaming.Streaming.consumedVersions(spark, stateDir) === 4)
+    // redelivery: re-folding an already-consumed version overwrites the
+    // same partial, so the served state is unchanged
+    val base = s"$stateDir/table"
+    XmlOps.occReadAt(spark, base, 3)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$stateDir/state/v=3")
+    val replayed = graft.streaming.Streaming.streamLogConsumeServe(spark, stateDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(replayed === want, "a redelivered version must not change the served state")
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

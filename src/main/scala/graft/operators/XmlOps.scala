@@ -1841,6 +1841,76 @@ object XmlOps extends QueryModule {
       .orderBy(col("lang"))
   }
 
+  /** x32 — TRANSACTIONAL MERGE INTO (x15's keyed-changelog arms ∘ x22's
+    * protocol): the headline lake write — one keyed feed of full
+    * after-images (update/delete/insert) applied to the head snapshot
+    * and published as ONE commit, so a reader sees ALL of the MERGE or
+    * none of it; half-applied merges are unrepresentable because apply
+    * happens during prepare, off the commit path, and visibility is the
+    * pointer link. A stale merger's rebase is just re-applying the SAME
+    * changelog to the winner's head — licensed exactly because a keyed
+    * changelog is expressible against any snapshot (the x22 rebase
+    * criterion, here stated in code and spec-raced). The duplicate-
+    * source-key guard (Delta/Iceberg MERGE's error) rides the same key
+    * window the apply join reuses. Shares x24's oracle: the same merged
+    * state, but reached through one atomic commit instead of a
+    * republish. */
+  def txnMerge(s: SparkSession, d: String): DataFrame = {
+    val base = LakeDir.scoped(s, "occmerge", d)
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val hf = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hf.exists(bp)) hf.delete(bp, true)
+    val docs = graft.core.Tables.documents(s, d)
+    require(occTryCommit(base, 1, occPrepare(s, base, docs)), "seed raced nobody")
+    val snap = occReadCommitted(s, base)
+    val gen = occPrepare(s, base, mergeDocsApply(snap, docsMergeFeed(docs)))
+    require(occTryCommit(base, 2, gen), "merge commit raced nobody")
+    occReadCommitted(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** The x24-shape changelog as FULL after-image documents rows:
+    * delete `de`, reprice `fr`, insert re-keyed `zh` copies. Key offset
+    * via the bounded 1-row scalar read (house rule). */
+  private[graft] def docsMergeFeed(docs: DataFrame): DataFrame = {
+    val off = docs.agg(max(col("doc_id"))).collect()(0) match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+    docs.where(col("lang") === "de")
+      .select(col("doc_id"), lit("delete").as("op"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(docs.where(col("lang") === "fr" && col("n_chars") =!= col("n_chars") * 2)
+        .select(col("doc_id"), lit("update").as("op"), col("text"),
+          col("lang"), col("source"), (col("n_chars") * 2).as("n_chars")))
+      .unionByName(docs.where(col("lang") === "zh")
+        .select((col("doc_id") + off).as("doc_id"), lit("insert").as("op"),
+          col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** MERGE arms over documents-shaped frames: survivors = snapshot
+    * anti-join touched keys; update/insert after-images union in
+    * verbatim. One key equi-join over the snapshot + a feed-sized
+    * union — the feed is changed-rows-small, never snapshot-sized. A
+    * feed carrying two rows for one key raises at execution (the
+    * per-key count window shares the join's hash partitioning). */
+  private[graft] def mergeDocsApply(snap: DataFrame, feed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guarded = feed
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"),
+        when(col("_n") > 1, raise_error(concat(
+          lit("MERGE: changelog has multiple rows for doc_id "),
+          col("doc_id").cast("string")))).otherwise(col("op")).as("op"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+    val touched = guarded.where(col("op").isin("delete", "update")).select(col("doc_id"))
+    snap.join(touched, Seq("doc_id"), "left_anti")
+      .unionByName(guarded.where(col("op").isin("update", "insert"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
+  }
+
   /** The vacuum plan: (live, reclaimable) generation dir names under
     * `base`. Live = union of every retained version's snapshot read
     * set; reclaimable = listed gen_* dirs minus live. Listing-scale. */
@@ -1895,6 +1965,9 @@ object XmlOps extends QueryModule {
     "x29_schema_evolution_log" -> QueryDef(schemaEvolutionLog, Some(schemaEvolutionLogSql)),
     "x30_table_changes" -> QueryDef(tableChanges, Some(tableChangesSql)),
     "x31_txn_log_vacuum" -> QueryDef(txnLogVacuum, Some(txnLogVacuumSql)),
+    // shares x24's oracle: the same merged state, but reached through ONE
+    // atomic prepare/CAS commit instead of a republish
+    "x32_txn_merge" -> QueryDef(txnMerge, Some(cdcRoundtripSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -262,6 +262,53 @@ class Round15Spec extends SparkSpec {
       docBatch(0).count() + docBatch(1).count())
   }
 
+  test("x32 rebase: a stale merger re-applies its changelog to the winner's head") {
+    val base = graft.core.LakeDir.scoped(spark, "merge_race", sf)
+    wipe(base)
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(XmlOps.occTryCommit(base, 1, XmlOps.occPrepare(spark, base, docs)))
+    // merger A prepares against v1...
+    val snapA = XmlOps.occReadCommitted(spark, base)
+    val feed = XmlOps.docsMergeFeed(docs)
+    val genA = XmlOps.occPrepare(spark, base, XmlOps.mergeDocsApply(snapA, feed))
+    // ...but writer B (a disjoint op: drop the web source) lands v2 first
+    assert(XmlOps.occTryCommit(base, 2, XmlOps.occPrepare(spark, base,
+      XmlOps.occReadCommitted(spark, base).where(col("source") =!= "web"))))
+    assert(!XmlOps.occTryCommit(base, 2, genA), "stale merger must conflict")
+    // rebase: the SAME changelog applied to the new head, retried at v3
+    val genA2 = XmlOps.occPrepare(spark, base,
+      XmlOps.mergeDocsApply(XmlOps.occReadCommitted(spark, base), feed))
+    assert(XmlOps.occTryCommit(base, 3, genA2))
+    // both effects present: no web rows (except feed inserts), no de rows,
+    // fr repriced — restate the composed state from source predicates
+    val got = XmlOps.occReadCommitted(spark, base)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    // independent accounting mirroring the feed arms: survivors are the
+    // non-web rows whose key the feed never touched; feed update arms
+    // REINSERT fr rows regardless of source (the after-image wins —
+    // MERGE semantics); inserts are the re-keyed zh copies
+    val frUpdated = col("lang") === "fr" && col("n_chars") =!= col("n_chars") * 2
+    val wantN =
+      docs.where(col("source") =!= "web" && col("lang") =!= "de" && !frUpdated).count() +
+        docs.where(frUpdated).count() +
+        docs.where(col("lang") === "zh").count()
+    assert(got === wantN, "rebased merge lost or duplicated rows")
+  }
+
+  test("x32 guard: a changelog with two rows for one key raises, Delta-style") {
+    import spark.implicits._
+    val snap = Seq((1L, "t", "en", "web", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feed = Seq((1L, "update", "t", "en", "web", 20L),
+        (1L, "delete", "t", "en", "web", 10L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val e = intercept[Exception] {
+      XmlOps.mergeDocsApply(snap, feed).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("MERGE"),
+      s"expected the duplicate-source-key error, got $e")
+  }
+
   test("st66: the log consumer folds incrementally, idles as a no-op, absorbs redelivery") {
     val stateDir = java.nio.file.Files.createTempDirectory("st66_spec").toString
     val got = graft.streaming.Streaming.streamLogConsume(spark, sf, stateDir)

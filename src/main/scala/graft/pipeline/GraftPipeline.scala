@@ -124,10 +124,16 @@ object GraftPipeline {
     import spark.implicits._
     require(ingests.nonEmpty, "at least one ingest dataset required")
 
-    // U1 — union of all ingest outputs, then P1 normalisation
+    // U1 — union of all ingest outputs, then P1 normalisation. Persisted
+    // (same session-lifetime policy as `merged`/`metadata` below): the
+    // groups path AND assign_ids both consume it, and at corpus scale
+    // re-running the ingest scan+decode twice is the single most
+    // expensive recompute in the DAG (measured ~1 s of g14's sf0.1
+    // total; at 100 TB it is a second full input pass).
     val all0 = ingests.reduce(_ union _)
-    val all = if (config.prefixMap.isEmpty) all0
-      else normalise(all0, PrefixTrie(config.prefixMap))
+    val all = (if (config.prefixMap.isEmpty) all0
+      else normalise(all0, PrefixTrie(config.prefixMap)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // J7 — equivalence groups from id co-occurrence + seeded cliques;
     // identifier_props values join each record's id set exactly like the

@@ -1381,6 +1381,64 @@ object Similarity extends QueryModule {
       |FROM hits ORDER BY radius""".stripMargin
   }
 
+  /** s20 — BEAM SEARCH OVER THE kNN GRAPH (the graph-ANN query path:
+    * HNSW/NSG serve queries by WALKING a neighbor graph, not by probing
+    * buckets — s13 built exactly such a graph; this is the read side
+    * that makes it an index). From one deterministic entry point (the
+    * min vec_id), each of R=3 bounded rounds expands the current beam's
+    * graph neighbors, drops already-visited nodes per query (the
+    * visited-set anti-join every graph-ANN implementation carries),
+    * scores the fresh ones exactly (integer dot), and keeps the best
+    * B=4 as the next beam; the answer is the top-3 of everything
+    * visited. Bounded-round contract: the engine's R equals the
+    * oracle's unrolled CTE chain, ties break (dot DESC, node ASC) in
+    * BOTH the beam and the final rank — a beam that admitted the wrong
+    * node at any round produces a different visited set and cannot
+    * match. Scale shape: each round is frontier⋈graph + anti-join +
+    * top-B window — beam-sized per query, never corpus-sized; the
+    * graph is the one corpus-scale artifact and it is s13's, built
+    * once. This is deliberately beam search (top-B of the round's
+    * FRESH nodes), not best-first with a priority queue — the
+    * set-oriented restatement that parallelises per query, trading a
+    * bounded amount of greediness for zero driver-side state. */
+  def beamSearchAnn(s: SparkSession, d: String): DataFrame = {
+    val (bWidth, rounds, k) = (4, 3, 3)
+    val emb = quantized(s, d).select(col("vec_id"), col("q"))
+    val graph = knnGraph(s, d).select(col("vec_id"), col("neighbor_id"))
+    val queries = emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"))
+    val entry = emb.agg(min(col("vec_id")).as("vec_id"))
+      .join(emb, "vec_id")
+      .select(col("vec_id").as("node"), col("q").as("nq")) // 1-row frame
+    var visited = broadcast(queries).crossJoin(broadcast(entry))
+      .select(col("query_id"), col("qv"), col("node"),
+        dot(col("qv"), col("nq")).as("dot"))
+    var frontier = visited.select(col("query_id"), col("node"))
+    val wB = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("node").asc)
+    (1 to rounds).foreach { _ =>
+      val neigh = frontier.join(graph, frontier("node") === graph("vec_id"))
+        .select(col("query_id"), col("neighbor_id").as("node")).distinct()
+      val fresh = neigh
+        .join(visited.select(col("query_id"), col("node")),
+          Seq("query_id", "node"), "left_anti")
+        .join(queries, "query_id")
+        .join(emb.select(col("vec_id").as("node"), col("q").as("nq")), "node")
+        .select(col("query_id"), col("qv"), col("node"),
+          dot(col("qv"), col("nq")).as("dot"))
+      val beam = fresh.withColumn("brank", row_number().over(wB))
+        .where(col("brank") <= bWidth).drop("brank")
+      visited = visited.unionByName(beam)
+      frontier = beam.select(col("query_id"), col("node"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("node").asc)
+    visited.where(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("neighbor_id"), col("dot"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val knnGraphSql: String = {
     val bucket = (1 to 8).map(i =>
       s"CASE WHEN embedding[$i] > 0 THEN ${1 << (i - 1)} ELSE 0 END").mkString(" + ")
@@ -1401,6 +1459,52 @@ object Similarity extends QueryModule {
       |  FROM pairs)
       |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin
   }
+
+  val beamSearchAnnSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2])) AS BIGINT)"
+    val roundCtes = (1 to 3).map { r =>
+      s"""n$r AS (
+        |  SELECT DISTINCT f${r - 1}.query_id, g.neighbor_id AS node
+        |  FROM f${r - 1} JOIN graph g ON g.vec_id = f${r - 1}.node),
+        |fresh$r AS (
+        |  SELECT n.query_id, n.node FROM n$r n
+        |  LEFT JOIN v${r - 1} v ON v.query_id = n.query_id AND v.node = n.node
+        |  WHERE v.node IS NULL),
+        |s$r AS (
+        |  SELECT f.query_id, qs.qv, f.node,
+        |    ${dotSql("qs.qv", "e.qv")} AS dot
+        |  FROM fresh$r f JOIN queries qs USING (query_id)
+        |  JOIN q e ON e.vec_id = f.node),
+        |b$r AS (
+        |  SELECT query_id, qv, node, dot FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, node ASC) AS brank FROM s$r)
+        |  WHERE brank <= 4),
+        |v$r AS (SELECT * FROM v${r - 1} UNION ALL SELECT * FROM b$r),
+        |f$r AS (SELECT query_id, node FROM b$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    ${graft.core.Exact.sqlQuantize("embedding", 10000)} AS qv
+      |  FROM embeddings),
+      |graph AS (SELECT vec_id, neighbor_id FROM ($knnGraphSql) g),
+      |queries AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 20),
+      |entry AS (SELECT vec_id AS node, qv AS nq FROM q
+      |          WHERE vec_id = (SELECT min(vec_id) FROM q)),
+      |v0 AS (
+      |  SELECT query_id, queries.qv, node,
+      |    ${dotSql("queries.qv", "entry.nq")} AS dot
+      |  FROM queries CROSS JOIN entry),
+      |f0 AS (SELECT query_id, node FROM v0),
+      |$roundCtes
+      |SELECT query_id, rank, node AS neighbor_id, dot FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY dot DESC, node ASC) AS rank
+      |  FROM v3 WHERE node != query_id)
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
 
   /** s16 — ATTRIBUTE-FILTERED ANN: "find similar documents IN THE SAME
     * LANGUAGE" — the filtered-vector-search shape every production
@@ -1633,5 +1737,6 @@ object Similarity extends QueryModule {
     "s17_bucketed_selfjoin" -> QueryDef(bucketedSelfJoin, Some(bucketedSelfJoinSql)),
     "s18_sq8_ann" -> QueryDef(sq8Ann, Some(sq8AnnSql)),
     "s19_tombstoned_ann" -> QueryDef(tombstonedAnn, Some(tombstonedAnnSql)),
+    "s20_beam_search_ann" -> QueryDef(beamSearchAnn, Some(beamSearchAnnSql)),
   )
 }

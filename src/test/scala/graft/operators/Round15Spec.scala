@@ -331,6 +331,38 @@ class Round15Spec extends SparkSpec {
     assert(replayed === want, "a redelivered version must not change the served state")
   }
 
+  test("s20 walk properties: neighbors are graph-reachable within R hops, dots exact") {
+    // properties, not an oracle mirror: (a) every reported neighbor lies
+    // within R=3 graph hops of the entry point, (b) the reported dot is
+    // the exact integer dot of the quantized vectors, (c) at most
+    // 1 + R*B nodes can ever be visited, so rank <= 3 rows are bounded
+    val res = Similarity.beamSearchAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(res.nonEmpty)
+    val g = Similarity.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val emb = graft.core.Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.round(v * 10000).toLong))
+      .toMap
+    val entry = emb.keys.min
+    // BFS closure of the entry within 3 hops — the beam can never leave it
+    var reach = Set(entry)
+    (1 to 3).foreach { _ =>
+      reach = reach ++ reach.flatMap(n => g.getOrElse(n, Set.empty))
+    }
+    res.foreach { case (q, _, n, dotGot) =>
+      assert(reach.contains(n), s"query $q reported $n, not reachable in 3 hops of $entry")
+      val want = emb(q).zip(emb(n)).map { case (a, b) => a * b }.sum
+      assert(dotGot === want, s"dot for ($q, $n) drifted from the exact integer product")
+    }
+    // per query at most 3 ranked rows, ranks dense from 1
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).toSeq, s"ranks not dense for $q")
+      assert(rows.length <= 3)
+    }
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

@@ -124,16 +124,19 @@ object GraftPipeline {
     import spark.implicits._
     require(ingests.nonEmpty, "at least one ingest dataset required")
 
-    // U1 — union of all ingest outputs, then P1 normalisation. Persisted
-    // (same session-lifetime policy as `merged`/`metadata` below): the
-    // groups path AND assign_ids both consume it, and at corpus scale
-    // re-running the ingest scan+decode twice is the single most
-    // expensive recompute in the DAG (measured ~1 s of g14's sf0.1
-    // total; at 100 TB it is a second full input pass).
+    // U1 — union of all ingest outputs, then P1 normalisation. The union
+    // is consumed TWICE (groups path + assign_ids) and deliberately NOT
+    // persisted: round 15 measured the persist at 10× scale and the
+    // columnar cache-build of these nested provenance rows (ids array +
+    // props map) cost ~1.6× the second scan it saved (g14 sfx1 min
+    // 18.8 s unpersisted vs 30.0 s persisted — TUNING "g14 stage
+    // probe"). At 100 TB the same trade holds harder: the second pass is
+    // a parquet re-scan with pushdown, the cache is a full nested
+    // materialisation. Callers that want single-scan semantics should
+    // stage the union to parquet (the d3s/d16s pattern), not cache it.
     val all0 = ingests.reduce(_ union _)
-    val all = (if (config.prefixMap.isEmpty) all0
-      else normalise(all0, PrefixTrie(config.prefixMap)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = if (config.prefixMap.isEmpty) all0
+      else normalise(all0, PrefixTrie(config.prefixMap))
 
     // J7 — equivalence groups from id co-occurrence + seeded cliques;
     // identifier_props values join each record's id set exactly like the

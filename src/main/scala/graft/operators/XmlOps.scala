@@ -1911,6 +1911,43 @@ object XmlOps extends QueryModule {
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")))
   }
 
+  /** x33 — RESTORE TABLE TO VERSION (Delta RESTORE / Iceberg rollback):
+    * undo is a NEW COMMIT whose pointer names the OLD version's
+    * generation verbatim — metadata-only (zero data movement, like
+    * x29's ADD COLUMN), history-preserving (the versions being undone
+    * still resolve for audit; nothing is deleted), and itself undoable
+    * (a restore of the restore is just another pointer). The gate
+    * builds the x22 three-state history, RESTOREs to v1 as v4, and
+    * serves the head — which must read byte-identically to the
+    * original seed, so the oracle is the plain corpus aggregate; a
+    * restore that pointed at the wrong generation, or rewrote data,
+    * cannot match. The spec pins generation identity (v4's blob names
+    * v1's gen), preserved history (v2/v3 still serve their own
+    * states), and restore-of-restore. */
+  def restoreTable(s: SparkSession, d: String): DataFrame = {
+    val base = occDemoLog(s, d)
+    require(occRestore(s, base, 1), "restore commit raced nobody")
+    occReadCommitted(s, base)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Commit the head+1 pointer naming version `toVersion`'s generation:
+    * a pure pointer write through the same CAS as every other commit.
+    * True iff this writer won. */
+  private[graft] def occRestore(s: SparkSession, base: String, toVersion: Int): Boolean = {
+    val store = graft.lake.CommitStore.local(base)
+    val gen = store.read(s"v$toVersion").map(commitGen)
+      .getOrElse(sys.error(s"cannot restore to never-committed v$toVersion under $base"))
+    val next = occHead(base).map(_._1).getOrElse(0) + 1
+    occTryCommit(base, next, gen)
+  }
+
+  val restoreTableSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** The vacuum plan: (live, reclaimable) generation dir names under
     * `base`. Live = union of every retained version's snapshot read
     * set; reclaimable = listed gen_* dirs minus live. Listing-scale. */
@@ -1968,6 +2005,7 @@ object XmlOps extends QueryModule {
     // shares x24's oracle: the same merged state, but reached through ONE
     // atomic prepare/CAS commit instead of a republish
     "x32_txn_merge" -> QueryDef(txnMerge, Some(cdcRoundtripSql)),
+    "x33_restore_table" -> QueryDef(restoreTable, Some(restoreTableSql)),
   )
 
   /** x9 — gzip-compressed JSONL round-trip: x6 through `codec=gzip`, the

@@ -363,6 +363,24 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("x33 restore: metadata-only, history-preserving, and itself undoable") {
+    val base = XmlOps.occDemoLog(spark, sf)
+    val store = graft.lake.CommitStore.local(base)
+    val v1Gen = XmlOps.commitGen(store.read("v1").get)
+    val v3Gen = XmlOps.commitGen(store.read("v3").get)
+    assert(XmlOps.occRestore(spark, base, 1))
+    // metadata-only: v4's pointer names v1's generation verbatim
+    assert(XmlOps.commitGen(store.read("v4").get) === v1Gen)
+    // history preserved: the undone states still serve for audit
+    val v2Count = XmlOps.occReadAt(spark, base, 2).count()
+    assert(v2Count === graft.core.Tables.documents(spark, sf)
+      .where(col("lang") =!= "de").count())
+    // restore of the restore: back to v3's state as v5, another pointer
+    assert(XmlOps.occRestore(spark, base, 3))
+    assert(XmlOps.commitGen(store.read("v5").get) === v3Gen)
+    assert(XmlOps.occHead(base).map(_._1) === Some(5))
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

@@ -2174,6 +2174,66 @@ object TextAnalysis extends QueryModule {
     * vocabulary is bounded by construction, so membership is a
     * BROADCAST anti-join against the token stream — no shuffle touches
     * the big side beyond the per-source aggregate. */
+  /** t44 — WITHIN-DOCUMENT REPETITION (the Gopher duplicate-n-gram
+    * screen, Rae et al. §A1.1): the fraction of a document's word
+    * 3-grams that are DUPLICATED occurrences (their gram appears ≥ 2
+    * times in the SAME document) — the standard quality filter for
+    * degenerate/templated text that corpus-level passes (d16 finds
+    * CROSS-document repeats) structurally ignore. Integer-exact as a
+    * permille: 1000·dup_occurrences div total_grams, with the flag at
+    * the stated ≥ 200‰ threshold. Non-distinct sliding grams (unlike
+    * d3's set shingles — multiplicity IS the signal), derived
+    * column-natively: transform over an index sequence, one explode,
+    * one (doc, gram) count, one per-doc rollup. Docs under 3 words
+    * have zero grams and report 0‰ unflagged. */
+  def gopherRepetition(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("split(trim(coalesce(text, '')), '\\\\s+')").as("ws"))
+      // CASE-guarded: Spark's sequence(1, 0) DESCENDS, so a doc under 3
+      // words must short-circuit to an empty gram array, not wrap around
+      .select(col("doc_id"), expr(
+        "case when size(ws) >= 3 then transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) " +
+          "else array() end").as("gs"))
+      .select(col("doc_id"), explode_outer(col("gs")).as("gram"))
+    val perGram = grams.where(col("gram").isNotNull)
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_occ"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        expr("1000 * coalesce(dup_occ, 0) div greatest(coalesce(n_grams, 0), 1)")
+          .as("dup_permille"))
+      .withColumn("flagged", (col("dup_permille") >= 200).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRepetitionSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\s+') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w)),
+      |pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+      |pd AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_occ
+      |  FROM pg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(1000 * coalesce(dup_occ, 0) // greatest(coalesce(n_grams, 0), 1) AS BIGINT)
+      |    AS dup_permille,
+      |  CAST(CASE WHEN 1000 * coalesce(dup_occ, 0)
+      |         // greatest(coalesce(n_grams, 0), 1) >= 200
+      |       THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM documents d LEFT JOIN pd USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def oovRate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
@@ -2253,6 +2313,7 @@ object TextAnalysis extends QueryModule {
     "t41_collocations" -> QueryDef(collocations, Some(collocationsSql)),
     "t42_passage_chunks" -> QueryDef(passageChunks, Some(passageChunksSql)),
     "t43_oov_rate" -> QueryDef(oovRate, Some(oovRateSql)),
+    "t44_gopher_repetition" -> QueryDef(gopherRepetition, Some(gopherRepetitionSql)),
   )
 
 }

@@ -381,6 +381,32 @@ class Round15Spec extends SparkSpec {
     assert(XmlOps.occHead(base).map(_._1) === Some(5))
   }
 
+  test("t44 hand fixture: duplicated-3-gram permille computed exactly, short docs 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t44_fix").toString
+    Seq(
+      // "a b c a b c a b": grams = [abc, bca, cab, abc, bca, cab] — all
+      // 6 occurrences duplicated → 1000‰, flagged
+      (1L, "a b c a b c a b", "en", "web", 15L),
+      // "a b c d": grams [abc, bcd] unique → 0‰
+      (2L, "a b c d", "en", "web", 7L),
+      // 2 words: no grams → 0 grams, 0‰, unflagged
+      (3L, "a b", "en", "web", 3L),
+      // exactly at threshold: 10 grams, 2 duplicated occurrences = 200‰
+      // "x y z x y z a b c d e f" → grams: xyz yzx zxy xyz(dup) yza zab
+      // abc bcd cde def = 10 grams, xyz appears twice → dup_occ 2
+      (4L, "x y z x y z a b c d e f", "en", "web", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.gopherRepetition(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got === Seq(
+      (1L, 6L, 1000L, 1),
+      (2L, 2L, 0L, 0),
+      (3L, 0L, 0L, 0),
+      (4L, 10L, 200L, 1)), s"hand-computed permilles drifted: $got")
+  }
+
   test("st65 equals its batch twin x27 on full replay — shared oracle, same rows") {
     val stream = graft.streaming.Streaming.streamTxnSink(spark, sf,
       java.nio.file.Files.createTempDirectory("st65_spec").toString)

@@ -20,13 +20,23 @@ object Index {
     * most deployments; at the extreme it stays a DataFrame and the
     * materialise joins shuffle instead (Catalyst decides by stats). */
   def metadata(nodes: Dataset[MergedNode]): DataFrame = {
-    val s = nodes.sparkSession
-    import s.implicits._
-    nodes.map { n =>
-      val types = n.props.getOrElse("grebi:type", Nil).map(_.value).distinct.sorted
-      val name = n.props.getOrElse("grebi:name", Nil).headOption.map(_.value)
-      (n.nodeId, n.datasources, types, name)
-    }.toDF("nodeId", "datasources", "types", "name")
+    // Column-native since round 16 (was a typed map): over a cached or
+    // parquet MergedNode source this prunes to (nodeId, datasources,
+    // props) and stays in codegen, where the typed map deserialized every
+    // whole record per metadata consumer. try_element_at because ANSI
+    // map[key] throws on missing keys; types sort by array_sort's UTF-8
+    // binary order (== DuckDB's and the reference BTreeMap's collation;
+    // the old Scala `.sorted` compared UTF-16 units, which only disagrees
+    // on astral-plane type names — none exist in any gate fixture).
+    val typeVals = transform(
+      try_element_at(col("props"), lit("grebi:type")), v => v.getField("value"))
+    nodes.toDF().select(
+      col("nodeId"),
+      col("datasources"),
+      coalesce(array_sort(array_distinct(typeVals)),
+        array().cast("array<string>")).as("types"),
+      get(try_element_at(col("props"), lit("grebi:name")), lit(0))
+        .getField("value").as("name"))
   }
 
   /** Per-property assertion counts over entities (summary.json

@@ -1,6 +1,5 @@
 package graft.materialise
 
-import graft.core.Json
 import graft.model.{MaterialisedEdge, MergedNode}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,18 +18,26 @@ import org.apache.spark.sql.functions._
 object Materialise {
 
   /** Candidate (from, key, value, valueDatasources, qualifiers, subgraph,
-    * fromSourceIds) assertions — every prop value is a potential edge. */
-  private def assertions(nodes: Dataset[MergedNode]): DataFrame = {
-    val s = nodes.sparkSession
-    import s.implicits._
-    nodes.flatMap { n =>
-      n.props.toSeq.flatMap { case (k, vs) =>
-        vs.map(v => (n.nodeId, n.subgraph, n.sourceIds, k, v.value,
-          v.datasources, Json.strMap(v.qualifiers)))
-      }
-    }.toDF("fromNodeId", "subgraph", "fromSourceIds", "edgeType", "toNodeId",
-      "datasources", "qualifiersJson")
-  }
+    * fromSourceIds) assertions — every prop value is a potential edge.
+    *
+    * Column-native since round 16 (was a typed flatMap): two `explode`s
+    * over the props map plus the codegen'd [[graft.functions.QualifiersJson]]
+    * rendering — byte-identical output (QualifiersJsonSpec pins the JSON
+    * bytes; the g5/g7/g14 edgeId hashes pin it end-to-end), but the scan
+    * stays columnar: over a cached/parquet MergedNode source this prunes
+    * and never deserializes whole records, where the flatMap paid a
+    * DeserializeToObject of every row (ids array + props map) per pass. */
+  private def assertions(nodes: Dataset[MergedNode]): DataFrame =
+    nodes.toDF()
+      .select(col("nodeId").as("fromNodeId"), col("subgraph"),
+        col("sourceIds").as("fromSourceIds"),
+        explode(col("props")).as(Seq("edgeType", "vs")))
+      .select(col("fromNodeId"), col("subgraph"), col("fromSourceIds"),
+        col("edgeType"), explode(col("vs")).as("v"))
+      .select(col("fromNodeId"), col("subgraph"), col("fromSourceIds"),
+        col("edgeType"), col("v.value").as("toNodeId"),
+        col("v.datasources").as("datasources"),
+        graft.functions.QualifiersJson(col("v.qualifiers")).as("qualifiersJson"))
 
   /** J3 — emit an edge for every property value that equals another
     * node's id (semi-join against the node-id dimension,
@@ -47,6 +54,12 @@ object Materialise {
               * `main.rs:104-111`): self-edges drop only for these edge
               * types. None = the blanket boolean behaviour. */
             selfReferentialProps: Option[Set[String]] = None): DataFrame = {
+    // `metadata` is consumed ONLY for its nodeId column (the node-id
+    // dimension the candidates semi-join against) — callers that don't
+    // otherwise need the metadata table should pass a pruned projection
+    // of the node set (`nodes.toDF().select("nodeId")`) so the edge pass
+    // never forces the name/types computation (round 16, guide §2.3:
+    // project before the exchange).
     val nodeIds = metadata.select(col("nodeId").as("toNodeId"))
     var cand = assertions(nodes)
       .where(!col("edgeType").isin(excludeProps.toSeq: _*))

@@ -22,30 +22,49 @@ object MaterialiseOps extends QueryModule {
 
   private def pv(v: String): PropValue = PropValue(v, "s", Seq("tpch"), Nil, Map.empty)
 
+  /** [[pv]] as a Catalyst column — the same PropValue shape built inside
+    * codegen (field names/order must match the PropValue encoder). */
+  private def pvCol(v: Column): Column = struct(
+    v.as("value"), lit("s").as("kind"),
+    array(lit("tpch")).as("datasources"),
+    array().cast("array<string>").as("sourceIds"),
+    // map() alone types as map<string,string>, which does not cast to a
+    // map with array values — build the empty map with the right types
+    map_from_arrays(array().cast("array<string>"),
+      array().cast("array<array<string>>")).as("qualifiers"))
+
   /** Orders + customers as merged nodes; the order's `ord:customer` prop
-    * holds the customer's node id. */
+    * holds the customer's node id. Column-native since round 16 (was two
+    * typed maps): every downstream consumer (edges, metadata, refs,
+    * summary) is now column-native too, so the whole g5/g7/g12/g13
+    * family stays inside WholeStageCodegen with no object construction
+    * per row — same rows, the MergedNode encoder schema built directly
+    * with struct/map literals. */
   private def orderGraph(s: SparkSession, d: String): Dataset[MergedNode] = {
     import s.implicits._
-    val custs = Tables.customer(s, d)
-      .select(node("c:", col("c_custkey")).as("id"), col("c_mktsegment").as("t"),
-        col("c_name").as("nm"))
-      .as[(String, String, String)]
-      .map { case (id, seg, nm) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
-        Map("grebi:type" -> Seq(pv(seg)), "grebi:name" -> Seq(pv(nm)))) }
-    val ords = Tables.orders(s, d)
-      .select(node("o:", col("o_orderkey")).as("id"),
-        node("c:", col("o_custkey")).as("cust"), col("o_orderpriority").as("t"))
-      .as[(String, String, String)]
-      .map { case (id, cust, pri) => MergedNode(id, Seq("tpch"), Seq(id), "tpch",
-        Map("grebi:type" -> Seq(pv(pri)), "ord:customer" -> Seq(pv(cust)))) }
-    custs.union(ords)
+    def mergedNode(id: Column, props: Column) = Seq(
+      id.as("nodeId"), array(lit("tpch")).as("datasources"),
+      array(id).as("sourceIds"), lit("tpch").as("subgraph"), props.as("props"))
+    val custs = Tables.customer(s, d).select(mergedNode(
+      node("c:", col("c_custkey")),
+      map(lit("grebi:type"), array(pvCol(col("c_mktsegment"))),
+        lit("grebi:name"), array(pvCol(col("c_name"))))): _*)
+    val ords = Tables.orders(s, d).select(mergedNode(
+      node("o:", col("o_orderkey")),
+      map(lit("grebi:type"), array(pvCol(col("o_orderpriority"))),
+        lit("ord:customer"), array(pvCol(node("c:", col("o_custkey")))))): _*)
+    custs.union(ords).as[MergedNode]
   }
 
-  /** J3 — edge materialisation with content-hash edge ids. */
+  /** J3 — edge materialisation with content-hash edge ids. The node-id
+    * dimension is a pruned projection of the nodes themselves — the edge
+    * pass needs no metadata (name/types) at all, so the former
+    * Index.metadata subtree (a full second pass over the node set) is
+    * gone from the plan (round 16; same rows, metadata's nodeId set ==
+    * the node set by construction). */
   def edgeMaterialise(s: SparkSession, d: String): DataFrame = {
     val nodes = orderGraph(s, d)
-    val meta = Index.metadata(nodes)
-    Materialise.edges(nodes, meta)
+    Materialise.edges(nodes, nodes.toDF().select(col("nodeId")))
       .select(col("edgeId"), col("edgeType"), col("fromNodeId"), col("toNodeId"))
       .orderBy(col("fromNodeId"), col("toNodeId"))
   }

@@ -221,14 +221,24 @@ object TextAnalysis extends QueryModule {
   /** t7 — tf-idf-style top terms per document, ranked by
     * (tf desc, df asc, word) — integer ranking, so no float-idf drift. */
   def topTerms(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    // One codegen'd tokenize pass (explode/split, no typed flatMap — the
+    // Scala split and Spark split agree on trimmed input: no leading
+    // empties post-trim, neither keeps a trailing empty, and both yield
+    // [""] for empty text). `df` is derived FROM `tf` — tf already has
+    // exactly one row per (doc_id, word), so count(*) per word over tf
+    // equals the old distinct-then-count — which drops the distinct
+    // exchange and the second pass's boxed flatMap (round-16 pass, guide
+    // §2.3/§2.4; measured 1.23 → 0.90 s median at sf0.1). A persist() of
+    // tf was ALSO tried (to force exactly-one tokenize — join pushdown
+    // perturbs the consumer subtrees so exchange reuse misses) and
+    // REVERTED on measurement: the cache build cost more than the
+    // tokenize it saved at every bench tier (t7 0.90 → 1.13 s median),
+    // the round-15 g14-persist lesson again. At 100 TB the staged
+    // variant (write tf to parquet, the d3s pattern) is the right form.
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) => t.trim.split("\\s+").map((id, _)) }
-      .toDF("doc_id", "word")
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df_ = toks.select(col("doc_id"), col("word")).distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    val df_ = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("word").asc)
     tf.join(df_, "word")
@@ -747,6 +757,15 @@ object TextAnalysis extends QueryModule {
     val docs = Tables.documents(s, d)
     val words = docs.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("term"))
+    // Round-16 A/B note: deriving dl/st from tf (fewer logical passes)
+    // and persisting tf (to force exactly-one tokenize) were BOTH tried
+    // and reverted on measurement — the four consumer subtrees diverge
+    // under join pushdown so exchange reuse misses either way, and at
+    // bench scale the extra aggregate layers (min 0.70 → 0.92 s) and the
+    // cache build (min → 1.78 s) each cost more than the codegen'd
+    // tokenize they saved. At 100 TB the staged form (tf to parquet, the
+    // d3s pattern) is the right rewrite; the inline shape keeps the
+    // cheapest measured plan.
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))

@@ -167,7 +167,13 @@ object GraftPipeline {
     // 04_index ∥ 05_materialise off the cached merge
     val metadata = Index.metadata(merged).cache()
     val typeCounts = Index.typeCounts(merged)
-    val edges = Materialise.edges(merged, metadata,
+    // edges only needs the node-ID DIMENSION, not the metadata table:
+    // pass a pruned projection of the cached merge so the edge pass
+    // reads one column from the cache instead of forcing the metadata
+    // computation (+ its cache build) on pipelines that never consume
+    // metadata itself (round 16; the g14 gate consumes only edges).
+    val nodeIdDim = merged.toDF().select(col("nodeId"))
+    val edges = Materialise.edges(merged, nodeIdDim,
       excludeProps = Set("grebi:type", "grebi:name") ++ config.excludeEdges,
       saltBuckets = config.hotKeySaltBuckets,
       // a config-supplied list switches to the reference's per-prop

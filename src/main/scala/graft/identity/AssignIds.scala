@@ -75,10 +75,18 @@ object AssignIds {
       .select(monotonically_increasing_id().as("uid"), struct(col("*")).as("node"))
       .as[(Long, IngestNode)]
       .localCheckpoint(false)
-    val candsAll = withUid.flatMap { case (uid, n) =>
-      (n.ids ++ n.props.keys ++ n.props.valuesIterator.flatten.map(_.value))
-        .distinct.map((uid, _))
-    }.toDF("uid", "member")
+    // Column-native candidate extraction (round 16; was a typed flatMap
+    // deserializing every checkpointed record): ids ++ prop keys ++ prop
+    // values, deduped per record, straight off the node struct inside
+    // codegen. Same candidate SET per uid (array_distinct keeps first
+    // occurrence like Seq.distinct; order never matters downstream —
+    // candidates go into a join + groupBy).
+    val candsAll = withUid.toDF("uid", "node").select(col("uid"),
+      explode(array_distinct(concat(
+        col("node.ids"),
+        map_keys(col("node.props")),
+        flatten(transform(map_values(col("node.props")),
+          vs => transform(vs, v => v.getField("value"))))))).as("member"))
     val cands = bloomFpp match {
       case Some(fpp) =>
         // no counting job just to size the filter: caller estimate, else

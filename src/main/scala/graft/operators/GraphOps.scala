@@ -23,6 +23,21 @@ object GraphOps extends QueryModule {
   private def node(prefix: String, c: Column): Column = graft.core.Pad.node(prefix, c)
   private val sqlPad = (col: String) => graft.core.Pad.sql(col)
 
+  /** [[RawValue.str]] as a Catalyst column (field names/order must match
+    * the RawValue encoder) — lets the gate ingest rows build inside
+    * codegen instead of through typed maps (round 16). */
+  private def rvCol(v: Column): Column = struct(
+    v.as("value"), lit("s").as("kind"),
+    map_from_arrays(array().cast("array<string>"),
+      array().cast("array<array<string>>")).as("qualifiers"))
+
+  /** IngestNode column list in encoder field order (subgraph fixed to
+    * the tpch test subgraph). */
+  private def ingestNode(ids: Column, datasource: String, types: Column,
+      props: Column): Seq[Column] = Seq(
+    ids.as("ids"), lit(datasource).as("datasource"), lit("tpch").as("subgraph"),
+    types.as("types"), props.as("props"))
+
   // ---------------------------------------------------------------------
   // P1 — prefix-trie normalisation (reference `grebi_shared/src/prefix_map.rs`)
   // ---------------------------------------------------------------------
@@ -135,19 +150,17 @@ object GraphOps extends QueryModule {
     import s.implicits._
     val c = Tables.customer(s, d)
     val idc = node("c:", col("c_custkey"))
-    val ds1 = c.select(idc.as("id"), col("c_name").as("name"), col("c_mktsegment").as("seg"))
-      .as[(String, String, String)]
-      .map { case (id, name, seg) =>
-        IngestNode(Seq(id), "ds1", "tpch", Seq("Customer"),
-          Map("grebi:name" -> Seq(RawValue.str(name)), "segment" -> Seq(RawValue.str(seg))))
-      }
+    // ingest rows built column-natively (round 16; was two typed maps) —
+    // same IngestNode values, constructed with struct/map literals so
+    // the whole pre-merge prefix stays in codegen
+    val ds1 = c.select(ingestNode(array(idc), "ds1", array(lit("Customer")),
+      map(lit("grebi:name"), array(rvCol(col("c_name"))),
+        lit("segment"), array(rvCol(col("c_mktsegment"))))): _*).as[IngestNode]
     val ds2 = c.filter(col("c_custkey") % 2 === 0)
-      .select(idc.as("id"), col("c_mktsegment").as("seg"), col("c_nationkey").cast("string").as("nat"))
-      .as[(String, String, String)]
-      .map { case (id, seg, nat) =>
-        IngestNode(Seq(id), "ds2", "tpch", Nil,
-          Map("segment" -> Seq(RawValue.str(seg)), "nat" -> Seq(RawValue.str(nat))))
-      }
+      .select(ingestNode(array(idc), "ds2", array().cast("array<string>"),
+        map(lit("segment"), array(rvCol(col("c_mktsegment"))),
+          lit("nat"), array(rvCol(col("c_nationkey").cast("string"))))): _*)
+      .as[IngestNode]
     // Identity groups (each customer is its own clique) — kept distributed:
     // the groups table joins against the candidate strings instead of being
     // collected to the driver, so this shape survives a 100× customer table.
@@ -190,21 +203,21 @@ object GraphOps extends QueryModule {
     * is. */
   def pipelineE2e(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // ingest rows built column-natively (round 16; was two typed maps):
+    // the groups/assign branches downstream are pruned codegen
+    // projections, so no IngestNode object is ever constructed on the
+    // id-set path
     val custs = Tables.customer(s, d)
-      .select(node("c:", col("c_custkey")).as("id"), node("alt:", col("c_custkey")).as("alt"),
-        col("c_name").as("nm"))
-      .as[(String, String, String)]
-      .map { case (id, alt, nm) =>
-        IngestNode(Seq(id, alt), "ds_cust", "tpch", Seq("Customer"),
-          Map("grebi:name" -> Seq(RawValue.str(nm))))
-      }
+      .select(ingestNode(
+        array(node("c:", col("c_custkey")), node("alt:", col("c_custkey"))),
+        "ds_cust", array(lit("Customer")),
+        map(lit("grebi:name"), array(rvCol(col("c_name"))))): _*)
+      .as[IngestNode]
     val ords = Tables.orders(s, d)
-      .select(node("o:", col("o_orderkey")).as("id"), node("c:", col("o_custkey")).as("cust"))
-      .as[(String, String)]
-      .map { case (id, cust) =>
-        IngestNode(Seq(id), "ds_ord", "tpch", Seq("Order"),
-          Map("ord:customer" -> Seq(RawValue.str(cust))))
-      }
+      .select(ingestNode(
+        array(node("o:", col("o_orderkey"))), "ds_ord", array(lit("Order")),
+        map(lit("ord:customer"), array(rvCol(node("c:", col("o_custkey")))))): _*)
+      .as[IngestNode]
     val build = graft.pipeline.GraftPipeline.run(s,
       graft.pipeline.SubgraphConfig(name = "tpch"), Seq(custs, ords))
     build.edges

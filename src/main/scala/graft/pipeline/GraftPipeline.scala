@@ -142,12 +142,23 @@ object GraftPipeline {
     // identifier_props values join each record's id set exactly like the
     // reference's extract_identifiers config step
     val idProps = config.identifierProps.filter(_ != "id")
+    // Column-native id-set extraction (round 16; was a typed map): the
+    // groups branch reads ONLY the ids (+ configured identifier props)
+    // off the union, so keep it a pruned codegen projection instead of
+    // deserializing every IngestNode. Same sets: missing identifier
+    // props contribute nothing (try_element_at → null → coalesce []).
     val recordIdSets =
-      if (idProps.isEmpty) all.map(_.ids)
-      else all.map(n => n.ids ++ idProps.flatMap(p => n.props.getOrElse(p, Nil).map(_.value)))
+      if (idProps.isEmpty) all.toDF().select(col("ids"))
+      else {
+        val extras = idProps.map(p =>
+          coalesce(
+            transform(try_element_at(col("props"), lit(p)), v => v.getField("value")),
+            array().cast("array<string>")))
+        all.toDF().select(concat(col("ids") +: extras: _*).as("ids"))
+      }
     val seedDf = if (config.additionalEquivalenceGroups.isEmpty) None
       else Some(config.additionalEquivalenceGroups.toDF("ids"))
-    val idSets = seedDf.foldLeft(recordIdSets.toDF("ids"))(_ union _)
+    val idSets = seedDf.foldLeft(recordIdSets)(_ union _)
     val groupsDf = Groups.fromIdSets(idSets)
     val (assignedRaw, groups) =
       if (config.broadcastGroups) {

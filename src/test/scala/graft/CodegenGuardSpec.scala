@@ -54,4 +54,14 @@ class CodegenGuardSpec extends SparkSpec {
       assert(graft.operators.TextAnalysis.corpusFilter(spark, d).count() > 0)
     }
   }
+
+  test("column-native materialise path compiles — no interpreted fallback") {
+    // round 16: assertions/metadata went column-native with the custom
+    // QualifiersJson expression in the span — a codegen regression there
+    // would silently de-optimize every edge/refs pass at scale
+    withNoFallback {
+      assert(graft.operators.MaterialiseOps.edgeMaterialise(spark, d).count() > 0)
+      assert(graft.operators.MaterialiseOps.refsExploded(spark, d).count() > 0)
+    }
+  }
 }

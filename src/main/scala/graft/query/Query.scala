@@ -233,6 +233,22 @@ object Query {
   private def saveRound(df: DataFrame, round: Int, reliableEvery: Int): DataFrame =
     graft.core.Iterate.save(df, reliableEvery, round)
 
+  /** Checkpoint cadence for FIXED-round vector loops with no convergence
+    * probe (PageRank family): the per-round localCheckpoint materialised
+    * the full rank vector every round, but nothing reads it eagerly — a
+    * bounded-round chain is one pipelined plan. Keep a checkpoint every
+    * 8th round (lineage/stats-clamp bound for long runs) and on the LAST
+    * round (the final vector must be materialised before the loop's
+    * persisted inputs are released). `reliableEvery > 0` keeps the
+    * original per-round cadence — that is the executor-loss contract.
+    * Round 16, guide §1.2: three materialisation jobs → one at the
+    * gates' iterations=3. */
+  private def saveFixedRound(df: DataFrame, round: Int, total: Int,
+      reliableEvery: Int): DataFrame =
+    if (reliableEvery > 0 || round % 8 == 0 || round == total)
+      saveRound(df, round, reliableEvery)
+    else df
+
   def weightedShortestPaths(edges: DataFrame, seeds: DataFrame,
                             maxIter: Int = 30,
                             reliableEvery: Int = 0): DataFrame = {
@@ -468,11 +484,11 @@ object Query {
       val in = step.join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("insum"))
-      pr = saveRound(nodes.join(in, Seq("id"), "left")
+      pr = saveFixedRound(nodes.join(in, Seq("id"), "left")
         .select(col("id"),
           (lit(scale * 15L / 100L) +
             expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("pr")),
-        i + 1, reliableEvery)
+        i + 1, iterations, reliableEvery)
       i += 1
     }
     step.unpersist()
@@ -509,11 +525,11 @@ object Query {
       val in = step.join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("insum"))
-      pr = saveRound(nodes.join(in, Seq("id"), "left").join(tele, Seq("id"), "left")
+      pr = saveFixedRound(nodes.join(in, Seq("id"), "left").join(tele, Seq("id"), "left")
         .select(col("id"),
           (expr("(15 * coalesce(t, CAST(0 AS BIGINT))) div 100") +
             expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("pr")),
-        i + 1, reliableEvery)
+        i + 1, iterations, reliableEvery)
       i += 1
     }
     step.unpersist()
@@ -551,11 +567,11 @@ object Query {
       val in = step.join(pr.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("(pr * w) div wsum").as("c"))
         .groupBy("id").agg(sum(col("c")).as("insum"))
-      pr = saveRound(nodes.join(in, Seq("id"), "left").join(tele, Seq("id"), "left")
+      pr = saveFixedRound(nodes.join(in, Seq("id"), "left").join(tele, Seq("id"), "left")
         .select(col("id"),
           (expr("(15 * coalesce(t, CAST(0 AS BIGINT))) div 100") +
             expr("(85 * coalesce(insum, CAST(0 AS BIGINT))) div 100")).as("pr")),
-        i + 1, reliableEvery)
+        i + 1, iterations, reliableEvery)
       i += 1
     }
     step.unpersist()

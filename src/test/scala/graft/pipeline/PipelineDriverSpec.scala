@@ -39,6 +39,30 @@ class PipelineDriverSpec extends SparkSpec {
     GraftPipeline.run(spark, config, Seq(dsA, dsB))
   }
 
+  test("column-native normalise twin ≡ the typed default on a qualifier-nested fixture") {
+    // round 16: the column-native normalise was A/B'd, LOST (see
+    // GraftPipeline.normaliseColumnar docstring), and stays as the
+    // pinned twin. The fixture nests every rewrite site: ids, types,
+    // prop keys, prop values, qualifier keys, qualifier values.
+    import spark.implicits._
+    val trie = graft.curie.PrefixTrie(config.prefixMap)
+    val nodes = Seq(
+      mk(Seq("http://purl.obolibrary.org/obo/MONDO_7", "EFO:9"), "dsQ", Seq("EFO:111"),
+        "EFO:key" -> Seq(RawValue.reified("http://purl.obolibrary.org/obo/MONDO_8",
+          Map("EFO:qual" -> Seq("EFO:qv", "plain"),
+            "plainQual" -> Seq("http://purl.obolibrary.org/obo/MONDO_9")))),
+        "plainKey" -> Seq(RawValue.str("untouched"))),
+      mk(Seq("orphan:1"), "dsQ", Nil)).toDS()
+    val native = GraftPipeline.normaliseColumnar(nodes, trie).collect()
+      .sortBy(_.ids.mkString(","))
+    val typed = GraftPipeline.normalise(nodes, trie).collect()
+      .sortBy(_.ids.mkString(","))
+    assert(native === typed)
+    // spot-check a deep rewrite actually happened
+    assert(native.exists(_.props.get("efo:key").exists(_.exists(
+      v => v.value == "mondo:8" && v.qualifiers.get("efo:qual").contains(Seq("efo:qv", "plain"))))))
+  }
+
   test("full build: normalise + seeded groups + merge + superclass typing") {
     val nodes = build.merged.collect()
     // orphan dropped (no type), disease + t2dm survive; canonical id is

@@ -58,8 +58,11 @@ final class LocalFsCommitStore(dir: Path) extends CommitStore {
   override def putIfAbsent(name: String, content: String): Boolean = {
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, content.getBytes("UTF-8"))
     try {
+      // the stage write sits INSIDE the try (round-16 ADVICE fix): a
+      // failed write — disk full, interrupt — must also hit the finally
+      // cleanup, or the store accumulates partial .tmp_ debris
+      Files.write(tmp, content.getBytes("UTF-8"))
       Files.createLink(dir.resolve(name), tmp)
       true
     } catch {
@@ -83,18 +86,25 @@ final class LocalFsCommitStore(dir: Path) extends CommitStore {
 
   override def list(): Seq[String] = {
     if (!Files.isDirectory(dir)) return Seq.empty
-    scala.jdk.CollectionConverters.IteratorHasAsScala(
-      Files.list(dir).iterator()).asScala
-      .map(_.getFileName.toString).toSeq
+    // close the directory stream (round-16 ADVICE fix): occTxnCommit
+    // lists several times per CAS attempt, and an unclosed Files.list
+    // leaks one fd per call — a long-lived driver doing many commits
+    // would exhaust its fd table
+    val stream = Files.list(dir)
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(stream.iterator())
+      .asScala.map(_.getFileName.toString).toList
+    finally stream.close()
   }
 
   override def putReplace(name: String, content: String): Unit = {
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, content.getBytes("UTF-8"))
-    Files.move(tmp, dir.resolve(name),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.write(tmp, content.getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp) // no-op after a successful move
   }
 
   override def delete(name: String): Unit =

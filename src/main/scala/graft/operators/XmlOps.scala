@@ -1938,10 +1938,19 @@ object XmlOps extends QueryModule {
     * True iff this writer won. */
   private[graft] def occRestore(s: SparkSession, base: String, toVersion: Int): Boolean = {
     val store = graft.lake.CommitStore.local(base)
-    val gen = store.read(s"v$toVersion").map(commitGen)
+    val content = store.read(s"v$toVersion")
       .getOrElse(sys.error(s"cannot restore to never-committed v$toVersion under $base"))
+    // Delta RESTORE restores metadata too (round-16 ADVICE fix): carry
+    // the target commit's `schema` line forward so restoring a
+    // schema-evolved version serves THAT version's shape — previously
+    // only the generation line was copied and occReadAtEvolved on the
+    // restored head fell back to the unconformed column shape. `txn` /
+    // `compact` lines must NOT replay: an idempotence token or a
+    // replaces-below marker describes the original commit only.
+    val blob = commitGen(content) +
+      commitSchema(content).map(ddl => s"\nschema $ddl").getOrElse("")
     val next = occHead(base).map(_._1).getOrElse(0) + 1
-    occTryCommit(base, next, gen)
+    occTryCommit(base, next, blob)
   }
 
   val restoreTableSql: String =

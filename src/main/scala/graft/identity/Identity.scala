@@ -132,10 +132,18 @@ object Groups {
     // default them to their own component.
     val full = members.join(cc, Seq("member"), "left")
       .select(col("member"), coalesce(col("component"), col("member")).as("component"))
-    val canon = full.groupBy("component")
-      .agg(min(struct(idScoreCol(col("member")).as("score"), col("member").as("id")))
-        .getField("id").as("canonical"))
-    full.join(canon, "component").select(col("member"), col("canonical"))
+    // Canonical pick as ONE window aggregate over the component instead
+    // of groupBy + join-back (round 16, guide §2.4): the old shape
+    // computed the `full` subtree twice (column pruning diverges between
+    // the aggregate and join branches, so the exchange never reuses) and
+    // paid a second component-keyed exchange for the join. min(struct)
+    // over the partition is the same (idScore, id)-lexicographic pick;
+    // skew exposure is unchanged — the join also routed every member of
+    // a component to one reducer.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    full.select(col("member"),
+      min(struct(idScoreCol(col("member")).as("score"), col("member").as("id")))
+        .over(w).getField("id").as("canonical"))
   }
 
   /** Mirror of [[graft.curie.Ids.isValidId]]: all-numeric ids are dropped

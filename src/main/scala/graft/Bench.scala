@@ -16,14 +16,20 @@ object Bench {
     * spread object inlined truncated the headline away and nulled
     * BENCH_r09); degrades to headline-only rather than ever breaching. */
   private[graft] def compactLine(medians: Seq[(String, Double)],
-      minTotal: Double, sfDir: String): String = {
+      minTotal: Double, sfDir: String,
+      conf: Seq[(String, String)] = Nil): String = {
     val total = medians.map(_._2).sum
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    // Recorded runs are self-describing: any SPARK_GRAFT_CONF overrides
+    // are echoed into the line (empty = committed defaults), so an A/B
+    // run can never masquerade as a default-config record.
+    val cs = conf.map { case (k, v) => "\"" + k + "=" + v + "\"" }
+      .mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"conf":$cs,"queries":$qs,"sf":"$sfDir"}"""
     if (full.length < 1900) full
-    else s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"sf":"$sfDir"}"""
+    else s"""{"metric":"total","value":${f3(total)},"unit":"sec","min_total":${f3(minTotal)},"conf":$cs,"sf":"$sfDir"}"""
   }
 
   /** Append a bench record to the repo-local ledger. The driver's
@@ -34,7 +40,7 @@ object Bench {
   /** The ledger lives at the REPO root, not the launch directory: sbt
     * injects `-Dgraft.repo.root` (build.sbt), and a bare-java launch from
     * anywhere inside the repo finds the nearest enclosing build.sbt. */
-  private[graft] def ledgerPath(): java.nio.file.Path = {
+  private[graft] def repoRoot(): java.nio.file.Path = {
     val prop = System.getProperty("graft.repo.root", "")
     val start =
       if (prop.nonEmpty) java.nio.file.Paths.get(prop)
@@ -42,8 +48,25 @@ object Bench {
     var p = start
     while (p != null && !java.nio.file.Files.exists(p.resolve("build.sbt")))
       p = p.getParent
-    (if (p == null) start else p).resolve("BENCH_LOCAL.jsonl")
+    if (p == null) start else p
   }
+
+  private[graft] def ledgerPath(): java.nio.file.Path =
+    repoRoot().resolve("BENCH_LOCAL.jsonl")
+
+  /** Belt-and-braces for the driver's stdout-tail parse: the exact
+    * compact line is ALSO written (overwrite, one line) to a bare file
+    * the driver or a human can read without any sbt log decoration. */
+  private[graft] def writeCompactFile(line: String,
+      path: java.nio.file.Path = repoRoot().resolve("BENCH_COMPACT.json")): Unit =
+    try
+      java.nio.file.Files.write(path, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] compact-file write failed: ${e.getMessage}")
+    }
 
   private[graft] def appendLedger(line: String,
       path: java.nio.file.Path = ledgerPath()): Unit =
@@ -143,8 +166,9 @@ object Bench {
     // driver keeps only the final ~2000 chars of stdout) and Bench
     // emits nothing after it.
     println(s"""{"metric":"spread","queries":$spreads,"sf":"$sfDir"}""")
-    val compact = compactLine(medians, minTotal, sfDir)
+    val compact = compactLine(medians, minTotal, sfDir, extraConf.toSeq)
     appendLedger(s"""{"ts":"${java.time.Instant.now()}","lane":"$lane","compact":$compact,"spread":{"queries":$spreads}}""")
+    writeCompactFile(compact)
     println(compact)
     spark.stop()
   }

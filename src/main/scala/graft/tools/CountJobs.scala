@@ -46,8 +46,10 @@ object CountJobs {
       jobs.set(0); stages.set(0); shuffleWrite.set(0L)
       spark.sparkContext.addSparkListener(listener)
       fn(spark, sfDir).count()
-      // listener events are async; give the bus a moment to drain
-      Thread.sleep(1500)
+      // listener events are async; drain the bus deterministically (a
+      // fixed sleep under-reports on a loaded host — r16 ADVICE)
+      org.apache.spark.graftbridge.ListenerBusBridge
+        .waitUntilEmpty(spark.sparkContext, 60000L)
       spark.sparkContext.removeSparkListener(listener)
       println(f"[countjobs] $name%-28s jobs=${jobs.get}%3d stages=${stages.get}%3d shuffleWriteMB=${shuffleWrite.get / 1e6}%.1f")
     }

@@ -9,6 +9,7 @@ package graft
   * vice versa). One representative per shuffle-shaped family runs both
   * ways; row multisets must match. (The oracle gates can't see this:
   * they run one configuration.) */
+@graft.DeepTest
 class AqeInvarianceSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"

@@ -9,6 +9,7 @@ package graft
   * the row multisets must be identical — the property that lets the
   * SAME code run on local[4] and a 1000-executor cluster. (The oracle
   * gates can't see this: they always run one configuration.) */
+@graft.DeepTest
 class PartitionInvarianceSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 /** Semantic invariants of the corpus-pipeline operators added on top of
   * the pair-level dedup suite: cluster canonicalization (d7),
   * decontamination (t11), trigram familiarity (t12), ANN recall (s5). */
+@graft.DeepTest
 class CorpusOpsSpec extends SparkSpec {
 
   val d = "/root/testdata/sf0.001"

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SaveMode
   * throwing — returning zero rows (or the operator's documented scalar
   * zero) instead. The oracle gates never exercise this; real deployments
   * hit it on day one. */
+@graft.DeepTest
 class EmptyInputSpec extends SparkSpec {
 
   /** Empty twin of the testdata layout: same schemas, zero rows. */

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 /** Hand-checkable fixtures for the iterative graph analytics (g18/g19):
   * the oracle gate pins engine-vs-DuckDB parity at sf0.01, these pin the
   * SEMANTICS against worked-by-hand expectations. */
+@graft.DeepTest
 class GraphAnalyticsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -10,6 +10,7 @@ import java.nio.file.Files
   * force), arrival-rank triangle IVM (≡ brute force across random batch
   * splits), and bar-partial merging (≡ the one-shot aggregation for any
   * split). Seeded RNG → failures replay. */
+@graft.DeepTest
 class Round10FuzzSpec extends SparkSpec {
   import spark.implicits._
 

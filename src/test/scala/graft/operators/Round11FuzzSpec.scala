@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   * inverse-CDF quantiles (≡ the sorted-list definition), and the DOULION
   * draw's uniformity on random vertex sets. Seeded RNG → failures
   * replay. */
+@graft.DeepTest
 class Round11FuzzSpec extends SparkSpec {
   import spark.implicits._
 

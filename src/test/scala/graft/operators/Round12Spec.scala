@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * counts grow, so the fold must relax prior state through TOUCHED edges,
   * not only cascade new improvements — the case st39's insert-only BFS
   * contract cannot see). Seeded RNG → failures replay. */
+@graft.DeepTest
 class Round12Spec extends SparkSpec {
   import spark.implicits._
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * DISTINCT-collect rollup, on a hand graph where the expected output is
   * computable by eye.
   */
+@graft.DeepTest
 class Round13Spec extends SparkSpec {
   import spark.implicits._
 

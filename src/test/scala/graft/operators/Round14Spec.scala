@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * producing the commuted content, and no-torn-reads through the
   * validating path.
   */
+@graft.DeepTest
 class Round14Spec extends SparkSpec {
   import spark.implicits._
 

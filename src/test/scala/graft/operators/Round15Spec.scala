@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * a lang-only mutation (equal n_chars) still round-trips through
   * apply — the case the x24 fixture never exercises.
   */
+@graft.DeepTest
 class Round15Spec extends SparkSpec {
   import spark.implicits._
 

@@ -10,6 +10,7 @@ import graft.pipeline.IncrementalKcore
   * hard regimes — tiny alphabets (pair collisions, ties, overlap runs)
   * and random batch splits (cross-batch cascades). Seeded RNG →
   * failures replay. */
+@graft.DeepTest
 class Round9FuzzSpec extends SparkSpec {
   import spark.implicits._
 

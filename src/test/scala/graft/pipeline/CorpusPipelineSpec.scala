@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus build at sf0.001: the composed artifacts must be
   * mutually consistent (the t21 gate pins decisions against DuckDB; this
   * pins the cross-artifact invariants). */
+@graft.DeepTest
 class CorpusPipelineSpec extends SparkSpec {
 
   private lazy val build =

@@ -6,6 +6,7 @@ import graft.model.{IngestNode, RawValue}
 /** The incremental-build invariant: update(A); update(B) ≡ run(A ∪ B),
   * including clique merges ACROSS updates, and clean cliques are not
   * rewritten. */
+@graft.DeepTest
 class IncrementalBuildSpec extends SparkSpec {
 
   private def mk(ids: Seq[String], ds: String, types: Seq[String],

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   * including cross-batch merges, where a later edge joins two components
   * built in earlier batches and every affected member's label must
   * retro-correct. */
+@graft.DeepTest
 class IncrementalCcSpec extends SparkSpec {
 
   private def edges(pairs: (String, String)*) = {

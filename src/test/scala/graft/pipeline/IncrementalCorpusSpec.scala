@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * monotone-id arrivals equal the one-shot t13 decision table on the
   * union — the property that lets a continuous crawl keep per-document
   * verdicts without ever recomputing the corpus. */
+@graft.DeepTest
 class IncrementalCorpusSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"

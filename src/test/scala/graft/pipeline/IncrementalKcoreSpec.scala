@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * ([[MaterialiseOps.kCoreOf]]) on the union of all arrived edges —
   * including the unbounded-cascade shape BACKLOG used to reject naive
   * streaming k-core — plus the exactly-once and monotonicity contracts. */
+@graft.DeepTest
 class IncrementalKcoreSpec extends SparkSpec {
   import spark.implicits._
 

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * therefore every existing pair's discount through p (replacement
   * semantics, not monotone-append), plus the dynamic-overwrite contract
   * that untouched buckets' files are never rewritten. */
+@graft.DeepTest
 class IncrementalRaSpec extends SparkSpec {
   import spark.implicits._
 

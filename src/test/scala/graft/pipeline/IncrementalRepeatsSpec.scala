@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * arrival order equals the one-shot d19 repeat removal on the union —
   * including retroactive corrections when a later arrival makes an
   * earlier document's windows shared. */
+@graft.DeepTest
 class IncrementalRepeatsSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"

@@ -81,12 +81,17 @@ object AssignIds {
     // codegen. Same candidate SET per uid (array_distinct keeps first
     // occurrence like Seq.distinct; order never matters downstream —
     // candidates go into a join + groupBy).
+    // each concat leg is null-guarded (r16 ADVICE): concat propagates a
+    // single null leg to NULL and explode would then silently drop ALL of
+    // a record's candidates — a null props map from an external adapter
+    // must degrade to the ids-only candidate set instead
+    val emptyArr = array().cast("array<string>")
     val candsAll = withUid.toDF("uid", "node").select(col("uid"),
       explode(array_distinct(concat(
-        col("node.ids"),
-        map_keys(col("node.props")),
-        flatten(transform(map_values(col("node.props")),
-          vs => transform(vs, v => v.getField("value"))))))).as("member"))
+        coalesce(col("node.ids"), emptyArr),
+        coalesce(map_keys(col("node.props")), emptyArr),
+        coalesce(flatten(transform(map_values(col("node.props")),
+          vs => transform(vs, v => v.getField("value")))), emptyArr)))).as("member"))
     val cands = bloomFpp match {
       case Some(fpp) =>
         // no counting job just to size the filter: caller estimate, else

@@ -194,16 +194,22 @@ object GraftPipeline {
     val recordIdSets =
       if (idProps.isEmpty) all.toDF().select(col("ids"))
       else {
+        // every concat leg null-guarded (r16 ADVICE): one null leg nulls
+        // the whole concat and silently drops the record from grouping
         val extras = idProps.map(p =>
           coalesce(
             transform(try_element_at(col("props"), lit(p)), v => v.getField("value")),
             array().cast("array<string>")))
-        all.toDF().select(concat(col("ids") +: extras: _*).as("ids"))
+        all.toDF().select(concat(
+          coalesce(col("ids"), array().cast("array<string>")) +: extras: _*).as("ids"))
       }
     val seedDf = if (config.additionalEquivalenceGroups.isEmpty) None
       else Some(config.additionalEquivalenceGroups.toDF("ids"))
     val idSets = seedDf.foldLeft(recordIdSets)(_ union _)
-    val groupsDf = Groups.fromIdSets(idSets)
+    // hotKeySaltBuckets also skew-proofs the canonical pick (round 17):
+    // a mega-clique component otherwise funnels through one reducer in
+    // the groups tail exactly like a hub node in the edge/refs joins
+    val groupsDf = Groups.fromIdSets(idSets, saltBuckets = config.hotKeySaltBuckets)
     val (assignedRaw, groups) =
       if (config.broadcastGroups) {
         val g = groupsDf.collect().map(r => r.getString(0) -> r.getString(1)).toMap
@@ -215,8 +221,12 @@ object GraftPipeline {
     // superclass typing + A1 merge
     val assigned = superclassesToTypes(
       assignedRaw, config.typeSuperclasses, config.ancestorProp)
+    // subgraph stamp as a column projection, not a typed map (round 17):
+    // the .map(m => m.copy(...)) paid a Deserialize→map→Serialize span
+    // over every merged row just to overwrite one string column
     val merged = Merge(spark, assigned, config.excludeProps)
-      .map(m => m.copy(subgraph = config.name))
+      .withColumn("subgraph", lit(config.name))
+      .as[MergedNode]
       .cache()
 
     // 04_index ∥ 05_materialise off the cached merge
@@ -349,7 +359,8 @@ object GraftPipeline {
     val spark = builds.head._2.merged.sparkSession
     import spark.implicits._
     val combined = builds.map { case (sg, b) =>
-      b.merged.map(m => m.copy(subgraph = sg))
+      // same column-projection stamp as run() — no object boundary
+      b.merged.withColumn("subgraph", lit(sg)).as[MergedNode]
     }.reduce(_ union _)
     if (requireUniqueIds) {
       val clash = combined.groupByKey(_.nodeId)

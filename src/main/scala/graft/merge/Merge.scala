@@ -104,11 +104,20 @@ object Merge {
     * columnar restatement at sf0.1 (2.6s vs 4.3s for the merge gate) —
     * one shuffle with map-side combine beats three codegen'd shuffles
     * whose per-key array_sort comparator runs interpreted. Both
-    * implementations are proven equivalent (MergeSpec). */
+    * implementations are proven equivalent (MergeSpec).
+    *
+    * `graft.merge.impl` session conf ∈ {typed, columnar, columnar2}
+    * switches the physical plan for A/B runs (SPARK_GRAFT_CONF
+    * passthrough in Bench); every implementation computes the same
+    * MergedNode rows (MergeSpec pins all three pairwise). */
   def apply(spark: SparkSession, nodes: Dataset[AssignedNode],
             excludeProps: Set[String] = Set.empty,
             dropUntyped: Boolean = true): Dataset[MergedNode] =
-    typed(spark, nodes, excludeProps, dropUntyped)
+    spark.conf.getOption("graft.merge.impl").getOrElse("typed") match {
+      case "columnar"  => columnar(spark, nodes, excludeProps, dropUntyped)
+      case "columnar2" => columnar2(spark, nodes, excludeProps, dropUntyped)
+      case _           => typed(spark, nodes, excludeProps, dropUntyped)
+    }
 
   /** Typed-Aggregator merge — single shuffle with map-side combine;
     * partial buffers round-trip through Kryo on shuffle. */
@@ -120,6 +129,103 @@ object Merge {
       .agg(new MergeAgg(excludeProps).toColumn.name("node"))
       .map { case (nodeId, node) => node.copy(nodeId = nodeId) }
     if (dropUntyped) merged.filter(_.props.contains("grebi:type")) else merged
+  }
+
+  /** Single-exchange columnar merge (round 17, guide §2.4): the same
+    * semantics as [[typed]] in pure built-ins, restructured so the WHOLE
+    * merge pays exactly one shuffle.
+    *
+    *   - assertions are exploded off the props map (key, RawValue) plus
+    *     ONE sentinel row per record (null key) that carries the
+    *     record-level provenance — so record-level datasources/sourceIds
+    *     need no second pass over the input and no join-back;
+    *   - one `repartition(nodeId)`; every aggregation after it groups on
+    *     a superset of {nodeId}, so hash(nodeId) satisfies all three
+    *     ClusteredDistributions and NO further Exchange is planned;
+    *   - qualifiers travel as `array_sort(map_entries(...))` — an
+    *     ORDERABLE array of entry structs — so value ordering is a
+    *     native `sort_array` on a plain struct (the original [[columnar]]
+    *     needed an interpreted lambda comparator because structs holding
+    *     MapType are unorderable); maps are rebuilt ONCE per node in the
+    *     final projection;
+    *   - the (value, kind, qualifiersJson) sort key leads the struct, so
+    *     field-wise struct comparison IS the typed path's tuple sort
+    *     (qualJson "{}" normalised to "" to match typed's empty key; the
+    *     trailing payload fields are never compared because the leading
+    *     triple is unique per (node, key) after the per-value group-by).
+    *
+    * Trade vs [[typed]]: typed pre-merges map-side and shuffles Kryo
+    * buffers; this shuffles raw assertion rows once but stays codegen
+    * end-to-end with no object boundary and no Kryo. A/B via the
+    * `graft.merge.impl` conf. */
+  def columnar2(spark: SparkSession, nodes: Dataset[AssignedNode],
+                excludeProps: Set[String] = Set.empty,
+                dropUntyped: Boolean = true): Dataset[MergedNode] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rvArrT = "array<struct<value:string,kind:string,qualifiers:map<string,array<string>>>>"
+    val dsName = coalesce(
+      try_element_at(try_element_at(col("props"), lit("grebi:datasource")), lit(1))
+        .getField("value"),
+      col("datasource"))
+    val dropKeys = (excludeProps + "grebi:datasource").toSeq
+    // one row per assertion + one null-key sentinel per record (the
+    // record-level provenance carrier): appended BEFORE the explode so a
+    // record whose every prop is excluded still contributes datasources
+    val e1 = nodes.toDF()
+      .select(col("nodeId"), dsName.as("ds"), col("sourceIds"), col("subgraph"),
+        explode(concat(map_entries(col("props")),
+          array(struct(lit(null).cast("string").as("key"),
+            lit(null).cast(rvArrT).as("value"))))).as("e"))
+      .where(col("e.key").isNull || !col("e.key").isin(dropKeys: _*))
+    val qjRaw = graft.functions.QualifiersJson(col("v.qualifiers"))
+    val rows = e1
+      .select(col("nodeId"), col("ds"), col("sourceIds"), col("subgraph"),
+        col("e.key").as("key"), explode_outer(col("e.value")).as("v"))
+      .select(col("nodeId"), col("ds"), col("sourceIds"), col("subgraph"), col("key"),
+        col("v.value").as("value"), col("v.kind").as("kind"),
+        when(qjRaw === "{}", lit("")).otherwise(qjRaw).as("qj"),
+        array_sort(map_entries(col("v.qualifiers"))).as("qualEntries"))
+      .repartition(col("nodeId")) // the merge's ONE exchange
+    val perValue = rows
+      .groupBy(col("nodeId"), col("key"), col("value"), col("kind"), col("qj"))
+      .agg(
+        array_sort(collect_set(col("ds"))).as("dsSet"),
+        array_sort(array_distinct(flatten(collect_list(col("sourceIds"))))).as("sidSet"),
+        first(col("qualEntries")).as("qualEntries"),
+        max(col("subgraph")).as("subgraph"))
+    val perKey = perValue
+      .groupBy(col("nodeId"), col("key"))
+      .agg(
+        sort_array(collect_list(when(col("value").isNotNull,
+          struct(col("value"), col("kind"), col("qj"),
+            col("dsSet"), col("sidSet"), col("qualEntries"))))).as("values"),
+        array_distinct(flatten(collect_list(col("dsSet")))).as("dsUp"),
+        array_distinct(flatten(collect_list(col("sidSet")))).as("sidUp"),
+        max(col("subgraph")).as("subgraph"))
+    val perNode = perKey
+      .groupBy(col("nodeId"))
+      .agg(
+        sort_array(collect_list(when(col("key").isNotNull && size(col("values")) > 0,
+          struct(col("key"), col("values"))))).as("entries"),
+        array_sort(array_distinct(flatten(collect_list(col("dsUp"))))).as("datasources"),
+        array_sort(array_distinct(flatten(collect_list(col("sidUp"))))).as("sourceIds"),
+        max(col("subgraph")).as("subgraph"))
+    val out0 = perNode.select(col("nodeId"), col("datasources"), col("sourceIds"),
+      col("subgraph"),
+      map_from_entries(transform(col("entries"), e => struct(
+        e.getField("key").as("key"),
+        transform(e.getField("values"), x => struct(
+          x.getField("value").as("value"),
+          x.getField("kind").as("kind"),
+          x.getField("dsSet").as("datasources"),
+          x.getField("sidSet").as("sourceIds"),
+          map_from_entries(x.getField("qualEntries")).as("qualifiers")))
+          .as("values")))).as("props"))
+    val out = if (dropUntyped)
+      out0.where(array_contains(map_keys(col("props")), "grebi:type"))
+    else out0
+    out.as[MergedNode]
   }
 
   /** Columnar merge — the same semantics as [[typed]] expressed in

@@ -121,7 +121,7 @@ object Groups {
     * picked per clique by (idScore, id) min — exactly the reference's
     * preference order (`:163-193`).
     */
-  def fromIdSets(idSets: DataFrame): DataFrame = {
+  def fromIdSets(idSets: DataFrame, saltBuckets: Int = 0): DataFrame = {
     // idSets: single column `ids: array<string>`
     val valid = idSets.select(filter(col("ids"), id => Groups.isValidIdCol(id)).as("ids"))
       .where(size(col("ids")) > 0)
@@ -132,18 +132,44 @@ object Groups {
     // default them to their own component.
     val full = members.join(cc, Seq("member"), "left")
       .select(col("member"), coalesce(col("component"), col("member")).as("component"))
-    // Canonical pick as ONE window aggregate over the component instead
-    // of groupBy + join-back (round 16, guide §2.4): the old shape
-    // computed the `full` subtree twice (column pruning diverges between
-    // the aggregate and join branches, so the exchange never reuses) and
-    // paid a second component-keyed exchange for the join. min(struct)
-    // over the partition is the same (idScore, id)-lexicographic pick;
-    // skew exposure is unchanged — the join also routed every member of
-    // a component to one reducer.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
-    full.select(col("member"),
-      min(struct(idScoreCol(col("member")).as("score"), col("member").as("id")))
-        .over(w).getField("id").as("canonical"))
+    if (saltBuckets > 0) {
+      // Skew-proof two-phase pick (round 17, guide §2.5): the window form
+      // below routes EVERY member of a component through one reducer — a
+      // mega-clique (one component owning a large share of all members)
+      // becomes a single straggler task, and AQE's skew handling cannot
+      // split windows or aggregations, only joins. Two-level aggregation
+      // bounds the per-task share of the hot component to ~1/saltBuckets:
+      // a salted partial min (deterministic salt off the member hash —
+      // guide §2.5, never rand()), a component-level min over
+      // ≤ saltBuckets partial rows, then one members ⋈ canonical
+      // equi-join to attach — which IS a join, so AQE's runtime skew
+      // split covers the attach side. Same (idScore, id)-lexicographic
+      // pick; opt-in via SubgraphConfig.hotKeySaltBuckets because the
+      // flat shape pays one more (tiny) exchange than the window when no
+      // component is hot (tools/ProfileSkewPick measures both).
+      val pick = struct(idScoreCol(col("member")).as("score"), col("member").as("id"))
+      val partial = full
+        .groupBy(col("component"),
+          pmod(xxhash64(col("member")), lit(saltBuckets)).as("salt"))
+        .agg(min(pick).as("m"))
+      val canon = partial.groupBy(col("component"))
+        .agg(min(col("m")).getField("id").as("canonical"))
+      full.join(canon, Seq("component"))
+        .select(col("member"), col("canonical"))
+    } else {
+      // Canonical pick as ONE window aggregate over the component instead
+      // of groupBy + join-back (round 16, guide §2.4): the old shape
+      // computed the `full` subtree twice (column pruning diverges between
+      // the aggregate and join branches, so the exchange never reuses) and
+      // paid a second component-keyed exchange for the join. min(struct)
+      // over the partition is the same (idScore, id)-lexicographic pick;
+      // skew exposure is unchanged — the join also routed every member of
+      // a component to one reducer.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      full.select(col("member"),
+        min(struct(idScoreCol(col("member")).as("score"), col("member").as("id")))
+          .over(w).getField("id").as("canonical"))
+    }
   }
 
   /** Mirror of [[graft.curie.Ids.isValidId]]: all-numeric ids are dropped

@@ -65,6 +65,23 @@ class IdentitySpec extends SparkSpec {
     assert(groups("mgi:97490") == "mgi:97490")
   }
 
+  test("groups: two-phase salted pick ≡ window pick (incl. a hot component)") {
+    import spark.implicits._
+    // one 60-member mega-clique (hub co-asserted everywhere) + 2-member
+    // cliques + a seeded tier clique — the salted pick must produce the
+    // exact (member → canonical) map of the window pick on all of them
+    val hub = (0 until 60).map(i => Seq(f"m:$i%04d", "hub:0000"))
+    val cold = (0 until 40).map(i => Seq(f"a:$i%04d", f"b:$i%04d"))
+    val tiers = Seq(Seq("rdfs:label", "grebi:name"), Seq("mondo:0005044", "EFO-0000537"))
+    val idSets = (hub ++ cold ++ tiers).toDF("ids")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val window = m(Groups.fromIdSets(idSets))
+    val salted = m(Groups.fromIdSets(idSets, saltBuckets = 7))
+    assert(salted == window)
+    assert(window.values.count(_ == window("hub:0000")) == 61, "mega-clique intact")
+  }
+
   test("Catalyst mirrors agree with the Scala id semantics") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1334,11 +1334,49 @@ object XmlOps extends QueryModule {
       .orderBy(col("lang"))
   }
 
-  /** Write `_last_checkpoint` naming the current head. Maintenance-side
-    * only; stage + ATOMIC_MOVE so readers never see a torn file. */
+  /** Parsed `_last_checkpoint` state. Line 1 is `<version> <gen>`
+    * (the original x25 format — still accepted); round 17 folds the
+    * rest of the Delta checkpoint state in as extra lines:
+    * `txn <appId> <version>` per app (the highest idempotence token at
+    * or below the checkpointed version) and `schema <ddl>` (the head's
+    * schema line), so token lookups and restores stay correct after
+    * every pre-checkpoint pointer is vacuumed. */
+  private[graft] final case class CkState(version: Int, gen: String,
+      txns: Map[String, Long], schema: Option[String])
+
+  private[graft] def parseCheckpoint(c: String): CkState = {
+    val lines = c.linesIterator.toSeq
+    val Array(v, g) = lines.head.split(" ", 2)
+    val txns = lines.collect {
+      case l if l.startsWith("txn ") =>
+        val Array(_, app, tv) = l.split(" ", 3); app -> tv.toLong
+    }.toMap
+    val schema = lines.collectFirst {
+      case l if l.startsWith("schema ") => l.substring("schema ".length)
+    }
+    CkState(v.toInt, g, txns, schema)
+  }
+
+  /** Write `_last_checkpoint` naming the current head, folding in every
+    * app's highest SetTransaction token (previous checkpoint's tokens ⊕
+    * one scan of the retained pointers — a token whose pointer was
+    * already vacuumed survives via the previous checkpoint, which is
+    * exactly how Delta checkpoints carry txn state) and the head's
+    * schema line. Maintenance-side only; stage + ATOMIC_MOVE so readers
+    * never see a torn file. */
   private[graft] def occCheckpoint(base: String): Unit = {
+    val store = graft.lake.CommitStore.local(base)
     val (v, gen) = occHead(base).getOrElse(sys.error(s"nothing to checkpoint under $base"))
-    graft.lake.CommitStore.local(base).putReplace("_last_checkpoint", s"$v $gen")
+    val prev = store.read("_last_checkpoint").map(parseCheckpoint)
+    val scanned = store.list().filter(_.matches("v[0-9]+"))
+      .flatMap(store.read).flatMap(commitTxn)
+    val tokens = (prev.map(_.txns.toSeq).getOrElse(Nil) ++ scanned)
+      .groupMapReduce(_._1)(_._2)(_ max _)
+    val schema = store.read(s"v$v").flatMap(commitSchema)
+    val body = s"$v $gen" +
+      tokens.toSeq.sortBy(_._1).map { case (a, tv) => s"\ntxn $a $tv" }.mkString +
+      schema.map(ddl => s"\nschema $ddl").getOrElse("")
+    store.putReplace("_last_checkpoint", body)
   }
 
   /** Head resolution via checkpoint + tail probing: O(commits since the
@@ -1349,11 +1387,10 @@ object XmlOps extends QueryModule {
     val store = graft.lake.CommitStore.local(base)
     val ck = store.read("_last_checkpoint") match {
       case None => return occHead(base)
-      case Some(c) => c
+      case Some(c) => parseCheckpoint(c)
     }
-    val Array(v0, gen0) = ck.split(" ", 2)
-    var v = v0.toInt
-    var gen = gen0
+    var v = ck.version
+    var gen = ck.gen
     var probing = true
     while (probing) {
       store.read(s"v${v + 1}") match {
@@ -1445,25 +1482,86 @@ object XmlOps extends QueryModule {
     content.linesIterator.next()
 
   private[graft] def commitTxn(content: String): Option[(String, Long)] =
-    content.linesIterator.drop(1).nextOption().collect {
+    // any body line, not just line 2 (round 17): a commit that carries
+    // BOTH a schema line and a txn token must not hide the token —
+    // same order-insensitive scan as commitSchema/commitCompactUpTo
+    content.linesIterator.drop(1).collectFirst {
       case l if l.startsWith("txn ") =>
         val Array(_, app, v) = l.split(" ", 3)
         (app, v.toLong)
     }
 
   /** The highest txnVersion `appId` ever committed to this log, or None.
-    * Small-blob metadata reads over the retained commit pointers —
-    * production formats fold SetTransaction state into the checkpoint so
-    * this never re-reads deep history; correspondingly, a vacuum of
-    * version POINTERS must retain each app's latest txn commit (Delta's
-    * setTransactionRetentionDuration caveat, inherited verbatim). */
+    *
+    * O(tail since the last checkpoint), not O(history) (round 17, the
+    * r15/r16 verdicts' structural lake item): with a checkpoint present
+    * this reads the folded token map plus only the tail pointers above
+    * it — the exact occHeadFast walk — so a years-old log costs the same
+    * as a fresh one, AND the answer survives pre-checkpoint pointer
+    * vacuum (the old full-listing scan silently LOST tokens once their
+    * pointers were deleted, re-opening the exactly-once window). Without
+    * a checkpoint it degrades to the full listing, as before. */
   private[graft] def occLastTxn(base: String, appId: String): Option[Long] = {
     val store = graft.lake.CommitStore.local(base)
-    store.list().filter(_.matches("v[0-9]+"))
-      .flatMap(store.read)
-      .flatMap(commitTxn)
-      .collect { case (a, v) if a == appId => v }
-      .maxOption
+    store.read("_last_checkpoint").map(parseCheckpoint) match {
+      case Some(ck) =>
+        var best = ck.txns.get(appId)
+        var v = ck.version
+        var probing = true
+        while (probing) {
+          store.read(s"v${v + 1}") match {
+            case Some(c) =>
+              v += 1
+              commitTxn(c).filter(_._1 == appId).foreach { case (_, tv) =>
+                best = Some(best.fold(tv)(_ max tv))
+              }
+            case None => probing = false
+          }
+        }
+        best
+      case None =>
+        store.list().filter(_.matches("v[0-9]+"))
+          .flatMap(store.read)
+          .flatMap(commitTxn)
+          .collect { case (a, v) if a == appId => v }
+          .maxOption
+    }
+  }
+
+  /** Pointer-vacuum plan (round 17): which `v<n>` POINTERS may be
+    * deleted, and which must be retained. A pointer strictly below the
+    * newest compaction commit is not needed for head or snapshot reads
+    * (its generation is replaced) — but a pointer carrying an app's
+    * NEWEST idempotence token must be retained until a checkpoint has
+    * folded that token, or the vacuum re-opens the exactly-once window
+    * (Delta's setTransactionRetentionDuration caveat, made structural:
+    * the plan REFUSES instead of trusting an operator to remember).
+    * Returns (reclaimable, retainedForTokens); the head pointer and
+    * everything at/above the newest compaction commit are never
+    * candidates. Listing-scale metadata; data files never open. */
+  private[graft] def txnPointerVacuumPlan(base: String): (Seq[Int], Seq[Int]) = {
+    val store = graft.lake.CommitStore.local(base)
+    val versions = store.list()
+      .collect { case n if n.matches("v[0-9]+") => n.drop(1).toInt }.sorted
+    if (versions.isEmpty) return (Nil, Nil)
+    val contents = versions.map(v => v -> store.read(s"v$v")).collect {
+      case (v, Some(c)) => v -> c
+    }.toMap
+    val compactBase = contents.collect {
+      case (v, c) if commitCompactUpTo(c).isDefined => v
+    }.maxOption.getOrElse(0)
+    val candidates = versions.filter(_ < compactBase)
+    val ckTxns = store.read("_last_checkpoint").map(parseCheckpoint)
+      .map(_.txns).getOrElse(Map.empty[String, Long])
+    // each app's newest token pointer among ALL retained pointers
+    val newestTokenPtr = contents.toSeq
+      .flatMap { case (v, c) => commitTxn(c).map { case (a, tv) => (a, tv, v) } }
+      .groupBy(_._1)
+      .map { case (a, ts) => a -> ts.maxBy(t => (t._2, t._3)) }
+    val mustRetain = newestTokenPtr.values.collect {
+      case (app, tv, v) if !ckTxns.get(app).exists(_ >= tv) => v
+    }.toSet
+    (candidates.filterNot(mustRetain), candidates.filter(mustRetain))
   }
 
   /** x27's writer: IDEMPOTENT TRANSACTIONAL APPEND. Prepare the batch as
@@ -1829,7 +1927,18 @@ object XmlOps extends QueryModule {
     occPrepare(s, base, docs.limit(3)) // a CAS loser: prepared, never linked
     require(occCompact(s, base) == 5)
     val store = graft.lake.CommitStore.local(base)
-    (1 to 4).foreach(v => store.delete(s"v$v")) // x19-style pointer vacuum
+    // x19-style pointer vacuum, now through the round-17 discipline:
+    // checkpoint first (folds the four x31_writer tokens), then delete
+    // only what the pointer plan releases — the same v1..v4 as before,
+    // but an operator who SKIPPED the checkpoint would be refused the
+    // newest-token pointer instead of silently breaking idempotence
+    // (Round17Spec pins both sides).
+    occCheckpoint(base)
+    val (ptrReclaim, ptrRetained) = txnPointerVacuumPlan(base)
+    require(ptrRetained.isEmpty && ptrReclaim == Seq(1, 2, 3, 4),
+      s"expected v1..v4 reclaimable after the checkpoint fold, got " +
+        s"reclaim=$ptrReclaim retained=$ptrRetained")
+    ptrReclaim.foreach(v => store.delete(s"v$v"))
     val (live, reclaimable) = txnLogVacuumPlan(s, base)
     require(occHead(base).exists(h => live.contains(h._2)),
       "the head's generation must be in the live set")

@@ -132,6 +132,13 @@ object Groups {
     // default them to their own component.
     val full = members.join(cc, Seq("member"), "left")
       .select(col("member"), coalesce(col("component"), col("member")).as("component"))
+    pickCanonical(full, saltBuckets)
+  }
+
+  /** The canonical pick over a (member, component) frame — split out so
+    * the skew fixture (tools/ProfileSkewPick) can measure the pick stage
+    * in isolation from the CC rounds that precede it. */
+  private[graft] def pickCanonical(full: DataFrame, saltBuckets: Int): DataFrame = {
     if (saltBuckets > 0) {
       // Skew-proof two-phase pick (round 17, guide §2.5): the window form
       // below routes EVERY member of a component through one reducer — a

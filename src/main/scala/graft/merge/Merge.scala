@@ -109,7 +109,19 @@ object Merge {
     * `graft.merge.impl` session conf ∈ {typed, columnar, columnar2}
     * switches the physical plan for A/B runs (SPARK_GRAFT_CONF
     * passthrough in Bench); every implementation computes the same
-    * MergedNode rows (MergeSpec pins all three pairwise). */
+    * MergedNode rows (MergeSpec pins all three pairwise).
+    *
+    * Round-17 A/B (the r16 verdict's re-litigation, now with the
+    * column-native upstream in place): [[columnar2]] — zero object
+    * spans, ONE exchange — still LOSES to typed, interleaved min-of-5
+    * at sf0.1: g4 1.45/1.53 vs 2.89/4.24 s, g14 8.35/8.38 vs
+    * 10.14/10.24 s, and CountJobs shows it shuffles MORE bytes (g4
+    * 1.9 → 2.6 MB, g14 24.1 → 26.9 MB): the Kryo partial buffers are
+    * map-side COMBINED before the exchange, while the flat single
+    * exchange ships every raw assertion row (guide §2.3 "aggregate
+    * before you shuffle" — the buffers ARE the aggregation). Typed
+    * stays the default; do not re-land without cluster-scale
+    * evidence. */
   def apply(spark: SparkSession, nodes: Dataset[AssignedNode],
             excludeProps: Set[String] = Set.empty,
             dropUntyped: Boolean = true): Dataset[MergedNode] =

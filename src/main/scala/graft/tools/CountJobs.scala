@@ -15,7 +15,13 @@ object CountJobs {
     require(args.nonEmpty, "usage: CountJobs <queryName> [queryName ...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // same SPARK_GRAFT_CONF passthrough as Bench/DumpPlans so variant
+    // plans (e.g. graft.merge.impl) get deterministic job/shuffle counts
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-count-jobs")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,6 +29,7 @@ object CountJobs {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -233,8 +233,12 @@ object TextAnalysis extends QueryModule {
     // perturbs the consumer subtrees so exchange reuse misses) and
     // REVERTED on measurement: the cache build cost more than the
     // tokenize it saved at every bench tier (t7 0.90 → 1.13 s median),
-    // the round-15 g14-persist lesson again. At 100 TB the staged
-    // variant (write tf to parquet, the d3s pattern) is the right form.
+    // the round-15 g14-persist lesson again. The staged form (tf to
+    // parquet) was MEASURED in round 17 (tools/ProfileStagedTf): it
+    // wins at sfx1 (min 1.52 vs 2.73) but LOSES at sfx10 (17.6 vs 7.8)
+    // — the high-cardinality tf write grows faster than the recompute
+    // it saves — so inline stays the form at every tier; stage only
+    // narrow derived tables (the d3s/d16s pattern).
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -763,9 +767,10 @@ object TextAnalysis extends QueryModule {
     // under join pushdown so exchange reuse misses either way, and at
     // bench scale the extra aggregate layers (min 0.70 → 0.92 s) and the
     // cache build (min → 1.78 s) each cost more than the codegen'd
-    // tokenize they saved. At 100 TB the staged form (tf to parquet, the
-    // d3s pattern) is the right rewrite; the inline shape keeps the
-    // cheapest measured plan.
+    // tokenize they saved. Round 17 also MEASURED the staged form (tf to
+    // parquet, tools/ProfileStagedTf): it loses here at sf0.1 and sfx1
+    // and only reaches parity at sfx10 — the inline shape is the
+    // measured-best plan at every tier; see OPTIMIZATION_r17.md #6.
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = words.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val st = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
